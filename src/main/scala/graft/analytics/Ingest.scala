@@ -1,0 +1,83 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import Tables._
+
+/**
+ * The ingest-shaped queries over the `events` table, which stands in for the
+ * billing stream (JSON `props` ≡ Kafka `value`, `event_type` ≡ `msgType`,
+ * `ts` ≡ `date` → day partition). These exercise the reference pipeline's
+ * load-bearing semantics as batch queries: JSON extraction (P2), typed cast
+ * (P4), msgType filter routing (F1–F4), day-partition derivation (X1), and
+ * the downstream per-partition aggregation the tables exist to serve.
+ */
+object Ingest {
+
+  private val propsSchema = StructType(Seq(StructField("k", IntegerType)))
+
+  // ---------------------------------------------------------------- q15
+  // Flagship: parse JSON props, derive the day partition, route by type,
+  // aggregate per (event_type, day). Narrow ops until one partial-combined
+  // aggregate shuffle — the shape that scales to 100 TB of events.
+  private val q15 = QueryDef(
+    "q15_ingest_route_counts",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase", "signup", "error"))
+        .select(
+          col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          sum(col("k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"), col("day")),
+    Some(s"""SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+      ${dsumSql("value")} AS sum_value,
+      CAST(SUM(CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+    GROUP BY 1, 2 ORDER BY event_type, day"""))
+
+  // ---------------------------------------------------------------- q16
+  // Tumbling one-hour buckets (batch twin of the streaming windowed agg).
+  private val q16 = QueryDef(
+    "q16_hourly_activity",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          date_format(col("ts"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour"), col("event_type")),
+    Some("""SELECT strftime(ts, '%Y-%m-%d %H:00:00') AS hour, event_type,
+      COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
+  // ---------------------------------------------------------------- q17
+  // Typed-cast + filter routing parity: per-type value distribution of one
+  // routed slice (≡ one msgType table), with try_cast null semantics.
+  private val q17 = QueryDef(
+    "q17_routed_purchases",
+    (s, dir) =>
+      events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("user_id"),
+          col("value"),
+          expr("try_cast(get_json_object(props, '$.k') AS int)").as("k"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("spend"), max(col("k")).as("max_k"))
+        .filter(col("n") >= 2)
+        .orderBy(col("user_id")),
+    Some(s"""SELECT user_id, COUNT(*) AS n, ${dsumSql("value")} AS spend,
+      MAX(TRY_CAST(json_extract_string(props, '$$.k') AS INTEGER)) AS max_k
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id"""))
+
+  val defs: Seq[QueryDef] = Seq(q15, q16, q17)
+}

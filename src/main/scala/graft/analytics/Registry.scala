@@ -1,0 +1,22 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One registered operator/query: the Spark implementation plus, when the
+  * semantics are ANSI-SQL-expressible, an equivalent DuckDB oracle query.
+  * Queries without an oracle get the driver's weaker rows-only check. */
+final case class QueryDef(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Registry {
+  lazy val all: Seq[QueryDef] =
+    Relational.defs ++ Ingest.defs ++ Text.defs ++ Similarity.defs ++ Multimodal.defs
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,67 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+import graft.parse.BillingParse
+import graft.route.BillingRouter
+
+/**
+ * Streaming ingest: a Kafka-shaped stream (any streaming DataFrame with a
+ * `value` column) → parse → route → append into the four partitioned tables.
+ *
+ * Equivalent of the reference's `Streaming` class
+ * (`Dcache_kafka_to_hive.py:272-351`), with the reference's behaviors kept:
+ *   - foreachBatch sink, one parse + four routed inserts per micro-batch
+ *     (`Dcache_kafka_to_hive.py:317-336`)
+ *   - checkpointed offsets (`:341`)
+ *   - at-least-once delivery (inserts are appends, replays duplicate)
+ *
+ * and its missed optimizations fixed (SURVEY §4.2):
+ *   - the parsed micro-batch is persisted once instead of re-parsed by each
+ *     of the four inserts (the reference re-plans the parse 4×)
+ *   - the Python↔JVM callback hop and global-temp-view + SQL-string
+ *     indirection are gone: foreachBatch is an in-process Scala closure
+ *     doing direct DataFrame writes.
+ *
+ * At 100 TB scale this operator is shuffle-free: parse and route are narrow
+ * (map-only) over however many Kafka partitions the topic has, and the
+ * partitioned-append write is dynamic-partition parquet with no exchange.
+ */
+class BillingIngest(
+    spark: SparkSession,
+    source: DataFrame,
+    database: String = "default") {
+
+  private def tableName(t: String) = s"$database.$t"
+
+  /** The per-micro-batch body (reference `forEachBatch`, `:317-336`). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    val parsed = BillingParse.parse(batch).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      BillingRouter.route(parsed).foreach { case (table, routed) =>
+        // positional insert, like the reference's `INSERT INTO ... SELECT *`
+        routed.write.mode("append").insertInto(tableName(table))
+      }
+    } finally parsed.unpersist()
+  }
+
+  private def writer(checkpointDir: String) =
+    source.writeStream
+      .foreachBatch(processBatch _)
+      .option("checkpointLocation", checkpointDir)
+
+  /** Continuous micro-batch mode (reference `to_hive`, `:303-347`). */
+  def start(checkpointDir: String, triggerInterval: java.time.Duration): StreamingQuery =
+    writer(checkpointDir)
+      .trigger(Trigger.ProcessingTime(triggerInterval.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS))
+      .start()
+
+  /** Bounded run: drain everything available, then stop. Modern idiom for
+    * the reference's cron-driven `awaitTermination(2*trigger); stop()`
+    * window (`Dcache_kafka_to_hive.py:305,345-347`). */
+  def runBounded(checkpointDir: String): Unit = {
+    val q = writer(checkpointDir).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+}
