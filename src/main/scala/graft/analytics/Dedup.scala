@@ -1,0 +1,199 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Deduplication operators (SURVEY §2.8 dedup rows; the training-data
+ * pipeline layer): exact dedup with a deterministic representative,
+ * MinHash+LSH near-dup with banding, brute-force n-gram Jaccard as the
+ * verification baseline, and SimHash fingerprints + Hamming-bucketed
+ * near-dup pairs. All hashing is the cross-engine polynomial hash
+ * ([[Tables.strHashExpr]]) so results hash-match the DuckDB oracle.
+ *
+ * Scale notes (100 TB): d02's candidate generation is the canonical
+ * shingle→minhash→band→bucket-join pipeline — the only wide ops are one
+ * explode-on-bands shuffle and one equi-join on the band key, so cost
+ * tracks the number of *colliding* pairs, not N². The exact-Jaccard
+ * verify re-joins shingle sets by doc id instead of carrying arrays
+ * through the band join (narrow rows through the shuffle). d03's
+ * all-pairs form is deliberately bounded to a small id range — it exists
+ * as the correctness oracle for d02's recall, not as a scale path. d06
+ * buckets SimHash pairs by the high byte (same LSH idea in Hamming
+ * space): 256-way prefilter before any pairwise distance.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- d01
+  // Exact dedup, deterministic representative: first (ts, event_id) row
+  // per (user_id, event_type); aggregate what survives. At scale this is
+  // one hash-partitioned window on a high-cardinality key.
+  private val d01 = QueryDef(
+    "d01_exact_dedup",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n_unique, ${dsumSql("value")} AS sum_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+            ORDER BY ts, event_id) AS rn FROM events)
+    WHERE rn = 1 GROUP BY event_type ORDER BY event_type"""))
+
+  // ------------------------------------------------------------------
+  // Shared shingle machinery: distinct 3-gram token shingles per doc.
+  // ------------------------------------------------------------------
+  private val shingleExprSpark =
+    """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
+       i -> concat_ws(' ', element_at(split(text, ' '), i),
+                           element_at(split(text, ' '), i + 1),
+                           element_at(split(text, ' '), i + 2))))"""
+
+  private val shingleSqlDuck =
+    """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+       i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]))"""
+
+  /** MinHash permutation constants: h_i = (a_i * h + b_i) mod HashMod. */
+  private val perm: Seq[(Long, Long)] =
+    Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (11L, 5L), (13L, 6L), (17L, 7L), (19L, 8L))
+
+  // ---------------------------------------------------------------- d02
+  // MinHash + LSH banding near-dup: 8 minhashes, 4 bands of 2; pairs
+  // sharing any band are candidates, then verified with exact Jaccard.
+  private val d02 = QueryDef(
+    "d02_minhash_lsh",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .filter(expr("size(split(text, ' '))") >= 3)
+        .select(col("doc_id"), expr(shingleExprSpark).as("sh"))
+      val shingleSets = base // re-joined by id for the verify step
+      val mh = base.select(
+        col("doc_id"),
+        array(perm.map { case (a, b) =>
+          expr(s"array_min(transform(transform(sh, x -> ${strHashExpr("x")}), h -> ($a * h + $b) % $HashMod))")
+        }: _*).as("mhs"))
+      val bands = mh.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand
+        .join(shingleSets.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(shingleSets.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("jacc", round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 6))
+        .filter(col("jacc") >= 0.005)
+        .select(col("id1"), col("id2"), col("jacc"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+              FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id1, id2, round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jacc
+    FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+    WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.005
+    ORDER BY id1, id2"""))
+
+  // ---------------------------------------------------------------- d03
+  // Brute-force n-gram Jaccard over a bounded id range: the exact
+  // verification baseline for d02 (NOT a scale path — O(k²) by design).
+  private val d03 = QueryDef(
+    "d03_ngram_jaccard",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .filter(col("doc_id") < 60 && expr("size(split(text, ' '))") >= 3)
+        .select(col("doc_id"), expr(shingleExprSpark).as("sh"))
+      sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), col("id1") < col("id2"))
+        .withColumn("jacc", round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 6))
+        .filter(col("jacc") >= 0.01)
+        .select(col("id1"), col("id2"), col("jacc"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) >= 0.01
+    ORDER BY id1, id2"""))
+
+  // ------------------------------------------------------------------
+  // SimHash: 16-bit signature from token-count-weighted hash bits.
+  // ------------------------------------------------------------------
+  private def simhashFromBits(bitSql: Int => String): String =
+    (0 until 16).map(b => s"(CASE WHEN ${bitSql(b)} > 0 THEN ${1 << b} ELSE 0 END)").mkString(" + ")
+
+  // ---------------------------------------------------------------- d04
+  // SimHash signatures per document: token histogram (one aggregate),
+  // then 16 weighted bit-sums folded to an integer signature.
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h16", expr(strHashExpr("token")) % 65536)
+    val bitSums = (0 until 16).map { b =>
+      sum(col("cnt") * when(expr(s"shiftright(h16, $b) & 1") === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    tok.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(simhashFromBits(b => s"s$b")).cast("long"))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  private val simhashCteDuck =
+    s"""tok AS (SELECT doc_id, token, COUNT(*) AS cnt, ${strHashSql("token")} % 65536 AS h16
+           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+           GROUP BY doc_id, token),
+    bits AS (SELECT doc_id, ${(0 until 16).map(b => s"SUM(cnt * (CASE WHEN (h16 >> $b) & 1 = 1 THEN 1 ELSE -1 END)) AS s$b").mkString(", ")}
+             FROM tok GROUP BY doc_id),
+    sh AS (SELECT doc_id, CAST(${simhashFromBits(b => s"s$b")} AS BIGINT) AS simhash FROM bits)"""
+
+  private val d04 = QueryDef(
+    "d04_simhash",
+    (s, dir) => simhashDf(s, dir).orderBy(col("doc_id")),
+    Some(s"""WITH $simhashCteDuck
+    SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- d05
+  // SimHash near-dup pairs, Hamming-bucketed: pairs sharing the high byte
+  // (256-way LSH prefilter) with Hamming distance <= 6.
+  private val d05 = QueryDef(
+    "d05_simhash_pairs",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
+        .filter(col("hamming") <= 6)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH $simhashCteDuck
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sh a JOIN sh b ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    ORDER BY id1, id2"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+}

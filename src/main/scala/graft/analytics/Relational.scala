@@ -25,16 +25,16 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 4).as("sum_charge"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+          sum(chargeTerm(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${dsumSql("l_quantity")} AS sum_qty,
       ${dsumSql("l_extendedprice")} AS sum_base_price,
-      ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
-      ${dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 4)} AS sum_charge,
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(${chargeTermSql("l_extendedprice", "l_discount", "l_tax")}) AS DOUBLE) AS sum_charge,
       COUNT(*) AS count_order
     FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
@@ -55,12 +55,12 @@ object Relational {
         .agg(
           countDistinct(col("o_orderkey")).as("n_orders"),
           count(lit(1)).as("n_items"),
-          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+          sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
         .orderBy(col("c_mktsegment"))
     },
     Some(s"""SELECT c_mktsegment,
       COUNT(DISTINCT o_orderkey) AS n_orders, COUNT(*) AS n_items,
-      ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
@@ -254,11 +254,11 @@ object Relational {
         .select(col("p_partkey"), split(col("p_type"), " ").getItem(0).as("p_class"))
       li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_class"))
-        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+        .agg(count(lit(1)).as("n"), sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
         .orderBy(col("p_class"))
     },
     Some(s"""SELECT string_split(p_type, ' ')[1] AS p_class, COUNT(*) AS n,
-      ${dsumSql("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1 ORDER BY p_class"""))
 

@@ -1,0 +1,140 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Similarity-search operators over the `embeddings` table (64-dim float
+ * vectors + a cluster `label`): brute-force cosine top-k as the exactness
+ * baseline, an LSH-bucketed near-neighbor pass as the scale path, and an
+ * IVF-style centroid assignment. Vector arithmetic is integer-exact
+ * (quantized, see [[Tables.QuantScale]]) so results hash-match the DuckDB
+ * oracle; all folds are built-in higher-order functions — no UDFs.
+ *
+ * Scale notes (100 TB): s01 is O(|Q|·N) with the query side broadcast —
+ * correct for small query sets, the baseline to beat. s02 replaces the
+ * all-pairs crossJoin with a shuffle on an 8-bit sign-LSH bucket key: each
+ * bucket joins only within itself (E[pairs] ≈ N²/256 for random signs, far
+ * less for clustered data), and the bucket key is a pure per-row expr so
+ * the only wide op is one hash-partitioned self-join. s03 broadcasts 10
+ * centroids against N rows — the classic IVF probe shape.
+ */
+object Similarity {
+
+  private def withQuant(dir: String, s: org.apache.spark.sql.SparkSession) =
+    embs(s, dir).withColumn("qv", expr(quantizeExpr("embedding")))
+      .withColumn("norm2", expr(dotExpr("qv", "qv")))
+
+  /** DuckDB CTE twin of [[withQuant]]. */
+  private val quantCte =
+    s"""qe AS (SELECT vec_id, label, ${quantizeSql("embedding")} AS qv FROM embeddings),
+    qn AS (SELECT vec_id, label, qv, ${dotSql("qv", "qv")} AS norm2 FROM qe)"""
+
+  private val simSql =
+    s"CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))"
+
+  // ---------------------------------------------------------------- s01
+  // Brute-force cosine top-k: 8 query vectors (broadcast) against all
+  // vectors; rank per query with deterministic tie-breaks.
+  private val s01 = QueryDef(
+    "s01_cosine_topk",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val q = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      all.select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id, round($simSql, 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simSql DESC, b.vec_id) AS rnk
+      FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  // ---------------------------------------------------------------- s02
+  // LSH-bucketed near-dup pairs: 8 sign bits (sum of each 8-dim slice > 0)
+  // form a bucket key; only same-bucket pairs are joined and verified with
+  // exact cosine. This is the embedding-cosine near-dedup scale path.
+  private def bucketExprSpark: String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN aggregate(slice(qv, ${8 * j + 1}, 8), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def bucketExprDuck: String =
+    (0 until 8).map { j =>
+      s"(CASE WHEN list_reduce(qv[${8 * j + 1}:${8 * j + 8}], (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val s02 = QueryDef(
+    "s02_lsh_near_pairs",
+    (s, dir) => {
+      val b = withQuant(dir, s).withColumn("bucket", expr(bucketExprSpark))
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
+      val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
+      val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
+      l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .filter(col("sim") >= 0.4)
+        .select(col("id1"), col("id2"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH $quantCte,
+    qb AS (SELECT vec_id, qv, norm2, $bucketExprDuck AS bucket FROM qn)
+    SELECT a.vec_id AS id1, b.vec_id AS id2, round($simSql, 6) AS sim
+    FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE $simSql >= 0.4 ORDER BY id1, id2"""))
+
+  // ---------------------------------------------------------------- s03
+  // IVF-style assignment: per-label centroids (exact integer sums, floored
+  // to a quantized centroid), broadcast, each vector assigned to its
+  // nearest centroid by cosine; output the label×assigned confusion.
+  private val s03 = QueryDef(
+    "s03_centroid_assign",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = q
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
+        .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
+        .select(col("label").as("c_label"), col("cqv"), col("cnorm2"))
+      q.join(broadcast(cent))
+        .withColumn("sim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+        .filter(col("rnk") === 1)
+        .groupBy(col("label"), col("c_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("label"), col("c_label"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS qv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, qv, ${dotSql("qv", "qv")} AS norm2 FROM ce),
+    asg AS (SELECT a.vec_id, a.label, b.c_label,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simSql DESC, b.c_label) AS rnk
+            FROM qn a CROSS JOIN cn b)
+    SELECT label, c_label, COUNT(*) AS n FROM asg WHERE rnk = 1
+    GROUP BY label, c_label ORDER BY label, c_label"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03)
+}

@@ -30,4 +30,76 @@ object Tables {
   /** SQL-side twin of [[dsum]] for the DuckDB oracle strings. */
   def dsumSql(exprSql: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($exprSql AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  // ------------------------------------------------------------------
+  // Money products: the TPC-H money/rate columns are semantically
+  // 2-decimal, so casting each FACTOR to DECIMAL(18,2) is unambiguous on
+  // both engines (the nearest 2-decimal value is > 1e-9 away from any
+  // rounding boundary); the decimal product is then exact. Casting the
+  // double PRODUCT instead is engine-dependent at the 4th decimal (Spark
+  // rounds the shortest decimal representation, DuckDB a scaled double).
+  // ------------------------------------------------------------------
+
+  /** Exact revenue term: price × (1 − discount), as DECIMAL(18,4). */
+  def discPrice(price: Column, discount: Column): Column =
+    (price.cast(DecimalType(18, 2)) *
+      (lit(1) - discount).cast(DecimalType(18, 2))).cast(DecimalType(18, 4))
+
+  /** DuckDB twin of [[discPrice]]. */
+  def discPriceSql(price: String, discount: String): String =
+    s"CAST(CAST($price AS DECIMAL(18,2)) * CAST(1 - $discount AS DECIMAL(18,2)) AS DECIMAL(18,4))"
+
+  /** Exact charge term: price × (1 − discount) × (1 + tax). */
+  def chargeTerm(price: Column, discount: Column, tax: Column): Column =
+    discPrice(price, discount) * (lit(1) + tax).cast(DecimalType(18, 2))
+
+  /** DuckDB twin of [[chargeTerm]]. */
+  def chargeTermSql(price: String, discount: String, tax: String): String =
+    s"${discPriceSql(price, discount)} * CAST(1 + $tax AS DECIMAL(18,2))"
+
+  def docs(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "documents")
+  def embs(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
+
+  // ------------------------------------------------------------------
+  // Cross-engine-deterministic vector arithmetic (SURVEY §2.8 similarity
+  // rows). Floats are quantized to int64 at 1e7 scale: |x| <= 0.58 in the
+  // embeddings tables, so a squared quantized component is <= 3.4e13 and a
+  // 64-dim dot product <= 2.2e15 — exact in int64 AND in float64 (< 2^53),
+  // which makes Spark's integer fold and DuckDB's list arithmetic agree
+  // bitwise. Cosine then divides two exact integers under IEEE doubles —
+  // identical on both engines, so rankings and rounded values hash-match.
+  // ------------------------------------------------------------------
+  final val QuantScale = 10000000L // 1e7
+
+  /** SparkSQL expr: float array column -> quantized bigint array. */
+  def quantizeExpr(arrCol: String): String =
+    s"transform($arrCol, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale.0D) AS BIGINT))"
+
+  /** DuckDB twin of [[quantizeExpr]]. */
+  def quantizeSql(arrCol: String): String =
+    s"list_transform($arrCol, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale.0) AS BIGINT))"
+
+  /** SparkSQL expr: exact int64 dot product of two quantized arrays. */
+  def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+
+  /** DuckDB twin of [[dotExpr]] (zip then left-fold, same order as Spark). */
+  def dotSql(a: String, b: String): String =
+    s"list_reduce(list_transform(list_zip($a, $b), p -> p[1] * p[2]), (acc, v) -> acc + v)"
+
+  // ------------------------------------------------------------------
+  // Cross-engine-deterministic string hashing (dedup/fingerprint rows):
+  // a left-fold polynomial rolling hash mod 1e9+7 over character codes.
+  // acc starts at 0 in Spark's aggregate; DuckDB's list_reduce seeds with
+  // the first element, which equals (0*31 + c0) — identical results.
+  // ------------------------------------------------------------------
+  final val HashMod = 1000000007L
+
+  /** SparkSQL expr: polynomial hash of a string expression. */
+  def strHashExpr(sExpr: String): String =
+    s"aggregate(transform(split($sExpr, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % $HashMod)"
+
+  /** DuckDB twin of [[strHashExpr]]. */
+  def strHashSql(sExpr: String): String =
+    s"list_reduce(list_transform(string_split($sExpr, ''), c -> CAST(ord(c) AS BIGINT)), (acc, c) -> (acc * 31 + c) % $HashMod)"
 }

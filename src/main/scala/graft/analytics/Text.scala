@@ -1,0 +1,135 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Text-analysis operators over the `documents` table (SURVEY §2.8 "text
+ * analysis" row; the training-data-pipeline layer): token counting,
+ * quality scoring, language-ID, sub-word tokenization, and document
+ * fingerprinting. All pure built-in expressions (codegen'd higher-order
+ * functions) — no UDFs — so plans stay inside WholeStageCodegen and the
+ * token explode is a Generate over a pruned 1-column scan.
+ *
+ * Scale notes (100 TB): every query here is scan → narrow per-row expr →
+ * one partial/final hash aggregate; no joins, no windows over low-
+ * cardinality keys. `explode` multiplies rows ~80× (tokens/doc) before the
+ * map-side combine, which is the standard trade for exact token counts;
+ * at 100 TB the same plan holds because the combine keeps the shuffle at
+ * |vocab| × shuffle-partitions, not corpus size.
+ */
+object Text {
+
+  // ---------------------------------------------------------------- t01
+  // Whitespace token counting: explode + hash aggregate (map-side combine
+  // keeps the shuffle bounded by vocabulary size, not token count).
+  private val t01 = QueryDef(
+    "t01_token_counts",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("token")),
+    Some("""SELECT token, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY token"""))
+
+  // ---------------------------------------------------------------- t02
+  // Per-document quality scoring: length/stopword-ratio heuristics of the
+  // kind used to filter LLM training corpora. Narrow per-row exprs only.
+  private val t02 = QueryDef(
+    "t02_doc_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and')))").as("n_stop"),
+          col("n_chars"))
+        .withColumn("avg_token_len",
+          round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 4))
+        .withColumn("stop_ratio", round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .withColumn("keep",
+          col("n_tokens").between(20, 400) && col("stop_ratio") < 0.2)
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS n_stop,
+      n_chars,
+      round(CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE) / len(string_split(text, ' ')), 4) AS avg_token_len,
+      round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / len(string_split(text, ' ')), 4) AS stop_ratio,
+      (len(string_split(text, ' ')) BETWEEN 20 AND 400)
+        AND round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE) / len(string_split(text, ' ')), 4) < 0.2 AS keep
+    FROM documents ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t03
+  // N-gram-heuristic language ID: score each language by marker-token hits,
+  // argmax with a fixed tie-break order, then confusion-matrix against the
+  // labeled `lang`. One aggregate; scores are per-row map work.
+  private val markers: Seq[(String, String)] = Seq(
+    "en" -> "('the', 'a')",
+    "de" -> "('table', 'scan')",
+    "fr" -> "('query', 'value')",
+    "es" -> "('fast', 'slow')",
+    "zh" -> "('spark', 'data')")
+
+  private def langCase(score: String => String): String = {
+    val names = markers.map(_._1)
+    val cases = names.init.map { l =>
+      val geAll = names.filter(_ != l).map(o => s"${score(l)} >= ${score(o)}").mkString(" AND ")
+      s"WHEN $geAll THEN '$l'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE '${names.last}' END"
+  }
+
+  private val t03 = QueryDef(
+    "t03_language_id", {
+      val score = markers.toMap.map { case (l, set) =>
+        l -> s"size(filter(split(text, ' '), t -> t IN $set))"
+      }
+      (s, dir) =>
+        docs(s, dir)
+          .select(col("lang"), expr(langCase(score)).as("pred_lang"))
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("pred_lang"))
+    }, {
+      val score = markers.toMap.map { case (l, set) =>
+        l -> s"len(list_filter(string_split(text, ' '), t -> t IN $set))"
+      }
+      Some(s"""SELECT lang, ${langCase(score)} AS pred_lang, COUNT(*) AS n
+      FROM documents GROUP BY 1, 2 ORDER BY lang, pred_lang""")
+    })
+
+  // ---------------------------------------------------------------- t04
+  // BPE-ish sub-word tokenization: greedy <=3-char pieces via regex, then a
+  // corpus-wide piece histogram (regexp_extract_all is codegen'd; the
+  // explode/aggregate shape is the same bounded-shuffle plan as t01).
+  private val t04 = QueryDef(
+    "t04_subword_counts",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(expr("regexp_extract_all(text, '[a-z]{1,3}', 0)")).as("piece"))
+        .groupBy(col("piece"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("piece")),
+    Some("""SELECT piece, COUNT(*) AS n FROM (
+      SELECT unnest(regexp_extract_all(text, '[a-z]{1,3}')) AS piece FROM documents)
+    GROUP BY piece ORDER BY piece"""))
+
+  // ---------------------------------------------------------------- t05
+  // Document fingerprinting: rolling polynomial hash over the full text
+  // (exact-dup detection key; cross-engine-deterministic, see Tables).
+  private val t05 = QueryDef(
+    "t05_fingerprints",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), expr(strHashExpr("text")).as("fingerprint"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, ${strHashSql("text")} AS fingerprint
+    FROM documents ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+}

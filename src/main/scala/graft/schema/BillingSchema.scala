@@ -103,12 +103,16 @@ object BillingSchema {
 
   private val realQueuing = Map("queuingTime" -> "FLOAT")
 
-  /** table name -> (column, hive type) pairs in DDL order. */
+  /** table name -> (column, hive type) pairs in DDL order. Note the operand
+    * order: `baseTypes ++ realQueuing` keeps baseTypes' STRING default (a
+    * `Map.WithDefault` concat preserves the left default in 2.13) while the
+    * right operand wins for `queuingTime`, reproducing the reference's
+    * per-table FLOAT override (`Dcache_kafka_to_hive.py:207,227,253`). */
   val tableSchemas: Map[String, Seq[(String, String)]] = Map(
     "transfer" -> transferCols.map(c => c -> baseTypes(c)),
-    "request" -> requestCols.map(c => c -> (realQueuing ++ baseTypes)(c)),
-    "storage" -> storageCols.map(c => c -> (realQueuing ++ baseTypes)(c)),
-    "remove" -> removeCols.map(c => c -> (realQueuing ++ baseTypes)(c)))
+    "request" -> requestCols.map(c => c -> (baseTypes ++ realQueuing)(c)),
+    "storage" -> storageCols.map(c => c -> (baseTypes ++ realQueuing)(c)),
+    "remove" -> removeCols.map(c => c -> (baseTypes ++ realQueuing)(c)))
 
   /** Spark StructType for each target table (without the partition column). */
   def sparkSchema(table: String): StructType = StructType(
