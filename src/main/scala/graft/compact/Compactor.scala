@@ -1,6 +1,8 @@
 package graft.compact
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions.col
 import graft.schema.BillingSchema
 
@@ -20,6 +22,16 @@ import graft.schema.BillingSchema
  *     partition's rewrite at one task) becomes size-targeted: file count =
  *     ceil(partition bytes / targetFileBytes), so a 100 TB table compacts
  *     with cluster-wide parallelism while still producing ~1 GB files.
+ *
+ * Scale notes (100 TB):
+ *   - partition sizes come from ONE catalog listing per table plus one
+ *     `getContentSummary` RPC per partition directory — not a per-file
+ *     `getFileStatus` loop on the driver (O(partitions), not O(files));
+ *   - the read side is materialized with `localCheckpoint()` before the
+ *     overwrite: the dynamic overwrite would otherwise delete the very
+ *     files its own scan is reading (Spark rejects the plan with "Cannot
+ *     overwrite a path that is also being read from"). The checkpoint
+ *     bounds the exposure to one partition's worth of blocks at a time.
  */
 class Compactor(
     spark: SparkSession,
@@ -27,6 +39,9 @@ class Compactor(
     targetFileBytes: Long = 1L << 30) {
 
   private def qualified(t: String) = s"$database.$t"
+
+  /** SHOW PARTITIONS value Hive uses for a NULL partition key. */
+  private val nullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Enumerate a table's partitions (reference `:369-372`), per table. */
   def partitionsOf(table: String): Seq[String] = {
@@ -36,34 +51,45 @@ class Compactor(
       .map(_.split("=")(1))
   }
 
-  /** Bytes currently stored in one partition, from the file index. */
-  private def partitionBytes(table: String, partition: String): Long = {
-    val files = spark.sql(
-      s"SELECT * FROM ${qualified(table)} WHERE ${BillingSchema.partitionField} = '${partition.replace("'", "")}'")
-      .inputFiles
+  /** partition value → stored bytes: one catalog call for the locations,
+    * one recursive content-summary RPC per partition directory. */
+  private def partitionSizes(table: String): Map[String, Long] = {
     val conf = spark.sparkContext.hadoopConfiguration
-    files.map { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
-    }.sum
+    spark.sessionState.catalog
+      .listPartitions(TableIdentifier(table, Some(database)))
+      .map { part =>
+        val value = part.spec.getOrElse(BillingSchema.partitionField, nullPartition)
+        val loc = new Path(part.location)
+        val bytes =
+          try loc.getFileSystem(conf).getContentSummary(loc).getLength
+          catch { case _: java.io.FileNotFoundException => 0L }
+        value -> bytes
+      }.toMap
   }
 
   /** Compact the given partitions (None = all) of the given tables. */
   def compact(
       tables: Seq[String] = BillingSchema.tableSchemas.keys.toSeq.sorted,
       partitions: Option[Seq[String]] = None): Unit = {
+    val field = BillingSchema.partitionField
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
       tables.foreach { table =>
-        val parts = partitions.getOrElse(partitionsOf(table))
+        val sizes = partitionSizes(table)
+        val parts = partitions.getOrElse(sizes.keys.toSeq.sorted)
         parts.foreach { p =>
-          val df = spark.table(qualified(table))
-            .where(col(BillingSchema.partitionField) === p)
+          // SHOW PARTITIONS reports NULL keys as the Hive default-partition
+          // sentinel; matching it with equality would select zero rows
+          val predicate =
+            if (p == nullPartition) col(field).isNull else col(field) === p
+          val df = spark.table(qualified(table)).where(predicate)
           val nFiles = math.max(1,
-            math.ceil(partitionBytes(table, p).toDouble / targetFileBytes).toInt)
-          // dynamic overwrite touches only this partition; atomic per job
+            math.ceil(sizes.getOrElse(p, 0L).toDouble / targetFileBytes).toInt)
+          // materialize before overwriting the files being read, then let
+          // the dynamic overwrite atomically replace only this partition
           df.repartition(nFiles)
+            .localCheckpoint()
             .write.mode("overwrite").insertInto(qualified(table))
         }
       }

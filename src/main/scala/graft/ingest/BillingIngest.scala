@@ -42,6 +42,10 @@ class BillingIngest(
       BillingRouter.route(parsed).foreach { case (table, routed) =>
         // positional insert, like the reference's `INSERT INTO ... SELECT *`
         routed.write.mode("append").insertInto(tableName(table))
+        // the insert runs in the stream's cloned session; its file-index
+        // refresh doesn't reach this (the caller's) session's relation
+        // cache, so invalidate here or later reads see stale file lists
+        spark.catalog.refreshTable(tableName(table))
       }
     } finally parsed.unpersist()
   }
