@@ -48,12 +48,21 @@ object Dedup {
 
   // ------------------------------------------------------------------
   // Shared shingle machinery: distinct 3-gram token shingles per doc.
+  // The token array is materialized in its own projection first — putting
+  // `split(text, ' ')` inside the transform lambda would re-split the text
+  // per element access (O(words²) per document; measured 3× the whole
+  // query's runtime at sf0.1). CollapseProject keeps the split un-inlined
+  // because `w` is referenced more than once and isn't cheap.
   // ------------------------------------------------------------------
-  private val shingleExprSpark =
-    """array_distinct(transform(sequence(1, size(split(text, ' ')) - 2),
-       i -> concat_ws(' ', element_at(split(text, ' '), i),
-                           element_at(split(text, ' '), i + 1),
-                           element_at(split(text, ' '), i + 2))))"""
+  private val shingleFromTokens =
+    """array_distinct(transform(sequence(1, size(w) - 2),
+       i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))"""
+
+  private def shingled(s: org.apache.spark.sql.SparkSession, dir: String) =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(shingleFromTokens).as("sh"))
 
   private val shingleSqlDuck =
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
@@ -69,15 +78,17 @@ object Dedup {
   private val d02 = QueryDef(
     "d02_minhash_lsh",
     (s, dir) => {
-      val base = docs(s, dir)
-        .filter(expr("size(split(text, ' '))") >= 3)
-        .select(col("doc_id"), expr(shingleExprSpark).as("sh"))
+      val base = shingled(s, dir)
       val shingleSets = base // re-joined by id for the verify step
-      val mh = base.select(
-        col("doc_id"),
-        array(perm.map { case (a, b) =>
-          expr(s"array_min(transform(transform(sh, x -> ${strHashExpr("x")}), h -> ($a * h + $b) % $HashMod))")
-        }: _*).as("mhs"))
+      // hash each shingle ONCE (own projection), then derive all 8
+      // permuted minima from the hashed array — not one re-hash per perm
+      val mh = base
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(
+          col("doc_id"),
+          array(perm.map { case (a, b) =>
+            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
+          }: _*).as("mhs"))
       val bands = mh.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
       val cand = bands.as("a").join(bands.as("b"),
@@ -114,9 +125,7 @@ object Dedup {
   private val d03 = QueryDef(
     "d03_ngram_jaccard",
     (s, dir) => {
-      val sh = docs(s, dir)
-        .filter(col("doc_id") < 60 && expr("size(split(text, ' '))") >= 3)
-        .select(col("doc_id"), expr(shingleExprSpark).as("sh"))
+      val sh = shingled(s, dir).filter(col("doc_id") < 60)
       sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
         .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), col("id1") < col("id2"))
         .withColumn("jacc", round(

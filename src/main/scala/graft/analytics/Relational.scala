@@ -88,15 +88,24 @@ object Relational {
     ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
 
   // ---------------------------------------------------------------- q04
-  // Ranking window: top-5 line items per return flag. The window shuffles
-  // once on the partition key; deterministic tie-breaks make it hashable.
+  // Ranking window: top-5 line items per return flag. l_returnflag has ~3
+  // distinct values, so a single window would funnel the whole table into
+  // ≤3 tasks — a skew scale-killer at 100 TB. Two-phase instead: local
+  // top-5 within (flag, salt) buckets (64× the parallelism; the global
+  // top-5 is necessarily a subset of the bucket winners), then the real
+  // window over ≤ flags × 64 × 5 surviving rows.
   private val q04 = QueryDef(
     "q04_top_lineitems_per_flag",
     (s, dir) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val order = Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      val w1 = Window.partitionBy(col("l_returnflag"), col("salt")).orderBy(order: _*)
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(order: _*)
       rd(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .withColumn("salt", pmod(col("l_orderkey"), lit(64)))
+        .withColumn("r1", row_number().over(w1))
+        .filter(col("r1") <= 5)
+        .drop("salt", "r1")
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 5)
         .orderBy(col("l_returnflag"), col("rnk"))
