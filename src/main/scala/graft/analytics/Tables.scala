@@ -57,7 +57,12 @@ object Tables {
   def chargeTermSql(price: String, discount: String, tax: String): String =
     s"${discPriceSql(price, discount)} * CAST(1 + $tax AS DECIMAL(18,2))"
 
-  def docs(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "documents")
+  def docs(spark: SparkSession, dir: String): DataFrame = {
+    // every poly_hash consumer reads documents; make the function
+    // available even under a session built without GraftExtensions
+    graft.functions.PolyHash.register(spark)
+    rd(spark, dir, "documents")
+  }
   def embs(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
 
   // ------------------------------------------------------------------
@@ -90,14 +95,18 @@ object Tables {
   // ------------------------------------------------------------------
   // Cross-engine-deterministic string hashing (dedup/fingerprint rows):
   // a left-fold polynomial rolling hash mod 1e9+7 over character codes.
-  // acc starts at 0 in Spark's aggregate; DuckDB's list_reduce seeds with
-  // the first element, which equals (0*31 + c0) — identical results.
+  // DuckDB's list_reduce seeds with the first element, which equals
+  // (0*31 + c0) — identical to the zero-seeded fold.
   // ------------------------------------------------------------------
-  final val HashMod = 1000000007L
+  final val HashMod = graft.functions.PolyHash.Mod
 
-  /** SparkSQL expr: polynomial hash of a string expression. */
+  /** SparkSQL expr: polynomial hash of a string expression — the native
+    * codegen'd [[graft.functions.PolyHash]] expression (value-identical
+    * to the pure-SQL `aggregate(transform(split(s, ''), ...))` fold it
+    * replaced, without a per-character array per row). Callers must load
+    * via [[docs]] or register [[graft.functions.GraftExtensions]]. */
   def strHashExpr(sExpr: String): String =
-    s"aggregate(transform(split($sExpr, ''), c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), (acc, c) -> (acc * 31 + c) % $HashMod)"
+    s"poly_hash($sExpr)"
 
   /** DuckDB twin of [[strHashExpr]]. */
   def strHashSql(sExpr: String): String =
