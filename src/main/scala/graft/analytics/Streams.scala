@@ -75,5 +75,124 @@ object Streams {
       event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19)
+  /** FileStreamSource needs a directory; the sf tables are single files. */
+  private def streamDirFor(dir: String, table: String): String = {
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$table")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve(s"$table.parquet"),
+      java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    streamDir.toString
+  }
+
+  private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream
+      .schema(schema)
+      .parquet(streamDirFor(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  // ---------------------------------------------------------------- q20
+  // Streaming SESSION windows (10-minute gap) per user, then a batch
+  // rollup of the emitted sessions. Oracle = the classic gaps-and-islands
+  // form: a new session starts when the gap to the previous event is
+  // >= 10 minutes — exactly Spark's session_window merge rule
+  // (next.ts < prev.ts + gap merges).
+  //
+  // Scale notes: session state is bounded by |open sessions|; the 1-hour
+  // watermark closes sessions for out-of-order arrival. The per-user
+  // rollup happens on the (already tiny) emitted session table because a
+  // streaming query cannot chain two aggregations.
+  private val q20 = QueryDef(
+    "q20_session_windows",
+    (s, dir) => {
+      val sessions = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val sinkName = "q20_session_windows_sink"
+      val q = sessions.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH d AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    i AS (SELECT user_id,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM d),
+    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM i GROUP BY 1, 2)
+    SELECT user_id, COUNT(*) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      MAX(n_events) AS max_session_events
+    FROM g GROUP BY user_id ORDER BY user_id"""))
+
+  // ---------------------------------------------------------------- q21
+  // Arbitrary stateful processing: mapGroupsWithState with explicit
+  // per-group state (running count / sum-of-value as DECIMAL cents / max),
+  // drained bounded and compared against the batch aggregate. The state
+  // object is constant-size per group — the shape that scales.
+  private val q21 = QueryDef(
+    "q21_stateful_type_stats",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.GroupStateTimeout
+      val typed = eventsStream(s, dir)
+        .select(col("event_type"), col("value"))
+        .as[(String, Double)]
+      val stats = typed
+        .groupByKey(_._1)
+        .mapGroupsWithState[(Long, Long, Double), (String, Long, Double, Double)](
+          GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+          var (n, cents, mx) = state.getOption.getOrElse((0L, 0L, Double.MinValue))
+          rows.foreach { case (_, v) =>
+            n += 1
+            // exact cents via the same HALF_UP double→DECIMAL(18,2) rule
+            // Spark's cast (and the DuckDB oracle) use
+            cents += java.math.BigDecimal.valueOf(v)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            mx = math.max(mx, v)
+          }
+          state.update((n, cents, mx))
+          (key, n, cents / 100.0, mx)
+        }
+        .toDF("event_type", "n", "sum_value", "max_value")
+      val sinkName = "q21_stateful_type_stats_sink"
+      val q = stats.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName)
+        .groupBy(col("event_type")) // last update per group wins
+        .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"),
+          max(col("max_value")).as("max_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      MAX(value) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21)
 }
