@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: print `explain("formatted")` for the named queries
+  * (default: the scan/join/agg-heavy ones) against an sf dir. Usage:
+  *   runMain graft.Explain [sfDir] [queryName ...]
+  * Streaming queries (q19–q21) execute on .explain — skipped by default. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q01_pricing_summary", "q02_revenue_by_segment",
+        "q04_top_lineitems_per_flag", "q13_revenue_by_part_class",
+        "q15_ingest_route_counts", "d02_minhash_lsh", "s02_lsh_near_pairs",
+        "t05_fingerprints")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      println(s"\n========== $name ==========")
+      SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -79,5 +79,23 @@ object Ingest {
     FROM events WHERE event_type = 'purchase'
     GROUP BY user_id HAVING COUNT(*) >= 2 ORDER BY user_id"""))
 
-  val defs: Seq[QueryDef] = Seq(q15, q16, q17)
+  // ---------------------------------------------------------------- q23
+  // Map-typed functions: parse props into map<string,string>, explode the
+  // key set, histogram key frequency (the generic-JSON-telemetry shape —
+  // no fixed schema needed). Narrow generate + one combined aggregate.
+  private val q23 = QueryDef(
+    "q23_props_key_histogram",
+    (s, dir) =>
+      events(s, dir)
+        .select(explode(map_keys(
+          from_json(col("props"),
+            org.apache.spark.sql.types.DataType.fromDDL("map<string,string>")))).as("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k")),
+    Some("""SELECT k, COUNT(*) AS n FROM (
+      SELECT unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k ORDER BY k"""))
+
+  val defs: Seq[QueryDef] = Seq(q15, q16, q17, q23)
 }

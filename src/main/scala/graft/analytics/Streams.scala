@@ -194,5 +194,33 @@ object Streams {
       MAX(value) AS max_value
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21)
+  // ---------------------------------------------------------------- q22
+  // Streaming exact dedup: dropDuplicates on (user_id, event_type) with a
+  // watermark bounding the seen-keys state. The kept representative row
+  // per key is batch-order-dependent, so the verified output is the
+  // (deterministic) deduped KEY SET aggregated per type.
+  private val q22 = QueryDef(
+    "q22_stream_dedup",
+    (s, dir) => {
+      val deduped = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicates("user_id", "event_type")
+      val sinkName = "q22_stream_dedup_sink"
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22)
 }
