@@ -136,5 +136,72 @@ object Similarity {
     SELECT label, c_label, COUNT(*) AS n FROM asg WHERE rnk = 1
     GROUP BY label, c_label ORDER BY label, c_label"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03)
+  // ---------------------------------------------------------------- s04
+  // IVF top-k search: assign every vector to its nearest per-label
+  // centroid (the inverted lists), route each query to its nearest 2
+  // centroids, and scan ONLY those two lists for the top-5 — the ANN
+  // scale path where a query touches nprobe/nlist of the corpus instead
+  // of all of it. Exactness is traded for recall by construction; the
+  // oracle replays the same probe rule, so results still hash-match.
+  private val s04 = QueryDef(
+    "s04_ivf_topk",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = q
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
+        .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
+        .select(col("label").as("c_label"), col("cqv"), col("cnorm2"))
+      // nearest-centroid assignment for every vector → inverted lists
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      // queries probe their nearest 2 centroids
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    asg AS (SELECT a.vec_id, a.qv, a.norm2, b.c_label,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) DESC, b.c_label) AS crnk
+            FROM qn a CROSS JOIN cn b),
+    lists AS (SELECT vec_id, qv, norm2, c_label AS list_label FROM asg WHERE crnk = 1),
+    probes AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2, c_label AS probe_label
+               FROM asg WHERE vec_id < 8 AND crnk <= 2)
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT p.q_id, l.vec_id AS c_id,
+        round(CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))), 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+          CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+      FROM lists l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
 }
