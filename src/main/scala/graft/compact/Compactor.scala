@@ -3,7 +3,7 @@ package graft.compact
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.TableIdentifier
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 import graft.schema.BillingSchema
 
 /**
@@ -67,7 +67,15 @@ class Compactor(
       }.toMap
   }
 
-  /** Compact the given partitions (None = all) of the given tables. */
+  /** Compact the given partitions (None = all) of the given tables.
+    *
+    * ONE Spark job per table, not one per partition (the reference loops
+    * partitions serially, `:374`): rows are shuffled on
+    * (partition, salt % nFiles(partition)) so every listed partition
+    * compacts in parallel across the cluster, each into its size-targeted
+    * file count, and a single dynamic overwrite replaces all of them
+    * atomically per job. The salt is a deterministic full-row hash, so a
+    * task retry re-produces the same buckets. */
   def compact(
       tables: Seq[String] = BillingSchema.tableSchemas.keys.toSeq.sorted,
       partitions: Option[Seq[String]] = None): Unit = {
@@ -78,17 +86,33 @@ class Compactor(
       tables.foreach { table =>
         val sizes = partitionSizes(table)
         val parts = partitions.getOrElse(sizes.keys.toSeq.sorted)
-        parts.foreach { p =>
-          // SHOW PARTITIONS reports NULL keys as the Hive default-partition
-          // sentinel; matching it with equality would select zero rows
-          val predicate =
-            if (p == nullPartition) col(field).isNull else col(field) === p
-          val df = spark.table(qualified(table)).where(predicate)
-          val nFiles = math.max(1,
+        if (parts.nonEmpty) {
+          def filesFor(p: String): Int = math.max(1,
             math.ceil(sizes.getOrElse(p, 0L).toDouble / targetFileBytes).toInt)
+          // SHOW PARTITIONS / the catalog report NULL keys as the Hive
+          // default-partition sentinel; equality would select zero rows
+          val nonNull = parts.filterNot(_ == nullPartition)
+          val predicate = (
+            Option.when(nonNull.nonEmpty)(col(field).isin(nonNull: _*)) ++
+              Option.when(parts.contains(nullPartition))(col(field).isNull)
+          ).reduce(_ || _)
+          val df = spark.table(qualified(table)).where(predicate)
+          // per-partition target file count as a lookup expression
+          val filesExpr = {
+            val m = if (nonNull.isEmpty) lit(1) else
+              coalesce(element_at(
+                map(nonNull.flatMap(p => Seq(lit(p), lit(filesFor(p)))): _*),
+                col(field)), lit(1))
+            when(col(field).isNull, lit(filesFor(nullPartition))).otherwise(m)
+          }
+          val salt = pmod(xxhash64(df.columns.map(col): _*), filesExpr.cast("long"))
+          // explicit partition count = total target files: exactly the
+          // right task count for the rewrite, and AQE won't coalesce the
+          // salted buckets back together (an explicit N disables it)
+          val totalFiles = parts.map(filesFor).sum
           // materialize before overwriting the files being read, then let
-          // the dynamic overwrite atomically replace only this partition
-          df.repartition(nFiles)
+          // the dynamic overwrite atomically replace only these partitions
+          df.repartition(totalFiles, col(field), salt)
             .localCheckpoint()
             .write.mode("overwrite").insertInto(qualified(table))
         }

@@ -89,7 +89,10 @@ class CompactorSpec extends SparkSuite {
   test("size-targeted file count: tiny target yields multiple output files") {
     val tables = new BillingTables(spark, db)
     tables.createDatabase(); tables.dropAll(); tables.createAll()
-    ingestTimes(4, Fixtures.all)
+    // distinct rows (the salt is a content hash: identical rows co-locate)
+    (1 to 4).foreach { i =>
+      ingestTimes(1, Seq(Fixtures.transferJson.replace("0000A1", f"0000A$i")))
+    }
     // each parquet file is a few KB; a 4 KB target forces nFiles > 1
     new Compactor(spark, db, targetFileBytes = 4096L).compact(Seq("transfer"))
     parquetFiles("transfer", "2024-03-01").size should be > 1
