@@ -31,21 +31,39 @@ import graft.route.BillingRouter
 class BillingIngest(
     spark: SparkSession,
     source: DataFrame,
-    database: String = "default") {
+    database: String = "default",
+    idempotenceDir: Option[String] = None) {
 
   private def tableName(t: String) = s"$database.$t"
 
-  /** The per-micro-batch body (reference `forEachBatch`, `:317-336`). */
+  /** The per-micro-batch body (reference `forEachBatch`, `:317-336`).
+    *
+    * With `idempotenceDir` set, each (batchId, table) insert is recorded
+    * in a marker file after it commits; a replayed batch (foreachBatch is
+    * at-least-once — the reference accepts `batchid` at `:317` but never
+    * uses it) skips inserts whose marker exists. This closes the
+    * crash-between-insert-1-and-4 duplication window except for a crash
+    * between an insert's commit and its marker write — the best
+    * achievable without a transactional table format. Off by default
+    * (reference-parity at-least-once). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
     val parsed = BillingParse.parse(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       BillingRouter.route(parsed).foreach { case (table, routed) =>
-        // positional insert, like the reference's `INSERT INTO ... SELECT *`
-        routed.write.mode("append").insertInto(tableName(table))
-        // the insert runs in the stream's cloned session; its file-index
-        // refresh doesn't reach this (the caller's) session's relation
-        // cache, so invalidate here or later reads see stale file lists
-        spark.catalog.refreshTable(tableName(table))
+        val marker = idempotenceDir.map(d =>
+          java.nio.file.Paths.get(d, s"batch-$batchId-$table"))
+        if (!marker.exists(java.nio.file.Files.exists(_))) {
+          // positional insert, like the reference's `INSERT INTO ... SELECT *`
+          routed.write.mode("append").insertInto(tableName(table))
+          // the insert runs in the stream's cloned session; its file-index
+          // refresh doesn't reach this (the caller's) session's relation
+          // cache, so invalidate here or later reads see stale file lists
+          spark.catalog.refreshTable(tableName(table))
+          marker.foreach { m =>
+            java.nio.file.Files.createDirectories(m.getParent)
+            java.nio.file.Files.write(m, Array.emptyByteArray)
+          }
+        }
       }
     } finally parsed.unpersist()
   }

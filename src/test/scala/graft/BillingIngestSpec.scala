@@ -58,6 +58,30 @@ class BillingIngestSpec extends SparkSuite {
     counts().values.sum shouldBe 1L
   }
 
+  test("batch replay duplicates by default; idempotenceDir makes it exactly-once") {
+    freshTables()
+    import org.apache.spark.sql.functions.col
+    val batch = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(Fixtures.removeJson))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.StringType))))
+
+    // reference parity: replaying the same batch appends again
+    val plain = new BillingIngest(spark, batch.select(col("value")), db)
+    plain.processBatch(batch, 7L)
+    plain.processBatch(batch, 7L)
+    counts()("remove") shouldBe 2L
+
+    freshTables()
+    val ledger = java.nio.file.Files.createTempDirectory("graft-ledger").toString
+    val once = new BillingIngest(spark, batch.select(col("value")), db, Some(ledger))
+    once.processBatch(batch, 7L)
+    once.processBatch(batch, 7L) // marker exists -> skipped
+    counts()("remove") shouldBe 1L
+    once.processBatch(batch, 8L) // a NEW batch id still appends
+    counts()("remove") shouldBe 2L
+  }
+
   test("rows land in the partition derived from their own embedded date") {
     freshTables()
     implicit val sqlCtx = spark.sqlContext
