@@ -222,5 +222,38 @@ object Streams {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22)
+  // ---------------------------------------------------------------- q24
+  // Streaming SLIDING window (2-hour width, 1-hour slide): each event
+  // lands in exactly two windows. Oracle replays the expansion (starts =
+  // trunc(ts, hour) and trunc(ts, hour) − 1h). Same drain shape as q19;
+  // state is |open windows × types| and watermark-bounded.
+  private val q24 = QueryDef(
+    "q24_sliding_window",
+    (s, dir) => {
+      val windowed = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val sinkName = "q24_sliding_window_sink"
+      val q = windowed.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    },
+    Some(s"""SELECT strftime(date_trunc('hour', ts) - INTERVAL (o) HOUR,
+        '%Y-%m-%d %H:00:00') AS win_start,
+      event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+    GROUP BY 1, 2 ORDER BY win_start, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24)
 }
