@@ -47,24 +47,33 @@ class BillingIngest(
     * achievable without a transactional table format. Off by default
     * (reference-parity at-least-once). */
   private[graft] def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration.Inf
+    import scala.concurrent.ExecutionContext.Implicits.global
     val parsed = BillingParse.parse(batch).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      BillingRouter.route(parsed).foreach { case (table, routed) =>
-        val marker = idempotenceDir.map(d =>
-          java.nio.file.Paths.get(d, s"batch-$batchId-$table"))
-        if (!marker.exists(java.nio.file.Files.exists(_))) {
-          // positional insert, like the reference's `INSERT INTO ... SELECT *`
-          routed.write.mode("append").insertInto(tableName(table))
-          // the insert runs in the stream's cloned session; its file-index
-          // refresh doesn't reach this (the caller's) session's relation
-          // cache, so invalidate here or later reads see stale file lists
-          spark.catalog.refreshTable(tableName(table))
-          marker.foreach { m =>
-            java.nio.file.Files.createDirectories(m.getParent)
-            java.nio.file.Files.write(m, Array.emptyByteArray)
+      // the four inserts are independent jobs on disjoint tables over the
+      // shared persisted parse — run them concurrently (the reference runs
+      // them serially, and each of its jobs re-parsed the batch)
+      val inserts = BillingRouter.route(parsed).toSeq.map { case (table, routed) =>
+        Future {
+          val marker = idempotenceDir.map(d =>
+            java.nio.file.Paths.get(d, s"batch-$batchId-$table"))
+          if (!marker.exists(java.nio.file.Files.exists(_))) {
+            // positional insert, like the reference's `INSERT INTO ... SELECT *`
+            routed.write.mode("append").insertInto(tableName(table))
+            // the insert runs in the stream's cloned session; its file-index
+            // refresh doesn't reach this (the caller's) session's relation
+            // cache, so invalidate here or later reads see stale file lists
+            spark.catalog.refreshTable(tableName(table))
+            marker.foreach { m =>
+              java.nio.file.Files.createDirectories(m.getParent)
+              java.nio.file.Files.write(m, Array.emptyByteArray)
+            }
           }
         }
       }
+      Await.result(Future.sequence(inserts), Inf)
     } finally parsed.unpersist()
   }
 
