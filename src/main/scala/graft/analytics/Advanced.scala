@@ -1,0 +1,179 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Advanced relational operators (round-3 widening of SURVEY §2.8):
+ * PIVOT, LAG/LEAD offset windows, AS-OF join, range (non-equi interval)
+ * join, and exact interpolated percentiles.
+ *
+ * Scale notes (100 TB): q25 pivots onto a FIXED value list (5 columns), so
+ * it compiles to one hash aggregate with 5 conditional sums — no extra pass
+ * to discover pivot values and no shuffle beyond the groupBy. q26/q27
+ * window/partition on `user_id` (high cardinality — no skew funnel). q27 is
+ * the sort-merge AS-OF shape: one union + one window instead of a
+ * per-purchase range probe, so cost is O(n log n) in the partition, not
+ * O(clicks × purchases). q28 broadcasts a constant 4-row tier table — a
+ * nested-loop join against a broadcast side of 4 rows is a per-row map.
+ * q29 is one partial/final aggregate; exact percentiles buffer per-group
+ * values, which is fine for bounded groups (3 flags × bounded quantity
+ * domain) — the unbounded-domain scale path is approx_percentile (q18's
+ * sketch family).
+ */
+object Advanced {
+
+  // ---------------------------------------------------------------- q25
+  // PIVOT: order revenue by status × priority, priorities as columns.
+  // The value list is explicit, so Catalyst skips the distinct-values
+  // discovery job and emits one aggregate with 5 conditional sums.
+  private val priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  private val q25 = QueryDef(
+    "q25_pivot_priority",
+    (s, dir) =>
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(dsum(col("o_totalprice")))
+        .orderBy(col("o_orderstatus")),
+    Some(s"""SELECT o_orderstatus,
+      ${priorities.map(p => s"""CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (WHERE o_orderpriority = '$p') AS DOUBLE) AS "$p"""").mkString(",\n      ")}
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
+  // ---------------------------------------------------------------- q26
+  // LAG/LEAD offset windows: per-user inter-event gaps in exact integer
+  // microseconds, rolled up per event type. Deterministic tie-break via
+  // (ts, event_id); all arithmetic on BIGINT micros — no float drift.
+  private val q26 = QueryDef(
+    "q26_event_gaps",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      events(s, dir)
+        .select(col("event_type"), col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("next_us", lead(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_gaps"),
+          sum(col("ts_us") - col("prev_us")).as("sum_gap_us"),
+          max(col("ts_us") - col("prev_us")).as("max_gap_us"),
+          sum(when(col("next_us").isNull, 1L).otherwise(0L)).as("n_last"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (
+      SELECT event_type, epoch_us(ts) AS ts_us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us,
+        lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
+      FROM events)
+    SELECT event_type, COUNT(*) AS n_gaps,
+      SUM(ts_us - prev_us) AS sum_gap_us,
+      MAX(ts_us - prev_us) AS max_gap_us,
+      CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_last
+    FROM g WHERE prev_us IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q27
+  // AS-OF join: each purchase matched to the latest click at-or-before it
+  // by the same user. Spark lacks a native AS-OF operator, so this is the
+  // scale-safe union+window form: tag both sides, sort once per user, and
+  // carry the last-seen click forward — clicks sort before purchases at
+  // equal ts (kind 0 < 1), giving inclusive `<=` semantics. Clicks are
+  // pre-deduped to one row per (user, instant) so the match is
+  // deterministic. The DuckDB oracle is an independent formulation:
+  // a native ASOF LEFT JOIN.
+  private val q27 = QueryDef(
+    "q27_asof_click_purchase",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts_us"), lit(0).as("kind"),
+          col("ts_us").as("click_ts_us"), col("click_id"),
+          lit(null).cast("long").as("purchase_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), lit(1).as("kind"),
+          lit(null).cast("long").as("click_ts_us"),
+          lit(null).cast("long").as("click_id"),
+          col("event_id").as("purchase_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("m_click_ts_us", last(col("click_ts_us"), ignoreNulls = true).over(w))
+        .withColumn("m_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("purchase_id"), col("user_id"),
+          col("ts_us").as("purchase_ts_us"),
+          col("m_click_ts_us").as("click_ts_us"),
+          col("m_click_id").as("click_id"),
+          (col("ts_us") - col("m_click_ts_us")).as("gap_us"))
+        .orderBy(col("purchase_id"))
+    },
+    Some("""WITH c AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+    p AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts_us AS purchase_ts_us,
+      c.ts_us AS click_ts_us, c.click_id, p.ts_us - c.ts_us AS gap_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    ORDER BY purchase_id"""))
+
+  // ---------------------------------------------------------------- q28
+  // Range (interval containment) join: events bucketed into value tiers.
+  // The tier table is 4 constant rows — broadcast, so the non-equi join
+  // is a per-row comparison, not a shuffle.
+  private val tiers = Seq(
+    ("t1_micro", 0.0, 50.0), ("t2_small", 50.0, 150.0),
+    ("t3_medium", 150.0, 300.0), ("t4_large", 300.0, 1000.0))
+
+  private val q28 = QueryDef(
+    "q28_value_tier_rangejoin",
+    (s, dir) => {
+      import s.implicits._
+      val t = tiers.toDF("tier", "lo", "hi")
+      events(s, dir)
+        .join(broadcast(t), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("tier"))
+    },
+    Some(s"""SELECT tier, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events e JOIN (VALUES ${tiers.map { case (n, lo, hi) => s"('$n', $lo, $hi)" }.mkString(", ")}) t(tier, lo, hi)
+      ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY tier ORDER BY tier"""))
+
+  // ---------------------------------------------------------------- q29
+  // Exact interpolated percentiles (Spark `percentile` vs DuckDB
+  // `quantile_cont` — same index = p·(n−1) linear-interpolation rule).
+  // l_quantity is integer-valued, so interpolated values land on exact
+  // binary fractions; round(6) guards the comparison regardless.
+  private val q29 = QueryDef(
+    "q29_quantity_percentiles",
+    (s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29)
+}
