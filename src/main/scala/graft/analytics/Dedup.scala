@@ -204,5 +204,47 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     ORDER BY id1, id2"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05)
+  // ---------------------------------------------------------------- d06
+  // Embedding-cosine near-dedup: the last dedup family member — near-dup
+  // candidates from the 8-bit sign-LSH bucket (same prefilter as s02, so
+  // candidate generation is one equi-join on the bucket key, never
+  // all-pairs), verified with exact integer-quantized cosine; the
+  // higher-id side of every pair ≥ threshold is dropped and survivors are
+  // rolled up per cluster label. At 100 TB the drop set is a fraction of
+  // N and joins back hash-partitioned on vec_id.
+  private val d06 = QueryDef(
+    "d06_embedding_neardup",
+    (s, dir) => {
+      val b = Similarity.withQuant(dir, s)
+        .withColumn("bucket", expr(Similarity.bucketExprSpark))
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
+      val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
+      val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
+      val drops = l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .filter(col("sim") >= 0.3)
+        .select(col("id2").as("drop_id"))
+        .distinct()
+      b.join(drops, col("vec_id") === col("drop_id"), "left")
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n_total"),
+          count(col("drop_id")).as("n_dropped"),
+          (count(lit(1)) - count(col("drop_id"))).as("n_kept"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH ${Similarity.quantCte},
+    qb AS (SELECT vec_id, label, qv, norm2, ${Similarity.bucketExprDuck} AS bucket FROM qn),
+    drops AS (SELECT DISTINCT b.vec_id AS drop_id
+              FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+              WHERE ${Similarity.simSql} >= 0.3)
+    SELECT label, COUNT(*) AS n_total,
+      CAST(COUNT(drop_id) AS BIGINT) AS n_dropped,
+      CAST(COUNT(*) - COUNT(drop_id) AS BIGINT) AS n_kept
+    FROM qb LEFT JOIN drops ON vec_id = drop_id
+    GROUP BY label ORDER BY label"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
 }

@@ -61,5 +61,40 @@ object Multimodal {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(m01, m02)
+  // ---------------------------------------------------------------- m03
+  // Frame sampling over binary payloads: treat the payload as fixed-width
+  // 32-byte frames (64 hex chars), sample every 4th frame, and fingerprint
+  // each sampled frame — the video frame-sample plumbing (stride, index,
+  // per-frame feature) with a deterministic "decoder" (hex slices) instead
+  // of a codec. Narrow per-row explode: no shuffle until the final sort;
+  // at 100 TB decode parallelism is the input partitioning.
+  private val m03 = QueryDef(
+    "m03_frame_sample",
+    (s, dir) => {
+      // hex payload materialized in its own projection — referenced from
+      // inside the per-frame lambda, so it must not re-encode per frame
+      val hexed = docs(s, dir)
+        .select(col("doc_id").as("media_id"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("n_frames", expr("length(ph) DIV 64"))
+        .filter(col("n_frames") >= 1)
+      hexed
+        .select(col("media_id"), col("ph"),
+          explode(expr("sequence(0L, n_frames - 1, 4L)")).as("frame_idx"))
+        .withColumn("frame", expr("substring(ph, CAST(frame_idx * 64 + 1 AS INT), 64)"))
+        .select(col("media_id"), col("frame_idx"),
+          expr(strHashExpr("frame")).as("frame_hash"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+    Some(s"""WITH ph AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+    nf AS (SELECT media_id, ph, CAST(length(ph) // 64 AS BIGINT) AS n_frames
+           FROM ph WHERE length(ph) >= 64),
+    ix AS (SELECT media_id, ph, unnest(range(0, n_frames, 4)) AS frame_idx FROM nf),
+    fr AS (SELECT media_id, frame_idx,
+             substring(ph, CAST(frame_idx * 64 + 1 AS INT), 64) AS frame
+           FROM ix)
+    SELECT media_id, frame_idx, ${strHashSql("frame")} AS frame_hash
+    FROM fr ORDER BY media_id, frame_idx"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03)
 }

@@ -21,16 +21,16 @@ import Tables._
  */
 object Similarity {
 
-  private def withQuant(dir: String, s: org.apache.spark.sql.SparkSession) =
+  private[analytics] def withQuant(dir: String, s: org.apache.spark.sql.SparkSession) =
     embs(s, dir).withColumn("qv", expr(quantizeExpr("embedding")))
       .withColumn("norm2", expr(dotExpr("qv", "qv")))
 
   /** DuckDB CTE twin of [[withQuant]]. */
-  private val quantCte =
+  private[analytics] val quantCte =
     s"""qe AS (SELECT vec_id, label, ${quantizeSql("embedding")} AS qv FROM embeddings),
     qn AS (SELECT vec_id, label, qv, ${dotSql("qv", "qv")} AS norm2 FROM qe)"""
 
-  private val simSql =
+  private[analytics] val simSql =
     s"CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))"
 
   // ---------------------------------------------------------------- s01
@@ -65,12 +65,12 @@ object Similarity {
   // LSH-bucketed near-dup pairs: 8 sign bits (sum of each 8-dim slice > 0)
   // form a bucket key; only same-bucket pairs are joined and verified with
   // exact cosine. This is the embedding-cosine near-dedup scale path.
-  private def bucketExprSpark: String =
+  private[analytics] def bucketExprSpark: String =
     (0 until 8).map { j =>
       s"(CASE WHEN aggregate(slice(qv, ${8 * j + 1}, 8), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def bucketExprDuck: String =
+  private[analytics] def bucketExprDuck: String =
     (0 until 8).map { j =>
       s"(CASE WHEN list_reduce(qv[${8 * j + 1}:${8 * j + 8}], (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")

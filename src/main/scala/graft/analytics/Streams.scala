@@ -255,5 +255,51 @@ object Streams {
     FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
     GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24)
+  // ---------------------------------------------------------------- q30
+  // STREAM-STREAM interval join: clicks joined to purchases by the same
+  // user within 30 minutes, both sides watermarked so join state is
+  // droppable (the whole point of the operator at scale — without the
+  // time bound + watermarks, both sides buffer forever). Inner-join
+  // matches emit eagerly; the bounded AvailableNow drain sees all of a
+  // finite replay, so the batch twin is an exact oracle.
+  private val q30 = QueryDef(
+    "q30_stream_stream_join",
+    (s, dir) => {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      val sinkName = "q30_stream_stream_join_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
+      SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS sum_gap_us
+    FROM events c JOIN events p
+      ON c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30)
 }
