@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.analytics.{Registry, Tables}
+
+/** Semantic invariants of the round-3 operators (q25–q30, d06, m03) that
+  * the value-hash oracle can't express: as-of ordering/inclusivity, range
+  * bounds, dedup partition arithmetic, frame stride. Runs on sf0.001. */
+class AdvancedOpsSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = Registry.queries(name)(spark, dir)
+
+  test("q27 as-of: every match is at-or-before the purchase, gaps non-negative") {
+    val out = run("q27_asof_click_purchase").cache()
+    val purchases = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    out.count() shouldBe purchases // left join: one row per purchase
+    out.filter(col("click_ts_us") > col("purchase_ts_us")).count() shouldBe 0
+    out.filter(col("gap_us") < 0).count() shouldBe 0
+    // a purchase with no prior click keeps NULL match columns
+    out.filter(col("click_ts_us").isNull && col("click_id").isNotNull)
+      .count() shouldBe 0
+    out.unpersist()
+  }
+
+  test("q27 as-of matches a per-row subquery on a sampled user") {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+    val someUser = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id")).orderBy(col("user_id")).first().getLong(0)
+    val clicks = ev.filter(col("event_type") === "click" && col("user_id") === someUser)
+      .select(col("ts_us")).collect().map(_.getLong(0)).sorted
+    val got = run("q27_asof_click_purchase")
+      .filter(col("user_id") === someUser)
+      .select(col("purchase_ts_us"), col("click_ts_us")).collect()
+    got.foreach { r =>
+      val expected = clicks.takeWhile(_ <= r.getLong(0)).lastOption
+      val actual = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      actual shouldBe expected
+    }
+  }
+
+  test("q28 range join: tiers partition the events whose value falls in a tier") {
+    val out = run("q28_value_tier_rangejoin").cache()
+    val inRange = Tables.events(spark, dir)
+      .filter(col("value") >= 0.0 && col("value") < 1000.0).count()
+    out.agg(sum(col("n"))).first().getLong(0) shouldBe inRange
+    out.unpersist()
+  }
+
+  test("q25 pivot: one row per status, pivot columns are the 5 priorities") {
+    val out = run("q25_pivot_priority")
+    out.columns.toSeq shouldBe Seq("o_orderstatus",
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+    val statuses = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus")).distinct().count()
+    out.count() shouldBe statuses
+  }
+
+  test("d06 dedup arithmetic: kept + dropped = total, totals cover the table") {
+    val out = run("d06_embedding_neardup").cache()
+    out.filter(col("n_kept") + col("n_dropped") =!= col("n_total"))
+      .count() shouldBe 0
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    out.agg(sum(col("n_total"))).first().getLong(0) shouldBe vecs
+    out.unpersist()
+  }
+
+  test("m03 frame sampling: stride-4 indices, hashes within poly_hash modulus") {
+    val out = run("m03_frame_sample").cache()
+    out.filter(col("frame_idx") % 4 =!= 0).count() shouldBe 0
+    out.filter(col("frame_hash") < 0 ||
+      col("frame_hash") >= graft.functions.PolyHash.Mod).count() shouldBe 0
+    // every document long enough to hold one 32-byte frame contributes
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(octet_length(col("text")) >= 32).count()
+    out.select(col("media_id")).distinct().count() shouldBe eligible
+    out.unpersist()
+  }
+
+  test("q26 gaps: per-type gap counts equal events minus first-per-user rows") {
+    val out = run("q26_event_gaps")
+    // every user's first event has no predecessor; all others produce one
+    // gap attributed to their own event_type
+    val ev = Tables.events(spark, dir)
+    val total = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    out.agg(sum(col("n_gaps"))).first().getLong(0) shouldBe (total - users)
+  }
+
+  test("q30 stream-stream join pairs lie within the 30-minute window") {
+    val out = run("q30_stream_stream_join").cache()
+    out.filter(col("n_pairs") <= 0).count() shouldBe 0
+    // sum of gaps per user bounded by n_pairs * 30min in micros
+    out.filter(col("sum_gap_us") > col("n_pairs") * 1800000000L)
+      .count() shouldBe 0
+    out.unpersist()
+    // the memory sink registers a session temp view; drop it so suites
+    // asserting exact catalog contents (BillingTablesSpec) stay isolated
+    spark.catalog.dropTempView("q30_stream_stream_join_sink")
+  }
+}
