@@ -19,12 +19,20 @@ object Bench {
       // nearly every registered query exercises
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("g")).orderBy(col("id"))
+      val dim = spark.range(7).toDF("g2").withColumn("tag", concat(lit("t"), col("g2")))
       spark.range(1 << 16).toDF("id")
         .withColumn("g", col("id") % 7)
         .withColumn("rn", row_number().over(w))
         .withColumn("h", expr("poly_hash(CAST(id AS STRING))"))
         .withColumn("f", expr("aggregate(sequence(1, 8), 0L, (a, x) -> a + x)"))
-        .groupBy(col("g")).agg(count(lit(1)), sum(col("h")), max(col("rn")))
+        // locale-aware string ops lazy-load collation machinery on first
+        // use (measured ~1.5 s landing on whichever query calls upper()
+        // first); touch them here
+        .withColumn("s", upper(substring(concat(lit("warm"), col("id")), 1, 4)))
+        .join(broadcast(dim), col("g") === col("g2"))
+        .groupBy(col("g"), col("s"))
+        .agg(count(lit(1)), sum(col("h")), max(col("rn")), max(length(col("tag"))))
+        .orderBy(col("g"))
         .count()
     } catch { case _: Throwable => () }
   }

@@ -20,6 +20,23 @@ import Tables._
  */
 object Streams {
 
+  /** Run `body` with streaming-sized shuffle parallelism, then restore.
+    *
+    * A streaming query's state-store count is fixed at start to
+    * `spark.sql.shuffle.partitions`, and every micro-batch pays per-store
+    * open/commit/snapshot overhead — so state parallelism should track
+    * STATE size, not CPU count (measured: the fixed cost of each streaming
+    * query here drops ~2× at 8 stores vs 32 for kilobyte-scale state; at
+    * 100 TB you would size it up, which is exactly why it's per-query,
+    * not session-wide). The set is scoped and restored in `finally`, so
+    * concurrent batch queries in the same session are unaffected after
+    * the call and re-runs are idempotent. */
+  private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   // ---------------------------------------------------------------- q18
   // Approx distinct (HLL++). No oracle: DuckDB's approx_count_distinct is
   // a different sketch; the driver records the rows-only check.
@@ -41,7 +58,7 @@ object Streams {
   // (no late data beyond the watermark in a bounded replay).
   private val q19 = QueryDef(
     "q19_stream_window",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       // FileStreamSource needs a directory; the sf tables are single files.
@@ -106,7 +123,7 @@ object Streams {
   // streaming query cannot chain two aggregations.
   private val q20 = QueryDef(
     "q20_session_windows",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val sessions = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
@@ -150,7 +167,7 @@ object Streams {
   // object is constant-size per group — the shape that scales.
   private val q21 = QueryDef(
     "q21_stateful_type_stats",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       import s.implicits._
       import org.apache.spark.sql.streaming.GroupStateTimeout
       val typed = eventsStream(s, dir)
@@ -201,7 +218,7 @@ object Streams {
   // (deterministic) deduped KEY SET aggregated per type.
   private val q22 = QueryDef(
     "q22_stream_dedup",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val deduped = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .dropDuplicates("user_id", "event_type")
@@ -229,7 +246,7 @@ object Streams {
   // state is |open windows × types| and watermark-bounded.
   private val q24 = QueryDef(
     "q24_sliding_window",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val windowed = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -264,7 +281,7 @@ object Streams {
   // finite replay, so the batch twin is an exact oracle.
   private val q30 = QueryDef(
     "q30_stream_stream_join",
-    (s, dir) => {
+    (s, dir) => withStreamShuffle(s) {
       val clicks = eventsStream(s, dir)
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
