@@ -13,6 +13,11 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(64).count()
       catch { case _: Throwable => () }
     }
+    // one real scan+aggregate on the largest table: vectorized parquet
+    // reader, AQE, and wide codegen stages warm against actual row groups
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy(org.apache.spark.sql.functions.col("l_returnflag")).count().count()
+    catch { case _: Throwable => () }
     try {
       graft.functions.PolyHash.register(spark)
       // one aggregate + one window + one HOF fold: the three codegen paths

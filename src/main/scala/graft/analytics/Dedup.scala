@@ -246,5 +246,79 @@ object Dedup {
     FROM qb LEFT JOIN drops ON vec_id = drop_id
     GROUP BY label ORDER BY label"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06)
+  // ---------------------------------------------------------------- d07
+  // Duplicate-CLUSTER resolution: near-dup pairs (d05's Hamming-bucketed
+  // SimHash edges) resolved into connected components by iterative
+  // min-label propagation — the step a dedup pipeline needs between
+  // "pairs" and "one representative per cluster". The loop is the Pregel
+  // pattern: each iteration is one distributed join + min-aggregate, the
+  // driver only checks a scalar convergence count (bounded by component
+  // diameter, not data size; for 100 TB-scale adversarial chain graphs
+  // you'd switch to the large-star/small-star variant, same skeleton).
+  // The DuckDB oracle is an independent formulation: recursive-CTE
+  // transitive closure, min over the reach set.
+  private val d07 = QueryDef(
+    "d07_dup_clusters",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .filter(expr("bit_count(h1 ^ h2)") <= 6)
+        .select(col("id1"), col("id2"))
+      // cache the DIRECTED pairs, not the undirected union: union
+      // branches don't share work in Spark, so caching only the union
+      // would execute the expensive bucket join twice. Materialize at the
+      // session's full shuffle parallelism — only the LOOP runs at the
+      // state-sized setting below.
+      val cachedPairs = pairs.cache()
+      cachedPairs.count()
+      // the iterative state is tiny relative to the session's batch
+      // sizing — run the loop at 8 shuffle partitions (scoped, restored)
+      Tables.withShuffle(s, 8) {
+        val edges = cachedPairs
+          .union(cachedPairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        var labels = edges.select(col("id1").as("node")).distinct()
+          .withColumn("comp", col("node")).cache()
+        var changed = 1L
+        var iter = 0
+        while (changed > 0 && iter < 50) {
+          // labels is |nodes| (small); broadcast it so each round is ONE
+          // map-side pass over the cached edge list + a |nodes|-sized
+          // shuffle from the partial min-aggregate — never a shuffle of
+          // the (much larger) edge set
+          val prop = edges.join(broadcast(labels), col("id2") === col("node"))
+            .groupBy(col("id1")).agg(min(col("comp")).as("pcomp"))
+          val next = labels
+            .join(broadcast(prop), col("node") === col("id1"), "left")
+            .select(col("node"),
+              least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+            .cache()
+          changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
+            .filter(col("comp") =!= col("old")).count()
+          labels.unpersist()
+          labels = next
+          iter += 1
+        }
+        cachedPairs.unpersist()
+        labels.groupBy(col("comp").as("cluster_rep"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("cluster_rep"))
+      }
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+             FROM r GROUP BY node)
+    SELECT cluster_rep, COUNT(*) AS n_members
+    FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
 }

@@ -96,5 +96,38 @@ object Multimodal {
     SELECT media_id, frame_idx, ${strHashSql("frame")} AS frame_hash
     FROM fr ORDER BY media_id, frame_idx"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03)
+  // ---------------------------------------------------------------- m04
+  // Resize: nearest-neighbor downsample of every payload to a fixed
+  // 16-byte thumbnail (sample position i ← floor(i·len/16)) plus its
+  // fingerprint — the image-resize plumbing shape (fixed output geometry
+  // from variable input geometry) with byte sampling standing in for a
+  // pixel kernel. Pure per-row projection: no shuffle, no UDF.
+  private def resizeConcat(floorDiv: String): String =
+    (0 until 16).map { i =>
+      s"substring(ph, CAST((($i * n_bytes) $floorDiv 16) * 2 + 1 AS INT), 2)"
+    }.mkString(" || ")
+
+  private val m04 = QueryDef(
+    "m04_resize_thumbnail",
+    (s, dir) => {
+      val hexed = docs(s, dir)
+        .select(col("doc_id").as("media_id"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("n_bytes", expr("length(ph) DIV 2"))
+        .filter(col("n_bytes") >= 16)
+      hexed
+        .withColumn("thumb_hex", expr(resizeConcat("DIV")))
+        .select(col("media_id"), col("thumb_hex"),
+          expr(strHashExpr("thumb_hex")).as("thumb_hash"))
+        .orderBy(col("media_id"))
+    },
+    Some(s"""WITH ph AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    r AS (SELECT media_id, ${resizeConcat("//")} AS thumb_hex
+          FROM ph WHERE n_bytes >= 16)
+    SELECT media_id, thumb_hex, ${strHashSql("thumb_hex")} AS thumb_hash
+    FROM r ORDER BY media_id"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
 }

@@ -57,6 +57,16 @@ object Tables {
   def chargeTermSql(price: String, discount: String, tax: String): String =
     s"${discPriceSql(price, discount)} * CAST(1 + $tax AS DECIMAL(18,2))"
 
+  /** Run `body` with shuffle parallelism sized to the workload (tiny
+    * iterative/streaming state wants few partitions — per-partition task
+    * and state-store overhead dominates otherwise), restoring the session
+    * value in `finally` so the set is scoped and idempotent. */
+  def withShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   def docs(spark: SparkSession, dir: String): DataFrame = {
     // every poly_hash consumer reads documents; make the function
     // available even under a session built without GraftExtensions

