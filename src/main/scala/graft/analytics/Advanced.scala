@@ -175,5 +175,103 @@ object Advanced {
       COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29)
+  // ---------------------------------------------------------------- q31
+  // Distribution window functions: quartile (NTILE), PERCENT_RANK and
+  // CUME_DIST over a unique sort key (price, orderkey — no ties, so both
+  // engines' tie rules are moot), rolled up per (status, quartile).
+  private val q31 = QueryDef(
+    "q31_price_distribution",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("o_orderstatus"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("pr")), 6).as("min_pr"),
+          round(max(col("cd")), 6).as("max_cd"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"), col("quartile"))
+    },
+    Some(s"""WITH wq AS (
+      SELECT o_orderstatus, o_totalprice,
+        CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        PERCENT_RANK() OVER w AS pr,
+        CUME_DIST() OVER w AS cd
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderstatus, quartile, COUNT(*) AS n,
+      round(MIN(pr), 6) AS min_pr, round(MAX(cd), 6) AS max_cd,
+      ${dsumSql("o_totalprice")} AS total
+    FROM wq GROUP BY o_orderstatus, quartile
+    ORDER BY o_orderstatus, quartile"""))
+
+  // ---------------------------------------------------------------- q32
+  // FULL OUTER join: high-balance customers against all orders — rows
+  // classified by which side matched. The aggregate keys on match class
+  // and segment (NULL segment = order whose customer missed the filter).
+  private val q32 = QueryDef(
+    "q32_full_outer_join",
+    (s, dir) => {
+      val c = rd(s, dir, "customer")
+        .filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val o = rd(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .withColumn("match_type",
+          when(col("c_custkey").isNotNull && col("o_custkey").isNotNull, "both")
+            .when(col("c_custkey").isNotNull, "customer_only")
+            .otherwise("order_only"))
+        .groupBy(col("match_type"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("match_type"), col("c_mktsegment"))
+    },
+    Some(s"""SELECT
+      CASE WHEN c_custkey IS NOT NULL AND o_custkey IS NOT NULL THEN 'both'
+           WHEN c_custkey IS NOT NULL THEN 'customer_only'
+           ELSE 'order_only' END AS match_type,
+      c_mktsegment, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+    FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+    FULL OUTER JOIN orders o ON c_custkey = o_custkey
+    GROUP BY 1, 2 ORDER BY match_type, c_mktsegment"""))
+
+  // ---------------------------------------------------------------- q33
+  // UNPIVOT (melt): three per-flag aggregates rotated into (flag, metric,
+  // value) rows — the inverse of q25. Spark's unpivot is a zero-shuffle
+  // Expand over the already-aggregated table; the oracle replays it as
+  // UNION ALL.
+  private val q33 = QueryDef(
+    "q33_unpivot_metrics",
+    (s, dir) => {
+      val agg = rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          dsum(col("l_discount"), 4).as("sum_disc"))
+      agg.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    Some(s"""WITH agg AS (
+      SELECT l_returnflag,
+        ${dsumSql("l_quantity")} AS sum_qty,
+        ${dsumSql("l_extendedprice")} AS sum_price,
+        ${dsumSql("l_discount", 4)} AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, metric, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM agg
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
+    ORDER BY l_returnflag, metric"""))
+
+  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q31, q32, q33)
 }

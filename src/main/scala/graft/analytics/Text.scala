@@ -131,5 +131,52 @@ object Text {
     Some(s"""SELECT doc_id, ${strHashSql("text")} AS fingerprint
     FROM documents ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05)
+  // ---------------------------------------------------------------- t06
+  // TF-IDF top terms per document: term frequency from one explode +
+  // aggregate, document frequency from a second aggregate over the SAME
+  // (doc, token) relation, corpus size broadcast as a 1-row join, then a
+  // per-document top-3 window. The rank key is the ROUNDED score (plus
+  // token tie-break) so the ordering is identical across engines even at
+  // float ulp differences. Scale: df table is |vocab| (small relative to
+  // corpus — broadcast); the window partitions on doc_id (high
+  // cardinality, no skew funnel).
+  private val t06 = QueryDef(
+    "t06_tfidf_top_terms",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("token"))
+      tok.join(broadcast(df), "token")
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"), col("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tok.doc_id, tok.token,
+        round(tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS score
+      FROM tok JOIN df ON tok.token = df.token CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, score,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rnk
+      FROM scored)
+    SELECT doc_id, rnk, token, score FROM ranked
+    WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
 }
