@@ -14,7 +14,9 @@ object Explain {
       else Seq("q01_pricing_summary", "q02_revenue_by_segment",
         "q04_top_lineitems_per_flag", "q13_revenue_by_part_class",
         "q15_ingest_route_counts", "d02_minhash_lsh", "s02_lsh_near_pairs",
-        "t05_fingerprints")
+        "t05_fingerprints", "q25_pivot_priority", "q27_asof_click_purchase",
+        "q28_value_tier_rangejoin", "q32_full_outer_join",
+        "t06_tfidf_top_terms", "d06_embedding_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
