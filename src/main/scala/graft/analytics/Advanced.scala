@@ -273,5 +273,95 @@ object Advanced {
       SELECT l_returnflag, 'sum_disc', sum_disc FROM agg)
     ORDER BY l_returnflag, metric"""))
 
-  val defs: Seq[QueryDef] = Seq(q25, q26, q27, q28, q29, q31, q32, q33)
+  // ---------------------------------------------------------------- q34
+  // RANGE window frame: per-event trailing 1-hour sum of value over the
+  // user's own event stream — a time-based frame (RANGE BETWEEN), not a
+  // row-count frame like q05. Frame arithmetic runs on exact BIGINT
+  // micros; the per-event money sum is DECIMAL cents so the trailing sum
+  // is order-independent. Rolled up per type to keep output bounded.
+  private val q34 = QueryDef(
+    "q34_trailing_hour_sum",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("v"))
+        .withColumn("trail", sum(col("v")).over(w))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          max(col("trail")).cast("double").as("max_trailing"),
+          dsum(col("trail")).as("sum_trailing"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH t AS (
+      SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+        CAST(value AS DECIMAL(18,2)) AS v
+      FROM events),
+    f AS (
+      SELECT event_type,
+        SUM(v) OVER (PARTITION BY user_id ORDER BY ts_us
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail
+      FROM t)
+    SELECT event_type, COUNT(*) AS n,
+      CAST(MAX(trail) AS DOUBLE) AS max_trailing,
+      CAST(SUM(CAST(trail AS DECIMAL(18,2))) AS DOUBLE) AS sum_trailing
+    FROM f GROUP BY event_type ORDER BY event_type"""))
+
+  // ---------------------------------------------------------------- q35
+  // Correlated scalar subquery (Catalyst rewrites it into an aggregate +
+  // join): orders strictly below their own customer's maximum order
+  // value. MAX is exact, so membership is float-deterministic — the
+  // comparison never sits on an accumulation-order boundary.
+  private val q35 = QueryDef(
+    "q35_below_customer_max",
+    (s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("q35_orders")
+      s.sql(s"""
+        SELECT o_custkey, COUNT(*) AS n_below,
+          ${Tables.dsumSql("o_totalprice")} AS total_below
+        FROM q35_orders o
+        WHERE o_totalprice < (SELECT MAX(o2.o_totalprice)
+                              FROM q35_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_custkey
+        ORDER BY o_custkey""")
+    },
+    Some(s"""SELECT o_custkey, COUNT(*) AS n_below,
+      ${dsumSql("o_totalprice")} AS total_below
+    FROM orders o
+    WHERE o_totalprice < (SELECT MAX(o2.o_totalprice) FROM orders o2
+                          WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY o_custkey ORDER BY o_custkey"""))
+
+  // ---------------------------------------------------------------- q36
+  // GROUPING SETS with grouping_id — the general form of q03's ROLLUP /
+  // q14's CUBE: exactly the requested combinations, one Expand pass.
+  private val q36 = QueryDef(
+    "q36_grouping_sets",
+    (s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("q36_orders")
+      s.sql(s"""
+        SELECT o_orderstatus, o_orderpriority,
+          CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+          COUNT(*) AS n, ${Tables.dsumSql("o_totalprice")} AS total
+        FROM q36_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+    },
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36)
 }
