@@ -319,7 +319,7 @@ object Advanced {
     "q35_below_customer_max",
     (s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("q35_orders")
-      s.sql(s"""
+      val out = s.sql(s"""
         SELECT o_custkey, COUNT(*) AS n_below,
           ${Tables.dsumSql("o_totalprice")} AS total_below
         FROM q35_orders o
@@ -328,6 +328,10 @@ object Advanced {
                               WHERE o2.o_custkey = o.o_custkey)
         GROUP BY o_custkey
         ORDER BY o_custkey""")
+      // the analyzed plan holds the resolved subtree; drop the view so the
+      // session catalog stays clean for callers that assert its contents
+      s.catalog.dropTempView("q35_orders")
+      out
     },
     Some(s"""SELECT o_custkey, COUNT(*) AS n_below,
       ${dsumSql("o_totalprice")} AS total_below
@@ -343,7 +347,7 @@ object Advanced {
     "q36_grouping_sets",
     (s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("q36_orders")
-      s.sql(s"""
+      val out = s.sql(s"""
         SELECT o_orderstatus, o_orderpriority,
           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
           CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
@@ -352,6 +356,8 @@ object Advanced {
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())
         ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+      s.catalog.dropTempView("q36_orders")
+      out
     },
     Some(s"""SELECT o_orderstatus, o_orderpriority,
       CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
