@@ -272,6 +272,23 @@ object Streams {
     FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
     GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // ---------------------------------------------------------------- q37
+  // Approx percentiles (GK sketch) — the quantile member of the sketch
+  // family (q18 = HLL distinct). Constant-size state per group like q18;
+  // the scale-safe replacement for q29's exact buffering when the value
+  // domain is unbounded. No oracle (DuckDB's approx_quantile is a
+  // different sketch); AdvancedOpsSpec bounds it against exact q29.
+  private val q37 = QueryDef(
+    "q37_approx_percentiles",
+    (s, dir) =>
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx_q"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+    None)
+
   // ---------------------------------------------------------------- q30
   // STREAM-STREAM interval join: clicks joined to purchases by the same
   // user within 30 minutes, both sides watermarked so join state is
@@ -318,5 +335,5 @@ object Streams {
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     GROUP BY c.user_id ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30)
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37)
 }

@@ -111,6 +111,23 @@ class AdvancedOpsSpec extends SparkSuite {
     out.unpersist()
   }
 
+  test("q37 approx percentiles bound the exact q29 values") {
+    val exact = run("q29_quantity_percentiles")
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = run("q37_approx_percentiles")
+      .select(col("l_returnflag"), col("approx_q")).collect()
+    approx.foreach { r =>
+      val (p25, p50, p75) = exact(r.getString(0))
+      val qs = r.getSeq[Double](1)
+      // GK sketch at accuracy 10000 on these group sizes: within one
+      // quantity step of the exact interpolated percentile
+      math.abs(qs(0) - p25) should be <= 1.0
+      math.abs(qs(1) - p50) should be <= 1.0
+      math.abs(qs(2) - p75) should be <= 1.0
+    }
+  }
+
   test("q30 stream-stream join pairs lie within the 30-minute window") {
     val out = run("q30_stream_stream_join").cache()
     out.filter(col("n_pairs") <= 0).count() shouldBe 0
