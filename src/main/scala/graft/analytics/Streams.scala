@@ -335,5 +335,35 @@ object Streams {
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     GROUP BY c.user_id ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37)
+  // ---------------------------------------------------------------- q38
+  // STREAM-STATIC join: the streaming fact enriched against a batch
+  // dimension, broadcast into every micro-batch — the classic production
+  // enrichment shape (no state store on the static side; the stream side
+  // aggregates after the join). Bounded drain → exact batch oracle.
+  private val q38 = QueryDef(
+    "q38_stream_static_join",
+    (s, dir) => withStreamShuffle(s) {
+      val tiers = rd(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      val joined = eventsStream(s, dir)
+        .join(broadcast(tiers), "user_id")
+        .groupBy(col("segment"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val sinkName = "q38_stream_static_join_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.table(sinkName).orderBy(col("segment"), col("event_type"))
+    },
+    Some(s"""SELECT c_mktsegment AS segment, event_type,
+      COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2 ORDER BY segment, event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38)
 }

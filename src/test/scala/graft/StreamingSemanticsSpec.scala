@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Watermark semantics the bounded-replay oracle can't show: an event
+  * arriving BEHIND the watermark is dropped from an append-mode windowed
+  * aggregate, and on-time out-of-order events are kept. */
+class StreamingSemanticsSpec extends SparkSuite {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("late event beyond the watermark is dropped; out-of-order within it is kept") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = source.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("late_drop_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: events at 10:00-10:09 plus one at 10:31 to advance the
+      // watermark to 10:26 and close the 10:00 window
+      source.addData((ts(0), "a"), (ts(9), "a"), (ts(31), "b"))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the closed 10:00 window (behind the
+      // 10:26 watermark -> dropped) and an out-of-order but in-time event
+      // for the open 10:30 window (kept)
+      source.addData((ts(5), "a"), (ts(30), "b"))
+      q.processAllAvailable()
+      // batch 3: advance the watermark past 10:40 to flush the 10:30 window
+      source.addData((ts(50), "c"))
+      q.processAllAvailable()
+
+      val rows = spark.table("late_drop_sink")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("k"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // the 10:00/a window emitted with 2 events — the late third was dropped
+      rows should contain(("10:00", "a", 2L))
+      // the 10:30/b window emitted with BOTH events — out-of-order but in-time
+      rows should contain(("10:30", "b", 2L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("late_drop_sink")
+    }
+  }
+}
