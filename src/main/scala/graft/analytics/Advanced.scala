@@ -368,6 +368,26 @@ object Advanced {
                             (o_orderstatus), ())
     ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority"""))
 
+  // ---------------------------------------------------------------- q39
+  // Seeded stratified sampling — the corpus-downsampling op every
+  // training-data pipeline runs (per-class fractions, reproducible via a
+  // fixed seed; Bernoulli per row, so it's a narrow scan with no shuffle
+  // until the final rollup). No oracle: sampling RNGs differ across
+  // engines by construction; AdvancedOpsSpec pins determinism (same seed
+  // → identical rows) and per-stratum rates.
+  private val q39 = QueryDef(
+    "q39_stratified_sample",
+    (s, dir) => {
+      val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+        "signup" -> 1.0, "error" -> 0.25)
+      events(s, dir)
+        .stat.sampleBy("event_type", fractions, seed = 42L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"), dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36)
+    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39)
 }

@@ -178,5 +178,55 @@ object Text {
     SELECT doc_id, rnk, token, score FROM ranked
     WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06)
+  // ---------------------------------------------------------------- t07
+  // End-to-end corpus curation — the families composed into the pipeline
+  // a training-data prep job actually runs: quality gate (token count +
+  // stopword ratio, t02's rule) → language allowlist → exact dedup on the
+  // content fingerprint keeping the smallest doc_id (t05/d01's rule) →
+  // per-language yield stats. One narrow projection, one window on the
+  // (high-cardinality) fingerprint, one aggregate.
+  private val t07 = QueryDef(
+    "t07_corpus_curation",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("fp")).orderBy(col("doc_id"))
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("size(split(text, ' '))").as("n_tokens"),
+          round(expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and')))").cast("double") /
+            expr("size(split(text, ' '))"), 4).as("stop_ratio"),
+          expr(strHashExpr("text")).as("fp"))
+        .filter(col("n_tokens").between(20, 400) && col("stop_ratio") < 0.2)
+        .filter(col("lang").isin("en", "de", "fr"))
+      scored
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          sum(col("n_tokens")).as("n_tokens_total"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+        len(string_split(text, ' ')) AS n_tokens,
+        round(CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS DOUBLE)
+          / len(string_split(text, ' ')), 4) AS stop_ratio,
+        ${strHashSql("text")} AS fp
+      FROM documents),
+    kept AS (
+      SELECT * FROM scored
+      WHERE n_tokens BETWEEN 20 AND 400 AND stop_ratio < 0.2
+        AND lang IN ('en', 'de', 'fr')),
+    dedup AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT lang, COUNT(*) AS n_docs,
+      SUM(n_chars) AS n_chars_total,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
+    FROM dedup WHERE rn = 1
+    GROUP BY lang ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
 }

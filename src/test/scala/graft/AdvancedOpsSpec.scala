@@ -128,6 +128,26 @@ class AdvancedOpsSpec extends SparkSuite {
     }
   }
 
+  test("q39 sampling is seed-deterministic and respects per-stratum rates") {
+    val a = run("q39_stratified_sample").collect().toSeq
+    val b = run("q39_stratified_sample").collect().toSeq
+    a shouldBe b // same seed -> identical sample
+    val totals = Tables.events(spark, dir).groupBy(col("event_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
+      "signup" -> 1.0, "error" -> 0.25)
+    a.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val expected = totals(t) * fractions(t)
+      if (fractions(t) == 1.0) n shouldBe totals(t)
+      else {
+        // Bernoulli sampling: allow a generous 5-sigma band
+        val sigma = math.sqrt(totals(t) * fractions(t) * (1 - fractions(t)))
+        math.abs(n - expected) should be <= (5 * sigma + 1)
+      }
+    }
+  }
+
   test("q30 stream-stream join pairs lie within the 30-minute window") {
     val out = run("q30_stream_stream_join").cache()
     out.filter(col("n_pairs") <= 0).count() shouldBe 0
