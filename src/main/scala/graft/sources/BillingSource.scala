@@ -20,20 +20,33 @@ final case class KafkaSource(
     bootstrapServers: String,
     subscribePattern: String,
     includeHeaders: Boolean = true,
-    failOnDataLoss: Boolean = false) extends BillingSource {
-  def load(spark: SparkSession): DataFrame =
-    spark.readStream.format("kafka")
+    failOnDataLoss: Boolean = false,
+    maxOffsetsPerTrigger: Option[Long] = None) extends BillingSource {
+  def load(spark: SparkSession): DataFrame = {
+    val reader = spark.readStream.format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("subscribePattern", subscribePattern)
       .option("includeHeaders", includeHeaders.toString)
       .option("failOnDataLoss", failOnDataLoss.toString)
-      .load()
+    // backpressure: cap records per micro-batch so one oversized batch
+    // can't blow executor memory or blow past the trigger interval —
+    // at-scale replays (checkpoint far behind the head) NEED this cap
+    maxOffsetsPerTrigger.foreach(n => reader.option("maxOffsetsPerTrigger", n.toString))
+    reader.load()
+  }
 }
 
 /** Line-oriented JSON files in a directory, one record per line — the
   * Kafka stand-in for tests and local runs. `text` already names its
-  * column `value`. */
-final case class TextFileSource(dir: String) extends BillingSource {
-  def load(spark: SparkSession): DataFrame =
-    spark.readStream.text(dir).select(col("value"))
+  * column `value`. `maxFilesPerTrigger` is the file-source twin of
+  * Kafka's offset cap: a bounded drain becomes several smaller
+  * micro-batches instead of one giant one. */
+final case class TextFileSource(
+    dir: String,
+    maxFilesPerTrigger: Option[Int] = None) extends BillingSource {
+  def load(spark: SparkSession): DataFrame = {
+    val reader = spark.readStream
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toString))
+    reader.text(dir).select(col("value"))
+  }
 }
