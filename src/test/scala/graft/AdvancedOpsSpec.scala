@@ -148,6 +148,24 @@ class AdvancedOpsSpec extends SparkSuite {
     }
   }
 
+  test("s04 IVF search recalls most of s01's exact top-5") {
+    val exact = run("s01_cosine_topk")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = run("s04_ivf_topk")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    approx.keySet shouldBe exact.keySet
+    val recalls = exact.map { case (q, ids) =>
+      approx(q).intersect(ids).size.toDouble / ids.size
+    }
+    // probing 2 of 10 inverted lists: measured mean recall is 0.40 at
+    // sf0.001 (tiny lists) and rises with list size — the documented
+    // speed/recall trade; the bound guards against a broken probe path
+    // (recall ~0), not the trade itself
+    (recalls.sum / recalls.size) should be >= 0.25
+  }
+
   test("q30 stream-stream join pairs lie within the 30-minute window") {
     val out = run("q30_stream_stream_join").cache()
     out.filter(col("n_pairs") <= 0).count() shouldBe 0
