@@ -65,7 +65,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver tails only the last ~2000 bytes of stdout; with 60+
+    // queries the full per-query map (~2.5 KB) pushed the JSON head out of
+    // the tail buffer (round 3: parsed=null). Emit the full record first
+    // (humans / judge logs), also persist it to BENCH_DETAIL.json, and keep
+    // the FINAL line compact so the parseable object always fits.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    try {
+      val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
+      java.nio.file.Files.write(p, full.getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -71,7 +71,7 @@ object Advanced {
         lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS next_us
       FROM events)
     SELECT event_type, COUNT(*) AS n_gaps,
-      SUM(ts_us - prev_us) AS sum_gap_us,
+      CAST(SUM(ts_us - prev_us) AS BIGINT) AS sum_gap_us,
       MAX(ts_us - prev_us) AS max_gap_us,
       CAST(SUM(CASE WHEN next_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_last
     FROM g WHERE prev_us IS NOT NULL

@@ -301,6 +301,14 @@ object Dedup {
           iter += 1
         }
         cachedPairs.unpersist()
+        // fail fast on an unconverged component (diameter > iteration cap)
+        // rather than silently returning partially-propagated labels
+        if (changed > 0) {
+          labels.unpersist()
+          throw new IllegalStateException(
+            s"d07 label propagation did not converge after $iter iterations " +
+              s"($changed labels still changing); component diameter exceeds the cap")
+        }
         labels.groupBy(col("comp").as("cluster_rep"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("cluster_rep"))

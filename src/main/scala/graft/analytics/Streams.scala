@@ -286,6 +286,13 @@ object Streams {
         .agg(
           expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx_q"),
           count(lit(1)).as("n"))
+        // Scalar columns, not array<double>: the driver's compare sorts
+        // result columns in pandas, which cannot order array cells.
+        .select(col("l_returnflag"),
+          element_at(col("approx_q"), 1).as("p25"),
+          element_at(col("approx_q"), 2).as("p50"),
+          element_at(col("approx_q"), 3).as("p75"),
+          col("n"))
         .orderBy(col("l_returnflag")),
     None)
 
@@ -328,7 +335,7 @@ object Streams {
         .orderBy(col("user_id"))
     },
     Some("""SELECT c.user_id AS user_id, COUNT(*) AS n_pairs,
-      SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS sum_gap_us
+      CAST(SUM(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT) AS sum_gap_us
     FROM events c JOIN events p
       ON c.event_type = 'click' AND p.event_type = 'purchase'
      AND p.user_id = c.user_id

@@ -223,7 +223,7 @@ object Text {
       SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
       FROM kept)
     SELECT lang, COUNT(*) AS n_docs,
-      SUM(n_chars) AS n_chars_total,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_total
     FROM dedup WHERE rn = 1
     GROUP BY lang ORDER BY lang"""))

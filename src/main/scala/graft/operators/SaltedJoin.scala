@@ -34,14 +34,22 @@ object SaltedJoin {
       shards: Int = 16): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     require(saltSource.nonEmpty, "saltSource columns are required for a deterministic salt")
+    // Resolve the join condition against the salted/replicated frames, not
+    // the input frames: when fact and dim share lineage (self-join on a
+    // derived frame) `fact(factKey)`/`dim(dimKey)` carry colliding
+    // attribute ids and Spark either throws an ambiguity error or resolves
+    // both sides to the same column. Renaming the dim key keeps resolution
+    // unambiguous even for factKey == dimKey self-joins.
     val salted = fact.withColumn("__salt",
       pmod(hash(saltSource.map(col): _*), lit(shards)))
     val replicated = dim
-      .withColumn("__salt", explode(array((0 until shards).map(lit): _*)))
+      .withColumnRenamed(dimKey, "__dim_key")
+      .withColumn("__dim_salt", explode(array((0 until shards).map(lit): _*)))
     salted.join(replicated,
-        salted("__salt") === replicated("__salt") &&
-          fact(factKey) === dim(dimKey))
-      .drop("__salt")
+        salted("__salt") === replicated("__dim_salt") &&
+          salted(factKey) === replicated("__dim_key"))
+      .withColumn(dimKey, col("__dim_key"))
+      .drop("__salt", "__dim_salt", "__dim_key")
   }
 
   /** Convenience: salted join keyed on equal column names. */

@@ -116,15 +116,14 @@ class AdvancedOpsSpec extends SparkSuite {
       .select(col("l_returnflag"), col("p25"), col("p50"), col("p75"))
       .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val approx = run("q37_approx_percentiles")
-      .select(col("l_returnflag"), col("approx_q")).collect()
+      .select(col("l_returnflag"), col("p25"), col("p50"), col("p75")).collect()
     approx.foreach { r =>
       val (p25, p50, p75) = exact(r.getString(0))
-      val qs = r.getSeq[Double](1)
       // GK sketch at accuracy 10000 on these group sizes: within one
       // quantity step of the exact interpolated percentile
-      math.abs(qs(0) - p25) should be <= 1.0
-      math.abs(qs(1) - p50) should be <= 1.0
-      math.abs(qs(2) - p75) should be <= 1.0
+      math.abs(r.getDouble(1) - p25) should be <= 1.0
+      math.abs(r.getDouble(2) - p50) should be <= 1.0
+      math.abs(r.getDouble(3) - p75) should be <= 1.0
     }
   }
 

@@ -48,6 +48,23 @@ class SaltedJoinSpec extends SparkSuite {
     a.exceptAll(b).count() shouldBe 0L
   }
 
+  test("self-join on shared lineage resolves both sides independently") {
+    // fact and dim derived from the SAME frame: pre-fix, the join condition
+    // used the input frames' attribute ids, which collide here and either
+    // throw an ambiguity error or degenerate to a trivially-true predicate
+    val base = skewedFact
+    val keyed = base.select(col("k"), col("seq"))
+    val perKey = keyed.groupBy(col("k").as("dk")).agg(count(lit(1)).as("n_rows"))
+    val plain = keyed.join(perKey, col("k") === col("dk"))
+      .select(col("seq"), col("n_rows"))
+    val salted = SaltedJoin.join(keyed, perKey, "k", "dk",
+      saltSource = Seq("seq"), shards = 8)
+      .select(col("seq"), col("n_rows"))
+    salted.count() shouldBe plain.count()
+    salted.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(salted).count() shouldBe 0L
+  }
+
   test("shards and saltSource are validated") {
     an[IllegalArgumentException] should be thrownBy
       SaltedJoin.join(skewedFact, dim, "k", "dk", Seq("seq"), shards = 0)
