@@ -328,5 +328,40 @@ object Dedup {
     SELECT cluster_rep, COUNT(*) AS n_members
     FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07)
+  // ---------------------------------------------------------------- d08
+  // Keep-best dedup: the curation policy layered on exact dedup — when
+  // several docs share a content fingerprint, keep the HIGHEST-QUALITY one
+  // (longest text, doc_id tie-break), not an arbitrary first. This is the
+  // standard "keep best of duplicate cluster" step in corpus pipelines.
+  // One window over the fingerprint key (high-cardinality → no skew);
+  // at 100 TB the same plan holds: hash-partition by fp, per-key top-1.
+  // The fingerprint is a PREFIX hash (first 40 chars) so sf-generated
+  // docs that share openings collapse and the keep-best choice is real.
+  private val d08 = QueryDef(
+    "d08_keep_best_dedup",
+    (s, dir) => {
+      val fp = expr(strHashExpr("substring(text, 1, 40)"))
+      val w = Window.partitionBy(col("fp"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("fp", fp)
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("rn") === 1, col("n_chars")).otherwise(0L)).as("kept_chars"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH fp AS (
+      SELECT source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY ${strHashSql("substr(text, 1, 40)")}
+          ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM fp GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
 }

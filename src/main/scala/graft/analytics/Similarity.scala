@@ -203,5 +203,46 @@ object Similarity {
       FROM lists l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04)
+  // ---------------------------------------------------------------- s05
+  // Scalar-quantized (int8-range) cosine top-k: every component floored to
+  // floor(x·127) ∈ [-128, 127], so a vector is 64 bytes instead of 64
+  // floats — the memory/shuffle compression step of a PQ-style ANN
+  // pipeline. Same broadcast top-k shape as s01 but on 4×-smaller codes;
+  // integer dot products stay exact (|x|≤0.58 ⇒ |q|≤74, 64-dim dot ≤
+  // 3.6e5 ≪ 2^53), so ranking is deterministic and the oracle replays the
+  // identical quantization. AdvancedOpsSpec bounds its recall against the
+  // full-precision s01 ranking.
+  private[analytics] val Q8Scale = 127L
+
+  private val s05 = QueryDef(
+    "s05_quantized_cosine",
+    (s, dir) => {
+      val all = embs(s, dir)
+        .withColumn("qv", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0D) AS BIGINT))"))
+        .withColumn("norm2", expr(dotExpr("qv", "qv")))
+      val q = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      all.select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH qe AS (SELECT vec_id,
+      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    qn AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS norm2 FROM qe)
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id, round($simSql, 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simSql DESC, b.vec_id) AS rnk
+      FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
 }

@@ -272,6 +272,89 @@ object Streams {
     FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
     GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
+  // ---------------------------------------------------------------- q40
+  // transformWithState — Spark 4's arbitrary-stateful-processing operator
+  // (the successor to q21's mapGroupsWithState): typed ValueState per key
+  // via the StatefulProcessor handle, RocksDB-backed (the API requires the
+  // RocksDB provider — which is also the store you'd run at 100 TB: state
+  // spills to disk + changelog checkpointing instead of living on the
+  // JVM heap). Per-user running profile (events, purchases, last-seen
+  // timestamp); constant-size state per key, update-mode emissions,
+  // bounded drain → exact batch oracle.
+  /** Per-user running profile carried in [[ProfileProcessor]]'s ValueState. */
+  private[analytics] case class UserProfile(n: Long, nPurchase: Long, lastUs: Long)
+
+  private[analytics] class ProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, String, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[UserProfile] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[UserProfile](
+        "profile", org.apache.spark.sql.Encoders.product[UserProfile], TTLConfig.NONE)
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, String, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      var p = if (state.exists()) state.get() else UserProfile(0L, 0L, Long.MinValue)
+      rows.foreach { case (_, typ, us) =>
+        p = UserProfile(
+          p.n + 1,
+          p.nPurchase + (if (typ == "purchase") 1L else 0L),
+          math.max(p.lastUs, us))
+      }
+      state.update(p)
+      Iterator.single((key, p.n, p.nPurchase, p.lastUs))
+    }
+  }
+
+  private val q40 = QueryDef(
+    "q40_transform_with_state",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      // the operator requires the RocksDB state store; scope the provider
+      // to this query and restore so sibling HDFS-backed queries are
+      // untouched
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val typed = eventsStream(s, dir)
+          .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+          .as[(Long, String, Long)]
+        val profiles = typed
+          .groupByKey(_._1)
+          .transformWithState(new ProfileProcessor, TimeMode.None(), OutputMode.Update())
+          .toDF("user_id", "n_events", "n_purchases", "last_us")
+        val sinkName = "q40_transform_with_state_sink"
+        val q = profiles.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        s.table(sinkName)
+          .groupBy(col("user_id")) // last update per key wins
+          .agg(max(col("n_events")).as("n_events"),
+            max(col("n_purchases")).as("n_purchases"),
+            max(col("last_us")).as("last_us"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      MAX(epoch_us(ts)) AS last_us
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
   // ---------------------------------------------------------------- q37
   // Approx percentiles (GK sketch) — the quantile member of the sketch
   // family (q18 = HLL distinct). Constant-size state per group like q18;
@@ -372,5 +455,5 @@ object Streams {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2 ORDER BY segment, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38)
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40)
 }

@@ -228,5 +228,33 @@ object Text {
     FROM dedup WHERE rn = 1
     GROUP BY lang ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07)
+  // ---------------------------------------------------------------- t08
+  // Redaction / boilerplate removal: strip a term denylist (the PII-scrub
+  // shape — same plan with an email/phone regex on real corpora) and
+  // report per-language how much was removed. Pure per-row regex + one
+  // hash aggregate; at 100 TB the regex runs inside codegen per row and
+  // the shuffle is |lang| — nothing widens with corpus size. The regex is
+  // dialect-portable: plain alternation, no lookaround (Java regex on the
+  // Spark side, RE2 in the DuckDB oracle).
+  private val t08 = QueryDef(
+    "t08_redaction_stats",
+    (s, dir) => {
+      val pat = "\\bcustomer\\b|\\bvalue\\b"
+      docs(s, dir)
+        .select(col("lang"), col("n_chars"),
+          regexp_count(col("text"), lit(pat)).as("n_hits"),
+          length(regexp_replace(col("text"), pat, "")).as("clean_len"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_hits")).as("n_redacted"),
+          sum(col("n_chars") - col("clean_len")).as("chars_removed"))
+        .orderBy(col("lang"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(len(regexp_extract_all(text, '\bcustomer\b|\bvalue\b'))) AS BIGINT) AS n_redacted,
+      CAST(SUM(n_chars - len(regexp_replace(text, '\bcustomer\b|\bvalue\b', '', 'g'))) AS BIGINT) AS chars_removed
+    FROM documents GROUP BY lang ORDER BY lang"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
 }

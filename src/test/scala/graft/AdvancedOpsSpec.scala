@@ -127,6 +127,56 @@ class AdvancedOpsSpec extends SparkSuite {
     }
   }
 
+  test("s05 int8-quantized top-5 mostly agrees with full-precision s01") {
+    val fine = run("s01_cosine_topk")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val coarse = run("s05_quantized_cosine")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    coarse.keySet shouldBe fine.keySet
+    // 127-level quantization keeps neighborhood structure: require ≥ 3 of
+    // the 5 exact neighbors per query on average
+    val overlap = fine.keys.toSeq.map(q => (fine(q) & coarse(q)).size).sum
+    overlap.toDouble / fine.size should be >= 3.0
+  }
+
+  test("d08 keep-best: kept counts bounded and the best duplicate survives") {
+    val out = run("d08_keep_best_dedup").cache()
+    out.filter(col("n_kept") > col("n_docs")).count() shouldBe 0
+    val total = Tables.docs(spark, dir).count()
+    out.agg(sum(col("n_docs"))).first().getLong(0) shouldBe total
+    // keep-best policy: within any fingerprint group the kept doc has the
+    // group-max n_chars (longest text wins, not an arbitrary first)
+    val fp = Tables.docs(spark, dir)
+      .withColumn("fp", expr(Tables.strHashExpr("substring(text, 1, 40)")))
+    val best = fp.groupBy(col("fp")).agg(max(col("n_chars")).as("best_chars"))
+    val keptChars = out.agg(sum(col("kept_chars"))).first().getLong(0)
+    best.agg(sum(col("best_chars"))).first().getLong(0) shouldBe keptChars
+    out.unpersist()
+  }
+
+  test("t08 redaction: chars removed consistent with term lengths") {
+    val out = run("t08_redaction_stats").cache()
+    // every redacted term is 'value' (5 chars) or 'customer' (8 chars)
+    out.filter(col("chars_removed") < col("n_redacted") * 5).count() shouldBe 0
+    out.filter(col("chars_removed") > col("n_redacted") * 8).count() shouldBe 0
+    out.agg(sum(col("n_docs"))).first().getLong(0) shouldBe
+      Tables.docs(spark, dir).count()
+    out.unpersist()
+  }
+
+  test("q40 transformWithState equals the batch per-user aggregate") {
+    val got = run("q40_transform_with_state")
+    val expected = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        max(unix_micros(col("ts"))).as("last_us"))
+    got.exceptAll(expected).count() shouldBe 0
+    expected.exceptAll(got).count() shouldBe 0
+  }
+
   test("q39 sampling is seed-deterministic and respects per-stratum rates") {
     val a = run("q39_stratified_sample").collect().toSeq
     val b = run("q39_stratified_sample").collect().toSeq
