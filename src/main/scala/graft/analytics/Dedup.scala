@@ -289,10 +289,21 @@ object Dedup {
           // the (much larger) edge set
           val prop = edges.join(broadcast(labels), col("id2") === col("node"))
             .groupBy(col("id1")).agg(min(col("comp")).as("pcomp"))
+          // pointer jumping: also adopt the label OF our current label
+          // (comp values are node ids, so this self-join always hits).
+          // Neighbor-min alone needs diameter rounds; with the extra hop
+          // labels double their reach per round → O(log diameter) rounds,
+          // which is what cuts a 100 TB chain graph from hundreds of
+          // shuffles to ~a dozen.
+          val hop = labels
+            .join(broadcast(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
+              col("comp") === col("pnode"))
+            .select(col("node"), col("hcomp"))
           val next = labels
             .join(broadcast(prop), col("node") === col("id1"), "left")
+            .join(broadcast(hop), "node")
             .select(col("node"),
-              least(col("comp"), coalesce(col("pcomp"), col("comp"))).as("comp"))
+              least(col("comp"), coalesce(col("pcomp"), col("comp")), col("hcomp")).as("comp"))
             .cache()
           changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
             .filter(col("comp") =!= col("old")).count()

@@ -1,0 +1,95 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Storage-format coverage (SURVEY §2.1/§2.5 sources & sinks beyond
+ * parquet): each query writes a table out through a different
+ * DataFrameWriter format and reads it back through the matching source,
+ * proving the full write→read cycle — schema fidelity, partition
+ * pruning, and type round-tripping — not just a happy-path scan. The
+ * aggregate over the round-tripped data must hash-match the DuckDB
+ * oracle computed on the ORIGINAL parquet, so any loss in the cycle
+ * fails the gate.
+ *
+ * Scale notes (100 TB): the write is partitioned (q41 partitions by the
+ * filter column, so the read-back scan prunes to 2 of 5 directories —
+ * visible as partitionFilters in the plan); CSV/JSON are row formats
+ * with no pushdown, which is exactly why the queries project only the
+ * needed columns before writing — at scale you keep columnar until the
+ * boundary that requires otherwise.
+ */
+object Formats {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  // ---------------------------------------------------------------- q41
+  // ORC sink + source, partitioned write, pruned read-back.
+  private val q41 = QueryDef(
+    "q41_orc_roundtrip",
+    (s, dir) => {
+      val out = tmp("graft-orc")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
+      s.read.orc(out)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q42
+  // CSV sink + source with an explicit schema on read (no inference —
+  // schema inference is an extra full pass at scale and type-unstable).
+  private val q42 = QueryDef(
+    "q42_csv_roundtrip",
+    (s, dir) => {
+      val out = tmp("graft-csv")
+      rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read
+        .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
+        .option("header", "true")
+        .csv(out)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n, ${dsumSql("c_acctbal")} AS sum_bal
+    FROM customer GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q43
+  // JSON-lines sink + source (the interchange format of the billing
+  // pipeline itself), explicit schema on read; nulls and strings must
+  // survive the cycle byte-identically for the hash gate to pass.
+  private val q43 = QueryDef(
+    "q43_json_roundtrip",
+    (s, dir) => {
+      val out = tmp("graft-json")
+      rd(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE")
+        .json(out)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), avg(col("p_size")).cast("double").as("avg_size"),
+          dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy(col("p_brand"))
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n,
+      CAST(AVG(p_size) AS DOUBLE) AS avg_size,
+      ${dsumSql("p_retailprice")} AS sum_price
+    FROM part GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43)
+}

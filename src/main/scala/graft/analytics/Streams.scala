@@ -82,7 +82,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
@@ -99,6 +99,16 @@ object Streams {
       streamDir.resolve(s"$table.parquet"),
       java.nio.file.Paths.get(s"$dir/$table.parquet"))
     streamDir.toString
+  }
+
+  /** Resolve the memory sink's temp view into a DataFrame and DROP the
+    * view: DataFrame analysis is eager, so the returned frame keeps the
+    * resolved MemoryPlan while the session catalog stays clean (leaked
+    * sink views otherwise pollute SHOW TABLES for every later caller). */
+  private def sinkTable(s: org.apache.spark.sql.SparkSession, name: String) = {
+    val t = s.table(name)
+    s.catalog.dropTempView(name)
+    t
   }
 
   private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
@@ -137,7 +147,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_sessions"),
@@ -200,7 +210,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .groupBy(col("event_type")) // last update per group wins
         .agg(max(col("n")).as("n"), max(col("sum_value")).as("sum_value"),
           max(col("max_value")).as("max_value"))
@@ -231,7 +241,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique_users"))
         .orderBy(col("event_type"))
@@ -260,7 +270,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
@@ -337,7 +347,7 @@ object Streams {
           .start()
         q.awaitTermination()
         q.stop()
-        s.table(sinkName)
+        sinkTable(s, sinkName)
           .groupBy(col("user_id")) // last update per key wins
           .agg(max(col("n_events")).as("n_events"),
             max(col("n_purchases")).as("n_purchases"),
@@ -410,7 +420,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName)
+      sinkTable(s, sinkName)
         .groupBy(col("c_user").as("user_id"))
         .agg(
           count(lit(1)).as("n_pairs"),
@@ -448,7 +458,7 @@ object Streams {
         .start()
       q.awaitTermination()
       q.stop()
-      s.table(sinkName).orderBy(col("segment"), col("event_type"))
+      sinkTable(s, sinkName).orderBy(col("segment"), col("event_type"))
     },
     Some(s"""SELECT c_mktsegment AS segment, event_type,
       COUNT(*) AS n, ${dsumSql("value")} AS sum_value
