@@ -388,6 +388,38 @@ object Advanced {
     },
     None)
 
+  // ---------------------------------------------------------------- q44
+  // Custom typed UDAF: bounded top-k prices per flag via
+  // graft.functions.TopKAggregator (Aggregator[IN,BUF,OUT] + udaf()).
+  // The skew-structural alternative to q04's salted window: the top-3
+  // live in an O(k) buffer merged map-side, so the 3-group key funnels
+  // k doubles per partition into the final aggregate, not 600 K rows.
+  private val q44 = QueryDef(
+    "q44_topk_udaf",
+    (s, dir) => {
+      val top3 = graft.functions.TopKAggregator.topK(3) _
+      rd(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(top3(col("l_extendedprice")).as("tops"), count(lit(1)).as("n"))
+        .select(col("l_returnflag"),
+          element_at(col("tops"), 1).as("p1"),
+          element_at(col("tops"), 2).as("p2"),
+          element_at(col("tops"), 3).as("p3"),
+          col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH r AS (
+      SELECT l_returnflag, l_extendedprice,
+        ROW_NUMBER() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice DESC) AS rn
+      FROM lineitem)
+    SELECT l_returnflag,
+      MAX(CASE WHEN rn = 1 THEN l_extendedprice END) AS p1,
+      MAX(CASE WHEN rn = 2 THEN l_extendedprice END) AS p2,
+      MAX(CASE WHEN rn = 3 THEN l_extendedprice END) AS p3,
+      COUNT(*) AS n
+    FROM r GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39)
+    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44)
 }

@@ -280,33 +280,40 @@ object Dedup {
           .union(cachedPairs.select(col("id2").as("id1"), col("id1").as("id2")))
         var labels = edges.select(col("id1").as("node")).distinct()
           .withColumn("comp", col("node")).cache()
-        var changed = 1L
+        var prevSum = Long.MinValue
+        var changed = true
         var iter = 0
-        while (changed > 0 && iter < 50) {
-          // labels is |nodes| (small); broadcast it so each round is ONE
-          // map-side pass over the cached edge list + a |nodes|-sized
-          // shuffle from the partial min-aggregate — never a shuffle of
-          // the (much larger) edge set
-          val prop = edges.join(broadcast(labels), col("id2") === col("node"))
-            .groupBy(col("id1")).agg(min(col("comp")).as("pcomp"))
-          // pointer jumping: also adopt the label OF our current label
-          // (comp values are node ids, so this self-join always hits).
-          // Neighbor-min alone needs diameter rounds; with the extra hop
-          // labels double their reach per round → O(log diameter) rounds,
-          // which is what cuts a 100 TB chain graph from hundreds of
-          // shuffles to ~a dozen.
-          val hop = labels
+        while (changed && iter < 50) {
+          // One action per round, built from three label sources unioned
+          // into a single min-aggregate (labels is |nodes|-small, so both
+          // joins broadcast it — the big cached edge list is only ever
+          // map-scanned, never shuffled):
+          //   neighbors' labels  — the Pregel min-propagation step
+          //   the label's own label (pointer jump: comp values are node
+          //     ids, so the self-join always hits) — doubles label reach
+          //     per round → O(log diameter) rounds, not O(diameter),
+          //     which is what keeps a 100 TB chain graph to ~a dozen
+          //     shuffles instead of hundreds
+          //   the current label    — monotonicity floor
+          val neighbor = edges
+            .join(broadcast(labels), col("id2") === col("node"))
+            .select(col("id1").as("n2"), col("comp"))
+          val parent = labels
             .join(broadcast(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
               col("comp") === col("pnode"))
-            .select(col("node"), col("hcomp"))
-          val next = labels
-            .join(broadcast(prop), col("node") === col("id1"), "left")
-            .join(broadcast(hop), "node")
-            .select(col("node"),
-              least(col("comp"), coalesce(col("pcomp"), col("comp")), col("hcomp")).as("comp"))
+            .select(col("node").as("n2"), col("hcomp").as("comp"))
+          val self = labels.select(col("node").as("n2"), col("comp"))
+          val next = neighbor.union(parent).union(self)
+            .groupBy(col("n2")).agg(min(col("comp")).as("comp"))
+            .select(col("n2").as("node"), col("comp"))
             .cache()
-          changed = next.join(labels.withColumnRenamed("comp", "old"), "node")
-            .filter(col("comp") =!= col("old")).count()
+          // comp is monotone non-increasing per node, so the label-sum
+          // strictly decreases iff any label changed — convergence is one
+          // scalar aggregate on the (cached) result instead of a join
+          // against the previous round
+          val sumComp = next.agg(sum(col("comp"))).first().getLong(0)
+          changed = sumComp != prevSum
+          prevSum = sumComp
           labels.unpersist()
           labels = next
           iter += 1
@@ -314,11 +321,11 @@ object Dedup {
         cachedPairs.unpersist()
         // fail fast on an unconverged component (diameter > iteration cap)
         // rather than silently returning partially-propagated labels
-        if (changed > 0) {
+        if (changed) {
           labels.unpersist()
           throw new IllegalStateException(
-            s"d07 label propagation did not converge after $iter iterations " +
-              s"($changed labels still changing); component diameter exceeds the cap")
+            s"d07 label propagation did not converge within $iter iterations; " +
+              "component diameter exceeds the cap")
         }
         labels.groupBy(col("comp").as("cluster_rep"))
           .agg(count(lit(1)).as("n_members"))

@@ -129,5 +129,64 @@ object Multimodal {
     SELECT media_id, thumb_hex, ${strHashSql("thumb_hex")} AS thumb_hash
     FROM r ORDER BY media_id"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04)
+  // ---------------------------------------------------------------- m05
+  // Perceptual-hash near-dup: a 16-bit signature over m04's fixed-geometry
+  // thumbnail (one bit per thumbnail byte — parity of the byte's
+  // cross-engine hash, standing in for the brightness-vs-mean bit of a
+  // real aHash), bucketed by the signature's high 12 bits so only
+  // same-bucket pairs are compared, then verified with exact Hamming
+  // distance ≤ 2. The media twin of d05's SimHash pipeline: narrow
+  // per-row signature → one equi-join on the bucket key — candidate
+  // count tracks collisions, never N².
+  private def sigExpr(hashOf: Int => String): String =
+    (0 until 16).map { i =>
+      s"(CASE WHEN ${hashOf(i)} % 2 = 1 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val m05 = QueryDef(
+    "m05_phash_neardup",
+    (s, dir) => {
+      val hexed = docs(s, dir)
+        .select(col("doc_id").as("media_id"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("n_bytes", expr("length(ph) DIV 2"))
+        .filter(col("n_bytes") >= 16)
+        .withColumn("thumb_hex", expr(resizeConcat("DIV")))
+      // materialize the signatures before the self-join: both join sides
+      // would otherwise re-run the 16-hash thumbnail pipeline (join
+      // branches share no work in Spark — same lesson as d07's pairs)
+      val sigs = hexed
+        .select(col("media_id"),
+          expr(sigExpr(i => strHashExpr(s"substring(thumb_hex, ${2 * i + 1}, 2)")))
+            .cast("long").as("sig"))
+        .withColumn("bucket", expr("sig DIV 16"))
+        .cache()
+      sigs.count()
+      val out = sigs.select(col("bucket"), col("media_id").as("id1"), col("sig").as("s1"))
+        .join(sigs.select(col("bucket").as("bucket2"), col("media_id").as("id2"), col("sig").as("s2")),
+          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
+        .filter(col("hamming") <= 2)
+        .select(col("id1"), col("id2"), col("hamming"))
+        .orderBy(col("id1"), col("id2"))
+      val settled = out.localCheckpoint() // settle the result, then free the sig cache
+      sigs.unpersist()
+      settled
+    },
+    Some(s"""WITH ph AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents),
+    th AS (SELECT media_id, ${resizeConcat("//")} AS thumb_hex
+           FROM ph WHERE n_bytes >= 16),
+    sg AS (SELECT media_id,
+             CAST(${sigExpr(i => strHashSql(s"substr(thumb_hex, ${2 * i + 1}, 2)"))} AS BIGINT) AS sig
+           FROM th),
+    sb AS (SELECT media_id, sig, sig // 16 AS bucket FROM sg)
+    SELECT a.media_id AS id1, b.media_id AS id2,
+      CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 2
+    ORDER BY id1, id2"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
 }
