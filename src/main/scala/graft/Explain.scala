@@ -16,7 +16,9 @@ object Explain {
         "q15_ingest_route_counts", "d02_minhash_lsh", "s02_lsh_near_pairs",
         "t05_fingerprints", "q25_pivot_priority", "q27_asof_click_purchase",
         "q28_value_tier_rangejoin", "q32_full_outer_join",
-        "t06_tfidf_top_terms", "d06_embedding_neardup")
+        "t06_tfidf_top_terms", "d06_embedding_neardup",
+        "d08_keep_best_dedup", "s05_quantized_cosine", "t08_redaction_stats",
+        "q41_orc_roundtrip", "q44_topk_udaf", "m05_phash_neardup")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -420,6 +420,36 @@ object Advanced {
       COUNT(*) AS n
     FROM r GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q45
+  // Data-quality audit: the constraint checks every production pipeline
+  // runs before publishing a table — row count, null-rate on a required
+  // column, primary-key uniqueness, and referential integrity against the
+  // dimension — in two scans (nulls + dup-keys fused into one aggregate
+  // over the fact; orphans are one left-anti join with the dim broadcast).
+  // At 100 TB this is the cheapest possible shape: no check adds a pass
+  // beyond the one scan + one join you'd already pay for the audit.
+  private val q45 = QueryDef(
+    "q45_dq_checks",
+    (s, dir) => {
+      val o = rd(s, dir, "orders")
+      val c = rd(s, dir, "customer")
+      val base = o.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_custkey"),
+        (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_orderkey"))
+      val orphans = o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_fk_orphans"))
+      base.crossJoin(orphans)
+    },
+    Some("""SELECT
+      (SELECT COUNT(*) FROM orders) AS n_rows,
+      (SELECT CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders) AS n_null_custkey,
+      (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS n_dup_orderkey,
+      (SELECT COUNT(*) FROM orders o LEFT JOIN customer c
+         ON o.o_custkey = c.c_custkey
+       WHERE c.c_custkey IS NULL) AS n_fk_orphans"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44)
+    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45)
 }
