@@ -274,62 +274,18 @@ object Dedup {
       val cachedPairs = pairs.cache()
       cachedPairs.count()
       // the iterative state is tiny relative to the session's batch
-      // sizing — run the loop at 8 shuffle partitions (scoped, restored)
+      // sizing — run the loop at 8 shuffle partitions (scoped, restored).
+      // Cluster resolution is the reusable pointer-jumping operator
+      // (graft.operators.ConnectedComponents — O(log diameter) rounds,
+      // edge list never shuffled; see its scaladoc and spec).
       Tables.withShuffle(s, 8) {
-        val edges = cachedPairs
-          .union(cachedPairs.select(col("id2").as("id1"), col("id1").as("id2")))
-        var labels = edges.select(col("id1").as("node")).distinct()
-          .withColumn("comp", col("node")).cache()
-        var prevSum = Long.MinValue
-        var changed = true
-        var iter = 0
-        while (changed && iter < 50) {
-          // One action per round, built from three label sources unioned
-          // into a single min-aggregate (labels is |nodes|-small, so both
-          // joins broadcast it — the big cached edge list is only ever
-          // map-scanned, never shuffled):
-          //   neighbors' labels  — the Pregel min-propagation step
-          //   the label's own label (pointer jump: comp values are node
-          //     ids, so the self-join always hits) — doubles label reach
-          //     per round → O(log diameter) rounds, not O(diameter),
-          //     which is what keeps a 100 TB chain graph to ~a dozen
-          //     shuffles instead of hundreds
-          //   the current label    — monotonicity floor
-          val neighbor = edges
-            .join(broadcast(labels), col("id2") === col("node"))
-            .select(col("id1").as("n2"), col("comp"))
-          val parent = labels
-            .join(broadcast(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
-              col("comp") === col("pnode"))
-            .select(col("node").as("n2"), col("hcomp").as("comp"))
-          val self = labels.select(col("node").as("n2"), col("comp"))
-          val next = neighbor.union(parent).union(self)
-            .groupBy(col("n2")).agg(min(col("comp")).as("comp"))
-            .select(col("n2").as("node"), col("comp"))
-            .cache()
-          // comp is monotone non-increasing per node, so the label-sum
-          // strictly decreases iff any label changed — convergence is one
-          // scalar aggregate on the (cached) result instead of a join
-          // against the previous round
-          val sumComp = next.agg(sum(col("comp"))).first().getLong(0)
-          changed = sumComp != prevSum
-          prevSum = sumComp
-          labels.unpersist()
-          labels = next
-          iter += 1
-        }
-        cachedPairs.unpersist()
-        // fail fast on an unconverged component (diameter > iteration cap)
-        // rather than silently returning partially-propagated labels
-        if (changed) {
-          labels.unpersist()
-          throw new IllegalStateException(
-            s"d07 label propagation did not converge within $iter iterations; " +
-              "component diameter exceeds the cap")
-        }
-        labels.groupBy(col("comp").as("cluster_rep"))
+        val labels = graft.operators.ConnectedComponents.label(cachedPairs)
+        val out = labels.groupBy(col("comp").as("cluster_rep"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("cluster_rep"))
+          .localCheckpoint()
+        cachedPairs.unpersist()
+        out
       }
     },
     Some(s"""WITH RECURSIVE $simhashCteDuck,

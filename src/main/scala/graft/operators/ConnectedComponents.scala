@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components by min-label propagation with pointer
+ * jumping — the cluster-resolution step between "near-dup pairs" and
+ * "one representative per duplicate group" in a dedup pipeline.
+ *
+ * Input: an undirected edge list `(id1, id2)` (each pair in either or
+ * both orientations). Output: `(node, comp)` where `comp` is the
+ * minimum node id of the node's component; every endpoint appears.
+ *
+ * Each round is ONE action built from two label sources unioned into a
+ * min-aggregate:
+ *   - neighbors' labels — the Pregel propagation step;
+ *   - the label's own label (pointer jump: labels are node ids, so the
+ *     self-join always hits) — doubles label reach per round, giving
+ *     O(log diameter) rounds instead of O(diameter), the difference
+ *     between ~a dozen shuffles and hundreds on a 100 TB chain graph.
+ * The label table is |nodes|-small and broadcast into both joins; the
+ * (much larger) edge list is only ever map-scanned, never shuffled.
+ * Convergence is detected by the monotone label-sum — comp never
+ * increases, so an unchanged sum means a fixpoint — avoiding a join
+ * against the previous round.
+ */
+object ConnectedComponents {
+
+  /** @param edges        edge list with columns `id1`, `id2` (LongType)
+    * @param maxIterations fail-fast bound on propagation rounds
+    * @return (node, comp) labeling, comp = component-minimum node id */
+  def label(edges: DataFrame, maxIterations: Int = 50): DataFrame = {
+    require(maxIterations > 0, s"maxIterations must be positive, got $maxIterations")
+    val both = edges.select(col("id1"), col("id2"))
+      .union(edges.select(col("id2").as("id1"), col("id1").as("id2")))
+    // Every round references `labels` three times (neighbor join + both
+    // sides of the parent hop), so building rounds on cached lineage
+    // TRIPLES the logical plan per iteration — exponential plan growth
+    // that OOMs the driver around a dozen rounds. localCheckpoint
+    // materializes the round AND truncates lineage, keeping the plan
+    // constant-size; on a cluster you'd periodically `checkpoint()` to
+    // reliable storage instead (same idea, executor-loss-safe).
+    var labels = both.select(col("id1").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var prevSum = Long.MinValue
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIterations) {
+      val neighbor = both
+        .join(broadcast(labels), col("id2") === col("node"))
+        .select(col("id1").as("n2"), col("comp"))
+      // the parent hop also provides the monotonicity floor: for every
+      // node v, comp(comp(v)) <= comp(v), so a separate self branch is
+      // redundant
+      val parent = labels
+        .join(broadcast(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
+          col("comp") === col("pnode"))
+        .select(col("node").as("n2"), col("hcomp").as("comp"))
+      val next = neighbor.union(parent)
+        .groupBy(col("n2")).agg(min(col("comp")).as("comp"))
+        .select(col("n2").as("node"), col("comp"))
+        .localCheckpoint()
+      val sumComp = next.agg(sum(col("comp"))).first().getLong(0)
+      changed = sumComp != prevSum
+      prevSum = sumComp
+      labels = next // previous round's checkpoint RDD is GC'd by the ContextCleaner
+      iter += 1
+    }
+    if (changed)
+      throw new IllegalStateException(
+        s"connected components did not converge within $iter iterations; " +
+          "component diameter exceeds the cap")
+    labels
+  }
+}

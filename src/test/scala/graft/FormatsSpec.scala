@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** The format round-trips (q41–q43) run on clean synthetic tables; this
+  * spec round-trips the values that actually break row formats — nulls,
+  * embedded delimiters/quotes/newlines, unicode, empty strings — and
+  * requires byte-identical survival through each sink+source. */
+class FormatsSpec extends SparkSuite {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("s", StringType),
+    StructField("d", DoubleType)))
+
+  private def nasty: DataFrame = {
+    val rows = Seq(
+      Row(1L, "plain", 1.5),
+      Row(2L, "comma, inside", -0.25),
+      Row(3L, "quote \" inside", 0.0),
+      Row(4L, "newline\ninside", 12.75),
+      Row(5L, null, null),
+      Row(6L, "", 6.5),
+      Row(7L, "unicode é中文", 7.0),
+      Row(8L, "tab\tand\\backslash", -8.125))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 3), schema)
+  }
+
+  private def roundTrip(write: (DataFrame, String) => Unit,
+      read: String => DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-fmt").resolve("t").toString
+    val in = nasty
+    write(in, dir)
+    val back = read(dir)
+    back.count() shouldBe in.count()
+    back.exceptAll(in).count() shouldBe 0L
+    in.exceptAll(back).count() shouldBe 0L
+  }
+
+  test("csv round-trips quotes, delimiters, newlines, nulls") {
+    roundTrip(
+      (df, dir) => df.write
+        .option("header", "true")
+        // multiline fields need explicit quoting + escape discipline;
+        // emptyValue/nullValue disambiguate "" from NULL (CSV's classic
+        // lossy corner — defaults collapse them)
+        .option("escape", "\"")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "\"\"")
+        .csv(dir),
+      dir => spark.read
+        .schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", "\"")
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
+        .csv(dir))
+  }
+
+  test("json round-trips unicode and nulls") {
+    roundTrip(
+      (df, dir) => df.write.json(dir),
+      dir => spark.read.schema(schema).json(dir))
+  }
+
+  test("orc round-trips everything") {
+    roundTrip(
+      (df, dir) => df.write.orc(dir),
+      dir => spark.read.orc(dir))
+  }
+}
