@@ -256,5 +256,56 @@ object Text {
       CAST(SUM(n_chars - len(regexp_replace(text, '\bcustomer\b|\bvalue\b', '', 'g'))) AS BIGINT) AS chars_removed
     FROM documents GROUP BY lang ORDER BY lang"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08)
+  // ---------------------------------------------------------------- t09
+  // Unigram-LM scoring: per-document average token log-probability under
+  // the corpus's own unigram distribution — the perplexity-proxy quality
+  // filter of LLM corpus pipelines (low average logp ⇒ rare-token soup).
+  // Two aggregates + one broadcast join: vocab is |vocab|-small, so the
+  // per-token scoring join broadcasts; the shuffle is bounded by vocab
+  // and |docs|, never token count. Cross-engine determinism: ln() can
+  // differ at the last ulp between libms, so per-token logp is ROUNDED
+  // (t06's discipline) and the per-doc sum runs in DECIMAL.
+  private val t09 = QueryDef(
+    "t09_unigram_logprob",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val total = vocab.agg(sum(col("c")).as("nn"))
+      val lp = vocab.crossJoin(total)
+        .select(col("token"),
+          round(log(col("c").cast("double") / col("nn")), 4).as("lp"))
+      // the average is rounded in EXACT integer space: sum_lp is a
+      // 4-decimal DECIMAL (an exact count of 1e-4 units), and
+      // round-half-away of su/n is (2|su| + n) DIV (2n) on integers —
+      // a double division would land on unrepresentable decimal ties
+      // (e.g. -197.3363/58 = -3.402350 exactly) that the engines'
+      // round() then resolves differently
+      toks.join(broadcast(lp), "token")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("slp"))
+        .withColumn("su", expr("CAST(slp * 10000 AS BIGINT)"))
+        .withColumn("avg_logp", expr(
+          """CAST(CASE WHEN su >= 0 THEN (2 * su + n_tokens) DIV (2 * n_tokens)
+                       ELSE -((2 * -su + n_tokens) DIV (2 * n_tokens)) END
+             AS DOUBLE) / 10000"""))
+        .select(col("doc_id"), col("n_tokens"), col("avg_logp"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    v AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS nn FROM toks),
+    lp AS (SELECT token, round(ln(CAST(c AS DOUBLE) / nn), 4) AS lp FROM v, n),
+    s AS (SELECT doc_id, COUNT(*) AS n_tokens,
+            CAST(SUM(CAST(lp AS DECIMAL(18,4))) * 10000 AS BIGINT) AS su
+          FROM toks JOIN lp USING (token) GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+      CAST(CASE WHEN su >= 0 THEN (2 * su + n_tokens) // (2 * n_tokens)
+                ELSE -((2 * -su + n_tokens) // (2 * n_tokens)) END
+        AS DOUBLE) / 10000 AS avg_logp
+    FROM s ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
 }
