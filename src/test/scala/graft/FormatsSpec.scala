@@ -72,4 +72,23 @@ class FormatsSpec extends SparkSuite {
       (df, dir) => df.write.orc(dir),
       dir => spark.read.orc(dir))
   }
+
+  test("parquet schema evolution: mergeSchema unions columns, old rows get NULL") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evo").resolve("t").toString
+    // v1 writes (id, a); a later producer adds column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a")
+      .write.parquet(dir)
+    Seq((3L, "z", 30.5)).toDF("id", "a", "b")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    merged.columns.sorted shouldBe Array("a", "b", "id")
+    merged.count() shouldBe 3
+    merged.filter(col("b").isNull).select(col("id"))
+      .collect().map(_.getLong(0)).sorted shouldBe Array(1L, 2L)
+    merged.filter(col("id") === 3L).select(col("b")).first().getDouble(0) shouldBe 30.5
+    // without mergeSchema Spark picks one footer's schema — pin the
+    // gotcha that motivates the option
+    spark.read.parquet(dir).columns.length should be <= 3
+  }
 }
