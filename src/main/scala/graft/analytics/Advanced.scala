@@ -450,6 +450,90 @@ object Advanced {
          ON o.o_custkey = c.c_custkey
        WHERE c.c_custkey IS NULL) AS n_fk_orphans"""))
 
+  // ---------------------------------------------------------------- q46
+  // Time-series densification: zero-fill missing hours on a complete
+  // (hour × event_type) grid, then forward-fill the last observed hourly
+  // revenue across the gaps — the resample/ffill operator of time-series
+  // stores. The grid is sequence()+explode (no generator table needed);
+  // the fill is one window per type ordered by hour. The carried metric
+  // is an exact DECIMAL sum (no division → no cross-engine tie risk).
+  // At 100 TB the grid is |hours|×|types| (tiny vs events) and the
+  // window key (event_type, hour-ordered) is the natural partitioning.
+  private val q46 = QueryDef(
+    "q46_gap_fill",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"), col("value"))
+      val hourly = ev.groupBy(col("event_type"), col("hr"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val span = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      val grid = span
+        .select(explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("hr"))
+        .crossJoin(ev.select(col("event_type")).distinct())
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("event_type", "hr"), "left")
+        .select(
+          date_format(col("hr"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("sum_value"), ignoreNulls = true).over(w).as("ffill_sum"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events),
+    hourly AS (SELECT event_type, hr, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+               FROM ev GROUP BY 1, 2),
+    span AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM ev),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr, event_type
+             FROM span CROSS JOIN (SELECT DISTINCT event_type FROM ev))
+    SELECT strftime(g.hr, '%Y-%m-%d %H:00:00') AS hour, g.event_type,
+      COALESCE(h.n, 0) AS n,
+      last_value(h.sum_value IGNORE NULLS) OVER (
+        PARTITION BY g.event_type ORDER BY g.hr
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_sum
+    FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    ORDER BY hour, g.event_type"""))
+
+  // ---------------------------------------------------------------- q47
+  // Cohort retention: users grouped by first-activity day, counted again
+  // on each of the next three days — the product-analytics staple. Days
+  // are PURE INTEGER arithmetic on epoch microseconds (us DIV 1 day),
+  // not date_trunc, so both engines agree without sharing a calendar
+  // dialect. Two aggregates + one broadcast join (first-day table is
+  // |users|-small relative to events); conditional distinct counts roll
+  // the offsets up without a second shuffle per offset.
+  private val q47 = QueryDef(
+    "q47_cohort_retention",
+    (s, dir) => {
+      val dayUs = 24L * 3600 * 1000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("d"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+      ev.dropDuplicates("user_id", "d")
+        .join(broadcast(firstDay), "user_id")
+        .withColumn("offset", col("d") - col("cohort"))
+        .groupBy(col("cohort"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("offset") === 1, col("user_id"))).as("d1"),
+          countDistinct(when(col("offset") === 2, col("user_id"))).as("d2"),
+          countDistinct(when(col("offset") === 3, col("user_id"))).as("d3"))
+        .orderBy(col("cohort"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+    fw AS (SELECT user_id, MIN(d) AS cohort FROM ev GROUP BY user_id),
+    aw AS (SELECT DISTINCT user_id, d FROM ev)
+    SELECT cohort,
+      COUNT(DISTINCT aw.user_id) AS n_users,
+      COUNT(DISTINCT CASE WHEN d - cohort = 1 THEN aw.user_id END) AS d1,
+      COUNT(DISTINCT CASE WHEN d - cohort = 2 THEN aw.user_id END) AS d2,
+      COUNT(DISTINCT CASE WHEN d - cohort = 3 THEN aw.user_id END) AS d3
+    FROM aw JOIN fw ON aw.user_id = fw.user_id
+    GROUP BY cohort ORDER BY cohort"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45)
+    Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
+      q46, q47)
 }
