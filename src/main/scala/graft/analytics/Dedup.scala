@@ -78,7 +78,10 @@ object Dedup {
   private val d02 = QueryDef(
     "d02_minhash_lsh",
     (s, dir) => {
-      val base = shingled(s, dir)
+      // the shingle pipeline feeds the band self-join (twice) AND the two
+      // exact-Jaccard verify joins — materialize it once, not four times
+      val base = shingled(s, dir).cache()
+      base.count()
       val shingleSets = base // re-joined by id for the verify step
       // hash each shingle ONCE (own projection), then derive all 8
       // permuted minima from the hashed array — not one re-hash per perm
@@ -104,6 +107,8 @@ object Dedup {
         .filter(col("jacc") >= 0.005)
         .select(col("id1"), col("id2"), col("jacc"))
         .orderBy(col("id1"), col("id2"))
+      // the few-MB shingle cache is left to LRU eviction: checkpointing
+      // the (much larger) RESULT to free it early doubled the query's IO
     },
     Some(s"""WITH sh AS (
       SELECT doc_id, $shingleSqlDuck AS sh FROM documents
@@ -188,7 +193,11 @@ object Dedup {
   private val d05 = QueryDef(
     "d05_simhash_pairs",
     (s, dir) => {
+      // materialize the signatures before the self-join: both sides would
+      // otherwise re-run the token-explode + two-aggregate pipeline
       val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+        .cache()
+      sh.count()
       sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
         .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
           col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -196,6 +205,8 @@ object Dedup {
         .filter(col("hamming") <= 6)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id1"), col("id2"))
+      // sh (|docs| ints) is left cached for LRU: checkpointing the 700 k-
+      // row RESULT to free it early doubled the query's IO
     },
     Some(s"""WITH $simhashCteDuck
     SELECT a.doc_id AS id1, b.doc_id AS id2,
@@ -215,9 +226,13 @@ object Dedup {
   private val d06 = QueryDef(
     "d06_embedding_neardup",
     (s, dir) => {
+      // b feeds BOTH self-join sides and the final rollup — materialize it
+      // once instead of quantizing/bucketing the table three times
       val b = Similarity.withQuant(dir, s)
         .withColumn("bucket", expr(Similarity.bucketExprSpark))
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
+        .cache()
+      b.count()
       val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
       val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
       val drops = l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -260,7 +275,11 @@ object Dedup {
   private val d07 = QueryDef(
     "d07_dup_clusters",
     (s, dir) => {
+      // signatures feed both sides of the candidate self-join — one
+      // materialization, like d05
       val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+        .cache()
+      sh.count()
       val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
         .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
           col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -273,6 +292,7 @@ object Dedup {
       // state-sized setting below.
       val cachedPairs = pairs.cache()
       cachedPairs.count()
+      sh.unpersist()
       // the iterative state is tiny relative to the session's batch
       // sizing — run the loop at 8 shuffle partitions (scoped, restored).
       // Cluster resolution is the reusable pointer-jumping operator

@@ -161,16 +161,15 @@ object Multimodal {
         .withColumn("bucket", expr("sig DIV 16"))
         .cache()
       sigs.count()
-      val out = sigs.select(col("bucket"), col("media_id").as("id1"), col("sig").as("s1"))
+      sigs.select(col("bucket"), col("media_id").as("id1"), col("sig").as("s1"))
         .join(sigs.select(col("bucket").as("bucket2"), col("media_id").as("id2"), col("sig").as("s2")),
           col("bucket") === col("bucket2") && col("id1") < col("id2"))
         .withColumn("hamming", expr("bit_count(s1 ^ s2)").cast("long"))
         .filter(col("hamming") <= 2)
         .select(col("id1"), col("id2"), col("hamming"))
         .orderBy(col("id1"), col("id2"))
-      val settled = out.localCheckpoint() // settle the result, then free the sig cache
-      sigs.unpersist()
-      settled
+      // the |docs|-int sig cache is left to LRU eviction rather than
+      // paying a result checkpoint to free it early
     },
     Some(s"""WITH ph AS (
       SELECT doc_id AS media_id, hex(encode(text)) AS ph,

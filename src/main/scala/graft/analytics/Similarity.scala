@@ -78,8 +78,12 @@ object Similarity {
   private val s02 = QueryDef(
     "s02_lsh_near_pairs",
     (s, dir) => {
+      // materialize the quantized+bucketed vectors once — both self-join
+      // sides would otherwise re-run the quantize/norm/bucket pipeline
       val b = withQuant(dir, s).withColumn("bucket", expr(bucketExprSpark))
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
+        .cache()
+      b.count()
       val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
       val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
       l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
