@@ -533,7 +533,46 @@ object Advanced {
     FROM aw JOIN fw ON aw.user_id = fw.user_id
     GROUP BY cohort ORDER BY cohort"""))
 
+  // ---------------------------------------------------------------- q48
+  // Ordered funnel: view → first click AFTER the view → first purchase
+  // AFTER that click, per user — the multi-stage conversion operator
+  // (ordering matters: a purchase before the click does not count).
+  // Three stage aggregates, each a shuffle on user_id; every join is
+  // user_id-equi so at scale all stages co-partition on the same key
+  // (bucket the events table by user_id and no stage reshuffles).
+  // Timestamps compare as exact epoch microseconds.
+  private val q48 = QueryDef(
+    "q48_funnel",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("us") > col("v_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("us") > col("c_us"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+      v.agg(count(lit(1)).as("n_view"))
+        .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(p.agg(count(lit(1)).as("n_view_click_purchase")))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    v AS (SELECT user_id, MIN(us) AS v_us FROM ev WHERE event_type = 'view'
+          GROUP BY user_id),
+    c AS (SELECT ev.user_id, MIN(us) AS c_us FROM ev JOIN v USING (user_id)
+          WHERE event_type = 'click' AND us > v_us GROUP BY ev.user_id),
+    p AS (SELECT ev.user_id, MIN(us) AS p_us FROM ev JOIN c USING (user_id)
+          WHERE event_type = 'purchase' AND us > c_us GROUP BY ev.user_id)
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47)
+      q46, q47, q48)
 }
