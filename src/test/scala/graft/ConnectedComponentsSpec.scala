@@ -48,4 +48,32 @@ class ConnectedComponentsSpec extends SparkSuite {
     val chain = (0L until 40L).map(i => (i, i + 1))
     an[IllegalStateException] should be thrownBy labelsOf(chain, maxIter = 2)
   }
+
+  test("random graphs match a union-find reference") {
+    // seeded RNG: deterministic across runs (no wall-clock in tests)
+    val rnd = new scala.util.Random(42)
+    (1 to 5).foreach { _ =>
+      val n = 10 + rnd.nextInt(30)
+      val nEdges = 1 + rnd.nextInt(2 * n)
+      val pairs = Seq.fill(nEdges)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      if (pairs.nonEmpty) {
+        // driver-side union-find ground truth
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        val expected = nodes
+          .map(v => v -> nodes.filter(u => find(u) == find(v)).min)
+          .toMap
+        labelsOf(pairs) shouldBe expected
+      }
+    }
+  }
 }
