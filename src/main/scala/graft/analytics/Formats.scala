@@ -91,5 +91,39 @@ object Formats {
       ${dsumSql("p_retailprice")} AS sum_price
     FROM part GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43)
+  // ---------------------------------------------------------------- q49
+  // Range-clustered write: repartitionByRange + sortWithinPartitions on
+  // the filter column before the parquet write — the "CLUSTER BY" layout
+  // pattern. Each output file then covers a narrow l_shipdate range, so
+  // a date-range scan prunes almost every row group via parquet min/max
+  // stats (hive-style partitioning by day would create too many dirs at
+  // this granularity; range clustering gets the same pruning from file
+  // and row-group statistics). The read-back aggregate must hash-match
+  // the oracle on the ORIGINAL table, proving the relayout is lossless.
+  private val q49 = QueryDef(
+    "q49_clustered_write",
+    (s, dir) => {
+      val out = tmp("graft-clustered")
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+        .repartitionByRange(8, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""SELECT l_returnflag, COUNT(*) AS n,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      ${dsumSql("l_extendedprice")} AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49)
 }
