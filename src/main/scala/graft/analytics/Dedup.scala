@@ -322,6 +322,86 @@ object Dedup {
     SELECT cluster_rep, COUNT(*) AS n_members
     FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
 
+  // ---------------------------------------------------------------- d09
+  // PageRank over the near-dup graph — graph centrality as a corpus
+  // signal (the quality/spam-propagation tool: a doc tied into a large
+  // near-dup web ranks high ⇒ boilerplate suspect). FIVE fixed power
+  // iterations; every quantity is INTEGER (rank in 1e-12 units, floor
+  // divisions), so both engines compute bit-identical ranks with no
+  // float-summation order dependence. Each Spark round is one broadcast
+  // of the |nodes|-sized rank table into a map-side pass over the cached
+  // edge list + a |nodes| aggregate, with per-round localCheckpoint
+  // (constant-size plans, the ConnectedComponents discipline). The
+  // oracle unrolls the same five iterations as chained CTEs.
+  private val PrUnit = 1000000000000L // rank fixed-point scale (1e-12)
+  private val PrIters = 5
+
+  private def prStepSql(prev: String, k: Int): String =
+    s"""pr$k AS (SELECT e.id2 AS node,
+         CAST((15 * ($PrUnit // nn)) // 100
+              + (85 * SUM(p.pr // d.deg)) // 100 AS BIGINT) AS pr
+       FROM e JOIN $prev p ON e.id1 = p.node
+              JOIN deg d ON d.node = e.id1
+              CROSS JOIN n
+       GROUP BY e.id2, nn)"""
+
+  private val d09 = QueryDef(
+    "d09_pagerank",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+        .cache()
+      sh.count()
+      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .filter(expr("bit_count(h1 ^ h2)") <= 6)
+        .select(col("id1"), col("id2"))
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .cache()
+      edges.count()
+      sh.unpersist()
+      Tables.withShuffle(s, 8) {
+        val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
+        val nodes = edges.select(col("id1").as("node")).distinct()
+        val nn = nodes.count()
+        val base = (15L * (PrUnit / nn)) / 100L
+        var pr = nodes.withColumn("pr", lit(PrUnit / nn)).localCheckpoint()
+        (1 to PrIters).foreach { _ =>
+          val withDeg = pr.join(deg, "node")
+            .select(col("node"), expr("pr DIV deg").as("c"))
+          pr = edges
+            .join(broadcast(withDeg), col("id1") === col("node"))
+            .groupBy(col("id2").as("node2"))
+            .agg(sum(col("c")).as("s"))
+            .select(col("node2").as("node"),
+              (lit(base) + expr("(85 * s) DIV 100")).as("pr"))
+            .localCheckpoint()
+        }
+        val out = pr
+          .orderBy(col("pr").desc, col("node"))
+          .limit(20)
+          .select(col("node").as("doc_id"), col("pr"))
+          .orderBy(col("pr").desc, col("doc_id"))
+          .localCheckpoint()
+        edges.unpersist()
+        out
+      }
+    },
+    Some(s"""WITH $simhashCteDuck,
+    pp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM pp UNION ALL SELECT id2, id1 FROM pp),
+    deg AS (SELECT id1 AS node, COUNT(*) AS deg FROM e GROUP BY id1),
+    n AS (SELECT COUNT(DISTINCT id1) AS nn FROM e),
+    pr0 AS (SELECT DISTINCT id1 AS node, CAST($PrUnit // nn AS BIGINT) AS pr
+            FROM e CROSS JOIN n),
+    ${(1 to PrIters).map(k => prStepSql(s"pr${k - 1}", k)).mkString(",\n    ")}
+    SELECT node AS doc_id, pr FROM pr$PrIters
+    ORDER BY pr DESC, doc_id LIMIT 20"""))
+
   // ---------------------------------------------------------------- d08
   // Keep-best dedup: the curation policy layered on exact dedup — when
   // several docs share a content fingerprint, keep the HIGHEST-QUALITY one
@@ -357,5 +437,5 @@ object Dedup {
       CAST(SUM(CASE WHEN rn = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
     FROM fp GROUP BY source ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08)
+  val defs: Seq[QueryDef] = Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09)
 }
