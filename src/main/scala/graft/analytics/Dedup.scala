@@ -363,10 +363,16 @@ object Dedup {
       sh.unpersist()
       Tables.withShuffle(s, 8) {
         val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
+          .cache()
         val nodes = edges.select(col("id1").as("node")).distinct()
         val nn = nodes.count()
         val base = (15L * (PrUnit / nn)) / 100L
-        var pr = nodes.withColumn("pr", lit(PrUnit / nn)).localCheckpoint()
+        // Unlike the CC loop, each round references the previous round
+        // exactly ONCE (and otherwise only the cached edges/deg tables),
+        // so the plan grows linearly, not exponentially — chain the five
+        // rounds lazily and execute them as ONE dag instead of paying a
+        // materialization + action per round.
+        var pr = nodes.withColumn("pr", lit(PrUnit / nn))
         (1 to PrIters).foreach { _ =>
           val withDeg = pr.join(deg, "node")
             .select(col("node"), expr("pr DIV deg").as("c"))
@@ -376,7 +382,6 @@ object Dedup {
             .agg(sum(col("c")).as("s"))
             .select(col("node2").as("node"),
               (lit(base) + expr("(85 * s) DIV 100")).as("pr"))
-            .localCheckpoint()
         }
         val out = pr
           .orderBy(col("pr").desc, col("node"))
@@ -384,6 +389,7 @@ object Dedup {
           .select(col("node").as("doc_id"), col("pr"))
           .orderBy(col("pr").desc, col("doc_id"))
           .localCheckpoint()
+        deg.unpersist()
         edges.unpersist()
         out
       }
