@@ -361,38 +361,40 @@ object Dedup {
         .cache()
       edges.count()
       sh.unpersist()
-      Tables.withShuffle(s, 8) {
-        val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
-          .cache()
-        val nodes = edges.select(col("id1").as("node")).distinct()
-        val nn = nodes.count()
-        val base = (15L * (PrUnit / nn)) / 100L
-        // Unlike the CC loop, each round references the previous round
-        // exactly ONCE (and otherwise only the cached edges/deg tables),
-        // so the plan grows linearly, not exponentially — chain the five
-        // rounds lazily and execute them as ONE dag instead of paying a
-        // materialization + action per round.
-        var pr = nodes.withColumn("pr", lit(PrUnit / nn))
-        (1 to PrIters).foreach { _ =>
-          val withDeg = pr.join(deg, "node")
-            .select(col("node"), expr("pr DIV deg").as("c"))
-          pr = edges
-            .join(broadcast(withDeg), col("id1") === col("node"))
-            .groupBy(col("id2").as("node2"))
-            .agg(sum(col("c")).as("s"))
-            .select(col("node2").as("node"),
-              (lit(base) + expr("(85 * s) DIV 100")).as("pr"))
-        }
-        val out = pr
-          .orderBy(col("pr").desc, col("node"))
-          .limit(20)
-          .select(col("node").as("doc_id"), col("pr"))
-          .orderBy(col("pr").desc, col("doc_id"))
-          .localCheckpoint()
-        deg.unpersist()
-        edges.unpersist()
-        out
+      // NOT run at the streaming-sized 8 shuffle partitions (d07's loop
+      // setting): each PageRank round shuffles |edges| contribution rows
+      // (~1.5 M at sf0.1), not |nodes|-sized state — keep the session's
+      // full parallelism
+      val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
+        .cache()
+      val nodes = edges.select(col("id1").as("node")).distinct()
+      val nn = nodes.count()
+      val base = (15L * (PrUnit / nn)) / 100L
+      // Unlike the CC loop, each round references the previous round
+      // exactly ONCE (and otherwise only the cached edges/deg tables),
+      // so the plan grows linearly, not exponentially — chain the five
+      // rounds lazily and execute them as ONE dag instead of paying a
+      // materialization + action per round.
+      var pr = nodes.withColumn("pr", lit(PrUnit / nn))
+      (1 to PrIters).foreach { _ =>
+        val withDeg = pr.join(deg, "node")
+          .select(col("node"), expr("pr DIV deg").as("c"))
+        pr = edges
+          .join(broadcast(withDeg), col("id1") === col("node"))
+          .groupBy(col("id2").as("node2"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("node2").as("node"),
+            (lit(base) + expr("(85 * s) DIV 100")).as("pr"))
       }
+      val out = pr
+        .orderBy(col("pr").desc, col("node"))
+        .limit(20)
+        .select(col("node").as("doc_id"), col("pr"))
+        .orderBy(col("pr").desc, col("doc_id"))
+        .localCheckpoint()
+      deg.unpersist()
+      edges.unpersist()
+      out
     },
     Some(s"""WITH $simhashCteDuck,
     pp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
