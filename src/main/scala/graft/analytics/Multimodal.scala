@@ -187,5 +187,49 @@ object Multimodal {
     WHERE bit_count(xor(a.sig, b.sig)) <= 2
     ORDER BY id1, id2"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05)
+  // ---------------------------------------------------------------- m06
+  // Chunk-level payload dedup: fixed 32-byte chunks of every payload
+  // hashed and matched ACROSS documents — sub-document deduplication,
+  // the content-defined-chunking shape storage dedup and diff-transfer
+  // systems use (fixed-width chunks stand in for a rolling-boundary
+  // chunker; the pipeline — chunk → hash → global chunk index → per-doc
+  // shared ratio — is identical). Per source: how many chunks exist and
+  // how many also appear in some OTHER document. One explode + two hash
+  // aggregates + one broadcast-able join on the chunk hash.
+  private val m06 = QueryDef(
+    "m06_chunk_dedup",
+    (s, dir) => {
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), col("source"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("n_chunks", expr("length(ph) DIV 64"))
+        .filter(col("n_chunks") >= 1)
+        .select(col("doc_id"), col("source"), col("ph"),
+          explode(expr("sequence(0L, n_chunks - 1)")).as("ci"))
+        .select(col("doc_id"), col("source"),
+          expr(strHashExpr("substring(ph, CAST(ci * 64 + 1 AS INT), 64)")).as("ch"))
+        .cache()
+      chunks.count()
+      val owners = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      chunks.join(owners, "ch")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH ph AS (
+      SELECT doc_id, source, hex(encode(text)) AS ph FROM documents),
+    nc AS (SELECT doc_id, source, ph, CAST(length(ph) // 64 AS BIGINT) AS n_chunks
+           FROM ph WHERE length(ph) >= 64),
+    ch AS (SELECT doc_id, source,
+             ${strHashSql("substring(ph, CAST(ci * 64 + 1 AS INT), 64)")} AS ch
+           FROM nc, LATERAL unnest(range(0, n_chunks)) AS t(ci)),
+    owners AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs_with FROM ch GROUP BY ch)
+    SELECT source, COUNT(*) AS n_chunks,
+      CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+    FROM ch JOIN owners USING (ch)
+    GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
 }

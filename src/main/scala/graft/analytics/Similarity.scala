@@ -248,5 +248,56 @@ object Similarity {
       FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05)
+  // ---------------------------------------------------------------- s06
+  // k-NN majority-vote classification: each query vector takes the
+  // majority label of its 5 nearest neighbors (exact quantized cosine,
+  // s01's machinery) — embedding-based weak labeling, the label-
+  // propagation primitive of semi-supervised corpus curation. Majority
+  // ties break deterministically on the smaller label. Same broadcast
+  // top-k plan as s01 plus two |queries|-sized aggregates.
+  private val s06 = QueryDef(
+    "s06_knn_classify",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val q = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("label").as("true_label"),
+          col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      val votes = all
+        .select(col("vec_id").as("c_id"), col("label").as("c_label"),
+          col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("q_id"), col("true_label"), col("c_label"))
+        .agg(count(lit(1)).as("n_votes"))
+      votes
+        .withColumn("vrnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("n_votes").desc, col("c_label"))))
+        .filter(col("vrnk") === 1)
+        .select(col("q_id"), col("true_label"),
+          col("c_label").as("pred_label"), col("n_votes"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH $quantCte,
+    ql AS (SELECT vec_id, label FROM embeddings),
+    nb AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+             ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simSql DESC, b.vec_id) AS rnk
+           FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id),
+    votes AS (SELECT q_id, tl.label AS true_label, cl.label AS c_label,
+                COUNT(*) AS n_votes
+              FROM nb JOIN ql tl ON tl.vec_id = q_id
+                      JOIN ql cl ON cl.vec_id = nb.c_id
+              WHERE rnk <= 5 GROUP BY q_id, tl.label, cl.label),
+    top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY n_votes DESC, c_label) AS vrnk FROM votes)
+    SELECT q_id, true_label, c_label AS pred_label, n_votes
+    FROM top WHERE vrnk = 1 ORDER BY q_id"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
 }
