@@ -307,5 +307,54 @@ object Text {
         AS DOUBLE) / 10000 AS avg_logp
     FROM s ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09)
+  // ---------------------------------------------------------------- t10
+  // Per-source distribution drift: KL(source ‖ corpus) over token
+  // unigram distributions — the contamination/domain-shift detector of
+  // corpus pipelines (a source whose token mix diverges from the corpus
+  // sticks out). Determinism discipline: log-probabilities are rounded
+  // to integer 1e-4 units, every per-token term is then EXACT integer
+  // arithmetic (count × unit-difference) summed order-independently,
+  // and the final value is two IEEE divisions by exact integers — no
+  // float accumulation, no rounding of a ratio. Shuffles are bounded by
+  // |vocab| × |sources|; the corpus vocab broadcasts into the join.
+  private val t10 = QueryDef(
+    "t10_source_divergence",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val n = corpus.agg(sum(col("c")).as("n"))
+      val lpu = corpus.crossJoin(n)
+        .select(col("token"),
+          round(log(col("c").cast("double") / col("n")) * 10000).cast("long").as("lpu"))
+      val srcTok = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("cs"))
+      val ns = srcTok.groupBy(col("source")).agg(sum(col("cs")).as("ns"))
+      srcTok.join(ns, "source")
+        .withColumn("lpu_s",
+          round(log(col("cs").cast("double") / col("ns")) * 10000).cast("long"))
+        .join(broadcast(lpu), "token")
+        .groupBy(col("source"))
+        .agg(max(col("ns")).as("n_tokens"),
+          sum(col("cs") * (col("lpu_s") - col("lpu"))).as("su"))
+        .select(col("source"), col("n_tokens"),
+          (col("su").cast("double") / col("n_tokens") / lit(10000.0)).as("kl"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token FROM documents),
+    corpus AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM corpus),
+    lpu AS (SELECT token, CAST(round(ln(CAST(c AS DOUBLE) / n.n) * 10000) AS BIGINT) AS lpu
+            FROM corpus CROSS JOIN n),
+    st AS (SELECT source, token, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+    ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM st GROUP BY source),
+    terms AS (SELECT st.source, st.token, st.cs, ns.ns,
+                CAST(round(ln(CAST(st.cs AS DOUBLE) / ns.ns) * 10000) AS BIGINT) AS lpu_s
+              FROM st JOIN ns USING (source))
+    SELECT t.source, MAX(t.ns) AS n_tokens,
+      CAST(SUM(t.cs * (t.lpu_s - l.lpu)) AS DOUBLE) / MAX(t.ns) / 10000.0 AS kl
+    FROM terms t JOIN lpu l USING (token)
+    GROUP BY t.source ORDER BY t.source"""))
+
+  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
 }
