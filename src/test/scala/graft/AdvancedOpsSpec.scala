@@ -177,6 +177,33 @@ class AdvancedOpsSpec extends SparkSuite {
     expected.exceptAll(got).count() shouldBe 0
   }
 
+  test("q46 gap-fill: complete grid, zero-filled gaps, ffill non-null after first hour") {
+    val out = run("q46_gap_fill").cache()
+    val ev = Tables.events(spark, dir)
+    val nTypes = ev.select(col("event_type")).distinct().count()
+    val span = ev.select(date_trunc("hour", col("ts")).as("hr"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(((unix_timestamp(col("h1")) - unix_timestamp(col("h0"))) / 3600 + 1).cast("long"))
+      .first().getLong(0)
+    out.count() shouldBe span * nTypes // every (hour, type) cell exists
+    out.filter(col("n").isNull).count() shouldBe 0 // gaps are zero, not null
+    // after a type's first observed hour, the forward-fill never goes null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("hour"))
+    out.withColumn("seen", max(when(col("n") > 0, 1).otherwise(0)).over(w))
+      .filter(col("seen") === 1 && col("ffill_sum").isNull)
+      .count() shouldBe 0
+    out.unpersist()
+  }
+
+  test("q48 funnel stages are monotonically non-increasing") {
+    val r = run("q48_funnel").first()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    v should be >= c
+    c should be >= p
+    v should be > 0L
+  }
+
   test("q39 sampling is seed-deterministic and respects per-stratum rates") {
     val a = run("q39_stratified_sample").collect().toSeq
     val b = run("q39_stratified_sample").collect().toSeq
