@@ -572,7 +572,45 @@ object Advanced {
            (SELECT COUNT(*) FROM c) AS n_view_click,
            (SELECT COUNT(*) FROM p) AS n_view_click_purchase"""))
 
+  // ---------------------------------------------------------------- q50
+  // CONSISTENT (hash-threshold) sampling: keep an entity iff
+  // hash(key) mod 100 < rate. Unlike per-row random sampling (q39),
+  // the decision is a pure function of the key, so independently
+  // sampling two tables by the same key yields JOIN-COMPATIBLE samples
+  // — every sampled customer arrives with ALL of their orders, which is
+  // what makes downstream ratios (orders/customer below) unbiased.
+  // Pure per-row predicate: pushes to the scan, no shuffle beyond the
+  // final aggregate, trivially identical on a 1000-executor cluster.
+  private val q50 = QueryDef(
+    "q50_consistent_sample",
+    (s, dir) => {
+      graft.functions.PolyHash.register(s)
+      val custS = rd(s, dir, "customer")
+        .filter(expr(s"${strHashExpr("CAST(c_custkey AS STRING)")} % 100") < 20)
+      val ordS = rd(s, dir, "orders")
+        .filter(expr(s"${strHashExpr("CAST(o_custkey AS STRING)")} % 100") < 20)
+      custS.join(ordS, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("c_custkey")).as("n_customers"),
+          count(col("o_orderkey")).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    Some(s"""WITH cs AS (
+      SELECT * FROM customer
+      WHERE ${strHashSql("CAST(c_custkey AS VARCHAR)")} % 100 < 20),
+    os AS (
+      SELECT * FROM orders
+      WHERE ${strHashSql("CAST(o_custkey AS VARCHAR)")} % 100 < 20)
+    SELECT c_mktsegment,
+      COUNT(DISTINCT c_custkey) AS n_customers,
+      COUNT(o_orderkey) AS n_orders,
+      ${dsumSql("o_totalprice")} AS sum_price
+    FROM cs LEFT JOIN os ON c_custkey = o_custkey
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48)
+      q46, q47, q48, q50)
 }
