@@ -231,5 +231,59 @@ object Multimodal {
     FROM ch JOIN owners USING (ch)
     GROUP BY source ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06)
+  // ---------------------------------------------------------------- m07
+  // Payload byte entropy: per-document Shannon entropy of the byte
+  // histogram, aggregated per source — the standard detector for
+  // already-compressed/encrypted blobs (high entropy ⇒ don't recompress,
+  // flag mislabeled media). Determinism discipline (t09/t10): log-probs
+  // round to integer 1e-4 units, per-byte terms are exact integers
+  // summed order-independently, and the source-level average is two IEEE
+  // divisions by exact integers. The byte value is grouped as its
+  // 2-hex-char slice directly — no hex→int conversion needed.
+  private val m07 = QueryDef(
+    "m07_payload_entropy",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("doc_id"), col("source"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("nb", expr("length(ph) DIV 2"))
+        .filter(col("nb") >= 1)
+        .select(col("doc_id"), col("source"), col("ph"),
+          explode(expr("sequence(0L, nb - 1)")).as("bi"))
+        .select(col("doc_id"), col("source"),
+          expr("substring(ph, CAST(bi * 2 + 1 AS INT), 2)").as("b"))
+        .groupBy(col("doc_id"), col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val withN = counts
+        .withColumn("n",
+          sum(col("c")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+      withN
+        .withColumn("lpu",
+          round(log(col("c").cast("double") / col("n")) * 10000).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(-col("c") * col("lpu")).as("su"),
+          sum(col("c")).as("n_bytes"))
+        .select(col("source"), col("n_docs"), col("n_bytes"),
+          (col("su").cast("double") / col("n_bytes") / lit(10000.0)).as("avg_entropy"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH ph AS (
+      SELECT doc_id, source, hex(encode(text)) AS ph,
+             octet_length(encode(text)) AS nb
+      FROM documents WHERE octet_length(encode(text)) >= 1),
+    by AS (SELECT doc_id, source,
+             substring(ph, CAST(bi * 2 + 1 AS INT), 2) AS b
+           FROM ph, LATERAL unnest(range(0, nb)) AS t(bi)),
+    cnt AS (SELECT doc_id, source, b, COUNT(*) AS c FROM by GROUP BY 1, 2, 3),
+    wn AS (SELECT *, SUM(c) OVER (PARTITION BY doc_id) AS n FROM cnt),
+    lp AS (SELECT *, CAST(round(ln(CAST(c AS DOUBLE) / n) * 10000) AS BIGINT) AS lpu
+           FROM wn)
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs,
+      CAST(SUM(c) AS BIGINT) AS n_bytes,
+      CAST(SUM(-c * lpu) AS DOUBLE) / CAST(SUM(c) AS BIGINT) / 10000.0 AS avg_entropy
+    FROM lp GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
 }
