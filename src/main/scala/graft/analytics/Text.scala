@@ -356,5 +356,49 @@ object Text {
     FROM terms t JOIN lpu l USING (token)
     GROUP BY t.source ORDER BY t.source"""))
 
-  val defs: Seq[QueryDef] = Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10)
+  // ---------------------------------------------------------------- t11
+  // Vocabulary concentration per source: type-token ratio and the share
+  // of token mass covered by the 10 most frequent tokens — the
+  // Zipf-shape diagnostic (template/boilerplate sources concentrate
+  // mass in few types; natural text spreads it). All counts are exact
+  // integers; the only division is one IEEE divide of two exact ints.
+  // Tie-break note: equal-count tokens at the top-10 boundary can swap
+  // membership, but the SUM of the ten largest counts is invariant
+  // under that choice, so the result is deterministic without a
+  // tie-break rule.
+  private val t11 = QueryDef(
+    "t11_vocab_concentration",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("token"))
+      counts
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("source"))
+        .agg(
+          sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("rn") <= 10, col("c")).otherwise(0L)).as("top10"))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("top10").cast("double") / col("n_tokens")).as("top10_coverage"))
+        .orderBy(col("source"))
+    },
+    Some("""WITH counts AS (
+      SELECT source, token, COUNT(*) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY 1, 2),
+    rn AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY c DESC, token) AS rn FROM counts)
+    SELECT source,
+      CAST(SUM(c) AS BIGINT) AS n_tokens,
+      COUNT(*) AS n_types,
+      CAST(SUM(CASE WHEN rn <= 10 THEN c ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(c) AS BIGINT) AS top10_coverage
+    FROM rn GROUP BY source ORDER BY source"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
 }
