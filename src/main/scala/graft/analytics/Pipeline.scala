@@ -1,0 +1,167 @@
+package graft.analytics
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Warehouse-pipeline operators (round-4 widening): runtime bloom-filter
+ * join pruning, batch sessionization, and SCD2-style merge/upsert
+ * classification — the three patterns every large ingest-and-publish
+ * pipeline runs that weren't yet first-class in the catalog.
+ *
+ * Scale notes (100 TB): q51 is the runtime-filter pattern — when the dim
+ * side is too large to broadcast-JOIN but its key *bloom* fits in a few MB,
+ * shipping the bloom to the fact scan prunes most of the shuffle before it
+ * happens (Spark's own `spark.sql.optimizer.runtime.bloomFilter.enabled`
+ * injects exactly this shape under AQE; the explicit form here also covers
+ * non-equi pipelines). False positives only cost shuffled rows — the exact
+ * join behind the bloom keeps the result exact. q52 sessionizes with one
+ * window partitioned on `user_id` (high cardinality — no skew funnel) and
+ * all arithmetic on epoch-microsecond BIGINTs. q53 is the full-outer-join
+ * merge: both sides hash-partition on the business key, so at scale it's
+ * one co-partitioned shuffle; with the dim bucketed by key the merge runs
+ * shuffle-free.
+ */
+object Pipeline {
+
+  // ---------------------------------------------------------------- q51
+  // Bloom-filter pre-filtered join: build a bloom over the BUILDING-segment
+  // customer keys, ship it to the orders scan as a per-row predicate, then
+  // run the exact semi-join on the survivors. The bloom eliminates ~80% of
+  // the fact rows before the shuffle; the semi-join removes the bloom's
+  // false positives, so the result is exactly the unfiltered semi-join.
+  private val q51 = QueryDef(
+    "q51_bloom_join",
+    (s, dir) => {
+      val dim = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      // 2^20 expected items covers every SF here; ~1.2 MB at 1% fpp —
+      // the "dim too big to broadcast, bloom still cheap" regime in
+      // miniature
+      val bloom = dim.stat.bloomFilter("c_custkey", 1 << 20, 0.01)
+      val bloomBc = s.sparkContext.broadcast(bloom)
+      val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+      rd(s, dir, "orders")
+        .filter(mightContain(col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+      ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey
+                    AND c.c_mktsegment = 'BUILDING')
+    GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q52
+  // Batch sessionization: per-user event stream cut into sessions at
+  // >30-minute silence gaps (lag + running sum of boundary flags — the
+  // classic gaps-and-islands plan), rolled up to a session-size histogram
+  // with exact integer durations. The batch twin of q20's streaming
+  // session windows.
+  private val q52 = QueryDef(
+    "q52_sessionize",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sessions = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"), (max(col("us")) - min(col("us"))).as("dur_us"))
+      sessions.groupBy(col("n_events"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("dur_us")).as("sum_dur_us"),
+          max(col("dur_us")).as("max_dur_us"))
+        .orderBy(col("n_events"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us, event_id,
+        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    numbered AS (
+      SELECT user_id, us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked),
+    sessions AS (
+      SELECT user_id, sess, COUNT(*) AS n_events, MAX(us) - MIN(us) AS dur_us
+      FROM numbered GROUP BY 1, 2)
+    SELECT n_events, COUNT(*) AS n_sessions,
+      CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+      MAX(dur_us) AS max_dur_us
+    FROM sessions GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q53
+  // SCD2-style merge classification: a deterministic change feed (every
+  // 7th customer's balance moves by +100.00; every 101st key arrives as a
+  // brand-new row) merged against the current dimension with one full
+  // outer join on the business key, every row classified
+  // insert/update/unchanged and the post-merge balance totalled per
+  // action. All money arithmetic in DECIMAL(18,2) — the change detection
+  // compares exact values, never floats.
+  private val q53 = QueryDef(
+    "q53_scd2_merge",
+    (s, dir) => {
+      val cur = rd(s, dir, "customer")
+        .select(col("c_custkey").as("key"),
+          expr("CAST(c_acctbal AS DECIMAL(18,2))").as("bal"))
+      val upd = rd(s, dir, "customer")
+        .filter(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("u_key"),
+          expr("CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2))").as("u_bal"))
+        .unionAll(
+          rd(s, dir, "customer")
+            .filter(col("c_custkey") % 101 === 0)
+            .select((col("c_custkey") + 10000000L).as("u_key"),
+              expr("CAST(50.00 AS DECIMAL(18,2))").as("u_bal")))
+      cur.join(upd, col("key") === col("u_key"), "full_outer")
+        .select(
+          when(col("key").isNull, "insert")
+            .when(col("u_key").isNull, "unchanged")
+            .when(col("u_bal") =!= col("bal"), "update")
+            .otherwise("unchanged").as("action"),
+          coalesce(col("u_bal"), col("bal")).as("merged_bal"))
+        .groupBy(col("action"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("merged_bal")).cast("double").as("sum_bal"))
+        .orderBy(col("action"))
+    },
+    Some("""WITH cur AS (
+      SELECT c_custkey AS key, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      FROM customer),
+    upd AS (
+      SELECT c_custkey AS u_key,
+        CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100.00 AS DECIMAL(18,2)) AS u_bal
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 10000000 AS u_key, CAST(50.00 AS DECIMAL(18,2)) AS u_bal
+      FROM customer WHERE c_custkey % 101 = 0),
+    merged AS (
+      SELECT
+        CASE WHEN key IS NULL THEN 'insert'
+             WHEN u_key IS NULL THEN 'unchanged'
+             WHEN u_bal <> bal THEN 'update'
+             ELSE 'unchanged' END AS action,
+        COALESCE(u_bal, bal) AS merged_bal
+      FROM cur FULL OUTER JOIN upd ON key = u_key)
+    SELECT action, COUNT(*) AS n_rows,
+      CAST(SUM(merged_bal) AS DOUBLE) AS sum_bal
+    FROM merged GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53)
+}
