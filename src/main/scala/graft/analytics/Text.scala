@@ -399,6 +399,120 @@ object Text {
         / CAST(SUM(c) AS BIGINT) AS top10_coverage
     FROM rn GROUP BY source ORDER BY source"""))
 
+  // ------------------------------------------------------------------
+  // Word-n-gram hashing shared by t12/t13: hash each token ONCE (the
+  // token-hash array is materialized in its own projection — HOF lambdas
+  // are not hoisted, see t05/d02 history), then combine n consecutive
+  // token hashes with the same 31-base polynomial fold the string hash
+  // uses. O(n) integer ops per position instead of re-hashing n-gram
+  // strings character by character.
+  // ------------------------------------------------------------------
+  private def ngramExpr(thCol: String, n: Int): String =
+    s"""CASE WHEN size($thCol) >= $n THEN
+      transform(sequence(1, size($thCol) - ${n - 1}),
+        i -> aggregate(slice($thCol, i, $n), CAST(0 AS BIGINT),
+                       (acc, h) -> (acc * 31 + h) % ${Tables.HashMod}))
+    ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+
+  private def ngramSqlDuck(thCol: String, n: Int): String =
+    s"""CASE WHEN len($thCol) >= $n THEN
+      list_transform(generate_series(1, len($thCol) - ${n - 1}),
+        i -> list_reduce($thCol[i:i+${n - 1}], (acc, h) -> (acc * 31 + h) % ${Tables.HashMod}))
+    ELSE CAST([] AS BIGINT[]) END"""
+
+  // ---------------------------------------------------------------- t12
+  // Benchmark decontamination: the eval-set overlap check every training
+  // corpus runs before release — hash every overlapping word-n-gram of the
+  // held-out set (doc_id % 97 here), broadcast the hash set, and count
+  // distinct overlapping n-grams per training doc. n = 4 here — scaled to
+  // the short synthetic docs; production corpora use 8–13. The benchmark side is tiny by
+  // construction, so at 100 TB this stays one broadcast-hash-join against
+  // the exploded corpus n-grams — the corpus is scanned once and nothing
+  // shuffles except the per-doc count.
+  private val t12 = QueryDef(
+    "t12_decontamination",
+    (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"), expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+      val ex = th
+        .select(col("doc_id"), explode(expr(ngramExpr("th", 4))).as("ng"))
+        .distinct()
+        .cache()
+      ex.count()
+      val bench = ex.filter(col("doc_id") % 97 === 0).select(col("ng")).distinct()
+      val corpus = ex.filter(col("doc_id") % 97 =!= 0)
+      val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_grams"))
+      val out = corpus.join(broadcast(bench), "ng")
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+        .join(perDoc, "doc_id")
+        .select(col("doc_id"), col("n_distinct_grams"), col("n_hit"))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      ex.unpersist()
+      out
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ng AS (SELECT doc_id, ${ngramSqlDuck("th", 4)} AS ngs FROM th),
+    ex AS (SELECT DISTINCT doc_id, unnest(ngs) AS ng FROM ng),
+    bench AS (SELECT DISTINCT ng FROM ex WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, ng FROM ex WHERE doc_id % 97 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_distinct_grams
+                FROM corpus GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_hit
+             FROM corpus c JOIN bench USING (ng) GROUP BY c.doc_id)
+    SELECT h.doc_id, p.n_distinct_grams, h.n_hit
+    FROM hits h JOIN per_doc p USING (doc_id)
+    ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- t13
+  // Repetition quality signals (the Gopher/C4 filter family): per-doc
+  // duplicate-token and duplicate-trigram excess, rolled up per source
+  // with a flag for docs whose repeated-trigram share exceeds 10%
+  // (integer cross-multiply — no float threshold). Everything is narrow
+  // per-row array math over one scan + one aggregate; ratios ship as
+  // exact numerator/denominator pairs.
+  private val t13 = QueryDef(
+    "t13_repetition_stats",
+    (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("source"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .withColumn("tg", expr(ngramExpr("th", 3)))
+      th.select(col("source"),
+          expr("size(th)").as("n_tok"),
+          expr("size(th) - size(array_distinct(th))").as("dup_tok"),
+          expr("size(tg)").as("n_tri"),
+          expr("size(tg) - size(array_distinct(tg))").as("dup_tri"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok").cast("long")).as("n_tokens"),
+          sum(col("dup_tok").cast("long")).as("n_dup_tokens"),
+          sum(col("n_tri").cast("long")).as("n_trigrams"),
+          sum(col("dup_tri").cast("long")).as("n_dup_trigrams"),
+          sum(when(col("dup_tri") * 10 > col("n_tri"), 1L).otherwise(0L)).as("n_flagged"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT source,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    tg AS (SELECT source, th, ${ngramSqlDuck("th", 3)} AS tg FROM th),
+    d AS (SELECT source,
+        len(th) AS n_tok, len(th) - len(list_distinct(th)) AS dup_tok,
+        len(tg) AS n_tri, len(tg) - len(list_distinct(tg)) AS dup_tri
+      FROM tg)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(dup_tok) AS BIGINT) AS n_dup_tokens,
+      CAST(SUM(n_tri) AS BIGINT) AS n_trigrams,
+      CAST(SUM(dup_tri) AS BIGINT) AS n_dup_trigrams,
+      CAST(SUM(CASE WHEN dup_tri * 10 > n_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM d GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
 }
