@@ -446,17 +446,11 @@ object Dedup {
     FROM fp GROUP BY source ORDER BY source"""))
 
   // ---------------------------------------------------------------- d10
-  // Distributed triangle counting with degree-ordered edge orientation —
-  // the standard bound on the wedge explosion: orient every edge from the
-  // (degree, id)-smaller endpoint to the larger, so each node's out-degree
-  // is O(sqrt(m)) and the wedge join emits O(m^1.5) rows instead of
-  // sum(deg^2) (which a hub node makes quadratic). Each triangle is then
-  // counted exactly once: as the wedge at its rank-smallest vertex closed
-  // by the oriented third edge. Graph = co-purchase pairs (parts sharing
-  // an order) over a deterministic 10% orderkey sample; the node-rank
-  // table is |parts|-small so both rank joins broadcast, and the only
-  // shuffles are the co-partitioned orderkey self-join, the wedge join on
-  // src, and the closing-edge join on the (v, w) pair key.
+  // Triangle counting via operators.TriangleCount (degree-ordered
+  // orientation bounding the wedge join at O(m^1.5) — see the operator's
+  // doc). Graph = co-purchase pairs (parts sharing an order) over a
+  // deterministic 10% orderkey sample; the pair derivation is one
+  // co-partitioned self-join on l_orderkey.
   private val d10 = QueryDef(
     "d10_triangle_count",
     (s, dir) => {
@@ -464,38 +458,11 @@ object Dedup {
         .filter(col("l_orderkey") % 10 === 0)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
-      // e0 feeds the degree aggregate AND both orientation joins
-      val e0 = li.select(col("ok"), col("pk").as("u"))
+      val pairs = li.select(col("ok"), col("pk").as("u"))
         .join(li.select(col("ok").as("ok2"), col("pk").as("v")),
           col("ok") === col("ok2") && col("u") < col("v"))
-        .select(col("u"), col("v")).distinct().cache()
-      e0.count()
-      val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d"))
-      // global rank: |touched parts| rows — driver-small here; at 100 TB
-      // swap for zipWithIndex-style rank or orient by raw (d, node) tuples
-      val rk = deg.select(col("node"),
-        row_number().over(Window.orderBy(col("d"), col("node"))).as("r"))
-      val o = e0
-        .join(broadcast(rk.select(col("node").as("u"), col("r").as("ru"))), "u")
-        .join(broadcast(rk.select(col("node").as("v"), col("r").as("rv"))), "v")
-        .select(least(col("ru"), col("rv")).as("src"),
-          greatest(col("ru"), col("rv")).as("dst"))
-        .cache()
-      o.count()
-      val wedges = o.select(col("src"), col("dst").as("v"))
-        .join(o.select(col("src").as("src2"), col("dst").as("w")),
-          col("src") === col("src2") && col("v") < col("w"))
-        .select(col("v"), col("w"))
-      val counts = rk.agg(count(lit(1)).as("n_nodes"))
-        .crossJoin(o.agg(count(lit(1)).as("n_edges")))
-        .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-        .crossJoin(wedges.join(o, col("v") === col("src") && col("w") === col("dst"))
-          .agg(count(lit(1)).as("n_triangles")))
-        .localCheckpoint()
-      e0.unpersist()
-      o.unpersist()
-      counts
+        .select(col("u"), col("v"))
+      graft.operators.TriangleCount.counts(pairs)
     },
     Some("""WITH li AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed triangle counting with degree-ordered edge orientation —
+ * the standard bound on the wedge explosion: orient every edge from its
+ * (degree, id)-smaller endpoint to the larger, so every node's
+ * out-degree is O(sqrt(m)) and the wedge join emits O(m^1.5) rows
+ * instead of sum(deg²) (which one hub node makes quadratic). Each
+ * triangle is counted exactly once — as the wedge at its rank-smallest
+ * vertex, closed by the oriented third edge.
+ *
+ * Input: an undirected edge list `(u, v)` (self-loops, duplicates, and
+ * either orientation tolerated — normalized away). Output: one row
+ * `(n_nodes, n_edges, n_wedges, n_triangles)`.
+ *
+ * Shuffle inventory at scale: one distinct on the normalized edge pair,
+ * one |nodes|-sized degree aggregate, the wedge self-join partitioned on
+ * the wedge apex, and the closing-edge join partitioned on the (v, w)
+ * pair key. The node-rank table is |nodes|-small relative to edges, so
+ * both orientation joins broadcast it. The global row_number rank is the
+ * one single-partition step — |nodes| rows only; at extreme node counts
+ * swap it for a zipWithIndex-style distributed rank or orient directly
+ * by raw (degree, id) tuple comparison.
+ */
+object TriangleCount {
+
+  /** @param edges edge list with integral columns `u`, `v`
+    * @return single row (n_nodes, n_edges, n_wedges, n_triangles) */
+  def counts(edges: DataFrame): DataFrame = {
+    val e0 = edges
+      .filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).cast("long").as("u"),
+        greatest(col("u"), col("v")).cast("long").as("v"))
+      .distinct().cache()
+    e0.count()
+    val deg = e0.select(col("u").as("node")).unionAll(e0.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val rk = deg.select(col("node"),
+      row_number().over(Window.orderBy(col("d"), col("node"))).as("r"))
+    val o = e0
+      .join(broadcast(rk.select(col("node").as("u"), col("r").as("ru"))), "u")
+      .join(broadcast(rk.select(col("node").as("v"), col("r").as("rv"))), "v")
+      .select(least(col("ru"), col("rv")).as("src"),
+        greatest(col("ru"), col("rv")).as("dst"))
+      .cache()
+    o.count()
+    val wedges = o.select(col("src"), col("dst").as("v"))
+      .join(o.select(col("src").as("src2"), col("dst").as("w")),
+        col("src") === col("src2") && col("v") < col("w"))
+      .select(col("v"), col("w"))
+    val out = rk.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(o.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
+      .crossJoin(wedges.join(o, col("v") === col("src") && col("w") === col("dst"))
+        .agg(count(lit(1)).as("n_triangles")))
+      .localCheckpoint()
+    e0.unpersist()
+    o.unpersist()
+    out
+  }
+}
