@@ -483,6 +483,58 @@ object Dedup {
            (SELECT COUNT(*) FROM w JOIN o ON w.v = o.src AND w.w = o.dst)
              AS n_triangles"""))
 
+  // ---------------------------------------------------------------- d11
+  // INCREMENTAL dedup — the steady-state shape of a production corpus:
+  // dedup an arriving batch (odd doc_ids) against the already-published
+  // corpus (even doc_ids) without rescanning the corpus content — only
+  // its fingerprint index is touched. Every batch doc is classified:
+  // fingerprint already in the corpus index → dup_corpus; else first
+  // occurrence within the batch (min doc_id) → kept; else dup_batch.
+  // At 100 TB the corpus index is |corpus| keys (bucketed by fp on disk
+  // → the probe join is shuffle-free on the index side), the batch-side
+  // window partitions on fp (high cardinality), and the batch is scanned
+  // exactly once.
+  private val d11 = QueryDef(
+    "d11_incremental_dedup",
+    (s, dir) => {
+      val fp = expr(strHashExpr("substring(text, 1, 40)"))
+      val base = docs(s, dir).select(col("source"), col("doc_id"), fp.as("fp"))
+      val corpusIdx = base.filter(col("doc_id") % 2 === 0)
+        .select(col("fp")).distinct().withColumn("hit", lit(1))
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      base.filter(col("doc_id") % 2 === 1)
+        .join(corpusIdx, Seq("fp"), "left")
+        .withColumn("rn", row_number().over(w))
+        .select(col("source"),
+          when(col("hit") === 1, "dup_corpus")
+            .when(col("rn") === 1, "kept")
+            .otherwise("dup_batch").as("cls"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_batch"),
+          sum(when(col("cls") === "dup_corpus", 1L).otherwise(0L)).as("n_dup_corpus"),
+          sum(when(col("cls") === "dup_batch", 1L).otherwise(0L)).as("n_dup_batch"),
+          sum(when(col("cls") === "kept", 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH base AS (
+      SELECT source, doc_id, ${strHashSql("substr(text, 1, 40)")} AS fp
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM base WHERE doc_id % 2 = 0),
+    batch AS (
+      SELECT b.source,
+        CASE WHEN c.fp IS NOT NULL THEN 'dup_corpus'
+             WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) = 1
+               THEN 'kept'
+             ELSE 'dup_batch' END AS cls
+      FROM base b LEFT JOIN corpus c ON b.fp = c.fp
+      WHERE b.doc_id % 2 = 1)
+    SELECT source, COUNT(*) AS n_batch,
+      CAST(SUM(CASE WHEN cls = 'dup_corpus' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+      CAST(SUM(CASE WHEN cls = 'dup_batch' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+      CAST(SUM(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM batch GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
 }

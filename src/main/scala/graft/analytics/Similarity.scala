@@ -100,6 +100,17 @@ object Similarity {
     FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE $simSql >= 0.4 ORDER BY id1, id2"""))
 
+  /** Per-label quantized centroids `(c_label, cqv, cnorm2)`: exact integer
+    * component sums floored to a quantized mean — shared by s03/s04/s07. */
+  private def labelCentroids(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
+      .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
+      .select(col("label").as("c_label"), col("cqv"), col("cnorm2"))
+
   // ---------------------------------------------------------------- s03
   // IVF-style assignment: per-label centroids (exact integer sums, floored
   // to a quantized centroid), broadcast, each vector assigned to its
@@ -108,14 +119,7 @@ object Similarity {
     "s03_centroid_assign",
     (s, dir) => {
       val q = withQuant(dir, s)
-      val cent = q
-        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
-        .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
-        .select(col("label").as("c_label"), col("cqv"), col("cnorm2"))
+      val cent = labelCentroids(q)
       q.join(broadcast(cent))
         .withColumn("sim",
           expr(dotExpr("qv", "cqv")).cast("double") /
@@ -151,14 +155,7 @@ object Similarity {
     "s04_ivf_topk",
     (s, dir) => {
       val q = withQuant(dir, s)
-      val cent = q
-        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
-        .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
-        .select(col("label").as("c_label"), col("cqv"), col("cnorm2"))
+      val cent = labelCentroids(q)
       // nearest-centroid assignment for every vector → inverted lists
       val winAll = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
@@ -299,5 +296,52 @@ object Similarity {
     SELECT q_id, true_label, c_label AS pred_label, n_votes
     FROM top WHERE vrnk = 1 ORDER BY q_id"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06)
+  // ---------------------------------------------------------------- s07
+  // One full Lloyd (k-means) update step: assign every vector to its
+  // nearest current centroid (s03's broadcast probe), then RECOMPUTE the
+  // centroids from the assignment — the iteration body of distributed
+  // k-means. Output is the new centroid table as (cluster, pos, n, cv)
+  // rows, all exact integers (component sums are exact int64; the mean is
+  // floor(sum/count) — the same convention the current centroids use).
+  // At 100 TB both phases are the scalable shape: a broadcast of k
+  // centroids against N rows, then one posexplode + hash aggregate whose
+  // shuffle is k × 64 rows after map-side combine, not N.
+  private val s07 = QueryDef(
+    "s07_kmeans_update",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val assigned = q.join(broadcast(cent))
+        .withColumn("sim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+        .filter(col("rnk") === 1)
+        .select(col("c_label").as("cluster"), col("qv"))
+      assigned.select(col("cluster"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), (col("pos") + 1).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n_members"),
+          floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .orderBy(col("cluster"), col("pos"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    asg AS (SELECT a.vec_id, a.qv, b.c_label,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) DESC, b.c_label) AS rnk
+            FROM qn a CROSS JOIN cn b),
+    m AS (SELECT c_label AS cluster, qv FROM asg WHERE rnk = 1),
+    ex2 AS (SELECT cluster, i AS pos, qv[i] AS v
+            FROM m CROSS JOIN generate_series(1, 64) AS g(i))
+    SELECT cluster, pos, COUNT(*) AS n_members,
+      CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+    FROM ex2 GROUP BY cluster, pos ORDER BY cluster, pos"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
 }
