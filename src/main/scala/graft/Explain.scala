@@ -18,7 +18,10 @@ object Explain {
         "q28_value_tier_rangejoin", "q32_full_outer_join",
         "t06_tfidf_top_terms", "d06_embedding_neardup",
         "d08_keep_best_dedup", "s05_quantized_cosine", "t08_redaction_stats",
-        "q41_orc_roundtrip", "q44_topk_udaf", "m05_phash_neardup")
+        "q41_orc_roundtrip", "q44_topk_udaf", "m05_phash_neardup",
+        "q51_bloom_join", "q52_sessionize", "q53_scd2_merge",
+        "t12_decontamination", "t13_repetition_stats",
+        "d11_incremental_dedup", "s07_kmeans_update")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -52,11 +52,16 @@ object TriangleCount {
       .join(o.select(col("src").as("src2"), col("dst").as("w")),
         col("src") === col("src2") && col("v") < col("w"))
       .select(col("v"), col("w"))
+    // one pass over the wedge join: a LEFT probe of the closing edge
+    // counts wedges (all rows) and triangles (matched rows) together —
+    // materializing the wedge stream twice doubled the dominant join
+    val closing = wedges
+      .join(o.withColumn("closed", lit(1)),
+        col("v") === col("src") && col("w") === col("dst"), "left")
+      .agg(count(lit(1)).as("n_wedges"), count(col("closed")).as("n_triangles"))
     val out = rk.agg(count(lit(1)).as("n_nodes"))
       .crossJoin(o.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
-      .crossJoin(wedges.join(o, col("v") === col("src") && col("w") === col("dst"))
-        .agg(count(lit(1)).as("n_triangles")))
+      .crossJoin(closing)
       .localCheckpoint()
     e0.unpersist()
     o.unpersist()
