@@ -462,7 +462,10 @@ object Dedup {
         .join(li.select(col("ok").as("ok2"), col("pk").as("v")),
           col("ok") === col("ok2") && col("u") < col("v"))
         .select(col("u"), col("v"))
-      graft.operators.TriangleCount.counts(pairs)
+      // the sampled graph shuffles <= |wedges| ~ 400 k rows through ~6
+      // stages — size the shuffle to that volume (task overhead dominates
+      // at 32); at full scale the inherited session parallelism applies
+      withShuffle(s, 8) { graft.operators.TriangleCount.counts(pairs) }
     },
     Some("""WITH li AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
