@@ -465,5 +465,48 @@ object Streams {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2 ORDER BY segment, event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40)
+  // ---------------------------------------------------------------- q54
+  // Streaming UPSERT-maintained result table (graft.streaming.StreamUpsert):
+  // the events table is re-laid as three files and streamed one file per
+  // micro-batch, each batch merging per-(event_type, day) partials into a
+  // parquet result table; after the drain the TABLE (not a sink view) is
+  // read back and must equal the one-shot batch aggregate — the oracle
+  // proves the merge is exactly-once-equivalent across batch boundaries.
+  // Measures stay exact while stored (count + DECIMAL sum; double only at
+  // the final read), so merge order cannot drift the result.
+  private val q54 = QueryDef(
+    "q54_stream_upsert",
+    (s, dir) => withStreamShuffle(s) {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-q54-src").toString
+      s.read.parquet(s"$dir/events.parquet")
+        .repartition(3).write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val partials = (b: org.apache.spark.sql.DataFrame) => b
+        .select(col("event_type"),
+          expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          col("value"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_value"))
+      val tablePath =
+        java.nio.file.Files.createTempDirectory("graft-q54-table").toString + "/result"
+      val q = graft.streaming.StreamUpsert.run(
+        stream, partials, Seq("event_type", "day"), Seq("n", "sum_value"), tablePath)
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(tablePath)
+        .select(col("event_type"), col("day"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamUpsert
+
+/** The upsert-maintained result table must equal the one-shot batch
+  * aggregate regardless of how the stream is cut into micro-batches, and
+  * must actually see more than one batch (otherwise the merge path is
+  * untested). */
+class StreamUpsertSpec extends SparkSuite {
+
+  test("multi-batch upsert merge equals the one-shot aggregate") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("upsert-src").toString
+    // 3 files -> 3 micro-batches with maxFilesPerTrigger=1; keys overlap
+    // across files so every batch exercises the merge, not just the insert
+    Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(("a", 10L), ("c", 5L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Seq(("b", 7L), ("c", 1L), ("a", 2L)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val tablePath =
+      java.nio.file.Files.createTempDirectory("upsert-table").toString + "/t"
+
+    var batches = 0L
+    val q = StreamUpsert.run(
+      stream,
+      b => b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sum_v")),
+      Seq("k"), Seq("n", "sum_v"), tablePath,
+      onBatch = _ => batches += 1)
+    q.awaitTermination()
+    q.stop()
+
+    batches shouldBe 3L
+    val got = spark.read.parquet(tablePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(("a", 4L, 16L), ("b", 2L, 9L), ("c", 2L, 6L))
+  }
+}
