@@ -1,0 +1,144 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Semi-structured and sketch operators beyond the reference's JSON
+ * parse (SURVEY §2.2): the Spark 4 VARIANT type (parse → shredded
+ * parquet storage → typed extraction), iterative SQL via a recursive
+ * CTE, and mergeable distinct sketches — exact (bucketed bitmaps) and
+ * approximate (HLL partials unioned across groups).
+ *
+ * Scale notes (100 TB): q55's VARIANT column is stored shredded and
+ * `PushVariantIntoScan` turns `variant_get` paths into scan-level
+ * struct field reads — semi-structured data keeps columnar pruning
+ * instead of degrading to per-row JSON string parsing (the reference
+ * re-parses its JSON per query). q57/q58 are the partial-aggregation
+ * story for COUNT(DISTINCT): per-partition sketch, merge, finalize —
+ * one shuffle of constant-size state per group instead of q09's
+ * Expand over the raw keys.
+ */
+object Semi {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
+
+  // ---------------------------------------------------------------- q55
+  // VARIANT round-trip: orders serialized to JSON text (the ingest
+  // interchange shape), parsed to VARIANT, written to parquet (shredded
+  // storage), read back, and extracted with typed variant_get paths.
+  // The aggregate over the extracted fields must hash-match the oracle
+  // computed on the ORIGINAL table, so any loss in
+  // to_json → parse_json → parquet → variant_get fails the gate.
+  private val q55 = QueryDef(
+    "q55_variant_shred",
+    (s, dir) => {
+      val out = tmp("graft-variant")
+      rd(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          parse_json(to_json(struct(
+            col("o_totalprice").as("price"),
+            struct(col("o_orderstatus").as("status"),
+              col("o_orderpriority").as("prio")).as("meta")))).as("v"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .select(
+          expr("variant_get(v, '$.meta.prio', 'string')").as("prio"),
+          expr("variant_get(v, '$.meta.status', 'string')").as("status"),
+          expr("variant_get(v, '$.price', 'double')").as("price"))
+        .groupBy(col("prio"), col("status"))
+        .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"))
+        .orderBy(col("prio"), col("status"))
+    },
+    Some(s"""SELECT o_orderpriority AS prio, o_orderstatus AS status,
+      COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // ---------------------------------------------------------------- q56
+  // Recursive CTE (iterate-until-condition SQL): walk each customer's
+  // orders in date order, accumulating exact DECIMAL spend, stopping
+  // when the next order would exceed the budget cap — recursion depth
+  // is data-dependent per customer, which no fixed-length join chain or
+  // window frame expresses. Spark executes the CTE as an iterative
+  // UnionLoop; the deep-recursion scale path (graph closure over 100 TB)
+  // is the Pregel-style loop in operators/ConnectedComponents — this is
+  // the SQL-surface form for bounded business recursions.
+  private val budgetCap = "500000.00"
+  private val recursiveWalkSql = s"""
+    WITH RECURSIVE seq AS (
+      SELECT o_custkey AS ck,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price2
+      FROM %s
+    ),
+    walk(ck, rn, cum) AS (
+      SELECT ck, rn, price2 FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT n.ck, n.rn, CAST(w.cum + n.price2 AS DECIMAL(18,2))
+      FROM walk w JOIN seq n ON n.ck = w.ck AND n.rn = w.rn + 1
+      WHERE CAST(w.cum + n.price2 AS DECIMAL(18,2)) <= $budgetCap
+    ),
+    fin AS (
+      SELECT ck, MAX(rn) AS n_orders, MAX(cum) AS spent FROM walk GROUP BY ck
+    )
+    SELECT n_orders, COUNT(*) AS n_customers,
+      CAST(SUM(spent) AS DOUBLE) AS sum_spent
+    FROM fin GROUP BY n_orders ORDER BY n_orders"""
+
+  private val q56 = QueryDef(
+    "q56_recursive_walk",
+    (s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("q56_orders")
+      val out = s.sql(recursiveWalkSql.format("q56_orders"))
+      s.catalog.dropTempView("q56_orders")
+      out
+    },
+    Some(recursiveWalkSql.format("orders")))
+
+  // ---------------------------------------------------------------- q57
+  // Exact distinct via bucketed bitmap aggregates: each key sets one bit
+  // in a fixed 4 KB bitmap per (group, bucket); per-bucket popcounts sum
+  // to the exact distinct count. Unlike COUNT(DISTINCT) the partial
+  // state is mergeable with OR — re-aggregable across days/partitions
+  // without keeping raw keys, and never Expands the input.
+  private val q57 = QueryDef(
+    "q57_bitmap_distinct",
+    (s, dir) => {
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))").as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("cnt")).cast("long").as("n_custs"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q58
+  // Mergeable HLL sketches (Datasketches): build one sketch per
+  // (event_type, day) partial, then union partials per event_type and
+  // estimate — the re-aggregation pattern q18's one-shot
+  // approx_count_distinct can't do (its sketch is not exposed). At
+  // 100 TB you persist the per-day sketch table once and answer any
+  // date-range distinct query by unioning a handful of kilobyte blobs.
+  // No oracle: DuckDB's approx sketch differs; rows-only check.
+  private val q58 = QueryDef(
+    "q58_sketch_merge",
+    (s, dir) => {
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_approx"),
+          sum(col("n")).cast("long").as("n_events"))
+        .orderBy(col("event_type"))
+    },
+    None)
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58)
+}
