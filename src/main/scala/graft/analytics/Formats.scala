@@ -22,9 +22,6 @@ import Tables._
  */
 object Formats {
 
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
-
   // ---------------------------------------------------------------- q41
   // ORC sink + source, partitioned write, pruned read-back.
   private val q41 = QueryDef(

@@ -10,19 +10,18 @@ import Tables._
  * CTE, and mergeable distinct sketches — exact (bucketed bitmaps) and
  * approximate (HLL partials unioned across groups).
  *
- * Scale notes (100 TB): q55's VARIANT column is stored shredded and
- * `PushVariantIntoScan` turns `variant_get` paths into scan-level
- * struct field reads — semi-structured data keeps columnar pruning
- * instead of degrading to per-row JSON string parsing (the reference
- * re-parses its JSON per query). q57/q58 are the partial-aggregation
- * story for COUNT(DISTINCT): per-partition sketch, merge, finalize —
- * one shuffle of constant-size state per group instead of q09's
- * Expand over the raw keys.
+ * Scale notes (100 TB): q55 writes its VARIANT column with
+ * `spark.sql.variant.writeShredding.enabled` + `inferShreddingSchema`
+ * set for the write, so the parquet files store shredded typed
+ * subcolumns and `PushVariantIntoScan` turns `variant_get` paths into
+ * scan-level struct field reads — semi-structured data keeps columnar
+ * pruning instead of degrading to per-row JSON string parsing (the
+ * reference re-parses its JSON per query). q57/q58 are the
+ * partial-aggregation story for COUNT(DISTINCT): per-partition sketch,
+ * merge, finalize — one shuffle of constant-size state per group
+ * instead of q09's Expand over the raw keys.
  */
 object Semi {
-
-  private def tmp(prefix: String): String =
-    java.nio.file.Files.createTempDirectory(prefix).resolve("t").toString
 
   // ---------------------------------------------------------------- q55
   // VARIANT round-trip: orders serialized to JSON text (the ingest
@@ -35,14 +34,20 @@ object Semi {
     "q55_variant_shred",
     (s, dir) => {
       val out = tmp("graft-variant")
-      rd(s, dir, "orders")
-        .select(
-          col("o_orderkey"),
-          parse_json(to_json(struct(
-            col("o_totalprice").as("price"),
-            struct(col("o_orderstatus").as("status"),
-              col("o_orderpriority").as("prio")).as("meta")))).as("v"))
-        .write.mode("overwrite").parquet(out)
+      // Shredded storage is opt-in in Spark 4.1; scope the confs to the
+      // write so the parquet files actually carry typed subcolumns.
+      withConfs(s,
+        "spark.sql.variant.writeShredding.enabled" -> "true",
+        "spark.sql.variant.inferShreddingSchema" -> "true") {
+        rd(s, dir, "orders")
+          .select(
+            col("o_orderkey"),
+            parse_json(to_json(struct(
+              col("o_totalprice").as("price"),
+              struct(col("o_orderstatus").as("status"),
+                col("o_orderpriority").as("prio")).as("meta")))).as("v"))
+          .write.mode("overwrite").parquet(out)
+      }
       s.read.parquet(out)
         .select(
           expr("variant_get(v, '$.meta.prio', 'string')").as("prio"),
@@ -62,9 +67,12 @@ object Semi {
   // when the next order would exceed the budget cap — recursion depth
   // is data-dependent per customer, which no fixed-length join chain or
   // window frame expresses. Spark executes the CTE as an iterative
-  // UnionLoop; the deep-recursion scale path (graph closure over 100 TB)
-  // is the Pregel-style loop in operators/ConnectedComponents — this is
-  // the SQL-surface form for bounded business recursions.
+  // UnionLoop bounded by spark.sql.cteRecursionRowLimit (1M rows total
+  // across iterations, default) and cteRecursionLevelLimit (100 levels):
+  // the anchor emits one row per customer, so this is explicitly a
+  // small-scale SQL-surface demo — raise those confs or, for the real
+  // 100 TB deep-recursion path (graph closure), use the Pregel-style
+  // loop in operators/ConnectedComponents.
   private val budgetCap = "500000.00"
   private val recursiveWalkSql = s"""
     WITH RECURSIVE seq AS (

@@ -61,10 +61,39 @@ object Tables {
     * iterative/streaming state wants few partitions — per-partition task
     * and state-store overhead dominates otherwise), restoring the session
     * value in `finally` so the set is scoped and idempotent. */
-  def withShuffle[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  def withShuffle[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Run `body` with session confs temporarily set, restoring (or
+    * unsetting) each previous value in `finally`. */
+  def withConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  // Scratch dirs for queries that round-trip through a storage format.
+  // Every dir is tracked and recursively deleted on JVM exit, so repeated
+  // Verify/Bench invocations don't accumulate temp parquet copies.
+  private val scratchDirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  sys.addShutdownHook {
+    scratchDirs.forEach { root =>
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root))
+        Files.walk(root).sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
+  /** A fresh scratch path for a format round-trip, deleted on JVM exit. */
+  def tmp(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d.resolve("t").toString
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame = {
