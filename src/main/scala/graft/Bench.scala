@@ -55,9 +55,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
+    // optional args = query-name subset (local iteration; the driver
+    // passes none, timing the full catalog)
+    val picked =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
     // sorted iteration: stable per-round JSON ordering, and any residual
     // first-query warmup always lands on the same (cheap) query
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
@@ -73,7 +78,9 @@ object Bench {
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(full)
-    try {
+    // subset runs are local iteration — don't clobber the committed
+    // full-catalog detail file
+    if (args.isEmpty) try {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, full.getBytes("UTF-8"))
     } catch { case _: Throwable => () }

@@ -74,19 +74,20 @@ object Semi {
   // 100 TB deep-recursion path (graph closure), use the Pregel-style
   // loop in operators/ConnectedComponents.
   private val budgetCap = "500000.00"
-  private val recursiveWalkSql = s"""
-    WITH RECURSIVE seq AS (
+  private val seqSql = """
       SELECT o_custkey AS ck,
              ROW_NUMBER() OVER (PARTITION BY o_custkey
                                 ORDER BY o_orderdate, o_orderkey) AS rn,
              CAST(o_totalprice AS DECIMAL(18,2)) AS price2
-      FROM %s
-    ),
-    walk(ck, rn, cum) AS (
-      SELECT ck, rn, price2 FROM seq WHERE rn = 1
+      FROM %s"""
+  // `%s` = the name of the ordered-sequence relation; prefix with either
+  // `WITH RECURSIVE` (oracle: seq as a leading CTE) or build the sequence
+  // as a materialized view first (Spark side).
+  private val walkBodySql = s"""walk(ck, rn, cum) AS (
+      SELECT ck, rn, price2 FROM %1$$s WHERE rn = 1
       UNION ALL
-      SELECT n.ck, n.rn, CAST(w.cum + n.price2 AS DECIMAL(18,2))
-      FROM walk w JOIN seq n ON n.ck = w.ck AND n.rn = w.rn + 1
+      SELECT /*+ BROADCAST(n) */ n.ck, n.rn, CAST(w.cum + n.price2 AS DECIMAL(18,2))
+      FROM walk w JOIN %1$$s n ON n.ck = w.ck AND n.rn = w.rn + 1
       WHERE CAST(w.cum + n.price2 AS DECIMAL(18,2)) <= $budgetCap
     ),
     fin AS (
@@ -99,12 +100,25 @@ object Semi {
   private val q56 = QueryDef(
     "q56_recursive_walk",
     (s, dir) => {
+      // A CTE referenced inside the recursive branch is re-expanded on
+      // EVERY UnionLoop iteration — for the order walk that meant one
+      // full scan + window per recursion level. Materialize the ordered
+      // sequence ONCE (localCheckpoint truncates lineage so each level
+      // joins a in-memory table), then recurse over it. The per-level
+      // state is tiny (≤ one row per customer), so the loop runs at
+      // few-partition shuffle parallelism.
       rd(s, dir, "orders").createOrReplaceTempView("q56_orders")
-      val out = s.sql(recursiveWalkSql.format("q56_orders"))
+      s.sql(seqSql.format("q56_orders")).localCheckpoint()
+        .createOrReplaceTempView("q56_seq")
+      val out = Tables.withShuffle(s, 8) {
+        s.sql("WITH RECURSIVE " + walkBodySql.format("q56_seq")).localCheckpoint()
+      }
       s.catalog.dropTempView("q56_orders")
+      s.catalog.dropTempView("q56_seq")
       out
     },
-    Some(recursiveWalkSql.format("orders")))
+    Some(s"""WITH RECURSIVE seq AS (${seqSql.format("orders")}),
+    ${walkBodySql.format("seq")}"""))
 
   // ---------------------------------------------------------------- q57
   // Exact distinct via bucketed bitmap aggregates: each key sets one bit
