@@ -102,7 +102,11 @@ object Tables {
     graft.functions.PolyHash.register(spark)
     rd(spark, dir, "documents")
   }
-  def embs(spark: SparkSession, dir: String): DataFrame = rd(spark, dir, "embeddings")
+  def embs(spark: SparkSession, dir: String): DataFrame = {
+    // dot_i64 is the hot-path primitive of every embeddings consumer
+    graft.functions.DotI64.register(spark)
+    rd(spark, dir, "embeddings")
+  }
 
   // ------------------------------------------------------------------
   // Cross-engine-deterministic vector arithmetic (SURVEY §2.8 similarity
@@ -123,9 +127,13 @@ object Tables {
   def quantizeSql(arrCol: String): String =
     s"list_transform($arrCol, x -> CAST(floor(CAST(x AS DOUBLE) * $QuantScale.0) AS BIGINT))"
 
-  /** SparkSQL expr: exact int64 dot product of two quantized arrays. */
+  /** SparkSQL expr: exact int64 dot product of two quantized arrays — the
+    * native codegen'd [[graft.functions.DotI64]] expression
+    * (value-identical to the `aggregate(zip_with(...))` fold it replaced;
+    * the fold is CodegenFallback and allocates a zipped array per row).
+    * Callers must load via [[embs]] or register [[graft.functions.GraftExtensions]]. */
   def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    s"dot_i64($a, $b)"
 
   /** DuckDB twin of [[dotExpr]] (zip then left-fold, same order as Spark). */
   def dotSql(a: String, b: String): String =

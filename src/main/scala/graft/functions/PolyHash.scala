@@ -89,6 +89,8 @@ object PolyHash {
 /** Session extension wiring (`spark.sql.extensions=graft.functions.GraftExtensions`):
   * injects the custom functions into every session built with it. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.descriptor)
+    ext.injectFunction(DotI64.descriptor)
+  }
 }
