@@ -14,7 +14,7 @@ object Registry {
   lazy val all: Seq[QueryDef] =
     Relational.defs ++ Advanced.defs ++ Ingest.defs ++ Streams.defs ++
       Text.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++
-      Formats.defs ++ Pipeline.defs ++ Semi.defs
+      Formats.defs ++ Pipeline.defs ++ Semi.defs ++ Subquery.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

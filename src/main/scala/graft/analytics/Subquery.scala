@@ -1,0 +1,111 @@
+package graft.analytics
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Subquery / lateral / map-typed SQL surfaces (round-6 widening of
+ * SURVEY §2.8): correlated scalar subqueries, LATERAL joins with
+ * correlated ORDER BY + LIMIT, and MapType construction + map
+ * higher-order functions.
+ *
+ * Scale notes (100 TB): q59's correlated scalar subquery is
+ * decorrelated by Catalyst (RewriteCorrelatedScalarSubquery) into one
+ * aggregate over orders + one join on o_custkey — a single shuffle on a
+ * high-cardinality key, NOT a per-row subquery execution; the re-read
+ * of orders for the aggregate is the same scan Spark can reuse. q60's
+ * correlated LIMIT is decorrelated into a row_number window partitioned
+ * by the correlation key (nationkey) — 25 groups here, but the key is
+ * the customer side's partition column so the window shuffles customer
+ * once; no nested-loop per outer row. q61 builds per-group maps whose
+ * size is bounded by the status domain (3), so map state stays
+ * constant-size per group through the partial/final aggregate.
+ */
+object Subquery {
+
+  private def withViews[T](s: SparkSession, dir: String, names: String*)(body: => T): T = {
+    names.foreach(n => rd(s, dir, n).createOrReplaceTempView(s"sq_$n"))
+    try body finally names.foreach(n => s.catalog.dropTempView(s"sq_$n"))
+  }
+
+  // ---------------------------------------------------------------- q59
+  // Correlated scalar subquery: orders that alone account for more than
+  // half of their customer's lifetime spend ("dominant orders"), rolled
+  // up by market segment. Exact DECIMAL arithmetic on both engines.
+  private def dominantSql(orders: String, customer: String) = s"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_dominant,
+           ${dsumSql("o_totalprice")} AS sum_dominant
+    FROM $orders o JOIN $customer c ON c.c_custkey = o.o_custkey
+    WHERE CAST(o.o_totalprice AS DECIMAL(18,2)) * 2 >
+          (SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+           FROM $orders o2 WHERE o2.o_custkey = o.o_custkey)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  private val q59 = QueryDef(
+    "q59_scalar_subquery",
+    (s, dir) => withViews(s, dir, "orders", "customer") {
+      s.sql(dominantSql("sq_orders", "sq_customer")).localCheckpoint()
+    },
+    Some(dominantSql("orders", "customer")))
+
+  // ---------------------------------------------------------------- q60
+  // LATERAL join with correlated ORDER BY + LIMIT: top-2 customers by
+  // account balance per nation. Catalyst decorrelates the limit into a
+  // partitioned row_number; DuckDB executes the same lateral shape.
+  // No arithmetic — projection only, so DOUBLE c_acctbal is safe.
+  private def lateralSql(nation: String, customer: String) = s"""
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM $nation n CROSS JOIN LATERAL (
+      SELECT c_name, c_acctbal
+      FROM $customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name
+      LIMIT 2) t
+    ORDER BY n_name, t.c_acctbal DESC, t.c_name"""
+
+  private val q60 = QueryDef(
+    "q60_lateral_topk",
+    (s, dir) => withViews(s, dir, "nation", "customer") {
+      s.sql(lateralSql("sq_nation", "sq_customer")).localCheckpoint()
+    },
+    Some(lateralSql("nation", "customer")))
+
+  // ---------------------------------------------------------------- q61
+  // MapType surface: per priority, aggregate a status -> count map
+  // (map_from_entries over a deterministically sorted entry list), then
+  // answer everything from the MAP — keyed lookups (element_at),
+  // map_filter for the busy-status count, and a fold over map_values for
+  // the total. The oracle computes the same numbers relationally.
+  private val q61 = QueryDef(
+    "q61_map_metrics",
+    (s, dir) =>
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+        .select(
+          col("o_orderpriority"),
+          size(map_keys(col("m"))).cast("long").as("n_statuses"),
+          coalesce(element_at(col("m"), lit("F")), lit(0L)).as("n_f"),
+          coalesce(element_at(col("m"), lit("O")), lit(0L)).as("n_o"),
+          coalesce(element_at(col("m"), lit("P")), lit(0L)).as("n_p"),
+          expr("size(map_filter(m, (k, v) -> v >= 1000))").cast("long").as("n_busy"),
+          expr("aggregate(map_values(m), 0L, (a, v) -> a + v)").as("n_total"))
+        .orderBy(col("o_orderpriority")),
+    Some("""WITH pc AS (SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
+                FROM orders GROUP BY 1, 2)
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n_statuses,
+      CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS n_f,
+      CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT) AS n_o,
+      CAST(COALESCE(SUM(cnt) FILTER (WHERE o_orderstatus = 'P'), 0) AS BIGINT) AS n_p,
+      CAST(COUNT(*) FILTER (WHERE cnt >= 1000) AS BIGINT) AS n_busy,
+      CAST(SUM(cnt) AS BIGINT) AS n_total
+    FROM pc GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61)
+}
