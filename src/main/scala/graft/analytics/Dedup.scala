@@ -538,6 +538,51 @@ object Dedup {
       CAST(SUM(CASE WHEN cls = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM batch GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- d12
+  // Containment dedup: docs whose text is a strict PREFIX of (or equal
+  // to) another doc — the truncation/re-crawl duplicate class Jaccard
+  // misses when the longer doc dwarfs the shorter. Candidate generation
+  // buckets on an 8-token prefix fingerprint (only docs sharing it can be
+  // in a containment relation from position 0), so the self-join is
+  // per-bucket, never all-pairs; the exact `startswith` check runs only
+  // inside buckets. At 100 TB: one shuffle on the fingerprint, bucket
+  // sizes are near-dup cluster sizes (small), and the verify is a per-
+  // pair string compare.
+  private val d12 = QueryDef(
+    "d12_prefix_containment",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          expr("transform(slice(split(text, ' '), 1, 8), t -> poly_hash(t))").as("ph"))
+        .filter(expr("size(ph) >= 8"))
+        .select(col("doc_id"), col("text"),
+          expr(s"aggregate(ph, CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % $HashMod)").as("pre"))
+      base.select(col("pre"), col("doc_id").as("id1"), col("text").as("t1"))
+        .join(base.select(col("pre").as("pre2"), col("doc_id").as("id2"), col("text").as("t2")),
+          col("pre") === col("pre2") && col("id1") < col("id2"))
+        .filter(expr("startswith(t1, t2) OR startswith(t2, t1)"))
+        .select(col("id1"), col("id2"),
+          length(col("t1")).as("len1"), length(col("t2")).as("len2"),
+          when(length(col("t1")) === length(col("t2")), "equal")
+            .when(length(col("t1")) < length(col("t2")), "id1_in_id2")
+            .otherwise("id2_in_id1").as("relation"))
+        .orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, text,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(string_split(text, ' ')[1:8], t -> ${strHashSql("t")})),
+          (acc, h) -> (acc * 31 + h) % $HashMod) AS pre
+      FROM documents WHERE len(string_split(text, ' ')) >= 8)
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      CAST(len(a.text) AS INTEGER) AS len1, CAST(len(b.text) AS INTEGER) AS len2,
+      CASE WHEN len(a.text) = len(b.text) THEN 'equal'
+           WHEN len(a.text) < len(b.text) THEN 'id1_in_id2'
+           ELSE 'id2_in_id1' END AS relation
+    FROM base a JOIN base b ON a.pre = b.pre AND a.doc_id < b.doc_id
+    WHERE starts_with(a.text, b.text) OR starts_with(b.text, a.text)
+    ORDER BY id1, id2"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
 }

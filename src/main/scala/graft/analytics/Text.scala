@@ -513,6 +513,66 @@ object Text {
       CAST(SUM(CASE WHEN dup_tri * 10 > n_tri THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
     FROM d GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t14
+  // Affix boilerplate detection: fingerprint each document's first-8 and
+  // last-8 token windows and count, per source, the affix groups shared
+  // by ≥2 docs — the header/footer boilerplate signal used to strip
+  // templated page chrome from crawled corpora. Two bounded-size hash
+  // aggregates over one scan; the fingerprint is the same 31-base fold as
+  // the n-gram machinery, so the shuffle carries one BIGINT per doc per
+  // affix, corpus-size-independent state per group.
+  private def affixFoldExpr(sliceExpr: String): String =
+    s"aggregate($sliceExpr, CAST(0 AS BIGINT), (acc, h) -> (acc * 31 + h) % ${Tables.HashMod})"
+
+  private def affixFoldSql(sliceExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $sliceExpr), (acc, h) -> (acc * 31 + h) % ${Tables.HashMod})"
+
+  private val t14 = QueryDef(
+    "t14_affix_boilerplate",
+    (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .filter(expr("size(th) >= 8"))
+        .select(col("source"), col("doc_id"),
+          expr(affixFoldExpr("slice(th, 1, 8)")).as("pre"),
+          expr(affixFoldExpr("slice(th, -8, 8)")).as("suf"))
+      def shared(c: String, out: String) = th
+        .groupBy(col("source"), col(c))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as(s"${out}_groups"),
+          sum(col("n")).cast("long").as(s"${out}_docs"))
+      docs(s, dir).groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .join(shared("pre", "prefix"), Seq("source"), "left")
+        .join(shared("suf", "suffix"), Seq("source"), "left")
+        .na.fill(0L)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT source, doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    a AS (SELECT source,
+        ${affixFoldSql("th[1:8]")} AS pre,
+        ${affixFoldSql("th[-8:]")} AS suf
+      FROM th WHERE len(th) >= 8),
+    pg AS (SELECT source, COUNT(*) AS prefix_groups, CAST(SUM(n) AS BIGINT) AS prefix_docs
+           FROM (SELECT source, pre, COUNT(*) AS n FROM a GROUP BY 1, 2)
+           WHERE n >= 2 GROUP BY source),
+    sg AS (SELECT source, COUNT(*) AS suffix_groups, CAST(SUM(n) AS BIGINT) AS suffix_docs
+           FROM (SELECT source, suf, COUNT(*) AS n FROM a GROUP BY 1, 2)
+           WHERE n >= 2 GROUP BY source),
+    d AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source)
+    SELECT d.source, d.n_docs,
+      COALESCE(prefix_groups, 0) AS prefix_groups,
+      COALESCE(prefix_docs, 0) AS prefix_docs,
+      COALESCE(suffix_groups, 0) AS suffix_groups,
+      COALESCE(suffix_docs, 0) AS suffix_docs
+    FROM d LEFT JOIN pg USING (source) LEFT JOIN sg USING (source)
+    ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
 }
