@@ -46,7 +46,7 @@ object Subquery {
   private val q59 = QueryDef(
     "q59_scalar_subquery",
     (s, dir) => withViews(s, dir, "orders", "customer") {
-      s.sql(dominantSql("sq_orders", "sq_customer")).localCheckpoint()
+      s.sql(dominantSql("sq_orders", "sq_customer"))
     },
     Some(dominantSql("orders", "customer")))
 
@@ -68,7 +68,7 @@ object Subquery {
   private val q60 = QueryDef(
     "q60_lateral_topk",
     (s, dir) => withViews(s, dir, "nation", "customer") {
-      s.sql(lateralSql("sq_nation", "sq_customer")).localCheckpoint()
+      s.sql(lateralSql("sq_nation", "sq_customer"))
     },
     Some(lateralSql("nation", "customer")))
 
