@@ -285,5 +285,44 @@ object Multimodal {
       CAST(SUM(-c * lpu) AS DOUBLE) / CAST(SUM(c) AS BIGINT) / 10000.0 AS avg_entropy
     FROM lp GROUP BY source ORDER BY source"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07)
+  // ---------------------------------------------------------------- m08
+  // Cross-modal retrieval: a query batch of documents (every 199th
+  // doc_id — the "incoming requests" slice) hops to its embedding row,
+  // finds the top-3 cosine neighbors in vector space, and returns each
+  // neighbor joined back to its DOCUMENT metadata — the text→vector→text
+  // round trip of a retrieval pipeline (RAG lookup shape). Exact int64
+  // quantized cosine; rank ties broken by vec_id. The query side is tiny
+  // by construction and broadcast; the corpus is scanned once; the final
+  // metadata join is on the (top-k-pruned) neighbor ids.
+  private val m08 = QueryDef(
+    "m08_cross_modal_retrieval",
+    (s, dir) => {
+      val all = Similarity.withQuant(dir, s)
+      val q = all.filter(col("vec_id") % 199 === 0)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      val meta = docs(s, dir).select(col("doc_id"), col("source"), col("lang"))
+      all.select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(Tables.dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .join(meta, col("c_id") === col("doc_id"))
+        .select(col("q_id"), col("rnk"), col("c_id").as("neighbor_id"),
+          col("source"), col("lang"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH ${Similarity.quantCte},
+    rk AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id, round(${Similarity.simSql}, 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${Similarity.simSql} DESC, b.vec_id) AS rnk
+      FROM qn a JOIN qn b ON a.vec_id % 199 = 0 AND b.vec_id <> a.vec_id)
+    SELECT q_id, rnk, neighbor_id, d.source, d.lang, sim
+    FROM rk JOIN documents d ON d.doc_id = rk.neighbor_id
+    WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
 }
