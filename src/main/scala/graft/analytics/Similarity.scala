@@ -343,5 +343,67 @@ object Similarity {
       CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
     FROM ex2 GROUP BY cluster, pos ORDER BY cluster, pos"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07)
+  // ---------------------------------------------------------------- s08
+  // Two-stage retrieve → rerank: the production ANN serving pattern. A
+  // coarse pass over 4×-compressed int8 codes keeps top-20 candidates per
+  // query (cheap, cache-resident at scale); only those ≤20·|queries| rows
+  // are re-scored at full precision for the final top-5. Both stages are
+  // integer-exact, so the result is deterministic and the oracle replays
+  // both quantizations. At 100 TB the coarse stage is the only corpus
+  // scan; the rerank touches a candidate set proportional to the query
+  // batch, not the corpus.
+  private val s08 = QueryDef(
+    "s08_two_stage_rerank",
+    (s, dir) => {
+      val coarse = embs(s, dir)
+        .withColumn("qv", expr(s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0D) AS BIGINT))"))
+        .withColumn("norm2", expr(dotExpr("qv", "qv")))
+      val q8 = coarse.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      val cand = coarse
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q8), col("c_id") =!= col("q_id"))
+        .withColumn("csim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("crnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_id"))))
+        .filter(col("crnk") <= 20)
+        .select(col("q_id"), col("c_id"))
+      val full = withQuant(dir, s)
+      val qf = full.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("fq_id"), col("qv").as("fq_qv"), col("norm2").as("fq_norm2"))
+      cand
+        .join(full.select(col("vec_id").as("fc_id"), col("qv").as("fc_qv"),
+          col("norm2").as("fc_norm2")), col("c_id") === col("fc_id"))
+        .join(broadcast(qf), col("q_id") === col("fq_id"))
+        .withColumn("sim",
+          expr(dotExpr("fq_qv", "fc_qv")).cast("double") /
+            (sqrt(col("fq_norm2").cast("double")) * sqrt(col("fc_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH q8e AS (SELECT vec_id,
+      list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0) AS BIGINT)) AS qv
+      FROM embeddings),
+    q8n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS norm2 FROM q8e),
+    cand AS (SELECT q_id, c_id FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simSql DESC, b.vec_id) AS crnk
+      FROM q8n a JOIN q8n b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+      WHERE crnk <= 20),
+    fe AS (SELECT vec_id, ${quantizeSql("embedding")} AS qv FROM embeddings),
+    fn AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS norm2 FROM fe)
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT cand.q_id, cand.c_id, round($simSql, 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY cand.q_id ORDER BY $simSql DESC, cand.c_id) AS rnk
+      FROM cand JOIN fn a ON a.vec_id = cand.q_id JOIN fn b ON b.vec_id = cand.c_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
 }

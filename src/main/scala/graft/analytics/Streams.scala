@@ -508,5 +508,45 @@ object Streams {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54)
+  // ---------------------------------------------------------------- q62
+  // Streaming FILE sink: the exactly-once ETL shape the reference's
+  // foreachBatch path approximates — stream → project → partitioned
+  // parquet sink with a checkpoint + write-ahead file manifest (readers
+  // see only committed files, so replays never double-count), drained
+  // with AvailableNow, then the landed table is read back and aggregated
+  // against the batch oracle. Partitioning by the routing column on the
+  // SINK is the day-partition discipline of the ingest pipeline; no
+  // stateful operator, so every row lands regardless of watermark.
+  private val q62 = QueryDef(
+    "q62_stream_file_sink",
+    (s, dir) => withStreamShuffle(s) {
+      val out = Tables.tmp("graft-q62-sink")
+      val ckpt = Tables.tmp("graft-q62-ckpt")
+      val q = eventsStream(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .partitionBy("event_type")
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+      ${dsumSql("value")} AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62)
 }
