@@ -122,5 +122,35 @@ object Formats {
       AND l_shipdate < TIMESTAMP '1997-01-01'
     GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49)
+  // ---------------------------------------------------------------- q63
+  // XML sink + source (Spark 4 built-in XML datasource, the spark-xml
+  // merge): rowTag-framed write, explicit-schema read-back (inference is
+  // an extra full pass and type-unstable at scale). The money column is
+  // cast DECIMAL(18,2) BEFORE writing so the text round-trip is exact by
+  // construction on both engines.
+  private val q63 = QueryDef(
+    "q63_xml_roundtrip",
+    (s, dir) => {
+      val out = tmp("graft-xml")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price2"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, price2 DECIMAL(18,2), o_orderpriority STRING")
+        .option("rowTag", "order")
+        .format("xml").load(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price2")).cast("double").as("sum_price"),
+          countDistinct(col("o_orderpriority")).as("n_prio"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS sum_price,
+      CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
+    FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63)
 }
