@@ -573,6 +573,76 @@ object Text {
     FROM d LEFT JOIN pg USING (source) LEFT JOIN sg USING (source)
     ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t15
+  // Training-shard sequence packing: concat-and-chunk docs (per source,
+  // doc_id order) into ~2048-token shards — each doc is assigned the
+  // shard where its FIRST token lands (greedy sequential packing; docs
+  // may span shard boundaries, exactly like LM pretraining tokenizer
+  // packing). One running-total window partitioned by source (high
+  // cardinality at corpus scale — the partition key IS the shard
+  // namespace), then a shard-level aggregate. Everything is exact
+  // integer arithmetic.
+  private val ShardTokens = 2048L
+  private val t15 = QueryDef(
+    "t15_sequence_packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      docs(s, dir)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("shard_id", expr(s"(cum - n_tok) DIV $ShardTokens"))
+        .groupBy(col("source"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens_starting"))
+        .orderBy(col("source"), col("shard_id"))
+    },
+    Some(s"""WITH d AS (
+      SELECT source, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    c AS (SELECT source, doc_id, n_tok,
+        SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d)
+    SELECT source, (cum - n_tok) // $ShardTokens AS shard_id,
+      COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens_starting
+    FROM c GROUP BY 1, 2 ORDER BY source, shard_id"""))
+
+  // ---------------------------------------------------------------- t16
+  // Weighted corpus mixing: each source gets a deterministic sampling
+  // rate (hash of the source name → 10–89%), and docs are kept by the
+  // same consistent hash-threshold rule as q50 — so the mix is
+  // reproducible run-to-run, join-compatible across tables, and
+  // re-weightable by changing only the rate rule. The per-source yield
+  // report is the mixing manifest a training-data build publishes.
+  private val t16 = QueryDef(
+    "t16_corpus_mixing",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("rate_pct", expr(s"10 + ${strHashExpr("source")} % 80"))
+        .withColumn("keep",
+          expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 100") < col("rate_pct"))
+        .groupBy(col("source"))
+        .agg(
+          max(col("rate_pct")).as("rate_pct"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          sum(when(col("keep"), size(split(col("text"), " ")).cast("long"))
+            .otherwise(0L)).as("n_sampled_tokens"))
+        .orderBy(col("source")),
+    Some(s"""SELECT source,
+      MAX(10 + ${strHashSql("source")} % 80) AS rate_pct,
+      COUNT(*) AS n_total,
+      CAST(SUM(CASE WHEN ${strHashSql("CAST(doc_id AS VARCHAR)")} % 100
+                 < 10 + ${strHashSql("source")} % 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+      CAST(SUM(CASE WHEN ${strHashSql("CAST(doc_id AS VARCHAR)")} % 100
+                 < 10 + ${strHashSql("source")} % 80
+               THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n_sampled_tokens
+    FROM documents GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14)
+    Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
+      t15, t16)
 }
