@@ -57,6 +57,26 @@ class DotI64Spec extends SparkSuite {
     out shouldBe Array(210L, 430L)
   }
 
+  test("property: matches a BigInt reference on random in-range vectors") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // the quantized-embedding domain: |x| <= 0.58 * 1e7 per component
+    val comp = Gen.chooseNum(-5800000L, 5800000L)
+    val vec = Gen.listOfN(64, comp)
+    val pairs = Gen.listOfN(50, Gen.zip(vec, vec))
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    DotI64.register(spark)
+    val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("a", "b")
+    val native = df.select(expr("dot_i64(a, b)")).as[Long].collect()
+    val ref = pairs.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => BigInt(x) * BigInt(y) }.sum
+    }
+    native.zip(ref).foreach { case (n, r) =>
+      r.isValidLong shouldBe true
+      n shouldBe r.toLong
+    }
+  }
+
   test("the extensions descriptor builds a working expression") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData
