@@ -107,5 +107,63 @@ object Subquery {
       CAST(SUM(cnt) AS BIGINT) AS n_total
     FROM pc GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val defs: Seq[QueryDef] = Seq(q59, q60, q61)
+  // ---------------------------------------------------------------- q64
+  // GROUPING metadata in a ROLLUP: grouping(col) distinguishes "NULL
+  // because subtotal row" from "NULL because the data was NULL" — the
+  // correctness primitive for report layers over rollups (q03 produces
+  // the rows; this labels them machine-readably). The composite level id
+  // is built portably as 2·grouping(a) + grouping(b).
+  private val q64 = QueryDef(
+    "q64_grouping_metadata",
+    (s, dir) =>
+      rd(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(
+          grouping(col("o_orderstatus")).cast("long").as("g_status"),
+          grouping(col("o_orderpriority")).cast("long").as("g_prio"),
+          (grouping(col("o_orderstatus")).cast("long") * 2 +
+            grouping(col("o_orderpriority")).cast("long")).as("level_id"),
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("level_id"), col("o_orderstatus"), col("o_orderpriority")),
+    Some(s"""SELECT o_orderstatus, o_orderpriority,
+      CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_prio,
+      CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS level_id,
+      COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+    FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    ORDER BY level_id, o_orderstatus, o_orderpriority"""))
+
+  // ---------------------------------------------------------------- q65
+  // Fault-tolerant arithmetic under ANSI mode: try_divide turns the
+  // zero-denominator case into NULL instead of an error (Spark 4 runs
+  // ANSI-on by default — the ingest layer's try_cast discipline applied
+  // to query-level math). Groups with no 'P' orders yield NULL ratios
+  // that coalesce into the report default.
+  private val q65 = QueryDef(
+    "q65_try_arithmetic",
+    (s, dir) =>
+      rd(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderstatus") === "P", 1L).otherwise(0L)).as("n_pending"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          col("o_orderpriority"), col("n"), col("n_pending"),
+          coalesce(
+            expr("try_divide(CAST(sum_price AS DOUBLE), CAST(n_pending AS DOUBLE))"),
+            lit(-1.0)).as("price_per_pending"))
+        .orderBy(col("o_orderpriority")),
+    Some(s"""WITH g AS (
+      SELECT o_orderpriority, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending,
+        ${dsumSql("o_totalprice")} AS sum_price
+      FROM orders GROUP BY 1)
+    SELECT o_orderpriority, n, n_pending,
+      COALESCE(CASE WHEN n_pending = 0 THEN NULL
+        ELSE sum_price / n_pending END, -1.0) AS price_per_pending
+    FROM g ORDER BY o_orderpriority"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65)
 }
