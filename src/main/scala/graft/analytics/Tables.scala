@@ -97,9 +97,10 @@ object Tables {
   }
 
   def docs(spark: SparkSession, dir: String): DataFrame = {
-    // every poly_hash consumer reads documents; make the function
-    // available even under a session built without GraftExtensions
+    // every poly_hash / ngram_hashes consumer reads documents; make the
+    // functions available even under a session built without GraftExtensions
     graft.functions.PolyHash.register(spark)
+    graft.functions.NgramHashes.register(spark)
     rd(spark, dir, "documents")
   }
   def embs(spark: SparkSession, dir: String): DataFrame = {

@@ -408,11 +408,8 @@ object Text {
   // strings character by character.
   // ------------------------------------------------------------------
   private def ngramExpr(thCol: String, n: Int): String =
-    s"""CASE WHEN size($thCol) >= $n THEN
-      transform(sequence(1, size($thCol) - ${n - 1}),
-        i -> aggregate(slice($thCol, i, $n), CAST(0 AS BIGINT),
-                       (acc, h) -> (acc * 31 + h) % ${Tables.HashMod}))
-    ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    s"ngram_hashes($thCol, $n)" // native O(len) rolling pass; value-identical
+                                // to the former transform+aggregate HOF fold
 
   private def ngramSqlDuck(thCol: String, n: Int): String =
     s"""CASE WHEN len($thCol) >= $n THEN

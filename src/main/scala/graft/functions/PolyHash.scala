@@ -92,5 +92,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.descriptor)
     ext.injectFunction(DotI64.descriptor)
+    ext.injectFunction(NgramHashes.descriptor)
   }
 }
