@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import Tables._
 
 /**
- * Subquery / lateral / map-typed SQL surfaces (round-6 widening of
- * SURVEY §2.8): correlated scalar subqueries, LATERAL joins with
- * correlated ORDER BY + LIMIT, and MapType construction + map
- * higher-order functions.
+ * Subquery / lateral / map-typed / grouping-metadata SQL surfaces
+ * (round-6 widening of SURVEY §2.8): correlated scalar subqueries,
+ * LATERAL joins with correlated ORDER BY + LIMIT, MapType construction
+ * + map higher-order functions, GROUPING() labels over ROLLUP
+ * subtotals, and ANSI-safe try_divide arithmetic.
  *
  * Scale notes (100 TB): q59's correlated scalar subquery is
  * decorrelated by Catalyst (RewriteCorrelatedScalarSubquery) into one
