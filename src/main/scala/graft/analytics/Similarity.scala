@@ -405,5 +405,68 @@ object Similarity {
       FROM cand JOIN fn a ON a.vec_id = cand.q_id JOIN fn b ON b.vec_id = cand.c_id)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+  // ---------------------------------------------------------------- s09
+  // Matryoshka prefix-dim retrieve → rerank: the coarse pass scores only
+  // the FIRST 16 of 64 dimensions (MRL-style nested embeddings rank
+  // coarse-to-fine information into the prefix), keeps top-20 per query,
+  // and only those candidates are re-scored over all 64 dims. Unlike
+  // s08's int8 codes (same dims, narrower values), this shrinks the
+  // per-vector bytes read 4× by TRUNCATION — at 100 TB the coarse scan
+  // can read a 16-dim column (or a sliced parquet page) instead of the
+  // full vector, and the rerank touches ≤20·|queries| rows. Both stages
+  // are integer-exact (quantized), so rankings hash-match the oracle.
+  private val PrefixDims = 16
+  private val s09 = QueryDef(
+    "s09_matryoshka_rerank",
+    (s, dir) => {
+      val full = withQuant(dir, s)
+        .withColumn("pv", expr(s"slice(qv, 1, $PrefixDims)"))
+        .withColumn("pnorm2", expr(dotExpr("pv", "pv")))
+      val qp = full.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("pv").as("q_pv"), col("pnorm2").as("q_pnorm2"))
+      val cand = full
+        .select(col("vec_id").as("c_id"), col("pv").as("c_pv"), col("pnorm2").as("c_pnorm2"))
+        .join(broadcast(qp), col("c_id") =!= col("q_id"))
+        .withColumn("psim",
+          expr(dotExpr("q_pv", "c_pv")).cast("double") /
+            (sqrt(col("q_pnorm2").cast("double")) * sqrt(col("c_pnorm2").cast("double"))))
+        .withColumn("crnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("psim").desc, col("c_id"))))
+        .filter(col("crnk") <= 20)
+        .select(col("q_id"), col("c_id"))
+      val qf = full.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("fq_id"), col("qv").as("fq_qv"), col("norm2").as("fq_norm2"))
+      cand
+        .join(full.select(col("vec_id").as("fc_id"), col("qv").as("fc_qv"),
+          col("norm2").as("fc_norm2")), col("c_id") === col("fc_id"))
+        .join(broadcast(qf), col("q_id") === col("fq_id"))
+        .withColumn("sim",
+          expr(dotExpr("fq_qv", "fc_qv")).cast("double") /
+            (sqrt(col("fq_norm2").cast("double")) * sqrt(col("fc_norm2").cast("double"))))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte,
+    pn AS (SELECT vec_id, qv, norm2, qv[1:$PrefixDims] AS pv,
+      ${dotSql(s"qv[1:$PrefixDims]", s"qv[1:$PrefixDims]")} AS pnorm2 FROM qn),
+    cand AS (SELECT q_id, c_id FROM (
+      SELECT a.vec_id AS q_id, b.vec_id AS c_id,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+          CAST(${dotSql("a.pv", "b.pv")} AS DOUBLE) /
+            (sqrt(CAST(a.pnorm2 AS DOUBLE)) * sqrt(CAST(b.pnorm2 AS DOUBLE))) DESC,
+          b.vec_id) AS crnk
+      FROM pn a JOIN pn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+      WHERE crnk <= 20)
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT cand.q_id, cand.c_id, round($simSql, 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY cand.q_id ORDER BY $simSql DESC, cand.c_id) AS rnk
+      FROM cand JOIN qn a ON a.vec_id = cand.q_id JOIN qn b ON b.vec_id = cand.c_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
+  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
 }

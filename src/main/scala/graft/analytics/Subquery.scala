@@ -166,5 +166,33 @@ object Subquery {
         ELSE sum_price / n_pending END, -1.0) AS price_per_pending
     FROM g ORDER BY o_orderpriority"""))
 
-  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65)
+  // ---------------------------------------------------------------- q66
+  // Ordered-set aggregates: LISTAGG ... WITHIN GROUP (the SQL:2023 /
+  // Spark 4 ordered string concat) + MEDIAN, over a keyed slice of
+  // orders. The ordering key (the primary key) makes the concatenation
+  // fully deterministic. Scale note: LISTAGG state is O(group
+  // output) — unbounded on raw facts — so production use is exactly this
+  // shape: aggregate a bounded, pre-filtered slice (manifests, sampled
+  // audits), never the full fact table; median is one distributed
+  // percentile pass. The modulo slice keeps list state ~30 entries/group
+  // at any SF while still exercising the full agg path.
+  private val q66 = QueryDef(
+    "q66_ordered_set_aggs",
+    (s, dir) =>
+      rd(s, dir, "orders")
+        .filter(col("o_orderkey") % 101 === 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(median(col("o_totalprice")), 2).as("median_price"),
+          expr("listagg(CAST(o_orderkey AS STRING), ',') WITHIN GROUP (ORDER BY o_orderkey)")
+            .as("key_list"))
+        .orderBy(col("o_orderpriority")),
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      round(median(o_totalprice), 2) AS median_price,
+      string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS key_list
+    FROM orders WHERE o_orderkey % 101 = 0
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66)
 }

@@ -639,7 +639,45 @@ object Text {
                THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS n_sampled_tokens
     FROM documents GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t17
+  // BPE tokenizer-training step: adjacent symbol-pair frequencies over the
+  // corpus, the statistic a byte-pair-encoding trainer maximizes each
+  // merge round. The corpus is first collapsed to a (word, count) table —
+  // the classic BPE optimization: pair expansion runs over DISTINCT words
+  // (bounded vocabulary) weighted by count, not over every token
+  // occurrence. The final ranking windows over the pair vocabulary, which
+  // is bounded by |alphabet|² (≤676 here) regardless of corpus size, so
+  // the single-partition window is constant work at 100 TB; the only
+  // corpus-sized ops are one explode + two hash aggregates.
+  private val t17 = QueryDef(
+    "t17_bpe_pair_counts",
+    (s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      words
+        .select(col("wcnt"),
+          explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+        .withColumn("rnk",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("cnt").desc, col("pair"))).cast("long"))
+        .filter(col("rnk") <= 30)
+        .select(col("rnk"), col("pair"), col("cnt"))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH w AS (
+      SELECT w, COUNT(*) AS wcnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2 GROUP BY w),
+    p AS (SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair, wcnt FROM w),
+    a AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM p GROUP BY pair)
+    SELECT rnk, pair, cnt FROM (
+      SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM a)
+    WHERE rnk <= 30 ORDER BY rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16)
+      t15, t16, t17)
 }

@@ -242,6 +242,53 @@ class AdvancedOpsSpec extends SparkSuite {
     (recalls.sum / recalls.size) should be >= 0.25
   }
 
+  test("s09 matryoshka prefix retrieval recalls most of s01's exact top-5") {
+    val exact = run("s01_cosine_topk")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val mrl = run("s09_matryoshka_rerank")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    mrl.keySet shouldBe exact.keySet
+    val recalls = exact.map { case (q, ids) =>
+      mrl(q).intersect(ids).size.toDouble / ids.size
+    }
+    // the 16-dim prefix of these synthetic 64-dim embeddings carries 1/4
+    // of the signal (unlike true MRL vectors, which front-load it):
+    // measured mean recall is 0.375 at sf0.001 and rises with real nested
+    // embeddings; the bound guards a broken slice/rerank path (recall ~0),
+    // not the trade itself
+    (recalls.sum / recalls.size) should be >= 0.25
+  }
+
+  test("t17 BPE pair counts match an independent driver-side recount") {
+    val expected = Tables.docs(spark, dir)
+      .select(col("text")).collect().iterator
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(w => w.length >= 2 && w.forall(c => c >= 'a' && c <= 'z'))
+      .flatMap(w => w.sliding(2))
+      .foldLeft(Map.empty[String, Long]) { case (m, p) => m.updated(p, m.getOrElse(p, 0L) + 1) }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(30)
+    val got = run("t17_bpe_pair_counts")
+      .select(col("pair"), col("cnt")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    got shouldBe expected
+  }
+
+  test("q66 listagg is ordered, complete, and slice-consistent") {
+    val out = run("q66_ordered_set_aggs").cache()
+    out.collect().foreach { r =>
+      val n = r.getLong(r.fieldIndex("n"))
+      val keys = r.getString(r.fieldIndex("key_list")).split(",").map(_.toLong)
+      keys.length.toLong shouldBe n
+      keys.toSeq shouldBe keys.sorted.toSeq // WITHIN GROUP ordering held
+      keys.foreach(k => k % 101 shouldBe 0) // the slice predicate held
+      val med = r.getDouble(r.fieldIndex("median_price"))
+      med should be > 0.0
+    }
+    out.unpersist()
+  }
+
   test("q30 stream-stream join pairs lie within the 30-minute window") {
     val out = run("q30_stream_stream_join").cache()
     out.filter(col("n_pairs") <= 0).count() shouldBe 0
