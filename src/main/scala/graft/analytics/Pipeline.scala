@@ -163,5 +163,40 @@ object Pipeline {
       CAST(SUM(merged_bal) AS DOUBLE) AS sum_bal
     FROM merged GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53)
+  // ---------------------------------------------------------------- q67
+  // Observed metrics (Dataset.observe / CollectMetrics): pipeline
+  // monitoring aggregates collected as a SIDE EFFECT of a pass the job
+  // runs anyway — here a count over the Dataset's OWN QueryExecution
+  // stands in for the real sink. The action must run that exact QE:
+  // `write`, `foreach`, and `rdd` all plan a fresh QueryExecution whose
+  // metrics are only visible to a QueryExecutionListener (the production
+  // wiring, asynchronous and so not oracle-checkable here).
+  // At 100 TB this is the difference between free telemetry and a second
+  // full scan: CollectMetrics folds the accumulators into the existing
+  // task pass, and the driver reads one tiny row off
+  // queryExecution.observedMetrics after the action. The returned
+  // DataFrame IS that metrics row, so the oracle can replay it as plain
+  // aggregates.
+  private val q67 = QueryDef(
+    "q67_observed_metrics",
+    (s, dir) => {
+      val observed = rd(s, dir, "lineitem")
+        .observe("li_metrics",
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+          sum(when(col("l_discount").isNull, 1L).otherwise(0L)).as("n_null_discount"))
+      observed.queryExecution.toRdd.count()
+      val m = observed.queryExecution.observedMetrics("li_metrics")
+      import s.implicits._
+      Seq((m.getAs[Long]("n_rows"), m.getAs[Double]("sum_qty"),
+        m.getAs[Long]("n_returned"), m.getAs[Long]("n_null_discount")))
+        .toDF("n_rows", "sum_qty", "n_returned", "n_null_discount")
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows, ${dsumSql("l_quantity")} AS sum_qty,
+      CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+      CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_discount
+    FROM lineitem"""))
+
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67)
 }
