@@ -152,5 +152,37 @@ object Formats {
       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio
     FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63)
+  // ---------------------------------------------------------------- q68
+  // Custom DataSource V2 scan ([[graft.sources.SynthSource]]): the id
+  // range predicate is pushed into the connector's partition PLANNING
+  // (pruned splits never schedule), columns are pruned at generation,
+  // and the scan reports post-pushdown statistics. The oracle replays
+  // the generator's int64 formulas over range() — checking that pushdown
+  // changed WHERE work happens, never WHAT is computed.
+  private val q68 = QueryDef(
+    "q68_dsv2_pushdown",
+    (s, _) =>
+      s.read.format(classOf[graft.sources.SynthSource].getName)
+        .option("rows", 200000).option("parts", 16).load()
+        .filter(col("id") >= 50000 && col("id") < 150000)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value")).as("sum_value"),
+          min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type")),
+    Some("""WITH g AS (
+      SELECT range AS id FROM range(200000) WHERE range >= 50000 AND range < 150000)
+    SELECT CASE (id * 31 + 7) % 5
+        WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+        WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+      COUNT(*) AS n,
+      CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS sum_value,
+      MIN(id) AS min_id, MAX(id) AS max_id,
+      CAST(COUNT(DISTINCT id % 9973) AS BIGINT) AS n_users
+    FROM g GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68)
 }
