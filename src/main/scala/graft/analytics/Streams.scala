@@ -548,5 +548,45 @@ object Streams {
       ${dsumSql("value")} AS sum_value
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62)
+  // ---------------------------------------------------------------- q69
+  // Custom DSv2 micro-batch source ([[graft.sources.SynthSource]] in
+  // streaming mode): row-position offsets checkpoint like Kafka offsets,
+  // and admission control caps each batch at 10k rows — the
+  // maxOffsetsPerTrigger discipline (SURVEY §2.7) implemented INSIDE a
+  // connector rather than around one. A bounded AvailableNow drain over
+  // 50k rows therefore runs ≥5 real micro-batches whose complete-mode
+  // aggregate must equal the one-shot oracle over the same generated
+  // range — proving batch boundaries never split or double-count rows.
+  private val q69 = QueryDef(
+    "q69_dsv2_stream",
+    (s, _) => withStreamShuffle(s) {
+      val stream = s.readStream
+        .format(classOf[graft.sources.SynthSource].getName)
+        .option("rows", 50000).option("parts", 8)
+        .option("maxRowsPerBatch", 10000)
+        .load()
+      val agg = stream
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val sinkName = "q69_dsv2_stream_sink"
+      val q = agg.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName).orderBy(col("event_type"))
+    },
+    Some("""WITH g AS (SELECT range AS id FROM range(50000))
+    SELECT CASE (id * 31 + 7) % 5
+        WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+        WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+      COUNT(*) AS n,
+      CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS sum_value
+    FROM g GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69)
 }

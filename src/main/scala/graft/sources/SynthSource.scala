@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -68,19 +69,21 @@ class SynthSource extends TableProvider {
       properties: util.Map[String, String]): Table =
     new SynthTable(
       properties.getOrDefault("rows", "100000").toLong,
-      properties.getOrDefault("parts", "8").toInt)
+      properties.getOrDefault("parts", "8").toInt,
+      properties.getOrDefault("maxRowsPerBatch", "0").toLong)
 }
 
-final class SynthTable(rows: Long, parts: Int) extends Table with SupportsRead {
+final class SynthTable(rows: Long, parts: Int, batchRows: Long)
+    extends Table with SupportsRead {
   override def name(): String = s"synth($rows)"
   override def schema(): StructType = SynthSource.FullSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, parts)
+    new SynthScanBuilder(rows, parts, batchRows)
 }
 
-final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+final class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var schema: StructType = SynthSource.FullSchema
   private var lo = 0L
@@ -116,15 +119,18 @@ final class SynthScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new SynthScan(schema, math.max(lo, 0L), math.max(hi, lo), rows, parts)
+    new SynthScan(schema, math.max(lo, 0L), math.max(hi, lo), rows, parts, batchRows)
 }
 
 final case class SynthPartition(start: Long, end: Long) extends InputPartition
 
-final class SynthScan(schema: StructType, lo: Long, hi: Long, rows: Long, parts: Int)
+final class SynthScan(schema: StructType, lo: Long, hi: Long, rows: Long, parts: Int,
+    batchRows: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(schema, rows, parts, batchRows)
   override def description(): String = s"SynthScan range=[$lo,$hi) parts=$parts"
 
   /** Fixed-width splits laid out over the FULL table's key space, then
@@ -152,6 +158,70 @@ final class SynthScan(schema: StructType, lo: Long, hi: Long, rows: Long, parts:
       OptionalLong.of(math.max(1L, (hi - lo) * 8L * math.max(1, schema.length)))
     override def numRows(): OptionalLong = OptionalLong.of(math.max(0L, hi - lo))
   }
+}
+
+final case class SynthOffset(n: Long) extends Offset {
+  override def json(): String = n.toString
+}
+
+/**
+ * Micro-batch side of the connector: offsets are plain row positions
+ * (the Kafka-offset shape, SURVEY §2.7 S1/T1), each batch plans the
+ * same fixed-width splits over its offset range, and
+ * [[SupportsAdmissionControl]] honors `maxRowsPerBatch` the way
+ * `maxOffsetsPerTrigger` caps a Kafka drain — bounded batches keep
+ * state-store commits and sink files sized at any backlog. Offsets
+ * restore exactly from the checkpoint json, so a restarted query
+ * resumes mid-range without re-reading.
+ *
+ * [[SupportsTriggerAvailableNow]] is implemented by the SOURCE (not left
+ * to Spark's wrapper): the wrapper drains everything available in one
+ * batch, silently bypassing admission control — a native implementation
+ * pins the drain target at prepare time AND keeps per-batch caps, which
+ * is exactly how the Kafka connector composes AvailableNow with
+ * maxOffsetsPerTrigger.
+ */
+final class SynthMicroBatchStream(schema: StructType, rows: Long, parts: Int, batchRows: Long)
+    extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+  // the AvailableNow drain target, pinned when the trigger starts; a
+  // source that grew after prepare drains only to the pinned target
+  @volatile private var target: Long = rows
+
+  override def initialOffset(): Offset = SynthOffset(0L)
+  override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
+  override def latestOffset(): Offset = SynthOffset(rows)
+  override def reportLatestOffset(): Offset = SynthOffset(rows)
+
+  override def prepareForTriggerAvailableNow(): Unit = target = rows
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (batchRows > 0) ReadLimit.maxRows(batchRows) else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[SynthOffset].n
+    limit match {
+      case m: ReadMaxRows => SynthOffset(math.min(target, s + m.maxRows()))
+      case _              => SynthOffset(target)
+    }
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[SynthOffset].n
+    val hi = end.asInstanceOf[SynthOffset].n
+    if (hi <= lo) Array.empty
+    else {
+      val width = math.max(1L, (hi - lo + parts - 1) / parts)
+      (lo until hi by width)
+        .map(s => SynthPartition(s, math.min(s + width, hi)): InputPartition)
+        .toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(schema)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class SynthReaderFactory(schema: StructType) extends PartitionReaderFactory {

@@ -72,6 +72,47 @@ class SynthSourceSpec extends SparkSuite {
     (SynthSource.rowsGenerated.get() - before) shouldBe 0
   }
 
+  test("micro-batch stream honors maxRowsPerBatch and drains exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val agg = spark.readStream.format(classOf[SynthSource].getName)
+      .option("rows", 50000).option("parts", 4).option("maxRowsPerBatch", 10000)
+      .load()
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+    val q = agg.writeStream.format("memory").queryName("synth_stream_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // admission control: 50k rows at 10k/batch = 5 micro-batches
+    q.recentProgress.count(_.numInputRows > 0) shouldBe 5
+    q.recentProgress.map(_.numInputRows).filter(_ > 0).max shouldBe 10000
+    q.stop()
+    val row = spark.table("synth_stream_test").head()
+    spark.catalog.dropTempView("synth_stream_test")
+    row.getLong(0) shouldBe 50000
+    row.getLong(1) shouldBe (0L until 50000L).map(SynthSource.value).sum
+  }
+
+  test("stream resumes from checkpointed offsets without re-reading") {
+    import org.apache.spark.sql.streaming.Trigger
+    val ckpt = java.nio.file.Files.createTempDirectory("synth-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("synth-out").toString + "/t"
+    def drain(rows: Long): Unit = {
+      val q = spark.readStream.format(classOf[SynthSource].getName)
+        .option("rows", rows).option("parts", 4).option("maxRowsPerBatch", 500)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(); q.stop()
+    }
+    drain(2000)
+    spark.read.parquet(out).count() shouldBe 2000
+    // restart against a grown source: only the new offsets [2000, 3000) land
+    drain(3000)
+    val all = spark.read.parquet(out)
+    all.count() shouldBe 3000
+    all.select(countDistinct(col("id"))).head().getLong(0) shouldBe 3000
+  }
+
   test("reported statistics reflect the post-pushdown range") {
     // the narrowed side is small enough that Catalyst broadcast-joins it
     // without an explicit hint — only possible if the scan reports
