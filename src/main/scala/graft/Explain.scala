@@ -21,7 +21,9 @@ object Explain {
         "q41_orc_roundtrip", "q44_topk_udaf", "m05_phash_neardup",
         "q51_bloom_join", "q52_sessionize", "q53_scd2_merge",
         "t12_decontamination", "t13_repetition_stats",
-        "d11_incremental_dedup", "s07_kmeans_update")
+        "d11_incremental_dedup", "s07_kmeans_update",
+        "s09_matryoshka_rerank", "t17_bpe_pair_counts", "q66_ordered_set_aggs",
+        "q68_dsv2_pushdown")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
