@@ -610,7 +610,37 @@ object Advanced {
     FROM cs LEFT JOIN os ON c_custkey = o_custkey
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q70
+  // Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the dim-lookup
+  // shape where NULL is a real key (the "unknown" bucket) — a plain `=`
+  // join silently drops every NULL-keyed fact row; the null-safe form
+  // keeps them matched to the NULL dim row. Catalyst plans `<=>` as a
+  // hash-join key exactly like `=` (NULL hashes to a regular bucket),
+  // so the null-safe semantics cost nothing at scale — same broadcast,
+  // same single shuffle shape.
+  private val q70 = QueryDef(
+    "q70_nullsafe_join",
+    (s, dir) => {
+      val facts = rd(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '3-MEDIUM')").as("fk"),
+          col("o_totalprice"))
+      val dim = rd(s, dir, "orders")
+        .select(expr("nullif(o_orderpriority, '3-MEDIUM')").as("pk")).distinct()
+        .select(col("pk"), coalesce(col("pk"), lit("UNKNOWN")).as("label"))
+      facts.join(broadcast(dim), col("fk") <=> col("pk"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH f AS (
+      SELECT nullif(o_orderpriority, '3-MEDIUM') AS fk, o_totalprice FROM orders),
+    d AS (SELECT pk, COALESCE(pk, 'UNKNOWN') AS label FROM (
+      SELECT DISTINCT nullif(o_orderpriority, '3-MEDIUM') AS pk FROM orders))
+    SELECT label, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS sum_price
+    FROM f JOIN d ON f.fk IS NOT DISTINCT FROM d.pk
+    GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50)
+      q46, q47, q48, q50, q70)
 }
