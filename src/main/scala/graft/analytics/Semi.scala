@@ -162,5 +162,62 @@ object Semi {
     },
     None)
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58)
+  // ---------------------------------------------------------------- q71
+  // Theta sketches (Datasketches): the distinct-count algebra HLL can't
+  // do — union AND intersection AND difference over sketch blobs. Two
+  // priority cohorts of customers are sketched once; every set estimate
+  // is then computed from the two kilobyte-scale sketches, no re-scan.
+  // lgNomEntries=16 keeps the sketches in exact mode below 64k distinct
+  // keys, so estimates ARE the exact cardinalities here and the oracle
+  // replays them with set SQL; production at 100 TB accepts the ~2%
+  // estimation error above k in exchange for constant-size state.
+  private val q71 = QueryDef(
+    "q71_theta_set_algebra",
+    (s, dir) => {
+      val sk = rd(s, dir, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(expr("theta_sketch_agg(o_custkey, 16)").as("sk"))
+      val a = sk.filter(col("o_orderpriority") === "1-URGENT").select(col("sk").as("sk_a"))
+      val b = sk.filter(col("o_orderpriority") === "2-HIGH").select(col("sk").as("sk_b"))
+      a.crossJoin(b).select(
+        expr("theta_sketch_estimate(sk_a)").cast("long").as("n_urgent"),
+        expr("theta_sketch_estimate(sk_b)").cast("long").as("n_high"),
+        // theta_union takes its OWN lgNomEntries (default 12) — leaving it
+        // unset silently down-samples k=16 inputs back into estimation mode
+        expr("theta_sketch_estimate(theta_union(sk_a, sk_b, 16))").cast("long").as("n_union"),
+        expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").cast("long").as("n_inter"),
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").cast("long").as("n_only_urgent"))
+    },
+    Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+    b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+    SELECT
+      (SELECT COUNT(*) FROM a) AS n_urgent,
+      (SELECT COUNT(*) FROM b) AS n_high,
+      (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_union,
+      (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_inter,
+      (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_urgent"""))
+
+  // ---------------------------------------------------------------- q72
+  // Mergeable frequency sketch (approx_top_k family): per-day
+  // accumulate → combine → estimate, the q58 re-aggregation pattern for
+  // FREQUENT-ITEMS instead of distinct counts. maxItemsTracked bounds
+  // the tracked domain (event_type has 5 values, so counts are exact);
+  // the output is re-sorted by item, not rank, so equal-count ties
+  // cannot perturb the hash. At 100 TB the per-day sketch table answers
+  // any date-range top-k by combining constant-size states.
+  private val q72 = QueryDef(
+    "q72_approx_top_k",
+    (s, dir) =>
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("approx_top_k_accumulate(event_type, 64)").as("acc"))
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(acc, 64), 5)").as("top"))
+        .select(explode(col("top")).as("e"))
+        .select(col("e.item").as("event_type"), col("e.count").as("n"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58, q71, q72)
 }
