@@ -583,6 +583,39 @@ object Dedup {
     WHERE starts_with(a.text, b.text) OR starts_with(b.text, a.text)
     ORDER BY id1, id2"""))
 
+  // ---------------------------------------------------------------- d13
+  // Blocked fuzzy record linkage: edit-distance matching under a
+  // blocking key — the classic entity-resolution shape. Candidates are
+  // generated ONLY within a block (15-char name prefix), so the
+  // quadratic self-join is bounded by block size, never |table|²; the
+  // in-block verify uses Spark's threshold levenshtein (the k-bounded
+  // banded DP: O(len·k) per pair and an early exit, vs O(len²) for the
+  // full distance). At 100 TB the blocks shuffle once on the block key
+  // and stronger keys (phonetic, sorted-neighborhood windows) drop in
+  // without changing the plan shape.
+  private val d13 = QueryDef(
+    "d13_fuzzy_linkage",
+    (s, dir) => {
+      val c = rd(s, dir, "customer")
+        .select(substring(col("c_name"), 1, 15).as("block"),
+          col("c_custkey").as("id"), col("c_name").as("name"))
+      c.join(c.select(col("block").as("block2"), col("id").as("id2"), col("name").as("name2")),
+          col("block") === col("block2") && col("id") < col("id2"))
+        // levenshtein(a, b, 1) = banded DP, returns -1 when distance > 1
+        .withColumn("m", expr("levenshtein(name, name2, 1)") =!= -1)
+        .groupBy(col("block"))
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("m"), 1L).otherwise(0L)).as("n_matches"))
+        .orderBy(col("block"))
+    },
+    Some("""WITH c AS (
+      SELECT substr(c_name, 1, 15) AS block, c_custkey AS id, c_name AS name
+      FROM customer)
+    SELECT a.block, COUNT(*) AS n_candidates,
+      CAST(SUM(CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+    FROM c a JOIN c b ON a.block = b.block AND a.id < b.id
+    GROUP BY a.block ORDER BY a.block"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
 }
