@@ -640,7 +640,73 @@ object Advanced {
     FROM f JOIN d ON f.fk IS NOT DISTINCT FROM d.pk
     GROUP BY label ORDER BY label"""))
 
+  // ---------------------------------------------------------------- q73
+  // DYNAMIC pivot: the value list is discovered with a first pass
+  // (distinct + collect) and fed to the second-pass pivot — the
+  // production form when the column domain isn't known at plan time
+  // (q25 is the fixed-list form). The collect is safe exactly because a
+  // pivot's value domain must be driver-bounded anyway (every value
+  // becomes a COLUMN); at 100 TB the discovery pass is a cheap
+  // distinct over a low-cardinality key, and pivoting a high-cardinality
+  // key is wrong in any engine.
+  private val q73 = QueryDef(
+    "q73_dynamic_pivot",
+    (s, dir) => {
+      val ev = events(s, dir)
+      val types = ev.select(col("event_type")).distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      ev.select(to_date(col("ts")).cast("string").as("day"),
+          col("event_type"), col("value"))
+        .groupBy(col("day"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
+      COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
+      COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+    FROM events GROUP BY 1 ORDER BY day"""))
+
+  // ---------------------------------------------------------------- q74
+  // Schema-drift union (unionByName + allowMissingColumns): two vintages
+  // of the same feed — an old projection missing a column and a new one
+  // with an extra column in a different order — unioned BY NAME with
+  // NULL fill, then audited per vintage. Positional unionAll would
+  // silently misalign columns here; at 100 TB schema evolution is the
+  // norm and the by-name union is the only safe merge of mixed-vintage
+  // partitions.
+  private val q74 = QueryDef(
+    "q74_union_by_name",
+    (s, dir) => {
+      val o = rd(s, dir, "orders")
+      val oldFeed = o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          lit("v1").as("vintage"))
+      val newFeed = o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderkey"), lit("v2").as("vintage"))
+      oldFeed.unionByName(newFeed, allowMissingColumns = true)
+        .groupBy(col("vintage"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("n_null_price"),
+          dsum(coalesce(col("o_totalprice"), lit(0.0))).as("sum_price"))
+        .orderBy(col("vintage"), col("o_orderstatus"))
+    },
+    Some(s"""WITH u AS (
+      SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice, 'v1' AS vintage
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL BY NAME
+      SELECT o_orderstatus, o_totalprice, o_orderkey, 'v2' AS vintage
+      FROM orders WHERE o_orderkey % 2 = 1)
+    SELECT vintage, o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price,
+      ${dsumSql("COALESCE(o_totalprice, 0.0)")} AS sum_price
+    FROM u GROUP BY 1, 2 ORDER BY vintage, o_orderstatus"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70)
+      q46, q47, q48, q50, q70, q73, q74)
 }

@@ -677,7 +677,50 @@ object Text {
       SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk FROM a)
     WHERE rnk <= 30 ORDER BY rnk"""))
 
+  // ---------------------------------------------------------------- t18
+  // Seeded deterministic corpus shuffle → shard assignment: every epoch
+  // of LM training wants the SAME pseudo-random document order given the
+  // same seed. Shard = consistent hash of (seed, doc_id) — co-locatable,
+  // reproducible; within-shard position = rank of a second hash — the
+  // shuffle. The permutation itself is pinned by an order-sensitive
+  // checksum (position-weighted doc_id sum mod 1e9+7): any engine or
+  // partitioning change that perturbs the order changes the checksum.
+  // Windows are PARTITIONED by shard (parallel at any scale) — the
+  // naive global-row_number shuffle would funnel the corpus through one
+  // task.
+  private val ShuffleSeed = 20260812L
+  private val NumShards = 8
+  private val t18 = QueryDef(
+    "t18_shuffle_shards",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("h", expr(strHashExpr(s"concat('$ShuffleSeed:', CAST(doc_id AS STRING))")))
+        .withColumn("shard_id", col("h") % NumShards)
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("pos") * col("doc_id") % HashMod).as("order_checksum"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard_id"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        ${strHashSql(s"concat('$ShuffleSeed:', CAST(doc_id AS VARCHAR))")} AS h
+      FROM documents),
+    p AS (SELECT doc_id, source, n_tok, h % $NumShards AS shard_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY h % $NumShards ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM d)
+    SELECT shard_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(pos * doc_id % $HashMod) AS BIGINT) AS order_checksum,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+    FROM p GROUP BY shard_id ORDER BY shard_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17)
+      t15, t16, t17, t18)
 }
