@@ -655,11 +655,15 @@ object Advanced {
       val ev = events(s, dir)
       val types = ev.select(col("event_type")).distinct()
         .collect().map(_.getString(0)).sorted.toSeq
+      // pivot+count leaves NULL (not 0) in a (day, type) cell with no
+      // rows — coalesce every dynamic column so sparse days agree with
+      // the oracle's FILTER counts
       ev.select(to_date(col("ts")).cast("string").as("day"),
           col("event_type"), col("value"))
         .groupBy(col("day"))
         .pivot("event_type", types)
         .agg(count(lit(1)))
+        .select(col("day") +: types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
         .orderBy(col("day"))
     },
     Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,

@@ -173,22 +173,23 @@ object Semi {
   // estimation error above k in exchange for constant-size state.
   private val q71 = QueryDef(
     "q71_theta_set_algebra",
-    (s, dir) => {
-      val sk = rd(s, dir, "orders")
-        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
-        .groupBy(col("o_orderpriority"))
-        .agg(expr("theta_sketch_agg(o_custkey, 16)").as("sk"))
-      val a = sk.filter(col("o_orderpriority") === "1-URGENT").select(col("sk").as("sk_a"))
-      val b = sk.filter(col("o_orderpriority") === "2-HIGH").select(col("sk").as("sk_b"))
-      a.crossJoin(b).select(
+    (s, dir) =>
+      // ONE scan: both cohort sketches build as conditional aggregates of
+      // the same pass (aggs skip the NULLs the `when` leaves), so the
+      // fact table is read once and an empty cohort still yields its
+      // empty sketch (estimate 0) instead of dropping the result row —
+      // the two-branch filter+crossJoin form re-scans orders per cohort
+      rd(s, dir, "orders").agg(
+        expr("theta_sketch_agg(CASE WHEN o_orderpriority = '1-URGENT' THEN o_custkey END, 16)").as("sk_a"),
+        expr("theta_sketch_agg(CASE WHEN o_orderpriority = '2-HIGH' THEN o_custkey END, 16)").as("sk_b"))
+        .select(
         expr("theta_sketch_estimate(sk_a)").cast("long").as("n_urgent"),
         expr("theta_sketch_estimate(sk_b)").cast("long").as("n_high"),
         // theta_union takes its OWN lgNomEntries (default 12) — leaving it
         // unset silently down-samples k=16 inputs back into estimation mode
         expr("theta_sketch_estimate(theta_union(sk_a, sk_b, 16))").cast("long").as("n_union"),
         expr("theta_sketch_estimate(theta_intersection(sk_a, sk_b))").cast("long").as("n_inter"),
-        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").cast("long").as("n_only_urgent"))
-    },
+        expr("theta_sketch_estimate(theta_difference(sk_a, sk_b))").cast("long").as("n_only_urgent")),
     Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
     b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
     SELECT
