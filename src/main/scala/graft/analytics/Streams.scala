@@ -587,6 +587,54 @@ object Streams {
       CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS sum_value
     FROM g GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q75
+  // flatMapGroupsWithState — the multi-row-emission arbitrary-state API
+  // (q21 maps one row per group, q40 is the typed-handle successor):
+  // each event_type group carries a bucket→count histogram as state and
+  // re-emits EVERY bucket's running total each batch — one input group
+  // fanning out to many output rows, which mapGroupsWithState cannot
+  // express. Counts are monotone, so the update-mode sink resolves to
+  // max per (type, bucket); state is bounded by the bucket domain
+  // (constant per group at any scale).
+  private val q75 = QueryDef(
+    "q75_flatmap_groups_state",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val typed = eventsStream(s, dir)
+        .select(col("event_type"), col("value"))
+        .as[(String, Double)]
+      val hist = typed
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[Map[Long, Long], (String, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) { (key, rows, state) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, v) =>
+            val b = math.floor(v / 100.0).toLong
+            m = m.updated(b, m.getOrElse(b, 0L) + 1)
+          }
+          state.update(m)
+          m.iterator.map { case (b, n) => (key, b, n) }
+        }
+        .toDF("event_type", "bucket", "n")
+      val sinkName = "q75_flatmap_groups_state_sink"
+      val q = hist.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .groupBy(col("event_type"), col("bucket")) // counts are monotone
+        .agg(max(col("n")).as("n"))
+        .orderBy(col("event_type"), col("bucket"))
+    },
+    Some("""SELECT event_type, CAST(FLOOR(value / 100) AS BIGINT) AS bucket,
+      COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69)
+    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75)
 }
