@@ -173,15 +173,13 @@ object Formats {
           max(col("id")).as("max_id"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("event_type")),
-    Some("""WITH g AS (
+    Some(s"""WITH g AS (
       SELECT range AS id FROM range(200000) WHERE range >= 50000 AND range < 150000)
-    SELECT CASE (id * 31 + 7) % 5
-        WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
-        WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+    SELECT ${graft.sources.SynthSource.typeSql("id")} AS event_type,
       COUNT(*) AS n,
-      CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS sum_value,
+      CAST(SUM(${graft.sources.SynthSource.valueSql("id")}) AS BIGINT) AS sum_value,
       MIN(id) AS min_id, MAX(id) AS max_id,
-      CAST(COUNT(DISTINCT id % 9973) AS BIGINT) AS n_users
+      CAST(COUNT(DISTINCT ${graft.sources.SynthSource.userIdSql("id")}) AS BIGINT) AS n_users
     FROM g GROUP BY 1 ORDER BY 1"""))
 
   val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68)

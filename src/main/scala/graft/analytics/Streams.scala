@@ -579,12 +579,10 @@ object Streams {
       q.stop()
       sinkTable(s, sinkName).orderBy(col("event_type"))
     },
-    Some("""WITH g AS (SELECT range AS id FROM range(50000))
-    SELECT CASE (id * 31 + 7) % 5
-        WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
-        WHEN 3 THEN 'signup' ELSE 'error' END AS event_type,
+    Some(s"""WITH g AS (SELECT range AS id FROM range(50000))
+    SELECT ${graft.sources.SynthSource.typeSql("id")} AS event_type,
       COUNT(*) AS n,
-      CAST(SUM((id * 2654435761) % 1000003) AS BIGINT) AS sum_value
+      CAST(SUM(${graft.sources.SynthSource.valueSql("id")}) AS BIGINT) AS sum_value
     FROM g GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q75

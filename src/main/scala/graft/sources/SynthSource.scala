@@ -54,10 +54,25 @@ object SynthSource {
   def typeIdx(id: Long): Int = ((id * 31L + 7L) % 5L).toInt
   def value(id: Long): Long = (id * 2654435761L) % 1000003L
 
-  /** Rows materialized by readers in this JVM (spec observable). */
+  /** Rows materialized by readers in this JVM (spec observable; readers
+    * accumulate locally and flush on close — no per-row atomics on the
+    * generation hot path). */
   val rowsGenerated = new AtomicLong
   /** String cells materialized (spec observable for column pruning). */
   val stringsGenerated = new AtomicLong
+
+  /** DuckDB twin of [[typeIdx]] over an id expression — single source of
+    * truth for oracle SQL replaying the generator. */
+  def typeSql(id: String): String =
+    s"""CASE ($id * 31 + 7) % 5
+        WHEN 0 THEN 'click' WHEN 1 THEN 'view' WHEN 2 THEN 'purchase'
+        WHEN 3 THEN 'signup' ELSE 'error' END"""
+
+  /** DuckDB twin of [[value]] over an id expression. */
+  def valueSql(id: String): String = s"($id * 2654435761) % 1000003"
+
+  /** DuckDB twin of [[userId]] over an id expression. */
+  def userIdSql(id: String): String = s"$id % 9973"
 }
 
 class SynthSource extends TableProvider {
@@ -102,15 +117,20 @@ final class SynthScanBuilder(rows: Long, parts: Int, batchRows: Long) extends Sc
 
   /** `id` range predicates narrow [lo, hi); everything else is residual.
     * Accepted filters are honored EXACTLY by the range, so they are not
-    * returned as residual — Spark plans no re-filter for them. */
+    * returned as residual — Spark plans no re-filter for them. The +1
+    * adjustments saturate instead of wrapping: a Long.MaxValue boundary
+    * literal must not overflow into a silently wrong (empty or full)
+    * range when no residual filter exists to catch it. */
+  private def succ(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val residual = filters.filter {
-      case GreaterThan("id", v)        if asLong(v).isDefined => lo = math.max(lo, asLong(v).get + 1); false
+      case GreaterThan("id", v)        if asLong(v).isDefined => lo = math.max(lo, succ(asLong(v).get)); false
       case GreaterThanOrEqual("id", v) if asLong(v).isDefined => lo = math.max(lo, asLong(v).get); false
       case LessThan("id", v)           if asLong(v).isDefined => hi = math.min(hi, asLong(v).get); false
-      case LessThanOrEqual("id", v)    if asLong(v).isDefined => hi = math.min(hi, asLong(v).get + 1); false
+      case LessThanOrEqual("id", v)    if asLong(v).isDefined => hi = math.min(hi, succ(asLong(v).get)); false
       case EqualTo("id", v)            if asLong(v).isDefined =>
-        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1); false
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, succ(asLong(v).get)); false
       case _ => true
     }
     pushed = filters.diff(residual)
@@ -129,8 +149,13 @@ final class SynthScan(schema: StructType, lo: Long, hi: Long, rows: Long, parts:
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
+  // the post-pushdown [lo, hi) bounds the stream's offset range too —
+  // Spark 4.1 doesn't push filters into micro-batch scan builders today,
+  // but pushFilters has already claimed id ranges as exactly honored
+  // (non-residual), so a future Spark that does push them must not
+  // silently read the full range here
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SynthMicroBatchStream(schema, rows, parts, batchRows)
+    new SynthMicroBatchStream(schema, lo, hi, parts, batchRows)
   override def description(): String = s"SynthScan range=[$lo,$hi) parts=$parts"
 
   /** Fixed-width splits laid out over the FULL table's key space, then
@@ -181,18 +206,18 @@ final case class SynthOffset(n: Long) extends Offset {
  * is exactly how the Kafka connector composes AvailableNow with
  * maxOffsetsPerTrigger.
  */
-final class SynthMicroBatchStream(schema: StructType, rows: Long, parts: Int, batchRows: Long)
+final class SynthMicroBatchStream(schema: StructType, lo: Long, hi: Long, parts: Int, batchRows: Long)
     extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   // the AvailableNow drain target, pinned when the trigger starts; a
   // source that grew after prepare drains only to the pinned target
-  @volatile private var target: Long = rows
+  @volatile private var target: Long = hi
 
-  override def initialOffset(): Offset = SynthOffset(0L)
+  override def initialOffset(): Offset = SynthOffset(lo)
   override def deserializeOffset(json: String): Offset = SynthOffset(json.toLong)
-  override def latestOffset(): Offset = SynthOffset(rows)
-  override def reportLatestOffset(): Offset = SynthOffset(rows)
+  override def latestOffset(): Offset = SynthOffset(hi)
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
 
-  override def prepareForTriggerAvailableNow(): Unit = target = rows
+  override def prepareForTriggerAvailableNow(): Unit = target = hi
 
   override def getDefaultReadLimit: ReadLimit =
     if (batchRows > 0) ReadLimit.maxRows(batchRows) else ReadLimit.allAvailable()
@@ -229,12 +254,17 @@ final class SynthReaderFactory(schema: StructType) extends PartitionReaderFactor
     val p = partition.asInstanceOf[SynthPartition]
     new PartitionReader[InternalRow] {
       private val types = SynthSource.Types.map(UTF8String.fromString)
+      // local counters, flushed once on close — per-row shared atomics
+      // would put cross-core contention on the generation hot path of a
+      // benchmarked scan
+      private var localRows = 0L
+      private var localStrings = 0L
       // one generator per projected column — unprojected columns cost nothing
       private val gens: Array[Long => Any] = schema.fields.map(_.name match {
         case "id"      => (id: Long) => id
         case "user_id" => (id: Long) => SynthSource.userId(id)
         case "event_type" => (id: Long) => {
-          SynthSource.stringsGenerated.incrementAndGet()
+          localStrings += 1
           types(SynthSource.typeIdx(id))
         }
         case "value" => (id: Long) => SynthSource.value(id)
@@ -243,10 +273,14 @@ final class SynthReaderFactory(schema: StructType) extends PartitionReaderFactor
       private var id = p.start - 1
       override def next(): Boolean = { id += 1; id < p.end }
       override def get(): InternalRow = {
-        SynthSource.rowsGenerated.incrementAndGet()
+        localRows += 1
         new GenericInternalRow(gens.map(g => g(id)))
       }
-      override def close(): Unit = ()
+      override def close(): Unit = {
+        SynthSource.rowsGenerated.addAndGet(localRows)
+        SynthSource.stringsGenerated.addAndGet(localStrings)
+        localRows = 0; localStrings = 0
+      }
     }
   }
 }

@@ -63,6 +63,14 @@ class SynthSourceSpec extends SparkSuite {
     (SynthSource.stringsGenerated.get() - b2) shouldBe 100
   }
 
+  test("Long.MaxValue boundary literals saturate instead of wrapping") {
+    // `id <= MaxValue` keeps everything: a wrapping hi = v+1 would
+    // collapse the range to empty with no residual filter to catch it
+    synth(rows = 1000).filter(col("id") <= Long.MaxValue).count() shouldBe 1000
+    // `id > MaxValue` matches nothing
+    synth(rows = 1000).filter(col("id") > lit(Long.MaxValue)).count() shouldBe 0
+  }
+
   test("contradictory range yields an empty scan that generates nothing") {
     val df = synth(rows = 10000).filter(col("id") >= 5000 && col("id") < 5000)
     val before = SynthSource.rowsGenerated.get()
