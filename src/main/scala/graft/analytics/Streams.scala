@@ -633,6 +633,58 @@ object Streams {
       COUNT(*) AS n
     FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  // ---------------------------------------------------------------- q76
+  // DYNAMIC-gap session windows: session_window with a gap EXPRESSION —
+  // each group's inactivity threshold derives from its own key (clicks
+  // sessionize at 5 min, views at 10, the rest at 30), which the
+  // fixed-gap q20 form can't express. Same state story as q20 (bounded
+  // by open sessions, watermark closes them); the merge rule per group
+  // degenerates to a fixed gap because the gap depends only on the
+  // group key, so the gaps-and-islands oracle replays it exactly.
+  private val q76 = QueryDef(
+    "q76_dynamic_session_gap",
+    (s, dir) => withStreamShuffle(s) {
+      val gap = when(col("event_type") === "click", "5 minutes")
+        .when(col("event_type") === "view", "10 minutes")
+        .otherwise("30 minutes")
+      val sessions = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), gap), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val sinkName = "q76_dynamic_session_gap_sink"
+      val q = sessions.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).cast("long").as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH d AS (
+      SELECT event_type, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
+             >= CASE event_type WHEN 'click' THEN INTERVAL 5 MINUTE
+                                WHEN 'view' THEN INTERVAL 10 MINUTE
+                                ELSE INTERVAL 30 MINUTE END
+             THEN 1 ELSE 0 END AS brk
+      FROM events),
+    i AS (SELECT event_type,
+        SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM d),
+    g AS (SELECT event_type, sess_id, COUNT(*) AS n_events FROM i GROUP BY 1, 2)
+    SELECT event_type, COUNT(*) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      MAX(n_events) AS max_session_events
+    FROM g GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75)
+    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75, q76)
 }
