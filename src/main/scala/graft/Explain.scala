@@ -23,7 +23,8 @@ object Explain {
         "t12_decontamination", "t13_repetition_stats",
         "d11_incremental_dedup", "s07_kmeans_update",
         "s09_matryoshka_rerank", "t17_bpe_pair_counts", "q66_ordered_set_aggs",
-        "q68_dsv2_pushdown")
+        "q68_dsv2_pushdown", "q70_nullsafe_join", "q71_theta_set_algebra",
+        "q73_dynamic_pivot", "d13_fuzzy_linkage")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
