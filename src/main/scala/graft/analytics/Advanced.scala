@@ -653,8 +653,10 @@ object Advanced {
     "q73_dynamic_pivot",
     (s, dir) => {
       val ev = events(s, dir)
+      // null-safe discovery: a NULL event_type must not NPE the sort (it
+      // simply isn't pivoted — FILTER counts in the oracle skip it too)
       val types = ev.select(col("event_type")).distinct()
-        .collect().map(_.getString(0)).sorted.toSeq
+        .collect().flatMap(r => Option(r.getString(0))).sorted.toSeq
       // pivot+count leaves NULL (not 0) in a (day, type) cell with no
       // rows — coalesce every dynamic column so sparse days agree with
       // the oracle's FILTER counts
@@ -666,12 +668,14 @@ object Advanced {
         .select(col("day") +: types.map(t => coalesce(col(s"`$t`"), lit(0L)).as(t)): _*)
         .orderBy(col("day"))
     },
-    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
-      COUNT(*) FILTER (WHERE event_type = 'click') AS "click",
-      COUNT(*) FILTER (WHERE event_type = 'error') AS "error",
-      COUNT(*) FILTER (WHERE event_type = 'purchase') AS "purchase",
-      COUNT(*) FILTER (WHERE event_type = 'signup') AS "signup",
-      COUNT(*) FILTER (WHERE event_type = 'view') AS "view"
+    // FILTER list derived from the shared generator constant — if the
+    // events domain ever drifts, Spark's discovery pass grows a column the
+    // oracle lacks and the compare fails loudly (schema mismatch), instead
+    // of silently desynchronizing.
+    Some(s"""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      ${graft.sources.SynthSource.Types.sorted
+        .map(t => s"""COUNT(*) FILTER (WHERE event_type = '$t') AS "$t"""")
+        .mkString(",\n      ")}
     FROM events GROUP BY 1 ORDER BY day"""))
 
   // ---------------------------------------------------------------- q74

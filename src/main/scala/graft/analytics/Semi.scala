@@ -91,7 +91,8 @@ object Semi {
       WHERE CAST(w.cum + n.price2 AS DECIMAL(18,2)) <= $budgetCap
     ),
     fin AS (
-      SELECT ck, MAX(rn) AS n_orders, MAX(cum) AS spent FROM walk GROUP BY ck
+      SELECT ck, CAST(MAX(rn) AS BIGINT) AS n_orders, MAX(cum) AS spent
+      FROM walk GROUP BY ck
     )
     SELECT n_orders, COUNT(*) AS n_customers,
       CAST(SUM(spent) AS DOUBLE) AS sum_spent

@@ -45,8 +45,8 @@ object Text {
         .select(
           col("doc_id"),
           col("lang"),
-          expr("size(split(text, ' '))").as("n_tokens"),
-          expr("size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and')))").as("n_stop"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tokens"),
+          expr("CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)").as("n_stop"),
           col("n_chars"))
         .withColumn("avg_token_len",
           round((col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"), 4))
@@ -603,7 +603,7 @@ object Text {
         SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
                          ROWS UNBOUNDED PRECEDING) AS cum
       FROM d)
-    SELECT source, (cum - n_tok) // $ShardTokens AS shard_id,
+    SELECT source, CAST((cum - n_tok) // $ShardTokens AS BIGINT) AS shard_id,
       COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens_starting
     FROM c GROUP BY 1, 2 ORDER BY source, shard_id"""))
 

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
 
 import graft.sources.SynthSource
 
@@ -12,7 +13,16 @@ import graft.sources.SynthSource
   * pruning skips unprojected generators, stats reflect the narrowed
   * range). The JVM-global counters are valid observables because tests
   * run sequentially in one local-mode JVM. */
-class SynthSourceSpec extends SparkSuite {
+class SynthSourceSpec extends SparkSuite with BeforeAndAfterEach {
+
+  // The delta-based assertions below only need counters that don't move
+  // concurrently; resetting per test removes any dependence on suite
+  // ordering or Test/parallelExecution build settings.
+  override protected def beforeEach(): Unit = {
+    super.beforeEach()
+    SynthSource.rowsGenerated.set(0L)
+    SynthSource.stringsGenerated.set(0L)
+  }
 
   private def synth(rows: Long = 10000, parts: Int = 8): DataFrame =
     spark.read.format(classOf[SynthSource].getName)
