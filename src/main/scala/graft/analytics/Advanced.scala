@@ -714,7 +714,241 @@ object Advanced {
       ${dsumSql("COALESCE(o_totalprice, 0.0)")} AS sum_price
     FROM u GROUP BY 1, 2 ORDER BY vintage, o_orderstatus"""))
 
+  // ---------------------------------------------------------------- q77
+  // TPC-H Q21 shape (waiting-supplier analysis): for each supplier, count
+  // late lineitems in MULTI-supplier orders where that supplier was the
+  // ONLY late one ("late" = shipped > 60 days after order date; this
+  // dataset has no commit/receipt dates). The textbook formulation is a
+  // correlated EXISTS + NOT EXISTS — two self-joins of the fact table.
+  // At 100 TB that is three shuffles of lineitem; the scale-correct
+  // rewrite used here replaces both self-joins with per-order aggregates
+  // computed UNDER THE JOIN'S OWN PARTITIONING: lineitem⋈orders shuffles
+  // on orderkey, and both the (orderkey, suppkey) aggregate and the
+  // order-level window reuse that distribution (hash(orderkey) satisfies
+  // clustering on its superset — zero extra exchanges on fact data; the
+  // only new shuffle is the tiny per-supplier rollup). The oracle runs
+  // the EXISTS/NOT-EXISTS form — two independently derived formulations
+  // must agree.
+  private val q77 = QueryDef(
+    "q77_waiting_supplier",
+    (s, dir) => {
+      val li = rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      val perOrderSupp = li
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val qualified = perOrderSupp
+        .withColumn("n_supp", count(lit(1)).over(w))
+        .withColumn("n_late_supp",
+          sum(when(col("n_late_items") > 0, 1L).otherwise(0L)).over(w))
+        .filter(col("n_late_items") > 0 &&
+          col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("n_late_items")).as("numwait"))
+      val supNation = rd(s, dir, "supplier")
+        .join(rd(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      qualified.join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("n_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT s_name, n_name, numwait FROM (
+      SELECT l1.l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM li l1
+      WHERE l1.late
+        AND EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+      GROUP BY 1) w
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY numwait DESC, s_name LIMIT 20"""))
+
+  // ---------------------------------------------------------------- q78
+  // Per-group least-squares regression + correlation (price vs quantity)
+  // from EXACT integer moment sums — the cross-engine-deterministic (and
+  // 100 TB-safe) form of regr_slope/regr_intercept/corr: a float SUM's
+  // value depends on partition order, so the builtin aggregates can never
+  // hash-match across engines; instead every per-row term is exact int64
+  // (price in cents, integral quantity), the five moment sums are exact
+  // (DECIMAL(38) where x² sums exceed int64), and the closed-form slope/
+  // intercept/corr are scalar IEEE arithmetic over those exact sums —
+  // bit-identical on both engines. One partial+final hash aggregate, no
+  // extra pass.
+  private val q78 = QueryDef(
+    "q78_regression_stats",
+    (s, dir) =>
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(l_quantity AS BIGINT)").as("x"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"),
+          sum(expr("CAST(x * x AS DECIMAL(38,0))")).as("sxx"),
+          // y² ≤ 1e14 never overflows int64 per row, but its SUM does; the
+          // (19,0)×(19,0)→(38,0) product is the widest decimal multiply
+          // both engines accept without width overflow
+          sum(expr("CAST(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)) AS DECIMAL(38,0))")).as("syy"),
+          sum(expr("CAST(x * y AS DECIMAL(38,0))")).as("sxy"))
+        .select(col("l_returnflag"),
+          col("n"),
+          expr("""CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  AS DOUBLE)""").as("slope_cents"),
+          expr("""(CAST(sy AS DOUBLE)
+                   - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)""").as("intercept_cents"),
+          expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))""").as("corr_xy"))
+        .orderBy(col("l_returnflag")),
+    Some("""WITH m AS (
+      SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+        CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+        SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+        SUM(CAST(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))
+                 * CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(19,0))
+                 AS DECIMAL(38,0))) AS syy,
+        SUM(CAST(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)
+            AS DECIMAL(38,0))) AS sxy
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n,
+      CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS DOUBLE) AS slope_cents,
+      (CAST(sy AS DOUBLE)
+       - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept_cents,
+      (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_xy
+    FROM m ORDER BY l_returnflag"""))
+
+  // ---------------------------------------------------------------- q79
+  // Cumulative distinct users by day. COUNT(DISTINCT) OVER a growing
+  // frame is unbounded per-row state (every engine either refuses it or
+  // materializes the full prefix per day); the scale-safe identity is
+  // cumulative_distinct(day) = Σ new_users(day), where a user is "new" on
+  // their MIN(day) — one shuffle keyed by user (high cardinality, no
+  // skew), one day-level rollup, and a window over the ~|days| aggregate
+  // rows. The daily distinct count rides the same pass for comparison.
+  private val q79 = QueryDef(
+    "q79_cumulative_distinct",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_daily_users"))
+      val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("n_new_users"))
+      val w = Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(firstSeen, Seq("day"), "left")
+        .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+        .withColumn("n_cum_users", sum(col("n_new_users")).over(w))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events),
+    daily AS (SELECT day, COUNT(*) AS n_events,
+                CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_daily_users
+              FROM ev GROUP BY day),
+    fs AS (SELECT MIN(day) AS day FROM ev GROUP BY user_id),
+    news AS (SELECT day, COUNT(*) AS n_new_users FROM fs GROUP BY day)
+    SELECT day, n_events, n_daily_users,
+      COALESCE(n_new_users, 0) AS n_new_users,
+      CAST(SUM(COALESCE(n_new_users, 0)) OVER (ORDER BY day
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
+    FROM daily LEFT JOIN news USING (day) ORDER BY day"""))
+
+  // ---------------------------------------------------------------- q82
+  // Business-day (Mon–Fri) shipping latency: calendar arithmetic as a
+  // closed-form O(1) expression per row — weekdays in [order, ship) =
+  // 5·⌊Δ/7⌋ + the weekday count of the partial week, via a Monday-based
+  // day-of-week normalized IDENTICALLY on both engines (Spark dayofweek
+  // is 1=Sun..7=Sat; DuckDB's is 0=Sun..6=Sat — both map to Mon=0 with
+  // one mod). No calendar table join, no per-day explode (the naive
+  // sequence()+filter form materializes Δ rows per row — a non-starter
+  // when Δ can be hundreds of days across 100 TB of facts).
+  private def bizDays(mondayDow: String, delta: String): String =
+    // weekdays among the `rem` days starting at weekday `dow` (Mon=0):
+    // count i in [dow, dow+rem) with (i mod 7) < 5
+    s"""(5 * ($delta DIV 7)
+        + LEAST($delta % 7, GREATEST(0, 5 - $mondayDow))
+        + GREATEST(0, ($delta % 7) - (7 - $mondayDow)))"""
+  private val q82 = QueryDef(
+    "q82_business_days",
+    (s, dir) => {
+      val li = rd(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      val o = rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          // the synthetic data has ship-before-order rows; clamp those to
+          // 0 business days (and count them) rather than extend the
+          // closed form to negative Δ, where DIV/% truncate-vs-floor
+          // semantics diverge between engines
+          expr("GREATEST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)), 0)").as("delta"),
+          expr("CAST(datediff(CAST(l_shipdate AS DATE), CAST(o_orderdate AS DATE)) < 0 AS INT)").as("early"),
+          expr("(dayofweek(CAST(o_orderdate AS DATE)) + 5) % 7").as("dow"))
+        .withColumn("bdays", expr(bizDays("dow", "delta")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("early").cast("long")).as("n_early"),
+          sum(col("bdays")).as("total_bdays"),
+          expr("CAST(SUM(bdays) AS DOUBLE) / COUNT(*)").as("avg_bdays"),
+          max(col("bdays")).cast("long").as("max_bdays"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some(s"""WITH j AS (
+      SELECT o_orderpriority,
+        GREATEST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)), 0) AS delta,
+        CAST(datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) < 0 AS INT) AS early,
+        (dayofweek(CAST(o_orderdate AS DATE)) + 6) % 7 AS dow
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    b AS (SELECT o_orderpriority, early,
+            ${bizDays("dow", "delta").replace("DIV", "//")} AS bdays FROM j)
+    SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(early) AS BIGINT) AS n_early,
+      CAST(SUM(bdays) AS BIGINT) AS total_bdays,
+      CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS avg_bdays,
+      CAST(MAX(bdays) AS BIGINT) AS max_bdays
+    FROM b GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70, q73, q74)
+      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82)
 }

@@ -720,7 +720,80 @@ object Text {
       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
     FROM p GROUP BY shard_id ORDER BY shard_id"""))
 
+  // ---------------------------------------------------------------- t19
+  // Zipf power-law fit per source: least-squares slope of ln(freq) vs
+  // ln(rank) over the top-|Head| vocabulary — THE sanity diagnostic of a
+  // text corpus (natural language sits near −1; templated/spam sources
+  // drift shallow). Cross-engine determinism follows t09's discipline:
+  // each log is rounded to an exact 4-decimal DECIMAL, scaled to integer
+  // 1e-4 units, so all five moment sums are exact int64 and the slope is
+  // scalar IEEE arithmetic over exact integers (scale factors cancel in
+  // the ratio; the intercept divides once by 1e4). The rank window runs
+  // over the (source, token, freq) AGGREGATE — bounded by vocabulary, not
+  // corpus size — and the fit itself is one hash aggregate.
+  private val ZipfHead = 500
+  private def lnQ(x: String): String =
+    s"CAST(CAST(round(ln(CAST($x AS DOUBLE)), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+  private val t19 = QueryDef(
+    "t19_zipf_slope",
+    (s, dir) => {
+      val freqs = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("c").desc, col("w"))
+      freqs
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= ZipfHead)
+        .select(col("source"), expr(lnQ("rnk")).as("lr"), expr(lnQ("c")).as("lf"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("lr")).as("slr"), sum(col("lf")).as("slf"),
+          sum(expr("lr * lr")).as("slrlr"), sum(expr("lr * lf")).as("slrlf"))
+        .select(col("source"), col("n_terms"),
+          expr("""(CAST(n_terms AS DOUBLE) * CAST(slrlf AS DOUBLE)
+                   - CAST(slr AS DOUBLE) * CAST(slf AS DOUBLE))
+                  / (CAST(n_terms AS DOUBLE) * CAST(slrlr AS DOUBLE)
+                     - CAST(slr AS DOUBLE) * CAST(slr AS DOUBLE))""").as("zipf_slope"),
+          expr("""(CAST(slf AS DOUBLE)
+                   - (CAST(n_terms AS DOUBLE) * CAST(slrlf AS DOUBLE)
+                      - CAST(slr AS DOUBLE) * CAST(slf AS DOUBLE))
+                     / (CAST(n_terms AS DOUBLE) * CAST(slrlr AS DOUBLE)
+                        - CAST(slr AS DOUBLE) * CAST(slr AS DOUBLE))
+                     * CAST(slr AS DOUBLE))
+                  / CAST(n_terms AS DOUBLE) / 10000.0D""").as("intercept_ln"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (
+      SELECT source, w, COUNT(*) AS c FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY 1, 2),
+    r AS (SELECT source, c, w,
+            ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk
+          FROM f),
+    q AS (SELECT source, ${lnQ("rnk")} AS lr, ${lnQ("c")} AS lf
+          FROM r WHERE rnk <= $ZipfHead),
+    m AS (SELECT source, COUNT(*) AS n_terms,
+            CAST(SUM(lr) AS BIGINT) AS slr, CAST(SUM(lf) AS BIGINT) AS slf,
+            CAST(SUM(lr * lr) AS BIGINT) AS slrlr,
+            CAST(SUM(lr * lf) AS BIGINT) AS slrlf
+          FROM q GROUP BY source)
+    SELECT source, n_terms,
+      (CAST(n_terms AS DOUBLE) * CAST(slrlf AS DOUBLE)
+       - CAST(slr AS DOUBLE) * CAST(slf AS DOUBLE))
+      / (CAST(n_terms AS DOUBLE) * CAST(slrlr AS DOUBLE)
+         - CAST(slr AS DOUBLE) * CAST(slr AS DOUBLE)) AS zipf_slope,
+      (CAST(slf AS DOUBLE)
+       - (CAST(n_terms AS DOUBLE) * CAST(slrlf AS DOUBLE)
+          - CAST(slr AS DOUBLE) * CAST(slf AS DOUBLE))
+         / (CAST(n_terms AS DOUBLE) * CAST(slrlr AS DOUBLE)
+            - CAST(slr AS DOUBLE) * CAST(slr AS DOUBLE))
+         * CAST(slr AS DOUBLE))
+      / CAST(n_terms AS DOUBLE) / 10000.0 AS intercept_ln
+    FROM m ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18)
+      t15, t16, t17, t18, t19)
 }
