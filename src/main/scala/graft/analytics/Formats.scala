@@ -182,5 +182,52 @@ object Formats {
       CAST(COUNT(DISTINCT ${graft.sources.SynthSource.userIdSql("id")}) AS BIGINT) AS n_users
     FROM g GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68)
+  // ---------------------------------------------------------------- q80
+  // Z-order (Morton-curve) clustered layout: bucket two query dimensions
+  // (quantity, price-band), interleave them with the native codegen'd
+  // z_interleave expression, range-partition + sort the write on the
+  // Z-code — the Delta/Iceberg OPTIMIZE ZORDER layout built from Spark
+  // primitives. A 2-D box predicate on the read-back then prunes parquet
+  // row groups in BOTH dimensions at once (a lexicographic sort is only
+  // selective in its leading column — `ZOrderSpec` proves the scan-metric
+  // difference); this query pins the SEMANTIC side: the z-clustered
+  // round-trip box aggregate hash-matches the oracle computing the same
+  // Morton codes with plain integer arithmetic on the original table.
+  private val q80 = QueryDef(
+    "q80_zorder_layout",
+    (s, dir) => {
+      graft.functions.ZInterleave.register(s)
+      val out = tmp("graft-zorder")
+      rd(s, dir, "lineitem")
+        .select(col("l_extendedprice"),
+          expr("CAST(l_quantity AS BIGINT)").as("xb"),
+          expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").as("yb"))
+        .withColumn("z", expr("z_interleave(xb, yb)"))
+        .repartitionByRange(8, col("z"))
+        .sortWithinPartitions(col("z"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .filter(col("xb").between(10, 20) && col("yb").between(20, 40))
+        .groupBy(expr("z DIV 256").as("z_block"))
+        .agg(count(lit(1)).as("n"),
+          min(col("xb")).as("min_q"), max(col("xb")).as("max_q"),
+          min(col("yb")).as("min_band"), max(col("yb")).as("max_band"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("z_block"))
+    },
+    Some(s"""WITH b AS (
+      SELECT l_extendedprice,
+        CAST(l_quantity AS BIGINT) AS xb,
+        CAST(floor(l_extendedprice / 1000) AS BIGINT) AS yb
+      FROM lineitem),
+    z AS (SELECT ${graft.functions.ZInterleave.mortonSql("xb", "yb")} AS z,
+            xb, yb, l_extendedprice
+          FROM b WHERE xb BETWEEN 10 AND 20 AND yb BETWEEN 20 AND 40)
+    SELECT z // 256 AS z_block, COUNT(*) AS n,
+      CAST(MIN(xb) AS BIGINT) AS min_q, CAST(MAX(xb) AS BIGINT) AS max_q,
+      CAST(MIN(yb) AS BIGINT) AS min_band, CAST(MAX(yb) AS BIGINT) AS max_band,
+      ${dsumSql("l_extendedprice")} AS sum_price
+    FROM z GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80)
 }

@@ -93,5 +93,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(PolyHash.descriptor)
     ext.injectFunction(DotI64.descriptor)
     ext.injectFunction(NgramHashes.descriptor)
+    ext.injectFunction(ZInterleave.descriptor)
   }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+
+/**
+ * `z_interleave(a, b)` — 64-bit Morton (Z-order) code of two BIGINT
+ * coordinates: the low 32 bits of `a` occupy the even bit positions and
+ * the low 32 bits of `b` the odd ones. Native Catalyst expression with
+ * whole-stage codegen: five magic-mask spreading steps per operand, no
+ * branching, no allocation — cheap enough to sit in the write path of
+ * every row at 100 TB.
+ *
+ * Why it exists: sorting by a Z-code is the standard multi-dimensional
+ * clustering trick (Bayer/Markl UB-tree lineage; Delta/Iceberg OPTIMIZE
+ * ZORDER) — parquet min/max row-group stats become selective in BOTH
+ * dimensions at once, so a 2-D box predicate prunes most row groups,
+ * where a lexicographic (x, y) sort only prunes in x. `ZOrderSpec`
+ * measures exactly that with Spark's scan metrics.
+ */
+case class ZInterleave(left: Expression, right: Expression) extends BinaryExpression {
+
+  // AbstractDataType (the ImplicitCastInputTypes vocabulary) is
+  // private[sql], so integral widening is handled in the descriptor's
+  // builder instead and the expression itself accepts BIGINT only.
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_interleave requires two BIGINT arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "z_interleave"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ZInterleave.morton(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val sa = ctx.freshName("sa")
+      val sb = ctx.freshName("sb")
+      def spread(v: String): String =
+        s"""$v &= 0xFFFFFFFFL;
+           |$v = ($v | ($v << 16)) & 0x0000FFFF0000FFFFL;
+           |$v = ($v | ($v << 8))  & 0x00FF00FF00FF00FFL;
+           |$v = ($v | ($v << 4))  & 0x0F0F0F0F0F0F0F0FL;
+           |$v = ($v | ($v << 2))  & 0x3333333333333333L;
+           |$v = ($v | ($v << 1))  & 0x5555555555555555L;""".stripMargin
+      s"""
+         |long $sa = $a;
+         |long $sb = $b;
+         |${spread(sa)}
+         |${spread(sb)}
+         |${ev.value} = $sa | ($sb << 1);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ZInterleave =
+    copy(left = newLeft, right = newRight)
+}
+
+object ZInterleave {
+
+  /** Bit-spread the low 32 bits of `v` into the even bit positions. */
+  private def spread(v0: Long): Long = {
+    var v = v0 & 0xFFFFFFFFL
+    v = (v | (v << 16)) & 0x0000FFFF0000FFFFL
+    v = (v | (v << 8)) & 0x00FF00FF00FF00FFL
+    v = (v | (v << 4)) & 0x0F0F0F0F0F0F0F0FL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Interpreted twin of the codegen path (and the spec's reference). */
+  def morton(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+
+  /** DuckDB twin over two SQL expressions, valid for values in [0, 2^16):
+    * the same magic-mask spreading written as `*`/`|`/`&` arithmetic
+    * (multiplication instead of `<<` — identical for in-range values and
+    * portable across engines). 16-bit masks suffice because a 16-bit
+    * input spreads into at most 32 bits. */
+  def mortonSql(a: String, b: String): String = {
+    def spreadSql(x: String): String = {
+      val s1 = s"((($x) | (($x) * 256)) & 16711935)"         // 0x00FF00FF
+      val s2 = s"(($s1 | ($s1 * 16)) & 252645135)"           // 0x0F0F0F0F
+      val s3 = s"(($s2 | ($s2 * 4)) & 858993459)"            // 0x33333333
+      s"(($s3 | ($s3 * 2)) & 1431655765)"                    // 0x55555555
+    }
+    s"(${spreadSql(a)} | (${spreadSql(b)} * 2))"
+  }
+
+  val descriptor: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("z_interleave"),
+    new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
+    (children: Seq[Expression]) => {
+      // widen INT literals/columns so `z_interleave(3, x)` just works
+      val widened = children.map { c =>
+        if (c.resolved && c.dataType == IntegerType)
+          org.apache.spark.sql.catalyst.expressions.Cast(c, LongType)
+        else c
+      }
+      ZInterleave(widened(0), widened(1))
+    })
+
+  /** Imperative registration for sessions built without
+    * [[GraftExtensions]]. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      descriptor._1, descriptor._2, descriptor._3)
+}
