@@ -1,5 +1,6 @@
 package graft.analytics
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import Tables._
@@ -435,6 +436,87 @@ object Streams {
      AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
     GROUP BY c.user_id ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q81
+  // STREAM-STREAM **LEFT OUTER** interval join: q30's shape, but
+  // unmatched clicks must ALSO surface (with null purchase columns) —
+  // and an outer result can only emit once the watermark proves no match
+  // can still arrive, i.e. when c_ts + 30min falls below the join's
+  // global watermark (min of both sides). Outer joins only run in append
+  // mode, so finalization timing is part of the semantics: after the
+  // bounded AvailableNow drain (plus its final no-data batch, which
+  // flushes evictions) the watermark rests at max(ts) − 1h, and every
+  // click older than max(ts) − 2h is provably finalized — both the sink
+  // output and the batch-twin oracle restrict to that prefix, making the
+  // comparison exact. The streams themselves are NOT pre-filtered: a
+  // filtered left side would drag ITS max event time (and therefore the
+  // global watermark) backwards and un-finalize rows near the cut.
+  private val q81 = QueryDef(
+    "q81_stream_left_outer",
+    (s, dir) => withStreamShuffle(s) {
+      // The final watermark is min over SIDES of (that side's max event
+      // time − 1h) — each watermark node only sees its own filtered
+      // stream, so a sparse purchase tail drags the global watermark
+      // back. Finalized clicks are those a further 30min (join bound)
+      // + 1min safety margin below it.
+      val Row(maxClickUs: Long, maxPurchUs: Long) = events(s, dir)
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+        .head
+      val cutUs = math.min(maxClickUs, maxPurchUs) -
+        3600000000L - 1800000000L - 60000000L
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      val sinkName = "q81_stream_left_outer_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .filter(unix_micros(col("c_ts")) <= cutUs)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          sum(when(col("p_ts").isNotNull,
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .otherwise(0L)).as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH mx AS (
+      SELECT LEAST(
+          MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+          MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
+        - 3600000000 - 1800000000 - 60000000 AS cut_us
+      FROM events),
+    c AS (SELECT user_id, ts FROM events, mx
+          WHERE event_type = 'click' AND epoch_us(ts) <= cut_us),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id, c.ts AS c_ts, p.ts AS p_ts
+          FROM c LEFT JOIN p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    SELECT user_id, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+      CAST(SUM(CASE WHEN p_ts IS NOT NULL
+               THEN epoch_us(p_ts) - epoch_us(c_ts) ELSE 0 END) AS BIGINT) AS sum_gap_us
+    FROM j GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- q38
   // STREAM-STATIC join: the streaming fact enriched against a batch
   // dimension, broadcast into every micro-batch — the classic production
@@ -686,5 +768,6 @@ object Streams {
     FROM g GROUP BY event_type ORDER BY event_type"""))
 
   val defs: Seq[QueryDef] =
-    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75, q76)
+    Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
+      q76, q81)
 }
