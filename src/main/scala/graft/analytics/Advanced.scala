@@ -735,17 +735,26 @@ object Advanced {
       val li = rd(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
       val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate"))
+      // one explicit hash(orderkey) exchange feeds BOTH the composite-key
+      // aggregate (hash(ok) satisfies ClusteredDistribution(ok, sk)) and
+      // the order-level window — without it the plan shuffles twice, once
+      // on (ok, sk) and again on ok for the window
       val perOrderSupp = li
         .join(o, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
       val w = Window.partitionBy(col("l_orderkey"))
       val qualified = perOrderSupp
-        .withColumn("n_supp", count(lit(1)).over(w))
-        .withColumn("n_late_supp",
-          sum(when(col("n_late_items") > 0, 1L).otherwise(0L)).over(w))
+        // both window functions in ONE select → a single Window operator
+        // (withColumn chains interleave Projects that defeat
+        // CollapseWindow)
+        .select(col("l_orderkey"), col("l_suppkey"), col("n_late_items"),
+          count(lit(1)).over(w).as("n_supp"),
+          sum(when(col("n_late_items") > 0, 1L).otherwise(0L)).over(w)
+            .as("n_late_supp"))
         .filter(col("n_late_items") > 0 &&
           col("n_supp") >= 2 && col("n_late_supp") === 1)
         .groupBy(col("l_suppkey"))

@@ -437,11 +437,17 @@ object Text {
         .cache()
       ex.count()
       val bench = ex.filter(col("doc_id") % 97 === 0).select(col("ng")).distinct()
-      val corpus = ex.filter(col("doc_id") % 97 =!= 0)
-      val perDoc = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_distinct_grams"))
-      val out = corpus.join(broadcast(bench), "ng")
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
-        .join(perDoc, "doc_id")
+        .withColumn("hit", lit(1L))
+      // one broadcast LEFT join computes both counts in a single per-doc
+      // aggregate (distinct grams = all rows, hits = matched rows) — the
+      // former inner-join + separate per-doc count + rejoin shape cost an
+      // extra shuffle and an extra join for the same answer
+      val out = ex.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(bench), Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_distinct_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .filter(col("n_hit") > 0)
         .select(col("doc_id"), col("n_distinct_grams"), col("n_hit"))
         .orderBy(col("doc_id"))
         .localCheckpoint()
