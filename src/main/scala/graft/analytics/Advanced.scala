@@ -903,6 +903,41 @@ object Advanced {
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum_users
     FROM daily LEFT JOIN news USING (day) ORDER BY day"""))
 
+  // ---------------------------------------------------------------- q83
+  // Salted skew join as a first-class query: 70% of the fact lands on ONE
+  // key (the hot-key shape that funnels a plain hash join into a single
+  // straggler task), and [[graft.operators.SaltedJoin]] spreads it across
+  // 16 deterministic shards by replicating the small dim side — the
+  // manual form of AQE's skew handling for the places AQE can't reach
+  // (post-transform skew, streaming, pinned physical shapes). The oracle
+  // is the UNSALTED join: salting must never change the answer.
+  private val q83 = QueryDef(
+    "q83_salted_skew_join",
+    (s, dir) => {
+      val fact = rd(s, dir, "lineitem")
+        .select(
+          expr("CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey % 1000 END")
+            .as("k"),
+          col("l_partkey"), col("l_linenumber"), col("l_extendedprice"))
+      val dim = fact.select(col("k")).distinct()
+        .select(col("k").as("dk"), concat(lit("seg_"), col("k") % 7).as("segment"))
+      graft.operators.SaltedJoin.join(
+          fact, dim, factKey = "k", dimKey = "dk",
+          saltSource = Seq("l_partkey", "l_linenumber"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("segment"))
+    },
+    Some(s"""WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 1 ELSE l_orderkey % 1000 END AS k,
+             l_extendedprice
+      FROM lineitem),
+    dim AS (SELECT k AS dk, concat('seg_', k % 7) AS segment
+            FROM (SELECT DISTINCT k FROM fact))
+    SELECT segment, COUNT(*) AS n, ${dsumSql("l_extendedprice")} AS sum_price
+    FROM fact JOIN dim ON k = dk
+    GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- q82
   // Business-day (Mon–Fri) shipping latency: calendar arithmetic as a
   // closed-form O(1) expression per row — weekdays in [order, ship) =
@@ -959,5 +994,5 @@ object Advanced {
 
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82)
+      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83)
 }

@@ -468,5 +468,71 @@ object Similarity {
       FROM cand JOIN qn a ON a.vec_id = cand.q_id JOIN qn b ON b.vec_id = cand.c_id)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+  // ---------------------------------------------------------------- s10
+  // Product-quantization (PQ) encode — the memory layout of large-scale
+  // ANN indexes (IVF-PQ): the 64-dim vector splits into M=4 subvectors,
+  // each assigned to its nearest of K=16 per-subspace centroids, so a
+  // vector compresses to 4 code bytes (64× smaller than float32). The
+  // codebook here is synthetic-but-deterministic (a fixed integer rule in
+  // the same 1e7-quantized space as the vectors — PQ *training* is s07's
+  // k-means run per subspace; encode cost is what matters at corpus
+  // scale). Everything is exact int64 (squared distances ≤ 16·(2e7)² per
+  // subvector), argmin ties break to the lowest code on both engines
+  // (array_position / list_position both return the FIRST index of the
+  // min), and the reconstruction error ships as an exact integer — so the
+  // full per-vector code table hash-matches the oracle.
+  private val PqM = 4        // subspaces
+  private val PqK = 16       // codes per subspace
+  private val PqD = 16       // dims per subspace
+  private def pqCentroid(m: Int, j: Int, d: Int): Long =
+    ((17L * (d + 1) + 31L * (j + 1) + 7L * (m + 1)) % 21L - 10L) * 1000000L
+  private def pqBookSpark(m: Int): String =
+    (0 until PqK).map(j => (0 until PqD).map(pqCentroid(m, j, _))
+      .mkString("array(", ", ", ")")).mkString("array(", ", ", ")")
+  private def pqBookDuck(m: Int): String =
+    (0 until PqK).map(j => (0 until PqD).map(pqCentroid(m, j, _))
+      .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+  private val s10 = QueryDef(
+    "s10_pq_encode",
+    (s, dir) => {
+      val dists = (0 until PqM).foldLeft(withQuant(dir, s)) { (df, m) =>
+        df.withColumn(s"d$m", expr(
+          s"""transform(${pqBookSpark(m)}, c ->
+                aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
+                  (a, b) -> (a - b) * (a - b)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v))"""))
+      }
+      (0 until PqM).foldLeft(dists) { (df, m) =>
+        df.withColumn(s"code$m",
+            expr(s"array_position(d$m, array_min(d$m))").cast("long"))
+          .withColumn(s"err$m", expr(s"element_at(d$m, CAST(code$m AS INT))"))
+      }
+        .select(col("vec_id") +:
+          (0 until PqM).map(m => col(s"code$m")) :+
+          (0 until PqM).map(m => col(s"err$m")).reduce(_ + _).as("recon_err"): _*)
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val distCols = (0 until PqM).map { m =>
+        s"""list_transform(${pqBookDuck(m)}, c ->
+              list_reduce(list_transform(
+                list_zip(qv[${m * PqD + 1}:${(m + 1) * PqD}], c),
+                p -> (p[1] - p[2]) * (p[1] - p[2])),
+                (acc, v) -> acc + v)) AS d$m"""
+      }.mkString(",\n      ")
+      val codeCols = (0 until PqM).map(m =>
+        s"CAST(list_position(d$m, list_min(d$m)) AS BIGINT) AS code$m")
+        .mkString(",\n      ")
+      val errSum = (0 until PqM).map(m => s"d$m[CAST(code$m AS INT)]")
+        .mkString(" + ")
+      s"""WITH qe AS (SELECT vec_id, ${quantizeSql("embedding")} AS qv FROM embeddings),
+      d AS (SELECT vec_id, $distCols FROM qe),
+      c AS (SELECT vec_id, d0, d1, d2, d3, $codeCols FROM d)
+      SELECT vec_id, code0, code1, code2, code3,
+        CAST($errSum AS BIGINT) AS recon_err
+      FROM c ORDER BY vec_id"""
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
 }
