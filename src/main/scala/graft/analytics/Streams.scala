@@ -250,6 +250,42 @@ object Streams {
     Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_unique_users
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q84
+  // Streaming dedup with EVICTABLE state: dropDuplicatesWithinWatermark
+  // only guarantees dropping duplicates whose event times fall within the
+  // watermark delay of each other — which is exactly what lets it evict
+  // seen-keys state (q22's plain dropDuplicates holds every key forever;
+  // at 100 TB that state never stops growing). The query is shaped so the
+  // guarantee is EXACT, not batch-accidental: the dedup key includes the
+  // day, so recurrences of (user, type) on different days are distinct
+  // keys, and the 25h delay exceeds any intra-day spread — every true
+  // duplicate is inside the guarantee window and the deduped key set
+  // equals the batch DISTINCT regardless of micro-batch boundaries.
+  private val q84 = QueryDef(
+    "q84_dedup_within_watermark",
+    (s, dir) => withStreamShuffle(s) {
+      val deduped = eventsStream(s, dir)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .withWatermark("ts", "25 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+      val sinkName = "q84_dedup_within_watermark_sink"
+      val q = deduped.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .groupBy(col("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_unique_users"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some("""SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+      COUNT(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   // ---------------------------------------------------------------- q24
   // Streaming SLIDING window (2-hour width, 1-hour slide): each event
   // lands in exactly two windows. Oracle replays the expansion (starts =
@@ -769,5 +805,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81)
+      q76, q81, q84)
 }

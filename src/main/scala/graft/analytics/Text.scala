@@ -799,7 +799,74 @@ object Text {
       / CAST(n_terms AS DOUBLE) / 10000.0 AS intercept_ln
     FROM m ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t20
+  // C4-style cross-document boilerplate detection: carve each doc into
+  // non-overlapping 8-token segments (every 8th entry of the O(len)
+  // rolling n-gram hash array — no re-hashing), count how many DISTINCT
+  // docs each segment appears in, and roll up per source: how much of the
+  // corpus is duplicated segment mass, and how many docs are >25%
+  // boilerplate (integer cross-multiply, no float threshold). The only
+  // corpus-wide op is one hash aggregate on the segment hash + one
+  // co-partitioned join back — the shape C4's dedup actually ran at web
+  // scale. (t14 finds SHARED PREFIXES via affix keys; this finds repeated
+  // interior mass anywhere in the doc.)
+  private val ChunkTok = 8
+  private val t20 = QueryDef(
+    "t20_boilerplate_segments",
+    (s, dir) => {
+      val chunks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        // materialize the rolling n-gram array OUTSIDE the index lambda —
+        // HOF lambdas are not hoisted (t05/d02 history), so inlining it
+        // would recompute the O(len) pass once per chunk
+        .select(col("doc_id"), col("source"), col("th"),
+          expr(ngramExpr("th", ChunkTok)).as("ng"))
+        .select(col("doc_id"), col("source"),
+          expr(s"""CASE WHEN size(th) >= $ChunkTok THEN
+              transform(sequence(0, CAST(size(th) DIV $ChunkTok AS INT) - 1),
+                i -> element_at(ng, i * $ChunkTok + 1))
+            ELSE array() END""").as("chunks"))
+        .select(col("doc_id"), col("source"), explode(col("chunks")).as("ch"))
+      val global = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      val perDoc = chunks.join(global, "ch")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n_docs_with") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chunks")).as("n_chunks"),
+          sum(col("n_dup")).as("n_dup_chunks"),
+          sum(when(col("n_dup") * 4 > col("n_chunks"), 1L).otherwise(0L))
+            .as("n_boiler_docs"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id, source,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ngt AS (SELECT doc_id, source, th,
+        ${ngramSqlDuck("th", ChunkTok)} AS ng FROM th),
+    ck AS (SELECT doc_id, source,
+        CASE WHEN len(th) >= $ChunkTok THEN
+          list_transform(generate_series(0, len(th) // $ChunkTok - 1),
+            i -> ng[i * $ChunkTok + 1])
+        ELSE CAST([] AS BIGINT[]) END AS chunks
+      FROM ngt),
+    ex AS (SELECT doc_id, source, unnest(chunks) AS ch FROM ck),
+    g AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs_with FROM ex GROUP BY ch),
+    pd AS (SELECT doc_id, source, COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           FROM ex JOIN g USING (ch) GROUP BY 1, 2)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+      CAST(SUM(n_dup) AS BIGINT) AS n_dup_chunks,
+      CAST(SUM(CASE WHEN n_dup * 4 > n_chunks THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_boiler_docs
+    FROM pd GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19)
+      t15, t16, t17, t18, t19, t20)
 }
