@@ -24,7 +24,11 @@ object Explain {
         "d11_incremental_dedup", "s07_kmeans_update",
         "s09_matryoshka_rerank", "t17_bpe_pair_counts", "q66_ordered_set_aggs",
         "q68_dsv2_pushdown", "q70_nullsafe_join", "q71_theta_set_algebra",
-        "q73_dynamic_pivot", "d13_fuzzy_linkage")
+        "q73_dynamic_pivot", "d13_fuzzy_linkage",
+        "q77_waiting_supplier", "q78_regression_stats",
+        "q79_cumulative_distinct", "q82_business_days",
+        "q83_salted_skew_join", "s10_pq_encode", "t19_zipf_slope",
+        "t20_boilerplate_segments")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
