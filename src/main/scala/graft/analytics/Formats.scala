@@ -229,5 +229,51 @@ object Formats {
       ${dsumSql("l_extendedprice")} AS sum_price
     FROM z GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80)
+  // ---------------------------------------------------------------- q85
+  // Dynamic partition pruning: the fact lands hive-partitioned by day;
+  // the dim carries a predicate the optimizer can't see statically (it
+  // filters the DIM side), so Catalyst injects a DynamicPruningExpression
+  // subquery into the fact scan's partitionFilters and only the matching
+  // day directories are ever listed/read — the mechanism that makes
+  // star-schema joins viable on 100 TB partitioned facts (without it,
+  // the fact scan reads every partition and the join discards 80% of the
+  // I/O after the fact). `DppSpec` pins the plan shape and the pruned
+  // scan metrics; this query pins the semantics against the plain join.
+  private val q85 = QueryDef(
+    "q85_dpp_join",
+    (s, dir) => withConfs(s,
+      // keep the partition column STRING on read-back — type inference
+      // would surface it as DATE and wedge a cast between the join key
+      // and the partition column, which disqualifies DPP
+      "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
+      val out = tmp("graft-dpp")
+      events(s, dir)
+        .withColumn("day", to_date(col("ts")).cast("string"))
+        .select(col("day"), col("event_type"), col("user_id"), col("value"))
+        .write.mode("overwrite").partitionBy("day").parquet(out)
+      val dim = events(s, dir)
+        .select(to_date(col("ts")).cast("string").as("d")).distinct()
+        // the dim-side predicate: odd last digit of the day-of-month —
+        // opaque to the fact scan until runtime
+        .filter(expr("CAST(substring(d, 10, 1) AS INT) % 2 = 1"))
+        .withColumn("tag", concat(lit("day_"), col("d")))
+      s.read.parquet(out)
+        .join(dim, col("day") === col("d"))
+        .groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("tag"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type, user_id, value
+      FROM events),
+    dim AS (SELECT d, concat('day_', d) AS tag FROM (
+        SELECT DISTINCT day AS d FROM ev)
+      WHERE CAST(substring(d, 10, 1) AS INT) % 2 = 1)
+    SELECT tag, COUNT(*) AS n, ${dsumSql("value")} AS sum_value,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ev JOIN dim ON day = d
+    GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80, q85)
 }
