@@ -616,6 +616,61 @@ object Dedup {
     FROM c a JOIN c b ON a.block = b.block AND a.id < b.id
     GROUP BY a.block ORDER BY a.block"""))
 
+  // ---------------------------------------------------------------- d14
+  // MinHash calibration curve: E[exact Jaccard | k of 8 minhashes agree]
+  // over a bounded pair set — the measurement that justifies (or
+  // indicts) an LSH band/row choice before committing a corpus-scale
+  // dedup run to it: P(minhash agree) = J per permutation, so the
+  // agreement count is Binomial(8, J) and the curve should rise ~k/8.
+  // Agreement counting is integer zip_with over the signature arrays;
+  // the per-bucket mean Jaccard sums exact 6-decimal DECIMALs (a double
+  // sum would be partition-order-dependent), divided once at the end.
+  private val d14 = QueryDef(
+    "d14_minhash_calibration",
+    (s, dir) => {
+      val sh = shingled(s, dir).filter(col("doc_id") < 60)
+      val mh = sh
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(col("doc_id"),
+          array(perm.map { case (a, b) =>
+            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
+          }: _*).as("mhs"))
+      val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+          col("id1") < col("id2"))
+        .withColumn("jacc", round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 6))
+        .select(col("id1"), col("id2"), col("jacc"))
+      pairs
+        .join(mh.select(col("doc_id").as("id1"), col("mhs").as("m1")), "id1")
+        .join(mh.select(col("doc_id").as("id2"), col("mhs").as("m2")), "id2")
+        .withColumn("k_agree",
+          expr("size(filter(zip_with(m1, m2, (a, b) -> a = b), x -> x))").cast("long"))
+        .groupBy(col("k_agree"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jacc").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .as("sj"))
+        .select(col("k_agree"), col("n_pairs"),
+          expr("CAST(sj AS DOUBLE) / CAST(n_pairs AS DOUBLE)").as("avg_jacc"))
+        .orderBy(col("k_agree"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jacc,
+        CAST(len(list_filter(list_zip(x.mhs, y.mhs), p -> p[1] = p[2])) AS BIGINT) AS k_agree
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN mh x ON x.doc_id = a.doc_id JOIN mh y ON y.doc_id = b.doc_id)
+    SELECT k_agree, COUNT(*) AS n_pairs,
+      CAST(SUM(CAST(jacc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_jacc
+    FROM pairs GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
 }

@@ -198,5 +198,52 @@ object Pipeline {
       CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_discount
     FROM lineitem"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67)
+  // ---------------------------------------------------------------- q86
+  // Incremental aggregate maintenance (materialized-view refresh): the
+  // standing per-priority aggregate over the OLD data is merged with the
+  // aggregate of the DELTA batch via one full-outer join + additive
+  // combine — the refresh touches |groups| rows, never the history. The
+  // invariant that makes this safe, f(all) = merge(f(old), f(delta)),
+  // only holds for decomposable aggregates: sums/counts/max merge
+  // directly, and avg must be re-derived from merged sums (averaging
+  // averages would be wrong the moment group sizes differ). The oracle
+  // recomputes from scratch over everything — merged must equal
+  // recomputed exactly, which the DECIMAL money sums guarantee.
+  private val q86 = QueryDef(
+    "q86_incremental_agg",
+    (s, dir) => {
+      val split = "1997-01-01"
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("sum_price"),
+          max(expr("CAST(o_totalprice AS DECIMAL(18,2))")).as("max_price"))
+      val o = rd(s, dir, "orders")
+      val base = agg(o.filter(col("o_orderdate") < split))
+        .withColumnsRenamed(Map("o_orderpriority" -> "bk", "n" -> "b_n",
+          "sum_price" -> "b_sum", "max_price" -> "b_max"))
+      val delta = agg(o.filter(col("o_orderdate") >= split))
+        .withColumnsRenamed(Map("o_orderpriority" -> "dk", "n" -> "d_n",
+          "sum_price" -> "d_sum", "max_price" -> "d_max"))
+      base.join(delta, col("bk") === col("dk"), "full_outer")
+        .select(
+          coalesce(col("bk"), col("dk")).as("o_orderpriority"),
+          (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n"),
+          (coalesce(col("b_sum"), expr("CAST(0 AS DECIMAL(18,2))"))
+            + coalesce(col("d_sum"), expr("CAST(0 AS DECIMAL(18,2))")))
+            .cast("double").as("sum_price"),
+          greatest(coalesce(col("b_max"), col("d_max")),
+            coalesce(col("d_max"), col("b_max"))).cast("double").as("max_price"))
+        .withColumn("avg_price",
+          expr("CAST(sum_price AS DOUBLE) / CAST(n AS DOUBLE)"))
+        .orderBy(col("o_orderpriority"))
+    },
+    // full recompute — the invariant the merge must reproduce
+    Some("""SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+    FROM orders GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86)
 }
