@@ -992,7 +992,67 @@ object Advanced {
       CAST(MAX(bdays) AS BIGINT) AS max_bdays
     FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q87
+  // Exponentially-weighted moving average per user — the smoothing
+  // operator SQL windows cannot express (each term multiplies the
+  // previous state; no built-in frame aggregate composes that way).
+  // α = 1/2 makes it EXACT integer arithmetic: over the trailing 20
+  // events, ewma·2^20 = Σ value_i·2^(19-i) (newest first) — a fixed-
+  // point fold in int64 (terms ≤ 1e6·2^19, sums < 2^53), identical on
+  // both engines, no float-power drift. The fold runs over a bounded
+  // slice of a per-user collected list: state is O(20) per user, the
+  // shuffle is one user-keyed aggregate — at 100 TB this is the
+  // mapGroups-free form of per-entity smoothing (the unbounded-history
+  // form is q40's transformWithState).
+  private val EwmaN = 20
+  private val q87 = QueryDef(
+    "q87_ewma_fixed_point",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      // newest-first ordered list per user, then a positional fold over
+      // the first 20 entries
+      ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("""transform(
+              slice(array_sort(collect_list(struct(ts, cents)),
+                      (a, b) -> CASE WHEN a.ts > b.ts THEN -1
+                                     WHEN a.ts < b.ts THEN 1
+                                     WHEN a.cents > b.cents THEN -1
+                                     WHEN a.cents < b.cents THEN 1
+                                     ELSE 0 END),
+                    1, 20),
+              x -> x.cents)""").as("recent"))
+        .select(col("user_id"), col("n_events"),
+          expr(s"""aggregate(
+              zip_with(recent,
+                       sequence(${EwmaN - 1}, ${EwmaN - 1} - size(recent) + 1),
+                       (v, e) -> v * CAST(pow(2, e) AS BIGINT)),
+              CAST(0 AS BIGINT), (acc, t) -> acc + t)""").as("ewma_fp"))
+        .withColumn("ewma_cents",
+          expr(s"CAST(ewma_fp AS DOUBLE) / ${1L << EwmaN}"))
+        .select(col("user_id"), col("n_events"), col("ewma_fp"), col("ewma_cents"))
+        .orderBy(col("user_id"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    r AS (SELECT user_id, cents,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, cents DESC) AS rn
+          FROM ev),
+    f AS (SELECT user_id,
+            CAST(SUM(cents * CAST(pow(2, ${EwmaN - 1} - (rn - 1)) AS BIGINT)) AS BIGINT)
+              AS ewma_fp
+          FROM r WHERE rn <= $EwmaN GROUP BY user_id),
+    n AS (SELECT user_id, COUNT(*) AS n_events FROM ev GROUP BY user_id)
+    SELECT n.user_id, n.n_events, f.ewma_fp,
+      CAST(f.ewma_fp AS DOUBLE) / ${1L << EwmaN} AS ewma_cents
+    FROM n JOIN f ON n.user_id = f.user_id
+    ORDER BY n.user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83)
+      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87)
 }
