@@ -28,7 +28,8 @@ object Explain {
         "q77_waiting_supplier", "q78_regression_stats",
         "q79_cumulative_distinct", "q82_business_days",
         "q83_salted_skew_join", "s10_pq_encode", "t19_zipf_slope",
-        "t20_boilerplate_segments")
+        "t20_boilerplate_segments", "q86_incremental_agg",
+        "q87_ewma_fixed_point", "d14_minhash_calibration")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
