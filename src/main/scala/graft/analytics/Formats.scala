@@ -275,5 +275,48 @@ object Formats {
     FROM ev JOIN dim ON day = d
     GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80, q85)
+  // ---------------------------------------------------------------- q88
+  // Bucketed co-located join: both sides written `bucketBy(8, orderkey)`
+  // + `sortBy` as EXTERNAL tables (data under a scratch path), then
+  // joined with broadcast disabled — the plan has NO Exchange and NO
+  // Sort on either side (bucket files are the shuffle, done once at
+  // write time; `BucketingSpec` pins that plan shape). At 100 TB this is
+  // the amortization play for every repeated fact⋈fact join key: pay the
+  // partitioning once, join shuffle-free forever after. The oracle runs
+  // the plain join — bucketing must never change the answer.
+  private val q88 = QueryDef(
+    "q88_bucketed_join",
+    (s, dir) => {
+      // explicit scratch LOCATION — the default would drop a
+      // graft_q88.db dir under ./spark-warehouse in the caller's cwd
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q88 LOCATION '${tmp("graft-q88-db")}'")
+      s.sql("DROP TABLE IF EXISTS graft_q88.orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_q88.lineitem_b")
+      rd(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", tmp("graft-bucket-o"))
+        .saveAsTable("graft_q88.orders_b")
+      rd(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("graft-bucket-l"))
+        .saveAsTable("graft_q88.lineitem_b")
+      withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        s.table("graft_q88.lineitem_b")
+          .join(s.table("graft_q88.orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(discPrice(col("l_extendedprice"), col("l_discount")))
+              .cast("double").as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      }
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n,
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88)
 }
