@@ -866,7 +866,70 @@ object Text {
         AS n_boiler_docs
     FROM pd GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t21
+  // Train/held-out distribution shift: fit an add-one-smoothed unigram LM
+  // on the 80% train split, score the 20% held-out split per source —
+  // per-source cross-entropy + OOV rate, the pre-training check that a
+  // data mix's eval slice actually looks like its train slice (a source
+  // whose held-out entropy spikes is drifting or contaminated). t09
+  // scores docs under the corpus's OWN distribution; this is the
+  // out-of-sample version. Same determinism discipline: per-word log
+  // probs quantized to exact 1e-4 integer units, per-source sums are
+  // integer count×unit products, one double division at the end. The
+  // |train vocab| table broadcasts into the held-out scoring join; no
+  // shuffle exceeds |vocab| or |sources|.
+  private val t21 = QueryDef(
+    "t21_train_test_shift",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      // consistent-hash split (t16's rule) — a doc_id % 10 split would be
+      // CONFOUNDED with the generator's source = f(doc_id % 20) layout
+      // (only 4 sources would land in the held-out slice, none of them
+      // with train data)
+      val train = toks.filter(expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8)
+      val test = toks.filter(expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") >= 8)
+      val tc = train.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val scalars = tc.agg(sum(col("c")).as("ntr"), count(lit(1)).as("v"))
+      val lp = tc.crossJoin(scalars)
+        .select(col("w"),
+          expr(s"${lnQ("(c + 1) / CAST(ntr + v AS DOUBLE)")}").as("lq"))
+      val oov = scalars
+        .select(expr(s"${lnQ("1 / CAST(ntr + v AS DOUBLE)")}").as("lq0"))
+      test.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cte"))
+        .join(broadcast(lp), Seq("w"), "left")
+        .crossJoin(broadcast(oov))
+        .groupBy(col("source"))
+        .agg(sum(col("cte")).as("n_test_tokens"),
+          sum(when(col("lq").isNull, col("cte")).otherwise(0L)).as("n_oov"),
+          sum(col("cte") * coalesce(col("lq"), col("lq0"))).as("sq"))
+        .select(col("source"), col("n_test_tokens"), col("n_oov"),
+          expr("CAST(n_oov AS DOUBLE) / n_test_tokens").as("oov_rate"),
+          expr("-CAST(sq AS DOUBLE) / n_test_tokens / 10000.0D").as("cross_entropy"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH toks AS (
+      SELECT doc_id, source, unnest(string_split(text, ' ')) AS w FROM documents),
+    tc AS (SELECT w, COUNT(*) AS c FROM toks
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY w),
+    sc AS (SELECT CAST(SUM(c) AS BIGINT) AS ntr, COUNT(*) AS v FROM tc),
+    lp AS (SELECT w, ${lnQ("(c + 1) / CAST(ntr + v AS DOUBLE)")} AS lq
+           FROM tc CROSS JOIN sc),
+    oov AS (SELECT ${lnQ("1 / CAST(ntr + v AS DOUBLE)")} AS lq0 FROM sc),
+    te AS (SELECT source, w, COUNT(*) AS cte FROM toks
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2),
+    j AS (SELECT source, cte, lq, lq0
+          FROM te LEFT JOIN lp USING (w) CROSS JOIN oov)
+    SELECT source,
+      CAST(SUM(cte) AS BIGINT) AS n_test_tokens,
+      CAST(SUM(CASE WHEN lq IS NULL THEN cte ELSE 0 END) AS BIGINT) AS n_oov,
+      CAST(SUM(CASE WHEN lq IS NULL THEN cte ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(cte) AS BIGINT) AS oov_rate,
+      -CAST(SUM(cte * COALESCE(lq, lq0)) AS DOUBLE)
+        / CAST(SUM(cte) AS BIGINT) / 10000.0 AS cross_entropy
+    FROM j GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20)
+      t15, t16, t17, t18, t19, t20, t21)
 }
