@@ -992,6 +992,45 @@ object Advanced {
       CAST(MAX(bdays) AS BIGINT) AS max_bdays
     FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q89
+  // Null-aware anti join — NOT IN over a NULLABLE subquery, which is NOT
+  // the anti join q07 runs: under ANSI three-valued logic a single NULL
+  // in the subquery makes `x NOT IN (...)` never-true for every row, and
+  // a NULL probe value is likewise never kept. Spark plans this as a
+  // BroadcastHashJoin with isNullAwareAntiJoin=true (single-column case)
+  // rather than a plain LeftAnti; getting it wrong silently returns the
+  // NOT EXISTS answer instead. The build side is NULLABLE BY TYPE
+  // (nullif with no IS NOT NULL guard — adding one lets Catalyst
+  // simplify to a plain anti join and the null-aware machinery never
+  // runs) but null-free in fact, so the result is non-empty while
+  // probe-side NULLs still flow through the three-valued-logic path.
+  private val q89 = QueryDef(
+    "q89_null_aware_anti_join",
+    (s, dir) => {
+      s.sql("DROP VIEW IF EXISTS graft_q89_orders")
+      rd(s, dir, "orders").createOrReplaceTempView("graft_q89_orders")
+      // urgent-ish priorities present in lineitem-heavy orders, nulls
+      // stripped by the IS NOT NULL the ANSI semantics force you to write
+      s.sql("""
+        SELECT o_orderstatus, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM (SELECT *, nullif(o_orderpriority, '3-MEDIUM') AS prio
+              FROM graft_q89_orders)
+        WHERE prio NOT IN (
+          SELECT nullif(o_orderpriority, '3-MEDIUM')
+          FROM graft_q89_orders
+          WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    },
+    Some("""SELECT o_orderstatus, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM (SELECT *, nullif(o_orderpriority, '3-MEDIUM') AS prio FROM orders)
+    WHERE prio NOT IN (
+      SELECT nullif(o_orderpriority, '3-MEDIUM')
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+    GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+
   // ---------------------------------------------------------------- q87
   // Exponentially-weighted moving average per user — the smoothing
   // operator SQL windows cannot express (each term multiplies the
@@ -1054,5 +1093,5 @@ object Advanced {
 
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87)
+      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89)
 }

@@ -300,4 +300,23 @@ class AdvancedOpsSpec extends SparkSuite {
     // asserting exact catalog contents (BillingTablesSpec) stay isolated
     spark.catalog.dropTempView("q30_stream_stream_join_sink")
   }
+
+  test("q89's NOT IN compiles null-AWARE: one build-side NULL empties the result") {
+    // the behavioral distinction q89's oracle can't see on null-free
+    // data: under ANSI three-valued logic `x NOT IN (S)` is never true
+    // once S contains a NULL; a mistakenly-plain anti equi-join (where a
+    // NULL key simply never matches) would keep every non-member row
+    val spark2 = spark
+    import spark2.implicits._
+    Seq("a", "b", "c").toDF("x").createOrReplaceTempView("q89_probe")
+    Seq(Some("a"), None).toDF("y").createOrReplaceTempView("q89_build")
+    spark.sql("SELECT x FROM q89_probe WHERE x NOT IN (SELECT y FROM q89_build)")
+      .count() shouldBe 0L
+    // and with the NULL filtered away, the plain-anti answer returns
+    spark.sql("""SELECT x FROM q89_probe
+                 WHERE x NOT IN (SELECT y FROM q89_build WHERE y IS NOT NULL)""")
+      .count() shouldBe 2L
+    spark.catalog.dropTempView("q89_probe")
+    spark.catalog.dropTempView("q89_build")
+  }
 }
