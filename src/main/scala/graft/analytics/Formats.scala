@@ -250,6 +250,11 @@ object Formats {
       events(s, dir)
         .withColumn("day", to_date(col("ts")).cast("string"))
         .select(col("day"), col("event_type"), col("user_id"), col("value"))
+        // NOT repartition(day)-ed before the write: one-file-per-day
+        // serializes into |days| writer tasks plus a full shuffle —
+        // measured 3.3x slower here than the parallel |tasks|-files-
+        // per-day write. At cluster scale, file-count control belongs to
+        // AQE rebalance / maxRecordsPerFile, not a hard repartition.
         .write.mode("overwrite").partitionBy("day").parquet(out)
       val dim = events(s, dir)
         .select(to_date(col("ts")).cast("string").as("d")).distinct()
