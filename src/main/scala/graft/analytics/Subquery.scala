@@ -184,12 +184,17 @@ object Subquery {
         .groupBy(col("o_orderpriority"))
         .agg(
           count(lit(1)).as("n"),
-          round(median(col("o_totalprice")), 2).as("median_price"),
+          // median in exact integer CENTS: even-count interpolation then
+          // yields x or x.5 — both exactly representable — and one final
+          // IEEE division replaces the round(median(double), 2) whose
+          // half-way behavior diverged between engines at sf0.1
+          (median(expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0)
+            .as("median_price"),
           expr("listagg(CAST(o_orderkey AS STRING), ',') WITHIN GROUP (ORDER BY o_orderkey)")
             .as("key_list"))
         .orderBy(col("o_orderpriority")),
     Some("""SELECT o_orderpriority, COUNT(*) AS n,
-      round(median(o_totalprice), 2) AS median_price,
+      median(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS median_price,
       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS key_list
     FROM orders WHERE o_orderkey % 101 = 0
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
