@@ -992,6 +992,62 @@ object Advanced {
       CAST(MAX(bdays) AS BIGINT) AS max_bdays
     FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q90
+  // Nested-collection analytics: per customer, the order history becomes
+  // an ARRAY<STRUCT> — sorted by the struct's NATURAL ordering (both
+  // engines compare structs/ROWs field-by-field left to right, so the
+  // (epoch_day, orderkey, cents) field order IS the sort key), sliced to
+  // the 3 most recent, then folded with higher-order functions. This is
+  // the denormalized-document shape (one row per entity, history nested)
+  // that replaces a self-join per question at 100 TB: state is bounded
+  // by the slice, the shuffle is one groupBy(custkey), and every
+  // follow-up metric is per-row array math instead of another pass.
+  // All-integer struct fields keep the comparison exact.
+  private val q90 = QueryDef(
+    "q90_nested_collections",
+    (s, dir) => {
+      val o = rd(s, dir, "orders")
+        .filter(col("o_custkey") % 97 === 0)
+        .select(col("o_custkey"),
+          struct(
+            expr("datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')").as("d"),
+            col("o_orderkey").as("k"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")).as("rec"))
+      o.groupBy(col("o_custkey"))
+        .agg(expr("reverse(array_sort(collect_list(rec)))").as("hist"))
+        .select(col("o_custkey"),
+          size(col("hist")).cast("long").as("n_orders"),
+          expr("slice(hist, 1, 3)").as("recent"))
+        .select(col("o_custkey"), col("n_orders"),
+          expr("element_at(recent, 1).cents").as("last_cents"),
+          expr("""CASE WHEN size(recent) >= 2
+                  THEN element_at(recent, 1).d - element_at(recent, 2).d
+                  ELSE -1 END""").cast("long").as("gap_days"),
+          expr("aggregate(recent, CAST(0 AS BIGINT), (acc, r) -> acc + r.cents)")
+            .as("recent_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH o AS (
+      SELECT o_custkey,
+        {'d': datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)),
+         'k': o_orderkey,
+         'cents': CAST(round(o_totalprice * 100) AS BIGINT)} AS rec
+      FROM orders WHERE o_custkey % 97 = 0),
+    h AS (SELECT o_custkey,
+            list_reverse(list_sort(list(rec))) AS hist
+          FROM o GROUP BY o_custkey),
+    r AS (SELECT o_custkey,
+            CAST(len(hist) AS BIGINT) AS n_orders,
+            hist[1:3] AS recent
+          FROM h)
+    SELECT o_custkey, n_orders,
+      recent[1].cents AS last_cents,
+      CAST(CASE WHEN len(recent) >= 2 THEN recent[1].d - recent[2].d
+                ELSE -1 END AS BIGINT) AS gap_days,
+      CAST(list_reduce(list_transform(recent, x -> x.cents),
+                       (acc, c) -> acc + c) AS BIGINT) AS recent_cents
+    FROM r ORDER BY o_custkey"""))
+
   // ---------------------------------------------------------------- q89
   // Null-aware anti join — NOT IN over a NULLABLE subquery, which is NOT
   // the anti join q07 runs: under ANSI three-valued logic a single NULL
@@ -1093,5 +1149,6 @@ object Advanced {
 
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
-      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89)
+      q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
+      q90)
 }

@@ -929,7 +929,42 @@ object Text {
         / CAST(SUM(cte) AS BIGINT) / 10000.0 AS cross_entropy
     FROM j GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t22
+  // Generator OUTER semantics: explode_outer keeps the parent row (with a
+  // NULL element) when the array is empty — the difference between "per
+  // marker-token stats" and "per marker-token stats that silently drop
+  // every document without a marker" (plain explode would make the
+  // denominators wrong in any per-doc coverage metric). The oracle
+  // replays the outer semantics by substituting [NULL] for empty lists
+  // before unnest, since DuckDB's unnest is inner-only.
+  private val t22 = QueryDef(
+    "t22_explode_outer_coverage",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("filter(split(text, ' '), t -> t IN ('vector', 'stream', 'hash'))").as("marks"))
+        .select(col("doc_id"), col("source"), explode_outer(col("marks")).as("mark"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(col("mark")).as("n_marks"),
+          countDistinct(when(col("mark").isNull, col("doc_id"))).as("n_docs_unmarked"))
+        .orderBy(col("source")),
+    Some("""WITH m AS (
+      SELECT doc_id, source,
+        list_filter(string_split(text, ' '), t -> t IN ('vector', 'stream', 'hash')) AS marks
+      FROM documents),
+    e AS (SELECT doc_id, source,
+            unnest(CASE WHEN len(marks) = 0 THEN [NULL] ELSE marks END) AS mark
+          FROM m)
+    SELECT source,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(COUNT(mark) AS BIGINT) AS n_marks,
+      CAST(COUNT(DISTINCT CASE WHEN mark IS NULL THEN doc_id END) AS BIGINT)
+        AS n_docs_unmarked
+    FROM e GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21)
+      t15, t16, t17, t18, t19, t20, t21, t22)
 }
