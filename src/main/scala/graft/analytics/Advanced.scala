@@ -992,6 +992,33 @@ object Advanced {
       CAST(MAX(bdays) AS BIGINT) AS max_bdays
     FROM b GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q91
+  // Session variables (Spark 4 SQL scripting surface): DECLARE a typed
+  // variable, SET it from a scalar subquery, reference it in a later
+  // statement — the parameterized-SQL workflow (compute a threshold
+  // once, reuse it across statements) without string interpolation or a
+  // driver round-trip per value. The oracle inlines the same scalar as a
+  // subquery: variables must never change WHAT is computed.
+  private val q91 = QueryDef(
+    "q91_session_variables",
+    (s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("graft_q91_orders")
+      s.sql("DECLARE OR REPLACE VARIABLE graft_q91_cut DOUBLE")
+      s.sql("""SET VAR graft_q91_cut =
+        (SELECT percentile(o_totalprice, 0.9) FROM graft_q91_orders)""")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n_above,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+        FROM graft_q91_orders
+        WHERE o_totalprice > graft_q91_cut
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_above,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_above
+    FROM orders
+    WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.9) FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   // ---------------------------------------------------------------- q90
   // Nested-collection analytics: per customer, the order history becomes
   // an ARRAY<STRUCT> — sorted by the struct's NATURAL ordering (both
@@ -1150,5 +1177,5 @@ object Advanced {
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90)
+      q90, q91)
 }
