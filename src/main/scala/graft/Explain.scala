@@ -29,7 +29,9 @@ object Explain {
         "q79_cumulative_distinct", "q82_business_days",
         "q83_salted_skew_join", "s10_pq_encode", "t19_zipf_slope",
         "t20_boilerplate_segments", "q86_incremental_agg",
-        "q87_ewma_fixed_point", "d14_minhash_calibration")
+        "q87_ewma_fixed_point", "d14_minhash_calibration",
+        "q89_null_aware_anti_join", "q90_nested_collections",
+        "t21_train_test_shift", "t22_explode_outer_coverage")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
