@@ -964,7 +964,51 @@ object Text {
         AS n_docs_unmarked
     FROM e GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t23
+  // Dedup-adjusted corpus statistics WITHOUT materializing the deduped
+  // corpus: each doc joins its exact-dup group size (fingerprint count)
+  // and contributes at weight 1/group_size — post-dedup token budget,
+  // effective doc count, and max duplication per source from one raw
+  // scan + one fingerprint aggregate. Determinism: the per-row quotient
+  // is rounded to a FIXED 8-decimal DECIMAL before summing (identical
+  // IEEE division then identical rounding on both engines; the sum over
+  // exact decimals is partition-order-independent), and only the final
+  // total is cast back to double.
+  private val t23 = QueryDef(
+    "t23_dedup_weighted_stats",
+    (s, dir) => {
+      val fp = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr(strHashExpr("text")).as("fp"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("gsz"))
+      fp.join(groups, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens_raw"),
+          sum(expr("CAST(round(1.0D / gsz, 8) AS DECIMAL(28,8))"))
+            .cast("double").as("n_docs_effective"),
+          sum(expr("CAST(round(CAST(n_tok AS DOUBLE) / gsz, 8) AS DECIMAL(28,8))"))
+            .cast("double").as("n_tokens_effective"),
+          max(col("gsz")).as("max_group"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH fp AS (
+      SELECT doc_id, source, ${strHashSql("text")} AS fp,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents),
+    g AS (SELECT fp, COUNT(*) AS gsz FROM fp GROUP BY fp)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens_raw,
+      CAST(SUM(CAST(round(1.0 / gsz, 8) AS DECIMAL(28,8))) AS DOUBLE)
+        AS n_docs_effective,
+      CAST(SUM(CAST(round(CAST(n_tok AS DOUBLE) / gsz, 8) AS DECIMAL(28,8))) AS DOUBLE)
+        AS n_tokens_effective,
+      CAST(MAX(gsz) AS BIGINT) AS max_group
+    FROM fp JOIN g USING (fp)
+    GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23)
 }
