@@ -301,6 +301,29 @@ class AdvancedOpsSpec extends SparkSuite {
     spark.catalog.dropTempView("q30_stream_stream_join_sink")
   }
 
+  test("q18/q58 sketch estimates bound the exact distinct counts") {
+    // rows-only at the oracle gate (DuckDB's sketches differ); this is
+    // their accuracy contract: HLL++ (q18) and merged Datasketches HLL
+    // partials (q58) within 5% of exact per event_type — union-merging
+    // per-day partials must not degrade the estimate class
+    val exact = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Seq("q18_approx_distinct", "q58_sketch_merge").foreach { name =>
+      run(name).collect().foreach { r =>
+        val et = r.getAs[String]("event_type")
+        val approx = r.getAs[Any]("n_users_approx") match {
+          case l: Long => l.toDouble
+          case d: Double => d
+        }
+        val ex = exact(et).toDouble
+        assert(math.abs(approx - ex) <= 0.05 * ex,
+          s"$name($et): approx $approx vs exact $ex out of 5%")
+      }
+    }
+  }
+
   test("q89's NOT IN compiles null-AWARE: one build-side NULL empties the result") {
     // the behavioral distinction q89's oracle can't see on null-free
     // data: under ANSI three-valued logic `x NOT IN (S)` is never true
