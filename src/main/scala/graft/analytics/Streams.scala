@@ -616,7 +616,7 @@ object Streams {
         stream, partials, Seq("event_type", "day"), Seq("n", "sum_value"), tablePath)
       q.awaitTermination()
       q.stop()
-      s.read.parquet(tablePath)
+      graft.streaming.StreamUpsert.readTable(s, tablePath)
         .select(col("event_type"), col("day"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
         .orderBy(col("event_type"), col("day"))

@@ -38,8 +38,28 @@ class StreamUpsertSpec extends SparkSuite {
     q.stop()
 
     batches shouldBe 3L
-    val got = spark.read.parquet(tablePath)
+    val got = StreamUpsert.readTable(spark, tablePath)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     got shouldBe Set(("a", 4L, 16L), ("b", 2L, 9L), ("c", 2L, 6L))
+  }
+
+  test("a replayed batch id is a no-op: exactly-once under foreachBatch retries") {
+    import spark.implicits._
+    val tablePath =
+      java.nio.file.Files.createTempDirectory("upsert-retry").toString + "/t"
+    val part = (b: org.apache.spark.sql.DataFrame) =>
+      b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    def apply(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamUpsert.applyBatch(batch, id, part, Seq("k"), Seq("n", "sum_v"), tablePath)
+
+    apply(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), 0L)
+    apply(Seq(("a", 10L)).toDF("k", "v"), 1L)
+    // foreachBatch is at-least-once: batch 1 arrives again after a "crash"
+    apply(Seq(("a", 10L)).toDF("k", "v"), 1L)
+    StreamUpsert.committedBatch(spark, tablePath) shouldBe 1L
+    val got = StreamUpsert.readTable(spark, tablePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a double-applied batch 1 would give ("a", 3, 21)
+    got shouldBe Set(("a", 2L, 11L), ("b", 1L, 2L))
   }
 }
