@@ -372,9 +372,12 @@ object Dedup {
       val base = (15L * (PrUnit / nn)) / 100L
       // Unlike the CC loop, each round references the previous round
       // exactly ONCE (and otherwise only the cached edges/deg tables),
-      // so the plan grows linearly, not exponentially — chain the five
-      // rounds lazily and execute them as ONE dag instead of paying a
-      // materialization + action per round.
+      // so plan growth is linear either way; rounds still materialize
+      // via localCheckpoint because each round's BROADCAST build would
+      // otherwise drag the whole prior chain through the driver's
+      // broadcast path (A/B at sf0.1: 10.3 s checkpointed vs 11.7–13.6 s
+      // lazy-chained, and the checkpoint also frees each round's
+      // broadcast immediately).
       var pr = nodes.withColumn("pr", lit(PrUnit / nn))
       (1 to PrIters).foreach { _ =>
         val withDeg = pr.join(deg, "node")
@@ -385,6 +388,7 @@ object Dedup {
           .agg(sum(col("c")).as("s"))
           .select(col("node2").as("node"),
             (lit(base) + expr("(85 * s) DIV 100")).as("pr"))
+          .localCheckpoint()
       }
       val out = pr
         .orderBy(col("pr").desc, col("node"))
