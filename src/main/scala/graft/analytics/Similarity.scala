@@ -533,6 +533,124 @@ object Similarity {
       FROM c ORDER BY vec_id"""
     })
 
+  // ---------------------------------------------------------------- s11
+  // IVF-PQ search — the full modern ANN index (FAISS IndexIVFPQ) as one
+  // declarative plan: s04's inverted lists bound WHERE a query looks
+  // (2 probed cells), s10's PQ codes bound WHAT each candidate costs
+  // (ADC: the query precomputes its 4×16 subvector→codebook distance
+  // tables once, each candidate's distance is then 4 table lookups —
+  // no vector math per candidate), and only the ADC top-20 get the
+  // exact full-vector re-rank for the final top-5. Every stage is exact
+  // int64 (same quantized space as s04/s10), so the whole three-stage
+  // cascade hash-matches an oracle that replays it.
+  private val s11 = QueryDef(
+    "s11_ivfpq_search",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      // inverted lists, each member carrying its 4 PQ codes
+      val lists0 = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      val lists = (0 until PqM).foldLeft(lists0) { (df, m) =>
+        df.withColumn(s"code$m", expr(
+          s"""array_position(
+                transform(${pqBookSpark(m)}, c ->
+                  aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
+                    (a, b) -> (a - b) * (a - b)),
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v)),
+                array_min(transform(${pqBookSpark(m)}, c ->
+                  aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
+                    (a, b) -> (a - b) * (a - b)),
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v))))""").cast("int"))
+      }
+      // queries probe 2 cells and precompute their ADC lookup tables
+      val probes0 = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+      val probes = (0 until PqM).foldLeft(probes0) { (df, m) =>
+        df.withColumn(s"dq$m", expr(
+          s"""transform(${pqBookSpark(m)}, c ->
+                aggregate(zip_with(slice(q_qv, ${m * PqD + 1}, $PqD), c,
+                  (a, b) -> (a - b) * (a - b)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v))"""))
+      }
+      val winAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adc"), col("vec_id"))
+      val winSim = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("adc",
+          (0 until PqM).map(m => expr(s"element_at(dq$m, code$m)")).reduce(_ + _))
+        .withColumn("arnk", row_number().over(winAdc))
+        .filter(col("arnk") <= 20)
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winSim).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some {
+      val codeCols = (0 until PqM).map { m =>
+        s"""list_position(
+              list_transform(${pqBookDuck(m)}, c ->
+                list_reduce(list_transform(
+                  list_zip(qv[${m * PqD + 1}:${(m + 1) * PqD}], c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)),
+              list_min(list_transform(${pqBookDuck(m)}, c ->
+                list_reduce(list_transform(
+                  list_zip(qv[${m * PqD + 1}:${(m + 1) * PqD}], c),
+                  p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)))) AS code$m"""
+      }.mkString(",\n            ")
+      val dqCols = (0 until PqM).map { m =>
+        s"""list_transform(${pqBookDuck(m)}, c ->
+              list_reduce(list_transform(
+                list_zip(q_qv[${m * PqD + 1}:${(m + 1) * PqD}], c),
+                p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, v) -> acc + v)) AS dq$m"""
+      }.mkString(",\n            ")
+      val adc = (0 until PqM).map(m => s"dq$m[code$m]").mkString(" + ")
+      s"""WITH $quantCte,
+      ex AS (SELECT label, i AS pos, qv[i] AS v
+             FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+      cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+             FROM ex GROUP BY label, pos),
+      ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+      cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+      asg AS (SELECT a.vec_id, a.qv, a.norm2, b.c_label,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                  CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) DESC, b.c_label) AS crnk
+              FROM qn a CROSS JOIN cn b),
+      lists AS (SELECT vec_id, qv, norm2, c_label AS list_label,
+            $codeCols
+          FROM asg WHERE crnk = 1),
+      probes AS (SELECT q_id, q_qv, q_norm2, probe_label,
+            $dqCols
+          FROM (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2,
+                       c_label AS probe_label
+                FROM asg WHERE vec_id < 8 AND crnk <= 2)),
+      adcr AS (SELECT q_id, q_qv, q_norm2, vec_id, qv, norm2,
+                 ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY $adc, vec_id) AS arnk
+               FROM lists l JOIN probes p
+                 ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+      SELECT q_id, rnk, c_id, sim FROM (
+        SELECT q_id, vec_id AS c_id,
+          round(CAST(${dotSql("q_qv", "qv")} AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(norm2 AS DOUBLE))), 6) AS sim,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+            CAST(${dotSql("q_qv", "qv")} AS DOUBLE) / (sqrt(CAST(q_norm2 AS DOUBLE)) * sqrt(CAST(norm2 AS DOUBLE))) DESC, vec_id) AS rnk
+        FROM adcr WHERE arnk <= 20)
+      WHERE rnk <= 5 ORDER BY q_id, rnk"""
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
 }
