@@ -1019,6 +1019,50 @@ object Advanced {
     WHERE o_totalprice > (SELECT quantile_cont(o_totalprice, 0.9) FROM orders)
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  // ---------------------------------------------------------------- q92
+  // Equi-depth histogram — the statistic behind every range partitioner,
+  // sort-spill estimator, and CBO selectivity model. The naive form is
+  // ntile() over a GLOBAL sort (one task sees everything — the operation
+  // range partitioning exists to avoid); the scale-safe exact form used
+  // here is one aggregate pass for the 7 interior percentile boundaries
+  // (price in exact cents) + one broadcast-CASE pass for the bucket
+  // counts. Boundaries are computed over integer cents so the
+  // interpolated values are engine-exact (q66's median discipline
+  // generalized to the whole boundary vector).
+  private val q92 = QueryDef(
+    "q92_equi_depth_histogram",
+    (s, dir) => {
+      val cents = rd(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val bounds = cents.agg(
+        expr("percentile(c, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))")
+          .as("bs")).head.getSeq[Double](0)
+      val bucketExpr = bounds.zipWithIndex
+        .map { case (b, i) => s"WHEN c <= $b THEN $i" }
+        .mkString("CASE ", " ", s" ELSE ${bounds.length} END")
+      cents
+        .withColumn("bucket", expr(bucketExpr).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          (min(col("c")).cast("double") / 100.0).as("lo_price"),
+          (max(col("c")).cast("double") / 100.0).as("hi_price"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH cents AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c FROM lineitem),
+    b AS (SELECT quantile_cont(c, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bs
+          FROM cents),
+    a AS (SELECT c,
+            CASE WHEN c <= bs[1] THEN 0 WHEN c <= bs[2] THEN 1
+                 WHEN c <= bs[3] THEN 2 WHEN c <= bs[4] THEN 3
+                 WHEN c <= bs[5] THEN 4 WHEN c <= bs[6] THEN 5
+                 WHEN c <= bs[7] THEN 6 ELSE 7 END AS bucket
+          FROM cents CROSS JOIN b)
+    SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+      CAST(MIN(c) AS DOUBLE) / 100.0 AS lo_price,
+      CAST(MAX(c) AS DOUBLE) / 100.0 AS hi_price
+    FROM a GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- q90
   // Nested-collection analytics: per customer, the order history becomes
   // an ARRAY<STRUCT> — sorted by the struct's NATURAL ordering (both
@@ -1177,5 +1221,5 @@ object Advanced {
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91)
+      q90, q91, q92)
 }
