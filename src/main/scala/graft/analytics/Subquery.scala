@@ -199,5 +199,51 @@ object Subquery {
     FROM orders WHERE o_orderkey % 101 = 0
     GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
-  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66)
+  // ---------------------------------------------------------------- q93
+  // Map ALGEBRA (q61 builds maps; this computes WITH them): two per-type
+  // hour→count maps (day 1 vs day 2 of the timeline) combined key-wise
+  // with map_zip_with (null-safe: an hour active on only one day still
+  // yields an entry), then exploded back to rows. This is the
+  // state-as-map pattern of feature stores and per-entity counters —
+  // the delta computation never re-touches the events, only the two
+  // |hours|-sized maps. The oracle computes the same deltas from plain
+  // conditional aggregation: map algebra must agree with first
+  // principles.
+  private val q93 = QueryDef(
+    "q93_map_algebra",
+    (s, dir) => {
+      val hourly = events(s, dir)
+        .withColumn("day", expr("datediff(CAST(ts AS DATE), DATE '2024-01-01')"))
+        .filter(col("day").isin(0, 1))
+        .groupBy(col("event_type"), col("day"), hour(col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+      // one hour→count map per (type, day); keys are unique by
+      // construction (the aggregate above), which map_from_entries
+      // requires
+      val maps = hourly.groupBy(col("event_type"), col("day"))
+        .agg(expr("map_from_entries(sort_array(collect_list(struct(h, n))))")
+          .as("m"))
+      val m0 = maps.filter(col("day") === 0)
+        .select(col("event_type"), col("m").as("m0"))
+      val m1 = maps.filter(col("day") === 1)
+        .select(col("event_type").as("et1"), col("m").as("m1"))
+      m0.join(m1, col("event_type") === col("et1"), "full_outer")
+        .select(coalesce(col("event_type"), col("et1")).as("event_type"),
+          expr("""map_zip_with(coalesce(m0, map()), coalesce(m1, map()),
+                    (k, a, b) -> coalesce(b, 0L) - coalesce(a, 0L))""").as("delta"))
+        .select(col("event_type"), explode(col("delta")).as(Seq("h", "d")))
+        .orderBy(col("event_type"), col("h"))
+    },
+    Some("""WITH ev AS (
+      SELECT event_type,
+        datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        hour(ts) AS h
+      FROM events
+      WHERE datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) IN (0, 1))
+    SELECT event_type, CAST(h AS INT) AS h,
+      CAST(SUM(CASE WHEN day = 1 THEN 1 ELSE 0 END)
+           - SUM(CASE WHEN day = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM ev GROUP BY 1, 2 ORDER BY event_type, h"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66, q93)
 }
