@@ -558,17 +558,19 @@ object Similarity {
       // inverted lists, each member carrying its 4 PQ codes
       val lists0 = assigned.filter(col("crnk") === 1)
         .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      // distance array hoisted into its own projection per subspace
+      // (s10's discipline): inlining it under array_position AND
+      // array_min would evaluate the 16-centroid transform twice per
+      // code
       val lists = (0 until PqM).foldLeft(lists0) { (df, m) =>
-        df.withColumn(s"code$m", expr(
-          s"""array_position(
-                transform(${pqBookSpark(m)}, c ->
+        df.withColumn(s"ld$m", expr(
+            s"""transform(${pqBookSpark(m)}, c ->
                   aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
                     (a, b) -> (a - b) * (a - b)),
-                    CAST(0 AS BIGINT), (acc, v) -> acc + v)),
-                array_min(transform(${pqBookSpark(m)}, c ->
-                  aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
-                    (a, b) -> (a - b) * (a - b)),
-                    CAST(0 AS BIGINT), (acc, v) -> acc + v))))""").cast("int"))
+                    CAST(0 AS BIGINT), (acc, v) -> acc + v))"""))
+          .withColumn(s"code$m",
+            expr(s"array_position(ld$m, array_min(ld$m))").cast("int"))
+          .drop(s"ld$m")
       }
       // queries probe 2 cells and precompute their ADC lookup tables
       val probes0 = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
