@@ -372,21 +372,44 @@ object Advanced {
   // Seeded stratified sampling — the corpus-downsampling op every
   // training-data pipeline runs (per-class fractions, reproducible via a
   // fixed seed; Bernoulli per row, so it's a narrow scan with no shuffle
-  // until the final rollup). No oracle: sampling RNGs differ across
-  // engines by construction; AdvancedOpsSpec pins determinism (same seed
-  // → identical rows) and per-stratum rates.
+  // until the final rollup). Sampling RNGs differ across engines by
+  // construction, so the emitted columns are the exact per-stratum
+  // totals and target fractions plus a rate boolean — frac=1.0 strata
+  // must sample EVERY row (Bernoulli p=1 is deterministic), fractional
+  // strata must land within 6σ binomial bounds of n·p (seed-fixed, so
+  // the draw is deterministic and the bound either holds forever or
+  // never) — which the oracle replays as exact counts + literal TRUE.
+  // AdvancedOpsSpec additionally pins same-seed → identical rows.
   private val q39 = QueryDef(
     "q39_stratified_sample",
     (s, dir) => {
       val fractions = Map("click" -> 0.5, "view" -> 0.1, "purchase" -> 1.0,
         "signup" -> 1.0, "error" -> 0.25)
-      events(s, dir)
-        .stat.sampleBy("event_type", fractions, seed = 42L)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_sampled"), dsum(col("value")).as("sum_value"))
+      val ev = events(s, dir)
+      val sampled = ev.stat.sampleBy("event_type", fractions, seed = 42L)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_sampled"))
+      val frac = coalesce(
+        map(fractions.toSeq.sortBy(_._1)
+          .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)(col("event_type")),
+        lit(0.0))
+      ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+        .join(sampled, Seq("event_type"), "left")
+        .na.fill(0L, Seq("n_sampled"))
+        .withColumn("frac", frac)
+        .select(col("event_type"), col("n_total"), col("frac"),
+          when(col("frac") === 1.0, col("n_sampled") === col("n_total"))
+            .otherwise(
+              abs(col("n_sampled") - col("n_total") * col("frac")) <=
+                lit(6.0) * sqrt(col("n_total") * col("frac") * (lit(1.0) - col("frac"))) + 1.0)
+            .as("rate_ok"))
         .orderBy(col("event_type"))
     },
-    None)
+    Some("""SELECT event_type, COUNT(*) AS n_total,
+      CAST(CASE event_type WHEN 'click' THEN 0.5 WHEN 'view' THEN 0.1
+           WHEN 'purchase' THEN 1.0 WHEN 'signup' THEN 1.0 ELSE 0.25 END
+           AS DOUBLE) AS frac,
+      TRUE AS rate_ok
+    FROM events GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q44
   // Custom typed UDAF: bounded top-k prices per flag via

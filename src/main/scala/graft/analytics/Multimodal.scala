@@ -43,8 +43,13 @@ object Multimodal {
 
   // ---------------------------------------------------------------- m02
   // Decode / feature-extract over binary payloads via the typed batched
-  // mapPartitions path. No oracle (the decode stub is Scala-side); the
-  // driver records a rows-only check.
+  // mapPartitions path. The stub decoder's features are all decode-
+  // invariant functions of the raw bytes (length, fake header bytes,
+  // floored byte mean, length-derived frame count), so the oracle
+  // recomputes every one of them byte-for-byte in SQL from
+  // hex(encode(text)) — a full rows/schema/hash gate over the real
+  // mapPartitions plumbing. Int fields cast to long (driver hash is
+  // int64-typed).
   private val m02 = QueryDef(
     "m02_media_features",
     (s, dir) => {
@@ -57,9 +62,37 @@ object Multimodal {
         .as[MediaRecord]
       MediaDecode.features(records)
         .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("avg_byte"),
+          col("n_frames").cast("long").as("n_frames"))
         .orderBy(col("media_id"))
     },
-    None)
+    Some("""WITH h AS (
+      SELECT doc_id, hex(encode(text)) AS ph,
+             CAST(octet_length(encode(text)) AS BIGINT) AS nb
+      FROM documents),
+    b AS (SELECT doc_id, ph, unnest(range(0, nb)) AS i FROM h),
+    v AS (SELECT doc_id, i,
+            (strpos('0123456789ABCDEF', substr(ph, CAST(i*2+1 AS INT), 1)) - 1) * 16
+          + (strpos('0123456789ABCDEF', substr(ph, CAST(i*2+2 AS INT), 1)) - 1) AS byte
+          FROM b),
+    agg AS (SELECT doc_id,
+              FLOOR(CAST(SUM(byte) AS DOUBLE) / COUNT(*)) AS avg_byte,
+              MAX(CASE WHEN i = 0 THEN byte END) AS b0,
+              MAX(CASE WHEN i = 1 THEN byte END) AS b1
+            FROM v GROUP BY doc_id)
+    SELECT h.doc_id AS media_id,
+      CASE WHEN h.doc_id % 3 = 0 THEN 'image'
+           WHEN h.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      h.nb AS n_bytes,
+      CAST(1 + COALESCE(agg.b0 % 128, 0) AS BIGINT) AS width,
+      CAST(1 + COALESCE(agg.b1 % 128, 0) AS BIGINT) AS height,
+      COALESCE(agg.avg_byte, 0.0) AS avg_byte,
+      CAST(CASE WHEN h.doc_id % 3 = 2 THEN h.nb // 100 + 1 ELSE 1 END AS BIGINT) AS n_frames
+    FROM h LEFT JOIN agg ON h.doc_id = agg.doc_id
+    ORDER BY media_id"""))
 
   // ---------------------------------------------------------------- m03
   // Frame sampling over binary payloads: treat the payload as fixed-width

@@ -148,20 +148,32 @@ object Semi {
   // approx_count_distinct can't do (its sketch is not exposed). At
   // 100 TB you persist the per-day sketch table once and answer any
   // date-range distinct query by unioning a handful of kilobyte blobs.
-  // No oracle: DuckDB's approx sketch differs; rows-only check.
+  // DuckDB's sketch differs, so the emitted columns are the exact
+  // distinct twin plus a within-bound boolean (|merged-estimate − exact|
+  // ≤ 3·rsd·exact; lgConfigK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%, bound 5%);
+  // the oracle recomputes the exact count and asserts TRUE. The sketch
+  // path (partial per day → union per type) still runs in full.
   private val q58 = QueryDef(
     "q58_sketch_merge",
     (s, dir) => {
-      events(s, dir)
+      val merged = events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"), count(lit(1)).as("n"))
         .groupBy(col("event_type"))
         .agg(
-          expr("hll_sketch_estimate(hll_union_agg(sk))").as("n_users_approx"),
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx"),
           sum(col("n")).cast("long").as("n_events"))
+      val exact = events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      merged.join(exact, "event_type")
+        .select(col("event_type"), col("n_users"), col("n_events"),
+          (abs(col("approx") - col("n_users")) <= col("n_users") * 0.05).as("merge_ok"))
         .orderBy(col("event_type"))
     },
-    None)
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+      COUNT(*) AS n_events, TRUE AS merge_ok
+    FROM events GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q71
   // Theta sketches (Datasketches): the distinct-count algebra HLL can't

@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.{Column, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import Tables._
@@ -39,38 +39,52 @@ object Streams {
   }
 
   // ---------------------------------------------------------------- q18
-  // Approx distinct (HLL++). No oracle: DuckDB's approx_count_distinct is
-  // a different sketch; the driver records the rows-only check.
+  // Approx distinct (HLL++) verified against its exact twin. The raw
+  // estimates are sketch-implementation-specific (DuckDB's HLL differs),
+  // so the EMITTED columns are the exact distinct counts plus
+  // within-bound booleans (|approx − exact| ≤ 3·rsd·exact); the oracle
+  // recomputes the exact counts and asserts the bounds as literal TRUE —
+  // a full rows/schema/hash gate that still exercises the sketch, and
+  // deterministic because HLL++ on fixed input is deterministic.
   private val q18 = QueryDef(
     "q18_approx_distinct",
     (s, dir) =>
       events(s, dir)
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("n_users_approx"),
-          approx_count_distinct(col("props"), 0.02).as("n_props_approx"),
+          approx_count_distinct(col("user_id")).as("au"),      // rsd 0.05
+          countDistinct(col("user_id")).as("n_users"),
+          approx_count_distinct(col("props"), 0.02).as("ap"),
+          countDistinct(col("props")).as("n_props"),
           count(lit(1)).as("n"))
+        .select(col("event_type"), col("n_users"), col("n_props"), col("n"),
+          (abs(col("au") - col("n_users")) <= col("n_users") * 0.15).as("users_ok"),
+          (abs(col("ap") - col("n_props")) <= col("n_props") * 0.06).as("props_ok"))
         .orderBy(col("event_type")),
-    None)
+    Some("""SELECT event_type,
+      COUNT(DISTINCT user_id) AS n_users, COUNT(DISTINCT props) AS n_props,
+      COUNT(*) AS n, TRUE AS users_ok, TRUE AS props_ok
+    FROM events GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q19
   // Streaming event-time tumbling window + watermark, drained with
-  // AvailableNow into the memory sink; oracle = the batch equivalent
-  // (no late data beyond the watermark in a bounded replay).
+  // AvailableNow into the memory sink in APPEND mode — the mode the
+  // watermark exists for: a window row is emitted exactly once, when the
+  // watermark proves it can no longer change, and its state is then
+  // EVICTED (complete mode would retain every window forever — unbounded
+  // state on an unbounded stream). After the bounded drain (plus its
+  // final no-data batch, which flushes evictions) the watermark rests at
+  // max(ts) − 1h, so every window ending ≥ 1h + 1min (safety margin)
+  // before max(ts) is provably finalized; both the sink output and the
+  // batch-twin oracle restrict to that prefix, making the compare exact.
+  // StreamingSemanticsSpec proves the eviction (state rows < total
+  // windows across a multi-batch drain).
   private val q19 = QueryDef(
     "q19_stream_window",
     (s, dir) => withStreamShuffle(s) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      // FileStreamSource needs a directory; the sf tables are single files.
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q19")
-      java.nio.file.Files.createSymbolicLink(
-        streamDir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val windowed = s.readStream
-        .schema(schema)
-        .parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
+      val windowed = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
@@ -78,20 +92,25 @@ object Streams {
       val q = windowed.writeStream
         .format("memory")
         .queryName(sinkName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
       sinkTable(s, sinkName)
+        .filter(unix_micros(col("window.end")) <= cutUs)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("hour"), col("event_type"))
     },
-    Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+    Some(s"""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
       event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
-    FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""))
+    FROM events, mx
+    WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= cut_us
+    GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
   /** FileStreamSource needs a directory; the sf tables are single files. */
   private def streamDirFor(dir: String, table: String): String = {
@@ -404,27 +423,61 @@ object Streams {
 
   // ---------------------------------------------------------------- q37
   // Approx percentiles (GK sketch) — the quantile member of the sketch
-  // family (q18 = HLL distinct). Constant-size state per group like q18;
-  // the scale-safe replacement for q29's exact buffering when the value
-  // domain is unbounded. No oracle (DuckDB's approx_quantile is a
-  // different sketch); AdvancedOpsSpec bounds it against exact q29.
+  // family (q18 = HLL distinct). Constant-size state per group; the
+  // scale-safe replacement for q29's exact buffering when the value
+  // domain is unbounded. DuckDB's approx_quantile is a different sketch,
+  // so the emitted columns are the exact interpolated percentiles (the
+  // q29 pairing: Spark `percentile` = DuckDB `quantile_cont`) plus
+  // rank-space booleans for the sketch: approx_percentile(accuracy=1e4)
+  // guarantees rank error ≤ n·1e-4, and the returned value is a real
+  // data element, so the tie-aware check is that the value's rank window
+  // [count(<v), count(≤v)] intersects [q−ε, q+ε]·n with ε = 1e-3 (10×
+  // the guarantee). One broadcast join back to the fact computes all
+  // three windows in a single extra pass.
   private val q37 = QueryDef(
     "q37_approx_percentiles",
-    (s, dir) =>
-      rd(s, dir, "lineitem")
+    (s, dir) => {
+      val li = rd(s, dir, "lineitem")
+      val approx = li
         .groupBy(col("l_returnflag"))
         .agg(
-          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("approx_q"),
+          expr("approx_percentile(l_quantity, array(0.25, 0.5, 0.75), 10000)").as("aq"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
           count(lit(1)).as("n"))
-        // Scalar columns, not array<double>: the driver's compare sorts
-        // result columns in pandas, which cannot order array cells.
         .select(col("l_returnflag"),
-          element_at(col("approx_q"), 1).as("p25"),
-          element_at(col("approx_q"), 2).as("p50"),
-          element_at(col("approx_q"), 3).as("p75"),
-          col("n"))
-        .orderBy(col("l_returnflag")),
-    None)
+          element_at(col("aq"), 1).as("a25"),
+          element_at(col("aq"), 2).as("a50"),
+          element_at(col("aq"), 3).as("a75"),
+          col("p25"), col("p50"), col("p75"), col("n"))
+      val eps = 0.001
+      def rankOk(q: Double, lt: Column, le: Column, n: Column): Column =
+        (lt <= (lit(q) + eps) * n) && (le >= (lit(q) - eps) * n)
+      li.join(broadcast(approx), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          first(col("p25")).as("p25"), first(col("p50")).as("p50"),
+          first(col("p75")).as("p75"), first(col("n")).as("n"),
+          sum(when(col("l_quantity") < col("a25"), 1L).otherwise(0L)).as("lt25"),
+          sum(when(col("l_quantity") <= col("a25"), 1L).otherwise(0L)).as("le25"),
+          sum(when(col("l_quantity") < col("a50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_quantity") <= col("a50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_quantity") < col("a75"), 1L).otherwise(0L)).as("lt75"),
+          sum(when(col("l_quantity") <= col("a75"), 1L).otherwise(0L)).as("le75"))
+        .select(col("l_returnflag"),
+          col("p25"), col("p50"), col("p75"), col("n"),
+          rankOk(0.25, col("lt25"), col("le25"), col("n")).as("ok25"),
+          rankOk(0.50, col("lt50"), col("le50"), col("n")).as("ok50"),
+          rankOk(0.75, col("lt75"), col("le75"), col("n")).as("ok75"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+      round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+      round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+      round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+      COUNT(*) AS n, TRUE AS ok25, TRUE AS ok50, TRUE AS ok75
+    FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q30
   // STREAM-STREAM interval join: clicks joined to purchases by the same

@@ -30,13 +30,17 @@ import graft.schema.BillingSchema
  *   - the read side is materialized with `localCheckpoint()` before the
  *     overwrite: the dynamic overwrite would otherwise delete the very
  *     files its own scan is reading (Spark rejects the plan with "Cannot
- *     overwrite a path that is also being read from"). The checkpoint
- *     bounds the exposure to one partition's worth of blocks at a time.
+ *     overwrite a path that is also being read from"). Checkpointing is
+ *     executor block storage, so the listed partitions are processed in
+ *     batches of `partitionsPerJob` — exposure is bounded to one batch's
+ *     worth of blocks regardless of how many partitions were requested
+ *     (`--partition all` on a 100 TB table never materializes the table).
  */
 class Compactor(
     spark: SparkSession,
     database: String = "default",
-    targetFileBytes: Long = 1L << 30) {
+    targetFileBytes: Long = 1L << 30,
+    partitionsPerJob: Int = 8) {
 
   private def qualified(t: String) = s"$database.$t"
 
@@ -69,12 +73,18 @@ class Compactor(
 
   /** Compact the given partitions (None = all) of the given tables.
     *
-    * ONE Spark job per table, not one per partition (the reference loops
-    * partitions serially, `:374`): rows are shuffled on
-    * (partition, salt % nFiles(partition)) so every listed partition
-    * compacts in parallel across the cluster, each into its size-targeted
-    * file count, and a single dynamic overwrite replaces all of them
-    * atomically per job. The salt is a deterministic full-row hash, so a
+    * ONE Spark job per BATCH of `partitionsPerJob` partitions, not one
+    * per partition (the reference loops partitions serially, `:374`):
+    * within a batch, rows are shuffled on
+    * (partition, salt % nFiles(partition)) so every partition in the
+    * batch compacts in parallel across the cluster, each into its
+    * size-targeted file count, and a single dynamic overwrite replaces
+    * the batch's partitions atomically per job. The batching bounds the
+    * pre-overwrite `localCheckpoint` materialization (block storage) to
+    * `partitionsPerJob` partitions' worth of data at a time — the
+    * default `yesterday` path is one partition, one job, exactly as
+    * before; `all` on a large table is N/8 bounded jobs instead of one
+    * table-sized one. The salt is a deterministic full-row hash, so a
     * task retry re-produces the same buckets. */
   def compact(
       tables: Seq[String] = BillingSchema.tableSchemas.keys.toSeq.sorted,
@@ -86,15 +96,15 @@ class Compactor(
       tables.foreach { table =>
         val sizes = partitionSizes(table)
         val parts = partitions.getOrElse(sizes.keys.toSeq.sorted)
-        if (parts.nonEmpty) {
-          def filesFor(p: String): Int = math.max(1,
-            math.ceil(sizes.getOrElse(p, 0L).toDouble / targetFileBytes).toInt)
+        def filesFor(p: String): Int = math.max(1,
+          math.ceil(sizes.getOrElse(p, 0L).toDouble / targetFileBytes).toInt)
+        parts.grouped(partitionsPerJob).foreach { batch =>
           // SHOW PARTITIONS / the catalog report NULL keys as the Hive
           // default-partition sentinel; equality would select zero rows
-          val nonNull = parts.filterNot(_ == nullPartition)
+          val nonNull = batch.filterNot(_ == nullPartition)
           val predicate = (
             Option.when(nonNull.nonEmpty)(col(field).isin(nonNull: _*)) ++
-              Option.when(parts.contains(nullPartition))(col(field).isNull)
+              Option.when(batch.contains(nullPartition))(col(field).isNull)
           ).reduce(_ || _)
           val df = spark.table(qualified(table)).where(predicate)
           // per-partition target file count as a lookup expression
@@ -109,7 +119,7 @@ class Compactor(
           // explicit partition count = total target files: exactly the
           // right task count for the rewrite, and AQE won't coalesce the
           // salted buckets back together (an explicit N disables it)
-          val totalFiles = parts.map(filesFor).sum
+          val totalFiles = batch.map(filesFor).sum
           // materialize before overwriting the files being read, then let
           // the dynamic overwrite atomically replace only these partitions
           df.repartition(totalFiles, col(field), salt)

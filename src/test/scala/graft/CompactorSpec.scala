@@ -86,6 +86,26 @@ class CompactorSpec extends SparkSuite {
     c.partitionsOf("storage") shouldBe Seq("2024-03-02")
   }
 
+  test("all-partition compaction runs in bounded batches (partitionsPerJob)") {
+    val tables = new BillingTables(spark, db)
+    tables.createDatabase(); tables.dropAll(); tables.createAll()
+    // four day-partitions in one table
+    val days = Seq("2024-03-01", "2024-03-02", "2024-03-03", "2024-03-04")
+    days.foreach { d =>
+      ingestTimes(2, Seq(Fixtures.transferJson.replace("2024-03-01", d)))
+    }
+    days.foreach(d => parquetFiles("transfer", d).size should be > 1)
+    val before = spark.table(s"$db.transfer").count()
+
+    // partitionsPerJob=1 → one job per partition: the checkpoint never
+    // materializes more than a single partition, yet every listed
+    // partition still ends at its target file count with rows intact
+    new Compactor(spark, db, partitionsPerJob = 1).compact(Seq("transfer"))
+
+    days.foreach(d => parquetFiles("transfer", d).size shouldBe 1)
+    spark.table(s"$db.transfer").count() shouldBe before
+  }
+
   test("size-targeted file count: tiny target yields multiple output files") {
     val tables = new BillingTables(spark, db)
     tables.createDatabase(); tables.dropAll(); tables.createAll()

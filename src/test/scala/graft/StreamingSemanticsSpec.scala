@@ -53,4 +53,53 @@ class StreamingSemanticsSpec extends SparkSuite {
       spark.catalog.dropTempView("late_drop_sink")
     }
   }
+
+  test("append-mode window state is evicted once the watermark passes (q19 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = source.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("evict_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: two windows (10:00, 10:10) open
+      source.addData((ts(0), "a"), (ts(12), "b"))
+      q.processAllAvailable()
+      // batch 2: 10:50 advances the watermark to 10:45, closing both
+      source.addData((ts(50), "c"))
+      q.processAllAvailable()
+      // batch 3: eviction for the new watermark happens in the NEXT batch
+      source.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "d"))
+      q.processAllAvailable()
+
+      // 4 windows were ever created; the two closed ones must have been
+      // EMITTED (visible in the append sink) and REMOVED from state —
+      // complete mode would hold all 4 forever.
+      val emitted = spark.table("evict_sink")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      emitted should contain(("10:00", 1L))
+      emitted should contain(("10:10", 1L))
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      removed should be >= 2L
+      // only the still-open tail windows may remain (a trailing no-data
+      // batch may flush 10:50 too, leaving just 11:30) — never all 4
+      val finalState = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption.map(_.numRowsTotal)
+      finalState.get should be <= 2L
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("evict_sink")
+    }
+  }
 }
