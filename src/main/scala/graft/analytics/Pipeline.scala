@@ -34,17 +34,23 @@ object Pipeline {
   private val q51 = QueryDef(
     "q51_bloom_join",
     (s, dir) => {
+      graft.functions.BloomFunctions.register(s)
       val dim = rd(s, dir, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey"))
-      // 2^20 expected items covers every SF here; ~1.2 MB at 1% fpp —
-      // the "dim too big to broadcast, bloom still cheap" regime in
-      // miniature
-      val bloom = dim.stat.bloomFilter("c_custkey", 1 << 20, 0.01)
-      val bloomBc = s.sparkContext.broadcast(bloom)
-      val mightContain = udf((k: Long) => bloomBc.value.mightContain(k))
+      // 2^20 expected items covers every SF here — the "dim too big to
+      // broadcast-join, bloom still cheap" regime in miniature. NATIVE
+      // BloomFilterAggregate/BloomFilterMightContain (the expressions
+      // Spark's runtime-filter rule injects), not a UDF: the probe stays
+      // inside whole-stage codegen. The built filter is DRIVER-BOUNDED
+      // by construction (a bloom is a few hundred KB of bits) and must
+      // be foldable for might_contain's input check, so the one-row
+      // collect into a binary literal is the intended shape.
+      val bloomBytes = dim
+        .agg(call_function("bloom_filter_agg", col("c_custkey"), lit(1L << 20)).as("bf"))
+        .head.getAs[Array[Byte]]("bf")
       rd(s, dir, "orders")
-        .filter(mightContain(col("o_custkey")))
+        .filter(call_function("might_contain", lit(bloomBytes), col("o_custkey")))
         .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))

@@ -19,13 +19,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  *
  * Exactly-once under retries: `foreachBatch` is at-least-once — a batch
  * can be re-delivered after a crash. The table is therefore maintained as
- * versioned snapshot dirs (`v<batchId>/`) with a `_latest` pointer file
- * committed by ATOMIC RENAME after the snapshot write. Batch ids are
- * monotonic, so the pointer doubles as the replay ledger: a re-delivered
- * batch id ≤ the committed id is skipped; a crash between snapshot write
- * and pointer rename simply rewrites the (uncommitted, invisible)
- * snapshot on retry. This is the two-phase commit at the heart of every
- * table format's exactly-once sink, in ~20 lines.
+ * versioned snapshot dirs (`v<batchId>/`) with per-version
+ * `_commit_<batchId>` marker files, each committed by ATOMIC RENAME to a
+ * FRESH name after its snapshot write — the committed version is the max
+ * marker. A marker is never deleted-then-replaced (a single mutable
+ * pointer would have a crash window between delete and rename that
+ * leaves NO commit record, silently resetting the table to empty);
+ * superseded markers are vacuumed only after the newer marker exists.
+ * Batch ids are monotonic, so the max marker doubles as the replay
+ * ledger: a re-delivered batch id ≤ the committed id is skipped; a crash
+ * between snapshot write and marker rename simply rewrites the
+ * (uncommitted, invisible) snapshot on retry. This is the two-phase
+ * commit at the heart of every table format's exactly-once sink (the
+ * marker-per-version layout is exactly a table format's log).
  *
  * Scale notes (100 TB): the stored table is |keys|-sized (bounded by the
  * key domain, not the stream), so the merge join is table-vs-partials
@@ -40,16 +46,19 @@ object StreamUpsert {
   private def fsOf(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The committed batch id, or -1 before the first commit. */
+  private val MarkerPrefix = "_commit_"
+
+  /** The committed batch id (max `_commit_<id>` marker), or -1 before the
+    * first commit. One directory listing — O(retained versions). */
   def committedBatch(spark: SparkSession, tablePath: String): Long = {
-    val ptr = new Path(tablePath, "_latest")
-    val fs = fsOf(spark, ptr)
-    if (!fs.exists(ptr)) -1L
-    else {
-      val in = fs.open(ptr)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-    }
+    val root = new Path(tablePath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(MarkerPrefix) =>
+        n.stripPrefix(MarkerPrefix).toLong }
+      .foldLeft(-1L)(math.max)
   }
 
   /** Read the current committed snapshot of the maintained table. */
@@ -104,19 +113,26 @@ object StreamUpsert {
         measureCols.tail.map(m => sum(col(m)).as(m)): _*)
       .localCheckpoint()
     merged.write.mode("overwrite").parquet(s"$tablePath/v$batchId")
-    // two-phase commit: snapshot first, then the pointer via atomic rename
+    // two-phase commit: snapshot first, then the marker via atomic rename
+    // to a FRESH name (batch ids are monotonic, so `_commit_<batchId>`
+    // cannot exist yet) — no delete of any existing commit record at any
+    // point, so a crash anywhere leaves the previous version committed
     val fs = fsOf(ss, new Path(tablePath))
-    val tmp = new Path(tablePath, s"_latest.tmp$batchId")
-    val out = fs.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    val ptr = new Path(tablePath, "_latest")
-    if (!fs.rename(tmp, ptr)) {
-      // local/HDFS rename won't replace an existing file — delete + rename
-      // is fine: concurrent committers don't exist (one query per table)
-      fs.delete(ptr, false)
-      if (!fs.rename(tmp, ptr))
-        sys.error(s"could not commit pointer for batch $batchId")
+    val tmp = new Path(tablePath, s".tmp$MarkerPrefix$batchId")
+    fs.create(tmp, true).close() // the marker NAME carries the id
+    val marker = new Path(tablePath, s"$MarkerPrefix$batchId")
+    if (!fs.rename(tmp, marker))
+      sys.error(s"could not commit marker for batch $batchId")
+    // vacuum superseded markers + snapshots, best effort, only AFTER the
+    // new marker exists (the newest commit record is never touched)
+    fs.listStatus(new Path(tablePath)).foreach { st =>
+      val n = st.getPath.getName
+      val superseded =
+        (n.startsWith(MarkerPrefix) && n.stripPrefix(MarkerPrefix).toLong < batchId) ||
+          (n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit) &&
+            n.tail.toLong < batchId)
+      if (superseded)
+        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
     }
-    ()
   }
 }

@@ -62,4 +62,36 @@ class StreamUpsertSpec extends SparkSuite {
     // a double-applied batch 1 would give ("a", 3, 21)
     got shouldBe Set(("a", 2L, 11L), ("b", 1L, 2L))
   }
+
+  test("a crash mid-commit never loses the previous commit record") {
+    import spark.implicits._
+    val tablePath =
+      java.nio.file.Files.createTempDirectory("upsert-crash").toString + "/t"
+    val part = (b: org.apache.spark.sql.DataFrame) =>
+      b.groupBy("k").agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+    def apply(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      StreamUpsert.applyBatch(batch, id, part, Seq("k"), Seq("n", "sum_v"), tablePath)
+
+    apply(Seq(("a", 1L)).toDF("k", "v"), 0L)
+    // simulate a crash AFTER batch 1's snapshot write but BEFORE its
+    // commit marker: an uncommitted v1 dir appears on disk
+    Seq(("garbage", 99L, 99L)).toDF("k", "n", "sum_v")
+      .write.mode("overwrite").parquet(s"$tablePath/v1")
+    // recovery must still see batch 0 committed (the old delete-then-
+    // rename pointer scheme could return -1 here and rebuild from empty)
+    StreamUpsert.committedBatch(spark, tablePath) shouldBe 0L
+    StreamUpsert.readTable(spark, tablePath)
+      .collect().map(_.getString(0)).toSet shouldBe Set("a")
+    // the redelivered batch overwrites the uncommitted snapshot and commits
+    apply(Seq(("a", 10L), ("b", 2L)).toDF("k", "v"), 1L)
+    StreamUpsert.committedBatch(spark, tablePath) shouldBe 1L
+    val got = StreamUpsert.readTable(spark, tablePath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe Set(("a", 2L, 11L), ("b", 1L, 2L))
+    // superseded version + marker were vacuumed once v1 committed
+    val names = new java.io.File(tablePath).list().toSet
+    names should contain("_commit_1")
+    names should not contain "_commit_0"
+    names should not contain "v0"
+  }
 }
