@@ -1049,9 +1049,17 @@ object Advanced {
   // range partitioning exists to avoid); the scale-safe exact form used
   // here is one aggregate pass for the 7 interior percentile boundaries
   // (price in exact cents) + one broadcast-CASE pass for the bucket
-  // counts. Boundaries are computed over integer cents so the
-  // interpolated values are engine-exact (q66's median discipline
-  // generalized to the whole boundary vector).
+  // counts. Boundaries are computed over integer cents AND the quantiles
+  // are all multiples of 1/8 — that pair makes the cross-engine coupling
+  // EXACT, not approximately-agreeing: both engines use the same linear
+  // interpolation rule (pos = q·(n−1); v = a + frac·(b−a)), and with
+  // q = k/8 every intermediate is an exact binary float (k·(n−1) is an
+  // exact small integer, /8 is a power of two, frac is a multiple of
+  // 1/8, b−a is an integer ≪ 2^50), so the boundary vectors are
+  // bit-identical by construction — no divergent last bit can flip a
+  // `c <= bound` bucket. Changing the quantile list to non-dyadic
+  // fractions (e.g. deciles) would break this; keep it dyadic or switch
+  // the oracle to literal injected bounds.
   private val q92 = QueryDef(
     "q92_equi_depth_histogram",
     (s, dir) => {

@@ -547,12 +547,20 @@ object Streams {
       // stream, so a sparse purchase tail drags the global watermark
       // back. Finalized clicks are those a further 30min (join bound)
       // + 1min safety margin below it.
-      val Row(maxClickUs: Long, maxPurchUs: Long) = events(s, dir)
+      val maxRow = events(s, dir)
         .agg(
-          max(when(col("event_type") === "click", unix_micros(col("ts")))),
-          max(when(col("event_type") === "purchase", unix_micros(col("ts")))))
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
         .head
-      val cutUs = math.min(maxClickUs, maxPurchUs) -
+      // getAs[java.lang.Long], not a Row(Long, Long) pattern match: max()
+      // over a side with NO events is NULL, and the pattern would throw
+      // an opaque MatchError instead of naming the problem
+      val (maxClick, maxPurch) =
+        (maxRow.getAs[java.lang.Long]("c"), maxRow.getAs[java.lang.Long]("p"))
+      require(maxClick != null && maxPurch != null,
+        s"q81 needs both click and purchase events at $dir " +
+          s"(max click us = $maxClick, max purchase us = $maxPurch)")
+      val cutUs = math.min(maxClick.longValue, maxPurch.longValue) -
         3600000000L - 1800000000L - 60000000L
       val clicks = eventsStream(s, dir)
         .filter(col("event_type") === "click")

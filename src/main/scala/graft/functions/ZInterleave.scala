@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
 
 /**
  * `z_interleave(a, b)` — 64-bit Morton (Z-order) code of two BIGINT
@@ -102,9 +102,18 @@ object ZInterleave {
     FunctionIdentifier("z_interleave"),
     new ExpressionInfo(classOf[ZInterleave].getName, "z_interleave"),
     (children: Seq[Expression]) => {
-      // widen INT literals/columns so `z_interleave(3, x)` just works
+      if (children.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> "z_interleave",
+            "expectedNum" -> "2 (z_interleave(a BIGINT, b BIGINT))",
+            "actualNum" -> children.length.toString,
+            "docroot" -> ""))
+      // widen any narrower integral type so `z_interleave(3, x)` and
+      // SMALLINT/TINYINT columns just work
       val widened = children.map { c =>
-        if (c.resolved && c.dataType == IntegerType)
+        if (c.resolved && Seq(ByteType, ShortType, IntegerType).contains(c.dataType))
           org.apache.spark.sql.catalyst.expressions.Cast(c, LongType)
         else c
       }

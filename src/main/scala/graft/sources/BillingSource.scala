@@ -22,18 +22,24 @@ final case class KafkaSource(
     includeHeaders: Boolean = true,
     failOnDataLoss: Boolean = false,
     maxOffsetsPerTrigger: Option[Long] = None) extends BillingSource {
-  def load(spark: SparkSession): DataFrame = {
-    val reader = spark.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribePattern", subscribePattern)
-      .option("includeHeaders", includeHeaders.toString)
-      .option("failOnDataLoss", failOnDataLoss.toString)
-    // backpressure: cap records per micro-batch so one oversized batch
-    // can't blow executor memory or blow past the trigger interval —
-    // at-scale replays (checkpoint far behind the head) NEED this cap
-    maxOffsetsPerTrigger.foreach(n => reader.option("maxOffsetsPerTrigger", n.toString))
-    reader.load()
-  }
+
+  /** The exact option map handed to the Kafka reader — a first-class
+    * value (not buried in builder calls) so the contract with the
+    * reference's scan (`Dcache_kafka_to_hive.py:293-301`) is unit-
+    * assertable even where the Kafka jar is absent. `maxOffsetsPerTrigger`
+    * is the one addition: backpressure, capping records per micro-batch
+    * so an at-scale replay (checkpoint far behind the head) can't blow
+    * executor memory or the trigger interval. */
+  def options: Map[String, String] =
+    Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribePattern" -> subscribePattern,
+      "includeHeaders" -> includeHeaders.toString,
+      "failOnDataLoss" -> failOnDataLoss.toString) ++
+      maxOffsetsPerTrigger.map(n => "maxOffsetsPerTrigger" -> n.toString)
+
+  def load(spark: SparkSession): DataFrame =
+    spark.readStream.format("kafka").options(options).load()
 }
 
 /** Line-oriented JSON files in a directory, one record per line — the

@@ -54,5 +54,17 @@ class RateLimitSpec extends SparkSuite {
     // construction is cheap; load() needs the Kafka connector, absent here
     val s = KafkaSource("broker:9092", "billing-.*", maxOffsetsPerTrigger = Some(50000L))
     s.maxOffsetsPerTrigger shouldBe Some(50000L)
+    s.options("maxOffsetsPerTrigger") shouldBe "50000"
+  }
+
+  test("KafkaSource option map equals the reference's scan options exactly") {
+    // the contract with Dcache_kafka_to_hive.py:293-301 — option NAMES
+    // are stringly-typed and silently ignored when misspelled, so this
+    // pins each one; defaults must replay the reference's literal values
+    KafkaSource("broker:9092", "billing-.*").options shouldBe Map(
+      "kafka.bootstrap.servers" -> "broker:9092",
+      "subscribePattern" -> "billing-.*",
+      "includeHeaders" -> "true",
+      "failOnDataLoss" -> "false")
   }
 }

@@ -49,6 +49,24 @@ class ZOrderSpec extends SparkSuite {
       .isNullAt(0) shouldBe true
   }
 
+  test("z_interleave builder: arity error is an analysis error; narrow ints widen") {
+    ZInterleave.register(spark)
+    // wrong arity must name the function and expected signature, not
+    // throw IndexOutOfBoundsException from the builder
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT z_interleave(1)").collect()
+    }
+    e.getMessage should include("z_interleave")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT z_interleave(1, 2, 3)").collect()
+    }
+    // SMALLINT/TINYINT inputs widen to BIGINT like INT does
+    val r = spark.sql(
+      """SELECT z_interleave(CAST(3 AS SMALLINT), CAST(5 AS TINYINT))""")
+      .collect()(0).getLong(0)
+    r shouldBe bitRefMorton(3L, 5L)
+  }
+
   private def scanRows(df: DataFrame): Long = {
     df.collect()
     def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
