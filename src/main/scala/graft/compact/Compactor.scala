@@ -40,7 +40,13 @@ class Compactor(
     spark: SparkSession,
     database: String = "default",
     targetFileBytes: Long = 1L << 30,
-    partitionsPerJob: Int = 8) {
+    partitionsPerJob: Int = 8,
+    // test hook, applied to the materialized batch right before the
+    // overwrite — failure-injection specs make the WRITE job crash
+    // mid-flight to prove the partition stays readable (the overwrite
+    // commits per job; an aborted job must leave the old files intact)
+    rewriteHook: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity) {
 
   private def qualified(t: String) = s"$database.$t"
 
@@ -122,8 +128,8 @@ class Compactor(
           val totalFiles = batch.map(filesFor).sum
           // materialize before overwriting the files being read, then let
           // the dynamic overwrite atomically replace only these partitions
-          df.repartition(totalFiles, col(field), salt)
-            .localCheckpoint()
+          rewriteHook(df.repartition(totalFiles, col(field), salt)
+            .localCheckpoint())
             .write.mode("overwrite").insertInto(qualified(table))
         }
       }

@@ -106,6 +106,36 @@ class CompactorSpec extends SparkSuite {
     spark.table(s"$db.transfer").count() shouldBe before
   }
 
+  test("a rewrite job crashing mid-write leaves the partition readable and intact") {
+    val tables = new BillingTables(spark, db)
+    tables.createDatabase(); tables.dropAll(); tables.createAll()
+    ingestTimes(3, Fixtures.all)
+    val filesBefore = parquetFiles("transfer", "2024-03-01").size
+    filesBefore should be > 1
+    val before = spark.table(s"$db.transfer").orderBy($"pnfsid").collect()
+
+    // the reference's staging-table scheme had a real crash window here
+    // (partition dropped before the rewrite lands, §4.2); the dynamic
+    // overwrite commits per job, so a write that dies mid-task must
+    // leave every pre-existing file untouched
+    val boom = intercept[Exception] {
+      new Compactor(spark, db,
+        rewriteHook = df => df.withColumn("cellName",
+          org.apache.spark.sql.functions.expr(
+            """CASE WHEN assert_true(false, 'injected crash') IS NULL
+               THEN cellName END""")))
+        .compact(Seq("transfer"))
+    }
+    boom.getMessage should include("injected crash")
+
+    parquetFiles("transfer", "2024-03-01").size shouldBe filesBefore
+    spark.table(s"$db.transfer").orderBy($"pnfsid").collect() shouldBe before
+    // and a clean retry completes the compaction
+    new Compactor(spark, db).compact(Seq("transfer"))
+    parquetFiles("transfer", "2024-03-01").size shouldBe 1
+    spark.table(s"$db.transfer").orderBy($"pnfsid").collect() shouldBe before
+  }
+
   test("size-targeted file count: tiny target yields multiple output files") {
     val tables = new BillingTables(spark, db)
     tables.createDatabase(); tables.dropAll(); tables.createAll()
