@@ -1008,7 +1008,48 @@ object Text {
     FROM fp JOIN g USING (fp)
     GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t24
+  // Overlapping token-window chunking — the RAG/pretraining chunker:
+  // every document explodes into 64-token windows at stride 48 (25%
+  // overlap so no span is split across a boundary without context),
+  // each chunk carrying its index, token count, and content fingerprint
+  // (the id a chunk store / vector index would key on). Narrow per-row
+  // explode over one split done in its OWN projection (HOF-hoisting
+  // discipline); chunk volume ≈ corpus tokens / stride; no shuffle
+  // until the final sort — at 100 TB chunking parallelism is exactly
+  // the input partitioning, and the fingerprint enables chunk-level
+  // dedup downstream (m06's CDC for text).
+  private val t24 = QueryDef(
+    "t24_chunk_windows",
+    (s, dir) => {
+      val win = 64
+      val stride = 48
+      docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(0L, n - 1, ${stride}L)")).as("start"))
+        .select(col("doc_id"),
+          expr(s"start DIV $stride").as("chunk_idx"),
+          expr(s"slice(w, CAST(start + 1 AS INT), $win)").as("cw"))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("cw")).cast("long").as("n_tok"),
+          expr(strHashExpr("array_join(cw, ' ')")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+    st AS (SELECT doc_id, w, unnest(range(0, n, 48)) AS start FROM w),
+    ch AS (SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_idx,
+             w[CAST(start + 1 AS INT) : CAST(start + 64 AS INT)] AS cw
+           FROM st)
+    SELECT doc_id, chunk_idx, CAST(len(cw) AS BIGINT) AS n_tok,
+      ${strHashSql("array_to_string(cw, ' ')")} AS chunk_hash
+    FROM ch ORDER BY doc_id, chunk_idx"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
 }

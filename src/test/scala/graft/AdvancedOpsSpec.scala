@@ -271,6 +271,25 @@ class AdvancedOpsSpec extends SparkSuite {
     got shouldBe expected
   }
 
+  test("t24 chunk windows tile every document: contiguous ids, exact sizes") {
+    val n = Tables.docs(spark, dir)
+      .selectExpr("doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chunks = run("t24_chunk_windows")
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    chunks.keySet shouldBe n.keySet // every doc chunks (split is never empty)
+    chunks.foreach { case (doc, cs) =>
+      val idxs = cs.map(_._2).sorted.toSeq
+      idxs shouldBe (0L until idxs.length.toLong) // contiguous from 0
+      assert(idxs.length.toLong == (n(doc) - 1) / 48 + 1) // stride coverage
+      cs.foreach { case (_, idx, nTok) =>
+        assert(nTok == math.min(64L, n(doc) - 48L * idx)) // window vs tail
+      }
+    }
+  }
+
   test("q66 listagg is ordered, complete, and slice-consistent") {
     val out = run("q66_ordered_set_aggs").cache()
     out.collect().foreach { r =>
