@@ -11,10 +11,17 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Registry {
-  lazy val all: Seq[QueryDef] =
-    Relational.defs ++ Advanced.defs ++ Ingest.defs ++ Streams.defs ++
-      Text.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++
-      Formats.defs ++ Pipeline.defs ++ Semi.defs ++ Subquery.defs
+  lazy val all: Seq[QueryDef] = {
+    val defs =
+      Relational.defs ++ Advanced.defs ++ Ingest.defs ++ Streams.defs ++
+        Text.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++
+        Formats.defs ++ Pipeline.defs ++ Semi.defs ++ Subquery.defs
+    // a duplicate name would silently drop a query at the toMap below —
+    // fail loudly at first touch instead
+    val dups = defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    defs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap
