@@ -290,6 +290,15 @@ class AdvancedOpsSpec extends SparkSuite {
     }
   }
 
+  test("q51's bloom probe is the native expression, not a UDF") {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalaUDF}
+    val plan = run("q51_bloom_join").queryExecution.optimizedPlan
+    val exprs = plan.collect { case p => p.expressions }.flatten
+    exprs.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])) shouldBe true
+    // the whole point of the swap: no codegen-breaking UDF in the probe
+    exprs.exists(_.exists(_.isInstanceOf[ScalaUDF])) shouldBe false
+  }
+
   test("q66 listagg is ordered, complete, and slice-consistent") {
     val out = run("q66_ordered_set_aggs").cache()
     out.collect().foreach { r =>
