@@ -653,6 +653,76 @@ object Similarity {
       WHERE rnk <= 5 ORDER BY q_id, rnk"""
     })
 
+  // ---------------------------------------------------------------- d15
+  // Semantic dedup (SemDeDup): cluster the embedding space, then drop
+  // any vector whose cosine to a LOWER-id vector in the SAME cluster is
+  // ≥ τ — near-duplicate meaning, not near-duplicate text (d02 can't see
+  // a paraphrase; this can). The clustering is what makes it scale: the
+  // quadratic verify runs within clusters only, so cost is Σ|cluster|²,
+  // bounded by the coarse quantizer — at 100 TB you raise k with N
+  // (k ≈ √N lists, the same IVF discipline as s04) so clusters stay
+  // O(√N) and the pairwise stage stays linear-ish in N. Greedy keep-
+  // lowest-id is deterministic, order-free, and exactly replayable in
+  // SQL. Defined here (not Dedup.scala) to reuse the quantized-vector
+  // and centroid machinery; the d-prefix keeps it in the dedup family.
+  private val d15 = QueryDef(
+    "d15_semantic_dedup",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      // nearest-centroid assignment (s03's probe shape, centroids broadcast)
+      val asg = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("rnk") === 1)
+        .select(col("c_label"), col("vec_id"), col("qv"), col("norm2"))
+        .cache()
+      asg.count()
+      val a = asg.select(col("c_label"), col("vec_id").as("id1"),
+        col("qv").as("qv1"), col("norm2").as("n1"))
+      val b = asg.select(col("c_label").as("cl2"), col("vec_id").as("id2"),
+        col("qv").as("qv2"), col("norm2").as("n2"))
+      val dropped = a.join(b, col("c_label") === col("cl2") && col("id1") < col("id2"))
+        .withColumn("psim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .filter(col("psim") >= 0.3)
+        .select(col("cl2").as("c_label"), col("id2").as("vec_id")).distinct()
+      asg.groupBy(col("c_label")).agg(count(lit(1)).as("n_members"))
+        .join(dropped.groupBy(col("c_label")).agg(count(lit(1)).as("n_dropped")),
+          Seq("c_label"), "left")
+        .na.fill(0L, Seq("n_dropped"))
+        .select(col("c_label"), col("n_members"), col("n_dropped"),
+          (col("n_members") - col("n_dropped")).as("n_kept"))
+        .orderBy(col("c_label"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS qv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, qv, ${dotSql("qv", "qv")} AS norm2 FROM ce),
+    asg AS (SELECT vec_id, qv, norm2, c_label FROM (
+              SELECT a.vec_id, a.qv, a.norm2, b.c_label,
+                ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                  ORDER BY $simSql DESC, b.c_label) AS rnk
+              FROM qn a CROSS JOIN cn b) WHERE rnk = 1),
+    drp AS (SELECT DISTINCT b.c_label, b.vec_id
+            FROM asg a JOIN asg b
+              ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+            WHERE $simSql >= 0.3),
+    m AS (SELECT c_label, COUNT(*) AS n_members FROM asg GROUP BY 1),
+    d AS (SELECT c_label, COUNT(*) AS n_dropped FROM drp GROUP BY 1)
+    SELECT m.c_label, m.n_members,
+      COALESCE(d.n_dropped, 0) AS n_dropped,
+      m.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+    FROM m LEFT JOIN d ON m.c_label = d.c_label
+    ORDER BY m.c_label"""))
+
   val defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, d15)
 }
