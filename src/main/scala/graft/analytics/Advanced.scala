@@ -179,6 +179,19 @@ object Advanced {
   // Distribution window functions: quartile (NTILE), PERCENT_RANK and
   // CUME_DIST over a unique sort key (price, orderkey — no ties, so both
   // engines' tie rules are moot), rolled up per (status, quartile).
+  //
+  // Scale note: `partitionBy(o_orderstatus)` has only 3 distinct values,
+  // so the per-partition sort runs at 3-way parallelism regardless of
+  // cluster size — a genuine ceiling for distribution windows over
+  // low-cardinality partitions. Acceptable here (a distribution query is
+  // run occasionally, not per-record), but the 100×-scale rewrite is
+  // two-pass: per-status approximate quantile boundaries (one partial/
+  // final agg, fully parallel) → broadcast the tiny boundary table →
+  // one scan classifies each row into its quartile and computes
+  // rank-free stats — no global per-status sort anywhere. NTILE's exact
+  // equal-count tie-break is what forces the sort; approx boundaries
+  // relax exactly that, which is why the exact form stays the oracle
+  // here and the two-pass form is the documented scale path (PERF.md).
   private val q31 = QueryDef(
     "q31_price_distribution",
     (s, dir) => {

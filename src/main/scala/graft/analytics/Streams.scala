@@ -141,19 +141,30 @@ object Streams {
   }
 
   // ---------------------------------------------------------------- q20
-  // Streaming SESSION windows (10-minute gap) per user, then a batch
-  // rollup of the emitted sessions. Oracle = the classic gaps-and-islands
-  // form: a new session starts when the gap to the previous event is
-  // >= 10 minutes — exactly Spark's session_window merge rule
-  // (next.ts < prev.ts + gap merges).
+  // Streaming SESSION windows (10-minute gap) per user, drained in APPEND
+  // mode — the mode where the watermark actually does its job: a session
+  // is emitted exactly once, when the watermark passes its end (last
+  // event + gap), and its state row is then EVICTED. Complete mode (the
+  // pre-r9 form) re-emitted every session ever seen each micro-batch and
+  // never evicted — unbounded state on an unbounded stream. After the
+  // bounded drain plus its no-data flush batch the watermark rests at
+  // max(ts) − 1h, so every session ending ≤ that − 1min safety margin is
+  // provably finalized; sink and oracle both restrict to that prefix.
+  // Oracle = the classic gaps-and-islands form (a new session starts when
+  // the gap to the previous event is >= 10 minutes — exactly Spark's
+  // session_window merge rule, next.ts < prev.ts + gap merges) with
+  // session end replayed as max(session ts) + 10min.
   //
-  // Scale notes: session state is bounded by |open sessions|; the 1-hour
-  // watermark closes sessions for out-of-order arrival. The per-user
-  // rollup happens on the (already tiny) emitted session table because a
-  // streaming query cannot chain two aggregations.
+  // Scale notes: session state is bounded by |open sessions| and evicted
+  // on finalization — StreamingSemanticsSpec proves state rows shrink
+  // below the emitted-session count across a multi-batch drain. The
+  // per-user rollup happens on the (already tiny) emitted session table
+  // because a streaming query cannot chain two aggregations.
   private val q20 = QueryDef(
     "q20_session_windows",
     (s, dir) => withStreamShuffle(s) {
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
       val sessions = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
@@ -162,12 +173,13 @@ object Streams {
       val q = sessions.writeStream
         .format("memory")
         .queryName(sinkName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
       sinkTable(s, sinkName)
+        .filter(unix_micros(col("session_window.end")) <= cutUs)
         .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_sessions"),
@@ -175,20 +187,25 @@ object Streams {
           max(col("n_events")).as("max_session_events"))
         .orderBy(col("user_id"))
     },
-    Some("""WITH d AS (
+    Some("""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events),
+    d AS (
       SELECT user_id, ts,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
              >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
       FROM events),
-    i AS (SELECT user_id,
+    i AS (SELECT user_id, ts,
         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
                        ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM d),
-    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events FROM i GROUP BY 1, 2)
+    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+        MAX(epoch_us(ts)) + 600000000 AS sess_end_us
+      FROM i GROUP BY 1, 2),
+    f AS (SELECT g.* FROM g, mx WHERE g.sess_end_us <= mx.cut_us)
     SELECT user_id, COUNT(*) AS n_sessions,
       CAST(SUM(n_events) AS BIGINT) AS n_events,
       MAX(n_events) AS max_session_events
-    FROM g GROUP BY user_id ORDER BY user_id"""))
+    FROM f GROUP BY user_id ORDER BY user_id"""))
 
   // ---------------------------------------------------------------- q21
   // Arbitrary stateful processing: mapGroupsWithState with explicit
@@ -307,12 +324,20 @@ object Streams {
 
   // ---------------------------------------------------------------- q24
   // Streaming SLIDING window (2-hour width, 1-hour slide): each event
-  // lands in exactly two windows. Oracle replays the expansion (starts =
-  // trunc(ts, hour) and trunc(ts, hour) − 1h). Same drain shape as q19;
-  // state is |open windows × types| and watermark-bounded.
+  // lands in exactly two windows. Same APPEND-mode drain shape as q19 —
+  // a window row is emitted exactly once when the watermark passes its
+  // end and its state is evicted (the pre-r9 complete mode re-emitted
+  // everything each batch and never evicted). After the drain + no-data
+  // flush the watermark rests at max(ts) − 1h; windows ending ≤ that
+  // − 1min margin are provably finalized, and sink + oracle both
+  // restrict to that prefix. Oracle replays the expansion (starts =
+  // trunc(ts, hour) and trunc(ts, hour) − 1h; end = start + 2h). State
+  // is |open windows × types|, watermark-bounded and shrinking.
   private val q24 = QueryDef(
     "q24_sliding_window",
     (s, dir) => withStreamShuffle(s) {
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
       val windowed = eventsStream(s, dir)
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
@@ -321,21 +346,26 @@ object Streams {
       val q = windowed.writeStream
         .format("memory")
         .queryName(sinkName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
       sinkTable(s, sinkName)
+        .filter(unix_micros(col("window.end")) <= cutUs)
         .select(
           date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("win_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))
     },
-    Some(s"""SELECT strftime(date_trunc('hour', ts) - INTERVAL (o) HOUR,
+    Some(s"""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events)
+    SELECT strftime(date_trunc('hour', ts) - INTERVAL (o) HOUR,
         '%Y-%m-%d %H:00:00') AS win_start,
       event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
-    FROM events CROSS JOIN (VALUES (0), (1)) AS off(o)
+    FROM events CROSS JOIN (VALUES (0), (1)) AS off(o), mx
+    WHERE epoch_us(date_trunc('hour', ts) - INTERVAL (o) HOUR) + 7200000000
+          <= mx.cut_us
     GROUP BY 1, 2 ORDER BY win_start, event_type"""))
 
   // ---------------------------------------------------------------- q40
@@ -619,6 +649,10 @@ object Streams {
   // dimension, broadcast into every micro-batch — the classic production
   // enrichment shape (no state store on the static side; the stream side
   // aggregates after the join). Bounded drain → exact batch oracle.
+  // Complete mode is state-SAFE here (unlike the pre-r9 q20/q24): the
+  // aggregate keys on (segment × event_type), a key-domain-bounded ~25
+  // rows of state regardless of stream length — complete mode's
+  // retained result table IS the answer, it cannot grow with the data.
   private val q38 = QueryDef(
     "q38_stream_static_join",
     (s, dir) => withStreamShuffle(s) {
@@ -736,6 +770,8 @@ object Streams {
   // 50k rows therefore runs ≥5 real micro-batches whose complete-mode
   // aggregate must equal the one-shot oracle over the same generated
   // range — proving batch boundaries never split or double-count rows.
+  // Complete mode is state-safe here: the aggregate keys on event_type
+  // (5 groups) — key-domain-bounded state, not stream-length-bounded.
   private val q69 = QueryDef(
     "q69_dsv2_stream",
     (s, _) => withStreamShuffle(s) {
@@ -816,13 +852,19 @@ object Streams {
   // DYNAMIC-gap session windows: session_window with a gap EXPRESSION —
   // each group's inactivity threshold derives from its own key (clicks
   // sessionize at 5 min, views at 10, the rest at 30), which the
-  // fixed-gap q20 form can't express. Same state story as q20 (bounded
-  // by open sessions, watermark closes them); the merge rule per group
-  // degenerates to a fixed gap because the gap depends only on the
-  // group key, so the gaps-and-islands oracle replays it exactly.
+  // fixed-gap q20 form can't express. Same APPEND-mode emit-once-and-
+  // evict story as q20 (state bounded by |open sessions|; the watermark
+  // finalizes them — r9 converted this from complete mode, which never
+  // evicted). The merge rule per group degenerates to a fixed gap
+  // because the gap depends only on the group key, so the
+  // gaps-and-islands oracle replays it exactly, with session end =
+  // last event + gap(event_type) and both sides restricted to the
+  // watermark-finalized prefix (end ≤ max(ts) − 1h − 1min margin).
   private val q76 = QueryDef(
     "q76_dynamic_session_gap",
     (s, dir) => withStreamShuffle(s) {
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
       val gap = when(col("event_type") === "click", "5 minutes")
         .when(col("event_type") === "view", "10 minutes")
         .otherwise("30 minutes")
@@ -834,19 +876,22 @@ object Streams {
       val q = sessions.writeStream
         .format("memory")
         .queryName(sinkName)
-        .outputMode("complete")
+        .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       q.stop()
       sinkTable(s, sinkName)
+        .filter(unix_micros(col("session_window.end")) <= cutUs)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_sessions"),
           sum(col("n_events")).cast("long").as("n_events"),
           max(col("n_events")).as("max_session_events"))
         .orderBy(col("event_type"))
     },
-    Some("""WITH d AS (
+    Some("""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events),
+    d AS (
       SELECT event_type, ts,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY event_type ORDER BY ts)
              >= CASE event_type WHEN 'click' THEN INTERVAL 5 MINUTE
@@ -854,15 +899,20 @@ object Streams {
                                 ELSE INTERVAL 30 MINUTE END
              THEN 1 ELSE 0 END AS brk
       FROM events),
-    i AS (SELECT event_type,
+    i AS (SELECT event_type, ts,
         SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
                        ROWS UNBOUNDED PRECEDING) AS sess_id
       FROM d),
-    g AS (SELECT event_type, sess_id, COUNT(*) AS n_events FROM i GROUP BY 1, 2)
+    g AS (SELECT event_type, sess_id, COUNT(*) AS n_events,
+        MAX(epoch_us(ts)) + CASE event_type WHEN 'click' THEN 300000000
+                                            WHEN 'view' THEN 600000000
+                                            ELSE 1800000000 END AS sess_end_us
+      FROM i GROUP BY 1, 2),
+    f AS (SELECT g.* FROM g, mx WHERE g.sess_end_us <= mx.cut_us)
     SELECT event_type, COUNT(*) AS n_sessions,
       CAST(SUM(n_events) AS BIGINT) AS n_events,
       MAX(n_events) AS max_session_events
-    FROM g GROUP BY event_type ORDER BY event_type"""))
+    FROM f GROUP BY event_type ORDER BY event_type"""))
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,

@@ -37,7 +37,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * key domain, not the stream), so the merge join is table-vs-partials
  * small; in production the snapshot write would be a dynamic-partition
  * overwrite touching only the key partitions present in the batch, and
- * old versions would be vacuumed asynchronously. `localCheckpoint`
+ * old versions would be vacuumed asynchronously with a time-based
+ * retention horizon (here: the immediately-superseded version is always
+ * retained so concurrent readers of the last-committed snapshot never
+ * lose files mid-scan). `localCheckpoint`
  * materializes the merge before writing — the merge plan reads the
  * previous snapshot and Spark refuses self-overwriting plans.
  */
@@ -124,15 +127,28 @@ object StreamUpsert {
     if (!fs.rename(tmp, marker))
       sys.error(s"could not commit marker for batch $batchId")
     // vacuum superseded markers + snapshots, best effort, only AFTER the
-    // new marker exists (the newest commit record is never touched)
+    // new marker exists (the newest commit record is never touched).
+    // RETENTION: the immediately-superseded version (the max id < batchId)
+    // is kept — a concurrent reader that resolved `committedBatch` just
+    // before this commit may still be scanning it (readTable's
+    // resolve-then-read is not atomic); deleting it synchronously would
+    // FileNotFoundException that reader mid-scan. Older-than-one versions
+    // are only reachable by a reader stalled across TWO commits — the
+    // production note in the class doc (async vacuum with a time-based
+    // retention horizon) covers that case.
+    val keep = committed // max id < batchId, -1 on first commit
     fs.listStatus(new Path(tablePath)).foreach { st =>
       val n = st.getPath.getName
       val superseded =
-        (n.startsWith(MarkerPrefix) && n.stripPrefix(MarkerPrefix).toLong < batchId) ||
+        (n.startsWith(MarkerPrefix) && n.stripPrefix(MarkerPrefix).toLong < keep) ||
           (n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit) &&
-            n.tail.toLong < batchId)
+            n.tail.toLong < keep)
+      // NonFatal, not just IOException: object-store/Hadoop clients surface
+      // RuntimeExceptions too, and a post-commit cleanup failure must never
+      // kill the streaming query (the commit already succeeded)
       if (superseded)
-        try fs.delete(st.getPath, true) catch { case _: java.io.IOException => () }
+        try fs.delete(st.getPath, true)
+        catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 }

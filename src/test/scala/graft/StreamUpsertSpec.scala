@@ -88,10 +88,20 @@ class StreamUpsertSpec extends SparkSuite {
     val got = StreamUpsert.readTable(spark, tablePath)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     got shouldBe Set(("a", 2L, 11L), ("b", 1L, 2L))
-    // superseded version + marker were vacuumed once v1 committed
-    val names = new java.io.File(tablePath).list().toSet
-    names should contain("_commit_1")
-    names should not contain "_commit_0"
-    names should not contain "v0"
+    // vacuum retains ONE superseded version (v0) while v1 is current — a
+    // concurrent reader that resolved v0 just before the commit can finish
+    // its scan (readTable's resolve-then-read is not atomic)
+    val namesAfter1 = new java.io.File(tablePath).list().toSet
+    namesAfter1 should contain("_commit_1")
+    namesAfter1 should contain("_commit_0")
+    namesAfter1 should contain("v0")
+    // one more commit pushes v0 past the retention horizon: now vacuumed,
+    // while v1 (the newly superseded version) is retained
+    apply(Seq(("c", 3L)).toDF("k", "v"), 2L)
+    val namesAfter2 = new java.io.File(tablePath).list().toSet
+    namesAfter2 should contain("_commit_2")
+    namesAfter2 should contain("v1")
+    namesAfter2 should not contain "_commit_0"
+    namesAfter2 should not contain "v0"
   }
 }

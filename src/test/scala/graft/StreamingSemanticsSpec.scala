@@ -102,4 +102,56 @@ class StreamingSemanticsSpec extends SparkSuite {
       spark.catalog.dropTempView("evict_sink")
     }
   }
+
+  test("append-mode SESSION window state is evicted on finalization (q20 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = source.toDF().toDF("ts", "k")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("session_evict_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: two events 3 min apart MERGE into one session for a
+      // (ends 10:13), plus a separate session for b (ends 10:22)
+      source.addData((ts(0), "a"), (ts(3), "a"), (ts(12), "b"))
+      q.processAllAvailable()
+      // batch 2: 10:45 advances the watermark to 10:40 — both sessions
+      // end before it, so both must EMIT and EVICT
+      source.addData((ts(45), "c"))
+      q.processAllAvailable()
+      // batch 3: eviction for the new watermark lands in the next batch
+      source.addData((Timestamp.valueOf("2024-01-01 11:30:00"), "d"))
+      q.processAllAvailable()
+
+      val emitted = spark.table("session_evict_sink")
+        .select(date_format(col("session_window.start"), "HH:mm").as("w"),
+          col("k"), col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      // the merge rule: 10:00 + 10:03 fused into ONE session with n=2
+      emitted should contain(("10:00", "a", 2L))
+      emitted should contain(("10:12", "b", 1L))
+      // finalized sessions were REMOVED from the store — complete mode
+      // (the pre-r9 q20) never removes anything
+      val removed = q.recentProgress
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .map(_.numRowsRemoved).sum
+      removed should be >= 2L
+      // state rows < total sessions ever created (4): only the still-open
+      // tail sessions may remain
+      val finalState = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption.map(_.numRowsTotal)
+      finalState.get should be <= 2L
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("session_evict_sink")
+    }
+  }
 }

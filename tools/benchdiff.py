@@ -27,6 +27,10 @@ def load(path):
 
 
 def main():
+    if len(sys.argv) < 3:
+        raise SystemExit(
+            "usage: python3 tools/benchdiff.py OLD.json NEW.json "
+            "[ratio] [abs_floor_sec]")
     old_path, new_path = sys.argv[1], sys.argv[2]
     ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     floor = float(sys.argv[4]) if len(sys.argv) > 4 else 0.3
@@ -45,7 +49,7 @@ def main():
     for name in sorted(set(oq) - set(nq)):
         print(f"DROPPED   {name} (was {oq[name]:.2f}s)")
     ot, nt = old.get("value"), new.get("value")
-    if ot and nt:
+    if ot is not None and nt is not None:
         print(f"TOTAL     {ot:.1f}s ({len(oq)} queries) -> "
               f"{nt:.1f}s ({len(nq)} queries)")
     if not flagged:
