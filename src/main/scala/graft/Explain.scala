@@ -31,7 +31,8 @@ object Explain {
         "t20_boilerplate_segments", "q86_incremental_agg",
         "q87_ewma_fixed_point", "d14_minhash_calibration",
         "q89_null_aware_anti_join", "q90_nested_collections",
-        "t21_train_test_shift", "t22_explode_outer_coverage")
+        "t21_train_test_shift", "t22_explode_outer_coverage",
+        "q94_two_pass_quartiles")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

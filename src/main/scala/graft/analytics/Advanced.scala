@@ -191,7 +191,7 @@ object Advanced {
   // rank-free stats — no global per-status sort anywhere. NTILE's exact
   // equal-count tie-break is what forces the sort; approx boundaries
   // relax exactly that, which is why the exact form stays the oracle
-  // here and the two-pass form is the documented scale path (PERF.md).
+  // here and the two-pass form runs as its own verified query (q94).
   private val q31 = QueryDef(
     "q31_price_distribution",
     (s, dir) => {
@@ -1262,8 +1262,69 @@ object Advanced {
     FROM n JOIN f ON n.user_id = f.user_id
     ORDER BY n.user_id"""))
 
+  // ---------------------------------------------------------------- q94
+  // The q31 scale path, running and verified: TWO-PASS quartile
+  // classification with NO per-status sort anywhere. Pass 1 computes
+  // per-status approximate quartile boundaries (approx_percentile — a
+  // GK sketch, one partial/final agg at full parallelism, constant
+  // state per group); the tiny 3-row boundary table broadcasts; pass 2
+  // is a single scan classifying every row against its status's
+  // boundaries. This is what replaces q31's NTILE when the partition
+  // count (3 statuses) caps the sort's parallelism at 100× data.
+  //
+  // Verification (the q37 discipline): sketch boundaries are
+  // implementation-specific, so the emitted columns are the exact
+  // per-status facts (n, DECIMAL-exact price sum) plus rank-space
+  // booleans the oracle asserts as literal TRUE — approx_percentile at
+  // accuracy 10000 guarantees rank error ≤ n·1e-4, and each cumulative
+  // bucket count is the rank (count ≤) of a returned boundary, so it
+  // must land within [q − ε, q + ε]·n at ε = 1e-3 (10× the guarantee).
+  // Boundary monotonicity rides along. Deterministic because the GK
+  // sketch on fixed input is deterministic.
+  private val q94 = QueryDef(
+    "q94_two_pass_quartiles",
+    (s, dir) => {
+      val orders = rd(s, dir, "orders")
+      val bounds = orders
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("approx_percentile(o_totalprice, array(0.25, 0.5, 0.75), 10000)")
+          .as("b"))
+        .select(col("o_orderstatus"),
+          element_at(col("b"), 1).as("b1"),
+          element_at(col("b"), 2).as("b2"),
+          element_at(col("b"), 3).as("b3"))
+      val eps = 0.001
+      // ±1 row of absolute slack on top of the relative bound: q·n is
+      // fractional while ranks are integers, so the returned element's
+      // rank may legitimately be floor or ceil of the target even when
+      // the sketch is exact (small n). The relative term dominates at
+      // scale; the +1 keeps the check correct at sf0.001.
+      def rankOk(q: Double, cum: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (cum >= (lit(q) - eps) * n - 1) && (cum <= (lit(q) + eps) * n + 1)
+      orders.join(broadcast(bounds), "o_orderstatus")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          sum(when(col("o_totalprice") <= col("b1"), 1L).otherwise(0L)).as("cum1"),
+          sum(when(col("o_totalprice") <= col("b2"), 1L).otherwise(0L)).as("cum2"),
+          sum(when(col("o_totalprice") <= col("b3"), 1L).otherwise(0L)).as("cum3"),
+          first(col("b1") <= col("b2") && col("b2") <= col("b3")).as("mono"))
+        .select(col("o_orderstatus"), col("n"), col("total"),
+          rankOk(0.25, col("cum1"), col("n")).as("ok25"),
+          rankOk(0.50, col("cum2"), col("n")).as("ok50"),
+          rankOk(0.75, col("cum3"), col("n")).as("ok75"),
+          col("mono"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some(s"""SELECT o_orderstatus, COUNT(*) AS n,
+      ${dsumSql("o_totalprice")} AS total,
+      TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS mono
+    FROM orders GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92)
+      q90, q91, q92, q94)
 }

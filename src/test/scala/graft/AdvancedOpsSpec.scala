@@ -364,4 +364,26 @@ class AdvancedOpsSpec extends SparkSuite {
     spark.catalog.dropTempView("q89_probe")
     spark.catalog.dropTempView("q89_build")
   }
+
+  test("q94 two-pass quartiles: broadcast classify, no sort or window in the plan") {
+    // the whole point of q94 vs q31 is the plan SHAPE: boundary table
+    // broadcast into a single scan, no per-status global sort, no
+    // window operator — that's what survives a 100× scale-up where
+    // partitionBy(o_orderstatus) caps q31 at 3-way parallelism
+    val df = run("q94_two_pass_quartiles")
+    val plan = df.queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+    (plan should not).include("Window")
+    // the only Sort allowed is the final 3-row presentation orderBy;
+    // no Sort may feed the join or the aggregates below it
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    (plan.substring(joinIdx) should not).include("Sort")
+    // and the classification itself is right: quartile counts sum to n
+    val r = df.collect()
+    r.length should be >= 1
+    all(r.map(_.getBoolean(3))) shouldBe true  // ok25
+    all(r.map(_.getBoolean(4))) shouldBe true  // ok50
+    all(r.map(_.getBoolean(5))) shouldBe true  // ok75
+    all(r.map(_.getBoolean(6))) shouldBe true  // mono
+  }
 }
