@@ -914,7 +914,145 @@ object Streams {
       MAX(n_events) AS max_session_events
     FROM f GROUP BY event_type ORDER BY event_type"""))
 
+  // ---------------------------------------------------------------- q95
+  // STREAM-STREAM **FULL OUTER** interval join — completes the join-mode
+  // matrix (inner q30, left-outer q81): unmatched rows from BOTH sides
+  // surface with null opposite columns, each only once the watermark
+  // proves no match can still arrive (left evicts when c_ts + 30min
+  // falls below the global watermark, right when p_ts does). The
+  // finalized prefix is two-sided: a sink row is comparable when every
+  // NON-NULL timestamp on it is ≤ cut = min(side maxima) − 1h (delay)
+  // − 30min (join bound) − 1min (margin) — and the batch twin applies
+  // the SAME both-nonnull-≤-cut filter to the full-table FULL JOIN, so
+  // a click matched only by a beyond-cut purchase is excluded from both
+  // sides identically (it is matched in both, filtered in both — never
+  // spuriously "unmatched" in one engine).
+  private val q95 = QueryDef(
+    "q95_stream_full_outer",
+    (s, dir) => withStreamShuffle(s) {
+      val maxRow = events(s, dir)
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+        .head
+      val (maxClick, maxPurch) =
+        (maxRow.getAs[java.lang.Long]("c"), maxRow.getAs[java.lang.Long]("p"))
+      require(maxClick != null && maxPurch != null,
+        s"q95 needs both click and purchase events at $dir")
+      val cutUs = math.min(maxClick.longValue, maxPurch.longValue) -
+        3600000000L - 1800000000L - 60000000L
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "full_outer")
+      val sinkName = "q95_stream_full_outer_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .filter(
+          (col("c_ts").isNull || unix_micros(col("c_ts")) <= cutUs) &&
+            (col("p_ts").isNull || unix_micros(col("p_ts")) <= cutUs))
+        .groupBy(coalesce(col("c_user"), col("p_user")).as("user_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("p_ts").isNull, 1L).otherwise(0L)).as("n_click_only"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+          sum(when(col("c_ts").isNotNull && col("p_ts").isNotNull,
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .otherwise(0L)).as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH mx AS (
+      SELECT LEAST(
+          MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+          MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
+        - 3600000000 - 1800000000 - 60000000 AS cut_us
+      FROM events),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT c.user_id AS c_user, p.user_id AS p_user,
+                 c.ts AS c_ts, p.ts AS p_ts
+          FROM c FULL JOIN p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+    f AS (SELECT * FROM j, mx
+          WHERE (c_ts IS NULL OR epoch_us(c_ts) <= cut_us)
+            AND (p_ts IS NULL OR epoch_us(p_ts) <= cut_us))
+    SELECT COALESCE(c_user, p_user) AS user_id, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN p_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only,
+      CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+      CAST(SUM(CASE WHEN c_ts IS NOT NULL AND p_ts IS NOT NULL
+               THEN epoch_us(p_ts) - epoch_us(c_ts) ELSE 0 END) AS BIGINT) AS sum_gap_us
+    FROM f GROUP BY 1 ORDER BY 1"""))
+
+  // ---------------------------------------------------------------- q96
+  // CHAINED stateful operators in ONE streaming query — Spark 4's
+  // multiple-stateful-operators support: an hourly tumbling aggregate
+  // feeds a daily re-aggregate (via window_time), both append-mode in
+  // the same plan. The watermark propagates through the first aggregate
+  // (an hourly row's event time is its window end), so daily windows
+  // finalize and EVICT once the watermark passes their end — two state
+  // stores, both bounded by |open windows|. Before multi-stateful
+  // support this required two queries bridged by a sink; now it is one
+  // plan with one checkpoint. Finalized prefix: day windows ending
+  // ≤ max(ts) − 1h − 1min. The inner sum stays DECIMAL through both
+  // aggregates (double only at the very end) so re-aggregation order
+  // cannot drift the result; the oracle aggregates straight to days.
+  private val q96 = QueryDef(
+    "q96_chained_window_agg",
+    (s, dir) => withStreamShuffle(s) {
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
+      val hourly = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .as("sv"))
+      val daily = hourly
+        .groupBy(window(window_time(col("window")), "1 day"), col("event_type"))
+        .agg(sum(col("n")).as("n"), sum(col("sv")).as("sv"))
+      val sinkName = "q96_chained_window_agg_sink"
+      val q = daily.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .filter(unix_micros(col("window.end")) <= cutUs)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+          col("event_type"), col("n"),
+          col("sv").cast("double").as("sum_value"))
+        .orderBy(col("day"), col("event_type"))
+    },
+    Some(s"""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events)
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events, mx
+    WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= cut_us
+    GROUP BY 1, 2 ORDER BY day, event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84)
+      q76, q81, q84, q95, q96)
 }
