@@ -357,5 +357,55 @@ object Multimodal {
     FROM rk JOIN documents d ON d.doc_id = rk.neighbor_id
     WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08)
+  // ---------------------------------------------------------------- m09
+  // BINARY-FILE datasource — the real multimodal INGEST path: media
+  // lands as opaque files (one blob per object), and `binaryFile` scans
+  // them distributed with (path, modificationTime, length, content)
+  // rows, `pathGlobFilter` + `recursiveFileLookup` doing the listing-
+  // side pruning (a non-matching file is never opened — pushdown at the
+  // file index, the cheapest filter there is). Harness setup writes 100
+  // docs as <source>/doc_<id>.bin files plus a decoy README that the
+  // glob must skip; the driver-side write loop is setup, not the
+  // operator — at 100 TB the files already exist and the scan
+  // parallelizes per-file. The query re-derives the id from the path
+  // and fingerprints content (length, md5, head bytes) — byte-exact
+  // against the oracle recomputing from the source table, proving the
+  // payload survives the file round-trip ungarbled.
+  private val m09 = QueryDef(
+    "m09_binaryfile_scan",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(Tables.tmp("graft-m09-files"))
+      java.nio.file.Files.createDirectories(root)
+      // deterministic harness corpus: doc_id < 100 (every sf has ≥500)
+      docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("source"), col("text"))
+        .collect() // 100 rows, bounded by the filter — setup, not the scan
+        .foreach { r =>
+          val d = root.resolve(r.getString(1))
+          java.nio.file.Files.createDirectories(d)
+          java.nio.file.Files.write(
+            d.resolve(s"doc_${r.getLong(0)}.bin"),
+            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      java.nio.file.Files.write(root.resolve("README.txt"),
+        "decoy — the glob filter must skip this".getBytes("UTF-8"))
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true")
+        .load(root.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("path"), "([^/]+)/doc_\\d+\\.bin$", 1).as("source"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          hex(substring(col("content"), 1, 4)).as("head_hex"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      hex(encode(substr(text, 1, 4))) AS head_hex
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
 }

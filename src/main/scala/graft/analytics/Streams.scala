@@ -1052,7 +1052,58 @@ object Streams {
     WHERE epoch_us(date_trunc('day', ts)) + 86400000000 <= cut_us
     GROUP BY 1, 2 ORDER BY day, event_type"""))
 
+  // ---------------------------------------------------------------- q97
+  // STATE-STORE READER — Spark 4's `statestore` batch data source reads
+  // a streaming checkpoint's state OFFLINE (no running query): the ops
+  // tool for a 100 TB deployment — inspect state size/skew, debug a
+  // stuck watermark, audit what a checkpoint holds before a restart.
+  // Here: drain the q19-shaped windowed aggregate with an explicit
+  // checkpoint, then batch-read operator 0's store. Because the drain's
+  // final no-data batch evicts every window the resting watermark
+  // (max(ts) − 1h) finalized, the RETAINED state is exactly the open
+  // windows — end > watermark — which a batch twin computes from the
+  // same table: the query proves eviction (bounded state) by direct
+  // inspection rather than by sink differencing. State rows carry the
+  // grouping keys in `key` and the unaliased agg buffer in `value`
+  // (field name `count`); partition_id is dropped (hash-partitioner
+  // detail, nondeterministic across shuffle-partition settings).
+  private val q97 = QueryDef(
+    "q97_state_reader",
+    (s, dir) => withStreamShuffle(s) {
+      val wmUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L
+      val ckpt = Tables.tmp("graft-q97-ckpt")
+      val windowed = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val sinkName = "q97_state_reader_sink"
+      val q = windowed.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.catalog.dropTempView(sinkName)
+      s.read.format("statestore").load(ckpt)
+        .select(
+          date_format(col("key.window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("key.event_type").as("event_type"),
+          col("value.count").as("n"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some("""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 AS wm_us FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      event_type, COUNT(*) AS n
+    FROM events, mx
+    WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 > wm_us
+    GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96)
+      q76, q81, q84, q95, q96, q97)
 }
