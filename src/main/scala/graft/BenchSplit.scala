@@ -1,0 +1,33 @@
+package graft
+
+/** Attributes harness-SETUP time inside a registered query separately from
+  * the operator under test.
+  *
+  * Several queries round-trip through a storage format (q41–q43, q49, q63,
+  * q80, q85, q88) or re-lay input for a streaming source (q54, m09): the
+  * in-query table/file WRITE exists only so the read path has something to
+  * scan — at scale the data already exists and only the read side is the
+  * operator. That write is pure small-file IO, the most host-contention-
+  * sensitive work in the suite, so on a contended host it can masquerade as
+  * an operator regression (the r8/r9 bench-discrepancy postmortems traced
+  * every driver-flagged "regression" in this cluster to exactly that).
+  * Queries wrap their setup in [[setup]]; [[Bench]] drains the accumulator
+  * per query and reports `setup_s` / `op_s` alongside the unchanged total.
+  *
+  * The accumulator is a plain atomic (queries run sequentially on the
+  * driver in Bench/Verify); under Verify nothing drains it, and the
+  * wrapper is a pass-through — zero behavior change for correctness runs.
+  */
+object BenchSplit {
+  private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Run `body`, attributing its wall time to harness setup. */
+  def setup[T](body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally acc.addAndGet(System.nanoTime() - t0)
+  }
+
+  /** Seconds of setup time accumulated since the last drain; resets. */
+  def drainSeconds(): Double = acc.getAndSet(0L) / 1e9
+}

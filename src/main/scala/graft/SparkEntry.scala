@@ -13,13 +13,12 @@ object SparkEntry {
     * W1 and one aggregation in a single end-to-end path. */
   def entry(spark: SparkSession): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // fixed path under target/ (overwritten per run), not a fresh temp dir
-    // per invocation — repeated smoke runs must not leak directories
-    val out = {
-      val p = java.nio.file.Paths.get("target", "graft-entry")
-      java.nio.file.Files.createDirectories(p.getParent)
-      p.toString
-    }
+    // fixed ABSOLUTE path under the system temp dir (overwritten per run,
+    // not a fresh temp dir per invocation — repeated smoke runs must not
+    // leak directories; anchored so the output location does not depend on
+    // the JVM working directory, which a relative target/ path would)
+    val out = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-entry").toString
     val parsed = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))

@@ -28,10 +28,12 @@ object Formats {
     "q41_orc_roundtrip",
     (s, dir) => {
       val out = tmp("graft-orc")
-      rd(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
-          col("o_orderstatus"), col("o_orderpriority"))
-        .write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .write.mode("overwrite").partitionBy("o_orderpriority").orc(out)
+      }
       s.read.orc(out)
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
@@ -50,9 +52,11 @@ object Formats {
     "q42_csv_roundtrip",
     (s, dir) => {
       val out = tmp("graft-csv")
-      rd(s, dir, "customer")
-        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
-        .write.mode("overwrite").option("header", "true").csv(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+      }
       s.read
         .schema("c_custkey BIGINT, c_mktsegment STRING, c_acctbal DOUBLE")
         .option("header", "true")
@@ -72,9 +76,11 @@ object Formats {
     "q43_json_roundtrip",
     (s, dir) => {
       val out = tmp("graft-json")
-      rd(s, dir, "part")
-        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
-        .write.mode("overwrite").json(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+          .write.mode("overwrite").json(out)
+      }
       s.read
         .schema("p_partkey BIGINT, p_brand STRING, p_size INT, p_retailprice DOUBLE")
         .json(out)
@@ -101,12 +107,14 @@ object Formats {
     "q49_clustered_write",
     (s, dir) => {
       val out = tmp("graft-clustered")
-      rd(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_shipdate"),
-          col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
-        .repartitionByRange(8, col("l_shipdate"))
-        .sortWithinPartitions(col("l_shipdate"))
-        .write.mode("overwrite").parquet(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_shipdate"),
+            col("l_quantity"), col("l_extendedprice"), col("l_returnflag"))
+          .repartitionByRange(8, col("l_shipdate"))
+          .sortWithinPartitions(col("l_shipdate"))
+          .write.mode("overwrite").parquet(out)
+      }
       s.read.parquet(out)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
         .groupBy(col("l_returnflag"))
@@ -132,11 +140,13 @@ object Formats {
     "q63_xml_roundtrip",
     (s, dir) => {
       val out = tmp("graft-xml")
-      rd(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(18,2)").as("price2"),
-          col("o_orderpriority"))
-        .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice").cast("decimal(18,2)").as("price2"),
+            col("o_orderpriority"))
+          .write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+      }
       s.read
         .schema("o_orderkey BIGINT, o_orderstatus STRING, price2 DECIMAL(18,2), o_orderpriority STRING")
         .option("rowTag", "order")
@@ -198,14 +208,16 @@ object Formats {
     (s, dir) => {
       graft.functions.ZInterleave.register(s)
       val out = tmp("graft-zorder")
-      rd(s, dir, "lineitem")
-        .select(col("l_extendedprice"),
-          expr("CAST(l_quantity AS BIGINT)").as("xb"),
-          expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").as("yb"))
-        .withColumn("z", expr("z_interleave(xb, yb)"))
-        .repartitionByRange(8, col("z"))
-        .sortWithinPartitions(col("z"))
-        .write.mode("overwrite").parquet(out)
+      graft.BenchSplit.setup {
+        rd(s, dir, "lineitem")
+          .select(col("l_extendedprice"),
+            expr("CAST(l_quantity AS BIGINT)").as("xb"),
+            expr("CAST(floor(l_extendedprice / 1000) AS BIGINT)").as("yb"))
+          .withColumn("z", expr("z_interleave(xb, yb)"))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions(col("z"))
+          .write.mode("overwrite").parquet(out)
+      }
       s.read.parquet(out)
         .filter(col("xb").between(10, 20) && col("yb").between(20, 40))
         .groupBy(expr("z DIV 256").as("z_block"))
@@ -247,15 +259,17 @@ object Formats {
       // and the partition column, which disqualifies DPP
       "spark.sql.sources.partitionColumnTypeInference.enabled" -> "false") {
       val out = tmp("graft-dpp")
-      events(s, dir)
-        .withColumn("day", to_date(col("ts")).cast("string"))
-        .select(col("day"), col("event_type"), col("user_id"), col("value"))
-        // NOT repartition(day)-ed before the write: one-file-per-day
-        // serializes into |days| writer tasks plus a full shuffle —
-        // measured 3.3x slower here than the parallel |tasks|-files-
-        // per-day write. At cluster scale, file-count control belongs to
-        // AQE rebalance / maxRecordsPerFile, not a hard repartition.
-        .write.mode("overwrite").partitionBy("day").parquet(out)
+      graft.BenchSplit.setup {
+        events(s, dir)
+          .withColumn("day", to_date(col("ts")).cast("string"))
+          .select(col("day"), col("event_type"), col("user_id"), col("value"))
+          // NOT repartition(day)-ed before the write: one-file-per-day
+          // serializes into |days| writer tasks plus a full shuffle —
+          // measured 3.3x slower here than the parallel |tasks|-files-
+          // per-day write. At cluster scale, file-count control belongs to
+          // AQE rebalance / maxRecordsPerFile, not a hard repartition.
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+      }
       val dim = events(s, dir)
         .select(to_date(col("ts")).cast("string").as("d")).distinct()
         // the dim-side predicate: odd last digit of the day-of-month —
@@ -292,21 +306,23 @@ object Formats {
   private val q88 = QueryDef(
     "q88_bucketed_join",
     (s, dir) => {
-      // explicit scratch LOCATION — the default would drop a
-      // graft_q88.db dir under ./spark-warehouse in the caller's cwd
-      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q88 LOCATION '${tmp("graft-q88-db")}'")
-      s.sql("DROP TABLE IF EXISTS graft_q88.orders_b")
-      s.sql("DROP TABLE IF EXISTS graft_q88.lineitem_b")
-      rd(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", tmp("graft-bucket-o"))
-        .saveAsTable("graft_q88.orders_b")
-      rd(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", tmp("graft-bucket-l"))
-        .saveAsTable("graft_q88.lineitem_b")
+      graft.BenchSplit.setup {
+        // explicit scratch LOCATION — the default would drop a
+        // graft_q88.db dir under ./spark-warehouse in the caller's cwd
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q88 LOCATION '${tmp("graft-q88-db")}'")
+        s.sql("DROP TABLE IF EXISTS graft_q88.orders_b")
+        s.sql("DROP TABLE IF EXISTS graft_q88.lineitem_b")
+        rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", tmp("graft-bucket-o"))
+          .saveAsTable("graft_q88.orders_b")
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", tmp("graft-bucket-l"))
+          .saveAsTable("graft_q88.lineitem_b")
+      }
       withConfs(s, "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         s.table("graft_q88.lineitem_b")
           .join(s.table("graft_q88.orders_b"),

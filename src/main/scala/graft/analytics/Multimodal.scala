@@ -376,19 +376,21 @@ object Multimodal {
     (s, dir) => {
       val root = java.nio.file.Paths.get(Tables.tmp("graft-m09-files"))
       java.nio.file.Files.createDirectories(root)
-      // deterministic harness corpus: doc_id < 100 (every sf has ≥500)
-      docs(s, dir).filter(col("doc_id") < 100)
-        .select(col("doc_id"), col("source"), col("text"))
-        .collect() // 100 rows, bounded by the filter — setup, not the scan
-        .foreach { r =>
-          val d = root.resolve(r.getString(1))
-          java.nio.file.Files.createDirectories(d)
-          java.nio.file.Files.write(
-            d.resolve(s"doc_${r.getLong(0)}.bin"),
-            r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        }
-      java.nio.file.Files.write(root.resolve("README.txt"),
-        "decoy — the glob filter must skip this".getBytes("UTF-8"))
+      graft.BenchSplit.setup {
+        // deterministic harness corpus: doc_id < 100 (every sf has ≥500)
+        docs(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"), col("text"))
+          .collect() // 100 rows, bounded by the filter — setup, not the scan
+          .foreach { r =>
+            val d = root.resolve(r.getString(1))
+            java.nio.file.Files.createDirectories(d)
+            java.nio.file.Files.write(
+              d.resolve(s"doc_${r.getLong(0)}.bin"),
+              r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(root.resolve("README.txt"),
+          "decoy — the glob filter must skip this".getBytes("UTF-8"))
+      }
       s.read.format("binaryFile")
         .option("pathGlobFilter", "*.bin")
         .option("recursiveFileLookup", "true")
@@ -404,7 +406,7 @@ object Multimodal {
     Some("""SELECT doc_id, source,
       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       md5(text) AS content_md5,
-      hex(encode(substr(text, 1, 4))) AS head_hex
+      substring(hex(encode(text)), 1, 8) AS head_hex
     FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
   val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)

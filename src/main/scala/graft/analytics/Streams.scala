@@ -692,8 +692,10 @@ object Streams {
     (s, dir) => withStreamShuffle(s) {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val srcDir = java.nio.file.Files.createTempDirectory("graft-q54-src").toString
-      s.read.parquet(s"$dir/events.parquet")
-        .repartition(3).write.mode("overwrite").parquet(srcDir)
+      graft.BenchSplit.setup {
+        s.read.parquet(s"$dir/events.parquet")
+          .repartition(3).write.mode("overwrite").parquet(srcDir)
+      }
       val schema = s.read.parquet(srcDir).schema
       val stream = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
