@@ -1105,7 +1105,167 @@ object Streams {
     WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 > wm_us
     GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // ---------------------------------------------------------------- q98
+  // transformWithState with EVENT-TIME TIMERS — the production session-
+  // timeout idiom q40's ValueState form doesn't exercise: per-user events
+  // buffer in ListState, and a registered timer (at the earliest open
+  // session's end) fires when the WATERMARK passes it — the expired
+  // sessions are emitted from handleExpiredTimer and their events deleted
+  // from state. handleInputRows emits NOTHING: every output row is
+  // timer-driven, which is what makes the emission watermark-correct by
+  // construction (a session can only appear once no event can extend it).
+  // Single-timer discipline per key (re-registered to the next open
+  // session's end after each fire) keeps the timer store at ≤1 row per
+  // key. State is |buffered events of open sessions| — the watermark
+  // bounds how long an event can stay buffered, exactly the session-state
+  // story of q20 but with the eviction under OUR control instead of the
+  // session_window operator's. Oracle: q20's gaps-and-islands twin (same
+  // 10-minute gap, same watermark-finalized prefix).
+  /** Per-key session buffer + timer logic for [[q98]]. Sessions over the
+    * sorted buffered timestamps split where the gap is ≥ `gapUs` (the
+    * session_window merge rule); a session's end is last event + gap. */
+  private[graft] class SessionTimerProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), (Long, Long, Long, Long)] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var buf: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Long](
+        "events", org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    /** Gap-split the SORTED timestamps into (start, end, n) runs. */
+    private def sessions(sorted: Array[Long]): Array[(Long, Long, Long)] = {
+      val out = Array.newBuilder[(Long, Long, Long)]
+      var i = 0
+      while (i < sorted.length) {
+        val start = sorted(i)
+        var last = start
+        var n = 1L
+        i += 1
+        while (i < sorted.length && sorted(i) - last < gapUs) {
+          last = sorted(i); n += 1; i += 1
+        }
+        out += ((start, last + gapUs, n))
+      }
+      out.result()
+    }
+
+    /** Timer at the session end, ceil'd to ms: registering ≥ the true end
+      * means the watermark has provably passed the end when it fires. */
+    private def endMs(endUs: Long): Long = (endUs + 999L) / 1000L
+
+    /** Keep exactly one pending timer per key: the earliest open end.
+      * Materialize before deleting — mutating the timer store while its
+      * iterator is live is undefined. `firedMs` (the timer currently being
+      * processed, if any) is skipped: the framework deletes it itself
+      * after the callback, and a second delete warns. */
+    private def retarget(earliestEndUs: Long, firedMs: Long = Long.MinValue): Unit = {
+      getHandle.listTimers().toArray
+        .filter(_ != firedMs).foreach(getHandle.deleteTimer)
+      val t = endMs(earliestEndUs)
+      if (t != firedMs) getHandle.registerTimer(t)
+    }
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+      val incoming = rows.map(_._2).toArray
+      if (incoming.nonEmpty) {
+        buf.appendList(incoming)
+        val runs = sessions(buf.get().toArray.sorted)
+        retarget(runs.head._2) // sorted ⇒ the first run ends earliest
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+      // the CURRENT watermark (not the stale expiry time) decides what is
+      // final — a single fire emits every session the watermark finalized
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = buf.get().toArray.sorted
+      val (done, open) = sessions(all).partition(_._2 <= wmUs)
+      if (open.isEmpty) buf.clear()
+      else {
+        if (done.nonEmpty) buf.put(all.filter(_ >= open.head._1))
+        retarget(open.head._2, expiredTimerInfo.getExpiryTimeInMs)
+      }
+      done.iterator.map { case (start, end, n) => (key, start, end, n) }
+    }
+  }
+
+  private val q98 = QueryDef(
+    "q98_timer_sessions",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val cutUs = events(s, dir).agg(max(unix_micros(col("ts")))).head.getLong(0) -
+        3600000000L - 60000000L
+      // transformWithState requires the RocksDB provider (q40's scoping)
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val typed = eventsStream(s, dir)
+          .withWatermark("ts", "1 hour")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+          .as[(Long, Long)]
+        val sess = typed
+          .groupByKey(_._1)
+          .transformWithState(new SessionTimerProcessor(600000000L),
+            TimeMode.EventTime(), OutputMode.Append())
+          .toDF("user_id", "start_us", "end_us", "n_events")
+        val sinkName = "q98_timer_sessions_sink"
+        val q = sess.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        sinkTable(s, sinkName)
+          .filter(col("end_us") <= cutUs)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_events")).as("n_events"),
+            max(col("n_events")).as("max_session_events"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    },
+    // q20's gaps-and-islands twin: same gap, same finalized-prefix cut
+    Some("""WITH mx AS (
+      SELECT MAX(epoch_us(ts)) - 3600000000 - 60000000 AS cut_us FROM events),
+    d AS (
+      SELECT user_id, ts,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS brk
+      FROM events),
+    i AS (SELECT user_id, ts,
+        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM d),
+    g AS (SELECT user_id, sess_id, COUNT(*) AS n_events,
+        MAX(epoch_us(ts)) + 600000000 AS sess_end_us
+      FROM i GROUP BY 1, 2),
+    f AS (SELECT g.* FROM g, mx WHERE g.sess_end_us <= mx.cut_us)
+    SELECT user_id, COUNT(*) AS n_sessions,
+      CAST(SUM(n_events) AS BIGINT) AS n_events,
+      MAX(n_events) AS max_session_events
+    FROM f GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97)
+      q76, q81, q84, q95, q96, q97, q98)
 }

@@ -103,6 +103,65 @@ class StreamingSemanticsSpec extends SparkSuite {
     }
   }
 
+  test("event-time timer fire emits the finalized session and evicts its state (q98 semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[(Timestamp, Long)]
+    val sessions = source.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .select(col("user"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new analytics.Streams.SessionTimerProcessor(600000000L), // 10 min gap
+        TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user", "start_us", "end_us", "n_events")
+    val q = sessions.writeStream
+      .format("memory")
+      .queryName("timer_session_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: user 1 gets a 2-event session (10:00+10:03, ends 10:13),
+      // user 2 a 1-event session (10:12, ends 10:22); timers registered,
+      // watermark still at 0 — NOTHING may emit (timer-driven only)
+      source.addData((ts(0), 1L), (ts(3), 1L), (ts(12), 2L))
+      q.processAllAvailable()
+      spark.table("timer_session_sink").count() shouldBe 0L
+      // batch 2: 10:45 advances the watermark to 10:40, past both session
+      // ends; batch 3 fires the expired timers with that watermark
+      source.addData((ts(45), 3L))
+      q.processAllAvailable()
+      source.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 3L))
+      q.processAllAvailable()
+
+      val emitted = spark.table("timer_session_sink")
+        .select(col("user"), col("n_events")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      emitted should contain((1L, 2L))   // merged 2-event session
+      emitted should contain((2L, 1L))
+      // timer fire DELETED the finalized sessions' buffered events: only
+      // user 3's still-open buffer (and its timer) may remain in state
+      val finalState = q.recentProgress.reverse
+        .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        .headOption.map(_.numRowsTotal)
+      finalState.get should be <= 2L
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("timer_session_sink")
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
   test("append-mode SESSION window state is evicted on finalization (q20 semantics)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
