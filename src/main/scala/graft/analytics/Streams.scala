@@ -1198,6 +1198,104 @@ object Streams {
     }
   }
 
+  // ---------------------------------------------------------------- q99
+  // JOIN-STATE introspection — q97's statestore reader pointed at the
+  // BIGGER 100 TB liability: a stream-stream join buffers whole input
+  // rows on both sides, and the watermark is the only thing stopping
+  // that state from growing with the stream. Drain a q30-shaped interval
+  // join (clicks ⋈ purchases within 30 min) over an explicit checkpoint,
+  // then batch-read each side's store (`joinSide` option) and aggregate
+  // what was RETAINED. The retention law falls out of the join bound:
+  // a click can still match purchases in [c_ts, c_ts+30m], purchases
+  // arrive ≥ wm ⇒ clicks retained iff c_ts ≥ wm − 30m; a purchase can
+  // match clicks in [p_ts−30m, p_ts], clicks arrive ≥ wm ⇒ purchases
+  // retained iff p_ts ≥ wm (wm = min(side maxima) − 1h after the drain's
+  // no-data batch). Emitted rows restrict to ≥ boundary + 60 s (Spark's
+  // eviction threshold is ms-truncated; the margin row band is excluded
+  // from BOTH engines), and each side carries an n_stale column counting
+  // state older than boundary − 60 s — 0 iff eviction ran, so BOUNDED
+  // JOIN STATE is part of the hash gate itself, not a side assertion.
+  // Offsets are relative to the boundary (not absolute epochs) so sums
+  // stay far from int64 edges at any scale.
+  private val q99 = QueryDef(
+    "q99_join_state_reader",
+    (s, dir) => withStreamShuffle(s) {
+      val maxRow = events(s, dir)
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+        .head
+      val (maxClick, maxPurch) =
+        (maxRow.getAs[java.lang.Long]("c"), maxRow.getAs[java.lang.Long]("p"))
+      require(maxClick != null && maxPurch != null,
+        s"q99 needs both click and purchase events at $dir")
+      val wmUs = math.min(maxClick.longValue, maxPurch.longValue) - 3600000000L
+      val marginUs = 60000000L
+      val ckpt = Tables.tmp("graft-q99-ckpt")
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+      val sinkName = "q99_join_state_reader_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.catalog.dropTempView(sinkName)
+      // per-side retained-state profile; boundary = the side's eviction law
+      def sideAgg(side: String, tsCol: String, userCol: String, boundaryUs: Long) =
+        s.read.format("statestore").option("joinSide", side).load(ckpt)
+          .select(col(s"value.$userCol").as("user_id"),
+            (unix_micros(col(s"value.$tsCol")) - boundaryUs).as("off_us"))
+          .agg(
+            count(when(col("off_us") >= marginUs, 1L)).as("n_rows"),
+            countDistinct(when(col("off_us") >= marginUs, col("user_id"))).as("n_users"),
+            min(when(col("off_us") >= marginUs, col("off_us"))).as("min_off_us"),
+            max(when(col("off_us") >= marginUs, col("off_us"))).as("max_off_us"),
+            sum(when(col("off_us") >= marginUs, col("off_us")).otherwise(0L)).as("sum_off_us"),
+            count(when(col("off_us") < -marginUs, 1L)).as("n_stale"))
+          .withColumn("side", lit(side))
+      sideAgg("left", "c_ts", "c_user", wmUs - 1800000000L)
+        .unionByName(sideAgg("right", "p_ts", "p_user", wmUs))
+        .select(col("side"), col("n_rows"), col("n_users"),
+          col("min_off_us"), col("max_off_us"), col("sum_off_us"), col("n_stale"))
+        .orderBy(col("side"))
+    },
+    Some("""WITH mx AS (
+      SELECT LEAST(
+          MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+          MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
+        - 3600000000 AS wm_us
+      FROM events),
+    lf AS (SELECT 'left' AS side,
+        user_id, epoch_us(ts) - (wm_us - 1800000000) AS off_us
+      FROM events, mx WHERE event_type = 'click'),
+    rt AS (SELECT 'right' AS side,
+        user_id, epoch_us(ts) - wm_us AS off_us
+      FROM events, mx WHERE event_type = 'purchase'),
+    u AS (SELECT * FROM lf UNION ALL SELECT * FROM rt)
+    SELECT side,
+      CAST(COUNT(CASE WHEN off_us >= 60000000 THEN 1 END) AS BIGINT) AS n_rows,
+      CAST(COUNT(DISTINCT CASE WHEN off_us >= 60000000 THEN user_id END) AS BIGINT) AS n_users,
+      MIN(CASE WHEN off_us >= 60000000 THEN off_us END) AS min_off_us,
+      MAX(CASE WHEN off_us >= 60000000 THEN off_us END) AS max_off_us,
+      CAST(SUM(CASE WHEN off_us >= 60000000 THEN off_us ELSE 0 END) AS BIGINT) AS sum_off_us,
+      CAST(0 AS BIGINT) AS n_stale
+    FROM u GROUP BY side ORDER BY side"""))
+
   private val q98 = QueryDef(
     "q98_timer_sessions",
     (s, dir) => withStreamShuffle(s) {
@@ -1267,5 +1365,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98)
+      q76, q81, q84, q95, q96, q97, q98, q99)
 }

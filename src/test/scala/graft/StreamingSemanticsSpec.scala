@@ -162,6 +162,57 @@ class StreamingSemanticsSpec extends SparkSuite {
     }
   }
 
+  test("stream-stream join state retains exactly the within-watermark rows (q99 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("q99-spec-ckpt").toString
+    val cSrc = MemoryStream[(Timestamp, Long)]
+    val pSrc = MemoryStream[(Timestamp, Long)]
+    val clicks = cSrc.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "5 minutes")
+    val purchases = pSrc.toDF().toDF("p_ts", "p_user").withWatermark("p_ts", "5 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("q99_spec_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    try {
+      // batch 1: two matched pairs well in the past
+      cSrc.addData((t("10:00"), 1L), (t("11:00"), 2L))
+      pSrc.addData((t("10:10"), 1L), (t("11:05"), 2L))
+      q.processAllAvailable()
+      // two more batches advance the watermark; processAllAvailable also
+      // runs the trailing no-data batch, so the final watermark is
+      // 12:55 (min side max 13:00 − 5m) and its eviction has run
+      cSrc.addData((t("12:00"), 3L)); pSrc.addData((t("12:00"), 3L))
+      q.processAllAvailable()
+      cSrc.addData((t("13:00"), 4L)); pSrc.addData((t("13:00"), 4L))
+      q.processAllAvailable()
+      q.stop()
+      // retention law at watermark 12:55: clicks need c_ts ≥ 12:25
+      // (join bound 30m), purchases p_ts ≥ 12:55 — every earlier row
+      // (10:00/11:00/12:00 clicks, 10:10/11:05/12:00 purchases) must be
+      // GONE from the store, and the 13:00 pair retained
+      val left = spark.read.format("statestore").option("joinSide", "left").load(ckpt)
+        .select(col("value.c_user"), date_format(col("value.c_ts"), "HH:mm"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val right = spark.read.format("statestore").option("joinSide", "right").load(ckpt)
+        .select(col("value.p_user"), date_format(col("value.p_ts"), "HH:mm"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      left shouldBe Set((4L, "13:00"))
+      right shouldBe Set((4L, "13:00"))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("q99_spec_sink")
+    }
+  }
+
   test("append-mode SESSION window state is evicted on finalization (q20 semantics)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
