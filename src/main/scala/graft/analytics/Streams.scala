@@ -1198,6 +1198,90 @@ object Streams {
     }
   }
 
+  // --------------------------------------------------------------- q100
+  // STREAM-STREAM **RIGHT OUTER** interval join — the last cell of the
+  // join-mode matrix (inner q30, left q81, full q95): unmatched
+  // PURCHASES surface with null click columns, each emitted only once
+  // the watermark proves no click can still match (clicks arrive ≥ wm;
+  // a purchase at p matches clicks in [p−30m, p], so p finalizes when
+  // wm > p_ts). The asymmetry vs q81 is exactly which side's timestamp
+  // gates finalization — worth its own oracle because the watermark cut
+  // applies to the PRESERVED side's own time, not preserved-side + join
+  // bound. Reuses q95's two-sided cut: a sink row is comparable when
+  // every non-null timestamp on it is ≤ cut, and the batch twin applies
+  // the identical filter to the full-table RIGHT JOIN, so a purchase
+  // matched only by a beyond-cut click is excluded from both engines
+  // identically.
+  private val q100 = QueryDef(
+    "q100_stream_right_outer",
+    (s, dir) => withStreamShuffle(s) {
+      val maxRow = events(s, dir)
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+        .head
+      val (maxClick, maxPurch) =
+        (maxRow.getAs[java.lang.Long]("c"), maxRow.getAs[java.lang.Long]("p"))
+      require(maxClick != null && maxPurch != null,
+        s"q100 needs both click and purchase events at $dir")
+      val cutUs = math.min(maxClick.longValue, maxPurch.longValue) -
+        3600000000L - 1800000000L - 60000000L
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "right_outer")
+      val sinkName = "q100_stream_right_outer_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .filter(
+          unix_micros(col("p_ts")) <= cutUs &&
+            (col("c_ts").isNull || unix_micros(col("c_ts")) <= cutUs))
+        .groupBy(col("p_user").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("c_ts").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+          sum(when(col("c_ts").isNotNull,
+            unix_micros(col("p_ts")) - unix_micros(col("c_ts")))
+            .otherwise(0L)).as("sum_gap_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH mx AS (
+      SELECT LEAST(
+          MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+          MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END))
+        - 3600000000 - 1800000000 - 60000000 AS cut_us
+      FROM events),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (SELECT p.user_id AS p_user, c.ts AS c_ts, p.ts AS p_ts
+          FROM c RIGHT JOIN p
+            ON p.user_id = c.user_id
+           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+    f AS (SELECT * FROM j, mx
+          WHERE epoch_us(p_ts) <= cut_us
+            AND (c_ts IS NULL OR epoch_us(c_ts) <= cut_us))
+    SELECT p_user AS user_id, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN c_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+      CAST(SUM(CASE WHEN c_ts IS NOT NULL
+               THEN epoch_us(p_ts) - epoch_us(c_ts) ELSE 0 END) AS BIGINT) AS sum_gap_us
+    FROM f GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- q99
   // JOIN-STATE introspection — q97's statestore reader pointed at the
   // BIGGER 100 TB liability: a stream-stream join buffers whole input
@@ -1365,5 +1449,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98, q99)
+      q76, q81, q84, q95, q96, q97, q98, q99, q100)
 }
