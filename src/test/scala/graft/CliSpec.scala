@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 import java.time.LocalDate
-import graft.cli.{LockProtocol, RunCompact, RunIngest}
+import graft.cli.{LockProtocol, RunCompact, RunIngest, StateInspect}
 
 /** CLI drivers + lock/status protocol (SURVEY §2.7; reference
   * `run_kafka_to_hive.py:31-72`, `run_compact_tables.py:34-92`). */
@@ -75,5 +75,43 @@ class CliSpec extends SparkSuite {
     Files.writeString(lockDir.resolve(LockProtocol.lockName), "")
     RunIngest.run(spark, Map("lock-dir" -> lockDir.toString)) shouldBe 1
     RunCompact.run(spark, Map("lock-dir" -> lockDir.toString)) shouldBe 1
+  }
+
+  test("StateInspect reports per-store rows and bytes for a drained checkpoint") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = tmp().toString
+    val source = MemoryStream[(Timestamp, String)]
+    val agg = source.toDF().toDF("ts", "k")
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("state_inspect_sink")
+      .outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      source.addData(
+        (Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+        (Timestamp.valueOf("2024-01-01 10:01:00"), "b"),
+        (Timestamp.valueOf("2024-01-01 10:02:00"), "a"))
+      q.processAllAvailable()
+      q.stop()
+      val stats = StateInspect.report(spark, ckpt)
+      stats should have size 1
+      val s = stats.head
+      s.operatorName shouldBe "stateStoreSave"
+      s.storeName shouldBe "default"
+      s.rows shouldBe 2L // keys a, b — unwatermarked agg state is |keys|
+      s.diskBytes should be > 0L
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("state_inspect_sink")
+    }
   }
 }
