@@ -1198,6 +1198,177 @@ object Streams {
     }
   }
 
+  // --------------------------------------------------------------- q101
+  // transformWithState with MAP STATE — the third typed-state shape
+  // (ValueState q40, ListState q98): per-event_type bucket→count
+  // histogram held in MapState[Long, Long], point-updated per row
+  // (RocksDB turns each updateValue into a single-key write — no
+  // read-modify-write of a whole map blob, which is what makes MapState
+  // the right shape when the per-key collection is large and sparsely
+  // touched at 100 TB; q75's Map-in-a-ValueState form rewrites the
+  // entire histogram every batch). Emits every bucket's running total
+  // each batch (update mode); counts are monotone so the sink resolves
+  // by max, and the oracle is the batch histogram — q75's twin, proving
+  // the two arbitrary-state APIs agree on identical semantics.
+  private[graft] class MapHistogramProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Double), (String, Long, Long)] {
+    import org.apache.spark.sql.streaming.{MapState, OutputMode, TimeMode, TimerValues, TTLConfig}
+    @transient private var hist: MapState[Long, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[Long, Long](
+        "hist", org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(
+        key: String,
+        rows: Iterator[(String, Double)],
+        timerValues: TimerValues): Iterator[(String, Long, Long)] = {
+      rows.foreach { case (_, v) =>
+        val b = math.floor(v / 100.0).toLong
+        hist.updateValue(b, (if (hist.containsKey(b)) hist.getValue(b) else 0L) + 1L)
+      }
+      hist.iterator().map { case (b, n) => (key, b, n) }.toArray.iterator
+    }
+  }
+
+  private val q101 = QueryDef(
+    "q101_mapstate_histogram",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val typed = eventsStream(s, dir)
+          .select(col("event_type"), col("value"))
+          .as[(String, Double)]
+        val hist = typed
+          .groupByKey(_._1)
+          .transformWithState(new MapHistogramProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDF("event_type", "bucket", "n")
+        val sinkName = "q101_mapstate_histogram_sink"
+        val q = hist.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        sinkTable(s, sinkName)
+          .groupBy(col("event_type"), col("bucket")) // counts are monotone
+          .agg(max(col("n")).as("n"))
+          .orderBy(col("event_type"), col("bucket"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    },
+    Some("""SELECT event_type, CAST(FLOOR(value / 100) AS BIGINT) AS bucket,
+      COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
+  // --------------------------------------------------------------- q102
+  // transformWithState with INITIAL STATE — the state-bootstrap idiom:
+  // a new streaming job does not start cold, it seeds per-key state
+  // from an existing batch table (state migration from a warehouse, the
+  // lambda→kappa cutover, a replatformed job inheriting its
+  // predecessor's aggregates). Here each user's running total starts at
+  // their customer account balance (exact cents) and the event stream
+  // accumulates on top; handleInitialState runs once per seeded key
+  // BEFORE any input row. The oracle joins the batch table and
+  // re-derives the same totals — if the bootstrap were dropped or
+  // double-applied, every row hash-mismatches. Exactness: balances and
+  // event values go through the same HALF_UP double→DECIMAL(18,2) cents
+  // rule as q21/q54, so accumulation order cannot drift the result.
+  private[graft] class BootstrapProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        Long, (Long, Double), (Long, Long, Long), Long] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Long)](
+        "acc", org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInitialState(
+        key: Long, baseCents: Long,
+        timerValues: TimerValues): Unit =
+      state.update((0L, baseCents))
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[(Long, Double)],
+        timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, cents) = if (state.exists()) state.get() else (0L, 0L)
+      rows.foreach { case (_, v) =>
+        n += 1
+        cents += java.math.BigDecimal.valueOf(v)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+      }
+      state.update((n, cents))
+      Iterator.single((key, n, cents))
+    }
+  }
+
+  private val q102 = QueryDef(
+    "q102_initial_state_bootstrap",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        // the batch table being migrated into stream state: exact cents
+        val seed = rd(s, dir, "customer")
+          .select(col("c_custkey"),
+            (col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+              .cast("long").as("base_cents"))
+          .as[(Long, Long)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        val typed = eventsStream(s, dir)
+          .select(col("user_id"), col("value"))
+          .as[(Long, Double)]
+        val totals = typed
+          .groupByKey(_._1)
+          .transformWithState(new BootstrapProcessor,
+            TimeMode.None(), OutputMode.Update(), seed)
+          .toDF("user_id", "n_events", "total_cents")
+        val sinkName = "q102_initial_state_bootstrap_sink"
+        val q = totals.writeStream
+          .format("memory")
+          .queryName(sinkName)
+          .outputMode("update")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        q.stop()
+        sinkTable(s, sinkName)
+          .groupBy(col("user_id")) // last update wins; both cols monotone
+          .agg(max(col("n_events")).as("n_events"),
+            (max(col("total_cents")).cast("double") / 100.0).as("balance_plus_value"))
+          .orderBy(col("user_id"))
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(provKey, v)
+          case None => s.conf.unset(provKey)
+        }
+      }
+    },
+    Some("""SELECT user_id, COUNT(*) AS n_events,
+      CAST(CAST(c_acctbal AS DECIMAL(18,2))
+           + SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS balance_plus_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY user_id, c_acctbal ORDER BY user_id"""))
+
   // --------------------------------------------------------------- q100
   // STREAM-STREAM **RIGHT OUTER** interval join — the last cell of the
   // join-mode matrix (inner q30, left q81, full q95): unmatched
@@ -1449,5 +1620,5 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98, q99, q100)
+      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102)
 }

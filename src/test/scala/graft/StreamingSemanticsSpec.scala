@@ -5,6 +5,26 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Per-key counter whose ValueState expires after 5 s idle — TTLConfig
+  * (wall-clock passive eviction) needs a controlled-timing spec; the
+  * oracle-gated queries can't exercise it deterministically. */
+private class TtlCountProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, String, (String, Long)] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+  @transient private var n: ValueState[Long] = _
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    n = getHandle.getValueState[Long]("n",
+      org.apache.spark.sql.Encoders.scalaLong,
+      TTLConfig(java.time.Duration.ofSeconds(5)))
+  override def handleInputRows(
+      key: String, rows: Iterator[String],
+      timerValues: TimerValues): Iterator[(String, Long)] = {
+    val c = (if (n.exists()) n.get() else 0L) + rows.size
+    n.update(c)
+    Iterator.single((key, c))
+  }
+}
+
 /** Watermark semantics the bounded-replay oracle can't show: an event
   * arriving BEHIND the watermark is dropped from an append-mode windowed
   * aggregate, and on-time out-of-order events are kept. */
@@ -155,6 +175,65 @@ class StreamingSemanticsSpec extends SparkSuite {
     } finally {
       q.stop()
       spark.catalog.dropTempView("timer_session_sink")
+      prev match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+  }
+
+  test("ValueState TTL expires idle state (transformWithState TTLConfig)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val source = MemoryStream[String]
+    val counts = source.toDS()
+      .groupByKey(identity)
+      .transformWithState(new TtlCountProcessor,
+        TimeMode.ProcessingTime(), OutputMode.Update())
+      .toDF("k", "n")
+    // NOTE: TimeMode.ProcessingTime makes every batch advance the state
+    // clock, so the engine ALWAYS schedules another batch —
+    // AvailableNow never terminates and processAllAvailable never
+    // settles (measured: an unbounded no-data-batch loop). The correct
+    // shape is a periodic trigger + sink polling + explicit stop.
+    val q = counts.writeStream
+      .format("memory")
+      .queryName("ttl_sink")
+      .outputMode("update")
+      .trigger(Trigger.ProcessingTime("500 milliseconds"))
+      .start()
+    def rowsNow(): Seq[(String, Long)] = spark.table("ttl_sink")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def pollUntil(what: String)(p: Seq[(String, Long)] => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!p(rowsNow())) {
+        if (System.nanoTime() > deadline) fail(s"timed out waiting for $what: ${rowsNow()}")
+        Thread.sleep(200)
+      }
+    }
+    try {
+      // two rows for key a, inside the 5 s TTL — the count reaches 2
+      source.addData("a"); source.addData("a")
+      pollUntil("count to reach 2")(_.contains(("a", 2L)))
+      val onesBefore = rowsNow().count(_ == ("a", 1L))
+      // idle past the TTL: the next row must find the state EXPIRED and
+      // restart the count at 1 (a non-expired state would emit (a,3)) —
+      // TTL is the passive-eviction story for abandoned keys; q98's
+      // timers are the active one
+      Thread.sleep(6000)
+      source.addData("a")
+      pollUntil("a fresh count of 1 after TTL expiry") { rows =>
+        rows should not contain ("a", 3L)
+        rows.count(_ == ("a", 1L)) == onesBefore + 1
+      }
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("ttl_sink")
       prev match {
         case Some(v) => spark.conf.set(provKey, v)
         case None => spark.conf.unset(provKey)
