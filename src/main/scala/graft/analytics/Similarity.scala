@@ -182,7 +182,12 @@ object Similarity {
         .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("q_id"), col("rnk"))
     },
-    Some(s"""WITH $quantCte,
+    Some(ivfTopkOracle))
+
+  /** Oracle shared by s04 (in-memory inverted lists) and s12 (the same
+    * lists persisted as a list-partitioned parquet index): identical probe
+    * rule and ranking, so both must produce exactly this result. */
+  private lazy val ivfTopkOracle: String = s"""WITH $quantCte,
     ex AS (SELECT label, i AS pos, qv[i] AS v
            FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
     cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
@@ -202,7 +207,7 @@ object Similarity {
         ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
           CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
       FROM lists l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
-    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   // ---------------------------------------------------------------- s05
   // Scalar-quantized (int8-range) cosine top-k: every component floored to
@@ -723,6 +728,69 @@ object Similarity {
     FROM m LEFT JOIN d ON m.c_label = d.c_label
     ORDER BY m.c_label"""))
 
+  // ---------------------------------------------------------------- s12
+  // Partition-pruned on-disk ANN index: s04's inverted lists PERSISTED as
+  // a parquet table hive-partitioned by list label — the serving layout
+  // where probing a list means reading a directory. The probe side (each
+  // query's nearest-2 centroids) joins the index on its PARTITION column,
+  // so Catalyst injects a DynamicPruningExpression into the index scan and
+  // only the probed list directories are ever listed/read (`AnnIndexSpec`
+  // pins the pruning in the executed plan and via scan metrics; q85 proves
+  // the same mechanism on the events fact). At 100 TB this moves the
+  // nprobe/nlist discipline from the join FILTER into the FILE LISTING:
+  // an ANN query's IO is nprobe directories, not the whole corpus, and the
+  // index write itself clusters each list's vectors contiguously on disk.
+  // Same probe rule and ranking as s04 ⇒ byte-identical results; the
+  // oracle is shared ([[ivfTopkOracle]]).
+  private val s12 = QueryDef(
+    "s12_ivf_disk_index",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      // build the index: inverted lists as hive partitions, probe table as
+      // plain parquet (harness setup — at scale both pre-exist and only
+      // the probe join is the query). Probes are MATERIALIZED, not kept as
+      // the live windowed plan: a multi-stage build side defeats AQE's
+      // broadcast-exchange reuse for the pruning subquery (the filter
+      // degrades to `dynamicpruningexpression(true)` and the whole index
+      // is scanned); a simple filtered scan — the same shape `DppSpec`
+      // pins on the events fact — keeps the runtime IN-filter alive.
+      val out = tmp("graft-annidx")
+      val probesOut = tmp("graft-annprobe")
+      graft.BenchSplit.setup {
+        assigned.filter(col("crnk") === 1)
+          .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+          .write.mode("overwrite").partitionBy("list_label").parquet(out)
+        assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+          .write.mode("overwrite").parquet(probesOut)
+      }
+      // q_id < 8 re-applied on the re-read: DPP only fires off a build
+      // side with a selective predicate, and the values already satisfy it
+      val probes = s.read.parquet(probesOut).filter(col("q_id") < 8)
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      s.read.parquet(out)
+        .join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(ivfTopkOracle))
+
   val defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, d15)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, d15)
 }

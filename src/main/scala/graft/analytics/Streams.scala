@@ -1618,7 +1618,77 @@ object Streams {
       MAX(n_events) AS max_session_events
     FROM f GROUP BY user_id ORDER BY user_id"""))
 
+  // --------------------------------------------------------------- q103
+  // UNION of two INDEPENDENTLY-WATERMARKED streams — the multi-topic
+  // ingestion shape (the reference subscribes a Kafka topic PATTERN at
+  // `Dcache_kafka_to_hive.py:293-301`; at scale each topic lags
+  // differently). Clicks declare a 1-hour delay, purchases 2 hours; under
+  // the default `spark.sql.streaming.multipleWatermarkPolicy=min` the
+  // aggregation's global watermark is the MINIMUM over all watermark
+  // nodes, so finalization is paced by the laggiest source — the policy
+  // that never drops a row the slow topic is still entitled to deliver
+  // (`max` would finalize faster but sacrifice the slow side's late
+  // data; correctness-first pipelines keep `min`, which is what the
+  // deterministic batch twin below requires). Windows ending at or below
+  // min(maxClick−1h, maxPurch−2h) are provably emitted and their state
+  // evicted after the bounded drain's final no-data batch, exactly as in
+  // q19; both sink output and oracle restrict to that prefix.
+  private val q103 = QueryDef(
+    "q103_union_two_watermarks",
+    (s, dir) => withStreamShuffle(s) {
+      val maxRow = events(s, dir)
+        .agg(
+          max(when(col("event_type") === "click", unix_micros(col("ts")))).as("c"),
+          max(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p"))
+        .head
+      val (maxClick, maxPurch) =
+        (maxRow.getAs[java.lang.Long]("c"), maxRow.getAs[java.lang.Long]("p"))
+      require(maxClick != null && maxPurch != null,
+        s"q103 needs both click and purchase events at $dir " +
+          s"(max click us = $maxClick, max purchase us = $maxPurch)")
+      val cutUs = math.min(maxClick.longValue - 3600000000L,
+        maxPurch.longValue - 7200000000L) - 60000000L
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("ts"), col("event_type"), col("value"))
+        .withWatermark("ts", "2 hours")
+      val unioned = clicks.union(purchases)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val sinkName = "q103_union_two_watermarks_sink"
+      val q = unioned.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName)
+        .filter(unix_micros(col("window.end")) <= cutUs)
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:00:00").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy(col("hour"), col("event_type"))
+    },
+    Some(s"""WITH mx AS (
+      SELECT LEAST(
+        MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) - 3600000000,
+        MAX(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) - 7200000000)
+        - 60000000 AS cut_us
+      FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+      event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events, mx
+    WHERE event_type IN ('click', 'purchase')
+      AND epoch_us(date_trunc('hour', ts)) + 3600000000 <= cut_us
+    GROUP BY 1, 2 ORDER BY hour, event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102)
+      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103)
 }
