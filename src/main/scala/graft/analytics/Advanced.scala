@@ -1323,8 +1323,74 @@ object Advanced {
       TRUE AS ok25, TRUE AS ok50, TRUE AS ok75, TRUE AS mono
     FROM orders GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q104
+  // SQL PIPE syntax (Spark 4 `|>` operators): the TPC-H Q1 shape written
+  // as a linear pipeline — FROM |> WHERE |> EXTEND |> AGGREGATE |> ORDER
+  // BY. Pipe syntax is surface only: it parses to the SAME Catalyst
+  // logical plan as the nested-SELECT form (one pruned scan with the
+  // pushed filter, one partial/final hash aggregate), so it inherits q01's
+  // scale profile unchanged. The money terms keep the shared
+  // DECIMAL-cast discipline ([[Tables.dsumSql]]/[[Tables.discPriceSql]]
+  // are engine-shared syntax), so the pipe result hash-matches the
+  // oracle's classic-SQL twin exactly.
+  private val q104 = QueryDef(
+    "q104_pipe_syntax",
+    (s, dir) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("graft_q104_lineitem")
+      s.sql(s"""FROM graft_q104_lineitem
+        |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |> EXTEND ${discPriceSql("l_extendedprice", "l_discount")} AS disc_price
+        |> AGGREGATE
+             ${dsumSql("l_quantity")} AS sum_qty,
+             CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price,
+             COUNT(*) AS count_order
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  // --------------------------------------------------------------- q105
+  // SQL SCRIPTING (Spark 4 BEGIN…END compound statements): a driver-side
+  // WHILE loop doubles a price threshold until at most 100 orders remain
+  // above it — the exponential-probe shape of a log-range search. Each
+  // iteration is ONE distributed aggregate (a count at the current
+  // threshold); the loop variable lives on the driver, so the script runs
+  // O(log range) full scans — fine when each probe is a cheap
+  // pre-aggregated or indexed lookup, and the documented trade-off here:
+  // at 100 TB you precompute one equi-depth histogram (q92) and read the
+  // answer off it in a single pass instead. The oracle replays the same
+  // recurrence declaratively: thresholds 1000·2^k are enumerated, each
+  // count evaluated, and the first k meeting the bound selected — loop
+  // and closed form agree exactly because doubling a power of two is
+  // float-exact.
+  private val q105 = QueryDef(
+    "q105_sql_scripting",
+    (s, dir) => {
+      rd(s, dir, "orders").createOrReplaceTempView("graft_q105_orders")
+      s.sql("""BEGIN
+        DECLARE t DOUBLE = 1000.0;
+        WHILE (SELECT COUNT(*) FROM graft_q105_orders WHERE o_totalprice > t) > 100 DO
+          SET t = t * 2;
+        END WHILE;
+        SELECT t AS threshold,
+          (SELECT COUNT(*) FROM graft_q105_orders WHERE o_totalprice > t) AS n_above;
+      END""")
+    },
+    Some("""WITH ks AS (SELECT k FROM generate_series(0, 40) AS g(k)),
+      cand AS (SELECT k, 1000.0 * power(2.0, k) AS t FROM ks),
+      counted AS (SELECT k, t,
+        (SELECT COUNT(*) FROM orders WHERE o_totalprice > cand.t) AS n_above
+        FROM cand)
+    SELECT t AS threshold, n_above FROM counted
+    WHERE n_above <= 100 ORDER BY k LIMIT 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94)
+      q90, q91, q92, q94, q104, q105)
 }
