@@ -19,11 +19,16 @@ import sys
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    if "queries" in d:
-        return d
-    if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
-        return d["parsed"]
-    raise SystemExit(f"{path}: no 'queries' map found")
+    if "queries" not in d:
+        if isinstance(d.get("parsed"), dict) and "queries" in d["parsed"]:
+            d = d["parsed"]
+        else:
+            raise SystemExit(f"{path}: no 'queries' map found")
+    # post-split BENCH_DETAIL.json values are {total, setup_s, op_s} dicts;
+    # compare on total so pre- and post-split dumps diff interchangeably
+    d["queries"] = {k: (v["total"] if isinstance(v, dict) else v)
+                    for k, v in d["queries"].items()}
+    return d
 
 
 def main():
