@@ -87,7 +87,9 @@ object PolyHash {
 }
 
 /** Session extension wiring (`spark.sql.extensions=graft.functions.GraftExtensions`):
-  * injects the custom functions into every session built with it. */
+  * injects the custom functions into every session built with it, plus the
+  * [[graft.plans.PartitionFilterGuard]] plan check (no-op until its conf
+  * names protected tables). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(PolyHash.descriptor)
@@ -96,5 +98,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(ZInterleave.descriptor)
     ext.injectFunction(BloomFunctions.aggDescriptor)
     ext.injectFunction(BloomFunctions.mightContainDescriptor)
+    ext.injectOptimizerRule(s => new graft.plans.PartitionFilterGuard(s))
   }
 }
