@@ -432,4 +432,48 @@ class StreamingSemanticsSpec extends SparkSuite {
       spark.catalog.dropTempView("session_evict_sink")
     }
   }
+
+  test("union of two watermarked streams finalizes at the MIN per-source watermark (q103 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val fast = MemoryStream[(Timestamp, String)]
+    val slow = MemoryStream[(Timestamp, String)]
+    def branch(m: MemoryStream[(Timestamp, String)]) =
+      m.toDF().toDF("ts", "k").withWatermark("ts", "0 seconds")
+    val agg = branch(fast).union(branch(slow))
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("union_wm_sink")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      // batch 1: one event per source in the 10:00 window
+      fast.addData((ts(5), "f"))
+      slow.addData((ts(2), "s"))
+      q.processAllAvailable()
+      // batch 2: the FAST source leaps an hour ahead. Under the default
+      // multipleWatermarkPolicy=min the global watermark is
+      // min(11:00, 10:02) = 10:02 — the 10:00 window (ends 10:10) must
+      // NOT finalize, no matter how far one source runs ahead. A `max`
+      // policy would emit here and silently drop the slow source's
+      // still-entitled rows.
+      fast.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "f"))
+      q.processAllAvailable()
+      spark.table("union_wm_sink").count() shouldBe 0L
+      // batch 3: the slow source catches up; the global watermark jumps
+      // to 11:00 and the 10:00 window emits with BOTH sides' rows
+      slow.addData((Timestamp.valueOf("2024-01-01 11:00:00"), "s"))
+      q.processAllAvailable()
+      val emitted = spark.table("union_wm_sink")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      emitted should contain(("10:00", 2L))
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("union_wm_sink")
+    }
+  }
 }
