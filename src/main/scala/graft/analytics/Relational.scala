@@ -285,6 +285,63 @@ object Relational {
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
+  // --------------------------------------------------------------- q106
+  // TYPED Dataset path: case-class Encoders + `groupByKey` + a custom
+  // `Aggregator[IN, BUF, OUT]` applied via `.agg(toColumn)` — the
+  // compile-time-safe API surface (field typos fail at compile, not at
+  // analysis). The Aggregator is PARTIAL-MERGE capable (reduce into a
+  // (count, cents) buffer per partition, merge buffers at the exchange),
+  // so the plan keeps map-side combine exactly like the untyped q01 —
+  // the shuffle carries |groups| buffers, not rows. Costs to know at
+  // 100 TB, stated in the plan: `groupByKey` inserts AppendColumns (a
+  // per-row deserialization to extract the key) and the aggregate runs
+  // as ObjectHashAggregate outside whole-stage codegen — the typed path
+  // buys safety on warm paths; hot paths stay in untyped `Column`s.
+  // Quantities are summed as exact integer CENTS inside the buffer, so
+  // the typed fold is order-independent and hash-matches DuckDB.
+  private val q106 = QueryDef(
+    "q106_typed_dataset",
+    (s, dir) => {
+      import s.implicits._
+      val ds = rd(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("double"))
+        .as[TypedLine]
+      ds.groupByKey(_.l_returnflag)
+        .agg(TypedLineStats.toColumn.name("stats"))
+        .select(col("key").as("l_returnflag"),
+          col("stats.n").as("n"),
+          col("stats.sum_qty").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n,
+      CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+      q106)
+}
+
+/** Typed row for q106: only the consumed fields — the `.as[TypedLine]`
+  * projection prunes the parquet scan to these two columns. */
+final case class TypedLine(l_returnflag: String, l_quantity: Double)
+
+/** q106's typed statistics: count + exact integer-cent quantity sum. */
+final case class TypedLineOut(n: Long, sum_qty: Double)
+
+object TypedLineStats
+    extends org.apache.spark.sql.expressions.Aggregator[TypedLine, (Long, Long), TypedLineOut] {
+  override def zero: (Long, Long) = (0L, 0L)
+  override def reduce(b: (Long, Long), a: TypedLine): (Long, Long) =
+    (b._1 + 1L, b._2 + math.round(a.l_quantity * 100))
+  override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
+    (x._1 + y._1, x._2 + y._2)
+  override def finish(b: (Long, Long)): TypedLineOut =
+    TypedLineOut(b._1, b._2.toDouble / 100.0)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[(Long, Long)] =
+    org.apache.spark.sql.Encoders.tuple(
+      org.apache.spark.sql.Encoders.scalaLong,
+      org.apache.spark.sql.Encoders.scalaLong)
+  override def outputEncoder: org.apache.spark.sql.Encoder[TypedLineOut] =
+    org.apache.spark.sql.Encoders.product[TypedLineOut]
 }

@@ -386,4 +386,20 @@ class AdvancedOpsSpec extends SparkSuite {
     all(r.map(_.getBoolean(5))) shouldBe true  // ok75
     all(r.map(_.getBoolean(6))) shouldBe true  // mono
   }
+
+  test("q106 typed path keeps column pruning and partial aggregation") {
+    val df = run("q106_typed_dataset")
+    df.collect().length shouldBe 3
+    val plan = df.queryExecution.executedPlan.toString
+    // the .as[TypedLine] projection must reach the scan: two columns read
+    val readSchema = "ReadSchema: struct<l_quantity:double,l_returnflag:string>"
+    assert(plan.contains(readSchema),
+      s"typed projection did not prune the parquet scan:\n$plan")
+    // partial-merge preserved: the typed Aggregator runs as a
+    // partial/final ObjectHashAggregate pair around one exchange —
+    // the shuffle carries |groups| buffers, not rows
+    plan.split("ObjectHashAggregate").length - 1 should be >= 2
+    assert(plan.contains("partial_typedlinestats"),
+      s"no partial typed aggregate before the exchange:\n$plan")
+  }
 }
