@@ -233,5 +233,42 @@ object Semi {
     Some("""SELECT event_type, COUNT(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58, q71, q72)
+  // --------------------------------------------------------------- q107
+  // Count-Min sketch point-frequency probes: the builtin
+  // `count_min_sketch` aggregate builds ONE mergeable binary sketch over
+  // every event's type (counter matrices sum — partial/final combine is
+  // exact and partition-order-independent; seed fixed for determinism),
+  // the one-row result is collected and embedded as a literal (the q51
+  // bloom pattern — driver-bounded, a sketch is ~KBs at any corpus
+  // size), and each type's frequency is probed with the native codegen'd
+  // [[graft.functions.CmsEstimate]] `cms_estimate` expression. The CMS
+  // guarantee — exact ≤ estimate ≤ exact + ε·N with confidence δ — is
+  // emitted as booleans against the EXACT per-type counts, which is what
+  // the DuckDB twin (no CMS) can verify; the estimates themselves stay
+  // out of the hash. At 100 TB the per-partition sketch is the
+  // constant-size answer to "how often does THIS value occur" without a
+  // second scan — the frequency twin of q58's HLL distinct.
+  private val q107 = QueryDef(
+    "q107_cms_frequency",
+    (s, dir) => {
+      graft.functions.CmsEstimate.register(s)
+      val ev = events(s, dir)
+      val head = ev.agg(
+        call_function("count_min_sketch",
+          col("event_type"), lit(0.001d), lit(0.99d), lit(42)).as("sk"),
+        count(lit(1)).as("total")).head
+      val (sketch, total) = (head.getAs[Array[Byte]]("sk"), head.getAs[Long]("total"))
+      val bound = math.ceil(0.001 * total).toLong
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("est", call_function("cms_estimate", lit(sketch), col("event_type")))
+        .select(col("event_type"), col("n"),
+          (col("est") >= col("n")).as("ok_lower"),
+          (col("est") <= col("n") + lit(bound)).as("ok_upper"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, COUNT(*) AS n, TRUE AS ok_lower, TRUE AS ok_upper
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58, q71, q72, q107)
 }

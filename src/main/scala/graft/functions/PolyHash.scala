@@ -98,6 +98,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(ZInterleave.descriptor)
     ext.injectFunction(BloomFunctions.aggDescriptor)
     ext.injectFunction(BloomFunctions.mightContainDescriptor)
+    ext.injectFunction(CmsEstimate.descriptor)
     ext.injectOptimizerRule(s => new graft.plans.PartitionFilterGuard(s))
   }
 }
