@@ -67,21 +67,32 @@ object Bench {
     val results = picked.toSeq.sortBy(_._1).map { case (name, fn) =>
       BenchSplit.drainSeconds() // discard anything a prior query leaked
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // a failing query must be VISIBLE, never a fast fake success: record
+      // the error and surface it per-query plus as a failed-count on the
+      // final parseable line (round 10: 46 broken queries each "timed"
+      // ~0.06 s and the headline total looked like an improvement)
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case t: Throwable =>
+          Some(s"${t.getClass.getSimpleName}: ${String.valueOf(t.getMessage).takeWhile(_ != '\n').take(160)}") }
       val totalS = (System.nanoTime() - t0) / 1e9
       // harness-setup seconds the query self-reported via BenchSplit.setup
       // (in-query scratch-table/file writes that only exist so the read
       // path has input — see BenchSplit's doc); 0.0 for everything else
-      (name, totalS, math.min(BenchSplit.drainSeconds(), totalS))
+      (name, totalS, math.min(BenchSplit.drainSeconds(), totalS), err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = results.map { case (k, v, _, err) =>
+      s"\"" + k + "\":" + (if (err.isEmpty) s"$v" else "\"ERR\"")
+    }.mkString("{", ",", "}")
     // detail variant: total plus the setup/op attribution per query, so a
     // contended host inflating the small-file-IO setup writes can never
     // read as an operator regression (total stays the driver contract)
-    val qsDetail = results.map { case (k, v, su) =>
-      s"\"" + k + s"""":{"total":$v,"setup_s":$su,"op_s":${v - su}}"""
+    val qsDetail = results.map { case (k, v, su, err) =>
+      val errField = err.map(e => s""","err":${jstr(e)}""").getOrElse("")
+      s"\"" + k + s"""":{"total":$v,"setup_s":$su,"op_s":${v - su}$errField}"""
     }.mkString("{", ",", "}")
+    val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
     // The driver tails only the last ~2000 bytes of stdout; with 60+
     // queries the full per-query map (~2.5 KB) pushed the JSON head out of
@@ -89,12 +100,12 @@ object Bench {
     // (humans / judge logs), also persist it to BENCH_DETAIL.json, and keep
     // the FINAL line compact so the parseable object always fits.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qsDetail,"sf":"$sfDir"}"""
     // human/judge-facing detail FIRST — the driver tails the last ~2000
     // bytes, so the parseable compact line below must stay last
     println(detail)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}"""
     println(full)
     // subset runs are local iteration — don't clobber the committed
     // full-catalog detail file
@@ -102,7 +113,7 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -12,15 +12,15 @@ object SparkEntry {
     * it back, and aggregate rows per (event_type, day) — P1–P5, F1, X1,
     * W1 and one aggregation in a single end-to-end path. */
   def entry(spark: SparkSession): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // fixed ABSOLUTE path under the system temp dir (overwritten per run,
     // not a fresh temp dir per invocation — repeated smoke runs must not
     // leak directories; anchored so the output location does not depend on
     // the JVM working directory, which a relative target/ path would)
     val out = java.nio.file.Paths.get(
       sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-entry").toString
-    val parsed = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // encoding-adaptive loader (the testdata ts encoding has flipped
+    // between rounds; Tables.normalizeTs owns the dtype branch)
+    val parsed = analytics.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("k", expr("try_cast(get_json_object(props, '$.k') AS int)"))
       .filter(col("event_type").isin("click", "view", "purchase", "signup", "error"))
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))

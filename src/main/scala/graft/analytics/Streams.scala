@@ -134,10 +134,11 @@ object Streams {
   private def eventsStream(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream
-      .schema(schema)
-      .parquet(streamDirFor(dir, "events"))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // normalizeTs is schema+withColumn only, so it lifts to streams as-is
+    Tables.normalizeTs(
+      s.readStream
+        .schema(schema)
+        .parquet(streamDirFor(dir, "events")))
   }
 
   // ---------------------------------------------------------------- q20
@@ -690,10 +691,11 @@ object Streams {
   private val q54 = QueryDef(
     "q54_stream_upsert",
     (s, dir) => withStreamShuffle(s) {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val srcDir = java.nio.file.Files.createTempDirectory("graft-q54-src").toString
       graft.BenchSplit.setup {
-        s.read.parquet(s"$dir/events.parquet")
+        // normalized at write time, so the streamed copy always carries a
+        // plain TimestampType ts whatever the source encoding was
+        Tables.events(s, dir)
           .repartition(3).write.mode("overwrite").parquet(srcDir)
       }
       val schema = s.read.parquet(srcDir).schema
@@ -702,7 +704,7 @@ object Streams {
         .parquet(srcDir)
       val partials = (b: org.apache.spark.sql.DataFrame) => b
         .select(col("event_type"),
-          expr("(ts DIV 1000) DIV 86400000000").as("day"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
           col("value"))
         .groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n"),

@@ -2,7 +2,7 @@ package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
 
 /** Loaders + numeric helpers shared by the analytics queries. */
 object Tables {
@@ -10,14 +10,32 @@ object Tables {
   def rd(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; read the raw int64 (`nanosAsLong`) and convert to a microsecond
-    * timestamp with integral division (double division would lose precision
-    * above 2^53 ns). Set at runtime so queries work under any session. */
+  /** Normalize the events `ts` column to TimestampType whatever physical
+    * encoding the data generator used — the encoding has flipped between
+    * rounds, so the loader adapts instead of hard-coding one:
+    *   - parquet TIMESTAMP(NANOS): Spark's reader rejects it; sessions set
+    *     `nanosAsLong` so it surfaces as LongType raw int64 nanos → convert
+    *     with integral division (double division would lose precision above
+    *     2^53 ns).
+    *   - timestamp[us] without tz (TIMESTAMP_NTZ): wall-clock-preserving
+    *     cast; all graft sessions run UTC, so the instant equals the stored
+    *     epoch micros — same values the DuckDB oracle's `epoch_us(ts)` sees.
+    *   - TimestampType: already normalized.
+    * Works on batch and streaming frames alike (schema + withColumn only).
+    * Any new encoding fails loudly here (one named error, not 46 broken
+    * queries — see SchemaContractSpec). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType          => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
+    case TimestampType     => df
+    case other => throw new IllegalStateException(
+      s"events.ts has unsupported encoding $other; extend Tables.normalizeTs")
+  }
+
   def events(spark: SparkSession, dir: String): DataFrame = {
+    // harmless when ts is already a timestamp; required for the nanos encoding
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rd(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    normalizeTs(rd(spark, dir, "events"))
   }
 
   /** Deterministic cross-engine float aggregation: per-row values are cast
@@ -96,17 +114,28 @@ object Tables {
     d.resolve("t").toString
   }
 
+  /** A single small parquet file yields ONE input split, so every
+    * downstream per-row-heavy expression (the HOF/hashing text family)
+    * runs as one task on one core — at sf0.1 that made t20 a 34 s
+    * single-task stage on a 32-core host. Widen under-split scans to the
+    * session's cores; a real at-scale table is many files/splits and the
+    * branch is a no-op (no shuffle added). */
+  private def widen(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (df.inputFiles.length < cores) df.repartition(cores) else df
+  }
+
   def docs(spark: SparkSession, dir: String): DataFrame = {
     // every poly_hash / ngram_hashes consumer reads documents; make the
     // functions available even under a session built without GraftExtensions
     graft.functions.PolyHash.register(spark)
     graft.functions.NgramHashes.register(spark)
-    rd(spark, dir, "documents")
+    widen(spark, rd(spark, dir, "documents"))
   }
   def embs(spark: SparkSession, dir: String): DataFrame = {
     // dot_i64 is the hot-path primitive of every embeddings consumer
     graft.functions.DotI64.register(spark)
-    rd(spark, dir, "embeddings")
+    widen(spark, rd(spark, dir, "embeddings"))
   }
 
   // ------------------------------------------------------------------

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.analytics.Tables
+
+/** Contract between the driver-generated testdata and the loaders.
+  *
+  * Round 10 regression: the driver regenerated `/root/testdata` and flipped
+  * `events.ts` from parquet TIMESTAMP(NANOS) to plain timestamp[us]; every
+  * events consumer hard-coded the nanos decode and 46 queries silently
+  * vanished from the correctness report. This spec turns the next silent
+  * regeneration into ONE named test failure: it reads each sf0.001 table
+  * and asserts the loader-normalized shape the whole catalog assumes.
+  */
+class SchemaContractSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("every testdata table is present and readable with rows") {
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      withClue(s"$t: ") {
+        assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/$t.parquet")))
+        assert(Tables.rd(spark, dir, t).limit(1).count() == 1L)
+      }
+    }
+  }
+
+  test("events loader normalizes ts to TimestampType under any encoding") {
+    val ev = Tables.events(spark, dir)
+    assert(ev.schema("ts").dataType == TimestampType)
+    // the rest of the shape the 46 events consumers assume
+    val want = Map(
+      "event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType, "props" -> StringType)
+    want.foreach { case (c, dt) => assert(ev.schema(c).dataType == dt, c) }
+    // values, not just types: the normalized instant must equal the stored
+    // epoch micros (what the DuckDB oracle's epoch_us(ts) compares against),
+    // so the timestamps land in the generator's 2024 window rather than
+    // being shifted by a timezone or unit mistake
+    import org.apache.spark.sql.functions._
+    val Array(row) = ev.agg(
+      min(unix_micros(col("ts"))).as("lo"), max(unix_micros(col("ts"))).as("hi")).collect()
+    val (lo, hi) = (row.getLong(0), row.getLong(1))
+    val us2020 = 1577836800000000L // 2020-01-01
+    val us2030 = 1893456000000000L // 2030-01-01
+    assert(lo >= us2020 && hi <= us2030, s"ts out of plausible window: [$lo, $hi]")
+  }
+
+  test("normalizeTs decodes the legacy nanos-as-long encoding") {
+    import spark.implicits._
+    val raw = Seq((1L, 1711929600000000000L)).toDF("event_id", "ts")
+    val out = Tables.normalizeTs(raw)
+    assert(out.schema("ts").dataType == TimestampType)
+    import org.apache.spark.sql.functions._
+    assert(out.select(unix_micros(col("ts"))).head().getLong(0) == 1711929600000000L)
+  }
+
+  test("normalizeTs rejects an unknown encoding loudly") {
+    import spark.implicits._
+    val raw = Seq(("x", "2024-01-01")).toDF("event_id", "ts")
+    assertThrows[IllegalStateException](Tables.normalizeTs(raw))
+  }
+
+  test("documents and embeddings carry the columns the catalog assumes") {
+    val docs = Tables.docs(spark, dir)
+    Seq("doc_id", "text", "lang", "source", "n_chars").foreach(c =>
+      assert(docs.columns.contains(c), s"documents.$c"))
+    assert(docs.schema("text").dataType == StringType)
+    val embs = Tables.embs(spark, dir)
+    Seq("vec_id", "embedding", "label").foreach(c =>
+      assert(embs.columns.contains(c), s"embeddings.$c"))
+    assert(embs.schema("embedding").dataType == ArrayType(FloatType, containsNull = true))
+  }
+}
