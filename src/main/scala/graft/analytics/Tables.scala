@@ -135,7 +135,7 @@ object Tables {
   def embs(spark: SparkSession, dir: String): DataFrame = {
     // dot_i64 is the hot-path primitive of every embeddings consumer
     graft.functions.DotI64.register(spark)
-    widen(spark, rd(spark, dir, "embeddings"))
+    rd(spark, dir, "embeddings")
   }
 
   // ------------------------------------------------------------------
