@@ -380,6 +380,9 @@ object Dedup {
       // broadcast immediately).
       var pr = nodes.withColumn("pr", lit(PrUnit / nn))
       (1 to PrIters).foreach { _ =>
+        // (A/B'd r11: an explicit broadcast(deg) hint here measured flat —
+        // AQE already picks broadcast at bench scale — and at 100 TB
+        // |nodes| may exceed broadcast limits, so the hint stays off)
         val withDeg = pr.join(deg, "node")
           .select(col("node"), expr("pr DIV deg").as("c"))
         pr = edges

@@ -791,6 +791,67 @@ object Similarity {
     },
     Some(ivfTopkOracle))
 
+  // ---------------------------------------------------------------- s13
+  // INCREMENTAL maintenance of the s12 on-disk IVF index: the operation a
+  // serving index needs every day at 100 TB — absorb a batch of new
+  // vectors WITHOUT rebuilding. The codebook (centroids) is frozen; the
+  // base index (80% of the corpus) already exists as list-partitioned
+  // parquet; the delta (20%) is assigned to its nearest frozen centroid
+  // and APPENDED with dynamic-partition append, so the write touches only
+  // the list directories the delta lands in and never rewrites a base
+  // file (AnnIndexSpec pins base-file immutability by path). Because the
+  // frozen codebook equals the full-corpus codebook here, base∪delta is
+  // row-identical to the one-shot s12 index, so the probe query must
+  // reproduce s04/s12's exact results — the shared [[ivfTopkOracle]]
+  // proves the incremental path loses nothing. At scale this is the whole
+  // point of the layout: index maintenance is O(|delta|) shuffle + append,
+  // probing stays nprobe directories via the same runtime partition
+  // pruning.
+  private val s13 = QueryDef(
+    "s13_ivf_incremental",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      val out = tmp("graft-annincr")
+      val probesOut = tmp("graft-annincrprobe")
+      graft.BenchSplit.setup {
+        // day 0: base index build (pre-exists at scale)
+        lists.filter(col("vec_id") % 5 =!= 0)
+          .write.mode("overwrite").partitionBy("list_label").parquet(out)
+        // day 1: delta ingest — append-only into the same layout
+        lists.filter(col("vec_id") % 5 === 0)
+          .write.mode("append").partitionBy("list_label").parquet(out)
+        assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+          .write.mode("overwrite").parquet(probesOut)
+      }
+      // identical probe shape to s12 (materialized probes keep DPP alive)
+      val probes = s.read.parquet(probesOut).filter(col("q_id") < 8)
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      s.read.parquet(out)
+        .join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(ivfTopkOracle))
+
   val defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, d15)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, d15)
 }

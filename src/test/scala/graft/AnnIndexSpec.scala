@@ -52,4 +52,37 @@ class AnnIndexSpec extends SparkSuite {
       .collect().map(_.toString)
     onDisk.toSeq shouldBe inMem.toSeq
   }
+
+  test("s13 incrementally-maintained index returns exactly s04's result") {
+    val incr = SparkEntry.queries("s13_ivf_incremental")(spark, dir)
+      .collect().map(_.toString)
+    val inMem = SparkEntry.queries("s04_ivf_topk")(spark, dir)
+      .collect().map(_.toString)
+    incr.toSeq shouldBe inMem.toSeq
+  }
+
+  test("delta append into the index layout never rewrites a base file (s13 mechanics)") {
+    import spark.implicits._
+    def dataFiles(root: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-annincr-spec").toString
+    Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("vec_id", "list_label")
+      .write.mode("overwrite").partitionBy("list_label").parquet(out)
+    val base = dataFiles(out)
+    // delta touches only list "a"; list "b"'s files must survive verbatim
+    Seq((10L, "a")).toDF("vec_id", "list_label")
+      .write.mode("append").partitionBy("list_label").parquet(out)
+    val after = dataFiles(out)
+    base.keySet.foreach { p =>
+      assert(after.contains(p), s"base file removed by append: $p")
+      after(p) shouldBe base(p) // untouched, not rewritten in place
+    }
+    after.size should be > base.size
+    spark.read.parquet(out).count() shouldBe 4L
+  }
 }
