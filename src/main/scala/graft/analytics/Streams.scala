@@ -1690,7 +1690,64 @@ object Streams {
       AND epoch_us(date_trunc('hour', ts)) + 3600000000 <= cut_us
     GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  // --------------------------------------------------------------- q108
+  // STREAM-STREAM **LEFT SEMI** interval join — the last mode Spark
+  // supports in the matrix (inner q30, left q81, full q95, right q100):
+  // "clicks that led to a purchase within 30 minutes", each qualifying
+  // click emitted ONCE with only left-side columns, no pair explosion.
+  // Semantically this is the streaming EXISTS — at scale it beats the
+  // inner join + dedup it replaces because a click's state row can be
+  // DROPPED at first match (no duplicate emission to suppress) and the
+  // output volume is |matched clicks|, not |pairs|. Matched rows emit
+  // eagerly (match-driven, like inner), so the bounded AvailableNow
+  // drain of a finite replay is exact with no finalization cut; the
+  // oracle is the batch EXISTS over the same events.
+  private val q108 = QueryDef(
+    "q108_stream_semi_join",
+    (s, dir) => withStreamShuffle(s) {
+      val clicks = eventsStream(s, dir)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = eventsStream(s, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      val joined = clicks.join(purchases,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_semi")
+      val sinkName = "q108_stream_semi_join_sink"
+      val q = joined.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // integer checksum over the emitted clicks: exactly-once emission
+      // is part of what the hash gate proves (a duplicate would shift n
+      // AND the sum)
+      sinkTable(s, sinkName)
+        .groupBy(col("c_user").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_converting_clicks"),
+          sum(unix_micros(col("c_ts"))).as("sum_c_us"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT c.user_id AS user_id,
+      COUNT(*) AS n_converting_clicks,
+      CAST(SUM(epoch_us(c.ts)) AS BIGINT) AS sum_c_us
+    FROM events c
+    WHERE c.event_type = 'click' AND EXISTS (
+      SELECT 1 FROM events p
+      WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103)
+      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108)
 }
