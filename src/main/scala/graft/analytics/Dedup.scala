@@ -678,6 +678,83 @@ object Dedup {
       CAST(SUM(CAST(jacc AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_jacc
     FROM pairs GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- d16
+  // PERSISTED LSH signature index + delta probe — the dedup twin of the
+  // s13 index-maintenance story and the missing scale piece over d11:
+  // the corpus side of near-dup dedup is not recomputed per batch, it is
+  // a STORED signature table (doc_id, 8-minhash signature, band key)
+  // written BUCKETED BY the band key. An arriving delta computes
+  // signatures for ITS docs only and equi-joins the index on the band
+  // key — the index side needs no Exchange (bucket files are the
+  // shuffle, paid once at publish time; q88/`BucketingSpec` pin that
+  // plan shape), the delta side shuffles |delta| rows. Candidates are
+  // then verified from SIGNATURES ALONE (#agreeing minhashes ≥ 4 of 8 ⇒
+  // estimated Jaccard ≥ 0.5, the d14-calibrated estimator) — corpus TEXT
+  // is never re-read, which is the property that makes nightly dedup
+  // O(|delta|) at 100 TB. Output: per delta source, docs probed and
+  // docs flagged as near-dups of the corpus.
+  private val d16 = QueryDef(
+    "d16_persisted_lsh_index",
+    (s, dir) => {
+      val mh = shingled(s, dir)
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(
+          col("doc_id"),
+          array(perm.map { case (a, b) =>
+            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
+          }: _*).as("mhs"))
+      val bands = mh.select(col("doc_id"), col("mhs"), explode(expr(
+        "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
+      graft.BenchSplit.setup {
+        // publish the corpus signature index (pre-exists at scale)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_d16 LOCATION '${tmp("graft-d16-db")}'")
+        s.sql("DROP TABLE IF EXISTS graft_d16.sig_idx")
+        bands.filter(col("doc_id") % 2 === 0)
+          .write.bucketBy(8, "band").sortBy("band")
+          .option("path", tmp("graft-d16-idx"))
+          .saveAsTable("graft_d16.sig_idx")
+      }
+      val idx = s.table("graft_d16.sig_idx")
+        .select(col("band"), col("doc_id").as("c_id"), col("mhs").as("c_mhs"))
+      val delta = bands.filter(col("doc_id") % 2 === 1)
+        .select(col("band"), col("doc_id").as("d_id"), col("mhs").as("d_mhs"))
+      val flagged = delta.join(idx, "band")
+        .select(col("d_id"), col("c_id"), col("d_mhs"), col("c_mhs")).distinct()
+        .withColumn("n_agree",
+          expr("size(filter(zip_with(d_mhs, c_mhs, (x, y) -> x = y), b -> b))"))
+        .filter(col("n_agree") >= 4)
+        .select(col("d_id")).distinct()
+        .withColumn("flag", lit(1L))
+      mh.filter(col("doc_id") % 2 === 1).select(col("doc_id").as("d_id"))
+        .join(docs(s, dir).select(col("doc_id").as("d_id"), col("source")), "d_id")
+        .join(flagged, Seq("d_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_delta"),
+          sum(coalesce(col("flag"), lit(0L))).as("n_flagged"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+              FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS d_id, b.doc_id AS c_id
+             FROM bands a JOIN bands b ON a.band = b.band
+             WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+    flagged AS (SELECT DISTINCT d_id FROM cand
+                JOIN mh x ON x.doc_id = d_id JOIN mh y ON y.doc_id = c_id
+                WHERE len(list_filter(list_zip(x.mhs, y.mhs), p -> p[1] = p[2])) >= 4)
+    SELECT d.source, COUNT(*) AS n_delta,
+      CAST(SUM(CASE WHEN f.d_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM mh m JOIN documents d ON d.doc_id = m.doc_id
+    LEFT JOIN flagged f ON f.d_id = m.doc_id
+    WHERE m.doc_id % 2 = 1
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14)
+    Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
+      d16)
 }
