@@ -1389,8 +1389,64 @@ object Advanced {
     SELECT t AS threshold, n_above FROM counted
     WHERE n_above <= 100 ORDER BY k LIMIT 1"""))
 
+  // --------------------------------------------------------------- q109
+  // SQL-DEFINED FUNCTIONS (Spark 4 CREATE FUNCTION … RETURN): the revenue
+  // term and the quantity band live as named SQL UDFs, then drive an
+  // aggregation. Unlike Scala/Python UDFs these INLINE into the plan as
+  // plain Catalyst expressions — full whole-stage codegen, pushdown, and
+  // constant folding survive, so the named abstraction costs nothing at
+  // 100 TB (the resolved plan is identical to writing the expressions
+  // out). The oracle inlines the same definitions by hand.
+  private val q109 = QueryDef(
+    "q109_sql_udf",
+    (s, dir) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("graft_q109_lineitem")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_price(
+        p DECIMAL(18,2), d DECIMAL(18,2)) RETURNS DECIMAL(18,4)
+        RETURN CAST(p * (1 - d) AS DECIMAL(18,4))""")
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_band(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
+                    ELSE 'high' END""")
+      s.sql("""SELECT graft_qty_band(l_quantity) AS band, COUNT(*) AS n,
+          CAST(SUM(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
+                                    CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        FROM graft_q109_lineitem GROUP BY 1 ORDER BY 1""")
+    },
+    Some(s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                 WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
+      COUNT(*) AS n,
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+    FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- q110
+  // COLLATED string semantics (Spark 4 collations): per-source distinct
+  // vocabulary under binary vs case-insensitive (UTF8_LCASE) collation —
+  // collation-aware DISTINCT/grouping without materializing a lower()'d
+  // copy of the column. At scale the win is the same hash-aggregate plan
+  // with a collation-aware key comparator instead of a second full-width
+  // derived column through every shuffle. Oracle twin: DuckDB
+  // COUNT(DISTINCT lower(w)) — equivalent on this corpus.
+  private val q110 = QueryDef(
+    "q110_collated_distinct",
+    (s, dir) => {
+      docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("w")).as("n_words_cs"),
+          countDistinct(expr("collate(w, 'UTF8_LCASE')")).as("n_words_ci"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source,
+      COUNT(DISTINCT w) AS n_words_cs,
+      COUNT(DISTINCT lower(w)) AS n_words_ci
+    FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+    WHERE len(w) > 0 GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105)
+      q90, q91, q92, q94, q104, q105, q109, q110)
 }
