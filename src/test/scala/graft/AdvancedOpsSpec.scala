@@ -387,6 +387,34 @@ class AdvancedOpsSpec extends SparkSuite {
     all(r.map(_.getBoolean(6))) shouldBe true  // mono
   }
 
+  test("q109 SQL UDFs inline as expressions: no UDF node, codegen intact") {
+    val df = run("q109_sql_udf")
+    df.collect().length shouldBe 3
+    val plan = df.queryExecution.executedPlan.toString
+    // a SQL-defined function must resolve to its body (CASE WHEN /
+    // decimal arithmetic), never to a black-box UDF invocation — that is
+    // the whole scale argument for q109 (pushdown + whole-stage codegen
+    // survive the named abstraction)
+    // (the function NAME may survive as a projected attribute alias; what
+    // must not appear is a black-box invocation node)
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"SQL UDF did not inline:\n$plan")
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("CASE WHEN"), s"inlined band expression missing:\n$logical")
+    // `*(n)` prefixes are whole-stage-codegen stages in the executed plan
+    assert(plan.contains("*("), s"codegen lost:\n$plan")
+    // equality with the hand-inlined form, row for row
+    import org.apache.spark.sql.functions._
+    val inline = graft.analytics.Tables.rd(spark, dir, "lineitem")
+      .groupBy(when(col("l_quantity") < 10, "low")
+        .when(col("l_quantity") < 30, "mid").otherwise("high").as("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(graft.analytics.Tables.discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy(col("band"))
+    df.collect().map(_.toString).toSeq shouldBe inline.collect().map(_.toString).toSeq
+  }
+
   test("q106 typed path keeps column pruning and partial aggregation") {
     val df = run("q106_typed_dataset")
     df.collect().length shouldBe 3
