@@ -292,6 +292,56 @@ class StreamingSemanticsSpec extends SparkSuite {
     }
   }
 
+  test("left-semi stream join emits a matched click ONCE, never an unmatched one, and evicts state (q108 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("q108-spec-ckpt").toString
+    val cSrc = MemoryStream[(Timestamp, Long)]
+    val pSrc = MemoryStream[(Timestamp, Long)]
+    val clicks = cSrc.toDF().toDF("c_ts", "c_user").withWatermark("c_ts", "5 minutes")
+    val purchases = pSrc.toDF().toDF("p_ts", "p_user").withWatermark("p_ts", "5 minutes")
+    val joined = clicks.join(purchases,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
+      "left_semi")
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("q108_spec_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    def t(hhmm: String): Timestamp = Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+    try {
+      // u1's click gets TWO in-window purchases (semi must emit it once,
+      // not twice); u2's click never matches
+      cSrc.addData((t("10:00"), 1L), (t("10:05"), 2L))
+      pSrc.addData((t("10:10"), 1L), (t("10:20"), 1L))
+      q.processAllAvailable()
+      // advance the watermark far past both clicks + the 30m join bound
+      cSrc.addData((t("13:00"), 3L)); pSrc.addData((t("13:00"), 4L))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("q108_spec_sink")
+      // left columns only, exactly one row, the matched click
+      out.columns.toSeq shouldBe Seq("c_ts", "c_user")
+      out.select(date_format(col("c_ts"), "HH:mm"), col("c_user"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+        Seq(("10:00", 1L))
+      // eviction: at final watermark 12:55 every click below 12:25
+      // (bound 30m) must be gone from the left store — the matched AND
+      // the unmatched one; only the 13:00 probe row survives
+      val left = spark.read.format("statestore").option("joinSide", "left").load(ckpt)
+        .select(col("value.c_user"), date_format(col("value.c_ts"), "HH:mm"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      left shouldBe Set((3L, "13:00"))
+    } finally {
+      if (q.isActive) q.stop()
+      spark.catalog.dropTempView("q108_spec_sink")
+    }
+  }
+
   test("statestore batchId option time-travels to a historical state version") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
