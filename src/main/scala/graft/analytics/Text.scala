@@ -1049,7 +1049,87 @@ object Text {
       ${strHashSql("array_to_string(cw, ' ')")} AS chunk_hash
     FROM ch ORDER BY doc_id, chunk_idx"""))
 
+  // ---------------------------------------------------------------- t25
+  // Boilerplate REMOVAL applied — t20 measures duplicated segment mass,
+  // this executes the C4-style filter and reports the cleaned corpus:
+  // every 8-token segment appearing in ≥2 distinct docs is dropped, the
+  // (<8-token) tail of each doc is always kept, and per source we emit
+  // tokens before/after, docs fully emptied of chunk content, and an
+  // integer checksum over the RETAINED segment hashes (exact DECIMAL sum
+  // mod 1e9+7 — the oracle must retain the very same segments, not just
+  // the same counts). Same two wide ops as t20 (one hash-agg on segment
+  // hash + one co-partitioned join back) plus a |docs| join to re-attach
+  // docs with no chunks — nothing exceeds the t20 plan at 100 TB, which
+  // is the point: applying the filter costs what measuring it did.
+  private val t25 = QueryDef(
+    "t25_boilerplate_removal",
+    (s, dir) => {
+      val ck = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .select(col("doc_id"), col("source"), col("th"),
+          expr(ngramExpr("th", ChunkTok)).as("ng"))
+        .select(col("doc_id"), col("source"), size(col("th")).as("n_tok"),
+          expr(s"""CASE WHEN size(th) >= $ChunkTok THEN
+              transform(sequence(0, CAST(size(th) DIV $ChunkTok AS INT) - 1),
+                i -> element_at(ng, i * $ChunkTok + 1))
+            ELSE array() END""").as("chunks"))
+      val docTok = ck.select(col("doc_id"), col("source"), col("n_tok"),
+        size(col("chunks")).as("n_chunks"))
+      val ex = ck.select(col("doc_id"), explode(col("chunks")).as("ch"))
+      val global = ex.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      val retained = ex.join(global, "ch")
+        .filter(col("n_docs_with") < 2)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_ret"),
+          sum(col("ch").cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("ck_sum"))
+      docTok.join(retained, Seq("doc_id"), "left")
+        .withColumn("n_ret", coalesce(col("n_ret"), lit(0L)))
+        .withColumn("tok_after",
+          col("n_tok") - lit(ChunkTok) * col("n_chunks") + lit(ChunkTok) * col("n_ret"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tok_before"),
+          sum(col("tok_after")).as("tok_after"),
+          sum(when(col("n_chunks") > 0 && col("n_ret") === 0, 1L).otherwise(0L))
+            .as("n_emptied"),
+          (sum(coalesce(col("ck_sum"), lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+            % lit(HashMod)).cast("long").as("checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id, source,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ngt AS (SELECT doc_id, source, th,
+        ${ngramSqlDuck("th", ChunkTok)} AS ng FROM th),
+    ck AS (SELECT doc_id, source, len(th) AS n_tok,
+        CASE WHEN len(th) >= $ChunkTok THEN
+          list_transform(generate_series(0, len(th) // $ChunkTok - 1),
+            i -> ng[i * $ChunkTok + 1])
+        ELSE CAST([] AS BIGINT[]) END AS chunks
+      FROM ngt),
+    dt AS (SELECT doc_id, source, n_tok, len(chunks) AS n_chunks FROM ck),
+    ex AS (SELECT doc_id, unnest(chunks) AS ch FROM ck),
+    g AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs_with FROM ex GROUP BY ch),
+    ret AS (SELECT doc_id, COUNT(*) AS n_ret,
+              SUM(CAST(ch AS DECIMAL(38,0))) AS ck_sum
+            FROM ex JOIN g USING (ch) WHERE n_docs_with < 2 GROUP BY doc_id),
+    pd AS (SELECT dt.source, dt.n_tok, dt.n_chunks,
+             COALESCE(ret.n_ret, 0) AS n_ret,
+             COALESCE(ret.ck_sum, CAST(0 AS DECIMAL(38,0))) AS ck_sum,
+             dt.n_tok - $ChunkTok * dt.n_chunks + $ChunkTok * COALESCE(ret.n_ret, 0) AS tok_after
+           FROM dt LEFT JOIN ret USING (doc_id))
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS tok_before,
+      CAST(SUM(tok_after) AS BIGINT) AS tok_after,
+      CAST(SUM(CASE WHEN n_chunks > 0 AND n_ret = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_emptied,
+      CAST(SUM(ck_sum) % $HashMod AS BIGINT) AS checksum
+    FROM pd GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
 }
