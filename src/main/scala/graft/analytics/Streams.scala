@@ -679,6 +679,42 @@ object Streams {
     FROM events JOIN customer ON user_id = c_custkey
     GROUP BY 1, 2 ORDER BY segment, event_type"""))
 
+  // --------------------------------------------------------------- q111
+  // STREAM-STATIC **LEFT ANTI** join: every micro-batch keeps the events
+  // whose user is NOT in the broadcast allowlist (the BUILDING-segment
+  // customers) — the streaming audit/filter shape (denylist routing,
+  // orphan detection) that q38's enrichment join doesn't exercise. The
+  // static side broadcasts; no state store is involved at all (anti
+  // against a static table is stateless per batch), so the operator's
+  // scale cost is exactly the broadcast hash lookup. Bounded drain ⇒
+  // the batch NOT-EXISTS twin is an exact oracle.
+  private val q111 = QueryDef(
+    "q111_stream_static_anti",
+    (s, dir) => withStreamShuffle(s) {
+      val allow = rd(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("user_id"))
+      val kept = eventsStream(s, dir)
+        .join(broadcast(allow), Seq("user_id"), "left_anti")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      val sinkName = "q111_stream_static_anti_sink"
+      val q = kept.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      sinkTable(s, sinkName).orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n, ${dsumSql("value")} AS sum_value
+    FROM events e
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+      WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING')
+    GROUP BY 1 ORDER BY 1"""))
+
   // ---------------------------------------------------------------- q54
   // Streaming UPSERT-maintained result table (graft.streaming.StreamUpsert):
   // the events table is re-laid as three files and streamed one file per
@@ -1749,5 +1785,6 @@ object Streams {
 
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
-      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108)
+      q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
+      q111)
 }
