@@ -409,5 +409,73 @@ object Multimodal {
       substring(hex(encode(text)), 1, 8) AS head_hex
     FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
-  val defs: Seq[QueryDef] = Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09)
+  // ---------------------------------------------------------------- m10
+  // STREAMING binaryFile ingest — m09's scan as the continuous front
+  // door a media pipeline actually runs: new blobs land in a directory,
+  // the file stream source lists them with the same glob-side pruning,
+  // `maxFilesPerTrigger` paces admission (5 batches here), and
+  // fingerprints flow through Spark's exactly-once parquet FILE sink
+  // (checkpoint + output commit manifest). The read-back must be
+  // byte-exact against the same oracle as m09 — proving the streaming
+  // path loses/duplicates nothing across micro-batch boundaries. At
+  // scale this is the ingest discipline: listing-side filter, bounded
+  // per-batch admission, commit-protocol output.
+  private val m10 = QueryDef(
+    "m10_binaryfile_stream",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(Tables.tmp("graft-m10-files"))
+      java.nio.file.Files.createDirectories(root)
+      graft.BenchSplit.setup {
+        docs(s, dir).filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("source"), col("text"))
+          .collect() // 100 rows, bounded — setup, not the operator
+          .foreach { r =>
+            val d = root.resolve(r.getString(1))
+            java.nio.file.Files.createDirectories(d)
+            java.nio.file.Files.write(
+              d.resolve(s"doc_${r.getLong(0)}.bin"),
+              r.getString(2).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+        java.nio.file.Files.write(root.resolve("README.txt"),
+          "decoy — the glob filter must skip this".getBytes("UTF-8"))
+      }
+      val outDir = Tables.tmp("graft-m10-out")
+      val ckpt = Tables.tmp("graft-m10-ckpt")
+      // the file STREAM source wants an explicit schema; binaryFile's is
+      // fixed (path, modificationTime, length, content)
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+      val fp = s.readStream.format("binaryFile")
+        .schema(binSchema)
+        .option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "20")
+        .load(root.toString)
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("path"), "([^/]+)/doc_\\d+\\.bin$", 1).as("source"),
+          col("length").as("n_bytes"),
+          md5(col("content")).as("content_md5"),
+          hex(substring(col("content"), 1, 4)).as("head_hex"))
+      val q = fp.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(outDir).orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      md5(text) AS content_md5,
+      substring(hex(encode(text)), 1, 8) AS head_hex
+    FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
 }
