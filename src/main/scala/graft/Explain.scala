@@ -32,7 +32,9 @@ object Explain {
         "q87_ewma_fixed_point", "d14_minhash_calibration",
         "q89_null_aware_anti_join", "q90_nested_collections",
         "t21_train_test_shift", "t22_explode_outer_coverage",
-        "q94_two_pass_quartiles")
+        "q94_two_pass_quartiles", "q109_sql_udf", "q110_collated_distinct",
+        "d16_persisted_lsh_index", "s13_ivf_incremental",
+        "t25_boilerplate_removal")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

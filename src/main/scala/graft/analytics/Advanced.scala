@@ -1337,7 +1337,7 @@ object Advanced {
     "q104_pipe_syntax",
     (s, dir) => {
       rd(s, dir, "lineitem").createOrReplaceTempView("graft_q104_lineitem")
-      s.sql(s"""FROM graft_q104_lineitem
+      val out = s.sql(s"""FROM graft_q104_lineitem
         |> WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |> EXTEND ${discPriceSql("l_extendedprice", "l_discount")} AS disc_price
         |> AGGREGATE
@@ -1346,6 +1346,11 @@ object Advanced {
              COUNT(*) AS count_order
            GROUP BY l_returnflag, l_linestatus
         |> ORDER BY l_returnflag, l_linestatus""")
+      // analysis is eager, so the resolved plan survives the view drop
+      // (the sinkTable discipline) — a leaked temp view would otherwise
+      // pollute SHOW TABLES for every later caller in the session
+      s.catalog.dropTempView("graft_q104_lineitem")
+      out
     },
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${dsumSql("l_quantity")} AS sum_qty,
@@ -1372,7 +1377,7 @@ object Advanced {
     "q105_sql_scripting",
     (s, dir) => {
       rd(s, dir, "orders").createOrReplaceTempView("graft_q105_orders")
-      s.sql("""BEGIN
+      val out = s.sql("""BEGIN
         DECLARE t DOUBLE = 1000.0;
         WHILE (SELECT COUNT(*) FROM graft_q105_orders WHERE o_totalprice > t) > 100 DO
           SET t = t * 2;
@@ -1380,6 +1385,8 @@ object Advanced {
         SELECT t AS threshold,
           (SELECT COUNT(*) FROM graft_q105_orders WHERE o_totalprice > t) AS n_above;
       END""")
+      s.catalog.dropTempView("graft_q105_orders")
+      out
     },
     Some("""WITH ks AS (SELECT k FROM generate_series(0, 40) AS g(k)),
       cand AS (SELECT k, 1000.0 * power(2.0, k) AS t FROM ks),
@@ -1408,10 +1415,12 @@ object Advanced {
         RETURNS STRING
         RETURN CASE WHEN q < 10 THEN 'low' WHEN q < 30 THEN 'mid'
                     ELSE 'high' END""")
-      s.sql("""SELECT graft_qty_band(l_quantity) AS band, COUNT(*) AS n,
+      val out = s.sql("""SELECT graft_qty_band(l_quantity) AS band, COUNT(*) AS n,
           CAST(SUM(graft_disc_price(CAST(l_extendedprice AS DECIMAL(18,2)),
                                     CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         FROM graft_q109_lineitem GROUP BY 1 ORDER BY 1""")
+      s.catalog.dropTempView("graft_q109_lineitem")
+      out
     },
     Some(s"""SELECT CASE WHEN l_quantity < 10 THEN 'low'
                  WHEN l_quantity < 30 THEN 'mid' ELSE 'high' END AS band,
