@@ -57,6 +57,20 @@ class SchemaContractSpec extends SparkSuite {
     assert(out.select(unix_micros(col("ts"))).head().getLong(0) == 1711929600000000L)
   }
 
+  test("normalizeTs: nanos and NTZ encodings of one instant normalize identically") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // edge-ish instants: epoch, a sub-ms value, a 2024 timestamp, far future
+    val micros = Seq(0L, 999L, 1711929600123456L, 4102444800000000L)
+    val asNanos = micros.map(us => Tuple1(us * 1000L)).toDF("ts")
+    val asNtz = micros.map(Tuple1(_)).toDF("us")
+      .select(expr("CAST(timestamp_micros(us) AS TIMESTAMP_NTZ)").as("ts"))
+    val a = Tables.normalizeTs(asNanos).select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    val b = Tables.normalizeTs(asNtz).select(unix_micros(col("ts"))).as[Long].collect().toSeq
+    a shouldBe micros
+    b shouldBe micros
+  }
+
   test("normalizeTs rejects an unknown encoding loudly") {
     import spark.implicits._
     val raw = Seq(("x", "2024-01-01")).toDF("event_id", "ts")
