@@ -387,6 +387,18 @@ class AdvancedOpsSpec extends SparkSuite {
     all(r.map(_.getBoolean(6))) shouldBe true  // mono
   }
 
+  test("q60's decorrelated top-k runs under WindowGroupLimit (rank pushdown)") {
+    val df = run("q60_lateral_topk")
+    df.collect().length should be > 0
+    // Catalyst turns the rank<=k filter over the row_number window into a
+    // WindowGroupLimit: each partition keeps only k rows per key BEFORE
+    // the full sort/window — the difference between shuffling k rows per
+    // group and shuffling the whole table at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank filter did not push down to WindowGroupLimit:\n$plan")
+  }
+
   test("q109 SQL UDFs inline as expressions: no UDF node, codegen intact") {
     val df = run("q109_sql_udf")
     df.collect().length shouldBe 3
