@@ -387,6 +387,32 @@ class AdvancedOpsSpec extends SparkSuite {
     all(r.map(_.getBoolean(6))) shouldBe true  // mono
   }
 
+  test("q104: filter and projection reach the parquet scan (PushedFilters + pruned ReadSchema)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = run("q104_pipe_syntax")
+    df.collect()
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case other                    => other.children
+    }
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case f: FileSourceScanExec => Seq(f)
+      case other                 => unwrap(other).flatMap(scans)
+    }
+    val scan = scans(df.queryExecution.executedPlan).headOption
+      .getOrElse(fail("no FileSourceScanExec in q104's plan"))
+    // the WHERE must be pushed into the scan, not applied post-read
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed: $pushed")
+    // only the 5 referenced columns of lineitem's 16 may be read
+    scan.schema.fieldNames.toSet shouldBe Set(
+      "l_quantity", "l_extendedprice", "l_discount",
+      "l_returnflag", "l_linestatus", "l_shipdate")
+  }
+
   test("q60's decorrelated top-k runs under WindowGroupLimit (rank pushdown)") {
     val df = run("q60_lateral_topk")
     df.collect().length should be > 0
