@@ -754,7 +754,85 @@ object Dedup {
     WHERE m.doc_id % 2 = 1
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- d17
+  // CANONICAL CORPUS BUILD — the end-to-end deliverable the dedup
+  // components exist for, composed into one query: d05's Hamming-bucketed
+  // SimHash candidate pairs → d07's connected components (pointer-jumping
+  // CC, O(log diameter) rounds) → d08's keep-best policy applied PER
+  // CLUSTER (longest text, doc_id tie-break) → every unclustered doc is
+  // its own representative. Output per source: docs in, docs kept, kept
+  // char mass, and an exact checksum over the kept doc_ids (DECIMAL sum
+  // mod 1e9+7) — the oracle must select the SAME representatives, not
+  // merely as many. Plan shape: the d07 loop + one |docs| window inside
+  // clusters + one membership join; nothing wider than its components.
+  private val d17 = QueryDef(
+    "d17_canonical_corpus",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+        .cache()
+      sh.count()
+      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+        .filter(expr("bit_count(h1 ^ h2)") <= 6)
+        .select(col("id1"), col("id2"))
+        .cache()
+      pairs.count()
+      sh.unpersist()
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      pairs.unpersist()
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val clustered = d.join(labels, d("doc_id") === labels("node"))
+      val w = Window.partitionBy(col("comp"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      val reps = clustered.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"))
+      val singles = d.join(labels, d("doc_id") === labels("node"), "left_anti")
+        .select(col("doc_id"))
+      val kept = reps.union(singles).withColumn("kept", lit(1L))
+      d.join(kept, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(coalesce(col("kept"), lit(0L))).as("n_kept"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L)).as("kept_chars"),
+          (sum(when(col("kept") === 1L, col("doc_id")).otherwise(0L)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))) % lit(HashMod))
+            .cast("long").as("kept_id_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp
+             FROM r GROUP BY node),
+    cl AS (SELECT d.doc_id, d.n_chars, c.comp
+           FROM documents d JOIN comp c ON c.node = d.doc_id),
+    reps AS (SELECT doc_id FROM (
+               SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+                 ORDER BY n_chars DESC, doc_id) AS rn FROM cl)
+             WHERE rn = 1),
+    kept AS (SELECT doc_id FROM reps
+             UNION ALL
+             SELECT d.doc_id FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = d.doc_id))
+    SELECT d.source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN d.n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN CAST(d.doc_id AS DECIMAL(38,0))
+               ELSE CAST(0 AS DECIMAL(38,0)) END) % $HashMod AS BIGINT) AS kept_id_checksum
+    FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+    GROUP BY d.source ORDER BY d.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16)
+      d16, d17)
 }
