@@ -215,6 +215,25 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     ORDER BY id1, id2"""))
 
+  /** Hamming-bucketed SimHash candidate pairs `(id1 < id2, distance ≤ 6)`,
+    * MATERIALIZED (signatures cached for the self-join, pairs cached and
+    * counted, signatures released) — the near-dup edge list d07/d09/d17
+    * all start from. Caller unpersists the returned frame when done. */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      .cache()
+    sh.count()
+    val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+        col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 6)
+      .select(col("id1"), col("id2"))
+      .cache()
+    pairs.count()
+    sh.unpersist()
+    pairs
+  }
+
   // ---------------------------------------------------------------- d06
   // Embedding-cosine near-dedup: the last dedup family member — near-dup
   // candidates from the 8-bit sign-LSH bucket (same prefilter as s02, so
@@ -275,24 +294,12 @@ object Dedup {
   private val d07 = QueryDef(
     "d07_dup_clusters",
     (s, dir) => {
-      // signatures feed both sides of the candidate self-join — one
-      // materialization, like d05
-      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
-        .cache()
-      sh.count()
-      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-          col("bucket") === col("bucket2") && col("id1") < col("id2"))
-        .filter(expr("bit_count(h1 ^ h2)") <= 6)
-        .select(col("id1"), col("id2"))
-      // cache the DIRECTED pairs, not the undirected union: union
+      // the DIRECTED pairs are cached (not the undirected union: union
       // branches don't share work in Spark, so caching only the union
-      // would execute the expensive bucket join twice. Materialize at the
-      // session's full shuffle parallelism — only the LOOP runs at the
-      // state-sized setting below.
-      val cachedPairs = pairs.cache()
-      cachedPairs.count()
-      sh.unpersist()
+      // would execute the expensive bucket join twice), materialized at
+      // the session's full shuffle parallelism — only the LOOP runs at
+      // the state-sized setting below.
+      val cachedPairs = simhashPairs(s, dir)
       // the iterative state is tiny relative to the session's batch
       // sizing — run the loop at 8 shuffle partitions (scoped, restored).
       // Cluster resolution is the reusable pointer-jumping operator
@@ -348,19 +355,12 @@ object Dedup {
   private val d09 = QueryDef(
     "d09_pagerank",
     (s, dir) => {
-      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
-        .cache()
-      sh.count()
-      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-          col("bucket") === col("bucket2") && col("id1") < col("id2"))
-        .filter(expr("bit_count(h1 ^ h2)") <= 6)
-        .select(col("id1"), col("id2"))
+      val pairs = simhashPairs(s, dir)
       val edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .cache()
       edges.count()
-      sh.unpersist()
+      pairs.unpersist()
       // NOT run at the streaming-sized 8 shuffle partitions (d07's loop
       // setting): each PageRank round shuffles |edges| contribution rows
       // (~1.5 M at sf0.1), not |nodes|-sized state — keep the session's
@@ -768,17 +768,7 @@ object Dedup {
   private val d17 = QueryDef(
     "d17_canonical_corpus",
     (s, dir) => {
-      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
-        .cache()
-      sh.count()
-      val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-          col("bucket") === col("bucket2") && col("id1") < col("id2"))
-        .filter(expr("bit_count(h1 ^ h2)") <= 6)
-        .select(col("id1"), col("id2"))
-        .cache()
-      pairs.count()
-      sh.unpersist()
+      val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
         graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
       }
