@@ -33,4 +33,33 @@ class BucketingSpec extends SparkSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("equality filter on the bucket column prunes to one bucket file") {
+    // relies on the tables created by the join test (suites run in order
+    // within a file); re-create defensively if running standalone
+    val db = "bucketdb"
+    if (!spark.catalog.tableExists(s"$db.orders_b")) {
+      spark.sql(s"DROP DATABASE IF EXISTS $db CASCADE")
+      spark.sql(s"CREATE DATABASE $db")
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(s"$db.orders_b")
+    }
+    val key = spark.table(s"$db.orders_b").select(col("o_orderkey"))
+      .head().getLong(0)
+    // autoBucketedScan drops bucketed reading (and with it the pruning)
+    // for a bare scan that exploits no distribution — force it on, which
+    // is what a production point-lookup path over a bucketed table does
+    graft.analytics.Tables.withConfs(spark,
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      val probe = spark.table(s"$db.orders_b").filter(col("o_orderkey") === key)
+      probe.count() should be >= 1L
+      // bucket pruning happens at the FILE SELECTION: a point lookup reads
+      // 1 of 8 bucket files, not the table — the read-side half of the
+      // bucketing bargain (q88 pins the shuffle-free join half)
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"),
+        s"no bucket pruning in scan:\n$plan")
+    }
+  }
 }
