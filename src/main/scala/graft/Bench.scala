@@ -81,7 +81,14 @@ object Bench {
       // path has input — see BenchSplit's doc); 0.0 for everything else
       (name, totalS, math.min(BenchSplit.drainSeconds(), totalS), err)
     }
-    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // escape control chars too (a \r or \t inside an error message —
+    // takeWhile above only cuts at the first \n — must not break the JSON)
+    def jstr(s: String) = s.flatMap {
+      case '\\'            => "\\\\"
+      case '"'             => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c               => c.toString
+    }.mkString("\"", "", "\"")
     val qs = results.map { case (k, v, _, err) =>
       s"\"" + k + "\":" + (if (err.isEmpty) s"$v" else "\"ERR\"")
     }.mkString("{", ",", "}")

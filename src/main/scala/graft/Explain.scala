@@ -34,7 +34,7 @@ object Explain {
         "t21_train_test_shift", "t22_explode_outer_coverage",
         "q94_two_pass_quartiles", "q109_sql_udf", "q110_collated_distinct",
         "d16_persisted_lsh_index", "s13_ivf_incremental",
-        "t25_boilerplate_removal")
+        "t25_boilerplate_removal", "d17_canonical_corpus")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -385,6 +385,13 @@ object Dedup {
         // |nodes| may exceed broadcast limits, so the hint stays off)
         val withDeg = pr.join(deg, "node")
           .select(col("node"), expr("pr DIV deg").as("c"))
+        // (A/B'd r12: the d17 withShuffle(8) pattern on this per-round
+        // aggregate measured FLAT — 6.15 s in a 1.10×-hot run vs 5.64 s
+        // baseline, i.e. within the host factor; the map-side combine
+        // already collapses the |edges| contribution rows before the
+        // shuffle, so reduce-side width doesn't matter at bench scale.
+        // Session parallelism stays: it is the scale-correct setting for
+        // an edge-sized shuffle at 100 TB, where 8 reducers would bottleneck)
         pr = edges
           .join(broadcast(withDeg), col("id1") === col("node"))
           .groupBy(col("id2").as("node2"))

@@ -761,6 +761,78 @@ object Streams {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- q112
+  // Streaming keyed MERGE against a BUCKETED state table
+  // (graft.streaming.KeyedMerge) — q54's additive ledger generalized to
+  // per-key UPDATE rules: each micro-batch reduces to one row per user
+  // (event count + the LATEST event by (ts, event_id), a non-additive
+  // last-write-wins field), then MERGE-joins the stored state — matched
+  // keys combine counts and keep the newer latest-struct, unmatched keys
+  // insert. State versions are bucketed by user_id, so the per-batch
+  // merge join reads the state with no Exchange (KeyedMergeSpec pins the
+  // plan; the two-phase commit gives exactly-once under foreachBatch
+  // retries). After a 3-batch drain the committed table must equal the
+  // one-shot batch answer — proving the merge rule is batch-boundary-
+  // invariant even though "latest" is NOT additive. Determinism: the
+  // latest-struct max is lexicographic on (ts, event_id), a total order
+  // because event_id is unique; counts are exact; value is carried, not
+  // summed.
+  private val q112 = QueryDef(
+    "q112_stream_keyed_merge",
+    (s, dir) => withStreamShuffle(s) {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-q112-src").toString
+      graft.BenchSplit.setup {
+        Tables.events(s, dir)
+          .repartition(3).write.mode("overwrite").parquet(srcDir)
+      }
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val reduce = (b: org.apache.spark.sql.DataFrame) => b
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("event_type"),
+            col("value"))).as("last"))
+      val merge = (state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame) =>
+        state.as("t").join(batch.as("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("t.n_events"), lit(0L)) +
+              coalesce(col("b.n_events"), lit(0L))).as("n_events"),
+            // greatest skips NULLs: unmatched sides pass the other through
+            greatest(col("t.last"), col("b.last")).as("last"))
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q112 LOCATION '${Tables.tmp("graft-q112-db")}'")
+      val tablePath =
+        java.nio.file.Files.createTempDirectory("graft-q112-table").toString + "/state"
+      // version tables are catalog-registered; a fresh per-invocation base
+      // name keeps warm re-runs in one session from colliding
+      val tableBase =
+        "graft_q112.state_" + Integer.toHexString(tablePath.hashCode)
+      val q = graft.streaming.KeyedMerge.run(
+        stream, reduce, merge, tableBase, tablePath, "user_id", 8)
+      q.awaitTermination()
+      q.stop()
+      graft.streaming.KeyedMerge.readTable(s, tableBase, tablePath)
+        .select(col("user_id"), col("n_events"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"),
+          unix_micros(col("last.ts")).as("last_ts_us"),
+          col("last.event_id").as("last_event_id"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH last AS (
+      SELECT user_id, event_type AS last_event_type, value AS last_value,
+        epoch_us(ts) AS last_ts_us, event_id AS last_event_id,
+        ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    agg AS (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+    SELECT a.user_id, a.n_events, l.last_event_type, l.last_value,
+      l.last_ts_us, l.last_event_id
+    FROM agg a JOIN last l ON l.user_id = a.user_id AND l.rn = 1
+    ORDER BY a.user_id"""))
+
   // ---------------------------------------------------------------- q62
   // Streaming FILE sink: the exactly-once ETL shape the reference's
   // foreachBatch path approximates — stream → project → partitioned
@@ -1786,5 +1858,5 @@ object Streams {
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111)
+      q111, q112)
 }

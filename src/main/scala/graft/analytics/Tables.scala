@@ -22,8 +22,11 @@ object Tables {
     *     epoch micros — same values the DuckDB oracle's `epoch_us(ts)` sees.
     *   - TimestampType: already normalized.
     * Works on batch and streaming frames alike (schema + withColumn only).
-    * Any new encoding fails loudly here (one named error, not 46 broken
-    * queries — see SchemaContractSpec). */
+    * Any new TYPE fails loudly here (one named error, not 46 broken
+    * queries); a LongType column is ASSUMED nanos — that assumption can't
+    * be checked row-free on a streaming frame, so it is pinned by value in
+    * SchemaContractSpec instead (raw int64 micros would decode to ~1970
+    * and fail its 2020–2030 plausible-window assertion by name). */
   def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
     case LongType          => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     case TimestampNTZType  => df.withColumn("ts", col("ts").cast(TimestampType))
@@ -125,12 +128,22 @@ object Tables {
     if (df.inputFiles.length < cores) df.repartition(cores) else df
   }
 
-  def docs(spark: SparkSession, dir: String): DataFrame = {
+  def docs(spark: SparkSession, dir: String): DataFrame =
+    widen(spark, docsNarrow(spark, dir))
+
+  /** documents WITHOUT the [[widen]] re-split — for consumers whose
+    * parallelism is bounded by a downstream shuffle, not the scan split
+    * count (t09/t10 explode to token level and aggregate immediately;
+    * the widen shuffle of full text rows was a measured ~0.5 s/query
+    * bench tax there with no win — r11 verdict). Hash-heavy per-row
+    * consumers (poly_hash / ngram_hashes over whole documents) must use
+    * [[docs]], where the widen bounds the single-task-scan failure mode. */
+  def docsNarrow(spark: SparkSession, dir: String): DataFrame = {
     // every poly_hash / ngram_hashes consumer reads documents; make the
     // functions available even under a session built without GraftExtensions
     graft.functions.PolyHash.register(spark)
     graft.functions.NgramHashes.register(spark)
-    widen(spark, rd(spark, dir, "documents"))
+    rd(spark, dir, "documents")
   }
   def embs(spark: SparkSession, dir: String): DataFrame = {
     // dot_i64 is the hot-path primitive of every embeddings consumer

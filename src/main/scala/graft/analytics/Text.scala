@@ -268,7 +268,9 @@ object Text {
   private val t09 = QueryDef(
     "t09_unigram_logprob",
     (s, dir) => {
-      val toks = docs(s, dir)
+      // docsNarrow: the explode re-parallelizes at token level anyway, so
+      // the widen shuffle of full text rows would be pure tax here
+      val toks = docsNarrow(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       val total = vocab.agg(sum(col("c")).as("nn"))
@@ -320,7 +322,8 @@ object Text {
   private val t10 = QueryDef(
     "t10_source_divergence",
     (s, dir) => {
-      val toks = docs(s, dir)
+      // docsNarrow: same reasoning as t09 — token-level shuffle follows
+      val toks = docsNarrow(s, dir)
         .select(col("source"), explode(split(col("text"), " ")).as("token"))
       val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       val n = corpus.agg(sum(col("c")).as("n"))

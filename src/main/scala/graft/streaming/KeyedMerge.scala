@@ -1,0 +1,149 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming keyed MERGE against a BUCKETED state table — the
+ * `foreachBatch` + `MERGE`-shape upsert that generalizes
+ * [[StreamUpsert]]'s additive ledger to arbitrary per-key update rules
+ * (`WHEN MATCHED THEN UPDATE` with non-additive fields such as
+ * last-write-wins latest-state, `WHEN NOT MATCHED THEN INSERT`): each
+ * micro-batch is reduced to one row per key, then merged with the current
+ * state via a caller-supplied rule over a key-aligned full-outer join.
+ *
+ * The state table is stored as versioned BUCKETED catalog tables
+ * (`<table>_v<batchId>` bucketed by the merge key). That is the scale
+ * property this module exists for: the per-batch merge join reads the
+ * |keys|-sized state with NO Exchange — the bucket files are the shuffle,
+ * paid once per snapshot write — so each batch's merge cost is
+ * O(|batch| shuffle) + a co-partitioned join, never a re-shuffle of the
+ * state (`KeyedMergeSpec` pins that plan shape; q88/`BucketingSpec` pin
+ * the generic bucketed join it relies on). At 100 TB the snapshot rewrite
+ * would additionally prune to the buckets the batch touches; here every
+ * version is a full (small, |keys|-bounded) table.
+ *
+ * Exactly-once under `foreachBatch`'s at-least-once retries: the same
+ * two-phase commit as [[StreamUpsert]] (versioned snapshots +
+ * `_commit_<batchId>` markers renamed atomically to fresh names, replayed
+ * batch ids ≤ the committed id skipped, superseded versions vacuumed only
+ * after the newer marker exists, immediately-superseded version retained
+ * for concurrent readers) — see StreamUpsert's scaladoc for the full
+ * crash-window argument; the marker protocol here is byte-identical, only
+ * the snapshot payload differs (bucketed catalog table vs plain parquet).
+ */
+object KeyedMerge {
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private val MarkerPrefix = "_commit_"
+
+  /** The committed batch id (max `_commit_<id>` marker), or -1. */
+  def committedBatch(spark: SparkSession, tablePath: String): Long = {
+    val root = new Path(tablePath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(MarkerPrefix) =>
+        n.stripPrefix(MarkerPrefix).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  private def versionTable(qualifiedTable: String, batchId: Long): String =
+    s"${qualifiedTable}_v$batchId"
+
+  /** The current committed state as the BUCKETED catalog table (merge
+    * joins against this scan are Exchange-free on the state side). */
+  def readTable(spark: SparkSession, qualifiedTable: String,
+      tablePath: String): DataFrame = {
+    val v = committedBatch(spark, tablePath)
+    require(v >= 0, s"no committed version at $tablePath")
+    spark.table(versionTable(qualifiedTable, v))
+  }
+
+  /** @param stream         streaming DataFrame (micro-batched by source)
+    * @param reduceBatch    reduces one micro-batch to ONE row per key
+    * @param merge          MERGE rule: (state, batchReduced) → new state;
+    *                       both sides carry `keyCol`, the result must too.
+    *                       Called only when a committed state exists — the
+    *                       first batch inserts `reduceBatch` wholesale.
+    * @param qualifiedTable catalog-qualified state table base name
+    *                       (versions append `_v<batchId>`)
+    * @param tablePath      root dir for snapshot data + commit markers
+    * @param keyCol         the merge/bucket key
+    * @param buckets        bucket count of every state snapshot
+    * @return the started query (AvailableNow — drains and stops) */
+  def run(
+      stream: DataFrame,
+      reduceBatch: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      qualifiedTable: String,
+      tablePath: String,
+      keyCol: String,
+      buckets: Int = 8,
+      onBatch: Long => Unit = _ => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId, reduceBatch, merge, qualifiedTable,
+          tablePath, keyCol, buckets, onBatch)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One merge-and-commit step; public so the retry contract is directly
+    * testable (same batchId twice ⇒ the second call is a no-op). */
+  def applyBatch(
+      batch: DataFrame,
+      batchId: Long,
+      reduceBatch: DataFrame => DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame,
+      qualifiedTable: String,
+      tablePath: String,
+      keyCol: String,
+      buckets: Int,
+      onBatch: Long => Unit = _ => ()): Unit = {
+    val ss = batch.sparkSession
+    val committed = committedBatch(ss, tablePath)
+    if (batchId <= committed) return // replayed batch — already applied
+    onBatch(batchId)
+    val reduced = reduceBatch(batch)
+    val merged =
+      if (committed < 0) reduced
+      else merge(readTable(ss, qualifiedTable, tablePath), reduced)
+    // materialize BEFORE writing: the merge plan reads the previous
+    // snapshot, and the new snapshot write must not race that read
+    val out = merged.localCheckpoint()
+    out.write
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", s"$tablePath/v$batchId")
+      .saveAsTable(versionTable(qualifiedTable, batchId))
+    // two-phase commit (StreamUpsert's protocol): marker renamed to a
+    // FRESH name after the snapshot lands; no commit record is ever
+    // deleted before its successor exists
+    val fs = fsOf(ss, new Path(tablePath))
+    val tmp = new Path(tablePath, s".tmp$MarkerPrefix$batchId")
+    fs.create(tmp, true).close()
+    val marker = new Path(tablePath, s"$MarkerPrefix$batchId")
+    if (!fs.rename(tmp, marker))
+      sys.error(s"could not commit marker for batch $batchId")
+    // vacuum strictly-older-than-superseded versions (catalog entry +
+    // marker + data dir); the immediately-superseded version is retained
+    // for concurrent readers mid-scan — same retention as StreamUpsert
+    val keep = committed
+    fs.listStatus(new Path(tablePath)).foreach { st =>
+      val n = st.getPath.getName
+      val vOld = n.length > 1 && n.head == 'v' &&
+        n.tail.forall(_.isDigit) && n.tail.toLong < keep
+      val mOld = n.startsWith(MarkerPrefix) &&
+        n.stripPrefix(MarkerPrefix).toLong < keep
+      if (vOld || mOld) try {
+        if (vOld) ss.sql(
+          s"DROP TABLE IF EXISTS ${versionTable(qualifiedTable, n.tail.toLong)}")
+        fs.delete(st.getPath, true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+}

@@ -407,7 +407,8 @@ class AdvancedOpsSpec extends SparkSuite {
     val pushed = scan.metadata("PushedFilters")
     assert(pushed.contains("LessThanOrEqual(l_shipdate"),
       s"shipdate filter not pushed: $pushed")
-    // only the 5 referenced columns of lineitem's 16 may be read
+    // only 6 of lineitem's 11 columns may be read: the 5 projected ones
+    // plus l_shipdate, which the pushed filter references
     scan.schema.fieldNames.toSet shouldBe Set(
       "l_quantity", "l_extendedprice", "l_discount",
       "l_returnflag", "l_linestatus", "l_shipdate")

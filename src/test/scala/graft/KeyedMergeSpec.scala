@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.functions._
+
+import graft.streaming.KeyedMerge
+
+/** KeyedMerge: q54's ledger generalized to MERGE-shape keyed updates
+  * (matched → update with a non-additive rule, unmatched → insert)
+  * against a BUCKETED state table. Pins the three load-bearing
+  * properties: batch-boundary invariance of a non-additive merge rule,
+  * exactly-once under foreachBatch replays, and the scale property — the
+  * per-batch merge join reads the bucketed state with NO Exchange. */
+class KeyedMergeSpec extends SparkSuite {
+
+  private val db = "keyedmergedb"
+
+  private def reduce(b: DataFrame): DataFrame = b
+    .groupBy(col("k"))
+    .agg(count(lit(1)).as("n"),
+      max(struct(col("seq"), col("tag"))).as("last"))
+
+  private def merge(state: DataFrame, batch: DataFrame): DataFrame =
+    state.as("t").join(batch.as("b"), Seq("k"), "full_outer")
+      .select(col("k"),
+        (coalesce(col("t.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+        greatest(col("t.last"), col("b.last")).as("last"))
+
+  private def freshTarget(tag: String): (String, String) = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val path = java.nio.file.Files
+      .createTempDirectory(s"keyedmerge-$tag").toString + "/state"
+    (s"$db.state_$tag", path)
+  }
+
+  private def applyB(rows: Seq[(String, Long, String)], id: Long,
+      table: String, path: String, onBatch: Long => Unit = _ => ()): Unit = {
+    import spark.implicits._
+    KeyedMerge.applyBatch(rows.toDF("k", "seq", "tag"), id,
+      reduce, merge, table, path, "k", 4, onBatch)
+  }
+
+  test("multi-batch keyed merge equals the one-shot answer (non-additive last-write-wins)") {
+    val (table, path) = freshTarget("e2e")
+    // keys overlap across batches AND the later batch carries an OLDER seq
+    // for key a — the merge must keep a's batch-0 tag (last-write-wins by
+    // seq, not by arrival), which an additive or overwrite rule gets wrong
+    applyB(Seq(("a", 10L, "a10"), ("b", 1L, "b1")), 0L, table, path)
+    applyB(Seq(("a", 5L, "a5"), ("c", 2L, "c2")), 1L, table, path)
+    applyB(Seq(("b", 9L, "b9"), ("c", 1L, "c1")), 2L, table, path)
+    val got = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n"), col("last.seq"), col("last.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    got shouldBe Set(("a", 2L, 10L, "a10"), ("b", 2L, 9L, "b9"),
+      ("c", 2L, 2L, "c2"))
+  }
+
+  test("a replayed batch id is a no-op: exactly-once under foreachBatch retries") {
+    val (table, path) = freshTarget("retry")
+    var applied = 0
+    applyB(Seq(("a", 1L, "a1")), 0L, table, path, _ => applied += 1)
+    applyB(Seq(("a", 2L, "a2")), 1L, table, path, _ => applied += 1)
+    applyB(Seq(("a", 2L, "a2")), 1L, table, path, _ => applied += 1) // replay
+    applied shouldBe 2
+    KeyedMerge.committedBatch(spark, path) shouldBe 1L
+    val got = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n"), col("last.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe Set(("a", 2L, "a2")) // a double-applied batch 1 ⇒ n=3
+  }
+
+  test("the merge join reads the bucketed state with no Exchange on the state side") {
+    import spark.implicits._
+    val (table, path) = freshTarget("plan")
+    applyB(Seq(("a", 1L, "a1"), ("b", 2L, "b2")), 0L, table, path)
+    graft.analytics.Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val batch = reduce(Seq(("a", 3L, "a3"), ("c", 1L, "c1")).toDF("k", "seq", "tag"))
+      val plan = merge(KeyedMerge.readTable(spark, table, path), batch)
+        .queryExecution.executedPlan
+      def pathTo(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("state_")) =>
+          Some(List(p))
+        case _ => p.children.view.flatMap(pathTo).headOption.map(p :: _)
+      }
+      val toScan = pathTo(plan)
+        .getOrElse(fail(s"no state-table scan in the merge plan:\n$plan"))
+      withClue(s"Exchange above the bucketed state scan:\n$plan\n") {
+        toScan.filter(_.isInstanceOf[Exchange]) shouldBe empty
+      }
+    }
+  }
+}

@@ -77,6 +77,58 @@ class SchemaContractSpec extends SparkSuite {
     assertThrows[IllegalStateException](Tables.normalizeTs(raw))
   }
 
+  test("every testdata table carries exactly the dtypes the catalog assumes") {
+    // full raw-parquet dtype pin, one entry per table: a regeneration that
+    // renames, drops, retypes, or widens ANY column fails here by table
+    // name instead of surfacing as N broken catalog queries. events.ts is
+    // excluded from the exact-match rule — its physical encoding is
+    // allowed to drift (that is what Tables.normalizeTs absorbs; the
+    // normalized shape and values are pinned by the tests above).
+    val want: Map[String, Map[String, DataType]] = Map(
+      "region" -> Map("r_regionkey" -> IntegerType, "r_name" -> StringType),
+      "nation" -> Map("n_nationkey" -> IntegerType, "n_name" -> StringType,
+        "n_regionkey" -> IntegerType),
+      "customer" -> Map("c_custkey" -> LongType, "c_name" -> StringType,
+        "c_nationkey" -> IntegerType, "c_acctbal" -> DoubleType,
+        "c_mktsegment" -> StringType),
+      "supplier" -> Map("s_suppkey" -> LongType, "s_name" -> StringType,
+        "s_nationkey" -> IntegerType, "s_acctbal" -> DoubleType),
+      "part" -> Map("p_partkey" -> LongType, "p_name" -> StringType,
+        "p_brand" -> StringType, "p_type" -> StringType,
+        "p_size" -> IntegerType, "p_retailprice" -> DoubleType),
+      "orders" -> Map("o_orderkey" -> LongType, "o_custkey" -> LongType,
+        "o_orderstatus" -> StringType, "o_totalprice" -> DoubleType,
+        // parquet timestamp[us] without a tz marker reads as TIMESTAMP_NTZ;
+        // the catalog consumes it wall-clock (all sessions run UTC)
+        "o_orderdate" -> TimestampNTZType, "o_orderpriority" -> StringType),
+      "lineitem" -> Map("l_orderkey" -> LongType, "l_partkey" -> LongType,
+        "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+        "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+        "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+        "l_returnflag" -> StringType, "l_linestatus" -> StringType,
+        "l_shipdate" -> TimestampNTZType),
+      "documents" -> Map("doc_id" -> LongType, "text" -> StringType,
+        "lang" -> StringType, "source" -> StringType, "n_chars" -> LongType),
+      "embeddings" -> Map("vec_id" -> LongType,
+        "embedding" -> ArrayType(FloatType, containsNull = true),
+        "label" -> IntegerType),
+      "events" -> Map("event_id" -> LongType, "user_id" -> LongType,
+        "event_type" -> StringType, "value" -> DoubleType,
+        "props" -> StringType))
+    want.foreach { case (t, cols) =>
+      val got = Tables.rd(spark, dir, t).schema
+        .map(f => f.name -> f.dataType).toMap
+      withClue(s"$t: ") {
+        val expectedNames =
+          if (t == "events") cols.keySet + "ts" else cols.keySet
+        got.keySet shouldBe expectedNames
+        cols.foreach { case (c, dt) =>
+          assert(got(c) == dt, s"$t.$c: expected $dt, got ${got(c)}")
+        }
+      }
+    }
+  }
+
   test("documents and embeddings carry the columns the catalog assumes") {
     val docs = Tables.docs(spark, dir)
     Seq("doc_id", "text", "lang", "source", "n_chars").foreach(c =>
