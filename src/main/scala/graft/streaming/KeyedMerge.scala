@@ -116,7 +116,11 @@ object KeyedMerge {
     // materialize BEFORE writing: the merge plan reads the previous
     // snapshot, and the new snapshot write must not race that read
     val out = merged.localCheckpoint()
-    out.write
+    // overwrite, not error-if-exists: a crash AFTER this write but BEFORE
+    // the marker rename leaves an uncommitted (invisible) catalog table +
+    // data dir behind; the redelivered batch must be able to rewrite it
+    // (KeyedMergeSpec pins that crash window)
+    out.write.mode("overwrite")
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .option("path", s"$tablePath/v$batchId")
       .saveAsTable(versionTable(qualifiedTable, batchId))

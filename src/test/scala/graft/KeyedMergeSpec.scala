@@ -72,6 +72,31 @@ class KeyedMergeSpec extends SparkSuite {
     got shouldBe Set(("a", 2L, "a2")) // a double-applied batch 1 ⇒ n=3
   }
 
+  test("a crash between snapshot write and marker commit is recoverable") {
+    import spark.implicits._
+    val (table, path) = freshTarget("crash")
+    applyB(Seq(("a", 1L, "a1")), 0L, table, path)
+    // simulate the crash window: batch 1's snapshot (catalog table + data
+    // dir) landed but the commit marker never renamed — an uncommitted,
+    // invisible v1 exists in both the catalog and the filesystem
+    Seq(("z", 9L, "z9")).toDF("k", "seq", "tag")
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), max(struct(col("seq"), col("tag"))).as("last"))
+      .write.bucketBy(4, "k").sortBy("k")
+      .option("path", s"$path/v1").saveAsTable(s"${table}_v1")
+    // recovery sees batch 0 still committed, not the orphan
+    KeyedMerge.committedBatch(spark, path) shouldBe 0L
+    KeyedMerge.readTable(spark, table, path)
+      .select(col("k")).collect().map(_.getString(0)).toSet shouldBe Set("a")
+    // the redelivered batch 1 must OVERWRITE the orphan snapshot and commit
+    applyB(Seq(("a", 5L, "a5"), ("b", 2L, "b2")), 1L, table, path)
+    KeyedMerge.committedBatch(spark, path) shouldBe 1L
+    val got = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n"), col("last.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe Set(("a", 2L, "a5"), ("b", 1L, "b2")) // no "z" anywhere
+  }
+
   test("the merge join reads the bucketed state with no Exchange on the state side") {
     import spark.implicits._
     val (table, path) = freshTarget("plan")
