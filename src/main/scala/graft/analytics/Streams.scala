@@ -833,6 +833,92 @@ object Streams {
     FROM agg a JOIN last l ON l.user_id = a.user_id AND l.rn = 1
     ORDER BY a.user_id"""))
 
+  // ---------------------------------------------------------------- q113
+  // Snapshot-diff CDC over the KeyedMerge version chain — "what did the
+  // last ingest change": the retention policy keeps the current and the
+  // immediately-superseded state snapshot, so diffing them yields the
+  // per-key changelog of the last batch (insert vs update, before/after
+  // measures) WITHOUT any per-row change tracking in the write path —
+  // the table-format changelog idiom, derived from snapshots. Batches
+  // here are DEFINED deterministically so the oracle can replay the same
+  // prefix states: purchases land only in the final batch (batch 2),
+  // every other event in batch `event_id % 3` — so (user, 'purchase')
+  // keys are genuine INSERTs of the last batch while touched
+  // non-purchase keys are UPDATEs, and both CDC branches carry rows.
+  // State is keyed by (user_id, event_type) and bucketed by user_id — a
+  // SUBSET of the merge key, which still co-locates the join (rows with
+  // equal (u, t) share u) while keeping one bucket spec across any
+  // key-refinement. Change detection by count is exact: any batch event
+  // for a key increments n_events, so n_before <> n_after ⇔ touched.
+  private val q113 = QueryDef(
+    "q113_snapshot_cdc",
+    (s, dir) => withStreamShuffle(s) {
+      val ev = Tables.events(s, dir)
+        .withColumn("batch_k",
+          when(col("event_type") === "purchase", lit(2L))
+            .otherwise(col("event_id") % 3))
+      val reduce = (b: org.apache.spark.sql.DataFrame) => b
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"))).as("last"))
+      val merge = (state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame) =>
+        state.as("t").join(batch.as("b"),
+            Seq("user_id", "event_type"), "full_outer")
+          .select(col("user_id"), col("event_type"),
+            (coalesce(col("t.n_events"), lit(0L)) +
+              coalesce(col("b.n_events"), lit(0L))).as("n_events"),
+            greatest(col("t.last"), col("b.last")).as("last"))
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q113 LOCATION '${Tables.tmp("graft-q113-db")}'")
+      val tablePath =
+        java.nio.file.Files.createTempDirectory("graft-q113-table").toString + "/state"
+      val base =
+        "graft_q113.state_" + Integer.toHexString(tablePath.hashCode)
+      (0L to 2L).foreach { k =>
+        graft.streaming.KeyedMerge.applyBatch(
+          ev.filter(col("batch_k") === k), k,
+          reduce, merge, base, tablePath, "user_id", 8)
+      }
+      val Seq(prevV, curV) =
+        graft.streaming.KeyedMerge.commits(s, tablePath).takeRight(2)
+      val cur = graft.streaming.KeyedMerge.readVersion(s, base, curV).as("n")
+      val prev = graft.streaming.KeyedMerge.readVersion(s, base, prevV)
+        .select(col("user_id"), col("event_type"),
+          col("n_events").as("n_before"))
+      cur.join(prev, Seq("user_id", "event_type"), "left")
+        .filter(col("n_before").isNull || col("n_before") =!= col("n_events"))
+        .select(col("user_id"), col("event_type"),
+          when(col("n_before").isNull, lit("insert"))
+            .otherwise(lit("update")).as("change"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          col("n_events").as("n_after"),
+          unix_micros(col("last.ts")).as("last_ts_us"),
+          col("last.event_id").as("last_event_id"))
+        .orderBy(col("user_id"), col("event_type"))
+    },
+    Some("""WITH before AS (
+      SELECT user_id, event_type, COUNT(*) AS n FROM events
+      WHERE event_type <> 'purchase' AND event_id % 3 < 2
+      GROUP BY user_id, event_type),
+    after AS (SELECT user_id, event_type, COUNT(*) AS n FROM events
+      GROUP BY user_id, event_type),
+    last AS (SELECT user_id, event_type, epoch_us(ts) AS last_ts_us,
+        event_id AS last_event_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1)
+    SELECT a.user_id, a.event_type,
+      CASE WHEN b.user_id IS NULL THEN 'insert' ELSE 'update' END AS change,
+      COALESCE(b.n, 0) AS n_before, a.n AS n_after,
+      l.last_ts_us, l.last_event_id
+    FROM after a
+    LEFT JOIN before b
+      ON b.user_id = a.user_id AND b.event_type = a.event_type
+    JOIN last l
+      ON l.user_id = a.user_id AND l.event_type = a.event_type
+    WHERE b.user_id IS NULL OR a.n <> b.n
+    ORDER BY a.user_id, a.event_type"""))
+
   // ---------------------------------------------------------------- q62
   // Streaming FILE sink: the exactly-once ETL shape the reference's
   // foreachBatch path approximates — stream → project → partitioned
@@ -1858,5 +1944,5 @@ object Streams {
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112)
+      q111, q112, q113)
 }

@@ -55,13 +55,33 @@ object KeyedMerge {
   private def versionTable(qualifiedTable: String, batchId: Long): String =
     s"${qualifiedTable}_v$batchId"
 
+  /** All commit markers present, ascending. The retention policy keeps
+    * exactly the last two after steady state (current + the
+    * immediately-superseded version a concurrent reader may still be
+    * scanning) — which is also what snapshot-diff CDC needs (q113). */
+  def commits(spark: SparkSession, tablePath: String): Seq[Long] = {
+    val root = new Path(tablePath)
+    val fs = fsOf(spark, root)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith(MarkerPrefix) =>
+        n.stripPrefix(MarkerPrefix).toLong }
+      .toSeq.sorted
+  }
+
+  /** A specific retained version as its BUCKETED catalog table. */
+  def readVersion(spark: SparkSession, qualifiedTable: String,
+      version: Long): DataFrame =
+    spark.table(versionTable(qualifiedTable, version))
+
   /** The current committed state as the BUCKETED catalog table (merge
     * joins against this scan are Exchange-free on the state side). */
   def readTable(spark: SparkSession, qualifiedTable: String,
       tablePath: String): DataFrame = {
     val v = committedBatch(spark, tablePath)
     require(v >= 0, s"no committed version at $tablePath")
-    spark.table(versionTable(qualifiedTable, v))
+    readVersion(spark, qualifiedTable, v)
   }
 
   /** @param stream         streaming DataFrame (micro-batched by source)
