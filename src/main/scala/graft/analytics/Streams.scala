@@ -846,10 +846,14 @@ object Streams {
   // keys are genuine INSERTs of the last batch while touched
   // non-purchase keys are UPDATEs, and both CDC branches carry rows.
   // State is keyed by (user_id, event_type) and bucketed by user_id — a
-  // SUBSET of the merge key, which still co-locates the join (rows with
-  // equal (u, t) share u) while keeping one bucket spec across any
-  // key-refinement. Change detection by count is exact: any batch event
-  // for a key increments n_events, so n_before <> n_after ⇔ touched.
+  // SUBSET of the merge key, one bucket spec across any key refinement.
+  // Subset co-location is real but OPT-IN in Spark: joins exploit it
+  // only under requireAllClusterKeysForCoPartition=false (+ forced
+  // bucketed scan) — KeyedMergeSpec pins that Exchange-free plan; under
+  // default confs the diff join shuffles both sides, which is
+  // |keys|-bounded state, never corpus-sized. Change detection by count
+  // is exact: any batch event for a key increments n_events, so
+  // n_before <> n_after ⇔ touched.
   private val q113 = QueryDef(
     "q113_snapshot_cdc",
     (s, dir) => withStreamShuffle(s) {

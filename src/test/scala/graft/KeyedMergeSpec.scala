@@ -97,6 +97,45 @@ class KeyedMergeSpec extends SparkSuite {
     got shouldBe Set(("a", 2L, "a5"), ("b", 1L, "b2")) // no "z" anywhere
   }
 
+  test("version-vs-version diff joins on a refined key with no Exchange on either side") {
+    // q113's CDC shape: both retained versions share the bucket layout
+    // (bucketed by k), and the diff JOINS ON A SUPERSET of the bucket key
+    // — hash partitioning on a subset of the join keys still co-locates
+    // equal full keys, so NEITHER side re-shuffles. This is what lets a
+    // snapshot diff at 100 TB cost a co-partitioned scan, not a shuffle.
+    val (table, path) = freshTarget("diff")
+    // refine the merge key with last.tag's first char as a second column
+    applyB(Seq(("a", 1L, "x1"), ("b", 2L, "y2")), 0L, table, path)
+    applyB(Seq(("a", 3L, "x3"), ("c", 1L, "z1")), 1L, table, path)
+    val Seq(v0, v1) = KeyedMerge.commits(spark, path).takeRight(2)
+    graft.analytics.Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // DisableUnnecessaryBucketedScan doesn't look through the derived
+      // second join key, drops the bucketed read, and ENSURE_REQUIREMENTS
+      // then shuffles both sides — force the bucketed scan on, as the
+      // BucketingSpec point-lookup pin already documents
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
+      // joins exploit a SUBSET partitioning (bucket key ⊂ join keys) only
+      // when co-partition doesn't insist on the full key list — the
+      // documented knob for layout-aware refined-key joins
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false") {
+      val cur = KeyedMerge.readVersion(spark, table, v1)
+        .select(col("k"), substring(col("last.tag"), 1, 1).as("t"), col("n"))
+      val prev = KeyedMerge.readVersion(spark, table, v0)
+        .select(col("k"), substring(col("last.tag"), 1, 1).as("t"),
+          col("n").as("n_before"))
+      val diff = cur.join(prev, Seq("k", "t"), "left")
+        .filter(col("n_before").isNull || col("n_before") =!= col("n"))
+      val plan = diff.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: Exchange => e }
+      withClue(s"diff join should be Exchange-free on both sides:\n$plan\n") {
+        exchanges shouldBe empty
+      }
+      diff.count() should be >= 1L
+    }
+  }
+
   test("the merge join reads the bucketed state with no Exchange on the state side") {
     import spark.implicits._
     val (table, path) = freshTarget("plan")
