@@ -1132,7 +1132,83 @@ object Text {
       CAST(SUM(ck_sum) % $HashMod AS BIGINT) AS checksum
     FROM pd GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t26
+  // BPE merge TRAINING rounds — the iterative step t17's pair counts set
+  // up but don't take: K rounds of (count adjacent unit pairs corpus-wide
+  // → pick the most frequent, ties broken lexicographically → merge it
+  // everywhere), i.e. the actual byte-pair-encoding trainer loop every
+  // tokenizer pipeline runs. Words are represented as space-separated
+  // unit strings with boundary sentinels, so a merge is a plain
+  // boundary-anchored string replace — identical non-overlapping
+  // left-to-right semantics on both engines (4 replace passes settle the
+  // shared-separator chain a single pass can miss). Like t17, the loop
+  // runs over DISTINCT words weighted by count (bounded vocabulary), so
+  // each round is one explode + one hash aggregate + a 1-row driver
+  // argmax (bounded control input, the q73 precedent) + a narrow map;
+  // per-round localCheckpoint keeps plans constant-size (the CC
+  // discipline). At 100 TB the same rounds hold: the recount is
+  // map-side-combined to |pair vocab|, never corpus-sized shuffle.
+  private val BpeRounds = 3
+  private val t26 = QueryDef(
+    "t26_bpe_merge_rounds",
+    (s, dir) => {
+      var words = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+        .withColumn("units", concat(lit(" "),
+          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+          lit(" ")))
+        .select(col("wcnt"), col("units"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, Long)]
+      (1 to BpeRounds).foreach { r =>
+        val top = words
+          .select(col("wcnt"), expr("split(trim(units), ' ')").as("u"))
+          .select(col("wcnt"), explode(expr(
+            "transform(sequence(1, size(u) - 1), i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1)
+          .collect()(0)
+        val (pair, cnt) = (top.getString(0), top.getLong(1))
+        merges += ((r.toLong, pair.replace(" ", ""), cnt))
+        val from = s" $pair "
+        val to = s" ${pair.replace(" ", "")} "
+        val replaced =
+          (1 to 4).foldLeft("units")((e, _) => s"replace($e, '$from', '$to')")
+        words = words.withColumn("units", expr(replaced)).localCheckpoint()
+      }
+      s.createDataFrame(merges.result()).toDF("round", "merged", "cnt")
+        .orderBy(col("round"))
+    },
+    Some {
+      // one pair-count + argmax + merge CTE triple per unrolled round
+      def replace4(unitsExpr: String, m: String): String =
+        (1 to 4).foldLeft(unitsExpr)((e, _) =>
+          s"replace($e, ' ' || $m.pair || ' ', ' ' || replace($m.pair, ' ', '') || ' ')")
+      def round(k: Int): String =
+        s"""p$k AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+        SELECT wcnt, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS pair
+        FROM (SELECT wcnt, string_split(trim(units), ' ') AS l FROM r${k - 1}))
+      GROUP BY pair),
+    m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+    r$k AS (SELECT wcnt, ${replace4("units", s"m$k")} AS units
+      FROM r${k - 1} CROSS JOIN m$k)"""
+      s"""WITH w0 AS (
+      SELECT w, COUNT(*) AS wcnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2 GROUP BY w),
+    r0 AS (SELECT wcnt,
+        ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') || ' ' AS units
+      FROM w0),
+    ${(1 to BpeRounds).map(round).mkString(",\n    ")}
+    ${(1 to BpeRounds).map(k =>
+        s"SELECT CAST($k AS BIGINT) AS round, replace(pair, ' ', '') AS merged, cnt FROM m$k")
+        .mkString("\n    UNION ALL ")}
+    ORDER BY round"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
 }
