@@ -829,7 +829,72 @@ object Dedup {
     FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- d18
+  // Bounded-round k-core peel over the near-dup graph — graph degeneracy
+  // as a corpus signal alongside d07 (components), d09 (centrality), d10
+  // (triangles): docs surviving the 2-core are embedded in a DENSE
+  // near-dup web (template/boilerplate families), while degree-1
+  // pendants are incidental matches. Each round keeps nodes with ≥ k
+  // surviving neighbors (two semi-joins restrict edges to the current
+  // core, one count aggregate re-derives degrees); rounds are FIXED at 4
+  // — at scale you cap peel rounds anyway (each is O(|E|) with map-side
+  // combine, and the fixpoint tail converges geometrically), and a fixed
+  // bound is what makes the operator oracle-checkable (the oracle
+  // unrolls the same rounds as CTEs). Per-round localCheckpoint keeps
+  // plans constant-size (the CC discipline). Output: per source, docs in
+  // the bounded 2-core + the d17-style exact id checksum.
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+  private val d18 = QueryDef(
+    "d18_kcore_peel",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .cache()
+      edges.count()
+      pairs.unpersist()
+      var core = edges.select(col("id1").as("node")).distinct().localCheckpoint()
+      (1 to KCoreRounds).foreach { _ =>
+        core = edges
+          .join(core.select(col("node").as("id1")), Seq("id1"), "left_semi")
+          .join(core.select(col("node").as("id2")), Seq("id2"), "left_semi")
+          .groupBy(col("id1").as("node"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= KCoreK)
+          .select(col("node"))
+          .localCheckpoint()
+      }
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val out = d.join(core, d("doc_id") === core("node"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_core_docs"),
+          (sum(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(HashMod)).cast("long").as("core_id_checksum"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      edges.unpersist()
+      out
+    },
+    Some(s"""WITH $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+    n0 AS (SELECT DISTINCT id1 AS node FROM e),
+    ${(1 to KCoreRounds).map(k =>
+        s"""n$k AS (SELECT id1 AS node FROM e
+          WHERE id1 IN (SELECT node FROM n${k - 1})
+            AND id2 IN (SELECT node FROM n${k - 1})
+          GROUP BY id1 HAVING COUNT(*) >= $KCoreK)""").mkString(",\n    ")}
+    SELECT d.source, COUNT(*) AS n_core_docs,
+      CAST(SUM(CAST(d.doc_id AS DECIMAL(38,0))) % $HashMod AS BIGINT) AS core_id_checksum
+    FROM documents d JOIN n$KCoreRounds c ON c.node = d.doc_id
+    GROUP BY d.source ORDER BY d.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17)
+      d16, d17, d18)
 }
