@@ -852,6 +852,75 @@ object Similarity {
     },
     Some(ivfTopkOracle))
 
+  // ---------------------------------------------------------------- s14
+  // In-probe HARD-NEGATIVE MINING — the contrastive-training staple the
+  // similarity family was still missing: for each anchor, the most
+  // similar candidates with a DIFFERENT label (the negatives that
+  // actually move a contrastive loss). Candidate generation reuses the
+  // s04 IVF machinery — anchors probe their nearest-2 centroid lists and
+  // mine only there — so the search is nprobe/nlist-bounded exactly like
+  // ANN serving, never corpus × anchors. The oracle replays the same
+  // probe rule, so the recall trade is deterministic and hash-matched.
+  // Output per anchor: top-3 different-label candidates by exact
+  // quantized cosine (ties broken by candidate id).
+  private val s14 = QueryDef(
+    "s14_hard_negatives",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+          col("c_label").as("list_label"))
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("qv").as("q_qv"), col("norm2").as("q_norm2"),
+          col("c_label").as("probe_label"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") &&
+            col("vec_id") =!= col("q_id") && col("label") =!= col("q_label"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("neg_id"),
+          col("label").as("neg_label"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    asg AS (SELECT a.vec_id, a.label, a.qv, a.norm2, b.c_label,
+              ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+                CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) DESC, b.c_label) AS crnk
+            FROM qn a CROSS JOIN cn b),
+    lists AS (SELECT vec_id, label, qv, norm2, c_label AS list_label FROM asg WHERE crnk = 1),
+    probes AS (SELECT vec_id AS q_id, label AS q_label, qv AS q_qv, norm2 AS q_norm2, c_label AS probe_label
+               FROM asg WHERE vec_id < 8 AND crnk <= 2)
+    SELECT q_id, rnk, neg_id, neg_label, sim FROM (
+      SELECT p.q_id, l.vec_id AS neg_id, l.label AS neg_label,
+        round(CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))), 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+          CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+      FROM lists l JOIN probes p
+        ON l.list_label = p.probe_label AND l.vec_id <> p.q_id
+          AND l.label <> p.q_label)
+    WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
   val defs: Seq[QueryDef] =
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, d15)
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
+      d15)
 }
