@@ -894,7 +894,80 @@ object Dedup {
     FROM documents d JOIN n$KCoreRounds c ON c.node = d.doc_id
     GROUP BY d.source ORDER BY d.source"""))
 
+  // ---------------------------------------------------------------- d19
+  // Mergeable per-SOURCE MinHash signatures → source-overlap matrix: the
+  // sketch-algebra view of near-dup analysis. A source's signature is
+  // the componentwise MIN of its shingle-hash permutations — an
+  // associative/commutative monoid, so per-partition partial signatures
+  // combine losslessly (accumulate → merge → estimate, the q58 sketch
+  // discipline applied to set similarity). Corpus-level source-pair
+  // comparison then costs |sources|² × 8 longs, independent of corpus
+  // size — THE way to ask "which sources overlap" at 100 TB without
+  // touching text twice. Verified in the same query against the exact
+  // per-pair Jaccard of the shingle-hash sets (computable at test scale;
+  // the estimate column is what survives at 100 TB).
+  private val d19 = QueryDef(
+    "d19_source_minhash_matrix",
+    (s, dir) => {
+      val hs = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(expr(shingleFromTokens)).as("shingle"))
+        .select(col("source"), expr(strHashExpr("shingle")).as("h"))
+        .distinct()
+        .cache()
+      hs.count()
+      val sig = hs.groupBy(col("source"))
+        .agg(
+          array(perm.map { case (a, b) =>
+            min(expr(s"($a * h + $b) % $HashMod"))
+          }: _*).as("g"),
+          count(lit(1)).as("n_sh"))
+      val pairs = sig
+        .select(col("source").as("s1"), col("g").as("g1"), col("n_sh").as("n1"))
+        .join(sig.select(col("source").as("s2"), col("g").as("g2"),
+          col("n_sh").as("n2")), col("s1") < col("s2"))
+        .withColumn("k_agree",
+          expr("size(filter(zip_with(g1, g2, (x, y) -> x = y), b -> b))").cast("long"))
+      val inter = hs.select(col("source").as("s1"), col("h"))
+        .join(hs.select(col("source").as("s2"), col("h")), Seq("h"))
+        .filter(col("s1") < col("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
+      val out = pairs.join(inter, Seq("s1", "s2"), "left")
+        .select(col("s1"), col("s2"), col("k_agree"),
+          (col("k_agree").cast("double") / 8).as("est_jaccard"),
+          round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+            (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))), 6)
+            .as("jaccard"))
+        .orderBy(col("s1"), col("s2"))
+        .localCheckpoint()
+      hs.unpersist()
+      out
+    },
+    Some(s"""WITH hs AS (
+      SELECT DISTINCT source, ${strHashSql("sh1")} AS h FROM (
+        SELECT source, unnest($shingleSqlDuck) AS sh1 FROM documents
+        WHERE len(string_split(text, ' ')) >= 3)),
+    sig AS (SELECT source,
+        ${perm.map { case (a, b) => s"MIN(($a * h + $b) % $HashMod)" }
+          .mkString("[", ", ", "]")} AS g,
+        COUNT(*) AS n_sh
+      FROM hs GROUP BY source),
+    pairs AS (SELECT a.source AS s1, b.source AS s2, a.g AS g1, b.g AS g2,
+        a.n_sh AS n1, b.n_sh AS n2
+      FROM sig a JOIN sig b ON a.source < b.source),
+    inter AS (SELECT a.source AS s1, b.source AS s2, COUNT(*) AS n_inter
+      FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT p.s1, p.s2,
+      CAST(len(list_filter(list_zip(p.g1, p.g2), z -> z[1] = z[2])) AS BIGINT) AS k_agree,
+      CAST(len(list_filter(list_zip(p.g1, p.g2), z -> z[1] = z[2])) AS DOUBLE) / 8 AS est_jaccard,
+      round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        / (p.n1 + p.n2 - COALESCE(i.n_inter, 0)), 6) AS jaccard
+    FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
+    ORDER BY p.s1, p.s2"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18)
+      d16, d17, d18, d19)
 }
