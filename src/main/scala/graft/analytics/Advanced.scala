@@ -1454,8 +1454,50 @@ object Advanced {
     FROM (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
     WHERE len(w) > 0 GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q114
+  // The remaining SQL-standard rank-function family in one query: ntile
+  // (equi-count bucketing), percent_rank ((rank−1)/(n−1)), cume_dist
+  // (rows≤current / n) — all over one window per order priority, then
+  // rolled up per (priority, quartile). Determinism: the window order
+  // includes o_orderkey so tied totalprices have a total order (ntile's
+  // bucket assignment at ties is order-dependent by definition);
+  // percent_rank/cume_dist are ratios of exact ints — one IEEE divide,
+  // identical on both engines, rounded at 6. Scale: one window over a
+  // high-cardinality-partitioned shuffle + one hash aggregate — no
+  // global sort, no single-partition funnel.
+  private val q114 = QueryDef(
+    "q114_rank_functions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      rd(s, dir, "orders")
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .groupBy(col("o_orderpriority"), col("quartile"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(min(col("pr")), 6).as("min_pr"),
+          round(max(col("cd")), 6).as("max_cd"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("quartile"))
+    },
+    Some(s"""SELECT o_orderpriority, quartile, COUNT(*) AS n,
+      round(MIN(pr), 6) AS min_pr, round(MAX(cd), 6) AS max_cd,
+      ${dsumSql("o_totalprice")} AS sum_price
+    FROM (
+      SELECT o_orderpriority, o_totalprice,
+        CAST(NTILE(4) OVER win AS BIGINT) AS quartile,
+        PERCENT_RANK() OVER win AS pr,
+        CUME_DIST() OVER win AS cd
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey))
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105, q109, q110)
+      q90, q91, q92, q94, q104, q105, q109, q110, q114)
 }

@@ -1208,7 +1208,54 @@ object Text {
     ORDER BY round"""
     })
 
+  // ---------------------------------------------------------------- t27
+  // Per-source document CAP — the "downsample over-represented sources to
+  // k docs" step of corpus mixing (t16 computes the target weights; this
+  // is the operator that ENFORCES a hard per-source ceiling). Selection
+  // is a seeded deterministic hash order (t18's discipline): rank within
+  // source by (poly_hash(seed:doc_id), doc_id), keep rank ≤ k — a
+  // reproducible uniform subsample, not head-of-table bias. The window
+  // partitions by source (parallel across sources at any scale). This
+  // reporting shape deliberately scans ALL rows (it also counts what was
+  // dropped); the APPLY variant — filter rnk ≤ k — additionally plans
+  // under WindowGroupLimit (q60's pin), shuffling only k rows per source.
+  // Output per source: docs in, docs kept, kept char mass, and the exact
+  // kept-id checksum (the d17 pin: the oracle must keep the SAME docs).
+  private val CapPerSource = 15
+  private val CapSeed = 20260814L
+  private val t27 = QueryDef(
+    "t27_source_cap",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("h", expr(strHashExpr(s"concat('$CapSeed:', CAST(doc_id AS STRING))")))
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("kept", (col("rnk") <= CapPerSource).cast("long"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("kept")).as("n_kept"),
+          sum(when(col("kept") === 1L, col("n_chars")).otherwise(0L)).as("kept_chars"),
+          (sum(when(col("kept") === 1L, col("doc_id")).otherwise(0L)
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))) % lit(HashMod))
+            .cast("long").as("kept_id_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH r AS (
+      SELECT doc_id, source, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+          ${strHashSql(s"concat('$CapSeed:', CAST(doc_id AS VARCHAR))")}, doc_id) AS rnk
+      FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN rnk <= $CapPerSource THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(SUM(CASE WHEN rnk <= $CapPerSource THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      CAST(SUM(CASE WHEN rnk <= $CapPerSource THEN CAST(doc_id AS DECIMAL(38,0))
+               ELSE CAST(0 AS DECIMAL(38,0)) END) % $HashMod AS BIGINT) AS kept_id_checksum
+    FROM r GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
 }
