@@ -476,6 +476,73 @@ object Multimodal {
       substring(hex(encode(text)), 1, 8) AS head_hex
     FROM documents WHERE doc_id < 100 ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- m11
+  // CONTENT-DEFINED chunking — the rolling-boundary chunker m06's
+  // fixed-width chunks stand in for: a position is a cut iff the rolling
+  // hash of the 8-char window ending there ≡ 0 (mod 16). Boundaries
+  // depend only on LOCAL window content, which is the property that
+  // makes CDC dedup survive insertions (bytes shift, boundaries
+  // re-synchronize; fixed-width chunking re-chunks everything after the
+  // edit). Basic gear-style rule — production adds min/max clamps, which
+  // need a sequential fold and don't change the plan shape. Everything
+  // is codegen'd HOF + one explode + two hash aggregates; the chunk
+  // index join is the m06 shape. Output per source: chunks, distinct
+  // chunks, chunks shared across docs, exact char mass.
+  private val m11 = QueryDef(
+    "m11_cdc_chunking",
+    (s, dir) => {
+      val cuts =
+        s"filter(sequence(8, length(text)), i -> ${Tables.strHashExpr("substring(text, i - 7, 8)")} % 16 = 0)"
+      val bounds = s"array_sort(array_distinct(concat($cuts, array(length(text)))))"
+      val chunks = docs(s, dir)
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("source"), expr(bounds).as("b"), col("text"))
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(b)),
+             j -> substring(text,
+               (CASE WHEN j = 1 THEN 0 ELSE element_at(b, j - 1) END) + 1,
+               element_at(b, j) - (CASE WHEN j = 1 THEN 0 ELSE element_at(b, j - 1) END)))""")).as("chunk"))
+        .select(col("doc_id"), col("source"),
+          expr(Tables.strHashExpr("chunk")).as("ch"),
+          length(col("chunk")).cast("long").as("clen"))
+        .cache()
+      chunks.count()
+      val owners = chunks.groupBy(col("ch"))
+        .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+      val out = chunks.join(owners, "ch")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          countDistinct(col("ch")).as("n_distinct"),
+          sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_shared"),
+          sum(col("clen")).as("total_chars"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      chunks.unpersist()
+      out
+    },
+    Some(s"""WITH b AS (
+      SELECT doc_id, source, text,
+        list_sort(list_distinct(list_concat(
+          list_filter(range(8, len(text) + 1),
+            i -> ${Tables.strHashSql("substr(text, i - 7, 8)")} % 16 = 0),
+          [len(text)]))) AS b
+      FROM documents WHERE len(text) >= 8),
+    ch AS (SELECT doc_id, source,
+        ${Tables.strHashSql("chunk")} AS ch, CAST(len(chunk) AS BIGINT) AS clen
+      FROM (SELECT doc_id, source, unnest(list_transform(range(1, len(b) + 1),
+          j -> substr(text,
+            (CASE WHEN j = 1 THEN 0 ELSE b[j - 1] END) + 1,
+            b[j] - (CASE WHEN j = 1 THEN 0 ELSE b[j - 1] END)))) AS chunk
+        FROM b)),
+    owners AS (SELECT ch, COUNT(DISTINCT doc_id) AS n_docs_with FROM ch GROUP BY ch)
+    SELECT source, COUNT(*) AS n_chunks,
+      CAST(COUNT(DISTINCT c.ch) AS BIGINT) AS n_distinct,
+      CAST(SUM(CASE WHEN n_docs_with > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      CAST(SUM(clen) AS BIGINT) AS total_chars
+    FROM ch c JOIN owners o ON o.ch = c.ch
+    GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
 }
