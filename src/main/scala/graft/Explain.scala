@@ -34,7 +34,9 @@ object Explain {
         "t21_train_test_shift", "t22_explode_outer_coverage",
         "q94_two_pass_quartiles", "q109_sql_udf", "q110_collated_distinct",
         "d16_persisted_lsh_index", "s13_ivf_incremental",
-        "t25_boilerplate_removal", "d17_canonical_corpus")
+        "t25_boilerplate_removal", "d17_canonical_corpus",
+        "q114_rank_functions", "t27_source_cap", "s14_hard_negatives",
+        "m11_cdc_chunking", "d19_source_minhash_matrix")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
