@@ -935,7 +935,7 @@ object Dedup {
         .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_inter"))
       val out = pairs.join(inter, Seq("s1", "s2"), "left")
         .select(col("s1"), col("s2"), col("k_agree"),
-          (col("k_agree").cast("double") / 8).as("est_jaccard"),
+          (col("k_agree").cast("double") / perm.size).as("est_jaccard"),
           round(coalesce(col("n_inter"), lit(0L)).cast("double") /
             (col("n1") + col("n2") - coalesce(col("n_inter"), lit(0L))), 6)
             .as("jaccard"))
@@ -961,7 +961,7 @@ object Dedup {
       GROUP BY 1, 2)
     SELECT p.s1, p.s2,
       CAST(len(list_filter(list_zip(p.g1, p.g2), z -> z[1] = z[2])) AS BIGINT) AS k_agree,
-      CAST(len(list_filter(list_zip(p.g1, p.g2), z -> z[1] = z[2])) AS DOUBLE) / 8 AS est_jaccard,
+      CAST(len(list_filter(list_zip(p.g1, p.g2), z -> z[1] = z[2])) AS DOUBLE) / ${perm.size} AS est_jaccard,
       round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
         / (p.n1 + p.n2 - COALESCE(i.n_inter, 0)), 6) AS jaccard
     FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2

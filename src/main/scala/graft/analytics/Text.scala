@@ -1165,6 +1165,10 @@ object Text {
       (1 to BpeRounds).foreach { r =>
         val top = words
           .select(col("wcnt"), expr("split(trim(units), ' ')").as("u"))
+          // a word fully collapsed to one unit contributes no pairs; without
+          // this guard sequence(1, size(u)-1) = sequence(1, 0) = [1, 0]
+          // (negative step) and element_at(u, 0) throws
+          .filter(size(col("u")) >= 2)
           .select(col("wcnt"), explode(expr(
             "transform(sequence(1, size(u) - 1), i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))")).as("pair"))
           .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))

@@ -95,6 +95,18 @@ object KeyedMerge {
     * @param tablePath      root dir for snapshot data + commit markers
     * @param keyCol         the merge/bucket key
     * @param buckets        bucket count of every state snapshot
+    * @param checkpointLocation durable stream checkpoint. The replay
+    *                       no-op guard keys on BATCH IDS, and batch ids
+    *                       live in the stream checkpoint: without a
+    *                       durable one, a second `run` against an
+    *                       existing `tablePath` restarts ids at 0, so
+    *                       early batches are wrongly skipped as replays
+    *                       and later ones re-merge applied data. The
+    *                       checkpoint and `tablePath` are therefore one
+    *                       unit: create and destroy them together.
+    *                       `None` (fresh Spark-managed temp checkpoint)
+    *                       is sound ONLY for a single `run` against a
+    *                       fresh `tablePath` (bench/test usage).
     * @return the started query (AvailableNow — drains and stops) */
   def run(
       stream: DataFrame,
@@ -104,14 +116,17 @@ object KeyedMerge {
       tablePath: String,
       keyCol: String,
       buckets: Int = 8,
-      onBatch: Long => Unit = _ => ()): StreamingQuery =
-    stream.writeStream
+      onBatch: Long => Unit = _ => (),
+      checkpointLocation: Option[String] = None): StreamingQuery = {
+    val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, reduceBatch, merge, qualifiedTable,
           tablePath, keyCol, buckets, onBatch)
       }
       .trigger(Trigger.AvailableNow())
-      .start()
+    checkpointLocation.foreach(writer.option("checkpointLocation", _))
+    writer.start()
+  }
 
   /** One merge-and-commit step; public so the retry contract is directly
     * testable (same batchId twice ⇒ the second call is a no-op). */
@@ -157,13 +172,20 @@ object KeyedMerge {
     // marker + data dir); the immediately-superseded version is retained
     // for concurrent readers mid-scan — same retention as StreamUpsert
     val keep = committed
+    val tmpPrefix = s".tmp$MarkerPrefix"
     fs.listStatus(new Path(tablePath)).foreach { st =>
       val n = st.getPath.getName
       val vOld = n.length > 1 && n.head == 'v' &&
         n.tail.forall(_.isDigit) && n.tail.toLong < keep
       val mOld = n.startsWith(MarkerPrefix) &&
         n.stripPrefix(MarkerPrefix).toLong < keep
-      if (vOld || mOld) try {
+      // a `.tmp_commit_<id>` orphaned by a crash between create() and
+      // rename() is consumed by the redelivered batch's own rename; one
+      // whose batch was never redelivered is garbage once superseded
+      val tOld = n.startsWith(tmpPrefix) &&
+        n.stripPrefix(tmpPrefix).forall(_.isDigit) &&
+        n.stripPrefix(tmpPrefix).toLong < keep
+      if (vOld || mOld || tOld) try {
         if (vOld) ss.sql(
           s"DROP TABLE IF EXISTS ${versionTable(qualifiedTable, n.tail.toLong)}")
         fs.delete(st.getPath, true)

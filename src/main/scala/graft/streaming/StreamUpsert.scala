@@ -137,12 +137,18 @@ object StreamUpsert {
     // production note in the class doc (async vacuum with a time-based
     // retention horizon) covers that case.
     val keep = committed // max id < batchId, -1 on first commit
+    val tmpPrefix = s".tmp$MarkerPrefix"
     fs.listStatus(new Path(tablePath)).foreach { st =>
       val n = st.getPath.getName
       val superseded =
         (n.startsWith(MarkerPrefix) && n.stripPrefix(MarkerPrefix).toLong < keep) ||
           (n.length > 1 && n.head == 'v' && n.tail.forall(_.isDigit) &&
-            n.tail.toLong < keep)
+            n.tail.toLong < keep) ||
+          // stale `.tmp_commit_<id>` orphaned by a crash between create()
+          // and rename() whose batch was never redelivered
+          (n.startsWith(tmpPrefix) &&
+            n.stripPrefix(tmpPrefix).forall(_.isDigit) &&
+            n.stripPrefix(tmpPrefix).toLong < keep)
       // NonFatal, not just IOException: object-store/Hadoop clients surface
       // RuntimeExceptions too, and a post-commit cleanup failure must never
       // kill the streaming query (the commit already succeeded)

@@ -469,4 +469,22 @@ class AdvancedOpsSpec extends SparkSuite {
     assert(plan.contains("partial_typedlinestats"),
       s"no partial typed aggregate before the exchange:\n$plan")
   }
+
+  test("t26 survives a word fully collapsing to one unit (r12 advice)") {
+    // "ab" collapses to a single unit after round 1's merge; the pair
+    // explode must skip it (sequence(1, size(u)-1) with size(u)=1 would
+    // evaluate as sequence(1, 0) = [1, 0] and element_at(u, 0) throws)
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t26guard").toString
+    Seq(
+      (1L, "ab ab ab", "en", "web", 8L),
+      (2L, "xyz", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t26_bpe_merge_rounds")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // round 1 merges "a b" (weight 3, collapsing "ab"); rounds 2-3 keep
+    // training on the surviving "xyz" word instead of crashing
+    out shouldBe Seq((1L, "ab", 3L), (2L, "xy", 1L), (3L, "xyz", 1L))
+  }
 }

@@ -136,6 +136,58 @@ class KeyedMergeSpec extends SparkSuite {
     }
   }
 
+  test("vacuum removes a stale .tmp_commit_ orphan once superseded") {
+    // a crash between create() and rename() leaves `.tmp_commit_<id>`
+    // behind; if that batch is never redelivered (checkpoint lost, run
+    // restarted) the orphan would otherwise accumulate forever. The
+    // vacuum pass applies the same `< keep` retention as markers.
+    val (table, path) = freshTarget("tmpvac")
+    applyB(Seq(("a", 1L, "a1")), 0L, table, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(path, ".tmp_commit_0")
+    fs.create(orphan, true).close()
+    // batch 1: keep = 0, orphan id 0 is NOT < 0 — retained (conservative)
+    applyB(Seq(("a", 2L, "a2")), 1L, table, path)
+    fs.exists(orphan) shouldBe true
+    // batch 2: keep = 1, orphan id 0 < 1 — vacuumed
+    applyB(Seq(("a", 3L, "a3")), 2L, table, path)
+    fs.exists(orphan) shouldBe false
+    // commit records themselves untouched beyond the standard retention
+    KeyedMerge.committedBatch(spark, path) shouldBe 2L
+  }
+
+  test("a durable checkpointLocation makes a second run continue batch ids") {
+    // the ADVICE scenario: without a durable checkpoint a second run()
+    // against an existing tablePath restarts batch ids at 0 and the
+    // replay guard silently skips real data. With one, ids continue.
+    // File source: processed files live in the checkpoint, so run 2
+    // picks up only the new file AND numbers it as the next batch id.
+    import spark.implicits._
+    val (table, path) = freshTarget("ckpt")
+    val ckpt = java.nio.file.Files.createTempDirectory("keyedmerge-ckpt").toString
+    val srcDir = java.nio.file.Files.createTempDirectory("keyedmerge-src").toString
+    def stream = spark.readStream
+      .schema("k STRING, seq BIGINT, tag STRING")
+      .parquet(srcDir)
+    Seq(("a", 1L, "a1")).toDF("k", "seq", "tag")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    KeyedMerge.run(stream, reduce, merge, table, path, "k", 4,
+      checkpointLocation = Some(ckpt)).awaitTermination()
+    KeyedMerge.committedBatch(spark, path) shouldBe 0L
+    // second run, SAME checkpoint + tablePath: the new file must land as
+    // batch id 1, not a replayed id 0
+    Seq(("a", 2L, "a2"), ("b", 1L, "b1")).toDF("k", "seq", "tag")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    KeyedMerge.run(stream, reduce, merge, table, path, "k", 4,
+      checkpointLocation = Some(ckpt)).awaitTermination()
+    KeyedMerge.committedBatch(spark, path) shouldBe 1L
+    val got = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n"), col("last.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    got shouldBe Set(("a", 2L, "a2"), ("b", 1L, "b1"))
+  }
+
   test("the merge join reads the bucketed state with no Exchange on the state side") {
     import spark.implicits._
     val (table, path) = freshTarget("plan")
