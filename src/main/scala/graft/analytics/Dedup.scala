@@ -845,6 +845,25 @@ object Dedup {
   // the bounded 2-core + the d17-style exact id checksum.
   private val KCoreK = 2
   private val KCoreRounds = 4
+
+  /** One k-core peel round: restrict edges to the current core (two
+    * LeftSemi joins — edges are never duplicated, unlike inner joins
+    * against the node list), recount degrees (two-phase aggregate:
+    * map-side partial_count before the one |V|-sized shuffle), keep
+    * nodes with ≥ k surviving neighbors. Factored out so
+    * `KcorePlanSpec` can pin this per-round shape directly — the
+    * registered query's final plan is a post-localCheckpoint
+    * ExistingRDD, which hides the internals from Explain. */
+  private[graft] def kcoreRound(edges: org.apache.spark.sql.DataFrame,
+      core: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    edges
+      .join(core.select(col("node").as("id1")), Seq("id1"), "left_semi")
+      .join(core.select(col("node").as("id2")), Seq("id2"), "left_semi")
+      .groupBy(col("id1").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") >= KCoreK)
+      .select(col("node"))
+
   private val d18 = QueryDef(
     "d18_kcore_peel",
     (s, dir) => {
@@ -856,14 +875,7 @@ object Dedup {
       pairs.unpersist()
       var core = edges.select(col("id1").as("node")).distinct().localCheckpoint()
       (1 to KCoreRounds).foreach { _ =>
-        core = edges
-          .join(core.select(col("node").as("id1")), Seq("id1"), "left_semi")
-          .join(core.select(col("node").as("id2")), Seq("id2"), "left_semi")
-          .groupBy(col("id1").as("node"))
-          .agg(count(lit(1)).as("deg"))
-          .filter(col("deg") >= KCoreK)
-          .select(col("node"))
-          .localCheckpoint()
+        core = kcoreRound(edges, core).localCheckpoint()
       }
       val d = docs(s, dir).select(col("doc_id"), col("source"))
       val out = d.join(core, d("doc_id") === core("node"))
@@ -906,6 +918,22 @@ object Dedup {
   // touching text twice. Verified in the same query against the exact
   // per-pair Jaccard of the shingle-hash sets (computable at test scale;
   // the estimate column is what survives at 100 TB).
+  /** Per-source MinHash signature: componentwise MIN over the shared
+    * permutations — an associative/commutative monoid
+    * (`MinHashMonoidSpec`), so Spark plans it as a TWO-PHASE aggregate:
+    * per-partition partial_min over each permutation, then ONE Exchange
+    * carrying |sources| × |perm| longs, then the final merge. Factored
+    * out so `KcorePlanSpec` can pin that single-Exchange shape directly
+    * (d19's registered plan is a post-localCheckpoint ExistingRDD). */
+  private[graft] def minhashSignatures(
+      hs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hs.groupBy(col("source"))
+      .agg(
+        array(perm.map { case (a, b) =>
+          min(expr(s"($a * h + $b) % $HashMod"))
+        }: _*).as("g"),
+        count(lit(1)).as("n_sh"))
+
   private val d19 = QueryDef(
     "d19_source_minhash_matrix",
     (s, dir) => {
@@ -917,12 +945,7 @@ object Dedup {
         .distinct()
         .cache()
       hs.count()
-      val sig = hs.groupBy(col("source"))
-        .agg(
-          array(perm.map { case (a, b) =>
-            min(expr(s"($a * h + $b) % $HashMod"))
-          }: _*).as("g"),
-          count(lit(1)).as("n_sh"))
+      val sig = minhashSignatures(hs)
       val pairs = sig
         .select(col("source").as("s1"), col("g").as("g1"), col("n_sh").as("n1"))
         .join(sig.select(col("source").as("s2"), col("g").as("g2"),

@@ -484,15 +484,20 @@ object Multimodal {
   // makes CDC dedup survive insertions (bytes shift, boundaries
   // re-synchronize; fixed-width chunking re-chunks everything after the
   // edit). Basic gear-style rule — production adds min/max clamps, which
-  // need a sequential fold and don't change the plan shape. Everything
-  // is codegen'd HOF + one explode + two hash aggregates; the chunk
+  // need a sequential fold and don't change the plan shape. The boundary
+  // scan is the native cdc_cuts rolling pass (O(len) per document); chunk
+  // extraction is one HOF + explode + two hash aggregates; the chunk
   // index join is the m06 shape. Output per source: chunks, distinct
   // chunks, chunks shared across docs, exact char mass.
   private val m11 = QueryDef(
     "m11_cdc_chunking",
     (s, dir) => {
-      val cuts =
-        s"filter(sequence(8, length(text)), i -> ${Tables.strHashExpr("substring(text, i - 7, 8)")} % 16 = 0)"
+      // native O(len) rolling boundary scan (graft.functions.CdcCuts);
+      // value-identical to the HOF form
+      // filter(sequence(8, length(text)), i -> poly_hash(substring(text, i-7, 8)) % 16 = 0)
+      // it replaced, which re-hashed an 8-char substring per position
+      // under boxed lambdas — the m-family's heaviest per-row map
+      val cuts = "cdc_cuts(text, 8, 16)"
       val bounds = s"array_sort(array_distinct(concat($cuts, array(length(text)))))"
       val chunks = docs(s, dir)
         .filter(length(col("text")) >= 8)

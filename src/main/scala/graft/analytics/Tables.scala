@@ -143,6 +143,7 @@ object Tables {
     // functions available even under a session built without GraftExtensions
     graft.functions.PolyHash.register(spark)
     graft.functions.NgramHashes.register(spark)
+    graft.functions.CdcCuts.register(spark)
     rd(spark, dir, "documents")
   }
   def embs(spark: SparkSession, dir: String): DataFrame = {
