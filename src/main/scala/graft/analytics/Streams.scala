@@ -923,6 +923,81 @@ object Streams {
     WHERE b.user_id IS NULL OR a.n <> b.n
     ORDER BY a.user_id, a.event_type"""))
 
+  // ---------------------------------------------------------------- q115
+  // Keyed MERGE with the DELETE branch — the tombstone path q112/q113's
+  // update/insert machinery lacked (the streaming analogue of WHEN NOT
+  // MATCHED BY SOURCE THEN DELETE): batches 0 and 1 build per-user state
+  // from normal events (deterministic event_id % 2 split), then batch 2
+  // is a RECONCILIATION TOMBSTONE batch — it carries only the fatal
+  // error records (event_type = 'error' with event_id ≡ 0 mod 21, a
+  // deterministic "account closed" subset), its reduce is empty, and its
+  // deleteKeys wipe every tombstoned user's state, so those keys are
+  // genuinely ABSENT from the final snapshot (not zeroed). This is the
+  // upstream-CDC-feed shape: deletes arrive as explicit tombstone
+  // records, not inferred from absence. Scale: the delete is an anti
+  // join on the bucket key BEFORE the merge rule, so the bucketed state
+  // scan's partitioning flows through the whole chain — zero state-side
+  // Exchange, only the |tombstones| key set shuffles (KeyedMergeSpec
+  // pins the plan and the delete-then-reseed/replay semantics).
+  private val q115 = QueryDef(
+    "q115_merge_tombstones",
+    (s, dir) => withStreamShuffle(s) {
+      val fatal = col("event_type") === "error" && col("event_id") % 21 === 0
+      val ev = Tables.events(s, dir)
+      val reduce = (b: org.apache.spark.sql.DataFrame) => b
+        .filter(!(col("event_type") === "error" && col("event_id") % 21 === 0))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      val merge = (state: org.apache.spark.sql.DataFrame,
+          batch: org.apache.spark.sql.DataFrame) =>
+        state.as("t").join(batch.as("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("t.n_events"), lit(0L)) +
+              coalesce(col("b.n_events"), lit(0L))).as("n_events"),
+            greatest(col("t.last"), col("b.last")).as("last"))
+      val tombstones = Some((b: org.apache.spark.sql.DataFrame) =>
+        b.filter(col("event_type") === "error" && col("event_id") % 21 === 0)
+          .select(col("user_id")))
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q115 LOCATION '${Tables.tmp("graft-q115-db")}'")
+      val tablePath =
+        java.nio.file.Files.createTempDirectory("graft-q115-table").toString + "/state"
+      val base =
+        "graft_q115.state_" + Integer.toHexString(tablePath.hashCode)
+      (0L to 1L).foreach { k =>
+        graft.streaming.KeyedMerge.applyBatch(
+          ev.filter(!fatal && col("event_id") % 2 === k), k,
+          reduce, merge, base, tablePath, "user_id", 8,
+          deleteKeys = tombstones)
+      }
+      graft.streaming.KeyedMerge.applyBatch(
+        ev.filter(fatal), 2L,
+        reduce, merge, base, tablePath, "user_id", 8,
+        deleteKeys = tombstones)
+      graft.streaming.KeyedMerge.readTable(s, base, tablePath)
+        .select(col("user_id"), col("n_events"),
+          col("last.event_type").as("last_event_type"),
+          unix_micros(col("last.ts")).as("last_ts_us"),
+          col("last.event_id").as("last_event_id"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH del AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'error' AND event_id % 21 = 0),
+    surv AS (
+      SELECT e.* FROM events e
+      WHERE e.user_id NOT IN (SELECT user_id FROM del)),
+    agg AS (SELECT user_id, COUNT(*) AS n_events FROM surv GROUP BY user_id),
+    last AS (SELECT user_id, event_type AS last_event_type,
+        epoch_us(ts) AS last_ts_us, event_id AS last_event_id
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM surv)
+      WHERE rn = 1)
+    SELECT a.user_id, a.n_events, l.last_event_type, l.last_ts_us,
+      l.last_event_id
+    FROM agg a JOIN last l USING (user_id)
+    ORDER BY a.user_id"""))
+
   // ---------------------------------------------------------------- q62
   // Streaming FILE sink: the exactly-once ETL shape the reference's
   // foreachBatch path approximates — stream → project → partitioned
@@ -1948,5 +2023,5 @@ object Streams {
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113)
+      q111, q112, q113, q115)
 }

@@ -9,9 +9,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * `foreachBatch` + `MERGE`-shape upsert that generalizes
  * [[StreamUpsert]]'s additive ledger to arbitrary per-key update rules
  * (`WHEN MATCHED THEN UPDATE` with non-additive fields such as
- * last-write-wins latest-state, `WHEN NOT MATCHED THEN INSERT`): each
- * micro-batch is reduced to one row per key, then merged with the current
- * state via a caller-supplied rule over a key-aligned full-outer join.
+ * last-write-wins latest-state, `WHEN NOT MATCHED THEN INSERT`, plus an
+ * optional tombstone-driven delete branch — the streaming analogue of
+ * `WHEN NOT MATCHED BY SOURCE THEN DELETE`): each micro-batch is reduced
+ * to one row per key, then merged with the current state via a
+ * caller-supplied rule over a key-aligned full-outer join; keys the
+ * batch tombstones have their prior state wiped before the merge.
  *
  * The state table is stored as versioned BUCKETED catalog tables
  * (`<table>_v<batchId>` bucketed by the merge key). That is the scale
@@ -95,6 +98,28 @@ object KeyedMerge {
     * @param tablePath      root dir for snapshot data + commit markers
     * @param keyCol         the merge/bucket key
     * @param buckets        bucket count of every state snapshot
+    * @param deleteKeys     optional MERGE delete branch (the streaming
+    *                       analogue of WHEN NOT MATCHED BY SOURCE
+    *                       DELETE, driven by tombstone records): given
+    *                       the raw micro-batch, returns the keys whose
+    *                       PRIOR state this batch deletes. The anti join
+    *                       runs BEFORE the merge rule, so a tombstoned
+    *                       key's history is wiped and the same batch's
+    *                       surviving rows (callers wanting pure deletes
+    *                       exclude tombstone records in `reduceBatch`)
+    *                       re-seed it from zero; a key with no surviving
+    *                       rows ends the batch absent until a later
+    *                       batch re-inserts it. Ordering the delete
+    *                       before the merge is the scale property: the
+    *                       bucketed state scan's partitioning flows
+    *                       through the LeftAnti join into the merge
+    *                       join, so the whole chain stays Exchange-free
+    *                       on the state side and only the
+    *                       |tombstones|-sized key set shuffles
+    *                       (`KeyedMergeSpec` pins that plan; a
+    *                       post-merge anti join would re-shuffle the
+    *                       state — full-outer join output partitioning
+    *                       is unknown).
     * @param checkpointLocation durable stream checkpoint. The replay
     *                       no-op guard keys on BATCH IDS, and batch ids
     *                       live in the stream checkpoint: without a
@@ -117,11 +142,12 @@ object KeyedMerge {
       keyCol: String,
       buckets: Int = 8,
       onBatch: Long => Unit = _ => (),
+      deleteKeys: Option[DataFrame => DataFrame] = None,
       checkpointLocation: Option[String] = None): StreamingQuery = {
     val writer = stream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, batchId, reduceBatch, merge, qualifiedTable,
-          tablePath, keyCol, buckets, onBatch)
+          tablePath, keyCol, buckets, onBatch, deleteKeys)
       }
       .trigger(Trigger.AvailableNow())
     checkpointLocation.foreach(writer.option("checkpointLocation", _))
@@ -139,15 +165,27 @@ object KeyedMerge {
       tablePath: String,
       keyCol: String,
       buckets: Int,
-      onBatch: Long => Unit = _ => ()): Unit = {
+      onBatch: Long => Unit = _ => (),
+      deleteKeys: Option[DataFrame => DataFrame] = None): Unit = {
     val ss = batch.sparkSession
     val committed = committedBatch(ss, tablePath)
     if (batchId <= committed) return // replayed batch — already applied
     onBatch(batchId)
     val reduced = reduceBatch(batch)
-    val merged =
-      if (committed < 0) reduced
-      else merge(readTable(ss, qualifiedTable, tablePath), reduced)
+    // MERGE delete branch: tombstoned keys are wiped from the PRIOR
+    // state before the merge rule runs (see the run() scaladoc for the
+    // semantics and why pre-merge keeps the state side Exchange-free)
+    val state =
+      if (committed < 0) None
+      else {
+        val cur = readTable(ss, qualifiedTable, tablePath)
+        Some(deleteKeys.fold(cur) { dk =>
+          import org.apache.spark.sql.functions.col
+          cur.join(dk(batch).select(col(keyCol)).distinct(),
+            Seq(keyCol), "left_anti")
+        })
+      }
+    val merged = state.fold(reduced)(st => merge(st, reduced))
     // materialize BEFORE writing: the merge plan reads the previous
     // snapshot, and the new snapshot write must not race that read
     val out = merged.localCheckpoint()

@@ -136,6 +136,89 @@ class KeyedMergeSpec extends SparkSuite {
     }
   }
 
+  // tombstone rows carry a "DEL"-prefixed tag; they drive deleteKeys and
+  // are excluded from the reduce (pure delete records, the CDC-feed shape)
+  private def applyDel(rows: Seq[(String, Long, String)], id: Long,
+      table: String, path: String): Unit = {
+    import spark.implicits._
+    KeyedMerge.applyBatch(rows.toDF("k", "seq", "tag"), id,
+      b => reduce(b.filter(!col("tag").startsWith("DEL"))), merge,
+      table, path, "k", 4,
+      deleteKeys = Some(b => b.filter(col("tag").startsWith("DEL"))
+        .select(col("k"))))
+  }
+
+  test("delete branch: tombstone wipes prior state, same-batch rows re-seed from zero") {
+    val (table, path) = freshTarget("del")
+    applyDel(Seq(("a", 1L, "a1"), ("b", 1L, "b1")), 0L, table, path)
+    // batch 1 tombstones a AND carries a fresh a-row: a's history is
+    // wiped and the key re-seeds from this batch alone (n=1, not 2);
+    // b merges normally
+    applyDel(Seq(("a", 2L, "a2"), ("a", 3L, "DELa"), ("b", 2L, "b2")),
+      1L, table, path)
+    val afterReseed = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n"), col("last.tag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    afterReseed shouldBe Set(("a", 1L, "a2"), ("b", 2L, "b2"))
+    // batch 2 is a pure tombstone for a (no surviving rows): key absent
+    applyDel(Seq(("a", 9L, "DELa")), 2L, table, path)
+    KeyedMerge.readTable(spark, table, path)
+      .select(col("k")).collect().map(_.getString(0)).toSet shouldBe Set("b")
+  }
+
+  test("delete branch replay: a replayed tombstone batch is a no-op") {
+    val (table, path) = freshTarget("delretry")
+    applyDel(Seq(("a", 1L, "a1"), ("b", 1L, "b1")), 0L, table, path)
+    applyDel(Seq(("b", 2L, "DELb")), 1L, table, path)
+    val after = KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n")).collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    after shouldBe Set(("a", 1L))
+    // replay of batch 1 must not re-run the merge or the delete
+    applyDel(Seq(("b", 2L, "DELb")), 1L, table, path)
+    KeyedMerge.committedBatch(spark, path) shouldBe 1L
+    KeyedMerge.readTable(spark, table, path)
+      .select(col("k"), col("n")).collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet shouldBe after
+  }
+
+  test("the delete chain keeps the state side Exchange-free; tombstones shuffle") {
+    import spark.implicits._
+    val (table, path) = freshTarget("delplan")
+    applyB(Seq(("a", 1L, "a1"), ("b", 2L, "b2")), 0L, table, path)
+    graft.analytics.Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // the applyBatch delete shape: state anti-joins tombstones BEFORE
+      // the merge rule — the bucketed scan's partitioning flows through
+      // the LeftAnti join into the full-outer merge join
+      val batch = Seq(("a", 3L, "a3"), ("c", 1L, "DELc")).toDF("k", "seq", "tag")
+      val tomb = batch.filter(col("tag").startsWith("DEL"))
+        .select(col("k")).distinct()
+      val state = KeyedMerge.readTable(spark, table, path)
+        .join(tomb, Seq("k"), "left_anti")
+      val plan = merge(state, reduce(batch.filter(!col("tag").startsWith("DEL"))))
+        .queryExecution.executedPlan
+      def pathTo(p: SparkPlan): Option[List[SparkPlan]] = p match {
+        case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("state_")) =>
+          Some(List(p))
+        case _ => p.children.view.flatMap(pathTo).headOption.map(p :: _)
+      }
+      val toScan = pathTo(plan)
+        .getOrElse(fail(s"no state-table scan in the delete plan:\n$plan"))
+      withClue(s"Exchange above the state scan through delete+merge:\n$plan\n") {
+        toScan.filter(_.isInstanceOf[Exchange]) shouldBe empty
+      }
+      // both joins sit on the state path: the anti (delete) then the
+      // full-outer (merge) — guards against the anti being planned away
+      toScan.count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]) shouldBe 2
+      val exchanges = plan.collect { case e: Exchange => e }
+      withClue(s"expected the tombstone/batch sides to shuffle:\n$plan\n") {
+        exchanges should not be empty
+      }
+    }
+  }
+
   test("vacuum removes a stale .tmp_commit_ orphan once superseded") {
     // a crash between create() and rename() leaves `.tmp_commit_<id>`
     // behind; if that batch is never redelivered (checkpoint lost, run
