@@ -173,7 +173,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
-  private val simhashCteDuck =
+  private[analytics] val simhashCteDuck =
     s"""tok AS (SELECT doc_id, token, COUNT(*) AS cnt, ${strHashSql("token")} % 65536 AS h16
            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
            GROUP BY doc_id, token),
@@ -219,7 +219,7 @@ object Dedup {
     * MATERIALIZED (signatures cached for the self-join, pairs cached and
     * counted, signatures released) — the near-dup edge list d07/d09/d17
     * all start from. Caller unpersists the returned frame when done. */
-  private def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[analytics] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
       .cache()
     sh.count()
