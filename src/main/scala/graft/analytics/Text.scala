@@ -1149,68 +1149,90 @@ object Text {
   // discipline). At 100 TB the same rounds hold: the recount is
   // map-side-combined to |pair vocab|, never corpus-sized shuffle.
   private val BpeRounds = 3
-  private val t26 = QueryDef(
-    "t26_bpe_merge_rounds",
-    (s, dir) => {
-      var words = docs(s, dir)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
-        .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
-        .withColumn("units", concat(lit(" "),
-          expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
-          lit(" ")))
-        .select(col("wcnt"), col("units"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, Long)]
-      (1 to BpeRounds).foreach { r =>
-        val top = words
-          .select(col("wcnt"), expr("split(trim(units), ' ')").as("u"))
-          // a word fully collapsed to one unit contributes no pairs; without
-          // this guard sequence(1, size(u)-1) = sequence(1, 0) = [1, 0]
-          // (negative step) and element_at(u, 0) throws
-          .filter(size(col("u")) >= 2)
-          .select(col("wcnt"), explode(expr(
-            "transform(sequence(1, size(u) - 1), i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))")).as("pair"))
-          .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
-          .orderBy(col("cnt").desc, col("pair")).limit(1)
-          .collect()(0)
-        val (pair, cnt) = (top.getString(0), top.getLong(1))
-        merges += ((r.toLong, pair.replace(" ", ""), cnt))
-        val from = s" $pair "
-        val to = s" ${pair.replace(" ", "")} "
-        val replaced =
-          (1 to 4).foldLeft("units")((e, _) => s"replace($e, '$from', '$to')")
-        words = words.withColumn("units", expr(replaced)).localCheckpoint()
-      }
-      s.createDataFrame(merges.result()).toDF("round", "merged", "cnt")
-        .orderBy(col("round"))
-    },
-    Some {
-      // one pair-count + argmax + merge CTE triple per unrolled round
-      def replace4(unitsExpr: String, m: String): String =
-        (1 to 4).foldLeft(unitsExpr)((e, _) =>
-          s"replace($e, ' ' || $m.pair || ' ', ' ' || replace($m.pair, ' ', '') || ' ')")
-      def round(k: Int): String =
-        s"""p$k AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
+
+  /** The BPE trainer loop with the word key retained: [[BpeRounds]] rounds
+    * of (corpus-wide adjacent-pair count → most-frequent pair, ties broken
+    * lexicographically → merge it everywhere), run over DISTINCT words
+    * weighted by occurrence count (bounded vocabulary). Returns the final
+    * per-word table `(w, wcnt, units)` — the trained vocabulary t28
+    * applies — plus the merge log `(round, merged, cnt)` t26 publishes.
+    * Each round is one explode + one map-side-combined hash aggregate + a
+    * 1-row driver argmax (bounded control input, the q73 precedent) + a
+    * narrow map; per-round localCheckpoint keeps plans constant-size. */
+  private def bpeTrain(
+      s: org.apache.spark.sql.SparkSession,
+      dir: String): (org.apache.spark.sql.DataFrame, Seq[(Long, String, Long)]) = {
+    var words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("wcnt"))
+      .withColumn("units", concat(lit(" "),
+        expr("array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), ' ')"),
+        lit(" ")))
+      .select(col("w"), col("wcnt"), col("units"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Long, String, Long)]
+    (1 to BpeRounds).foreach { r =>
+      val top = words
+        .select(col("wcnt"), expr("split(trim(units), ' ')").as("u"))
+        // a word fully collapsed to one unit contributes no pairs; without
+        // this guard sequence(1, size(u)-1) = sequence(1, 0) = [1, 0]
+        // (negative step) and element_at(u, 0) throws
+        .filter(size(col("u")) >= 2)
+        .select(col("wcnt"), explode(expr(
+          "transform(sequence(1, size(u) - 1), i -> concat(element_at(u, i), ' ', element_at(u, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wcnt")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()(0)
+      val (pair, cnt) = (top.getString(0), top.getLong(1))
+      merges += ((r.toLong, pair.replace(" ", ""), cnt))
+      val from = s" $pair "
+      val to = s" ${pair.replace(" ", "")} "
+      val replaced =
+        (1 to 4).foldLeft("units")((e, _) => s"replace($e, '$from', '$to')")
+      words = words.withColumn("units", expr(replaced)).localCheckpoint()
+    }
+    (words, merges.result())
+  }
+
+  /** DuckDB twin of [[bpeTrain]]'s unrolled rounds: CTEs `w0, r0,
+    * p1/m1/r1 … pK/mK/rK` — one pair-count + argmax + merge triple per
+    * round — with `r$BpeRounds(w, wcnt, units)` the trained vocabulary
+    * and each `m$k(pair, cnt)` a round's chosen merge. */
+  private def bpeTrainCte: String = {
+    def replace4(unitsExpr: String, m: String): String =
+      (1 to 4).foldLeft(unitsExpr)((e, _) =>
+        s"replace($e, ' ' || $m.pair || ' ', ' ' || replace($m.pair, ' ', '') || ' ')")
+    def round(k: Int): String =
+      s"""p$k AS (SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS cnt FROM (
         SELECT wcnt, unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1])) AS pair
         FROM (SELECT wcnt, string_split(trim(units), ' ') AS l FROM r${k - 1}))
       GROUP BY pair),
     m$k AS (SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-    r$k AS (SELECT wcnt, ${replace4("units", s"m$k")} AS units
+    r$k AS (SELECT w, wcnt, ${replace4("units", s"m$k")} AS units
       FROM r${k - 1} CROSS JOIN m$k)"""
-      s"""WITH w0 AS (
+    s"""w0 AS (
       SELECT w, COUNT(*) AS wcnt FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2 GROUP BY w),
-    r0 AS (SELECT wcnt,
+    r0 AS (SELECT w, wcnt,
         ' ' || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), ' ') || ' ' AS units
       FROM w0),
-    ${(1 to BpeRounds).map(round).mkString(",\n    ")}
+    ${(1 to BpeRounds).map(round).mkString(",\n    ")}"""
+  }
+
+  private val t26 = QueryDef(
+    "t26_bpe_merge_rounds",
+    (s, dir) => {
+      val (_, merges) = bpeTrain(s, dir)
+      s.createDataFrame(merges).toDF("round", "merged", "cnt")
+        .orderBy(col("round"))
+    },
+    Some(s"""WITH $bpeTrainCte
     ${(1 to BpeRounds).map(k =>
         s"SELECT CAST($k AS BIGINT) AS round, replace(pair, ' ', '') AS merged, cnt FROM m$k")
         .mkString("\n    UNION ALL ")}
-    ORDER BY round"""
-    })
+    ORDER BY round"""))
 
   // ---------------------------------------------------------------- t27
   // Per-source document CAP — the "downsample over-represented sources to
@@ -1259,7 +1281,62 @@ object Text {
                ELSE CAST(0 AS DECIMAL(38,0)) END) % $HashMod AS BIGINT) AS kept_id_checksum
     FROM r GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t28
+  // BPE ENCODE — the production half of t26: apply the trained merge
+  // vocabulary to the whole corpus and publish the per-source tokenizer
+  // manifest (word instances, input chars, output tokens, distinct token
+  // types) every training-data build reports before packing. Encoding is
+  // vocabulary-bounded: the trainer's final per-word unit strings join
+  // (broadcast — |distinct words| rows, never corpus-sized) onto the
+  // per-(source, word) counts, so the corpus is scanned ONCE and no word
+  // instance re-tokenizes. The chars→tokens contraction ships as exact
+  // integer numerator/denominator (t13's discipline), not a float ratio.
+  // At 100 TB the same plan holds: the (source, word) aggregate is
+  // map-side-combined to |vocab| × |sources|, the vocabulary join
+  // broadcasts, and the token-type explode runs over |vocab × sources|
+  // joined rows, not token instances.
+  private val t28 = QueryDef(
+    "t28_bpe_encode",
+    (s, dir) => {
+      val (words, _) = bpeTrain(s, dir)
+      val enc = words
+        .select(col("w"), expr("split(trim(units), ' ')").as("u"))
+        .select(col("w"), size(col("u")).cast("long").as("ntok"), col("u"))
+      val perSrc = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
+      // reused by both aggregates below; |vocab × sources| rows, so the
+      // checkpoint is bounded and saves re-running the scan + join twice
+      val joined = perSrc.join(broadcast(enc), "w").localCheckpoint()
+      val stats = joined.groupBy(col("source")).agg(
+        sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+        sum(col("cnt") * col("ntok")).as("n_tokens"))
+      val types = joined
+        .select(col("source"), explode(col("u")).as("tok"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("n_token_types"))
+      stats.join(types, "source").orderBy(col("source"))
+    },
+    Some(s"""WITH $bpeTrainCte,
+    enc AS (SELECT w, string_split(trim(units), ' ') AS u FROM r$BpeRounds),
+    ws AS (SELECT source, w, COUNT(*) AS cnt FROM (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2 GROUP BY source, w),
+    j AS (SELECT ws.source, ws.w, ws.cnt, len(enc.u) AS ntok, enc.u AS u
+      FROM ws JOIN enc USING (w)),
+    st AS (SELECT source,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(SUM(cnt * len(w)) AS BIGINT) AS n_chars,
+        CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens
+      FROM j GROUP BY source),
+    ty AS (SELECT source, COUNT(DISTINCT tok) AS n_token_types FROM (
+        SELECT source, unnest(u) AS tok FROM j) GROUP BY source)
+    SELECT st.source, n_words, n_chars, n_tokens, n_token_types
+    FROM st JOIN ty USING (source) ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
 }

@@ -487,4 +487,27 @@ class AdvancedOpsSpec extends SparkSuite {
     // training on the surviving "xyz" word instead of crashing
     out shouldBe Seq((1L, "ab", 3L), (2L, "xy", 1L), (3L, "xyz", 1L))
   }
+
+  test("t28 encodes with the t26-trained merges, exact token accounting") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("t28enc").toString
+    Seq(
+      (1L, "abab abab cd", "en", "web", 12L),
+      (2L, "abab cd cd", "en", "wiki", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // trainer: r1 "a b" (6) -> abab = "ab ab"; r2 ties "ab ab"=3 vs
+    // "c d"=3, lexicographic tie-break picks "ab ab" -> abab collapses;
+    // r3 merges "c d" -> both words encode to a single token
+    val merges = Registry.queries("t26_bpe_merge_rounds")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    merges shouldBe Seq((1L, "ab", 6L), (2L, "abab", 3L), (3L, "cd", 3L))
+    val out = Registry.queries("t28_bpe_encode")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // (source, n_words, n_chars, n_tokens, n_token_types)
+    out shouldBe Seq(
+      ("web", 3L, 10L, 3L, 2L),
+      ("wiki", 3L, 8L, 3L, 2L))
+  }
 }
