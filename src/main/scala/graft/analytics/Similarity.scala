@@ -920,7 +920,103 @@ object Similarity {
           AND l.label <> p.q_label)
     WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
+  // ---------------------------------------------------------------- s15
+  // MMR DIVERSIFIED RE-RANK — maximal marginal relevance, the serving-
+  // side diversity pass RAG retrieval runs after ANN: greedily pick K
+  // results per anchor maximizing 0.7·rel(query) − 0.3·max-sim-to-
+  // already-picked, so near-duplicate hits don't crowd the result list.
+  // Candidate generation is the corpus-scale part (one broadcast join +
+  // one per-anchor WindowGroupLimit top-20, the s01 shape); the greedy
+  // loop then runs over the CHECKPOINTED 8×20-row pool — K bounded
+  // rounds of anti-join + max-sim aggregate + per-anchor argmax, constant
+  // work at any corpus size. All similarities divide exact int64 dots
+  // under IEEE doubles (the Tables quantization contract), and every
+  // argmax tie-breaks on candidate id, so the greedy trajectory is
+  // deterministic and the unrolled-CTE oracle replays it exactly.
+  private val MmrK = 5
+  private val MmrCand = 20
+  private val s15 = QueryDef(
+    "s15_mmr_rerank",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val q = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"))
+      val winRel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("rel").desc, col("c_id"))
+      val cands = all
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(q), col("c_id") =!= col("q_id"))
+        .withColumn("rel",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winRel))
+        .filter(col("crnk") <= MmrCand)
+        .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"), col("rel"))
+        .localCheckpoint() // anchors × MmrCand rows — bounded control data
+      var selected = cands
+        .withColumn("r", row_number().over(winRel))
+        .filter(col("r") === 1)
+        .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"),
+          col("rel"), lit(1L).as("pick_rank"), col("rel").as("mmr"))
+        .localCheckpoint()
+      (2 to MmrK).foreach { k =>
+        val rem = cands.join(selected.select(col("q_id"), col("c_id")),
+          Seq("q_id", "c_id"), "left_anti")
+        val sel = selected.select(col("q_id").as("s_qid"),
+          col("c_qv").as("s_qv"), col("c_norm2").as("s_norm2"))
+        val red = rem.join(sel, col("q_id") === col("s_qid"))
+          .withColumn("ssim",
+            expr(dotExpr("c_qv", "s_qv")).cast("double") /
+              (sqrt(col("c_norm2").cast("double")) * sqrt(col("s_norm2").cast("double"))))
+          .groupBy(col("q_id"), col("c_id")).agg(max(col("ssim")).as("maxsim"))
+        val winMmr = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("mmr").desc, col("c_id"))
+        val pick = rem.join(red, Seq("q_id", "c_id"))
+          .withColumn("mmr", expr("CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * maxsim"))
+          .withColumn("r", row_number().over(winMmr))
+          .filter(col("r") === 1)
+          .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"),
+            col("rel"), lit(k.toLong).as("pick_rank"), col("mmr"))
+        selected = selected.union(pick).localCheckpoint()
+      }
+      selected.select(col("q_id"), col("pick_rank"), col("c_id"),
+        round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
+        .orderBy(col("q_id"), col("pick_rank"))
+    },
+    Some {
+      val relExpr =
+        s"CAST(${dotSql("q.q_qv", "a.qv")} AS DOUBLE) / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE)))"
+      def round(k: Int): String =
+        s"""rem$k AS (SELECT c.* FROM cand c WHERE NOT EXISTS (
+        SELECT 1 FROM sel${k - 1} s WHERE s.q_id = c.q_id AND s.c_id = c.c_id)),
+    ms$k AS (SELECT r.q_id, r.c_id,
+        MAX(CAST(${dotSql("r.c_qv", "s.c_qv")} AS DOUBLE) / (sqrt(CAST(r.c_norm2 AS DOUBLE)) * sqrt(CAST(s.c_norm2 AS DOUBLE)))) AS maxsim
+      FROM rem$k r JOIN sel${k - 1} s ON r.q_id = s.q_id GROUP BY r.q_id, r.c_id),
+    sc$k AS (SELECT r.q_id, r.c_id, r.c_qv, r.c_norm2, r.rel,
+        CAST(0.7 AS DOUBLE) * r.rel - CAST(0.3 AS DOUBLE) * m.maxsim AS mmr
+      FROM rem$k r JOIN ms$k m ON r.q_id = m.q_id AND r.c_id = m.c_id),
+    pick$k AS (SELECT q_id, c_id, c_qv, c_norm2, rel, CAST($k AS BIGINT) AS pick_rank, mmr
+      FROM (SELECT sc$k.*, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmr DESC, c_id) AS r FROM sc$k)
+      WHERE r = 1),
+    sel$k AS (SELECT * FROM sel${k - 1} UNION ALL SELECT * FROM pick$k)"""
+      s"""WITH $quantCte,
+    qs AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2 FROM qn WHERE vec_id < 8),
+    cand AS (SELECT q_id, c_id, c_qv, c_norm2, rel FROM (
+        SELECT q.q_id, a.vec_id AS c_id, a.qv AS c_qv, a.norm2 AS c_norm2,
+          $relExpr AS rel,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $relExpr DESC, a.vec_id) AS crnk
+        FROM qn a JOIN qs q ON a.vec_id <> q.q_id)
+      WHERE crnk <= $MmrCand),
+    sel1 AS (SELECT q_id, c_id, c_qv, c_norm2, rel, CAST(1 AS BIGINT) AS pick_rank, rel AS mmr
+      FROM (SELECT cand.*, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, c_id) AS r FROM cand)
+      WHERE r = 1),
+    ${(2 to MmrK).map(round).mkString(",\n    ")}
+    SELECT q_id, pick_rank, c_id, round(rel, 6) AS rel, round(mmr, 6) AS mmr
+    FROM sel$MmrK ORDER BY q_id, pick_rank"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      d15)
+      s15, d15)
 }

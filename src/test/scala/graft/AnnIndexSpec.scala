@@ -85,4 +85,34 @@ class AnnIndexSpec extends SparkSuite {
     after.size should be > base.size
     spark.read.parquet(out).count() shouldBe 4L
   }
+
+  test("s15 MMR: greedy trajectory invariants hold per anchor") {
+    import org.apache.spark.sql.functions._
+    val out = graft.analytics.Registry.queries("s15_mmr_rerank")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .groupBy(_._1)
+    out.keySet shouldBe (0L until 8L).toSet // every anchor served
+    // rel ranking source of truth: s01's brute top-5 shares the pool head,
+    // so pick 1 (pure relevance) must equal s01's rank-1 hit per anchor
+    val s01Top = graft.analytics.Registry.queries("s01_cosine_topk")(spark, dir)
+      .filter(col("rnk") === 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach { case (q, picks) =>
+      val byRank = picks.sortBy(_._2)
+      byRank.map(_._2).toSeq shouldBe (1L to 5L) // exactly K picks, ranked
+      byRank.map(_._3).distinct.length shouldBe 5 // no candidate repeats
+      byRank.head._3 shouldBe s01Top(q)
+      byRank.head._5 shouldBe byRank.head._4 // rank 1: mmr == rel (no penalty)
+      // rank-1 pick maximizes relevance over the whole selection
+      byRank.tail.foreach(p => assert(p._4 <= byRank.head._4 + 1e-9))
+      // greedy MMR scores are non-increasing from rank 2 on: a later pick
+      // was available earlier with a no-larger redundancy penalty
+      byRank.tail.sliding(2).foreach {
+        case Array(a, b) => assert(b._5 <= a._5 + 1e-9,
+          s"anchor $q: mmr rose from rank ${a._2} (${a._5}) to ${b._2} (${b._5})")
+        case _ =>
+      }
+    }
+  }
 }
