@@ -36,7 +36,8 @@ object Explain {
         "d16_persisted_lsh_index", "s13_ivf_incremental",
         "t25_boilerplate_removal", "d17_canonical_corpus",
         "q114_rank_functions", "t27_source_cap", "s14_hard_negatives",
-        "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode")
+        "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode",
+        "s16_recall_at_k")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

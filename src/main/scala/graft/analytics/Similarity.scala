@@ -184,11 +184,11 @@ object Similarity {
     },
     Some(ivfTopkOracle))
 
-  /** Oracle shared by s04 (in-memory inverted lists) and s12 (the same
-    * lists persisted as a list-partitioned parquet index): identical probe
-    * rule and ranking, so both must produce exactly this result. */
-  private lazy val ivfTopkOracle: String = s"""WITH $quantCte,
-    ex AS (SELECT label, i AS pos, qv[i] AS v
+  /** CTE chain `ex…cd…ce…cn…asg…lists…probes` deriving the IVF layout:
+    * per-label centroids, nearest-centroid assignment, inverted lists,
+    * and the anchors' nearest-2 probe rule — shared by the s04/s12
+    * oracle and s16's evaluation side. Expects [[quantCte]] upstream. */
+  private lazy val ivfProbeCte: String = s"""ex AS (SELECT label, i AS pos, qv[i] AS v
            FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
     cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
            FROM ex GROUP BY label, pos),
@@ -200,7 +200,13 @@ object Similarity {
             FROM qn a CROSS JOIN cn b),
     lists AS (SELECT vec_id, qv, norm2, c_label AS list_label FROM asg WHERE crnk = 1),
     probes AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2, c_label AS probe_label
-               FROM asg WHERE vec_id < 8 AND crnk <= 2)
+               FROM asg WHERE vec_id < 8 AND crnk <= 2)"""
+
+  /** Oracle shared by s04 (in-memory inverted lists) and s12 (the same
+    * lists persisted as a list-partitioned parquet index): identical probe
+    * rule and ranking, so both must produce exactly this result. */
+  private lazy val ivfTopkOracle: String = s"""WITH $quantCte,
+    $ivfProbeCte
     SELECT q_id, rnk, c_id, sim FROM (
       SELECT p.q_id, l.vec_id AS c_id,
         round(CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))), 6) AS sim,
@@ -1016,7 +1022,99 @@ object Similarity {
     FROM sel$MmrK ORDER BY q_id, pick_rank"""
     })
 
+  // ---------------------------------------------------------------- s16
+  // RECALL@K EVALUATION — the harness that closes the ANN loop: for each
+  // anchor, compare the IVF probe result (s04's exact machinery) against
+  // brute-force ground truth (s01's shape) and report hits, recall, and
+  // the first ground-truth rank the index missed. This is how an index's
+  // nprobe/nlist trade is actually tuned. Both sides are exact integer
+  // dot products, so the recall numbers are deterministic — recall ships
+  // as n_hits (numerator; k is the denominator column) and an integer
+  // percentage, never a float ratio. At 100 TB the brute side is the
+  // bounded-cost one — |anchor sample| × corpus with broadcast anchors,
+  // the standard offline-eval linear scan — while the IVF side stays
+  // nprobe-bounded; neither shuffles more than |anchors × k| rows.
+  private val s16 = QueryDef(
+    "s16_recall_at_k",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val anchors = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val truth = all
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("t_rnk", row_number().over(winQ).cast("long"))
+        .filter(col("t_rnk") <= 5)
+        .select(col("q_id"), col("t_rnk"), col("c_id"))
+      val cent = labelCentroids(all)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = all.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+      val ivf = lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), lit(1L).as("hit"))
+      truth.join(ivf, Seq("q_id", "c_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(col("hit")).as("n_hits"),
+          (sum(col("hit")) * lit(20L)).as("recall_pct"),
+          min(when(col("hit") === 0L, col("t_rnk"))).as("first_miss_rank"))
+        .withColumn("k", lit(5L))
+        .select(col("q_id"), col("k"), col("n_hits"), col("recall_pct"),
+          col("first_miss_rank"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      val ivfSim =
+        s"CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE)))"
+      val truthSim =
+        s"CAST(${dotSql("q.q_qv", "a.qv")} AS DOUBLE) / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    ivf AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY $ivfSim DESC, l.vec_id) AS rnk
+        FROM lists l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+      WHERE rnk <= 5),
+    anch AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2 FROM qn WHERE vec_id < 8),
+    truth AS (SELECT q_id, t_rnk, c_id FROM (
+        SELECT q.q_id, a.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $truthSim DESC, a.vec_id) AS t_rnk
+        FROM qn a JOIN anch q ON a.vec_id <> q.q_id)
+      WHERE t_rnk <= 5),
+    j AS (SELECT t.q_id, t.t_rnk,
+        CASE WHEN i.c_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id)
+    SELECT q_id, CAST(5 AS BIGINT) AS k,
+      CAST(SUM(hit) AS BIGINT) AS n_hits,
+      CAST(SUM(hit) * 20 AS BIGINT) AS recall_pct,
+      CAST(MIN(CASE WHEN hit = 0 THEN t_rnk END) AS BIGINT) AS first_miss_rank
+    FROM j GROUP BY q_id ORDER BY q_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, d15)
+      s15, s16, d15)
 }

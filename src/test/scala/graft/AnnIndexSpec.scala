@@ -115,4 +115,25 @@ class AnnIndexSpec extends SparkSuite {
       }
     }
   }
+
+  test("s16 recall equals the direct s01-truth vs s04-ivf set diff") {
+    def topSets(name: String) = graft.analytics.Registry.queries(name)(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val truth = topSets("s01_cosine_topk") // (q_id -> (q, rnk, c_id))
+    val ivf = topSets("s04_ivf_topk")
+    val got = graft.analytics.Registry.queries("s16_recall_at_k")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+    got.keySet shouldBe truth.keySet
+    got.foreach { case (q, (nHits, recallPct, firstMiss)) =>
+      val tRanked = truth(q).sortBy(_._2)
+      val ivfIds = ivf(q).map(_._3).toSet
+      val hits = tRanked.count(t => ivfIds.contains(t._3))
+      nHits shouldBe hits.toLong
+      recallPct shouldBe hits.toLong * 20
+      firstMiss shouldBe tRanked.find(t => !ivfIds.contains(t._3)).map(_._2)
+    }
+  }
 }
