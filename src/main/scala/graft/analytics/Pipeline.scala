@@ -251,5 +251,116 @@ object Pipeline {
       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
     FROM orders GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86)
+  // ---------------------------------------------------------------- q116
+  // FUNNEL CONVERSION — ordered-sequence matching over the event stream:
+  // signup → view → click → purchase, greedy earliest-continuation (each
+  // stage takes the MIN event time strictly after the previous stage's
+  // match — the deterministic rule, so ties can't fork the trajectory).
+  // The classic MATCH_RECOGNIZE-shaped ask, expressed as K co-partitioned
+  // stage reductions: every join and aggregate keys on user_id (high
+  // cardinality, no skew funnel), so Catalyst plans one hash partitioning
+  // per branch and AQE coalesces; each stage's event_type filter pushes
+  // to the scan. Output per stage: users reaching it and the exact total
+  // signup→stage latency (integer micros — avg = sum/n downstream).
+  private val q116 = QueryDef(
+    "q116_funnel_conversion",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      def stage(typ: String, prev: org.apache.spark.sql.DataFrame,
+          prevTs: String, outTs: String) =
+        ev.filter(col("event_type") === typ)
+          .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
+          .filter(col("us") > col(prevTs))
+          .groupBy(col("user_id")).agg(min(col("us")).as(outTs))
+      val s1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("us")).as("s_ts"))
+      val s2 = stage("view", s1, "s_ts", "v_ts")
+      val s3 = stage("click", s2, "v_ts", "c_ts")
+      val s4 = stage("purchase", s3, "c_ts", "p_ts")
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .join(s4, Seq("user_id"), "left")
+        .agg(
+          count(col("s_ts")).as("n1"), count(col("v_ts")).as("n2"),
+          count(col("c_ts")).as("n3"), count(col("p_ts")).as("n4"),
+          sum(col("v_ts") - col("s_ts")).as("g2"),
+          sum(col("c_ts") - col("s_ts")).as("g3"),
+          sum(col("p_ts") - col("s_ts")).as("g4"))
+        .selectExpr("""stack(4,
+          '1_signup', n1, CAST(0 AS BIGINT),
+          '2_view', n2, g2,
+          '3_click', n3, g3,
+          '4_purchase', n4, g4) AS (stage, n_users, sum_gap_us)""")
+        .orderBy(col("stage"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS s_ts FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS v_ts FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.us > s1.s_ts GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS c_ts FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.us > s2.v_ts GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.us) AS p_ts FROM ev e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s3.c_ts GROUP BY e.user_id),
+    f AS (SELECT s1.user_id, s_ts, v_ts, c_ts, p_ts FROM s1
+          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          LEFT JOIN s4 USING (user_id)),
+    a AS (SELECT COUNT(s_ts) AS n1, COUNT(v_ts) AS n2, COUNT(c_ts) AS n3,
+          COUNT(p_ts) AS n4,
+          CAST(SUM(v_ts - s_ts) AS BIGINT) AS g2,
+          CAST(SUM(c_ts - s_ts) AS BIGINT) AS g3,
+          CAST(SUM(p_ts - s_ts) AS BIGINT) AS g4 FROM f)
+    SELECT '1_signup' AS stage, n1 AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM a
+    UNION ALL SELECT '2_view', n2, g2 FROM a
+    UNION ALL SELECT '3_click', n3, g3 FROM a
+    UNION ALL SELECT '4_purchase', n4, g4 FROM a
+    ORDER BY stage"""))
+
+  // ---------------------------------------------------------------- q117
+  // COHORT RETENTION — users grouped by first-seen day, activity counted
+  // at day offsets 0–7: the table behind every retention curve. Day is
+  // exact integer epoch-day arithmetic (floor(us / 86.4e9) — identical
+  // IEEE division on both engines at these magnitudes). Plan: a distinct
+  // on (user, day) and a min-reduce on user — both keyed on user_id —
+  // then one bounded (cohort × offset) aggregate; cohort sizes join back
+  // on the |days|-small cohort key. Nothing shuffles more than
+  // |users × active-days| rows at any scale.
+  private val q117 = QueryDef(
+    "q117_cohort_retention",
+    (s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)").as("day"))
+        .distinct()
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = firstDay.groupBy(col("cohort_day"))
+        .agg(count(lit(1)).as("cohort_size"))
+      ev.join(firstDay, "user_id")
+        .withColumn("day_offset", col("day") - col("cohort_day"))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
+        .join(sizes, "cohort_day")
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          col("cohort_size"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""WITH ev AS (
+      SELECT DISTINCT user_id,
+        CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
+    fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
+    cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM fd GROUP BY cohort_day),
+    r AS (SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
+          COUNT(*) AS n_active
+      FROM ev e JOIN fd f ON e.user_id = f.user_id
+      WHERE e.day - f.cohort_day <= 7
+      GROUP BY f.cohort_day, e.day - f.cohort_day)
+    SELECT r.cohort_day, r.day_offset, CAST(r.n_active AS BIGINT) AS n_active,
+      CAST(cs.cohort_size AS BIGINT) AS cohort_size
+    FROM r JOIN cs ON r.cohort_day = cs.cohort_day
+    ORDER BY r.cohort_day, r.day_offset"""))
+
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q117)
 }

@@ -510,4 +510,46 @@ class AdvancedOpsSpec extends SparkSuite {
       ("web", 3L, 10L, 3L, 2L),
       ("wiki", 3L, 8L, 3L, 2L))
   }
+
+  test("q116 funnel takes the earliest strictly-later continuation only") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val tmp = java.nio.file.Files.createTempDirectory("q116funnel").toString
+    Seq(
+      // user 1 reaches all 4 stages; the click@15 BEFORE its view@20 must
+      // not count, so click resolves to 25 and purchase to 30
+      (1L, ts(10), 1L, "signup", 0.0, ""), (2L, ts(20), 1L, "view", 0.0, ""),
+      (3L, ts(15), 1L, "click", 0.0, ""), (4L, ts(25), 1L, "click", 0.0, ""),
+      (5L, ts(30), 1L, "purchase", 0.0, ""),
+      // user 2: purchase precedes signup — stops after view
+      (6L, ts(10), 2L, "signup", 0.0, ""), (7L, ts(5), 2L, "purchase", 0.0, ""),
+      (8L, ts(12), 2L, "view", 0.0, ""),
+      // user 3 never signs up — not in the funnel at all
+      (9L, ts(10), 3L, "view", 0.0, ""), (10L, ts(20), 3L, "click", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q116_funnel_conversion")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    out shouldBe Seq(
+      ("1_signup", 2L, 0L),
+      ("2_view", 2L, 12L * 1000000L),  // gaps 10s + 2s
+      ("3_click", 1L, 15L * 1000000L),
+      ("4_purchase", 1L, 20L * 1000000L))
+  }
+
+  test("q117 cohort day-0 activity equals the cohort size") {
+    val rows = run("q117_cohort_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    rows.nonEmpty shouldBe true
+    rows.foreach { case (cohort, off, active, size) =>
+      assert(off >= 0 && off <= 7, s"offset $off out of range")
+      assert(active <= size, s"cohort $cohort: active $active > size $size")
+      if (off == 0) active shouldBe size // first-seen day is active by definition
+    }
+    // every cohort present at offset 0
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (c, rs) =>
+      assert(rs.exists(_._2 == 0L), s"cohort $c missing its day-0 row")
+    }
+  }
 }
