@@ -548,6 +548,72 @@ object Multimodal {
     FROM ch c JOIN owners o ON o.ch = c.ch
     GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- m12
+  // KEYFRAME SELECTION — shot-boundary detection over the sampled frame
+  // stream: per frame a 16-bit perceptual signature (m05's parity-bit
+  // recipe over 4-hex-char slices), a shot cut wherever the Hamming
+  // distance to the PREVIOUS sampled frame reaches 9 bits, and one
+  // keyframe (the shot's first frame) per shot — the dedup step video
+  // curation runs before feature extraction, on m03's frame plumbing.
+  // Plan: narrow per-row explode + signature map, ONE window partitioned
+  // on media_id (high cardinality — no skew funnel) for the lag +
+  // running-sum gaps-and-islands cut, one bounded per-shot aggregate; no
+  // joins. At 100 TB per-asset frame counts are bounded by media length,
+  // so the window state stays per-asset-small and parallelism is |assets|.
+  private val m12 = QueryDef(
+    "m12_keyframe_select",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      docs(s, dir)
+        .select(col("doc_id").as("media_id"), hex(col("text").cast("binary")).as("ph"))
+        .withColumn("n_frames", expr("length(ph) DIV 64"))
+        .filter(col("n_frames") >= 1)
+        .select(col("media_id"), col("ph"),
+          explode(expr("sequence(0L, n_frames - 1, 4L)")).as("frame_idx"))
+        .withColumn("frame", expr("substring(ph, CAST(frame_idx * 64 + 1 AS INT), 64)"))
+        .withColumn("sig",
+          expr(sigExpr(i => strHashExpr(s"substring(frame, ${4 * i + 1}, 4)"))).cast("long"))
+        .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev_sig").isNull ||
+            expr("bit_count(prev_sig ^ sig) >= 9"), 1L).otherwise(0L))
+        .withColumn("shot", sum(col("cut"))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy(col("media_id"), col("shot"))
+        .agg(
+          min(col("frame_idx")).as("keyframe_idx"),
+          count(lit(1)).as("n_frames"),
+          min_by(col("sig"), col("frame_idx")).as("key_sig"))
+        .orderBy(col("media_id"), col("shot"))
+    },
+    Some(s"""WITH ph AS (
+      SELECT doc_id AS media_id, hex(encode(text)) AS ph FROM documents),
+    nf AS (SELECT media_id, ph, CAST(length(ph) // 64 AS BIGINT) AS n_frames
+           FROM ph WHERE length(ph) >= 64),
+    ix AS (SELECT media_id, ph, unnest(range(0, n_frames, 4)) AS frame_idx FROM nf),
+    fr AS (SELECT media_id, frame_idx,
+             substring(ph, CAST(frame_idx * 64 + 1 AS INT), 64) AS frame
+           FROM ix),
+    sg AS (SELECT media_id, frame_idx,
+             CAST(${sigExpr(i => strHashSql(s"substr(frame, ${4 * i + 1}, 4)"))} AS BIGINT) AS sig
+           FROM fr),
+    cut AS (SELECT media_id, frame_idx, sig,
+             CASE WHEN lag(sig) OVER mw IS NULL
+                    OR bit_count(xor(lag(sig) OVER mw, sig)) >= 9
+                  THEN 1 ELSE 0 END AS cut
+           FROM sg WINDOW mw AS (PARTITION BY media_id ORDER BY frame_idx)),
+    sh AS (SELECT media_id, frame_idx, sig,
+             SUM(cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+           FROM cut)
+    SELECT media_id, CAST(shot AS BIGINT) AS shot,
+      MIN(frame_idx) AS keyframe_idx,
+      COUNT(*) AS n_frames,
+      arg_min(sig, frame_idx) AS key_sig
+    FROM sh GROUP BY media_id, shot ORDER BY media_id, shot"""))
+
   val defs: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
 }

@@ -552,4 +552,21 @@ class AdvancedOpsSpec extends SparkSuite {
       assert(rs.exists(_._2 == 0L), s"cohort $c missing its day-0 row")
     }
   }
+
+  test("m12 shots partition exactly m03's sampled frames, in order") {
+    val shots = run("m12_keyframe_select").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val framesPerMedia = run("m03_frame_sample").collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    shots.keySet shouldBe framesPerMedia.keySet
+    shots.foreach { case (m, ss) =>
+      val byShot = ss.sortBy(_._2)
+      byShot.map(_._2).toSeq shouldBe (1L to byShot.length.toLong) // contiguous ids
+      byShot.head._3 shouldBe 0L // first keyframe is frame 0
+      // keyframes strictly ordered and frame counts partition the stream
+      byShot.map(_._3).toSeq shouldBe byShot.map(_._3).sorted.toSeq
+      byShot.map(_._4).sum shouldBe framesPerMedia(m)
+    }
+  }
 }
