@@ -262,6 +262,32 @@ object Pipeline {
   // per branch and AQE coalesces; each stage's event_type filter pushes
   // to the scan. Output per stage: users reaching it and the exact total
   // signup→stage latency (integer micros — avg = sum/n downstream).
+  /** The greedy-funnel oracle — shared with q118, whose streaming state
+    * machine must drain to exactly this batch result. */
+  private[analytics] val funnelOracle: String = """WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (SELECT user_id, MIN(us) AS s_ts FROM ev
+           WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS v_ts FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND e.us > s1.s_ts GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS c_ts FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'click' AND e.us > s2.v_ts GROUP BY e.user_id),
+    s4 AS (SELECT e.user_id, MIN(e.us) AS p_ts FROM ev e JOIN s3 ON e.user_id = s3.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s3.c_ts GROUP BY e.user_id),
+    f AS (SELECT s1.user_id, s_ts, v_ts, c_ts, p_ts FROM s1
+          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+          LEFT JOIN s4 USING (user_id)),
+    a AS (SELECT COUNT(s_ts) AS n1, COUNT(v_ts) AS n2, COUNT(c_ts) AS n3,
+          COUNT(p_ts) AS n4,
+          CAST(SUM(v_ts - s_ts) AS BIGINT) AS g2,
+          CAST(SUM(c_ts - s_ts) AS BIGINT) AS g3,
+          CAST(SUM(p_ts - s_ts) AS BIGINT) AS g4 FROM f)
+    SELECT '1_signup' AS stage, n1 AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM a
+    UNION ALL SELECT '2_view', n2, g2 FROM a
+    UNION ALL SELECT '3_click', n3, g3 FROM a
+    UNION ALL SELECT '4_purchase', n4, g4 FROM a
+    ORDER BY stage"""
+
   private val q116 = QueryDef(
     "q116_funnel_conversion",
     (s, dir) => {
@@ -294,29 +320,9 @@ object Pipeline {
           '4_purchase', n4, g4) AS (stage, n_users, sum_gap_us)""")
         .orderBy(col("stage"))
     },
-    Some("""WITH ev AS (
-      SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-    s1 AS (SELECT user_id, MIN(us) AS s_ts FROM ev
-           WHERE event_type = 'signup' GROUP BY user_id),
-    s2 AS (SELECT e.user_id, MIN(e.us) AS v_ts FROM ev e JOIN s1 ON e.user_id = s1.user_id
-           WHERE e.event_type = 'view' AND e.us > s1.s_ts GROUP BY e.user_id),
-    s3 AS (SELECT e.user_id, MIN(e.us) AS c_ts FROM ev e JOIN s2 ON e.user_id = s2.user_id
-           WHERE e.event_type = 'click' AND e.us > s2.v_ts GROUP BY e.user_id),
-    s4 AS (SELECT e.user_id, MIN(e.us) AS p_ts FROM ev e JOIN s3 ON e.user_id = s3.user_id
-           WHERE e.event_type = 'purchase' AND e.us > s3.c_ts GROUP BY e.user_id),
-    f AS (SELECT s1.user_id, s_ts, v_ts, c_ts, p_ts FROM s1
-          LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-          LEFT JOIN s4 USING (user_id)),
-    a AS (SELECT COUNT(s_ts) AS n1, COUNT(v_ts) AS n2, COUNT(c_ts) AS n3,
-          COUNT(p_ts) AS n4,
-          CAST(SUM(v_ts - s_ts) AS BIGINT) AS g2,
-          CAST(SUM(c_ts - s_ts) AS BIGINT) AS g3,
-          CAST(SUM(p_ts - s_ts) AS BIGINT) AS g4 FROM f)
-    SELECT '1_signup' AS stage, n1 AS n_users, CAST(0 AS BIGINT) AS sum_gap_us FROM a
-    UNION ALL SELECT '2_view', n2, g2 FROM a
-    UNION ALL SELECT '3_click', n3, g3 FROM a
-    UNION ALL SELECT '4_purchase', n4, g4 FROM a
-    ORDER BY stage"""))
+    Some(funnelOracle))
+
+
 
   // ---------------------------------------------------------------- q117
   // COHORT RETENTION — users grouped by first-seen day, activity counted

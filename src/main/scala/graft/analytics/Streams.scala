@@ -2020,8 +2020,96 @@ object Streams {
         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q118
+  // STREAMING FUNNEL — q116's greedy signup→view→click→purchase rule as
+  // a per-user flatMapGroupsWithState machine. Out-of-order arrival can
+  // legitimately REVISE earlier stages (a late view can unlock a click
+  // that already arrived), so the state is the minimal sufficient
+  // statistic for the greedy rule: the per-stage event-time sets, the
+  // same state class as a stream-stream join (bounded by the user's
+  // funnel-type events; at scale a watermark prunes times no resolvable
+  // trajectory can use). Each batch re-resolves the DP from the sets and
+  // emits the trajectory with a monotone seen-counter; the drain's
+  // last-emission per user rolls up to EXACTLY the batch funnel — the
+  // oracle is q116's, verbatim.
+  // private[analytics], not private: Janino-generated encoder code calls
+  // the accessors reflectively-in-bytecode, which a JVM-private inner
+  // class blocks (UserProfile learned the same lesson)
+  private[analytics] case class FunnelState(
+      sign: Array[Long], view: Array[Long], click: Array[Long], pur: Array[Long])
+
+  private val q118 = QueryDef(
+    "q118_stream_funnel",
+    (s, dir) => withStreamShuffle(s) {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+      val typed = eventsStream(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .as[(Long, String, Long)]
+      val traj = typed
+        .groupByKey(_._1)
+        // emits (user, n_seen, s_ts, v_ts, c_ts, p_ts); -1 = stage unreached
+        .flatMapGroupsWithState[FunnelState, (Long, Long, Long, Long, Long, Long)](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout) { (uid, rows, state) =>
+          val e = Array.empty[Long]
+          var st = state.getOption.getOrElse(FunnelState(e, e, e, e))
+          rows.foreach { case (_, typ, us) =>
+            st = typ match {
+              case "signup"   => st.copy(sign = st.sign :+ us)
+              case "view"     => st.copy(view = st.view :+ us)
+              case "click"    => st.copy(click = st.click :+ us)
+              case "purchase" => st.copy(pur = st.pur :+ us)
+            }
+          }
+          state.update(st)
+          def succ(xs: Array[Long], after: Option[Long]): Option[Long] =
+            after.flatMap(a => xs.filter(_ > a).minOption)
+          val t1 = st.sign.minOption
+          val t2 = succ(st.view, t1)
+          val t3 = succ(st.click, t2)
+          val t4 = succ(st.pur, t3)
+          val nSeen =
+            (st.sign.length + st.view.length + st.click.length + st.pur.length).toLong
+          Iterator.single((uid, nSeen, t1.getOrElse(-1L), t2.getOrElse(-1L),
+            t3.getOrElse(-1L), t4.getOrElse(-1L)))
+        }
+        .toDF("user_id", "n_seen", "s_ts", "v_ts", "c_ts", "p_ts")
+      val sinkName = "q118_stream_funnel_sink"
+      val q = traj.writeStream
+        .format("memory")
+        .queryName(sinkName)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // last emission per user is the complete trajectory (n_seen is
+      // strictly monotone per user across batches)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("n_seen").desc)
+      sinkTable(s, sinkName)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("s_ts") >= 0L)
+        .agg(
+          count(col("s_ts")).as("n1"),
+          count(when(col("v_ts") >= 0L, 1L)).as("n2"),
+          count(when(col("c_ts") >= 0L, 1L)).as("n3"),
+          count(when(col("p_ts") >= 0L, 1L)).as("n4"),
+          sum(when(col("v_ts") >= 0L, col("v_ts") - col("s_ts"))).as("g2"),
+          sum(when(col("c_ts") >= 0L, col("c_ts") - col("s_ts"))).as("g3"),
+          sum(when(col("p_ts") >= 0L, col("p_ts") - col("s_ts"))).as("g4"))
+        .selectExpr("""stack(4,
+          '1_signup', n1, CAST(0 AS BIGINT),
+          '2_view', n2, g2,
+          '3_click', n3, g3,
+          '4_purchase', n4, g4) AS (stage, n_users, sum_gap_us)""")
+        .orderBy(col("stage"))
+    },
+    Some(Pipeline.funnelOracle))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115)
+      q111, q112, q113, q115, q118)
 }

@@ -537,6 +537,39 @@ class AdvancedOpsSpec extends SparkSuite {
       ("4_purchase", 1L, 20L * 1000000L))
   }
 
+  test("q118 streaming funnel equals q116 on the adversarial ordering case") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val tmp = java.nio.file.Files.createTempDirectory("q118funnel").toString
+    // same trap set as the q116 spec: a click BEFORE its unlocking view,
+    // a purchase before signup, a user with no signup — the streaming
+    // state machine sees them in FILE order (not time order) and must
+    // still resolve the greedy trajectory
+    Seq(
+      (1L, ts(10), 1L, "signup", 0.0, ""), (2L, ts(20), 1L, "view", 0.0, ""),
+      (3L, ts(15), 1L, "click", 0.0, ""), (4L, ts(25), 1L, "click", 0.0, ""),
+      (5L, ts(30), 1L, "purchase", 0.0, ""),
+      (6L, ts(10), 2L, "signup", 0.0, ""), (7L, ts(5), 2L, "purchase", 0.0, ""),
+      (8L, ts(12), 2L, "view", 0.0, ""),
+      (9L, ts(10), 3L, "view", 0.0, ""), (10L, ts(20), 3L, "click", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/_evdir")
+    // the streaming source symlinks <dir>/events.parquet as a FILE (the
+    // testdata layout); a Spark-written directory would list empty there
+    val part = new java.io.File(s"$tmp/_evdir").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    def result(name: String) = Registry.queries(name)(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    val streamed = result("q118_stream_funnel")
+    streamed shouldBe result("q116_funnel_conversion")
+    streamed shouldBe Seq(
+      ("1_signup", 2L, 0L), ("2_view", 2L, 12L * 1000000L),
+      ("3_click", 1L, 15L * 1000000L), ("4_purchase", 1L, 20L * 1000000L))
+  }
+
   test("q117 cohort day-0 activity equals the cohort size") {
     val rows = run("q117_cohort_retention").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
