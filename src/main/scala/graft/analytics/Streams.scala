@@ -2026,9 +2026,11 @@ object Streams {
   // legitimately REVISE earlier stages (a late view can unlock a click
   // that already arrived), so the state is the minimal sufficient
   // statistic for the greedy rule: the per-stage event-time sets, the
-  // same state class as a stream-stream join (bounded by the user's
-  // funnel-type events; at scale a watermark prunes times no resolvable
-  // trajectory can use). Each batch re-resolves the DP from the sets and
+  // same state class as a stream-stream join — it grows with the user's
+  // funnel-type events. This bounded drain never evicts (NoTimeout); a
+  // production deployment would add an event-time timeout that freezes a
+  // user's trajectory once the watermark passes their horizon, the q98
+  // timer discipline. Each batch re-resolves the DP from the sets and
   // emits the trajectory with a monotone seen-counter; the drain's
   // last-emission per user rolls up to EXACTLY the batch funnel — the
   // oracle is q116's, verbatim.
