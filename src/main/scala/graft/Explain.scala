@@ -37,8 +37,7 @@ object Explain {
         "t25_boilerplate_removal", "d17_canonical_corpus",
         "q114_rank_functions", "t27_source_cap", "s14_hard_negatives",
         "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode",
-        "s16_recall_at_k", "q116_funnel_conversion", "q117_cohort_retention",
-        "m12_keyframe_select")
+        "s16_recall_at_k", "q116_funnel_conversion", "m12_keyframe_select")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

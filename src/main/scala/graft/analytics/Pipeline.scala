@@ -252,16 +252,17 @@ object Pipeline {
     FROM orders GROUP BY 1 ORDER BY 1"""))
 
   // ---------------------------------------------------------------- q116
-  // FUNNEL CONVERSION — ordered-sequence matching over the event stream:
-  // signup → view → click → purchase, greedy earliest-continuation (each
-  // stage takes the MIN event time strictly after the previous stage's
-  // match — the deterministic rule, so ties can't fork the trajectory).
-  // The classic MATCH_RECOGNIZE-shaped ask, expressed as K co-partitioned
-  // stage reductions: every join and aggregate keys on user_id (high
-  // cardinality, no skew funnel), so Catalyst plans one hash partitioning
-  // per branch and AQE coalesces; each stage's event_type filter pushes
-  // to the scan. Output per stage: users reaching it and the exact total
-  // signup→stage latency (integer micros — avg = sum/n downstream).
+  // FUNNEL with a STAGE-LATENCY MANIFEST — q48's greedy earliest-
+  // continuation rule (each stage takes the MIN event time strictly
+  // after the previous stage's match, so ties can't fork the trajectory)
+  // extended where q48 stops: a 4-stage signup-anchored chain, per-stage
+  // rows instead of one count row, and the exact summed signup→stage
+  // latency (integer micros — avg = sum/n downstream) that a conversion
+  // dashboard actually plots. This is also the batch twin q118's
+  // streaming state machine must drain to — same oracle, verbatim.
+  // Same scale shape as q48: K co-partitioned stage reductions, every
+  // join and aggregate keyed on user_id (high cardinality, no skew
+  // funnel), stage event_type filters pushed to the scan.
   /** The greedy-funnel oracle — shared with q118, whose streaming state
     * machine must drain to exactly this batch result. */
   private[analytics] val funnelOracle: String = """WITH ev AS (
@@ -324,49 +325,5 @@ object Pipeline {
 
 
 
-  // ---------------------------------------------------------------- q117
-  // COHORT RETENTION — users grouped by first-seen day, activity counted
-  // at day offsets 0–7: the table behind every retention curve. Day is
-  // exact integer epoch-day arithmetic (floor(us / 86.4e9) — identical
-  // IEEE division on both engines at these magnitudes). Plan: a distinct
-  // on (user, day) and a min-reduce on user — both keyed on user_id —
-  // then one bounded (cohort × offset) aggregate; cohort sizes join back
-  // on the |days|-small cohort key. Nothing shuffles more than
-  // |users × active-days| rows at any scale.
-  private val q117 = QueryDef(
-    "q117_cohort_retention",
-    (s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"),
-          expr("CAST(floor(unix_micros(ts) / 86400000000) AS BIGINT)").as("day"))
-        .distinct()
-      val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
-      val sizes = firstDay.groupBy(col("cohort_day"))
-        .agg(count(lit(1)).as("cohort_size"))
-      ev.join(firstDay, "user_id")
-        .withColumn("day_offset", col("day") - col("cohort_day"))
-        .filter(col("day_offset") <= 7)
-        .groupBy(col("cohort_day"), col("day_offset"))
-        .agg(count(lit(1)).as("n_active")) // (user, day) already distinct
-        .join(sizes, "cohort_day")
-        .select(col("cohort_day"), col("day_offset"), col("n_active"),
-          col("cohort_size"))
-        .orderBy(col("cohort_day"), col("day_offset"))
-    },
-    Some("""WITH ev AS (
-      SELECT DISTINCT user_id,
-        CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day FROM events),
-    fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id),
-    cs AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM fd GROUP BY cohort_day),
-    r AS (SELECT f.cohort_day, e.day - f.cohort_day AS day_offset,
-          COUNT(*) AS n_active
-      FROM ev e JOIN fd f ON e.user_id = f.user_id
-      WHERE e.day - f.cohort_day <= 7
-      GROUP BY f.cohort_day, e.day - f.cohort_day)
-    SELECT r.cohort_day, r.day_offset, CAST(r.n_active AS BIGINT) AS n_active,
-      CAST(cs.cohort_size AS BIGINT) AS cohort_size
-    FROM r JOIN cs ON r.cohort_day = cs.cohort_day
-    ORDER BY r.cohort_day, r.day_offset"""))
-
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q117)
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116)
 }

@@ -570,22 +570,6 @@ class AdvancedOpsSpec extends SparkSuite {
       ("3_click", 1L, 15L * 1000000L), ("4_purchase", 1L, 20L * 1000000L))
   }
 
-  test("q117 cohort day-0 activity equals the cohort size") {
-    val rows = run("q117_cohort_retention").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    rows.nonEmpty shouldBe true
-    rows.foreach { case (cohort, off, active, size) =>
-      assert(off >= 0 && off <= 7, s"offset $off out of range")
-      assert(active <= size, s"cohort $cohort: active $active > size $size")
-      if (off == 0) active shouldBe size // first-seen day is active by definition
-    }
-    // every cohort present at offset 0
-    val byCohort = rows.groupBy(_._1)
-    byCohort.foreach { case (c, rs) =>
-      assert(rs.exists(_._2 == 0L), s"cohort $c missing its day-0 row")
-    }
-  }
-
   test("m12 shots partition exactly m03's sampled frames, in order") {
     val shots = run("m12_keyframe_select").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
