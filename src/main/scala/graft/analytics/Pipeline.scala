@@ -259,10 +259,14 @@ object Pipeline {
   // rows instead of one count row, and the exact summed signup→stage
   // latency (integer micros — avg = sum/n downstream) that a conversion
   // dashboard actually plots. This is also the batch twin q118's
-  // streaming state machine must drain to — same oracle, verbatim.
-  // Same scale shape as q48: K co-partitioned stage reductions, every
-  // join and aggregate keyed on user_id (high cardinality, no skew
-  // funnel), stage event_type filters pushed to the scan.
+  // streaming state machine must drain to — same oracle, verbatim, and
+  // the SAME algorithm: one user_id-keyed aggregate collects the
+  // per-stage event-time sets, then array expressions resolve the greedy
+  // DP per row. One scan, one shuffle on the high-cardinality user key;
+  // per-user state is that user's funnel events, exactly the streaming
+  // state bound. (The Explain sweep killed the first draft's K-stage
+  // join cascade: each stage's lineage re-derived its predecessors, so
+  // the fact table was scanned O(K²)=10 times.)
   /** The greedy-funnel oracle — shared with q118, whose streaming state
     * machine must drain to exactly this batch result. */
   private[analytics] val funnelOracle: String = """WITH ev AS (
@@ -292,22 +296,27 @@ object Pipeline {
   private val q116 = QueryDef(
     "q116_funnel_conversion",
     (s, dir) => {
-      val ev = events(s, dir)
+      // ONE scan, ONE user_id shuffle: collect each user's per-stage
+      // event-time sets (the q118 state, batch-side), then resolve the
+      // greedy DP with array expressions — no join cascade, so events is
+      // never re-read per stage (the naive K-stage self-join form scans
+      // the fact table O(K²) times once each stage's lineage re-derives
+      // its predecessors). x > NULL is NULL, so an unreached stage
+      // propagates as an empty filter → array_min = NULL without guards.
+      events(s, dir)
+        .filter(col("event_type").isin("signup", "view", "click", "purchase"))
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
-      def stage(typ: String, prev: org.apache.spark.sql.DataFrame,
-          prevTs: String, outTs: String) =
-        ev.filter(col("event_type") === typ)
-          .join(prev.select(col("user_id"), col(prevTs)), Seq("user_id"))
-          .filter(col("us") > col(prevTs))
-          .groupBy(col("user_id")).agg(min(col("us")).as(outTs))
-      val s1 = ev.filter(col("event_type") === "signup")
-        .groupBy(col("user_id")).agg(min(col("us")).as("s_ts"))
-      val s2 = stage("view", s1, "s_ts", "v_ts")
-      val s3 = stage("click", s2, "v_ts", "c_ts")
-      val s4 = stage("purchase", s3, "c_ts", "p_ts")
-      s1.join(s2, Seq("user_id"), "left")
-        .join(s3, Seq("user_id"), "left")
-        .join(s4, Seq("user_id"), "left")
+        .groupBy(col("user_id"))
+        .agg(
+          collect_list(when(col("event_type") === "signup", col("us"))).as("sa"),
+          collect_list(when(col("event_type") === "view", col("us"))).as("va"),
+          collect_list(when(col("event_type") === "click", col("us"))).as("ca"),
+          collect_list(when(col("event_type") === "purchase", col("us"))).as("pa"))
+        .withColumn("s_ts", expr("array_min(sa)"))
+        .withColumn("v_ts", expr("array_min(filter(va, x -> x > s_ts))"))
+        .withColumn("c_ts", expr("array_min(filter(ca, x -> x > v_ts))"))
+        .withColumn("p_ts", expr("array_min(filter(pa, x -> x > c_ts))"))
+        .filter(col("s_ts").isNotNull)
         .agg(
           count(col("s_ts")).as("n1"), count(col("v_ts")).as("n2"),
           count(col("c_ts")).as("n3"), count(col("p_ts")).as("n4"),
