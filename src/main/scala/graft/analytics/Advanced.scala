@@ -576,7 +576,11 @@ object Advanced {
   // Three stage aggregates, each a shuffle on user_id; every join is
   // user_id-equi so at scale all stages co-partition on the same key
   // (bucket the events table by user_id and no stage reshuffles).
-  // Timestamps compare as exact epoch microseconds.
+  // Timestamps compare as exact epoch microseconds. Each stage's
+  // |users|-bounded aggregate is localCheckpoint'd: without it the next
+  // stage's lineage re-derives every predecessor and the fact scan runs
+  // O(K²) times (the q116 Explain-sweep lesson; q116 is the one-scan
+  // collected-sets form of this operator, this keeps the cascade form).
   private val q48 = QueryDef(
     "q48_funnel",
     (s, dir) => {
@@ -584,10 +588,12 @@ object Advanced {
         .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
       val v = ev.filter(col("event_type") === "view")
         .groupBy(col("user_id")).agg(min(col("us")).as("v_us"))
+        .localCheckpoint()
       val c = ev.filter(col("event_type") === "click")
         .join(v, "user_id")
         .filter(col("us") > col("v_us"))
         .groupBy(col("user_id")).agg(min(col("us")).as("c_us"))
+        .localCheckpoint()
       val p = ev.filter(col("event_type") === "purchase")
         .join(c, "user_id")
         .filter(col("us") > col("c_us"))
