@@ -7,11 +7,10 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.Explain [sfDir] [queryName ...]
   * Streaming queries (q19–q21) execute on .explain — skipped by default. */
 object Explain {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
-    val names =
-      if (args.length > 1) args.drop(1).toSeq
-      else Seq("q01_pricing_summary", "q02_revenue_by_segment",
+  /** The default audit set: the scan/join/agg-heavy batch-planable
+    * queries. Shared with `PlanLintSpec`, which asserts catalog-wide
+    * plan invariants (no CartesianProduct) over exactly this list. */
+  val defaultNames: Seq[String] = Seq("q01_pricing_summary", "q02_revenue_by_segment",
         "q04_top_lineitems_per_flag", "q13_revenue_by_part_class",
         "q15_ingest_route_counts", "d02_minhash_lsh", "s02_lsh_near_pairs",
         "t05_fingerprints", "q25_pivot_priority", "q27_asof_click_purchase",
@@ -38,6 +37,11 @@ object Explain {
         "q114_rank_functions", "t27_source_cap", "s14_hard_negatives",
         "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode",
         "s16_recall_at_k", "q116_funnel_conversion", "m12_keyframe_select")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq else defaultNames
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
