@@ -43,7 +43,10 @@ class BillingTables(spark: SparkSession, database: String = "default") {
 
   def dropAll(): Unit = drop(BillingSchema.tableSchemas.keys.toSeq)
 
-  /** SHOW TABLES, `Dcache_kafka_to_hive.py:268-269`. */
+  /** SHOW TABLES, `Dcache_kafka_to_hive.py:268-269`. Session temp views are
+    * excluded: `Catalog.listTables(db)` reports them for EVERY database, but
+    * they are not billing tables (and leak across callers sharing a session). */
   def list(): Seq[String] =
-    spark.catalog.listTables(database).collect().map(_.name).toSeq
+    spark.catalog.listTables(database).collect()
+      .filter(!_.isTemporary).map(_.name).toSeq
 }

@@ -41,6 +41,13 @@ class BillingTablesSpec extends SparkSuite {
     fields("queuingTime") shouldBe FloatType
   }
 
+  test("list excludes session temp views (cross-caller leak guard)") {
+    tables.createAll()
+    spark.range(1).createOrReplaceTempView("ddltest_leaked_view")
+    try tables.list().toSet shouldBe Set("transfer", "request", "storage", "remove")
+    finally spark.catalog.dropTempView("ddltest_leaked_view")
+  }
+
   test("drop removes tables; dropAll empties the database") {
     tables.createAll()
     tables.drop(Seq("remove"))
