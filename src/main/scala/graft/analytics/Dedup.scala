@@ -219,7 +219,7 @@ object Dedup {
     * MATERIALIZED (signatures cached for the self-join, pairs cached and
     * counted, signatures released) — the near-dup edge list d07/d09/d17
     * all start from. Caller unpersists the returned frame when done. */
-  private[analytics] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
       .cache()
     sh.count()
@@ -990,7 +990,132 @@ object Dedup {
     FROM pairs p LEFT JOIN inter i ON i.s1 = p.s1 AND i.s2 = p.s2
     ORDER BY p.s1, p.s2"""))
 
+  // ---------------------------------------------------------------- d21
+  // INCREMENTAL duplicate-cluster maintenance — the missing scale piece
+  // over d07/d16: cluster state is not recomputed per batch, it is a
+  // STORED pair of tables — the corpus SimHash signature index (bucketed
+  // by the Hamming bucket, d16's discipline) and the corpus cluster
+  // labeling (node → component-min id, d07's output). An arriving delta
+  // computes signatures for ITS docs only, finds delta-delta candidates
+  // (bucket self-join, |delta|-sized) and delta-corpus candidates (one
+  // equi-join against the bucketed index — zero Exchange on the corpus
+  // side), then CONTRACTS corpus endpoints through their stored labels:
+  // the merge graph's nodes are delta ids plus touched cluster reps, so
+  // the CC loop runs on an O(|delta|)-sized graph regardless of corpus
+  // size. Because each stored rep is already the MIN member of its
+  // cluster, the contracted component minimum equals the full-graph
+  // component minimum — the merged labeling is EXACTLY what d07 computes
+  // from scratch over corpus ∪ delta, and the oracle is that full
+  // recompute (recursive-CTE transitive closure over all docs). At
+  // 100 TB: corpus text is never re-read, corpus labels never recomputed;
+  // the only corpus-sized work is one map-scan of the label table for the
+  // final relabel-and-count (itself a map-side-combined aggregate).
+  /** d21's delta-side candidate-edge build against the PUBLISHED corpus
+    * state: delta-delta candidates (bucket self-join over the cached delta
+    * signatures) unioned with delta-corpus candidates probed from the
+    * bucketed `graft_d21.sig_idx` table and CONTRACTED through the stored
+    * `graft_d21.labels` (a corpus singleton contracts to itself). Factored
+    * out so `IncrementalClustersPlanSpec` can pin the probe's plan shape —
+    * zero Exchange on the index side — directly; the registered query's
+    * final plan is a post-localCheckpoint ExistingRDD that hides it. */
+  private[graft] def d21DeltaEdges(
+      s: org.apache.spark.sql.SparkSession,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val idx = s.table("graft_d21.sig_idx")
+    val labels = s.table("graft_d21.labels")
+    val dd = delta.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(delta.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+        col("bucket") === col("b2") && col("id1") < col("id2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 6)
+      .select(col("id1"), col("id2"))
+    val dc = delta.select(col("bucket"), col("doc_id").as("d_id"), col("simhash").as("d_h"))
+      .join(idx.select(col("bucket"), col("doc_id").as("c_id"), col("simhash").as("c_h")),
+        Seq("bucket"))
+      .filter(expr("bit_count(d_h ^ c_h)") <= 6)
+      .select(col("d_id"), col("c_id"))
+    val dcContracted = dc.join(labels, dc("c_id") === labels("node"), "left")
+      .select(col("d_id").as("id1"), coalesce(col("comp"), col("c_id")).as("id2"))
+    dd.union(dcContracted)
+  }
+
+  /** Delta-half SimHash signatures (odd doc_ids) with the Hamming bucket —
+    * the d21 probe input, exposed for `IncrementalClustersPlanSpec`. */
+  private[graft] def d21DeltaSigs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      .filter(col("doc_id") % 2 === 1)
+
+  private val d21 = QueryDef(
+    "d21_incremental_clusters",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      graft.BenchSplit.setup {
+        // publish the corpus state (pre-exists at scale): signature index
+        // bucketed by the probe key + the corpus-half cluster labeling
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_d21 LOCATION '${tmp("graft-d21-db")}'")
+        s.sql("DROP TABLE IF EXISTS graft_d21.sig_idx")
+        s.sql("DROP TABLE IF EXISTS graft_d21.labels")
+        val even = sh.filter(col("doc_id") % 2 === 0).cache()
+        even.count()
+        even.write.bucketBy(8, "bucket").sortBy("bucket")
+          .option("path", tmp("graft-d21-idx")).saveAsTable("graft_d21.sig_idx")
+        val ee = even.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+          .join(even.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+            col("bucket") === col("b2") && col("id1") < col("id2"))
+          .filter(expr("bit_count(h1 ^ h2)") <= 6)
+          .select(col("id1"), col("id2"))
+        val labels = Tables.withShuffle(s, 8) {
+          graft.operators.ConnectedComponents.label(ee).localCheckpoint()
+        }
+        labels.write.option("path", tmp("graft-d21-labels")).saveAsTable("graft_d21.labels")
+        even.unpersist()
+      }
+      // ---- the timed operator: one delta batch arrives ----
+      // delta signatures are computed HERE (that cost belongs to the
+      // delta); cached because they feed both candidate joins
+      val delta = sh.filter(col("doc_id") % 2 === 1).cache()
+      delta.count()
+      val labels = s.table("graft_d21.labels")
+      val contracted = d21DeltaEdges(s, delta).localCheckpoint()
+      val labC = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(contracted).localCheckpoint()
+      }
+      delta.unpersist()
+      // membership = stored members ∪ contracted nodes not already stored
+      // (delta docs and corpus singletons enter with themselves as label)
+      val contractedNodes = contracted.select(col("id1").as("node"))
+        .union(contracted.select(col("id2").as("node"))).distinct()
+      val newbies = contractedNodes.join(labels, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp"))
+      val members = labels.select(col("node"), col("comp")).union(newbies)
+      // map each member's (possibly stale) label through the contracted
+      // relabeling; untouched clusters pass through unchanged
+      members
+        .join(labC.select(col("node").as("oc"), col("comp").as("nc")),
+          col("comp") === col("oc"), "left")
+        .select(col("node"), coalesce(col("nc"), col("comp")).as("ncomp"))
+        .groupBy(col("ncomp").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("cluster_rep"))
+    },
+    // oracle = the FULL recompute over corpus ∪ delta — d07's independent
+    // recursive-CTE transitive closure, verbatim: the incremental merge
+    // must be indistinguishable from rebuilding from scratch
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+             FROM r GROUP BY node)
+    SELECT cluster_rep, COUNT(*) AS n_members
+    FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19)
+      d16, d17, d18, d19, d21)
 }

@@ -61,7 +61,9 @@ object ConnectedComponents {
         .groupBy(col("n2")).agg(min(col("comp")).as("comp"))
         .select(col("n2").as("node"), col("comp"))
         .localCheckpoint()
-      val sumComp = next.agg(sum(col("comp"))).first().getLong(0)
+      // coalesce: an EMPTY edge list (a delta batch with no near-dup
+      // candidates) makes the aggregate row NULL; 0 converges on round 2
+      val sumComp = next.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
       changed = sumComp != prevSum
       prevSum = sumComp
       labels = next // previous round's checkpoint RDD is GC'd by the ContextCleaner
