@@ -1336,7 +1336,55 @@ object Text {
     SELECT st.source, n_words, n_chars, n_tokens, n_token_types
     FROM st JOIN ty USING (source) ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t29
+  // OVERLAPPING sliding-window chunking — the RAG / long-context ingest
+  // shape t15's concat-and-chunk packing deliberately avoids: each doc is
+  // cut into fixed-width token windows advanced by a stride smaller than
+  // the width, so consecutive chunks share an overlap margin and no
+  // boundary sentence is lost. Chunk starts are a per-row sequence with
+  // step (1, 1+S, 1+2S, … ≤ ntok); the tail chunk is allowed short. Each
+  // chunk carries exact provenance — (doc_id, start, token count, content
+  // hash) — and the published manifest per source pins that provenance
+  // with the d17-style checksum: the oracle must produce the SAME chunks
+  // byte-for-byte, not merely as many. One scan, one explode, one
+  // map-side-combined aggregate — embarrassingly parallel at any scale
+  // (no joins, no window); the hash is the native codegen'd poly_hash.
+  private val ChunkW = 32
+  private val ChunkS = 24
+  private val t29 = QueryDef(
+    "t29_chunk_overlap",
+    (s, dir) => {
+      val chunkStruct = s"""transform(sequence(1, n, $ChunkS), st -> named_struct(
+        'ctok', CAST(least(st + ${ChunkW - 1}, n) - st + 1 AS BIGINT),
+        'chash', ${strHashExpr(s"array_join(slice(w, st, $ChunkW), ' ')")}))"""
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .select(col("doc_id"), col("source"), explode(expr(chunkStruct)).as("c"))
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          sum(col("c.ctok")).as("chunk_tokens"),
+          (sum(col("c.chash").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(HashMod)).cast("long").as("chunk_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+    c AS (SELECT doc_id, source, len(w) AS n, w,
+        unnest(range(1, len(w) + 1, $ChunkS)) AS st FROM d),
+    ch AS (SELECT doc_id, source,
+        least(st + ${ChunkW - 1}, n) - st + 1 AS ctok,
+        ${strHashSql(s"array_to_string(list_slice(w, st, least(st + ${ChunkW - 1}, n)), ' ')")} AS chash
+      FROM c)
+    SELECT source, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+      CAST(SUM(ctok) AS BIGINT) AS chunk_tokens,
+      CAST(SUM(CAST(chash AS DECIMAL(38,0))) % $HashMod AS BIGINT) AS chunk_checksum
+    FROM ch GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
-      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28)
+      t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
+      t29)
 }
