@@ -64,12 +64,12 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(shingleFromTokens).as("sh"))
 
-  private val shingleSqlDuck =
+  private[analytics] val shingleSqlDuck =
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]))"""
 
   /** MinHash permutation constants: h_i = (a_i * h + b_i) mod HashMod. */
-  private val perm: Seq[(Long, Long)] =
+  private[analytics] val perm: Seq[(Long, Long)] =
     Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (11L, 5L), (13L, 6L), (17L, 7L), (19L, 8L))
 
   // ---------------------------------------------------------------- d02
@@ -700,16 +700,33 @@ object Dedup {
   // is never re-read, which is the property that makes nightly dedup
   // O(|delta|) at 100 TB. Output: per delta source, docs probed and
   // docs flagged as near-dups of the corpus.
+  /** MinHash signatures over a documents-shaped frame `(doc_id, text, …)`:
+    * distinct 3-gram shingles → 8 permuted minhashes, one `(doc_id, mhs)`
+    * row per doc. Documents shorter than 3 tokens have no signature and
+    * produce no row. Shared by d16's persisted-index probe and q119's
+    * streaming dedup gate (whose micro-batches sign THEIR docs with this
+    * exact pipeline, so stream and index signatures agree bit-for-bit). */
+  private[analytics] def minhashSigsOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(shingleFromTokens).as("sh"))
+      .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+      .select(
+        col("doc_id"),
+        array(perm.map { case (a, b) =>
+          expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
+        }: _*).as("mhs"))
+
+  /** [[minhashSigsOf]] exploded to 4 bands of 2: one `(doc_id, mhs, band)`
+    * row per (doc, band) with the full signature carried. */
+  private[analytics] def minhashBandsOf(d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    minhashSigsOf(d).select(col("doc_id"), col("mhs"), explode(expr(
+      "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
+
   private val d16 = QueryDef(
     "d16_persisted_lsh_index",
     (s, dir) => {
-      val mh = shingled(s, dir)
-        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
-        .select(
-          col("doc_id"),
-          array(perm.map { case (a, b) =>
-            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
-          }: _*).as("mhs"))
+      val mh = minhashSigsOf(docs(s, dir))
       val bands = mh.select(col("doc_id"), col("mhs"), explode(expr(
         "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
       graft.BenchSplit.setup {

@@ -2110,8 +2110,141 @@ object Streams {
     },
     Some(Pipeline.funnelOracle))
 
+  // ---------------------------------------------------------------- q119
+  // STREAMING SELF-MAINTAINING DEDUP GATE — the ingest-time composition
+  // of d16's persisted LSH index and s13's incremental-maintenance story:
+  // delta documents arrive as a FILE STREAM in deterministic micro-batches
+  // (one file per trigger, mtime-ordered), each batch probes the band
+  // index, near-dups of the index are FLAGGED, and the accepted docs'
+  // band signatures are APPENDED to the index before the next batch — so
+  // batch k deduplicates against corpus ∪ accepted(batches 1..k-1). That
+  // sequential semantics is the whole point (a dup of an accepted delta
+  // doc IS a dup, exactly what a continuous ingest pipeline must catch)
+  // and is what the oracle unrolls: three CTE rounds of flag→admit over
+  // the same band/agreement rule. Matching is d16's calibrated verify —
+  // signatures alone, ≥4 of 8 minhashes agree — so corpus text is never
+  // re-read and a batch costs O(|batch| × collisions). foreachBatch here
+  // appends results then index (batch-local frames localCheckpoint'd
+  // first, severing the index-read lineage before the index write); an
+  // at-least-once-safe production deployment would route both writes
+  // through the KeyedMerge two-phase-commit discipline (q112).
+  private val q119 = QueryDef(
+    "q119_stream_dedup_gate",
+    (s, dir) => withStreamShuffle(s) {
+      graft.functions.PolyHash.register(s)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-q119-stream")
+      graft.BenchSplit.setup {
+        // publish the corpus band index (pre-exists at scale) and lay the
+        // delta out as 3 mtime-ordered batch files (doc_id%6 = 1, 3, 5)
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q119 LOCATION '${Tables.tmp("graft-q119-db")}'")
+        s.sql("DROP TABLE IF EXISTS graft_q119.band_idx")
+        Dedup.minhashBandsOf(docs(s, dir).filter(col("doc_id") % 2 === 0))
+          .select(col("doc_id"), col("mhs"), col("band"))
+          .write.option("path", Tables.tmp("graft-q119-idx"))
+          .saveAsTable("graft_q119.band_idx")
+        val baseT = 1700000000000L
+        (1 to 3).foreach { b =>
+          val stage = Tables.tmp(s"graft-q119-b$b")
+          docs(s, dir).filter(col("doc_id") % 6 === (2 * b - 1))
+            .select(col("doc_id"), col("text"), col("source"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dest = streamDir.resolve(s"b$b.parquet")
+          java.nio.file.Files.move(part, dest)
+          dest.toFile.setLastModified(baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val resultsDir = Tables.tmp("graft-q119-verdicts")
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val b = batch.localCheckpoint() // pinned: feeds sigs, bands, verdicts
+          // batch frames belong to the stream's CLONED session, whose
+          // SessionCatalog has its own table-relation cache: the index
+          // append below invalidates the CLONE's cache, so the probe must
+          // read through the same session or batch k+1 would see batch
+          // k's pre-append file listing (observed: appends invisible,
+          // cross-batch dups missed)
+          val bs = b.sparkSession
+          val bands = Dedup.minhashBandsOf(b)
+          val idx = bs.table("graft_q119.band_idx")
+          val flagged = bands
+            .select(col("band"), col("doc_id").as("d_id"), col("mhs").as("d_mhs"))
+            .join(idx.select(col("band"), col("doc_id").as("c_id"), col("mhs").as("c_mhs")), "band")
+            .select(col("d_id"), col("c_id"), col("d_mhs"), col("c_mhs")).distinct()
+            .withColumn("n_agree",
+              expr("size(filter(zip_with(d_mhs, c_mhs, (x, y) -> x = y), bb -> bb))"))
+            .filter(col("n_agree") >= 4)
+            .select(col("d_id").as("doc_id")).distinct()
+            .withColumn("flag", lit(1L))
+          val verdicts = Dedup.minhashSigsOf(b).select(col("doc_id"))
+            .join(b.select(col("doc_id"), col("source")), "doc_id")
+            .join(flagged, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("source"),
+              coalesce(col("flag"), lit(0L)).as("flag"))
+            .withColumn("batch_id", lit(bid)) // provenance: which trigger judged the doc
+            .localCheckpoint() // sever the index-read lineage before appends
+          verdicts.write.mode("append").parquet(resultsDir)
+          // accepted docs join the index — visible to SUBSEQUENT batches
+          val accepted = bands
+            .join(verdicts.filter(col("flag") === 0L).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("mhs"), col("band"))
+          accepted.write.mode("append").insertInto("graft_q119.band_idx")
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q119-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_delta"), sum(col("flag")).as("n_flagged"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, ${Dedup.shingleSqlDuck} AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${Dedup.perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+              FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS d, b.doc_id AS c
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id),
+    mtch AS (SELECT d, c FROM cand
+             JOIN mh x ON x.doc_id = d JOIN mh y ON y.doc_id = c
+             WHERE len(list_filter(list_zip(x.mhs, y.mhs), p -> p[1] = p[2])) >= 4),
+    f1 AS (SELECT DISTINCT d FROM mtch WHERE d % 6 = 1 AND c % 2 = 0),
+    k1 AS (SELECT doc_id FROM mh WHERE doc_id % 2 = 0
+           UNION ALL
+           SELECT doc_id FROM mh WHERE doc_id % 6 = 1
+             AND doc_id NOT IN (SELECT d FROM f1)),
+    f2 AS (SELECT DISTINCT d FROM mtch JOIN k1 ON mtch.c = k1.doc_id
+           WHERE d % 6 = 3),
+    k2 AS (SELECT doc_id FROM k1
+           UNION ALL
+           SELECT doc_id FROM mh WHERE doc_id % 6 = 3
+             AND doc_id NOT IN (SELECT d FROM f2)),
+    f3 AS (SELECT DISTINCT d FROM mtch JOIN k2 ON mtch.c = k2.doc_id
+           WHERE d % 6 = 5),
+    fl AS (SELECT d FROM f1 UNION SELECT d FROM f2 UNION SELECT d FROM f3)
+    SELECT doc.source, COUNT(*) AS n_delta,
+      CAST(SUM(CASE WHEN fl.d IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM mh m JOIN documents doc ON doc.doc_id = m.doc_id
+    LEFT JOIN fl ON fl.d = m.doc_id
+    WHERE m.doc_id % 2 = 1
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118)
+      q111, q112, q113, q115, q118, q119)
 }
