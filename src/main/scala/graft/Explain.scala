@@ -37,7 +37,8 @@ object Explain {
         "q114_rank_functions", "t27_source_cap", "s14_hard_negatives",
         "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode",
         "s16_recall_at_k", "q116_funnel_conversion", "m12_keyframe_select",
-        "t29_chunk_overlap", "d21_incremental_clusters")
+        "t29_chunk_overlap", "d21_incremental_clusters",
+        "q120_geo_cell_join", "q121_attribution")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -332,7 +332,174 @@ object Pipeline {
     },
     Some(funnelOracle))
 
+  // ---------------------------------------------------------------- q120
+  // GRID-CELL SPATIAL DISTANCE SELF-JOIN — the bin-based spatial join
+  // every geo pipeline runs (point-radius matching, store/POI conflation,
+  // geofence audit). Points get a deterministic 2-D position derived from
+  // the customer key (QUADRATIC mixes mod a 10k×10k grid — exact int64
+  // arithmetic on both engines; a purely multiplicative mix lays keys on
+  // a lattice whose minimum inter-point distance exceeds any useful
+  // radius, so the quadratic term is what makes near-pairs exist at
+  // all), the plane is cut into cells of
+  // width == the match radius, and candidate pairs come from ONE equi-join
+  // on cell coordinates: each point probes its 3×3 cell neighborhood, the
+  // build side keeps its single home cell, so a qualifying pair (Chebyshev
+  // bound: distance ≤ R ⇒ cell indices differ by ≤1) is generated EXACTLY
+  // once — by the lower-id point probing the higher-id point's home cell —
+  // with no post-hoc distinct. The exact Euclidean d² ≤ R² filter then
+  // removes corner candidates. At 100 TB: candidates are O(N × density),
+  // never N² (the oracle below IS the N² brute force — on the small
+  // correctness SF only); the join is a plain two-key hash join that
+  // partitions by cell, the 9× probe replication is map-side, and a hot
+  // cell (urban skew) is bounded by cell occupancy — shrink the cell (two
+  //-level grids) or salt the cell key exactly like q83 for pathological
+  // densities. Output: per-segment pair count, exact Σd², and a modular
+  // pair checksum so the oracle must find the SAME pairs.
+  private val GeoCell = 100L // cell width == radius: 3×3 neighborhood suffices
+  private val GeoR2 = 10000L // radius 100, squared
+  private val GeoXSql = "(c_custkey*c_custkey*3271 + c_custkey*1007 + 12345) % 10000"
+  private val GeoYSql = "(c_custkey*c_custkey*7919 + c_custkey*6151 + 54321) % 10000"
+  private val q120 = QueryDef(
+    "q120_geo_cell_join",
+    (s, dir) => {
+      val pts = rd(s, dir, "customer").select(
+        col("c_custkey").as("id"), col("c_mktsegment").as("seg"),
+        expr(GeoXSql).as("x"), expr(GeoYSql).as("y"))
+      val cells = pts
+        .withColumn("cx", expr(s"x DIV $GeoCell"))
+        .withColumn("cy", expr(s"y DIV $GeoCell"))
+      val probes = cells
+        .select(col("id").as("id1"), col("seg"), col("x").as("x1"),
+          col("y").as("y1"), col("cx"), col("cy"))
+        .withColumn("ox", explode(expr("array(-1, 0, 1)")))
+        .withColumn("oy", explode(expr("array(-1, 0, 1)")))
+        .select(col("id1"), col("seg"), col("x1"), col("y1"),
+          (col("cx") + col("ox")).as("pcx"), (col("cy") + col("oy")).as("pcy"))
+      val build = cells.select(col("id").as("id2"), col("x").as("x2"),
+        col("y").as("y2"), col("cx").as("cx2"), col("cy").as("cy2"))
+      val d2 = (col("x1") - col("x2")) * (col("x1") - col("x2")) +
+        (col("y1") - col("y2")) * (col("y1") - col("y2"))
+      probes
+        .join(build, col("pcx") === col("cx2") && col("pcy") === col("cy2") &&
+          col("id1") < col("id2"))
+        .filter(d2 <= GeoR2)
+        .groupBy(col("seg"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(d2).as("sum_d2"),
+          (sum((col("id1") * lit(100003L) + col("id2")) % lit(HashMod))
+            % lit(HashMod)).as("pair_checksum"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""WITH p AS (SELECT c_custkey AS id, c_mktsegment AS seg,
+        $GeoXSql AS x, $GeoYSql AS y
+      FROM customer)
+    SELECT a.seg, COUNT(*) AS n_pairs,
+      CAST(SUM((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS BIGINT) AS sum_d2,
+      CAST(SUM((a.id * 100003 + b.id) % $HashMod) % $HashMod AS BIGINT)
+        AS pair_checksum
+    FROM p a JOIN p b ON a.id < b.id
+      AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= $GeoR2
+    GROUP BY a.seg ORDER BY a.seg"""))
 
+  // ---------------------------------------------------------------- q121
+  // MULTI-TOUCH ATTRIBUTION — the marketing-analytics staple that funnel
+  // (q48/q116) and as-of (q27) don't cover: every click/view TOUCH is
+  // credited against the user's NEXT purchase within a 7-day lookahead,
+  // and each purchase's value is split across its touches with an
+  // INTEGER-EXACT even-split rule: every touch gets value_cents DIV n and
+  // the LAST touch (latest (ts, event_id)) also gets the MOD remainder —
+  // so per-purchase credit sums to the purchase value EXACTLY, division
+  // drift can't leak across engines, and total credit + direct =
+  // total purchase cents (pinned by spec). Purchases with no attributed
+  // touch are reported as the 'direct' channel. Shape: ONE events scan
+  // feeds a per-user ordered window (first-following-purchase via
+  // first(ignoreNulls) over ROWS 1 FOLLOWING..UNBOUNDED — no touch×purchase
+  // per-user join, so a power user costs O(events), not O(touches ×
+  // purchases)), then one purchase-keyed window sizes the credit split.
+  // The sized touch set is localCheckpoint'd (≤ |touches| rows) because
+  // both the channel rollup and the direct-channel anti-join consume it —
+  // at scale that's the materialize-the-attribution-table step every
+  // warehouse does before fan-out. All arithmetic on epoch-micros and
+  // cents BIGINTs; value→cents via the per-factor DECIMAL(18,2) cast.
+  private val q121 = QueryDef(
+    "q121_attribution",
+    (s, dir) => {
+      val winUs = 7L * 24 * 3600 * 1000000L
+      val ev = events(s, dir)
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("IF(event_type = 'purchase', " +
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), " +
+            "CAST(NULL AS BIGINT))").as("cents"))
+      val wNext = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      val pId = when(col("event_type") === "purchase", col("event_id"))
+      val pUs = when(col("event_type") === "purchase", col("us"))
+      val touches = ev
+        .withColumn("p_id", first(pId, ignoreNulls = true).over(wNext))
+        .withColumn("p_us", first(pUs, ignoreNulls = true).over(wNext))
+        .withColumn("p_cents", first(col("cents"), ignoreNulls = true).over(wNext))
+        .filter(col("event_type").isin("click", "view") &&
+          col("p_id").isNotNull && col("p_us") - col("us") <= winUs)
+      val wSize = Window.partitionBy(col("p_id"))
+      val sized = touches
+        .withColumn("n", count(lit(1)).over(wSize))
+        .withColumn("rn", row_number().over(
+          wSize.orderBy(col("us").desc, col("event_id").desc)))
+        .withColumn("credit",
+          expr("p_cents DIV n + IF(rn = 1, p_cents % n, CAST(0 AS BIGINT))"))
+        .select(col("event_type").as("channel"), col("p_id"), col("credit"))
+        .localCheckpoint()
+      val chan = sized.groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_events"), sum(col("credit")).as("credit_cents"))
+      val attributed = sized.select(col("p_id")).distinct()
+      val direct = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("cents"))
+        .join(attributed, col("event_id") === col("p_id"), "left_anti")
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("cents")), lit(0L)).as("credit_cents"))
+        .select(lit("direct").as("channel"), col("n_events"), col("credit_cents"))
+      chan.unionByName(direct).orderBy(col("channel"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        CASE WHEN event_type = 'purchase'
+             THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END AS cents
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+    nxt AS (
+      SELECT *,
+        first_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+          OVER w AS p_id,
+        first_value(CASE WHEN event_type = 'purchase' THEN us END IGNORE NULLS)
+          OVER w AS p_us,
+        first_value(cents IGNORE NULLS) OVER w AS p_cents
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+    touch AS (
+      SELECT event_type, event_id, us, p_id, p_cents FROM nxt
+      WHERE event_type IN ('click', 'view') AND p_id IS NOT NULL
+        AND p_us - us <= 604800000000),
+    sized AS (
+      SELECT event_type, p_id, p_cents,
+        COUNT(*) OVER (PARTITION BY p_id) AS n,
+        ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY us DESC, event_id DESC) AS rn
+      FROM touch),
+    chan AS (
+      SELECT event_type AS channel, COUNT(*) AS n_events,
+        CAST(SUM(p_cents // n + CASE WHEN rn = 1 THEN p_cents % n ELSE 0 END)
+          AS BIGINT) AS credit_cents
+      FROM sized GROUP BY 1),
+    direct AS (
+      SELECT 'direct' AS channel, COUNT(*) AS n_events,
+        COALESCE(CAST(SUM(cents) AS BIGINT), 0) AS credit_cents
+      FROM ev WHERE event_type = 'purchase'
+        AND event_id NOT IN (SELECT DISTINCT p_id FROM touch))
+    SELECT * FROM (SELECT * FROM chan UNION ALL SELECT * FROM direct)
+    ORDER BY channel"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116)
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q120, q121)
 }

@@ -586,4 +586,71 @@ class AdvancedOpsSpec extends SparkSuite {
       byShot.map(_._4).sum shouldBe framesPerMedia(m)
     }
   }
+
+  test("q120 grid-cell join equals the brute-force all-pairs spatial join") {
+    // the brute force the cell join must reproduce — every pair within the
+    // radius, found EXACTLY once (a double-counted candidate would inflate
+    // n_pairs; a missed neighbor cell would drop one)
+    val pts = Tables.rd(spark, dir, "customer").selectExpr(
+      "c_custkey AS id", "c_mktsegment AS seg",
+      "(c_custkey*c_custkey*3271 + c_custkey*1007 + 12345) % 10000 AS x",
+      "(c_custkey*c_custkey*7919 + c_custkey*6151 + 54321) % 10000 AS y")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val mod = 1000000007L
+    val brute = for {
+      a <- pts; b <- pts
+      if a._1 < b._1
+      d2 = (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4)
+      if d2 <= 10000L
+    } yield (a._2, d2, (a._1 * 100003L + b._1) % mod)
+    brute.length should be > 0 // the quadratic mix must actually make near-pairs
+    val expected = brute.groupBy(_._1).map { case (seg, g) =>
+      (seg, g.length.toLong, g.map(_._2).sum, g.map(_._3).sum % mod)
+    }.toSet
+    val out = run("q120_geo_cell_join").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out shouldBe expected
+  }
+
+  test("q121 attribution conserves total purchase value exactly") {
+    val out = run("q121_attribution").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalCredit = out.map(_._3).sum
+    val purchaseCents = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .selectExpr("CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)")
+      .first().getLong(0)
+    totalCredit shouldBe purchaseCents // DIV + MOD-to-last loses no cent
+  }
+
+  test("q121 attribution lookahead window, split, and direct rules") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val wk = 604800L // 7 days in seconds
+    val tmp = java.nio.file.Files.createTempDirectory("q121attr").toString
+    Seq(
+      // user 1: two touches split 101 cents — DIV gives 50 each, the LAST
+      // touch (the click, later ts) takes the odd cent
+      (1L, ts(100), 1L, "view", 0.0, ""), (2L, ts(200), 1L, "click", 0.0, ""),
+      (3L, ts(300), 1L, "purchase", 1.01, ""),
+      // user 2: touch exactly AT the 7-day boundary — still attributed
+      (4L, ts(1000), 2L, "view", 0.0, ""),
+      (5L, ts(1000 + wk), 2L, "purchase", 2.0, ""),
+      // user 3: touch one second BEYOND the window — purchase goes direct
+      (6L, ts(2000), 3L, "click", 0.0, ""),
+      (7L, ts(2000 + wk + 1), 3L, "purchase", 3.0, ""),
+      // user 4: the only touch comes AFTER the purchase — direct, touch dropped
+      (8L, ts(50), 4L, "purchase", 4.0, ""), (9L, ts(60), 4L, "view", 0.0, ""),
+      // user 5: each touch attributes to its NEXT purchase only
+      (10L, ts(100), 5L, "view", 0.0, ""), (11L, ts(200), 5L, "purchase", 5.0, ""),
+      (12L, ts(250), 5L, "click", 0.0, ""), (13L, ts(400), 5L, "purchase", 6.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q121_attribution")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    out shouldBe Seq(
+      ("click", 2L, 51L + 600L),         // user1 remainder cent + user5 e13
+      ("direct", 2L, 300L + 400L),       // user3 beyond-window + user4 no-prior
+      ("view", 3L, 50L + 200L + 500L))   // user1 even half, user2 boundary, user5 e11
+  }
 }
