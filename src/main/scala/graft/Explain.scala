@@ -38,7 +38,9 @@ object Explain {
         "m11_cdc_chunking", "d19_source_minhash_matrix", "t28_bpe_encode",
         "s16_recall_at_k", "q116_funnel_conversion", "m12_keyframe_select",
         "t29_chunk_overlap", "d21_incremental_clusters",
-        "q120_geo_cell_join", "q121_attribution")
+        "q120_geo_cell_join", "q121_attribution",
+        "q122_peak_concurrency", "q123_systematic_sample",
+        "d22_label_propagation", "s17_hamming_rerank")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1132,7 +1132,81 @@ object Dedup {
     SELECT cluster_rep, COUNT(*) AS n_members
     FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
 
+  // ---------------------------------------------------------------- d22
+  // LABEL PROPAGATION communities over the near-dup graph — the community
+  // detector between connected components (d07: any path merges — one
+  // bridge edge fuses two template families) and k-core (d18: a density
+  // floor, not a partition): LPA assigns each doc the label the PLURALITY
+  // of its neighbors carry, so two dense template families joined by a
+  // stray edge stay separate communities. Three semi-synchronous rounds,
+  // fully deterministic: every node votes with its neighbors' labels PLUS
+  // its own (the self-vote is the standard stabilizer — isolated docs keep
+  // their own id), and the winner is (max count, then MIN label) — no
+  // hash-order or async-schedule nondeterminism, so the DuckDB oracle can
+  // unroll the identical three rounds as chained CTEs.
+  //
+  // Scale shape: one round = one |E|-sized equi-join (edges never
+  // duplicated or recomputed — the directed pair list is built once and
+  // cached) + two hash aggregates with map-side partial combine; the
+  // argmax is max(struct(count, −label)) — an aggregate, not a window, so
+  // no per-node sort. Labels localCheckpoint per round (d07's constant-
+  // size-plan discipline). Rounds are O(|E|) each and the round count is
+  // fixed — at 100 TB this is 3 shuffles of the edge list, embarrassingly
+  // parallel on the node key.
+  private val d22 = QueryDef(
+    "d22_label_propagation",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .cache()
+      edges.count()
+      pairs.unpersist()
+      val out = Tables.withShuffle(s, 8) {
+        var labels = docs(s, dir).select(col("doc_id").as("v"), col("doc_id").as("label"))
+        for (_ <- 1 to 3) {
+          val nbrVotes = edges.join(labels, col("id1") === col("v"))
+            .select(col("id2").as("v"), col("label"))
+          labels = nbrVotes.unionAll(labels)
+            .groupBy(col("v"), col("label"))
+            .agg(count(lit(1)).as("c"))
+            .groupBy(col("v"))
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("top"))
+            .select(col("v"), (-col("top.nl")).as("label"))
+            .localCheckpoint()
+        }
+        labels.groupBy(col("label").as("community"))
+          .agg(count(lit(1)).as("size"), sum(col("v")).as("member_sum"))
+          .orderBy(col("community"))
+          .localCheckpoint()
+      }
+      edges.unpersist()
+      out
+    },
+    Some {
+      def round(r: Int) =
+        s"""votes$r AS (
+        SELECT e.dst AS v, l.label FROM edges e JOIN l${r - 1} l ON l.v = e.src
+        UNION ALL SELECT v, label FROM l${r - 1}),
+      cnt$r AS (SELECT v, label, COUNT(*) AS c FROM votes$r GROUP BY 1, 2),
+      l$r AS (SELECT v, label FROM (
+        SELECT v, label,
+          ROW_NUMBER() OVER (PARTITION BY v ORDER BY c DESC, label) AS rn
+        FROM cnt$r) WHERE rn = 1)"""
+      s"""WITH $simhashCteDuck,
+      edges AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM sh a JOIN sh b
+          ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id <> b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+      l0 AS (SELECT doc_id AS v, doc_id AS label FROM sh),
+      ${(1 to 3).map(round).mkString(",\n")}
+      SELECT label AS community, COUNT(*) AS size,
+        CAST(SUM(v) AS BIGINT) AS member_sum
+      FROM l3 GROUP BY 1 ORDER BY 1"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21)
+      d16, d17, d18, d19, d21, d22)
 }

@@ -501,5 +501,198 @@ object Pipeline {
     SELECT * FROM (SELECT * FROM chan UNION ALL SELECT * FROM direct)
     ORDER BY channel"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q120, q121)
+  // ---------------------------------------------------------------- q122
+  // PEAK CONCURRENCY — the capacity-planning staple (max simultaneous
+  // sessions, per day, with the instant the peak is first reached) that
+  // sessionize (q52) and windowed counts (q19/q24) don't answer: a
+  // tumbling-window count tells you sessions *touching* a window, not how
+  // many are *simultaneously open*. Classic sweep-line: each session
+  // [start, end+60s) emits (+1 at start, −1 at padded end); concurrency is
+  // the running sum over the globally time-ordered points (−1 sorts before
+  // +1 at equal timestamps, so half-open interval semantics are exact).
+  //
+  // Scale shape: a single global running sum would be ONE sorted partition
+  // — the textbook serial bottleneck. Instead the prefix sum is two-level:
+  // (a) per-day delta totals (a |days|-sized aggregate) cumulated into an
+  // exclusive per-day offset (a window over the tiny day table), and
+  // (b) a within-day running sum partitioned by day, shifted by the
+  // broadcast offset. Every wide op is keyed on `day` — full parallelism
+  // across the timeline, and sessions spanning midnight are handled
+  // naturally because their +1 and −1 fall in different days. At 100 TB
+  // the same trick nests (hour-level inner windows under the day offsets).
+  private val q122 = QueryDef(
+    "q122_peak_concurrency",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val padUs = 60L * 1000000L
+      val dayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sessions = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("us")).as("s_us"), (max(col("us")) + padUs).as("e_us"))
+      // materialize the point list ONCE before fanning out: it feeds both
+      // prefix-sum levels, and each union branch would otherwise re-run
+      // the full sessionize pipeline (the plan showed 4 events scans +
+      // 4 session windows before this cache — the d05/m05 discipline)
+      val pts = sessions.select(col("s_us").as("us"), lit(1L).as("delta"))
+        .unionAll(sessions.select(col("e_us").as("us"), lit(-1L).as("delta")))
+        .withColumn("day", expr(s"us DIV $dayUs"))
+        .cache()
+      pts.count()
+      // level 1: exclusive per-day offsets — |days| rows, bounded control
+      // input, so the unpartitioned window is fine (and broadcast back)
+      val dayOff = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
+        .withColumn("off",
+          coalesce(sum(col("day_delta")).over(
+            Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("day").as("od"), col("off"))
+      // level 2: within-day running sum, shifted by the day offset
+      val wd = Window.partitionBy(col("day")).orderBy(col("us"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val conc = pts.join(broadcast(dayOff), col("day") === col("od"))
+        .withColumn("conc", col("off") + sum(col("delta")).over(wd))
+      val wp = Window.partitionBy(col("day"))
+      conc
+        .withColumn("peak", max(col("conc")).over(wp))
+        .groupBy(col("day"))
+        .agg(
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+          max(col("peak")).as("peak"),
+          min(when(col("conc") === col("peak"), col("us"))).as("peak_first_us"))
+        .orderBy(col("day"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us, event_id,
+        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    numbered AS (
+      SELECT user_id, us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked),
+    sessions AS (
+      SELECT user_id, sess, MIN(us) AS s_us, MAX(us) + 60000000 AS e_us
+      FROM numbered GROUP BY 1, 2),
+    pts AS (
+      SELECT s_us AS us, 1 AS delta FROM sessions
+      UNION ALL SELECT e_us AS us, -1 AS delta FROM sessions),
+    run AS (
+      SELECT us, delta, us // 86400000000 AS day,
+        SUM(delta) OVER (ORDER BY us, delta
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+      FROM pts),
+    agg AS (
+      SELECT day, COUNT(*) FILTER (delta = 1) AS n_starts,
+        CAST(MAX(conc) AS BIGINT) AS peak
+      FROM run GROUP BY day)
+    SELECT a.day, a.n_starts, a.peak, MIN(r.us) AS peak_first_us
+    FROM agg a JOIN run r ON r.day = a.day AND r.conc = a.peak
+    GROUP BY 1, 2, 3 ORDER BY a.day"""))
+
+  // ---------------------------------------------------------------- q123
+  // SYSTEMATIC PPS SAMPLING — probability-proportional-to-size sampling
+  // with a fixed sample budget per stratum, the survey-sampling /
+  // training-data-mixture primitive the uniform samplers (q39 stratified,
+  // q50 consistent-hash) don't cover: heavy rows must be drawn with
+  // probability ∝ weight, the draw must be deterministic (re-runs pick the
+  // same rows), and the estimator must be auditable. Systematic PPS: order
+  // the stratum by key, take the cumulative weight line [0, T), and select
+  // every row whose cumulative interval contains one of the n equally
+  // spaced points off + k·step (step = T DIV n, off = step DIV 2). A row
+  // heavier than `step` is drawn with multiplicity > 1 — exactly the PPS
+  // semantics. Everything is integer (cents, BIGINT): the multiplicity of
+  // row (cum−w, cum] is g(cum) − g(cum−w) with g(x) = (x+step−off) DIV
+  // step — truncating division on non-negative operands, identical on both
+  // engines; Σ multiplicity = n by telescoping (pinned by spec).
+  //
+  // Scale shape: the cumulative sum is the q122 two-level prefix — bucket
+  // totals (one aggregate keyed (stratum, key DIV B)) cumulated into
+  // exclusive bucket offsets (a window over the tiny bucket table), plus a
+  // within-bucket running sum. No global sort, no single-partition window:
+  // every wide op is keyed on (stratum, bucket). The per-row Horvitz-
+  // Thompson count estimate m·(step·10⁶ DIV w) is a pure map; its stratum
+  // sum estimates the population count from 10 draws (spec pins accuracy).
+  private val q123 = QueryDef(
+    "q123_systematic_sample",
+    (s, dir) => {
+      val n = 10L
+      val bucketW = 512L
+      val cents = expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      val base = rd(s, dir, "orders")
+        .select(col("o_orderpriority").as("stratum"), col("o_orderkey").as("key"),
+          cents.as("w"))
+        .withColumn("bucket", expr(s"key DIV $bucketW"))
+      // level 1: exclusive per-bucket offsets inside each stratum — the
+      // bucket table is |strata|×|key range / B| rows, a bounded control
+      // input for the per-stratum window
+      val off = base.groupBy(col("stratum"), col("bucket"))
+        .agg(sum(col("w")).as("bw"))
+        .withColumn("boff",
+          coalesce(sum(col("bw")).over(
+            Window.partitionBy(col("stratum")).orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("stratum").as("os"), col("bucket").as("ob"), col("boff"))
+      // level 2: within-bucket running sum, shifted by the bucket offset
+      val wb = Window.partitionBy(col("stratum"), col("bucket")).orderBy(col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = base
+        .join(broadcast(off), col("stratum") === col("os") && col("bucket") === col("ob"))
+        .withColumn("cum", col("boff") + sum(col("w")).over(wb))
+      // stratum totals need only (w) — aggregate the pruned base scan, not
+      // the cumsum pipeline (which would re-run the offset join)
+      val tot = base.groupBy(col("stratum"))
+        .agg(sum(col("w")).as("t"), count(lit(1)).as("n_pop"))
+        .withColumn("step", greatest(expr(s"t DIV $n"), lit(1L)))
+        .withColumn("soff", expr("step DIV 2"))
+      cum.join(broadcast(tot.select(col("stratum").as("ts"), col("t"), col("n_pop"),
+          col("step"), col("soff"))), col("stratum") === col("ts"))
+        .withColumn("m",
+          expr("(cum + step - soff) DIV step - (cum - w + step - soff) DIV step"))
+        .filter(col("m") > 0)
+        .groupBy(col("stratum"))
+        .agg(
+          max(col("n_pop")).as("n_pop"),
+          max(col("t")).as("total_cents"),
+          sum(col("m")).as("n_samples"),
+          sum(col("m") * expr("(step * 1000000) DIV w")).as("est_count_ppm"),
+          (sum((col("key") * col("m")) % lit(HashMod)) % lit(HashMod)).as("key_checksum"))
+        .orderBy(col("stratum"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderpriority AS stratum, o_orderkey AS key,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+      FROM orders),
+    cum AS (
+      SELECT stratum, key, w,
+        SUM(w) OVER (PARTITION BY stratum ORDER BY key
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM base),
+    tot AS (
+      SELECT stratum, CAST(SUM(w) AS BIGINT) AS t, COUNT(*) AS n_pop,
+        GREATEST(CAST(SUM(w) AS BIGINT) // 10, 1) AS step,
+        GREATEST(CAST(SUM(w) AS BIGINT) // 10, 1) // 2 AS soff
+      FROM base GROUP BY stratum),
+    sel AS (
+      SELECT c.stratum, c.key, c.w, t.n_pop, t.t, t.step,
+        (c.cum + t.step - t.soff) // t.step
+          - (c.cum - c.w + t.step - t.soff) // t.step AS m
+      FROM cum c JOIN tot t ON c.stratum = t.stratum)
+    SELECT stratum, MAX(n_pop) AS n_pop, MAX(t) AS total_cents,
+      CAST(SUM(m) AS BIGINT) AS n_samples,
+      CAST(SUM(m * ((step * 1000000) // w)) AS BIGINT) AS est_count_ppm,
+      CAST(SUM((key * m) % $HashMod) % $HashMod AS BIGINT) AS key_checksum
+    FROM sel WHERE m > 0
+    GROUP BY stratum ORDER BY stratum"""))
+
+  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123)
 }

@@ -1114,7 +1114,89 @@ object Similarity {
     FROM j GROUP BY q_id ORDER BY q_id"""
     })
 
+  // ---------------------------------------------------------------- s17
+  // BINARY-SIGN QUANTIZATION + HAMMING SHORTLIST — the 1-bit-per-dimension
+  // compression tier below PQ (s10: 8 subquantizers ≈ 8 bytes/vec) and
+  // scalar quantization (s05): each 64-dim vector collapses to its sign
+  // bitmap, packed into two 32-bit words held in BIGINTs. Candidate
+  // generation is then pure integer XOR + popcount — `bit_count(h ^ a_h)`,
+  // whole-stage-codegen'd, no float math and 32× less memory traffic than
+  // the raw vectors — followed by an exact quantized-cosine rerank of only
+  // the top-16 Hamming survivors per anchor (two WindowGroupLimit nodes
+  // bound both stages, the s14 discipline). Sign-bit Hamming approximates
+  // angular distance (SimHash's guarantee, here applied to the serving
+  // path rather than dedup d04/d05), so the 16-deep shortlist recovers
+  // most of the exact top-5 — pinned against s01 by spec. The packing is a
+  // flat 32-term CASE sum per word (codegen-friendly, no HOF) evaluated
+  // ONCE per row; at 100 TB the packed index is the only thing the
+  // shortlist scan reads (2 BIGINTs/vec), the full vectors are fetched
+  // only for the |anchors|×16 rerank rows.
+  private def packSpark(word: Int): String =
+    (0 until 32).map { i =>
+      s"(CASE WHEN element_at(embedding, ${32 * word + i + 1}) > 0D THEN ${1L << i}L ELSE 0L END)"
+    }.mkString(" + ")
+
+  private def packDuck(word: Int): String =
+    (0 until 32).map { i =>
+      s"(CASE WHEN embedding[${32 * word + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val s17 = QueryDef(
+    "s17_hamming_rerank",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val packed = withQuant(dir, s)
+        .withColumn("h1", expr(packSpark(0)))
+        .withColumn("h2", expr(packSpark(1)))
+        .select(col("vec_id"), col("qv"), col("norm2"), col("h1"), col("h2"))
+      val anchors = packed.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("a_qv"),
+          col("norm2").as("a_n2"), col("h1").as("a_h1"), col("h2").as("a_h2"))
+      packed
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("norm2").as("c_n2"), col("h1"), col("h2"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("hamming",
+          (expr("bit_count(h1 ^ a_h1)") + expr("bit_count(h2 ^ a_h2)")).cast("long"))
+        .withColumn("hrnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("hamming"), col("c_id"))))
+        .filter(col("hrnk") <= 16)
+        .withColumn("sim",
+          expr(dotExpr("a_qv", "c_qv")).cast("double") /
+            (sqrt(col("a_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("c_id"), col("hamming"),
+          round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte,
+    packed AS (
+      SELECT vec_id, qv, norm2,
+        ${packDuck(0)} AS h1, ${packDuck(1)} AS h2
+      FROM (SELECT e.vec_id, e.embedding, qn.qv, qn.norm2
+            FROM embeddings e JOIN qn ON qn.vec_id = e.vec_id)),
+    shortlist AS (
+      SELECT q_id, c_id, hamming, a_qv, a_n2, c_qv, c_n2 FROM (
+        SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+          CAST(bit_count(xor(c.h1, a.h1)) + bit_count(xor(c.h2, a.h2)) AS BIGINT) AS hamming,
+          a.qv AS a_qv, a.norm2 AS a_n2, c.qv AS c_qv, c.norm2 AS c_n2,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY bit_count(xor(c.h1, a.h1)) + bit_count(xor(c.h2, a.h2)), c.vec_id) AS hrnk
+        FROM packed a JOIN packed c ON a.vec_id < 8 AND c.vec_id <> a.vec_id)
+      WHERE hrnk <= 16)
+    SELECT q_id, rnk, c_id, hamming, sim FROM (
+      SELECT q_id, c_id, hamming,
+        round(CAST(${dotSql("a_qv", "c_qv")} AS DOUBLE)
+          / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))), 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+          CAST(${dotSql("a_qv", "c_qv")} AS DOUBLE)
+            / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(c_n2 AS DOUBLE))) DESC, c_id) AS rnk
+      FROM shortlist)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, d15)
+      s15, s16, s17, d15)
 }

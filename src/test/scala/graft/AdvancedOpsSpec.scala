@@ -653,4 +653,159 @@ class AdvancedOpsSpec extends SparkSuite {
       ("direct", 2L, 300L + 400L),       // user3 beyond-window + user4 no-prior
       ("view", 3L, 50L + 200L + 500L))   // user1 even half, user2 boundary, user5 e11
   }
+
+  test("q122 two-level prefix sum equals a serial driver-side sweep") {
+    // independent re-derivation: sessionize in Scala, sweep the global
+    // point list serially — the two-level (day-offset + within-day) prefix
+    // must reproduce the single-ordered-pass result exactly
+    val gapUs = 30L * 60 * 1000000L
+    val padUs = 60L * 1000000L
+    val dayUs = 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (us <- sorted) {
+        if (bounds.nonEmpty && us - bounds.last._2 <= gapUs)
+          bounds(bounds.size - 1) = (bounds.last._1, us)
+        else bounds += ((us, us))
+      }
+      bounds.map { case (s0, e0) => (s0, e0 + padUs) }
+    }.toSeq
+    val pts = (sessions.map(s => (s._1, 1L)) ++ sessions.map(s => (s._2, -1L)))
+      .sortBy(identity)
+    var conc = 0L
+    val byDay = scala.collection.mutable.Map.empty[Long, (Long, Long, Long)]
+    for ((us, d) <- pts) {
+      conc += d
+      val day = us / dayUs
+      val (starts, peak, peakUs) = byDay.getOrElse(day, (0L, Long.MinValue, 0L))
+      val s2 = starts + (if (d == 1L) 1L else 0L)
+      if (conc > peak) byDay(day) = (s2, conc, us)
+      else byDay(day) = (s2, peak, peakUs)
+    }
+    val expected = byDay.toSeq.map { case (day, (s0, p, pu)) => (day, s0, p, pu) }
+      .sortBy(_._1)
+    val out = run("q122_peak_concurrency").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    out shouldBe expected
+  }
+
+  test("q122 carries open sessions across midnight into the next day's peak") {
+    import spark.implicits._
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    val day = 86400L
+    val tmp = java.nio.file.Files.createTempDirectory("q122mid").toString
+    // users 1-3 open sessions 10 min before midnight and keep them alive
+    // 10 min after; user 4 starts alone the next day — day 2's peak must
+    // count the three carried-over sessions (peak 4), which only happens
+    // if the day-offset level of the prefix sum is correct
+    val rows = (1L to 3L).flatMap { u =>
+      Seq((u * 10, ts(day - 600), u, "click", 0.0, ""),
+        (u * 10 + 1, ts(day + 600), u, "click", 0.0, ""))
+    } ++ Seq((100L, ts(day + 600), 4L, "click", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q122_peak_concurrency")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    out(0L) shouldBe 3L              // day 1: the three open sessions
+    out(1L) shouldBe 4L              // day 2: 3 carried over + user 4
+  }
+
+  test("q123 draws exactly n samples per stratum and the PPS estimator lands near the true count") {
+    val out = run("q123_systematic_sample").collect()
+    out.length shouldBe 5 // the five order priorities
+    out.foreach { r =>
+      // telescoping: sum of multiplicities is exactly the point count n
+      r.getAs[Long]("n_samples") shouldBe 10L
+      // Horvitz-Thompson count estimate from 10 PPS draws: unbiased, but
+      // the order weights span ~300x (1.5k..500k), so a 10-draw estimate
+      // of COUNT has wide variance (measured up to ~2x at sf0.001). The
+      // bound guards a broken estimator — wrong by orders of magnitude,
+      // e.g. a step/offset mixup — not sampling variance.
+      val est = r.getAs[Long]("est_count_ppm").toDouble / 1e6
+      val np = r.getAs[Long]("n_pop").toDouble
+      assert(est > np / 5 && est < np * 5, s"estimate $est vs population $np")
+    }
+  }
+
+  test("q123 selection matches a serial cumulative-weight scan") {
+    // re-derive one stratum's systematic selection serially and compare
+    // the checksum — catches an off-by-one in the interval rule or a
+    // bucket-offset error in the two-level cumsum
+    val rows = Tables.rd(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .selectExpr("o_orderkey", "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val t = rows.map(_._2).sum
+    val step = math.max(t / 10, 1L)
+    val off = step / 2
+    var cum = 0L
+    val mod = graft.functions.PolyHash.Mod
+    var checksum = 0L
+    var nSel = 0L
+    for ((key, w) <- rows) {
+      val m = (cum + w + step - off) / step - (cum + step - off) / step
+      if (m > 0) { checksum = (checksum + key * m % mod) % mod; nSel += m }
+      cum += w
+    }
+    val r = run("q123_systematic_sample")
+      .filter(col("stratum") === "1-URGENT").collect().head
+    r.getAs[Long]("n_samples") shouldBe nSel
+    r.getAs[Long]("key_checksum") shouldBe checksum
+  }
+
+  test("d22 label propagation matches a driver-side synchronous LPA and partitions the corpus") {
+    val nDocs = Tables.docs(spark, dir).count()
+    val out = run("d22_label_propagation").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    out.map(_._2).sum shouldBe nDocs // every doc in exactly one community
+    // independent re-derivation: collect the simhash candidate edges and
+    // run 3 synchronous rounds with the same (max count, min label) rule
+    val edges = graft.analytics.Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ids = Tables.docs(spark, dir).select("doc_id").collect().map(_.getLong(0))
+    var labels = ids.map(v => v -> v).toMap
+    for (_ <- 1 to 3) {
+      labels = ids.map { v =>
+        val votes = (nbrs.getOrElse(v, Array.empty[Long]).map(labels) :+ labels(v))
+          .groupBy(identity).view.mapValues(_.length).toSeq
+        v -> votes.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    val expected = labels.values.groupBy(identity).map { case (l, g) =>
+      val members = labels.collect { case (v, lv) if lv == l => v }
+      (l, g.size.toLong, members.sum)
+    }.toSet
+    out.toSet shouldBe expected
+  }
+
+  test("s17 hamming shortlist recalls most of s01's exact top-5 and packs signs faithfully") {
+    val exact = run("s01_cosine_topk")
+      .select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ham = run("s17_hamming_rerank").cache()
+    val approx = ham.select(col("q_id"), col("c_id")).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    approx.keySet shouldBe exact.keySet
+    val recalls = exact.map { case (q, ids) =>
+      approx(q).intersect(ids).size.toDouble / ids.size
+    }
+    // 16-deep Hamming shortlist over 64 sign bits: the bound guards a
+    // broken pack/popcount path (recall ~0), not the compression trade
+    (recalls.sum / recalls.size) should be >= 0.25
+    // the packed-word hamming must equal a direct sign-mismatch count
+    val vecs = Tables.embs(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    ham.select("q_id", "c_id", "hamming").collect().foreach { r =>
+      val (a, b) = (vecs(r.getLong(0)), vecs(r.getLong(1)))
+      val direct = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      r.getLong(2) shouldBe direct.toLong
+    }
+    ham.unpersist()
+  }
 }
