@@ -40,7 +40,8 @@ object Explain {
         "t29_chunk_overlap", "d21_incremental_clusters",
         "q120_geo_cell_join", "q121_attribution",
         "q122_peak_concurrency", "q123_systematic_sample",
-        "d22_label_propagation", "s17_hamming_rerank")
+        "d22_label_propagation", "s17_hamming_rerank",
+        "q124_skyline", "q125_interval_overlap_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1502,8 +1502,59 @@ object Advanced {
     GROUP BY o_orderpriority, quartile
     ORDER BY o_orderpriority, quartile"""))
 
+  // ---------------------------------------------------------------- q124
+  // SKYLINE / PARETO FRONTIER — multi-objective filtering (cheapest price
+  // vs largest size, per brand): a part is on the skyline iff no other
+  // part of the brand is at-most-as-expensive AND at-least-as-large with
+  // at least one strict. The naive formulation is a quadratic dominance
+  // anti-join; the scalable plan collapses rows to PRICE LEVELS first
+  // (one hash aggregate: per (brand, price) the max size — map-side
+  // combined, |levels| ≤ |distinct prices| ≪ |rows|), takes a strict-
+  // prefix running max over the small per-brand level table (window over
+  // aggregated data, not raw rows), and keeps a level iff its max size
+  // strictly exceeds every cheaper level's — then one broadcast join back
+  // tags the surviving rows (equal (price, size) duplicates are both
+  // non-dominated and both kept). The DuckDB oracle is the INDEPENDENT
+  // quadratic NOT-EXISTS dominance formulation, so the level/prefix-max
+  // rewrite is proven equivalent, not mirrored. At 100 TB the level
+  // table itself can bucket by price range (the q122/q123 two-level
+  // prefix), but it is already |distinct prices|-sized — aggregation
+  // before ordering is the skyline scale lever.
+  private val q124 = QueryDef(
+    "q124_skyline",
+    (s, dir) => {
+      val base = rd(s, dir, "part").select(
+        col("p_brand").as("brand"), col("p_partkey").as("key"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price"),
+        col("p_size").as("size"))
+      val levels = base.groupBy(col("brand"), col("price"))
+        .agg(max(col("size")).as("lmax"))
+      val wPrev = Window.partitionBy(col("brand")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = levels
+        .withColumn("prevmax", max(col("lmax")).over(wPrev))
+        .filter(col("prevmax").isNull || col("lmax") > col("prevmax"))
+        .select(col("brand").as("fb"), col("price").as("fp"), col("lmax"))
+      base.join(broadcast(front),
+          col("brand") === col("fb") && col("price") === col("fp") &&
+            col("size") === col("lmax"))
+        .select(col("brand"), col("key"), col("price"), col("size"))
+        .orderBy(col("brand"), col("price"), col("key"))
+    },
+    Some("""WITH b AS (
+      SELECT p_brand AS brand, p_partkey AS key,
+        CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price,
+        p_size AS size
+      FROM part)
+    SELECT brand, key, price, size FROM b r
+    WHERE NOT EXISTS (
+      SELECT 1 FROM b s WHERE s.brand = r.brand
+        AND s.price <= r.price AND s.size >= r.size
+        AND (s.price < r.price OR s.size > r.size))
+    ORDER BY brand, price, key"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105, q109, q110, q114)
+      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124)
 }

@@ -694,5 +694,93 @@ object Pipeline {
     FROM sel WHERE m > 0
     GROUP BY stratum ORDER BY stratum"""))
 
-  val defs: Seq[QueryDef] = Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123)
+  // ---------------------------------------------------------------- q125
+  // INTERVAL OVERLAP JOIN — which session pairs were concurrently active,
+  // and for how long: the interval×interval join that as-of (q27: point
+  // vs point), range join (q28: point vs interval), and the stream-stream
+  // interval joins (time-bounded equi-keys) don't express. The naive form
+  // is an all-pairs inequality join; the scale shape is the 1-D temporal
+  // analogue of q120's grid cells: each session is replicated to every
+  // day-bucket it touches (spans are session-length-bounded, so the
+  // fan-out is ~1–2 buckets), candidates meet ONLY inside a shared
+  // bucket (equi-join on the bucket key — a hash join, never
+  // CartesianProduct), and a pair is counted EXACTLY ONCE, in the bucket
+  // containing the later start (any overlapping pair shares that bucket:
+  // max(s1,s2) ≤ min(e1,e2)). Bucket width tunes replication vs
+  // selectivity — at 100 TB pick it near the median interval span and
+  // split pathological long intervals hierarchically. Pair order is
+  // (user, sess) lexicographic so each unordered pair appears once; the
+  // DuckDB oracle is the direct inequality self-join (its IEJoin), an
+  // independent formulation of the same semantics.
+  private val q125 = QueryDef(
+    "q125_interval_overlap_join",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val dayUs = 86400L * 1000000L
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val sessions = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        .cache()
+      sessions.count()
+      val bucketed = sessions
+        .withColumn("g", explode(expr(s"sequence(s_us DIV $dayUs, e_us DIV $dayUs)")))
+      val l = bucketed.select(col("g"), col("user_id").as("u1"), col("sess").as("se1"),
+        col("s_us").as("s1"), col("e_us").as("e1"))
+      val r = bucketed.select(col("g").as("g2"), col("user_id").as("u2"),
+        col("sess").as("se2"), col("s_us").as("s2"), col("e_us").as("e2"))
+      l.join(r,
+          col("g") === col("g2") &&
+            (col("u1") < col("u2") ||
+              (col("u1") === col("u2") && col("se1") < col("se2"))) &&
+            col("s1") <= col("e2") && col("s2") <= col("e1"))
+        .filter(expr(s"greatest(s1, s2) DIV $dayUs") === col("g"))
+        .select(col("g").as("day"),
+          (least(col("e1"), col("e2")) - greatest(col("s1"), col("s2"))).as("ov"),
+          col("u1"), col("u2"))
+        .groupBy(col("day"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("ov")).as("sum_overlap_us"),
+          (sum((col("u1") * lit(1000003L) + col("u2")) % lit(HashMod))
+            % lit(HashMod)).as("pair_checksum"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, us, event_id,
+        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+    numbered AS (
+      SELECT user_id, us,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked),
+    sessions AS (
+      SELECT user_id, sess, MIN(us) AS s_us, MAX(us) AS e_us
+      FROM numbered GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.user_id AS u1, b.user_id AS u2,
+        GREATEST(a.s_us, b.s_us) AS os, LEAST(a.e_us, b.e_us) AS oe
+      FROM sessions a JOIN sessions b
+        ON (a.user_id < b.user_id
+            OR (a.user_id = b.user_id AND a.sess < b.sess))
+        AND a.s_us <= b.e_us AND b.s_us <= a.e_us)
+    SELECT os // 86400000000 AS day, COUNT(*) AS n_pairs,
+      CAST(SUM(oe - os) AS BIGINT) AS sum_overlap_us,
+      CAST(SUM((u1 * 1000003 + u2) % $HashMod) % $HashMod AS BIGINT)
+        AS pair_checksum
+    FROM pairs GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125)
 }

@@ -784,6 +784,55 @@ class AdvancedOpsSpec extends SparkSuite {
     out.toSet shouldBe expected
   }
 
+  test("q124 level/prefix-max skyline equals the brute-force dominance filter") {
+    val pts = Tables.rd(spark, dir, "part")
+      .selectExpr("p_brand", "p_partkey",
+        "CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "p_size")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val expected = pts.filter { r =>
+      !pts.exists(s => s._1 == r._1 && s._3 <= r._3 && s._4 >= r._4 &&
+        (s._3 < r._3 || s._4 > r._4))
+    }.map(r => (r._1, r._2, r._3, r._4)).toSet
+    expected.size should be > 0
+    val out = run("q124_skyline").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    out shouldBe expected
+  }
+
+  test("q125 bucketed interval-overlap join equals the all-pairs overlap join") {
+    // brute force: sessionize serially, compare every session pair
+    val gapUs = 30L * 60 * 1000000L
+    val dayUs = 86400L * 1000000L
+    val mod = graft.functions.PolyHash.Mod
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sessions = ev.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val sorted = g.sortBy(e => (e._3, e._2)).map(_._3)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (us <- sorted) {
+        if (bounds.nonEmpty && us - bounds.last._2 <= gapUs)
+          bounds(bounds.size - 1) = (bounds.last._1, us)
+        else bounds += ((us, us))
+      }
+      bounds.zipWithIndex.map { case ((s0, e0), i) => (u, i.toLong, s0, e0) }
+    }
+    val pairs = for {
+      a <- sessions; b <- sessions
+      if (a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)) &&
+        a._3 <= b._4 && b._3 <= a._4
+    } yield (math.max(a._3, b._3) / dayUs,
+      math.min(a._4, b._4) - math.max(a._3, b._3),
+      (a._1 * 1000003L + b._1) % mod)
+    pairs.length should be > 0
+    val expected = pairs.groupBy(_._1).map { case (day, g) =>
+      (day, g.length.toLong, g.map(_._2).sum, g.map(_._3).sum % mod)
+    }.toSet
+    val out = run("q125_interval_overlap_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out shouldBe expected
+  }
+
   test("s17 hamming shortlist recalls most of s01's exact top-5 and packs signs faithfully") {
     val exact = run("s01_cosine_topk")
       .select(col("q_id"), col("c_id")).collect()
