@@ -41,7 +41,8 @@ object Explain {
         "q120_geo_cell_join", "q121_attribution",
         "q122_peak_concurrency", "q123_systematic_sample",
         "d22_label_propagation", "s17_hamming_rerank",
-        "q124_skyline", "q125_interval_overlap_join")
+        "q124_skyline", "q125_interval_overlap_join",
+        "q126_assoc_rules", "d23_bfs_hops", "s18_kcenter_coreset")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

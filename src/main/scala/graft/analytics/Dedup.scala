@@ -1206,7 +1206,81 @@ object Dedup {
       FROM l3 GROUP BY 1 ORDER BY 1"""
     })
 
+  // ---------------------------------------------------------------- d23
+  // Bounded-hop multi-source BFS over the near-dup graph — hop DISTANCE
+  // as a corpus signal, completing the graph family (d07 connectivity,
+  // d09 centrality, d10 triangles, d18 degeneracy, d22 communities):
+  // how many hops separate each document from the nearest "anchor"
+  // near-dup (seeds = nodes with doc_id % 7 = 0 — a deterministic ~14%
+  // sample standing in for a labeled anchor set). Each round expands the
+  // FRONTIER only (nodes first reached last round), not the whole settled
+  // set: one edges⋉frontier semi-join + one min-merge aggregate with
+  // map-side combine, so per-round work tracks edges INCIDENT TO the
+  // frontier — the delta-expansion shape that makes BFS O(|E|) total at
+  // any scale instead of O(rounds·|E|). Rounds fixed at 4 (the k-core
+  // discipline: a fixed bound is what the oracle can unroll as CTEs, and
+  // at 100 TB you cap traversal depth anyway). localCheckpoint per round
+  // keeps plans constant-size. Output: per (source, hop distance), doc
+  // count + exact id checksum; unreached nodes are absent by contract.
+  private val BfsRounds = 4
+
+  private val d23 = QueryDef(
+    "d23_bfs_hops",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .cache()
+      edges.count()
+      pairs.unpersist()
+      var dist = edges.select(col("id1").as("node")).distinct()
+        .filter(col("node") % 7 === 0)
+        .withColumn("d", lit(0L))
+        .localCheckpoint()
+      var frontier = dist
+      (1 to BfsRounds).foreach { k =>
+        val cand = edges
+          .join(frontier.select(col("node").as("id1")), Seq("id1"), "left_semi")
+          .select(col("id2").as("node"), lit(k.toLong).as("d"))
+        dist = dist.union(cand)
+          .groupBy(col("node")).agg(min(col("d")).as("d"))
+          .localCheckpoint()
+        frontier = dist.filter(col("d") === k).localCheckpoint()
+      }
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val out = d.join(dist, d("doc_id") === dist("node"))
+        .groupBy(col("source"), col("d"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(HashMod)).cast("long").as("id_checksum"))
+        .orderBy(col("source"), col("d"))
+        .localCheckpoint()
+      edges.unpersist()
+      out
+    },
+    Some(s"""WITH $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+    d0 AS (SELECT DISTINCT id1 AS node, CAST(0 AS BIGINT) AS d FROM e
+           WHERE id1 % 7 = 0),
+    ${(1 to BfsRounds).map(k =>
+        s"""d$k AS (SELECT node, MIN(d) AS d FROM (
+          SELECT node, d FROM d${k - 1}
+          UNION ALL
+          SELECT e.id2, d${k - 1}.d + 1
+          FROM e JOIN d${k - 1} ON e.id1 = d${k - 1}.node) u
+        GROUP BY node)""").mkString(",\n    ")}
+    SELECT doc.source, c.d, COUNT(*) AS n_docs,
+      CAST(SUM(CAST(doc.doc_id AS DECIMAL(38,0))) % $HashMod AS BIGINT)
+        AS id_checksum
+    FROM documents doc JOIN d$BfsRounds c ON c.node = doc.doc_id
+    GROUP BY doc.source, c.d ORDER BY doc.source, c.d"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22)
+      d16, d17, d18, d19, d21, d22, d23)
 }

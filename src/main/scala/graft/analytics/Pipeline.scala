@@ -781,6 +781,78 @@ object Pipeline {
         AS pair_checksum
     FROM pairs GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q126
+  // MARKET-BASKET ASSOCIATION RULES — support / confidence / lift over
+  // per-order brand baskets: the co-occurrence mining primitive behind
+  // recommendation and curriculum-mixing decisions. The naive form
+  // self-joins the item table on the basket key (a second shuffle of the
+  // fact); the scale shape here aggregates each basket ONCE into a
+  // bounded sorted set (baskets are small by domain — ≤13 items in this
+  // data, bounded by order size at any SF) and explodes the i<j pairs
+  // from the array, so the only fact-sized shuffle is the one
+  // groupBy(basket). Brand supports are a |brands|-row table and the
+  // basket count is a scalar — both broadcast; all downstream joins are
+  // BroadcastHashJoins on pair rows, never on the fact. Confidence and
+  // lift are integer-exact ppm (cross-engine identical floor division).
+  private val q126 = QueryDef(
+    "q126_assoc_rules",
+    (s, dir) => {
+      val baskets = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey"))
+        .join(broadcast(rd(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand").as("b"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("b"))).as("bs"))
+        .cache()
+      val nBaskets = baskets.agg(count(lit(1)).as("n"))
+      val supp = baskets
+        .select(explode(col("bs")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+      // single-brand baskets generate no pairs; without the size guard
+      // sequence(1, 0) evaluates descending and element_at(bs, 0) throws
+      val pairs = baskets
+        .filter(size(col("bs")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(bs) - 1),
+             i -> transform(sequence(i + 1, size(bs)),
+             j -> struct(element_at(bs, i) AS b1, element_at(bs, j) AS b2))))"""))
+          .as("p"))
+        .groupBy(col("p.b1"), col("p.b2")).agg(count(lit(1)).as("n_ab"))
+      val directed = pairs
+        .select(col("b1").as("ante"), col("b2").as("cons"), col("n_ab"))
+        .union(pairs.select(col("b2").as("ante"), col("b1").as("cons"), col("n_ab")))
+      val out = directed
+        .join(broadcast(supp.select(col("b").as("ante"), col("n_b").as("n_a"))),
+          Seq("ante"))
+        .join(broadcast(supp.select(col("b").as("cons"), col("n_b").as("n_c"))),
+          Seq("cons"))
+        .crossJoin(broadcast(nBaskets))
+        .filter(col("n_ab") >= 20)
+        .select(col("ante"), col("cons"), col("n_ab"),
+          expr("n_ab * 1000000 DIV n_a").as("conf_ppm"),
+          expr("n_ab * n * 1000000 DIV (n_a * n_c)").as("lift_ppm"))
+        .orderBy(col("ante"), col("cons"))
+        .localCheckpoint()
+      baskets.unpersist()
+      out
+    },
+    Some(s"""WITH bi AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem JOIN part ON l_partkey = p_partkey),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n FROM bi),
+    supp AS (SELECT b, COUNT(*) AS n_b FROM bi GROUP BY b),
+    pr AS (SELECT a.b AS b1, c.b AS b2, COUNT(*) AS n_ab
+           FROM bi a JOIN bi c ON a.ok = c.ok AND a.b < c.b GROUP BY 1, 2),
+    dr AS (SELECT b1 AS ante, b2 AS cons, n_ab FROM pr
+           UNION ALL SELECT b2, b1, n_ab FROM pr)
+    SELECT ante, cons, n_ab,
+      n_ab * 1000000 // sa.n_b AS conf_ppm,
+      n_ab * nb.n * 1000000 // (sa.n_b * sc.n_b) AS lift_ppm
+    FROM dr JOIN supp sa ON sa.b = dr.ante
+            JOIN supp sc ON sc.b = dr.cons, nb
+    WHERE n_ab >= 20 ORDER BY ante, cons"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125)
+    Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126)
 }

@@ -1196,7 +1196,108 @@ object Similarity {
       FROM shortlist)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
+  // ---------------------------------------------------------------- s18
+  // GREEDY k-CENTER CORESET (Gonzalez farthest-point selection) — the
+  // diversity-maximizing sampler of training-data curation: pick the
+  // point FARTHEST from everything chosen so far, k times. Unlike
+  // s06/s07's k-means (given centers / one refinement step), this SELECTS
+  // the centers, with the classic 2-approximation coverage guarantee.
+  // Scale shape: the chosen set is tiny (k = 8) and each round is ONE
+  // narrow map over the corpus — the new center's vector ships as a
+  // broadcast literal into the native dot_i64 codegen (squared L2 from
+  // norms: |a−c|² = |a|² − 2a·c + |c|², no per-row HOF), a strict-less
+  // min keeps dmin/assignment state incrementally, and the argmax is a
+  // TakeOrdered reduce (1-row bounded control input, the t26 discipline).
+  // Total cost O(k·N) map work + k constant-size reduces — no shuffle of
+  // the corpus, ever. All arithmetic int64-exact, so selection order,
+  // tie-breaks (earliest round wins equal distances), and the final
+  // assignment hash-match the oracle's independent cross-join argmin.
+  private val KCenters = 8
+
+  private val s18 = QueryDef(
+    "s18_kcenter_coreset",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+        .select(col("vec_id"), col("qv"), col("norm2"))
+        .cache()
+      q.count()
+      val seed = q.filter(col("vec_id") === 0)
+        .select(col("qv"), col("norm2")).head
+      var centers = List((0L, 0L, 0L)) // (round, center_id, radius)
+      var cqv = seed.getSeq[Long](0)
+      var cn2 = seed.getLong(1)
+      var st = q
+        .withColumn("dmin",
+          col("norm2") - lit(2L) * call_function("dot_i64", col("qv"),
+            typedLit(cqv)) + lit(cn2))
+        .withColumn("cid", lit(0L))
+        .withColumn("crnd", lit(0L))
+        .localCheckpoint()
+      (1 to KCenters - 1).foreach { k =>
+        val far = st
+          .orderBy(col("dmin").desc, col("vec_id"))
+          .select(col("vec_id"), col("qv"), col("norm2"), col("dmin"))
+          .head // TakeOrdered reduce: 1-row bounded control input
+        centers ::= (k.toLong, far.getLong(0), far.getLong(3))
+        cqv = far.getSeq[Long](1)
+        cn2 = far.getLong(2)
+        st = st
+          .withColumn("dnew",
+            col("norm2") - lit(2L) * call_function("dot_i64", col("qv"),
+              typedLit(cqv)) + lit(cn2))
+          .select(col("vec_id"), col("qv"), col("norm2"),
+            when(col("dnew") < col("dmin"), col("dnew")).otherwise(col("dmin")).as("dmin"),
+            when(col("dnew") < col("dmin"), lit(far.getLong(0))).otherwise(col("cid")).as("cid"),
+            when(col("dnew") < col("dmin"), lit(k.toLong)).otherwise(col("crnd")).as("crnd"))
+          .localCheckpoint()
+      }
+      import s.implicits._
+      val centersDf = centers.reverse.toDF("rnd", "center_id", "radius")
+      val out = st.groupBy(col("cid").as("center_id"))
+        .agg(
+          count(lit(1)).as("n_assigned"),
+          (sum(col("vec_id")) % lit(HashMod)).cast("long").as("id_checksum"))
+        .join(broadcast(centersDf), Seq("center_id"))
+        .select(col("rnd"), col("center_id"), col("radius"),
+          col("n_assigned"), col("id_checksum"))
+        .orderBy(col("rnd"))
+        .localCheckpoint()
+      q.unpersist()
+      out
+    },
+    Some {
+      val dot = dotSql("q.qv", "c.qv")
+      s"""WITH $quantCte,
+    c0 AS (SELECT vec_id, qv, norm2, CAST(0 AS BIGINT) AS rnd,
+             CAST(0 AS BIGINT) AS radius FROM qn WHERE vec_id = 0),
+    d1 AS (SELECT q.vec_id, q.norm2 + c.norm2 - 2 * $dot AS dmin
+           FROM qn q, c0 c),
+    ${(1 to KCenters - 1).map { k =>
+        s"""s$k AS (SELECT vec_id, dmin FROM d$k ORDER BY dmin DESC, vec_id LIMIT 1),
+    c$k AS (SELECT q.vec_id, q.qv, q.norm2, CAST($k AS BIGINT) AS rnd,
+             s$k.dmin AS radius FROM qn q JOIN s$k ON q.vec_id = s$k.vec_id)""" +
+          (if (k < KCenters - 1)
+            s""",
+    d${k + 1} AS (SELECT d$k.vec_id,
+             LEAST(d$k.dmin, q.norm2 + c.norm2 - 2 * $dot) AS dmin
+           FROM d$k JOIN qn q ON q.vec_id = d$k.vec_id, c$k c)"""
+          else "")
+      }.mkString(",\n    ")},
+    cen AS (${(0 to KCenters - 1).map(k => s"SELECT * FROM c$k").mkString(" UNION ALL ")}),
+    asg AS (SELECT q.vec_id AS v, c.vec_id AS cid, c.rnd,
+             q.norm2 + c.norm2 - 2 * $dot AS dist
+           FROM qn q, cen c),
+    best AS (SELECT v, cid FROM (
+             SELECT v, cid, ROW_NUMBER() OVER (PARTITION BY v ORDER BY dist, rnd) AS rn
+             FROM asg) WHERE rn = 1)
+    SELECT c.rnd, c.vec_id AS center_id, c.radius,
+      COUNT(*) AS n_assigned,
+      CAST(SUM(b.v) % $HashMod AS BIGINT) AS id_checksum
+    FROM cen c JOIN best b ON b.cid = c.vec_id
+    GROUP BY c.rnd, c.vec_id, c.radius ORDER BY c.rnd"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, d15)
+      s15, s16, s17, s18, d15)
 }

@@ -857,4 +857,86 @@ class AdvancedOpsSpec extends SparkSuite {
     }
     ham.unpersist()
   }
+
+  test("q126 association rules equal a brute-force basket recount") {
+    val bi = Tables.rd(spark, dir, "lineitem")
+      .join(Tables.rd(spark, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val baskets = bi.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val supp = bi.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCounts = baskets.values.toSeq
+      .flatMap(bs => bs.toSeq.sorted.combinations(2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = pairCounts.toSeq.flatMap { case (Seq(a, b), nab) =>
+      Seq((a, b, nab), (b, a, nab))
+    }.collect { case (ante, cons, nab) if nab >= 20 =>
+      (ante, cons, nab,
+        nab * 1000000L / supp(ante),
+        nab * n * 1000000L / (supp(ante) * supp(cons)))
+    }.toSet
+    val out = run("q126_assoc_rules").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    out shouldBe expected
+  }
+
+  test("d23 frontier BFS equals a driver-side full-relaxation BFS") {
+    val mod = graft.functions.PolyHash.Mod
+    val edges = graft.analytics.Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = adj.keySet.filter(_ % 7 == 0).map(_ -> 0L).toMap
+    for (k <- 1 to 4) {
+      val reached = dist.keys.flatMap(v => adj.getOrElse(v, Array.empty[Long])
+        .map(_ -> (dist(v) + 1))).groupBy(_._1).view.mapValues(_.map(_._2).min)
+      dist = (dist.toSeq ++ reached.toSeq).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+      assert(k < 4 || dist.nonEmpty)
+    }
+    val srcOf = Tables.docs(spark, dir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = dist.toSeq.map { case (v, d) => (srcOf(v), d, v) }
+      .groupBy(t => (t._1, t._2)).map { case ((s0, d), g) =>
+        (s0, d, g.size.toLong, g.map(t => BigInt(t._3)).sum.mod(BigInt(mod)).toLong)
+      }.toSet
+    val out = run("d23_bfs_hops").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out shouldBe expected
+  }
+
+  test("s18 greedy k-center trajectory and assignment match a serial re-derivation") {
+    val mod = graft.functions.PolyHash.Mod
+    val scale = Tables.QuantScale
+    val vecs = Tables.embs(spark, dir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * scale).toLong).toArray)
+      .sortBy(_._1)
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var centers = List((0L, 0L, 0L)) // (rnd, id, radius)
+    var dmin = vecs.map { case (id, v) => id -> sq(v, vecs(0)._2) }.toMap
+    var cid = vecs.map(_._1 -> 0L).toMap
+    val byId = vecs.toMap
+    for (k <- 1L to 7L) {
+      val far = dmin.toSeq.minBy { case (id, d) => (-d, id) }
+      centers ::= (k, far._1, far._2)
+      vecs.foreach { case (id, v) =>
+        val dn = sq(v, byId(far._1))
+        if (dn < dmin(id)) { dmin += id -> dn; cid += id -> far._1 }
+      }
+    }
+    val expected = centers.map { case (rnd, c, radius) =>
+      val assigned = cid.collect { case (v, cv) if cv == c => v }
+      (rnd, c, radius, assigned.size.toLong,
+        assigned.map(BigInt(_)).sum.mod(BigInt(mod)).toLong)
+    }.toSet
+    val out = run("s18_kcenter_coreset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    out shouldBe expected
+  }
 }
