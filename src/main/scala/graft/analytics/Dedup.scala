@@ -158,8 +158,11 @@ object Dedup {
   // ---------------------------------------------------------------- d04
   // SimHash signatures per document: token histogram (one aggregate),
   // then 16 weighted bit-sums folded to an integer signature.
-  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val tok = docs(s, dir)
+  /** SimHash signatures over an arbitrary (doc_id, text) frame — the
+    * per-batch builder d24's streaming maintenance shares with the full
+    * corpus scan below (q119's `minhashBandsOf` precedent). */
+  private[graft] def simhashOf(d: org.apache.spark.sql.DataFrame) = {
+    val tok = d
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("cnt"))
@@ -172,6 +175,9 @@ object Dedup {
       .withColumn("simhash", expr(simhashFromBits(b => s"s$b")).cast("long"))
       .select(col("doc_id"), col("simhash"))
   }
+
+  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    simhashOf(docs(s, dir))
 
   private[analytics] val simhashCteDuck =
     s"""tok AS (SELECT doc_id, token, COUNT(*) AS cnt, ${strHashSql("token")} % 65536 AS h16
@@ -860,8 +866,8 @@ object Dedup {
   // unrolls the same rounds as CTEs). Per-round localCheckpoint keeps
   // plans constant-size (the CC discipline). Output: per source, docs in
   // the bounded 2-core + the d17-style exact id checksum.
-  private val KCoreK = 2
-  private val KCoreRounds = 4
+  private[graft] val KCoreK = 2
+  private[graft] val KCoreRounds = 4
 
   /** One k-core peel round: restrict edges to the current core (two
     * LeftSemi joins — edges are never duplicated, unlike inner joins
@@ -906,7 +912,13 @@ object Dedup {
       edges.unpersist()
       out
     },
-    Some(s"""WITH $simhashCteDuck,
+    Some(kcoreOracle))
+
+  /** The unrolled k-core oracle, shared by d18 (batch peel) and d24 (the
+    * streaming-maintained graph's peel): the maintained edge set must be
+    * indistinguishable from the full recompute. */
+  private[analytics] lazy val kcoreOracle: String =
+    s"""WITH $simhashCteDuck,
     p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
           FROM sh a JOIN sh b
             ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
@@ -921,7 +933,7 @@ object Dedup {
     SELECT d.source, COUNT(*) AS n_core_docs,
       CAST(SUM(CAST(d.doc_id AS DECIMAL(38,0))) % $HashMod AS BIGINT) AS core_id_checksum
     FROM documents d JOIN n$KCoreRounds c ON c.node = d.doc_id
-    GROUP BY d.source ORDER BY d.source"""))
+    GROUP BY d.source ORDER BY d.source"""
 
   // ---------------------------------------------------------------- d19
   // Mergeable per-SOURCE MinHash signatures → source-overlap matrix: the

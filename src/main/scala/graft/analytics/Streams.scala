@@ -2243,8 +2243,133 @@ object Streams {
     WHERE m.doc_id % 2 = 1
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- d24
+  // STREAMING GRAPH MAINTENANCE + k-CORE — d18's batch degeneracy signal
+  // kept fresh by q119's self-maintaining ingest machinery: the near-dup
+  // graph's state is three APPEND-ONLY stores (the SimHash signature
+  // index, the edge log, and a per-node degree LEDGER of count deltas —
+  // the merge-on-read upsert shape; q112's keyed merge is the compaction
+  // story). Each arriving micro-batch computes signatures for ITS docs
+  // only, finds batch-batch candidates (bucket self-join) and
+  // batch-vs-index candidates (one equi-join against the index, which by
+  // then holds corpus ∪ earlier batches — so cross-batch edges are found
+  // exactly once, by the later batch), localCheckpoints the new edges
+  // BEFORE appending (severing the index-read lineage from the index
+  // write, the q119 hazard), then appends edges, degree deltas, and its
+  // own signatures. Per-batch cost is O(|batch| × collisions); corpus
+  // text and corpus-corpus pairs are never recomputed. The final peel
+  // starts from the MAINTAINED degrees — round 1 is a ledger read, not an
+  // O(|E|) recount — and runs d18's bounded rounds for the rest. Oracle =
+  // d18's full-recompute unrolled peel: maintenance must be
+  // indistinguishable from rebuilding the graph from scratch.
+  private val d24 = QueryDef(
+    "d24_stream_kcore",
+    (s, dir) => withStreamShuffle(s) {
+      graft.functions.PolyHash.register(s)
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-d24-stream")
+      val sigIdxDir = Tables.tmp("graft-d24-sigidx")
+      val edgesDir = Tables.tmp("graft-d24-edges")
+      val degDir = Tables.tmp("graft-d24-deg")
+      def degDeltas(edges: org.apache.spark.sql.DataFrame) =
+        edges.select(col("id1").as("node"))
+          .union(edges.select(col("id2").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("c"))
+      graft.BenchSplit.setup {
+        // publish the corpus state (pre-exists at scale): signature
+        // index, corpus-internal edges, and their degree ledger entries
+        val corpus = Dedup.simhashOf(docs(s, dir).filter(col("doc_id") % 2 === 0))
+          .withColumn("bucket", expr("shiftright(simhash, 8)"))
+          .cache()
+        corpus.count()
+        val ce = corpus.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+          .join(corpus.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+            col("bucket") === col("b2") && col("id1") < col("id2"))
+          .filter(expr("bit_count(h1 ^ h2)") <= 6)
+          .select(col("id1"), col("id2"))
+          .localCheckpoint()
+        corpus.write.parquet(sigIdxDir)
+        ce.write.parquet(edgesDir)
+        degDeltas(ce).write.parquet(degDir)
+        corpus.unpersist()
+        // lay the delta out as 3 mtime-ordered batch files (q119 layout)
+        val baseT = 1700000000000L
+        (1 to 3).foreach { b =>
+          val stage = Tables.tmp(s"graft-d24-b$b")
+          docs(s, dir).filter(col("doc_id") % 6 === (2 * b - 1))
+            .select(col("doc_id"), col("text"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dest = streamDir.resolve(s"b$b.parquet")
+          java.nio.file.Files.move(part, dest)
+          dest.toFile.setLastModified(baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val bs = batch.sparkSession
+          val sigs = Dedup.simhashOf(batch)
+            .withColumn("bucket", expr("shiftright(simhash, 8)"))
+            .localCheckpoint()
+          val bb = sigs.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+            .join(sigs.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+              col("bucket") === col("b2") && col("id1") < col("id2"))
+            .filter(expr("bit_count(h1 ^ h2)") <= 6)
+            .select(col("id1"), col("id2"))
+          val idx = bs.read.parquet(sigIdxDir)
+          val bc = sigs.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
+            .join(idx.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+              col("bucket") === col("b2"))
+            .filter(expr("bit_count(h1 ^ h2)") <= 6)
+            .select(col("id1"), col("id2"))
+          // materialize BEFORE the appends below: the edge build reads
+          // the signature index this batch is about to grow
+          val newEdges = bb.union(bc).localCheckpoint()
+          newEdges.write.mode("append").parquet(edgesDir)
+          degDeltas(newEdges).write.mode("append").parquet(degDir)
+          sigs.write.mode("append").parquet(sigIdxDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-d24-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // peel from maintained state: round 1 = a degree-ledger read
+      val e1 = s.read.parquet(edgesDir)
+      val edges = e1.union(e1.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
+      edges.count()
+      var core = s.read.parquet(degDir)
+        .groupBy(col("node")).agg(sum(col("c")).as("deg"))
+        .filter(col("deg") >= Dedup.KCoreK)
+        .select(col("node"))
+        .localCheckpoint()
+      (2 to Dedup.KCoreRounds).foreach { _ =>
+        core = Dedup.kcoreRound(edges, core).localCheckpoint()
+      }
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val out = d.join(core, d("doc_id") === core("node"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_core_docs"),
+          (sum(col("doc_id").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            % lit(HashMod)).cast("long").as("core_id_checksum"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      edges.unpersist()
+      out
+    },
+    Some(Dedup.kcoreOracle))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119)
+      q111, q112, q113, q115, q118, q119, d24)
 }

@@ -908,6 +908,15 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
+    val maintained = run("d24_stream_kcore").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = run("d18_kcore_peel").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    maintained shouldBe batch
+    maintained.size should be > 0
+  }
+
   test("s18 greedy k-center trajectory and assignment match a serial re-derivation") {
     val mod = graft.functions.PolyHash.Mod
     val scale = Tables.QuantScale
