@@ -1553,8 +1553,56 @@ object Advanced {
         AND (s.price < r.price OR s.size > r.size))
     ORDER BY brand, price, key"""))
 
+  // ---------------------------------------------------------------- q127
+  // MARKOV TRANSITION MATRIX — per-user next-event transition counts and
+  // row-normalized probabilities: the path-analysis primitive behind
+  // "where do users go after X" product questions and behavioral
+  // anomaly scoring (q26's lag window measures WHEN the next event
+  // comes; this measures WHAT it is). One user-keyed window derives
+  // (prev → cur) pairs — the only fact-sized shuffle; the transition
+  // matrix itself is |states|² rows (25 here, bounded by the event-type
+  // domain at any SF), so the row totals broadcast back and
+  // probabilities are integer-exact ppm. Destination rank within each
+  // source state is a window over the tiny matrix, not the fact.
+  private val q127 = QueryDef(
+    "q127_markov_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      val trans = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("cur"))
+        .agg(count(lit(1)).as("n"))
+      val totals = trans.groupBy(col("prev")).agg(sum(col("n")).as("tot"))
+      val wRank = Window.partitionBy(col("prev"))
+        .orderBy(col("n").desc, col("cur"))
+      trans
+        .join(broadcast(totals), Seq("prev"))
+        .select(col("prev"), col("cur"), col("n"),
+          expr("n * 1000000 DIV tot").as("p_ppm"))
+        .withColumn("dest_rank", row_number().over(wRank).cast("long"))
+        .orderBy(col("prev"), col("cur"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    tr AS (
+      SELECT prev, event_type AS cur, COUNT(*) AS n FROM (
+        SELECT event_type,
+          lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+        FROM ev)
+      WHERE prev IS NOT NULL GROUP BY 1, 2),
+    tot AS (SELECT prev, SUM(n) AS tot FROM tr GROUP BY 1)
+    SELECT tr.prev, tr.cur, tr.n,
+      tr.n * 1000000 // tot.tot AS p_ppm,
+      CAST(ROW_NUMBER() OVER (PARTITION BY tr.prev ORDER BY tr.n DESC, tr.cur)
+        AS BIGINT) AS dest_rank
+    FROM tr JOIN tot ON tot.prev = tr.prev
+    ORDER BY tr.prev, tr.cur"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124)
+      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127)
 }

@@ -614,6 +614,93 @@ object Multimodal {
       arg_min(sig, frame_idx) AS key_sig
     FROM sh GROUP BY media_id, shot ORDER BY media_id, shot"""))
 
+  // ---------------------------------------------------------------- m13
+  // BYTE-HISTOGRAM NEAR-DUP — distribution-level payload similarity: two
+  // payloads whose BYTE DISTRIBUTIONS nearly coincide are re-encodes /
+  // padded variants of the same content even when their byte sequences
+  // (m05's perceptual hash, m06's chunk hashes) diverge. Per payload one
+  // 16-bin codepoint histogram (an explode + two-phase count aggregate —
+  // no per-row HOF scan), then d06's LSH-bucket discipline in
+  // distribution space: the bucket key is the COARSE SHAPE signature
+  // (each bin's mass rounded to sixteenths of the length), candidates meet
+  // only inside a (kind, shape) bucket — an equi-join, never all-pairs —
+  // and the verify is integer-exact squared cosine (dot² ·10⁴ ≥
+  // 0.98²·10⁴ · |h1|²|h2|², no sqrt, no floats). At 100 TB the histogram
+  // is a mergeable per-payload sketch (16 longs) and the bucket join
+  // costs only colliding shapes; boundary-straddling near-dups are the
+  // documented LSH recall trade, same as d06/m05.
+  private val m13 = QueryDef(
+    "m13_byte_hist_neardup",
+    (s, dir) => {
+      graft.functions.DotI64.register(s)
+      val base = docs(s, dir).filter(col("n_chars") > 0).select(
+        col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        col("text"))
+      val hist = base
+        .select(col("doc_id"), col("kind"),
+          explode(expr("transform(split(text, ''), c -> ascii(c))")).as("c"))
+        .groupBy(col("doc_id"), col("kind"), expr("c % 16").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("kind"))
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt")))).as("m"),
+          sum(col("cnt")).as("len"))
+        .select(col("doc_id"), col("kind"), col("len"),
+          expr("transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0L))").as("h"))
+        .withColumn("norm2", expr(dotExpr("h", "h")))
+        .withColumn("shape",
+          expr("concat_ws(',', transform(h, v -> CAST(v * 16 DIV len AS STRING)))"))
+        .cache()
+      hist.count()
+      val l = hist.select(col("kind"), col("shape"), col("doc_id").as("id1"),
+        col("h").as("h1"), col("norm2").as("n1"))
+      val r = hist.select(col("kind").as("k2"), col("shape").as("s2"),
+        col("doc_id").as("id2"), col("h").as("h2"), col("norm2").as("n2"))
+      val out = l.join(r,
+          col("kind") === col("k2") && col("shape") === col("s2") &&
+            col("id1") < col("id2"))
+        .withColumn("dot", expr(dotExpr("h1", "h2")))
+        .withColumn("near",
+          when(col("dot") * col("dot") * lit(10000L) >=
+            lit(9604L) * col("n1") * col("n2"), 1L).otherwise(0L))
+        .groupBy(col("kind"))
+        .agg(
+          count(lit(1)).as("n_candidates"),
+          sum(col("near")).as("n_near"),
+          (sum(when(col("near") === 1L,
+            (col("id1") * lit(1000003L) + col("id2")) % lit(HashMod))
+            .otherwise(lit(0L))) % lit(HashMod)).as("pair_checksum"))
+        .orderBy(col("kind"))
+        .localCheckpoint()
+      hist.unpersist()
+      out
+    },
+    Some(s"""WITH h0 AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        list_transform(generate_series(0, 15), b -> CAST(len(list_filter(
+          list_transform(string_split(text, ''), c -> ord(c)),
+          c -> c % 16 = b)) AS BIGINT)) AS h,
+        len(string_split(text, '')) AS len
+      FROM documents WHERE n_chars > 0),
+    hist AS (SELECT doc_id, kind, h, len,
+        ${dotSql("h", "h")} AS norm2,
+        array_to_string(list_transform(h, v -> CAST(v * 16 // len AS VARCHAR)),
+          ',') AS shape
+      FROM h0),
+    pairs AS (SELECT a.kind, a.doc_id AS id1, b.doc_id AS id2,
+        ${dotSql("a.h", "b.h")} AS dot, a.norm2 AS n1, b.norm2 AS n2
+      FROM hist a JOIN hist b
+        ON a.kind = b.kind AND a.shape = b.shape AND a.doc_id < b.doc_id)
+    SELECT kind, COUNT(*) AS n_candidates,
+      CAST(SUM(CASE WHEN dot * dot * 10000 >= 9604 * n1 * n2
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+      CAST(SUM(CASE WHEN dot * dot * 10000 >= 9604 * n1 * n2
+               THEN (id1 * 1000003 + id2) % $HashMod ELSE 0 END)
+           % $HashMod AS BIGINT) AS pair_checksum
+    FROM pairs GROUP BY kind ORDER BY kind"""))
+
   val defs: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
 }

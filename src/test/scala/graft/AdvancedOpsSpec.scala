@@ -908,6 +908,72 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("q127 transition matrix rows are complete and ppm-normalized") {
+    val out = run("q127_markov_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // serial re-derivation from the raw events
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val trans = ev.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+      val seq0 = g.sortBy(e => (e._4, e._2)).map(_._3)
+      seq0.zip(seq0.drop(1))
+    }
+    val counts = trans.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val totals = trans.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val expected = counts.map { case ((p, c), n) =>
+      (p, c, n, n * 1000000L / totals(p))
+    }.toSet
+    out.map(t => (t._1, t._2, t._3, t._4)).toSet shouldBe expected
+    // per source state the ranks are a permutation of 1..|destinations|
+    out.groupBy(_._1).foreach { case (_, g) =>
+      g.map(_._5).sorted shouldBe (1L to g.size.toLong).toVector
+      // rank 1 carries the max count
+      g.minBy(_._5)._3 shouldBe g.map(_._3).max
+    }
+    // probabilities within a row sum to ~1e6 (floor-division remainder)
+    out.groupBy(_._1).foreach { case (_, g) =>
+      val s0 = g.map(_._4).sum
+      s0 should be <= 1000000L
+      s0 should be > 1000000L - g.size.toLong
+    }
+  }
+
+  test("m13 byte-histogram near-dup equals a brute-force in-bucket recount") {
+    val mod = graft.functions.PolyHash.Mod
+    val base = Tables.docs(spark, dir)
+      .filter(col("n_chars") > 0).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val feats = base.map { case (id, text) =>
+      val h = new Array[Long](16)
+      text.foreach(ch => h(ch.toInt % 16) += 1)
+      val len = text.length.toLong
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val shape = h.map(v => v * 16 / len).mkString(",")
+      (id, kind, h, h.map(v => v * v).sum, shape)
+    }
+    val pairs: Seq[(String, Boolean, Long)] =
+      feats.toSeq.groupBy(f => (f._2, f._5)).toSeq.flatMap { case (_, g) =>
+        for {
+          a <- g; b <- g; if a._1 < b._1
+        } yield {
+          val dot = a._3.zip(b._3).map { case (x, y) => x * y }.sum
+          (a._2, dot * dot * 10000L >= 9604L * a._4 * b._4,
+            (a._1 * 1000003L + b._1) % mod)
+        }
+      }
+    val expected = pairs.groupBy(_._1).map { case (kind, g) =>
+      (kind, g.size.toLong, g.count(_._2).toLong,
+        g.collect { case (_, true, c) => BigInt(c) }.sum.mod(BigInt(mod)).toLong)
+    }.toSet
+    val out = run("m13_byte_hist_neardup").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out shouldBe expected
+  }
+
   test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
     val maintained = run("d24_stream_kcore").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
