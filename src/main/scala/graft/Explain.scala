@@ -43,7 +43,8 @@ object Explain {
         "d22_label_propagation", "s17_hamming_rerank",
         "q124_skyline", "q125_interval_overlap_join",
         "q126_assoc_rules", "d23_bfs_hops", "s18_kcenter_coreset",
-        "q127_markov_transitions", "m13_byte_hist_neardup")
+        "q127_markov_transitions", "m13_byte_hist_neardup",
+        "t30_bigram_lm_shift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1383,8 +1383,92 @@ object Text {
       CAST(SUM(CAST(chash AS DECIMAL(38,0))) % $HashMod AS BIGINT) AS chunk_checksum
     FROM ch GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t30
+  // BIGRAM LM cross-entropy — the SEQUENCE-aware upgrade of t21's bag-of-
+  // words shift detector: an add-one-smoothed bigram conditional
+  // p(w2|w1) = (c12 + 1) / (c1 + V) fit on the 80% hash split, scored on
+  // the held-out 20% per source. A source whose BIGRAM entropy spikes
+  // while its unigram entropy (t21) holds is shuffled/templated text —
+  // word order broke, word choice didn't; exactly the machine-generated
+  // or boilerplate-stitched class unigram filters miss. Properness:
+  // c1 = Σ_w2 c12 (bigram-INSTANCE context counts), so the conditional
+  // sums to 1 over the V-word vocabulary; unseen contexts fall out of
+  // the same formula (c12 = c1 = 0 → 1/V), no special backoff branch.
+  // Determinism is t21's discipline: per-TYPE log probs quantized to
+  // exact 1e-4 integer units, per-source sums are count×unit integer
+  // products, one double division at the end. Scale shape: bigram and
+  // context counts are keyed shuffles on (w1, w2)/(w1) with map-side
+  // combine (the only token-volume work); the held-out join keys on the
+  // same columns — co-partitioned, AQE broadcasts if the trained tables
+  // fit; V and the OOV unit are broadcast scalars.
+  private val t30 = QueryDef(
+    "t30_bigram_lm_shift",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      val train = bi.filter(isTrain)
+      val test = bi.filter(!isTrain)
+      val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cc = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      // V = the w2 domain: distinct train tokens (unigram vocabulary)
+      val scalars = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(isTrain)
+        .agg(countDistinct(col("w")).as("v"))
+      test.groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("cte"))
+        .join(bc, Seq("w1", "w2"), "left")
+        .join(cc, Seq("w1"), "left")
+        .crossJoin(broadcast(scalars))
+        .select(col("source"), col("cte"),
+          when(col("c1").isNull, 1L).otherwise(0L).as("ctx_oov"),
+          expr(s"${lnQ("(coalesce(c12, 0L) + 1) / CAST(coalesce(c1, 0L) + v AS DOUBLE)")}").as("lq"))
+        .groupBy(col("source"))
+        .agg(sum(col("cte")).as("n_test_bigrams"),
+          sum(col("cte") * col("ctx_oov")).as("n_ctx_oov"),
+          sum(col("cte") * col("lq")).as("sq"))
+        .select(col("source"), col("n_test_bigrams"), col("n_ctx_oov"),
+          expr("CAST(n_ctx_oov AS DOUBLE) / n_test_bigrams").as("ctx_oov_rate"),
+          expr("-CAST(sq AS DOUBLE) / n_test_bigrams / 10000.0D").as("cross_entropy"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS c1 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1),
+    sc AS (SELECT COUNT(DISTINCT w) AS v FROM (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8),
+    te AS (SELECT source, w1, w2, COUNT(*) AS cte FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2, 3),
+    j AS (SELECT source, cte,
+            CASE WHEN cc.c1 IS NULL THEN 1 ELSE 0 END AS ctx_oov,
+            ${lnQ("(COALESCE(bc.c12, 0) + 1) / CAST(COALESCE(cc.c1, 0) + sc.v AS DOUBLE)")} AS lq
+          FROM te LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1)
+          CROSS JOIN sc)
+    SELECT source,
+      CAST(SUM(cte) AS BIGINT) AS n_test_bigrams,
+      CAST(SUM(cte * ctx_oov) AS BIGINT) AS n_ctx_oov,
+      CAST(SUM(cte * ctx_oov) AS DOUBLE) / CAST(SUM(cte) AS BIGINT)
+        AS ctx_oov_rate,
+      -CAST(SUM(cte * lq) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0
+        AS cross_entropy
+    FROM j GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29)
+      t29, t30)
 }

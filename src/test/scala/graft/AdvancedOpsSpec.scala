@@ -974,6 +974,41 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("t30 bigram LM shift equals a serial add-one re-derivation") {
+    def h(s0: String): Long =
+      graft.functions.PolyHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+    val base = Tables.docs(spark, dir).select("doc_id", "source", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bigrams(text: String): Seq[(String, String)] = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 2) Seq.empty else ws.zip(ws.tail).toSeq
+    }
+    val train = base.filter(d => h(d._1.toString) % 10 < 8)
+    val test0 = base.filter(d => h(d._1.toString) % 10 >= 8)
+    val bc = train.flatMap(d => bigrams(d._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cc = train.flatMap(d => bigrams(d._3).map(_._1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val v = train.flatMap(_._3.split(" ", -1)).distinct.length.toLong
+    def lq(p: Double): Long =
+      (BigDecimal(math.log(p))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    val expected = test0.flatMap(d => bigrams(d._3).map(b => (d._2, b)))
+      .groupBy(_._1).map { case (src, g) =>
+        val n = g.size.toLong
+        val oov = g.count(t => !cc.contains(t._2._1)).toLong
+        val sq = g.map { case (_, b) =>
+          lq((bc.getOrElse(b, 0L) + 1).toDouble / (cc.getOrElse(b._1, 0L) + v))
+        }.sum
+        (src, n, oov, oov.toDouble / n, -sq.toDouble / n / 10000.0)
+      }.toSet
+    val out = run("t30_bigram_lm_shift").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    out shouldBe expected
+  }
+
   test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
     val maintained = run("d24_stream_kcore").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
