@@ -339,5 +339,59 @@ object Formats {
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88)
+  // ---------------------------------------------------------------- q128
+  // HIDDEN FILE-METADATA LINEAGE AUDIT — Spark's `_metadata` struct
+  // (file_path / file_name / file_size / file_block_*) surfaces per-ROW
+  // physical provenance without a UDF or a second listing: the audit
+  // every large ingest runs after a partitioned publish ("did each
+  // partition land in the expected layout, with rows where they
+  // belong?"). The layout partitions by a DERIVED copy (`rf`) while the
+  // original column stays in the file CONTENT, so the audit can
+  // cross-check the path-derived partition against per-row content — a
+  // mismatch means a misplaced file, the failure partition-column reads
+  // can never show (the partition column's value IS the directory; only
+  // a content column can contradict it — `AdvancedOpsSpec` plants a
+  // misplaced file and proves this derivation catches it). `_metadata`
+  // is generated at scan time from the file index the reader already
+  // holds — no extra IO; constant per file, so the audit aggregate is
+  // map-side combined. The oracle states the invariants independently
+  // from the logical table: per-flag row counts, exactly one file per
+  // partition (coalesce(1) publish), zero misplaced rows, positive
+  // physical sizes.
+  private val q128 = QueryDef(
+    "q128_file_lineage_audit",
+    (s, dir) => {
+      val out = tmp("graft-lineage")
+      graft.BenchSplit.setup {
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .withColumn("rf", col("l_returnflag"))
+          .coalesce(1)
+          .write.mode("overwrite").partitionBy("rf").parquet(out)
+      }
+      s.read.parquet(out)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"),
+          col("_metadata.file_path").as("fp"),
+          col("_metadata.file_name").as("fn"),
+          col("_metadata.file_size").as("fs"))
+        .withColumn("path_flag", regexp_extract(col("fp"), "rf=([^/]+)/", 1))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("fn")).as("n_files"),
+          sum(when(col("path_flag") =!= col("l_returnflag"), 1L).otherwise(0L))
+            .as("n_misplaced"),
+          (min(col("fs")) > 0L).as("sizes_positive"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+      CAST(1 AS BIGINT) AS n_files,
+      CAST(0 AS BIGINT) AS n_misplaced,
+      TRUE AS sizes_positive,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] =
+    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128)
 }

@@ -1467,8 +1467,80 @@ object Text {
         AS cross_entropy
     FROM j GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t31
+  // HEAPS'-LAW VOCABULARY GROWTH — the companion diagnostic to t19's
+  // Zipf fit: V(N) ≈ K·N^β, the rate NEW word types keep appearing as a
+  // source grows (natural text sits β ≈ 0.4–0.6; a templated source
+  // saturates early — β collapses — while an OCR/noise source never
+  // saturates — β near 1). Critically this is computable WITHOUT any
+  // order-sensitive corpus scan: a type's entry point is min(doc_id)
+  // over its occurrences (one vocab-bounded aggregate), per-doc token
+  // counts are one aggregate, and the cumulative (N_d, V_d) curve is a
+  // per-source running sum over the |docs|-bounded aggregate — never the
+  // token stream. Fit is t19's discipline verbatim: each log rounded to
+  // an exact 1e-4 DECIMAL unit, moment sums exact int64, one scalar IEEE
+  // division (quantization scale cancels in the slope).
+  private val t31 = QueryDef(
+    "t31_heaps_law",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("source"), col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val perDoc = tok.groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("ntok"))
+      val entries = tok.groupBy(col("source"), col("w"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .groupBy(col("source"), col("doc_id"))
+        .agg(count(lit(1)).as("ntypes"))
+      val cw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDoc.join(entries, Seq("source", "doc_id"), "left")
+        .withColumn("nn", sum(col("ntok")).over(cw))
+        .withColumn("vv", sum(coalesce(col("ntypes"), lit(0L))).over(cw))
+        .select(col("source"), col("nn"), col("vv"),
+          expr(lnQ("nn")).as("lx"), expr(lnQ("vv")).as("ly"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("nn")).as("total_tokens"), max(col("vv")).as("vocab"),
+          sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+          sum(expr("lx * lx")).as("sxx"), sum(expr("lx * ly")).as("sxy"))
+        .select(col("source"), col("n_docs"), col("total_tokens"), col("vocab"),
+          expr("""(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""").as("heaps_beta"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT source, doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    pd AS (SELECT source, doc_id, COUNT(*) AS ntok FROM tok GROUP BY 1, 2),
+    en AS (SELECT source, doc_id, COUNT(*) AS ntypes FROM (
+             SELECT source, w, MIN(doc_id) AS doc_id FROM tok GROUP BY 1, 2)
+           GROUP BY 1, 2),
+    cum AS (SELECT pd.source,
+              SUM(pd.ntok) OVER win AS nn,
+              SUM(COALESCE(en.ntypes, 0)) OVER win AS vv
+            FROM pd LEFT JOIN en USING (source, doc_id)
+            WINDOW win AS (PARTITION BY pd.source ORDER BY pd.doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    q AS (SELECT source, nn, vv, ${lnQ("nn")} AS lx, ${lnQ("vv")} AS ly FROM cum),
+    m AS (SELECT source, COUNT(*) AS n_docs,
+            CAST(MAX(nn) AS BIGINT) AS total_tokens,
+            CAST(MAX(vv) AS BIGINT) AS vocab,
+            CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+            CAST(SUM(lx * lx) AS BIGINT) AS sxx,
+            CAST(SUM(lx * ly) AS BIGINT) AS sxy
+          FROM q GROUP BY source)
+    SELECT source, n_docs, total_tokens, vocab,
+      (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
+       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta
+    FROM m ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30)
+      t29, t30, t31)
 }

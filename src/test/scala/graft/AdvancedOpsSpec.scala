@@ -1009,6 +1009,74 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("t31 Heaps fit equals a serial growth-curve re-derivation") {
+    val base = Tables.docs(spark, dir).select("source", "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    def lq(x: Double): Long =
+      (BigDecimal(math.log(x))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact
+    val expected = base.groupBy(_._1).map { case (src, g) =>
+      val docs0 = g.sortBy(_._2)
+      val seen = scala.collection.mutable.Set.empty[String]
+      var n = 0L
+      val pts = docs0.map { case (_, _, text) =>
+        val ws = text.split(" ", -1)
+        n += ws.length
+        seen ++= ws
+        (n, seen.size.toLong)
+      }
+      val lx = pts.map(p => lq(p._1.toDouble))
+      val ly = pts.map(p => lq(p._2.toDouble))
+      val m = pts.length.toDouble
+      val beta = (m * lx.zip(ly).map { case (a, b) => a * b }.sum -
+        lx.sum.toDouble * ly.sum) /
+        (m * lx.map(a => a * a).sum - lx.sum.toDouble * lx.sum)
+      (src, pts.length.toLong, pts.last._1, pts.last._2, beta)
+    }.toSet
+    val out = run("t31_heaps_law").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    out shouldBe expected
+    // growth exponents land in a sane band (a tiny source whose docs
+    // share one vocabulary legitimately fits beta = 0 exactly)
+    out.foreach { case (_, _, n, v, beta) =>
+      v should be <= n
+      beta should be >= 0.0
+      beta should be <= 1.0
+    }
+  }
+
+  test("q128's _metadata path derivation detects a deliberately misplaced file") {
+    import java.nio.file._
+    import scala.jdk.CollectionConverters._
+    // clean layout: audit reports zero misplaced, one file per partition
+    run("q128_file_lineage_audit").collect().foreach { r =>
+      r.getAs[Long]("n_misplaced") shouldBe 0L
+      r.getAs[Long]("n_files") shouldBe 1L
+      r.getAs[Boolean]("sizes_positive") shouldBe true
+    }
+    // plant the failure: publish the same layout, then copy partition
+    // rf=A's file into rf=N's directory — its rows' CONTENT still says A
+    // while the path says N; the audit's path-vs-content cross-check is
+    // the only read-side signal that can catch this
+    val out = Files.createTempDirectory("graft-q128-spec").toString
+    Tables.rd(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .withColumn("rf", col("l_returnflag"))
+      .coalesce(1)
+      .write.mode("overwrite").partitionBy("rf").parquet(out)
+    val aFile = Files.list(Paths.get(out, "rf=A")).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-")).get
+    val aRows = spark.read.parquet(Paths.get(out, "rf=A").toString).count()
+    Files.copy(aFile, Paths.get(out, "rf=N", "part-misplaced.parquet"))
+    val audited = spark.read.parquet(out)
+      .select(col("l_returnflag"),
+        regexp_extract(col("_metadata.file_path"), "rf=([^/]+)/", 1).as("pf"))
+      .filter(col("pf") =!= col("l_returnflag"))
+    audited.count() shouldBe aRows // every smuggled row is flagged
+    audited.select("pf").distinct().collect().map(_.getString(0)) shouldBe Array("N")
+  }
+
   test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
     val maintained = run("d24_stream_kcore").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
