@@ -44,7 +44,8 @@ object Explain {
         "q124_skyline", "q125_interval_overlap_join",
         "q126_assoc_rules", "d23_bfs_hops", "s18_kcenter_coreset",
         "q127_markov_transitions", "m13_byte_hist_neardup",
-        "t30_bigram_lm_shift", "t31_heaps_law", "q128_file_lineage_audit")
+        "t30_bigram_lm_shift", "t31_heaps_law", "q128_file_lineage_audit",
+        "q129_sliding_distinct", "d25_clustering_coeff")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1601,8 +1601,48 @@ object Advanced {
     FROM tr JOIN tot ON tot.prev = tr.prev
     ORDER BY tr.prev, tr.cur"""))
 
+  // ---------------------------------------------------------------- q129
+  // SLIDING-WINDOW DISTINCT (7-day rolling active users) — the metric
+  // SQL cannot express as a window function at all (COUNT(DISTINCT)
+  // OVER is unsupported in Spark, and unlike q79's CUMULATIVE distinct
+  // there is no first-appearance trick: a user leaves the window when
+  // their last activity ages out). The scale rewrite is the COVER SET:
+  // collapse events to distinct (user, day) pairs once, explode each
+  // pair to the 7 window ends it covers (a bounded ×7 fan-out of the
+  // already-distinct pairs, not of raw events), and count distinct per
+  // covered day — two map-side-combinable aggregates, no window state,
+  // no per-day rescans. Same-day actives ride along as a conditional
+  // distinct in the same pass. The oracle is the naive per-day
+  // range-join recount — an independent quadratic formulation.
+  private val q129 = QueryDef(
+    "q129_sliding_distinct",
+    (s, dir) => {
+      val p = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("ed"))
+        .distinct()
+      val days = p.select(col("ed").as("d")).distinct()
+      p.select(col("user_id"), col("ed"),
+          explode(expr("sequence(ed, ed + 6)")).as("d"))
+        .join(days, Seq("d"), "left_semi")
+        .groupBy(col("d"))
+        .agg(
+          countDistinct(col("user_id")).as("users_7d"),
+          countDistinct(when(col("ed") === col("d"), col("user_id")))
+            .as("users_1d"))
+        .orderBy(col("d"))
+    },
+    Some("""WITH p AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS ed FROM events),
+    days AS (SELECT DISTINCT ed AS d FROM p)
+    SELECT d,
+      (SELECT COUNT(DISTINCT user_id) FROM p
+       WHERE p.ed BETWEEN days.d - 6 AND days.d) AS users_7d,
+      (SELECT COUNT(DISTINCT user_id) FROM p WHERE p.ed = days.d) AS users_1d
+    FROM days ORDER BY d"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127)
+      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129)
 }

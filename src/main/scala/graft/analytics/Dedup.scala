@@ -1292,7 +1292,104 @@ object Dedup {
     FROM documents doc JOIN d$BfsRounds c ON c.node = doc.doc_id
     GROUP BY doc.source, c.d ORDER BY doc.source, c.d"""))
 
+  // ---------------------------------------------------------------- d25
+  // LOCAL CLUSTERING COEFFICIENT — per-node triangle density
+  // cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)): the node-level version of
+  // d10's global count and the signal that separates a TEMPLATE FAMILY
+  // (near-dup neighborhoods that interlink — cc near 1) from a HUB
+  // (one doc similar to many mutually-dissimilar docs — cc near 0;
+  // think boilerplate fragments vs a quote aggregator). Orientation is
+  // degree-ordered like d10 but WITHOUT the global rank window: each
+  // edge orients low→high by the (deg, node) tuple compared locally
+  // (two broadcast-or-hash joins against the |V|-sized degree table),
+  // so nothing ever funnels through one partition. Wedges pair a
+  // source's out-neighbors in the same tuple order, closure is one
+  // equi-join back on the oriented edge, each triangle closes exactly
+  // once and attributes to all three corners via a 3-way explode.
+  // O(Σ out-deg²) ≤ O(m^1.5) wedges, all joins keyed. cc in exact ppm.
+  private val d25 = QueryDef(
+    "d25_clustering_coeff",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val edges = pairs
+        .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
+        .cache()
+      deg.count()
+      val lt = col("d1") < col("d2") ||
+        (col("d1") === col("d2") && col("id1") < col("id2"))
+      val o = pairs
+        .join(deg.select(col("node").as("id1"), col("deg").as("d1")), Seq("id1"))
+        .join(deg.select(col("node").as("id2"), col("deg").as("d2")), Seq("id2"))
+        .select(
+          when(lt, col("id1")).otherwise(col("id2")).as("src"),
+          when(lt, col("id2")).otherwise(col("id1")).as("dst"),
+          when(lt, col("d2")).otherwise(col("d1")).as("dd"))
+        .localCheckpoint()
+      pairs.unpersist()
+      val wedges = o.select(col("src"), col("dst").as("v"), col("dd").as("dv"))
+        .join(o.select(col("src").as("src2"), col("dst").as("w"), col("dd").as("dw")),
+          col("src") === col("src2") &&
+            (col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w"))))
+        .select(col("src"), col("v"), col("w"))
+      val tri = wedges
+        .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
+        .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val out = deg.filter(col("deg") >= 2)
+        .join(tri, Seq("node"), "left")
+        .withColumn("t", coalesce(col("tri"), lit(0L)))
+        .withColumn("cc_ppm",
+          expr("2 * t * 1000000 DIV (deg * (deg - 1))"))
+        .join(d, col("node") === col("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_eligible"),
+          sum(when(col("t") > 0, 1L).otherwise(0L)).as("n_closed"),
+          sum(col("t")).as("sum_tri"),
+          expr("SUM(cc_ppm) DIV COUNT(1)").as("mean_cc_ppm"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      deg.unpersist()
+      out
+    },
+    Some(s"""WITH $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
+    deg AS (SELECT id1 AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+    o AS (SELECT CASE WHEN lt THEN id1 ELSE id2 END AS src,
+                 CASE WHEN lt THEN id2 ELSE id1 END AS dst,
+                 CASE WHEN lt THEN d2 ELSE d1 END AS dd
+          FROM (SELECT p.id1, p.id2, du.deg AS d1, dv.deg AS d2,
+                  (du.deg < dv.deg OR (du.deg = dv.deg AND p.id1 < p.id2)) AS lt
+                FROM p JOIN deg du ON du.node = p.id1
+                       JOIN deg dv ON dv.node = p.id2)),
+    w AS (SELECT o1.src, o1.dst AS v, o2.dst AS w
+          FROM o o1 JOIN o o2 ON o1.src = o2.src
+          WHERE o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst)),
+    t AS (SELECT w.src, w.v, w.w FROM w
+          WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.v AND o.dst = w.w)),
+    tn AS (SELECT node, COUNT(*) AS tri FROM (
+             SELECT src AS node FROM t
+             UNION ALL SELECT v FROM t
+             UNION ALL SELECT w FROM t) GROUP BY node),
+    cc AS (SELECT deg.node, deg.deg, COALESCE(tn.tri, 0) AS t,
+             2 * COALESCE(tn.tri, 0) * 1000000 // (deg.deg * (deg.deg - 1)) AS cc_ppm
+           FROM deg LEFT JOIN tn ON tn.node = deg.node
+           WHERE deg.deg >= 2)
+    SELECT d.source, COUNT(*) AS n_eligible,
+      CAST(SUM(CASE WHEN cc.t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
+      CAST(SUM(cc.t) AS BIGINT) AS sum_tri,
+      CAST(SUM(cc.cc_ppm) AS BIGINT) // COUNT(*) AS mean_cc_ppm
+    FROM cc JOIN documents d ON d.doc_id = cc.node
+    GROUP BY d.source ORDER BY d.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23)
+      d16, d17, d18, d19, d21, d22, d23, d25)
 }

@@ -1077,6 +1077,45 @@ class AdvancedOpsSpec extends SparkSuite {
     audited.select("pf").distinct().collect().map(_.getString(0)) shouldBe Array("N")
   }
 
+  test("q129 cover-set sliding distinct equals a serial window recount") {
+    val pairs = Tables.events(spark, dir)
+      .selectExpr("user_id", "unix_micros(ts) DIV 86400000000 AS ed")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = pairs.map(_._2).distinct.sorted
+    val expected = days.map { d =>
+      (d,
+        pairs.collect { case (u, e) if e >= d - 6 && e <= d => u }.distinct.length.toLong,
+        pairs.collect { case (u, e) if e == d => u }.distinct.length.toLong)
+    }.toSet
+    val out = run("q129_sliding_distinct").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe expected
+    // the rolling window genuinely exceeds same-day actives somewhere
+    out.count { case (_, w7, w1) => w7 > w1 } should be > 0
+  }
+
+  test("d25 clustering coefficients equal a brute-force per-node recount") {
+    val edges = graft.analytics.Dedup.simhashPairs(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val srcOf = Tables.docs(spark, dir).select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perNode = adj.toSeq.collect { case (v, nb) if nb.size >= 2 =>
+      val t = nb.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }.toLong
+      (srcOf(v), t, 2L * t * 1000000L / (nb.size.toLong * (nb.size - 1)))
+    }
+    val expected = perNode.groupBy(_._1).map { case (src, g) =>
+      (src, g.size.toLong, g.count(_._2 > 0).toLong, g.map(_._2).sum,
+        g.map(_._3).sum / g.size)
+    }.toSet
+    val out = run("d25_clustering_coeff").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    out shouldBe expected
+  }
+
   test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
     val maintained = run("d24_stream_kcore").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
