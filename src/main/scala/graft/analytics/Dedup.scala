@@ -1295,22 +1295,37 @@ object Dedup {
   // ---------------------------------------------------------------- d25
   // LOCAL CLUSTERING COEFFICIENT — per-node triangle density
   // cc(v) = 2·T(v) / (deg(v)·(deg(v)−1)): the node-level version of
-  // d10's global count and the signal that separates a TEMPLATE FAMILY
-  // (near-dup neighborhoods that interlink — cc near 1) from a HUB
-  // (one doc similar to many mutually-dissimilar docs — cc near 0;
-  // think boilerplate fragments vs a quote aggregator). Orientation is
-  // degree-ordered like d10 but WITHOUT the global rank window: each
-  // edge orients low→high by the (deg, node) tuple compared locally
-  // (two broadcast-or-hash joins against the |V|-sized degree table),
-  // so nothing ever funnels through one partition. Wedges pair a
-  // source's out-neighbors in the same tuple order, closure is one
-  // equi-join back on the oriented edge, each triangle closes exactly
-  // once and attributes to all three corners via a 3-way explode.
-  // O(Σ out-deg²) ≤ O(m^1.5) wedges, all joins keyed. cc in exact ppm.
+  // d10's global count, over d10's sampled co-purchase graph — bridge
+  // products (cc near 0, connecting otherwise-unrelated baskets) vs
+  // community products (cc near 1, bought inside tight cliques).
+  // DOMAIN CHOICE IS THE SCALE LESSON: exact per-node triangle
+  // attribution is Θ(Σ T(v)) output work, and the SimHash near-dup
+  // graph is a union of near-CLIQUES (sf0.1: 739k edges on 5k nodes,
+  // max degree 816 — ~1e9 triangles), where any exact method drowns in
+  // its own answer (measured 130+ s; you'd sample neighborhoods there).
+  // The co-purchase graph's triangle mass is bounded by basket size.
+  // Orientation is degree-ordered like d10 but WITHOUT the global rank
+  // window: each edge orients low→high by the (deg, node) tuple
+  // compared locally (keyed joins against the |V|-sized degree table),
+  // so nothing funnels through one partition. Wedges pair a source's
+  // out-neighbors in the same tuple order, closure is one equi-join
+  // back on the oriented edge, each triangle closes exactly once and
+  // attributes to all three corners via a 3-way explode. O(Σ out-deg²)
+  // ≤ O(m^1.5) wedges, all joins keyed. cc in exact ppm, rolled up per
+  // brand.
   private val d25 = QueryDef(
     "d25_clustering_coeff",
     (s, dir) => {
-      val pairs = simhashPairs(s, dir)
+      val li = rd(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pairs = li.select(col("ok"), col("pk").as("id1"))
+        .join(li.select(col("ok").as("ok2"), col("pk").as("id2")),
+          col("ok") === col("ok2") && col("id1") < col("id2"))
+        .select(col("id1"), col("id2")).distinct()
+        .cache()
+      pairs.count()
       val edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       val deg = edges.groupBy(col("id1").as("node")).agg(count(lit(1)).as("deg"))
@@ -1337,29 +1352,30 @@ object Dedup {
         .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"), "left_semi")
         .select(explode(array(col("src"), col("v"), col("w"))).as("node"))
         .groupBy(col("node")).agg(count(lit(1)).as("tri"))
-      val d = docs(s, dir).select(col("doc_id"), col("source"))
+      val brand = rd(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand").as("brand"))
       val out = deg.filter(col("deg") >= 2)
         .join(tri, Seq("node"), "left")
         .withColumn("t", coalesce(col("tri"), lit(0L)))
         .withColumn("cc_ppm",
           expr("2 * t * 1000000 DIV (deg * (deg - 1))"))
-        .join(d, col("node") === col("doc_id"))
-        .groupBy(col("source"))
+        .join(broadcast(brand), col("node") === col("p_partkey"))
+        .groupBy(col("brand"))
         .agg(
           count(lit(1)).as("n_eligible"),
           sum(when(col("t") > 0, 1L).otherwise(0L)).as("n_closed"),
           sum(col("t")).as("sum_tri"),
           expr("SUM(cc_ppm) DIV COUNT(1)").as("mean_cc_ppm"))
-        .orderBy(col("source"))
+        .orderBy(col("brand"))
         .localCheckpoint()
       deg.unpersist()
       out
     },
-    Some(s"""WITH $simhashCteDuck,
-    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-          FROM sh a JOIN sh b
-            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    Some(s"""WITH li AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+      FROM lineitem WHERE l_orderkey % 10 = 0),
+    p AS (SELECT DISTINCT a.pk AS id1, b.pk AS id2
+          FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
     e AS (SELECT id1, id2 FROM p UNION ALL SELECT id2, id1 FROM p),
     deg AS (SELECT id1 AS node, COUNT(*) AS deg FROM e GROUP BY 1),
     o AS (SELECT CASE WHEN lt THEN id1 ELSE id2 END AS src,
@@ -1382,12 +1398,12 @@ object Dedup {
              2 * COALESCE(tn.tri, 0) * 1000000 // (deg.deg * (deg.deg - 1)) AS cc_ppm
            FROM deg LEFT JOIN tn ON tn.node = deg.node
            WHERE deg.deg >= 2)
-    SELECT d.source, COUNT(*) AS n_eligible,
+    SELECT pt.p_brand AS brand, COUNT(*) AS n_eligible,
       CAST(SUM(CASE WHEN cc.t > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_closed,
       CAST(SUM(cc.t) AS BIGINT) AS sum_tri,
       CAST(SUM(cc.cc_ppm) AS BIGINT) // COUNT(*) AS mean_cc_ppm
-    FROM cc JOIN documents d ON d.doc_id = cc.node
-    GROUP BY d.source ORDER BY d.source"""))
+    FROM cc JOIN part pt ON pt.p_partkey = cc.node
+    GROUP BY pt.p_brand ORDER BY pt.p_brand"""))
 
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,

@@ -1095,12 +1095,18 @@ class AdvancedOpsSpec extends SparkSuite {
   }
 
   test("d25 clustering coefficients equal a brute-force per-node recount") {
-    val edges = graft.analytics.Dedup.simhashPairs(spark, dir)
+    val li = Tables.rd(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { g =>
+      val pks = g.map(_._2).distinct.sorted
+      pks.combinations(2).map { case Array(a, b) => (a, b) }
+    }.toSeq.distinct
     val adj = (edges ++ edges.map(e => (e._2, e._1)))
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    val srcOf = Tables.docs(spark, dir).select("doc_id", "source").collect()
-      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val srcOf = Tables.rd(spark, dir, "part").select("p_partkey", "p_brand")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val perNode = adj.toSeq.collect { case (v, nb) if nb.size >= 2 =>
       val t = nb.toSeq.combinations(2)
         .count { case Seq(a, b) => adj(a).contains(b) }.toLong
