@@ -1236,6 +1236,22 @@ object Dedup {
   // count + exact id checksum; unreached nodes are absent by contract.
   private val BfsRounds = 4
 
+  /** One BFS round: edges incident to the FRONTIER only (a LeftSemi —
+    * settled nodes never re-expand), candidates at distance k, min-merged
+    * into the settled set with a two-phase aggregate (map-side
+    * partial_min before the one |V|-sized shuffle). Factored out so
+    * `KcorePlanSpec` pins this per-round shape directly — the registered
+    * query's final plan is a post-localCheckpoint ExistingRDD. */
+  private[graft] def bfsRound(edges: org.apache.spark.sql.DataFrame,
+      dist: org.apache.spark.sql.DataFrame,
+      frontier: org.apache.spark.sql.DataFrame,
+      k: Long): org.apache.spark.sql.DataFrame = {
+    val cand = edges
+      .join(frontier.select(col("node").as("id1")), Seq("id1"), "left_semi")
+      .select(col("id2").as("node"), lit(k).as("d"))
+    dist.union(cand).groupBy(col("node")).agg(min(col("d")).as("d"))
+  }
+
   private val d23 = QueryDef(
     "d23_bfs_hops",
     (s, dir) => {
@@ -1251,12 +1267,7 @@ object Dedup {
         .localCheckpoint()
       var frontier = dist
       (1 to BfsRounds).foreach { k =>
-        val cand = edges
-          .join(frontier.select(col("node").as("id1")), Seq("id1"), "left_semi")
-          .select(col("id2").as("node"), lit(k.toLong).as("d"))
-        dist = dist.union(cand)
-          .groupBy(col("node")).agg(min(col("d")).as("d"))
-          .localCheckpoint()
+        dist = bfsRound(edges, dist, frontier, k.toLong).localCheckpoint()
         frontier = dist.filter(col("d") === k).localCheckpoint()
       }
       val d = docs(s, dir).select(col("doc_id"), col("source"))

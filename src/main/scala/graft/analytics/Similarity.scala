@@ -1214,6 +1214,24 @@ object Similarity {
   // assignment hash-match the oracle's independent cross-join argmin.
   private val KCenters = 8
 
+  /** One k-center round's state update: squared L2 to the new center
+    * from norms + a broadcast-LITERAL vector through native dot_i64,
+    * strict-less dmin/assignment merge — a pure narrow map, ZERO
+    * Exchange (the whole point: the corpus never shuffles, k times).
+    * Factored out so `KcorePlanSpec` pins that no-shuffle shape
+    * directly; s18's registered plan is a post-localCheckpoint
+    * ExistingRDD. */
+  private[graft] def kcenterUpdate(st: org.apache.spark.sql.DataFrame,
+      cqv: Seq[Long], cn2: Long, centerId: Long,
+      round: Long): org.apache.spark.sql.DataFrame =
+    st.withColumn("dnew",
+        col("norm2") - lit(2L) * call_function("dot_i64", col("qv"),
+          typedLit(cqv)) + lit(cn2))
+      .select(col("vec_id"), col("qv"), col("norm2"),
+        when(col("dnew") < col("dmin"), col("dnew")).otherwise(col("dmin")).as("dmin"),
+        when(col("dnew") < col("dmin"), lit(centerId)).otherwise(col("cid")).as("cid"),
+        when(col("dnew") < col("dmin"), lit(round)).otherwise(col("crnd")).as("crnd"))
+
   private val s18 = QueryDef(
     "s18_kcenter_coreset",
     (s, dir) => {
@@ -1241,14 +1259,7 @@ object Similarity {
         centers ::= (k.toLong, far.getLong(0), far.getLong(3))
         cqv = far.getSeq[Long](1)
         cn2 = far.getLong(2)
-        st = st
-          .withColumn("dnew",
-            col("norm2") - lit(2L) * call_function("dot_i64", col("qv"),
-              typedLit(cqv)) + lit(cn2))
-          .select(col("vec_id"), col("qv"), col("norm2"),
-            when(col("dnew") < col("dmin"), col("dnew")).otherwise(col("dmin")).as("dmin"),
-            when(col("dnew") < col("dmin"), lit(far.getLong(0))).otherwise(col("cid")).as("cid"),
-            when(col("dnew") < col("dmin"), lit(k.toLong)).otherwise(col("crnd")).as("crnd"))
+        st = kcenterUpdate(st, cqv, cn2, far.getLong(0), k.toLong)
           .localCheckpoint()
       }
       import s.implicits._

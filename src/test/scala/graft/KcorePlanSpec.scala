@@ -53,6 +53,48 @@ class KcorePlanSpec extends SparkSuite {
     }
   }
 
+  test("d23 per-round step: frontier LeftSemi, min-merge with map-side partial") {
+    graft.analytics.Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("id1", "id2")
+      val dist = Seq((1L, 0L)).toDF("node", "d")
+      val frontier = dist
+      val plan = Dedup.bfsRound(edges, dist, frontier, 1L)
+        .queryExecution.executedPlan
+
+      // edges expand from the FRONTIER only, via a semi join — settled
+      // nodes never re-drive edge traffic (the delta-expansion contract)
+      val joins = plan.collect { case j: BaseJoinExec => j }
+      joins.map(_.joinType.toString) shouldBe Seq("LeftSemi")
+
+      // the min-merge is two-phase: partial_min folds candidates before
+      // the one |V|-sized shuffle
+      val exBelow = plan.collect {
+        case e: Exchange
+            if e.collect { case a: HashAggregateExec
+              if a.aggregateExpressions.exists(_.toString.contains("partial_min")) => a
+            }.nonEmpty => e
+      }
+      withClue(s"partial min does not feed a shuffle:\n$plan\n") {
+        exBelow should not be empty
+      }
+    }
+  }
+
+  test("s18 per-round update: a pure narrow map — zero Exchange") {
+    graft.functions.DotI64.register(spark)
+    val st = Seq((0L, Seq(1L, 2L), 5L, 0L, 0L, 0L), (1L, Seq(3L, 4L), 25L, 9L, 0L, 0L))
+      .toDF("vec_id", "qv", "norm2", "dmin", "cid", "crnd")
+    val plan = graft.analytics.Similarity
+      .kcenterUpdate(st, Seq(1L, 2L), 5L, 7L, 3L)
+      .queryExecution.executedPlan
+    val exchanges = plan.collect { case e: Exchange => e }
+    withClue(s"k-center update must not shuffle the corpus:\n$plan\n") {
+      exchanges shouldBe empty
+    }
+  }
+
   test("d19 signature aggregate: one Exchange, partial min folded map-side") {
     graft.analytics.Tables.withConfs(spark,
       "spark.sql.adaptive.enabled" -> "false") {
