@@ -1308,7 +1308,73 @@ object Similarity {
     GROUP BY c.rnd, c.vec_id, c.radius ORDER BY c.rnd"""
     })
 
+  // ---------------------------------------------------------------- s19
+  // EMBEDDING-CENTROID DRIFT — the embedding-space member of the
+  // distribution-shift family (t21 unigram, t30 bigram, s19 vectors):
+  // per label, how far the mean vector of one consistent-hash split
+  // sits from the other's — the monitor that catches an embedding
+  // pipeline silently changing under a stable schema (model swap,
+  // preprocessing drift, poisoned slice). Exactness: centroids are
+  // RATIONAL (per-dim int64 sums / counts), so the squared distance is
+  // compared over the COMMON DENOMINATOR — Σ(s1·n2 − s2·n1)² in
+  // DECIMAL(38,0) (≤ ~6e26, exact on both engines), divided once by
+  // (n1·n2)² under IEEE doubles. Everything before the final division
+  // is integer: per-(label, dim) sums are one explode + two-phase
+  // aggregate (the only vector-volume shuffle, keyed by (label, dim));
+  // the |labels|×64 term table collapses in one more aggregate.
+  private val s19 = QueryDef(
+    "s19_centroid_drift",
+    (s, dir) => {
+      val base = withQuant(dir, s)
+        .select(col("vec_id"), col("label"), col("qv"),
+          (expr(s"${strHashExpr("CAST(vec_id AS STRING)")} % 10") < 8).as("a"))
+        .select(col("label"), col("a"), posexplode(col("qv")).as(Seq("dim", "q")))
+      val sums = base
+        .groupBy(col("label"), col("dim"))
+        .agg(
+          sum(when(col("a"), col("q")).otherwise(0L)).as("s1"),
+          sum(when(!col("a"), col("q")).otherwise(0L)).as("s2"),
+          sum(when(col("a"), 1L).otherwise(0L)).as("c1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).as("c2"))
+      sums
+        .withColumn("term",
+          (col("s1") * col("c2") - col("s2") * col("c1"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .groupBy(col("label"))
+        .agg(
+          max(col("c1")).as("n_a"), max(col("c2")).as("n_b"),
+          sum(col("term") * col("term")).as("num"))
+        .select(col("label"), col("n_a"), col("n_b"),
+          (col("num").cast("double") /
+            (col("n_a") * col("n_b")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("drift2"),
+          (col("num") % lit(HashMod)).cast("long").as("num_checksum"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH q AS (
+      SELECT vec_id, label, ${quantizeSql("embedding")} AS qv,
+        ${strHashSql("CAST(vec_id AS VARCHAR)")} % 10 < 8 AS a
+      FROM embeddings),
+    ex AS (SELECT label, a, g.i AS dim, qv[g.i + 1] AS qq
+           FROM q, generate_series(0, 63) AS g(i)),
+    sums AS (SELECT label, dim,
+        CAST(SUM(CASE WHEN a THEN qq ELSE 0 END) AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN NOT a THEN qq ELSE 0 END) AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        CAST(SUM(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      FROM ex GROUP BY 1, 2),
+    terms AS (SELECT label, c1, c2,
+        CAST(s1 * c2 - s2 * c1 AS DECIMAL(38,0)) AS term
+      FROM sums)
+    SELECT label, MAX(c1) AS n_a, MAX(c2) AS n_b,
+      CAST(SUM(term * term) AS DOUBLE)
+        / CAST(MAX(c1) * MAX(c2) AS DOUBLE)
+        / CAST(MAX(c1) * MAX(c2) AS DOUBLE) AS drift2,
+      CAST(CAST(SUM(term * term) AS DECIMAL(38,0)) % ${HashMod}
+        AS BIGINT) AS num_checksum
+    FROM terms GROUP BY label ORDER BY label"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, d15)
+      s15, s16, s17, s18, s19, d15)
 }

@@ -1122,6 +1122,32 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("s19 centroid drift equals a serial common-denominator recount") {
+    def h(s0: String): Long =
+      graft.functions.PolyHash.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+    val mod = graft.functions.PolyHash.Mod
+    val scale = Tables.QuantScale
+    val vecs = Tables.embs(spark, dir).select("vec_id", "label", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(x => math.floor(x.toDouble * scale).toLong).toArray))
+    val expected = vecs.groupBy(_._2).map { case (label, g) =>
+      val (as, bs) = g.partition(v => h(v._1.toString) % 10 < 8)
+      val n1 = as.length.toLong; val n2 = bs.length.toLong
+      val num = (0 until 64).map { i =>
+        val t = BigInt(as.map(_._3(i)).sum) * n2 - BigInt(bs.map(_._3(i)).sum) * n1
+        t * t
+      }.sum
+      (label.toLong, n1, n2,
+        num.toDouble / (n1 * n2).toDouble / (n1 * n2).toDouble,
+        num.mod(BigInt(mod)).toLong)
+    }.toSet
+    val out = run("s19_centroid_drift").collect()
+      .map(r => (r.getInt(0).toLong, r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    out shouldBe expected
+  }
+
   test("d24 streaming-maintained k-core equals d18's batch recompute exactly") {
     val maintained = run("d24_stream_kcore").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
