@@ -1641,8 +1641,56 @@ object Advanced {
       (SELECT COUNT(DISTINCT user_id) FROM p WHERE p.ed = days.d) AS users_1d
     FROM days ORDER BY d"""))
 
+  // ---------------------------------------------------------------- q130
+  // TIME-WEIGHTED AVERAGE (TWAP) — the duration-weighted mean plain AVG
+  // silently gets wrong on irregular event streams: a value HOLDS until
+  // the next observation, so its weight is the interval it was live, not
+  // 1. Each event's hold time comes from one lead() over the user's
+  // stream (the only fact-sized shuffle); the weighted sums are exact —
+  // value in DECIMAL(18,6) × integer microseconds stays decimal, so
+  // partial aggregation is partition-order-independent and the single
+  // IEEE division happens once per group. The last observation per user
+  // has no successor and is excluded by contract (its hold time is
+  // unknown — at scale you'd close it against a watermark). AVG rides
+  // along to show the gap TWAP exists to fix.
+  private val q130 = QueryDef(
+    "q130_time_weighted_avg",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("next_us", lead(col("us"), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("dur", col("next_us") - col("us"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n_intervals"),
+          sum(col("dur")).as("sum_dur_us"),
+          round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            * col("dur")).cast("double") /
+            sum(col("dur")).cast("double"), 6).as("twap"),
+          round(dsum(col("value"), 6) / count(lit(1)), 6).as("plain_avg"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+      FROM events),
+    d AS (SELECT event_type, value,
+            lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us AS dur
+          FROM ev)
+    SELECT event_type,
+      COUNT(*) AS n_intervals,
+      CAST(SUM(dur) AS BIGINT) AS sum_dur_us,
+      round(CAST(SUM(CAST(value AS DECIMAL(18,6)) * dur) AS DOUBLE)
+        / CAST(SUM(dur) AS DOUBLE), 6) AS twap,
+      round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS plain_avg
+    FROM d WHERE dur IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
-      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129)
+      q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
+      q130)
 }

@@ -1122,6 +1122,35 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe expected
   }
 
+  test("q130 TWAP equals a serial hold-time recount and diverges from plain AVG") {
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "value",
+        "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getLong(4)))
+    val weighted = ev.groupBy(_._1).values.toSeq.flatMap { g =>
+      val s0 = g.sortBy(e => (e._5, e._2))
+      s0.zip(s0.drop(1)).map { case (a, b) => (a._3, a._4, b._5 - a._5) }
+    }
+    def dec6(x: Double): BigDecimal =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expected = weighted.groupBy(_._1).map { case (et, g) =>
+      val sd = g.map(_._3).sum
+      val num = g.map(t => dec6(t._2) * BigDecimal(t._3)).sum
+      (et, g.size.toLong, sd,
+        BigDecimal(num.toDouble / sd.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(g.map(t => dec6(t._2)).sum.toDouble / g.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSet
+    val out = run("q130_time_weighted_avg").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    out shouldBe expected
+    // on an irregular stream the two means genuinely differ somewhere
+    out.count { case (_, _, _, twap, avg) => twap != avg } should be > 0
+  }
+
   test("s19 centroid drift equals a serial common-denominator recount") {
     def h(s0: String): Long =
       graft.functions.PolyHash.hash(
