@@ -853,6 +853,91 @@ object Pipeline {
             JOIN supp sc ON sc.b = dr.cons, nb
     WHERE n_ab >= 20 ORDER BY ante, cons"""))
 
+  // ---------------------------------------------------------------- q131
+  // INTERVAL COALESCE (merge overlapping intervals) — the third member
+  // of the interval family: q125 joins interval PAIRS, q122 counts
+  // CONCURRENCY, this computes the UNION — per user, the merged
+  // coverage islands and total covered time across their per-event-type
+  // activity sessions (the "total engaged time" metric double-counting
+  // naive sums get wrong whenever channels overlap). The merge is the
+  // gaps-and-islands sweep per user: order intervals by start, carry a
+  // running max of ends over PRECEDING rows, an island starts exactly
+  // where a start strictly exceeds everything seen (touching intervals
+  // merge), islands are a running sum of those breaks — one
+  // user-partitioned window pass, no self-join. The oracle is the
+  // INDEPENDENT sweep-line formulation (q122's trick): ±1 boundary
+  // points, starts before ends at equal timestamps, covered time =
+  // segments with positive concurrency, islands = 0→1 transitions — so
+  // the window rewrite is proven equivalent, not mirrored.
+  private val q131 = QueryDef(
+    "q131_interval_coalesce",
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000L
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("us"), col("event_id"))
+      val intervals = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("sess",
+          sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("event_type"), col("sess"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val mw = Window.partitionBy(col("user_id")).orderBy(col("s_us"), col("e_us"))
+      intervals
+        .withColumn("max_e_prev",
+          max(col("e_us")).over(mw.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("brk",
+          when(col("max_e_prev").isNull || col("s_us") > col("max_e_prev"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("brk")).over(mw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("s_us")).as("is_us"), max(col("e_us")).as("ie_us"),
+          count(lit(1)).as("n_iv"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_islands"),
+          sum(col("ie_us") - col("is_us")).as("covered_us"),
+          sum(col("n_iv")).as("n_intervals"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+    marked AS (
+      SELECT user_id, event_type, us, event_id,
+        CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, us,
+        SUM(is_new) OVER (PARTITION BY user_id, event_type ORDER BY us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM marked),
+    iv AS (SELECT user_id, event_type, sess,
+             MIN(us) AS s_us, MAX(us) AS e_us
+           FROM numbered GROUP BY 1, 2, 3),
+    pts AS (SELECT user_id, s_us AS us, 1 AS delta FROM iv
+            UNION ALL SELECT user_id, e_us, -1 FROM iv),
+    swept AS (
+      SELECT user_id, us, delta,
+        SUM(delta) OVER (PARTITION BY user_id ORDER BY us, delta DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+        lead(us) OVER (PARTITION BY user_id ORDER BY us, delta DESC) AS next_us
+      FROM pts)
+    SELECT user_id,
+      CAST(SUM(CASE WHEN delta = 1 AND run = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_islands,
+      CAST(SUM(CASE WHEN run > 0 THEN COALESCE(next_us - us, 0) ELSE 0 END)
+        AS BIGINT) AS covered_us,
+      CAST((SELECT COUNT(*) FROM iv i WHERE i.user_id = swept.user_id) AS BIGINT)
+        AS n_intervals
+    FROM swept GROUP BY user_id ORDER BY user_id"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126)
+    Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
+      q131)
 }

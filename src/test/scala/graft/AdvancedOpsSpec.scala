@@ -1151,6 +1151,41 @@ class AdvancedOpsSpec extends SparkSuite {
     out.count { case (_, _, _, twap, avg) => twap != avg } should be > 0
   }
 
+  test("q131 interval coalesce equals a serial merge and never double-counts") {
+    val gapUs = 30L * 60 * 1000000L
+    val ev = Tables.events(spark, dir)
+      .selectExpr("user_id", "event_id", "event_type", "unix_micros(ts) AS us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val intervals = ev.groupBy(e => (e._1, e._3)).values.toSeq.flatMap { g =>
+      val ts = g.sortBy(e => (e._4, e._2)).map(_._4)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for (us <- ts) {
+        if (bounds.nonEmpty && us - bounds.last._2 <= gapUs)
+          bounds(bounds.size - 1) = (bounds.last._1, us)
+        else bounds += ((us, us))
+      }
+      bounds.map { case (a, b) => (g.head._1, a, b) }
+    }
+    val expected = intervals.groupBy(_._1).map { case (u, g) =>
+      val sorted = g.map(t => (t._2, t._3)).sortBy(identity)
+      val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      for ((s0, e0) <- sorted) {
+        if (merged.nonEmpty && s0 <= merged.last._2)
+          merged(merged.size - 1) = (merged.last._1, math.max(merged.last._2, e0))
+        else merged += ((s0, e0))
+      }
+      (u, merged.size.toLong, merged.map(m => m._2 - m._1).sum, g.size.toLong)
+    }.toSet
+    val out = run("q131_interval_coalesce").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    out shouldBe expected
+    // union never exceeds the naive per-interval sum (at sf0.001 no
+    // user's channels happen to overlap — the non-vacuous case is
+    // covered by the sf0.01 oracle match, where overlaps exist)
+    val naive = intervals.groupBy(_._1).view.mapValues(_.map(t => t._3 - t._2).sum)
+    out.foreach { case (u, _, cov, _) => cov should be <= naive(u) }
+  }
+
   test("s19 centroid drift equals a serial common-denominator recount") {
     def h(s0: String): Long =
       graft.functions.PolyHash.hash(
