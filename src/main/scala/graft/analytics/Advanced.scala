@@ -1593,9 +1593,12 @@ object Advanced {
           lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
         FROM ev)
       WHERE prev IS NOT NULL GROUP BY 1, 2),
-    tot AS (SELECT prev, SUM(n) AS tot FROM tr GROUP BY 1)
+    tot AS (SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
     SELECT tr.prev, tr.cur, tr.n,
-      tr.n * 1000000 // tot.tot AS p_ppm,
+      -- CAST: DuckDB SUM(BIGINT) is HUGEINT and HUGEINT // propagates —
+      -- the r13 driver hashed HUGEINT p_ppm vs Spark's int64 (values
+      -- identical, hash red). BIGINT on both sides closes it.
+      CAST(tr.n * 1000000 // tot.tot AS BIGINT) AS p_ppm,
       CAST(ROW_NUMBER() OVER (PARTITION BY tr.prev ORDER BY tr.n DESC, tr.cur)
         AS BIGINT) AS dest_rank
     FROM tr JOIN tot ON tot.prev = tr.prev
