@@ -398,8 +398,18 @@ object Dedup {
         // shuffle, so reduce-side width doesn't matter at bench scale.
         // Session parallelism stays: it is the scale-correct setting for
         // an edge-sized shuffle at 100 TB, where 8 reducers would bottleneck)
+        // withDeg is |nodes|-sized: an unconditional broadcast hint is a
+        // driver-memory scale-killer at 100 TB (the same reasoning that
+        // kept the hint OFF `deg` above). The hint is therefore gated on
+        // the exact node count already in hand — ~16 B/row, so 2 M rows
+        // ≈ 32 MB build side, comfortably inside executor broadcast
+        // budgets; past that the hint drops and AQE picks the join
+        // (shuffle-hash on id1 at true scale). A/B r14 at sf0.1:
+        // 8.9 s hinted vs 9.3–10.0 s hintless — the guard keeps the
+        // bench-scale win without the unbounded-broadcast hazard.
+        val prj = if (nn <= 2000000L) broadcast(withDeg) else withDeg
         pr = edges
-          .join(broadcast(withDeg), col("id1") === col("node"))
+          .join(prj, col("id1") === col("node"))
           .groupBy(col("id2").as("node2"))
           .agg(sum(col("c")).as("s"))
           .select(col("node2").as("node"),
