@@ -660,9 +660,13 @@ object Multimodal {
           col("kind") === col("k2") && col("shape") === col("s2") &&
             col("id1") < col("id2"))
         .withColumn("dot", expr(dotExpr("h1", "h2")))
+        // 128-bit compare (DECIMAL(38,0) here, HUGEINT in the oracle):
+        // dot² × 10⁴ exceeds int64 once a payload concentrates ~10k+ chars
+        // in few bins — Spark would wrap silently while DuckDB errors,
+        // diverging exactly on the largest payloads. Exact to ~10 MB docs.
         .withColumn("near",
-          when(col("dot") * col("dot") * lit(10000L) >=
-            lit(9604L) * col("n1") * col("n2"), 1L).otherwise(0L))
+          when(expr("CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= " +
+            "CAST(9604 AS DECIMAL(38,0)) * n1 * n2"), 1L).otherwise(0L))
         .groupBy(col("kind"))
         .agg(
           count(lit(1)).as("n_candidates"),
@@ -694,9 +698,9 @@ object Multimodal {
       FROM hist a JOIN hist b
         ON a.kind = b.kind AND a.shape = b.shape AND a.doc_id < b.doc_id)
     SELECT kind, COUNT(*) AS n_candidates,
-      CAST(SUM(CASE WHEN dot * dot * 10000 >= 9604 * n1 * n2
+      CAST(SUM(CASE WHEN CAST(dot AS HUGEINT) * dot * 10000 >= CAST(9604 AS HUGEINT) * n1 * n2
                THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
-      CAST(SUM(CASE WHEN dot * dot * 10000 >= 9604 * n1 * n2
+      CAST(SUM(CASE WHEN CAST(dot AS HUGEINT) * dot * 10000 >= CAST(9604 AS HUGEINT) * n1 * n2
                THEN (id1 * 1000003 + id2) % $HashMod ELSE 0 END)
            % $HashMod AS BIGINT) AS pair_checksum
     FROM pairs GROUP BY kind ORDER BY kind"""))

@@ -829,9 +829,14 @@ object Pipeline {
           Seq("cons"))
         .crossJoin(broadcast(nBaskets))
         .filter(col("n_ab") >= 20)
+        // lift's numerator n_ab·n·10⁶ passes int64 around ~3M baskets
+        // (sf≈2): Spark would wrap silently, DuckDB would error — so both
+        // sides route the products through 128-bit (DECIMAL(38,0) here,
+        // HUGEINT in the oracle); DIV lands back in int64 exactly.
         .select(col("ante"), col("cons"), col("n_ab"),
-          expr("n_ab * 1000000 DIV n_a").as("conf_ppm"),
-          expr("n_ab * n * 1000000 DIV (n_a * n_c)").as("lift_ppm"))
+          expr("CAST(n_ab AS DECIMAL(38,0)) * 1000000 DIV n_a").as("conf_ppm"),
+          expr("CAST(n_ab AS DECIMAL(38,0)) * n * 1000000 DIV " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_c)").as("lift_ppm"))
         .orderBy(col("ante"), col("cons"))
         .localCheckpoint()
       baskets.unpersist()
@@ -847,8 +852,9 @@ object Pipeline {
     dr AS (SELECT b1 AS ante, b2 AS cons, n_ab FROM pr
            UNION ALL SELECT b2, b1, n_ab FROM pr)
     SELECT ante, cons, n_ab,
-      n_ab * 1000000 // sa.n_b AS conf_ppm,
-      n_ab * nb.n * 1000000 // (sa.n_b * sc.n_b) AS lift_ppm
+      CAST(CAST(n_ab AS HUGEINT) * 1000000 // sa.n_b AS BIGINT) AS conf_ppm,
+      CAST(CAST(n_ab AS HUGEINT) * nb.n * 1000000
+           // (CAST(sa.n_b AS HUGEINT) * sc.n_b) AS BIGINT) AS lift_ppm
     FROM dr JOIN supp sa ON sa.b = dr.ante
             JOIN supp sc ON sc.b = dr.cons, nb
     WHERE n_ab >= 20 ORDER BY ante, cons"""))

@@ -114,7 +114,7 @@ object Streams {
 
   /** FileStreamSource needs a directory; the sf tables are single files. */
   private def streamDirFor(dir: String, table: String): String = {
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-stream-$table")
+    val streamDir = Tables.tmpDir(s"graft-stream-$table")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve(s"$table.parquet"),
       java.nio.file.Paths.get(s"$dir/$table.parquet"))
@@ -727,7 +727,7 @@ object Streams {
   private val q54 = QueryDef(
     "q54_stream_upsert",
     (s, dir) => withStreamShuffle(s) {
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-q54-src").toString
+      val srcDir = Tables.tmpDir("graft-q54-src").toString
       graft.BenchSplit.setup {
         // normalized at write time, so the streamed copy always carries a
         // plain TimestampType ts whatever the source encoding was
@@ -746,7 +746,7 @@ object Streams {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_value"))
       val tablePath =
-        java.nio.file.Files.createTempDirectory("graft-q54-table").toString + "/result"
+        Tables.tmpDir("graft-q54-table").toString + "/result"
       val q = graft.streaming.StreamUpsert.run(
         stream, partials, Seq("event_type", "day"), Seq("n", "sum_value"), tablePath)
       q.awaitTermination()
@@ -780,7 +780,7 @@ object Streams {
   private val q112 = QueryDef(
     "q112_stream_keyed_merge",
     (s, dir) => withStreamShuffle(s) {
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-q112-src").toString
+      val srcDir = Tables.tmpDir("graft-q112-src").toString
       graft.BenchSplit.setup {
         Tables.events(s, dir)
           .repartition(3).write.mode("overwrite").parquet(srcDir)
@@ -804,7 +804,7 @@ object Streams {
             greatest(col("t.last"), col("b.last")).as("last"))
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q112 LOCATION '${Tables.tmp("graft-q112-db")}'")
       val tablePath =
-        java.nio.file.Files.createTempDirectory("graft-q112-table").toString + "/state"
+        Tables.tmpDir("graft-q112-table").toString + "/state"
       // version tables are catalog-registered; a fresh per-invocation base
       // name keeps warm re-runs in one session from colliding
       val tableBase =
@@ -875,7 +875,7 @@ object Streams {
             greatest(col("t.last"), col("b.last")).as("last"))
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q113 LOCATION '${Tables.tmp("graft-q113-db")}'")
       val tablePath =
-        java.nio.file.Files.createTempDirectory("graft-q113-table").toString + "/state"
+        Tables.tmpDir("graft-q113-table").toString + "/state"
       val base =
         "graft_q113.state_" + Integer.toHexString(tablePath.hashCode)
       (0L to 2L).foreach { k =>
@@ -961,7 +961,7 @@ object Streams {
           .select(col("user_id")))
       s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q115 LOCATION '${Tables.tmp("graft-q115-db")}'")
       val tablePath =
-        java.nio.file.Files.createTempDirectory("graft-q115-table").toString + "/state"
+        Tables.tmpDir("graft-q115-table").toString + "/state"
       val base =
         "graft_q115.state_" + Integer.toHexString(tablePath.hashCode)
       (0L to 1L).foreach { k =>
@@ -2132,7 +2132,7 @@ object Streams {
     "q119_stream_dedup_gate",
     (s, dir) => withStreamShuffle(s) {
       graft.functions.PolyHash.register(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-q119-stream")
+      val streamDir = Tables.tmpDir("graft-q119-stream")
       graft.BenchSplit.setup {
         // publish the corpus band index (pre-exists at scale) and lay the
         // delta out as 3 mtime-ordered batch files (doc_id%6 = 1, 3, 5)
@@ -2266,7 +2266,7 @@ object Streams {
     "d24_stream_kcore",
     (s, dir) => withStreamShuffle(s) {
       graft.functions.PolyHash.register(s)
-      val streamDir = java.nio.file.Files.createTempDirectory("graft-d24-stream")
+      val streamDir = Tables.tmpDir("graft-d24-stream")
       val sigIdxDir = Tables.tmp("graft-d24-sigidx")
       val edgesDir = Tables.tmp("graft-d24-edges")
       val degDir = Tables.tmp("graft-d24-deg")

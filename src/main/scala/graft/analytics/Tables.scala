@@ -117,6 +117,16 @@ object Tables {
     d.resolve("t").toString
   }
 
+  /** Like [[tmp]] but hands back the registered scratch DIRECTORY itself —
+    * for callers that lay multiple files inside it (streaming batch drops,
+    * symlinked source dirs). Same exit-time cleanup; a raw
+    * `Files.createTempDirectory` at a query site would leak per run. */
+  def tmpDir(prefix: String): java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(d)
+    d
+  }
+
   /** A single small parquet file yields ONE input split, so every
     * downstream per-row-heavy expression (the HOF/hashing text family)
     * runs as one task on one core — at sf0.1 that made t20 a 34 s

@@ -1506,10 +1506,14 @@ object Text {
           sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
           sum(expr("lx * lx")).as("sxx"), sum(expr("lx * ly")).as("sxy"))
         .select(col("source"), col("n_docs"), col("total_tokens"), col("vocab"),
+          // nullif: a single-doc source (or identical cumulative points)
+          // zeroes the variance denominator — NULL beats an engine-
+          // dependent NaN/Inf under the cross-engine hash. The operands
+          // are exact int64s, so "zero" is the same zero on both engines.
           expr("""(CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""").as("heaps_beta"))
+                  / nullif(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)""").as("heaps_beta"))
         .orderBy(col("source"))
     },
     Some(s"""WITH tok AS (
@@ -1535,8 +1539,8 @@ object Text {
     SELECT source, n_docs, total_tokens, vocab,
       (CAST(n_docs AS DOUBLE) * CAST(sxy AS DOUBLE)
        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-      / (CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
-         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta
+      / nullif(CAST(n_docs AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS heaps_beta
     FROM m ORDER BY source"""))
 
   val defs: Seq[QueryDef] =
