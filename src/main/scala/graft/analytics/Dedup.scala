@@ -1426,7 +1426,93 @@ object Dedup {
     FROM cc JOIN part pt ON pt.p_partkey = cc.node
     GROUP BY pt.p_brand ORDER BY pt.p_brand"""))
 
+  // ---------------------------------------------------------------- d26
+  // EXACT-SUBSTRING duplicate-span finder — the suffix-array-style dedup
+  // modality ("deduplicating training data makes LMs better": remove any
+  // substring of ≥k tokens that appears more than once in the corpus),
+  // distinct from every hash-similarity operator above: it localizes the
+  // duplicated SPANS inside each doc, not doc-level similarity. The
+  // distributed rewrite of suffix-array construction: hash every token
+  // once, roll 8-token window hashes in ONE O(len) native pass
+  // (`ngram_hashes`), and group-by gram hash — that shuffle IS the
+  // suffix sort (cost ∝ corpus tokens, map-side combine collapses
+  // repeats; no N² pairs anywhere). A gram occurring ≥2 times anywhere
+  // (cross-doc or self-repeat) is duplicated text; consecutive duplicated
+  // positions merge into maximal spans per doc via gaps-and-islands
+  // (pos − row_number over the doc window — |doc| bounded state), and
+  // spans shorter than 15 tokens (≥8 consecutive dup 8-grams) drop.
+  // After the occurrence window only DUPLICATED grams survive, so the
+  // island window + span aggregate cost ∝ duplicated mass, not corpus
+  // size. Output per source: flagged docs, span count, duplicated token
+  // mass, longest span, and the exact (doc, start) checksum — the oracle
+  // must find the SAME spans at the SAME offsets.
+  private val SpanGram = 8   // window width in tokens
+  private val MinSpanTok = 15 // minimum reported span length in tokens
+
+  private val d26 = QueryDef(
+    "d26_exact_substring_spans",
+    (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"), expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+      val grams = th.select(col("doc_id"),
+        posexplode(expr(s"ngram_hashes(th, $SpanGram)")).as(Seq("pos", "gh")))
+      // one gram-volume shuffle: full-partition count over gh (the
+      // "suffix sort"); an agg+join-back shape would shuffle the grams
+      // twice for the same answer
+      val dup = grams
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
+        .filter(col("occ") >= 2)
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val spans = dup
+        .withColumn("isl", col("pos") - row_number().over(wDoc))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("span_start"),
+          (count(lit(1)) + lit(SpanGram - 1)).as("span_tok"))
+        .filter(col("span_tok") >= MinSpanTok)
+      spans
+        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(
+          countDistinct(col("doc_id")).as("n_dup_docs"),
+          count(lit(1)).as("n_spans"),
+          sum(col("span_tok")).as("dup_tokens"),
+          max(col("span_tok")).as("max_span_tok"),
+          (sum((col("doc_id") * lit(1000003L) + col("span_start")) % lit(HashMod))
+            % lit(HashMod)).as("span_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ng AS (SELECT doc_id,
+        CASE WHEN len(th) >= $SpanGram THEN
+          list_transform(generate_series(1, len(th) - ${SpanGram - 1}),
+            i -> list_reduce(th[i:i+${SpanGram - 1}], (acc, h) -> (acc * 31 + h) % $HashMod))
+        ELSE CAST([] AS BIGINT[]) END AS ngs
+      FROM th),
+    g AS (SELECT doc_id, unnest(range(0, len(ngs))) AS pos, unnest(ngs) AS gh FROM ng),
+    d AS (SELECT doc_id, pos FROM (
+            SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY gh) AS occ FROM g)
+          WHERE occ >= 2),
+    i AS (SELECT doc_id, pos,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM d),
+    sp AS (SELECT doc_id, isl, MIN(pos) AS span_start,
+             COUNT(*) + ${SpanGram - 1} AS span_tok
+           FROM i GROUP BY 1, 2),
+    f AS (SELECT * FROM sp WHERE span_tok >= $MinSpanTok)
+    SELECT dd.source,
+      CAST(COUNT(DISTINCT f.doc_id) AS BIGINT) AS n_dup_docs,
+      COUNT(*) AS n_spans,
+      CAST(SUM(span_tok) AS BIGINT) AS dup_tokens,
+      CAST(MAX(span_tok) AS BIGINT) AS max_span_tok,
+      CAST(SUM((f.doc_id * 1000003 + span_start) % $HashMod) % $HashMod AS BIGINT)
+        AS span_checksum
+    FROM f JOIN documents dd ON dd.doc_id = f.doc_id
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26)
 }
