@@ -1186,13 +1186,21 @@ object Text {
         .collect()(0)
       val (pair, cnt) = (top.getString(0), top.getLong(1))
       merges += ((r.toLong, pair.replace(" ", ""), cnt))
-      val from = s" $pair "
-      val to = s" ${pair.replace(" ", "")} "
-      val replaced =
-        (1 to 4).foldLeft("units")((e, _) => s"replace($e, '$from', '$to')")
-      words = words.withColumn("units", expr(replaced)).localCheckpoint()
+      words = words.withColumn("units", applyMerge(col("units"), pair))
+        .localCheckpoint()
     }
     (words, merges.result())
+  }
+
+  /** One BPE merge applied everywhere: 4 boundary-anchored replace passes
+    * (a single left-to-right pass can miss shared-separator chains like
+    * `a b a b`). The search/replacement strings are Column LITERALS, not
+    * SQL interpolation — a pair containing a quote (or any SQL
+    * metacharacter) merges correctly instead of breaking the expression. */
+  private[graft] def applyMerge(units: org.apache.spark.sql.Column, pair: String): org.apache.spark.sql.Column = {
+    val from = lit(s" $pair ")
+    val to = lit(s" ${pair.replace(" ", "")} ")
+    (1 to 4).foldLeft(units)((c, _) => replace(c, from, to))
   }
 
   /** DuckDB twin of [[bpeTrain]]'s unrolled rounds: CTEs `w0, r0,

@@ -488,6 +488,27 @@ class AdvancedOpsSpec extends SparkSuite {
     out shouldBe Seq((1L, "ab", 3L), (2L, "xy", 1L), (3L, "xyz", 1L))
   }
 
+  test("BPE merge application is literal-safe for quote/metachar tokens (r13 advice)") {
+    import spark.implicits._
+    // the trainer's corpus filter is ^[a-z]+$ so these never reach it
+    // today, but the merge step must not assume that: a pair bearing a
+    // single quote, a backslash, or a regex metachar has to merge as a
+    // plain string (the former expr-interpolated replace('$pair') broke
+    // the SQL on the quote)
+    val df = Seq(" d ' n t ", " a \\ b ", " x . * y ").toDF("units")
+    val pairs = Seq("' n" -> " d 'n t ", "a \\" -> " a\\ b ", ". *" -> " x .* y ")
+    pairs.zipWithIndex.foreach { case ((pair, expected), i) =>
+      val got = df.select(graft.analytics.Text.applyMerge(col("units"), pair).as("u"))
+        .collect().map(_.getString(0))
+      got(i) shouldBe expected
+    }
+    // chain case: 4 passes settle shared-separator runs of the same pair
+    val chain = Seq(" q ' q ' q ' q ' q ").toDF("units")
+      .select(graft.analytics.Text.applyMerge(col("units"), "q '").as("u"))
+      .collect().head.getString(0)
+    chain shouldBe " q' q' q' q' q "
+  }
+
   test("t28 encodes with the t26-trained merges, exact token accounting") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("t28enc").toString
