@@ -1551,8 +1551,86 @@ object Text {
          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS heaps_beta
     FROM m ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t32
+  // LEARNED QUALITY-CLASSIFIER INFERENCE — the fastText-style linear
+  // filter every curation pipeline runs between heuristics (t02) and
+  // training: score = w·x + b over a per-doc feature vector, keep above
+  // threshold. The "trained" weights are fixed integer coefficients;
+  // what the operator demonstrates is the INFERENCE shape at scale —
+  // every feature and the dot product are codegen'd per-row expressions
+  // (length/split/filter/distinct + integer ppm ratios; no UDF, no
+  // shuffle, no model service), so at 100 TB this is one scan at input
+  // parallelism with only the per-source aggregate shuffling. Arithmetic
+  // is integer-exact end-to-end (ratios as ppm via integral division, an
+  // int64 score) so both engines keep the SAME docs — classification
+  // parity is bitwise, pinned by the kept-id checksum. Features: capped
+  // length, stopword ratio (+: natural prose), punctuation-excess ratio
+  // (−: markup/boilerplate; zero in this synthetic corpus but the
+  // arithmetic is still oracle-checked), type-token ratio (+: repeated-
+  // text docs score low — the quality signal near-dup spans destroy),
+  // and |mean-word-length − 6| deviation (−: gibberish on either side).
+  private val QcThreshold = 200000L
+
+  private val t32 = QueryDef(
+    "t32_quality_classifier",
+    (s, dir) => {
+      val stop = "'the','a','of','and','to','in','is','it','for','on'"
+      val feats = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          length(col("text")).cast("long").as("nc"),
+          split(col("text"), " ").as("w"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,;:!?'\"()-]", "")))
+            .cast("long").as("npunct"))
+        .filter(col("nc") > 0)
+        .select(col("doc_id"), col("source"), col("nc"), col("npunct"),
+          size(col("w")).cast("long").as("nt"),
+          size(array_distinct(col("w"))).cast("long").as("nu"),
+          expr(s"CAST(size(filter(w, t -> t IN ($stop))) AS BIGINT)").as("nstop"))
+        .filter(col("nt") > 0)
+        .withColumn("score",
+          expr("""200 * least(nc, 2000) + 3 * (nstop * 1000000 DIV nt)
+                  - 4 * (npunct * 1000000 DIV nc)
+                  + (nu * 1000000 DIV nt) DIV 2
+                  - abs(nc * 1000000 DIV nt - 6000000) DIV 2"""))
+        .withColumn("keep", (col("score") >= QcThreshold).cast("long"))
+      feats
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("keep")).as("n_keep"),
+          sum(col("score")).as("sum_score"),
+          max(col("score")).as("max_score"),
+          (sum(when(col("keep") === 1L, (col("doc_id") * lit(1000003L)) % lit(HashMod))
+            .otherwise(lit(0L))) % lit(HashMod)).as("keep_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH f AS (
+      SELECT doc_id, source,
+        CAST(length(text) AS BIGINT) AS nc,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nu,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS BIGINT) AS nstop,
+        CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()-]', '', 'g')) AS BIGINT) AS npunct
+      FROM documents WHERE length(text) > 0),
+    sc AS (SELECT doc_id, source,
+        200 * least(nc, 2000) + 3 * (nstop * 1000000 // nt)
+        - 4 * (npunct * 1000000 // nc)
+        + (nu * 1000000 // nt) // 2
+        - abs(nc * 1000000 // nt - 6000000) // 2 AS score
+      FROM f WHERE nt > 0)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN score >= $QcThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(SUM(score) AS BIGINT) AS sum_score,
+      CAST(MAX(score) AS BIGINT) AS max_score,
+      CAST(SUM(CASE WHEN score >= $QcThreshold
+               THEN (doc_id * 1000003) % $HashMod ELSE 0 END) % $HashMod AS BIGINT)
+        AS keep_checksum
+    FROM sc GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31)
+      t29, t30, t31, t32)
 }
