@@ -1470,7 +1470,9 @@ object Dedup {
           (count(lit(1)) + lit(SpanGram - 1)).as("span_tok"))
         .filter(col("span_tok") >= MinSpanTok)
       spans
-        .join(docs(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        // docsNarrow: the (doc_id, source) projection does no per-row hash
+        // work, so the widen re-split would be a pure shuffle tax here
+        .join(docsNarrow(s, dir).select(col("doc_id"), col("source")), "doc_id")
         .groupBy(col("source"))
         .agg(
           countDistinct(col("doc_id")).as("n_dup_docs"),
