@@ -47,7 +47,8 @@ object Explain {
         "t30_bigram_lm_shift", "t31_heaps_law", "q128_file_lineage_audit",
         "q129_sliding_distinct", "d25_clustering_coeff", "s19_centroid_drift",
         "q130_time_weighted_avg", "q131_interval_coalesce",
-        "d26_exact_substring_spans", "t32_quality_classifier")
+        "d26_exact_substring_spans", "t32_quality_classifier",
+        "d27_substring_dedup_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

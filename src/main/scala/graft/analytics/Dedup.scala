@@ -1449,22 +1449,32 @@ object Dedup {
   private val SpanGram = 8   // window width in tokens
   private val MinSpanTok = 15 // minimum reported span length in tokens
 
+  /** Duplicated-gram positions with per-doc island keys — the shared core
+    * of the exact-substring family (d26 reports spans, d27 applies the
+    * cut). One native O(len) rolling [[SpanGram]]-hash pass per doc, then
+    * ONE gram-volume shuffle: a full-partition count over the gram hash
+    * (the distributed suffix sort; an agg+join-back shape would shuffle
+    * the grams twice for the same answer). Grams occurring ≥2 times
+    * anywhere survive; `isl = pos − row_number` over the per-doc window
+    * groups consecutive duplicated positions into maximal spans.
+    * Returns `(doc_id, pos, gh, isl)` — volume ∝ duplicated mass. */
+  private def dupGramIslands(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val th = docs(s, dir)
+      .select(col("doc_id"), expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+    val grams = th.select(col("doc_id"),
+      posexplode(expr(s"ngram_hashes(th, $SpanGram)")).as(Seq("pos", "gh")))
+    val dup = grams
+      .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
+      .filter(col("occ") >= 2)
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("isl", col("pos") - row_number().over(wDoc))
+      .select(col("doc_id"), col("pos"), col("gh"), col("isl"))
+  }
+
   private val d26 = QueryDef(
     "d26_exact_substring_spans",
     (s, dir) => {
-      val th = docs(s, dir)
-        .select(col("doc_id"), expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
-      val grams = th.select(col("doc_id"),
-        posexplode(expr(s"ngram_hashes(th, $SpanGram)")).as(Seq("pos", "gh")))
-      // one gram-volume shuffle: full-partition count over gh (the
-      // "suffix sort"); an agg+join-back shape would shuffle the grams
-      // twice for the same answer
-      val dup = grams
-        .withColumn("occ", count(lit(1)).over(Window.partitionBy(col("gh"))))
-        .filter(col("occ") >= 2)
-      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val spans = dup
-        .withColumn("isl", col("pos") - row_number().over(wDoc))
+      val spans = dupGramIslands(s, dir)
         .groupBy(col("doc_id"), col("isl"))
         .agg(min(col("pos")).as("span_start"),
           (count(lit(1)) + lit(SpanGram - 1)).as("span_tok"))
@@ -1514,7 +1524,106 @@ object Dedup {
     FROM f JOIN documents dd ON dd.doc_id = f.doc_id
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- d27
+  // EXACT-SUBSTRING DEDUP APPLIED — the cut step d26 measures: every
+  // duplicated ≥15-token span beyond its FIRST occurrence (global
+  // (doc_id, start) order per span CONTENT) is removed, and the
+  // per-source token budget after surgery is reported — the operator
+  // that actually shrinks the corpus (t25/t27's apply-vs-measure
+  // discipline). Span content identity is an order-encoding commutative
+  // checksum over the span's gram hashes (Σ(rank+1)·gh mod p, rank from
+  // a min-window over the island — dup-mass-sized state), so it
+  // aggregates without an ordered fold and never re-reads text. The
+  // keep/cut decision is one row_number window over the span CONTENT
+  // key — |spans| rows, high-cardinality content keys, no skew funnel.
+  // Everything past dupGramIslands' one gram shuffle is ∝ duplicated
+  // mass; the per-source token totals are an independent one-scan
+  // map-side-combined aggregate. The oracle repeats the surgery in SQL
+  // and must remove the SAME spans (cut checksum over (doc, start)).
+  private val d27 = QueryDef(
+    "d27_substring_dedup_apply",
+    (s, dir) => {
+      val wIsl = Window.partitionBy(col("doc_id"), col("isl"))
+      val spans = dupGramIslands(s, dir)
+        .withColumn("rnk", col("pos") - min(col("pos")).over(wIsl))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("pos")).as("span_start"),
+          (count(lit(1)) + lit(SpanGram - 1)).as("span_tok"),
+          (sum((col("rnk") + lit(1L)) * col("gh") % lit(HashMod))
+            % lit(HashMod)).as("chash"))
+        .filter(col("span_tok") >= MinSpanTok)
+      val wKeep = Window.partitionBy(col("chash"), col("span_tok"))
+        .orderBy(col("doc_id"), col("span_start"))
+      val cuts = spans.withColumn("rn", row_number().over(wKeep))
+        .join(docsNarrow(s, dir).select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("rn") > 1, lit(1L)).otherwise(lit(0L))).as("n_spans_cut"),
+          sum(when(col("rn") > 1, col("span_tok")).otherwise(lit(0L))).as("tokens_removed"),
+          (sum(when(col("rn") > 1,
+            (col("doc_id") * lit(1000003L) + col("span_start")) % lit(HashMod))
+            .otherwise(lit(0L))) % lit(HashMod)).as("cut_checksum"))
+      val tok = docsNarrow(s, dir)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("tokens_before"))
+      tok.join(cuts, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("tokens_before"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+          coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+          (col("tokens_before") - coalesce(col("tokens_removed"), lit(0L)))
+            .as("tokens_after"),
+          coalesce(col("cut_checksum"), lit(0L)).as("cut_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ng AS (SELECT doc_id,
+        CASE WHEN len(th) >= $SpanGram THEN
+          list_transform(generate_series(1, len(th) - ${SpanGram - 1}),
+            i -> list_reduce(th[i:i+${SpanGram - 1}], (acc, h) -> (acc * 31 + h) % $HashMod))
+        ELSE CAST([] AS BIGINT[]) END AS ngs
+      FROM th),
+    g AS (SELECT doc_id, unnest(range(0, len(ngs))) AS pos, unnest(ngs) AS gh FROM ng),
+    d AS (SELECT doc_id, pos, gh FROM (
+            SELECT doc_id, pos, gh, COUNT(*) OVER (PARTITION BY gh) AS occ FROM g)
+          WHERE occ >= 2),
+    i AS (SELECT doc_id, pos, gh,
+            pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM d),
+    r AS (SELECT doc_id, pos, gh, isl,
+            pos - MIN(pos) OVER (PARTITION BY doc_id, isl) AS rnk FROM i),
+    sp AS (SELECT doc_id, isl, MIN(pos) AS span_start,
+             COUNT(*) + ${SpanGram - 1} AS span_tok,
+             CAST(SUM((rnk + 1) * gh % $HashMod) % $HashMod AS BIGINT) AS chash
+           FROM r GROUP BY 1, 2),
+    f AS (SELECT * FROM sp WHERE span_tok >= $MinSpanTok),
+    k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY chash, span_tok
+            ORDER BY doc_id, span_start) AS rn FROM f),
+    tok AS (SELECT dd.source, COUNT(*) AS n_docs,
+              CAST(SUM(len(string_split(dd.text, ' '))) AS BIGINT) AS tokens_before
+            FROM documents dd GROUP BY 1),
+    cut AS (SELECT dd.source,
+              COUNT(*) AS n_spans,
+              CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_spans_cut,
+              CAST(SUM(CASE WHEN rn > 1 THEN span_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
+              CAST(SUM(CASE WHEN rn > 1
+                   THEN (k.doc_id * 1000003 + span_start) % $HashMod
+                   ELSE 0 END) % $HashMod AS BIGINT) AS cut_checksum
+            FROM k JOIN documents dd ON dd.doc_id = k.doc_id GROUP BY 1)
+    SELECT t.source, t.n_docs, t.tokens_before,
+      COALESCE(c.n_spans, 0) AS n_spans,
+      COALESCE(c.n_spans_cut, 0) AS n_spans_cut,
+      COALESCE(c.tokens_removed, 0) AS tokens_removed,
+      t.tokens_before - COALESCE(c.tokens_removed, 0) AS tokens_after,
+      COALESCE(c.cut_checksum, 0) AS cut_checksum
+    FROM tok t LEFT JOIN cut c ON c.source = t.source
+    ORDER BY t.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27)
 }
