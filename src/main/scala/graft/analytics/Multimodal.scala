@@ -705,6 +705,82 @@ object Multimodal {
            % $HashMod AS BIGINT) AS pair_checksum
     FROM pairs GROUP BY kind ORDER BY kind"""))
 
+  // ---------------------------------------------------------------- m14
+  // ASPECT-RATIO BUCKET PACKING — the image-training batch assembler
+  // (SDXL-style aspect bucketing): group media by quantized aspect ratio
+  // so a batch never mixes shapes, then pack each bucket into batches
+  // under a fixed pixel budget — the multimodal twin of t15's token-
+  // budget sequence packing. Geometry comes from the stub decoder
+  // discipline (m02): deterministic cross-engine w/h derived from the
+  // payload via poly_hash, so both engines pack identical shapes.
+  // The packer is the concat-and-chunk trick: a running pixel sum per
+  // (bucket, shard) ordered by media_id, batch = prior-mass DIV budget —
+  // no loop, no state beyond the window. The SHARD term (media_id DIV
+  // 256) is the scale design: a popular aspect bucket at 100 TB would
+  // otherwise serialize into one window partition; fixed id-range shards
+  // pack independently (exactly how a multi-worker loader shards) and
+  // keep parallelism ∝ corpus size while staying deterministic. Output
+  // per bucket: items, batches, pixel mass, worst batch, mean fill ppm,
+  // and the exact (media → batch) assignment checksum.
+  private val PxBudget = 1048576L // 1 Mpx per batch
+
+  private val m14 = QueryDef(
+    "m14_aspect_bucket_pack",
+    (s, dir) => {
+      val geo = docs(s, dir)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          (lit(64L) + expr(strHashExpr("substring(text, 1, 8)")) % lit(449L)).as("w"),
+          (lit(64L) + expr(strHashExpr("substring(text, 9, 8)")) % lit(449L)).as("h"))
+        .select(col("media_id"), col("w"), col("h"),
+          (col("w") * col("h")).as("px"),
+          expr("w * 4 DIV h").as("bucket"),
+          expr("media_id DIV 256").as("shard"))
+      val wPack = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket"), col("shard"))
+        .orderBy(col("media_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val assigned = geo
+        .withColumn("cum", sum(col("px")).over(wPack))
+        .withColumn("batch", expr(s"(cum - px) DIV $PxBudget"))
+      assigned
+        .groupBy(col("bucket"), col("shard"), col("batch"))
+        .agg(count(lit(1)).as("items"), sum(col("px")).as("bpx"),
+          (sum((col("media_id") * lit(1000003L) + col("batch")) % lit(HashMod))
+            % lit(HashMod)).as("ck"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("items")).as("n_items"),
+          count(lit(1)).as("n_batches"),
+          sum(col("bpx")).as("total_px"),
+          max(col("bpx")).as("max_batch_px"),
+          expr(s"sum(bpx) * 1000000 DIV (count(1) * $PxBudget)").as("fill_ppm"),
+          (sum(col("ck")) % lit(HashMod)).as("assign_checksum"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH geo AS (
+      SELECT doc_id AS media_id,
+        64 + ${strHashSql("substr(text, 1, 8)")} % 449 AS w,
+        64 + ${strHashSql("substr(text, 9, 8)")} % 449 AS h
+      FROM documents WHERE length(text) >= 16),
+    b AS (SELECT media_id, w, h, w * h AS px,
+            w * 4 // h AS bucket, media_id // 256 AS shard FROM geo),
+    c AS (SELECT *, SUM(px) OVER (PARTITION BY bucket, shard ORDER BY media_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM b),
+    a AS (SELECT *, (cum - px) // $PxBudget AS batch FROM c),
+    pb AS (SELECT bucket, shard, batch, COUNT(*) AS items,
+             CAST(SUM(px) AS BIGINT) AS bpx,
+             CAST(SUM((media_id * 1000003 + batch) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM a GROUP BY 1, 2, 3)
+    SELECT bucket,
+      CAST(SUM(items) AS BIGINT) AS n_items,
+      COUNT(*) AS n_batches,
+      CAST(SUM(bpx) AS BIGINT) AS total_px,
+      CAST(MAX(bpx) AS BIGINT) AS max_batch_px,
+      CAST(SUM(bpx) * 1000000 // (COUNT(*) * $PxBudget) AS BIGINT) AS fill_ppm,
+      CAST(SUM(ck) % $HashMod AS BIGINT) AS assign_checksum
+    FROM pb GROUP BY bucket ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
 }
