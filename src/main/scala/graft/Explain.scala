@@ -48,7 +48,8 @@ object Explain {
         "q129_sliding_distinct", "d25_clustering_coeff", "s19_centroid_drift",
         "q130_time_weighted_avg", "q131_interval_coalesce",
         "d26_exact_substring_spans", "t32_quality_classifier",
-        "d27_substring_dedup_apply", "m14_aspect_bucket_pack")
+        "d27_substring_dedup_apply", "m14_aspect_bucket_pack",
+        "t33_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

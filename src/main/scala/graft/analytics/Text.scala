@@ -1629,8 +1629,76 @@ object Text {
         AS keep_checksum
     FROM sc GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t33
+  // PMI COLLOCATIONS — pointwise mutual information over adjacent word
+  // pairs, the classic collocation miner (phrase detection before
+  // word2vec-style phrase merging; also the association metric behind
+  // "these tokens belong together" vocabulary induction). PMI(w1,w2) =
+  // ln(c12·N / (c1·c2)) with c1/c2 the pair-marginal counts and N the
+  // bigram mass — computed in t19's quantized-log integer units so the
+  // additive form lnQ(c12)+lnQ(N)−lnQ(c1)−lnQ(c2) is exact int64 math on
+  // both engines. Min support c12 ≥ 5 filters the unstable low-count
+  // tail BEFORE the joins (but marginals are computed over the full pair
+  // table — support-filtering the marginals would bias p(w)). Scale: the
+  // bigram count is the only token-volume shuffle (map-side combine →
+  // |pair vocab| rows); marginals and N aggregate the vocab table, the
+  // joins are vocab-sized, and the top-20 is a TakeOrdered, never a full
+  // sort. Deterministic ties on (pmi, w1, w2).
+  private val t33 = QueryDef(
+    "t33_pmi_collocations",
+    (s, dir) => {
+      val pairs = docsNarrow(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+             i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))""")).as("p"))
+        .select(col("p.w1"), col("p.w2"))
+      // the alphabetic filter runs on the DISTINCT pair table, not the
+      // corpus pair stream: invalid pairs are distinct keys, so filtering
+      // after the count leaves valid-pair counts and marginals identical
+      // while the regex cost drops from O(corpus pairs) to O(pair vocab)
+      // (A/B r14 at sf0.1: 3.2 s → 2.9 s; the remaining cost is the
+      // pair explode itself, which any formulation pays)
+      val c12 = pairs.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("n12"))
+        .filter(col("w1").rlike("^[a-z]+$") && col("w2").rlike("^[a-z]+$"))
+        .cache()
+      c12.count()
+      val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+      val c2 = c12.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
+      val nn = c12.agg(sum(col("n12")).as("n"))
+      val out = c12.filter(col("n12") >= 5)
+        .join(c1, "w1").join(c2, "w2")
+        .crossJoin(broadcast(nn))
+        .select(col("w1"), col("w2"), col("n12"),
+          (expr(lnQ("n12")) + expr(lnQ("n"))
+            - expr(lnQ("n1")) - expr(lnQ("n2"))).as("pmi_q"))
+        .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+        .limit(20)
+        .localCheckpoint()
+      c12.unpersist()
+      out
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    bg AS (SELECT unnest(list_transform(range(1, len(w)),
+             i -> {'w1': w[i], 'w2': w[i+1]}), recursive := true) FROM tok),
+    fb AS (SELECT w1, w2 FROM bg
+           WHERE regexp_matches(w1, '^[a-z]+$$') AND regexp_matches(w2, '^[a-z]+$$')),
+    c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM fb GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+    c2 AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c12 GROUP BY 1),
+    nn AS (SELECT CAST(SUM(n12) AS BIGINT) AS n FROM c12),
+    p AS (SELECT c12.w1, c12.w2, n12,
+            ${lnQ("n12")} + ${lnQ("n")} - ${lnQ("n1")} - ${lnQ("n2")} AS pmi_q
+          FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), nn
+          WHERE n12 >= 5)
+    SELECT w1, w2, n12, pmi_q FROM p
+    ORDER BY pmi_q DESC, w1, w2 LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32)
+      t29, t30, t31, t32, t33)
 }
