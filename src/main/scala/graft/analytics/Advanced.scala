@@ -1792,9 +1792,124 @@ object Advanced {
       CAST(SUM(CASE WHEN is_out = 1 THEN x % $HashMod ELSE 0 END) % $HashMod AS BIGINT) AS out_checksum
     FROM fl GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q133
+  // PSI DRIFT — population stability index between two time windows of a
+  // numeric feature, the standard ML-serving drift monitor (the tabular
+  // sibling of t21/t30's text shift and s19's vector drift): decile-bin
+  // the REFERENCE window, count both windows into those bins, and sum
+  // (p−q)·ln(p/q). Windows are even vs odd epoch days (deterministic,
+  // data-independent). Scale design inherits q132's histogram trick —
+  // decile edges come from a cumulative window over the map-side-combined
+  // (group, cents) VALUE histogram, never a fact sort; bin counts avoid
+  // any per-row bin search: one broadcast join against the 9 edges per
+  // group counts cumulative ≤-edge masses and a lag window differences
+  // them (bin 10 = total − cum9, so values above the reference max are
+  // never dropped). Arithmetic is exact: add-one-smoothed proportions in
+  // integer ppm, logs in t19's quantized 1e-4 units, PSI as an int64 in
+  // 1e-10 units (0.2 alert threshold = 2e9 here).
+  private val q133 = QueryDef(
+    "q133_psi_drift",
+    (s, dir) => {
+      def base = events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+          expr("(unix_micros(ts) DIV 86400000000) % 2").as("w"))
+      // The ≤-edge masses join the 9 broadcast edges against the FACT —
+      // a 9× per-row expansion that feeds straight into a map-side
+      // partial aggregate (9 extra codegen'd comparisons per event, NO
+      // shuffle of the expanded rows — partials are 10 rows per (g, w)
+      // per task at any scale). The "obvious" fix of pre-aggregating a
+      // (g, w, cents) histogram first and joining edges against that
+      // measured SLOWER (r14 A/B at sf0.1: 3.7 s fact-join vs 6.3-6.8 s
+      // histogram: the extra full-fact shuffle + cache + checkpoint
+      // stages cost more than the streamed comparisons they save); only
+      // the decile-edge derivation uses the value histogram, where the
+      // cumulative window genuinely needs it.
+      val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      val edges = base.filter(col("w") === 0)
+        .groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .select(col("g"), col("cum"), col("n"), col("x"),
+          explode(expr("sequence(1, 9)")).as("k"))
+        .filter(col("cum") >= expr("(k * n + 9) DIV 10"))
+        .groupBy(col("g"), col("k")).agg(min(col("x")).as("edge"))
+      val tot = base.groupBy(col("g"), col("w")).agg(count(lit(1)).as("n"))
+      val le = base.join(broadcast(edges), "g")
+        .groupBy(col("g"), col("w"), col("k"))
+        .agg(sum(when(col("x") <= col("edge"), 1L).otherwise(0L)).as("cle"))
+      val wLag = Window.partitionBy(col("g"), col("w")).orderBy(col("k"))
+      val bins = le
+        .withColumn("c", col("cle") - coalesce(lag(col("cle"), 1).over(wLag), lit(0L)))
+        .select(col("g"), col("w"), col("k"), col("c"))
+        .union(tot.join(le.filter(col("k") === 9)
+            .select(col("g"), col("w"), col("cle")), Seq("g", "w"))
+          .select(col("g"), col("w"), lit(10).as("k"), (col("n") - col("cle")).as("c")))
+      val pq = bins.filter(col("w") === 0)
+        .select(col("g"), col("k"), col("c").as("c0"))
+        .join(bins.filter(col("w") === 1)
+          .select(col("g"), col("k"), col("c").as("c1")), Seq("g", "k"))
+        .join(tot.filter(col("w") === 0).select(col("g"), col("n").as("n0")), "g")
+        .join(tot.filter(col("w") === 1).select(col("g"), col("n").as("n1")), "g")
+        .select(col("g"), col("k"),
+          expr("((c0 + 1) * 1000000) DIV (n0 + 10)").as("p_ppm"),
+          expr("((c1 + 1) * 1000000) DIV (n1 + 10)").as("q_ppm"),
+          col("n0"), col("n1"))
+      val out = pq.groupBy(col("g"))
+        .agg(max(col("n0")).as("n_ref"), max(col("n1")).as("n_cur"),
+          sum((col("p_ppm") - col("q_ppm")) *
+            (expr(lnQ("p_ppm")) - expr(lnQ("q_ppm")))).as("psi_scaled"),
+          max(abs(col("p_ppm") - col("q_ppm"))).as("max_bin_shift_ppm"),
+          count(lit(1)).as("n_bins"))
+        .orderBy(col("g"))
+      out
+    },
+    Some(s"""WITH base AS (
+      SELECT event_type AS g,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        (epoch_us(ts) // 86400000000) % 2 AS w
+      FROM events),
+    rh AS (SELECT g, x, COUNT(*) AS c FROM base WHERE w = 0 GROUP BY 1, 2),
+    rc AS (SELECT g, x, c,
+        SUM(c) OVER (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY g) AS n
+      FROM rh),
+    edges AS (SELECT g, k, MIN(x) AS edge
+              FROM rc, unnest(range(1, 10)) AS t(k)
+              WHERE cum >= (k * n + 9) // 10
+              GROUP BY g, k),
+    tot AS (SELECT g, w, COUNT(*) AS n FROM base GROUP BY 1, 2),
+    le AS (SELECT b.g, b.w, e.k,
+             CAST(COUNT(CASE WHEN b.x <= e.edge THEN 1 END) AS BIGINT) AS cle
+           FROM base b JOIN edges e ON e.g = b.g GROUP BY 1, 2, 3),
+    bins AS (
+      SELECT g, w, k,
+        cle - COALESCE(LAG(cle) OVER (PARTITION BY g, w ORDER BY k), 0) AS c
+      FROM le
+      UNION ALL
+      SELECT t.g, t.w, 10 AS k, t.n - l.cle AS c
+      FROM tot t JOIN le l ON l.g = t.g AND l.w = t.w AND l.k = 9),
+    pq AS (SELECT b0.g, b0.k,
+        ((b0.c + 1) * 1000000) // (t0.n + 10) AS p_ppm,
+        ((b1.c + 1) * 1000000) // (t1.n + 10) AS q_ppm,
+        t0.n AS n0, t1.n AS n1
+      FROM bins b0 JOIN bins b1 ON b1.g = b0.g AND b1.k = b0.k
+        AND b0.w = 0 AND b1.w = 1
+      JOIN tot t0 ON t0.g = b0.g AND t0.w = 0
+      JOIN tot t1 ON t1.g = b0.g AND t1.w = 1)
+    SELECT g, CAST(MAX(n0) AS BIGINT) AS n_ref, CAST(MAX(n1) AS BIGINT) AS n_cur,
+      CAST(SUM((p_ppm - q_ppm) * (${lnQ("p_ppm")} - ${lnQ("q_ppm")})) AS BIGINT)
+        AS psi_scaled,
+      CAST(MAX(abs(p_ppm - q_ppm)) AS BIGINT) AS max_bin_shift_ppm,
+      COUNT(*) AS n_bins
+    FROM pq GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132)
+      q130, q132, q133)
 }

@@ -48,6 +48,12 @@ object Tables {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Quantized natural log in 1e-4 integer units — identical SparkSQL and
+    * DuckDB syntax, so additive log forms (Zipf/Heaps fits, PMI, PSI) are
+    * exact int64 arithmetic on both engines after the one rounded ln. */
+  def lnQ(x: String): String =
+    s"CAST(CAST(round(ln(CAST($x AS DOUBLE)), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+
   /** SQL-side twin of [[dsum]] for the DuckDB oracle strings. */
   def dsumSql(exprSql: String, scale: Int = 2): String =
     s"CAST(SUM(CAST($exprSql AS DECIMAL(18,$scale))) AS DOUBLE)"

@@ -741,8 +741,7 @@ object Text {
   // over the (source, token, freq) AGGREGATE — bounded by vocabulary, not
   // corpus size — and the fit itself is one hash aggregate.
   private val ZipfHead = 500
-  private def lnQ(x: String): String =
-    s"CAST(CAST(round(ln(CAST($x AS DOUBLE)), 4) AS DECIMAL(18,4)) * 10000 AS BIGINT)"
+  private def lnQ(x: String): String = Tables.lnQ(x)
   private val t19 = QueryDef(
     "t19_zipf_slope",
     (s, dir) => {
