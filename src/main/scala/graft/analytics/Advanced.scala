@@ -1907,9 +1907,54 @@ object Advanced {
       COUNT(*) AS n_bins
     FROM pq GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q134
+  // SESSION PATH MINING — the top complete user journeys (ordered
+  // event-type sequences per user-day, truncated to the first 5 steps),
+  // the Sankey/path-analysis primitive: q127 aggregates pairwise
+  // TRANSITIONS and loses sequence identity; this keeps the whole path
+  // as the unit of counting. One (user, day)-keyed aggregate collects
+  // each journey's events and `array_sort` of (us, event_id, type)
+  // structs imposes the total order INSIDE the group — collect_list's
+  // arrival order is nondeterministic, the sort makes the path
+  // deterministic without any window or global sort; per-group state is
+  // bounded by per-user-day activity (q52's session-state class, keyed
+  // high-cardinality). The path frequency count is a second
+  // map-side-combined aggregate over |journeys| rows, and the top-20 is
+  // a TakeOrdered. The DuckDB oracle uses ordered list aggregation —
+  // an independent formulation of the same total order.
+  private val q134 = QueryDef(
+    "q134_path_mining",
+    (s, dir) => {
+      val paths = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"), col("event_type"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(array_sort(collect_list(
+          struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          expr("concat_ws('>', transform(slice(evs, 1, 5), e -> e.event_type))")
+            .as("path"))
+      paths.groupBy(col("path"))
+        .agg(count(lit(1)).as("n_journeys"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_journeys").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day, epoch_us(ts) AS us,
+        event_id, event_type FROM events),
+    paths AS (
+      SELECT user_id, day,
+        array_to_string(list(event_type ORDER BY us, event_id)[1:5], '>') AS path
+      FROM ev GROUP BY 1, 2)
+    SELECT path, COUNT(*) AS n_journeys,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM paths GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133)
+      q130, q132, q133, q134)
 }
