@@ -1623,7 +1623,84 @@ object Dedup {
     FROM tok t LEFT JOIN cut c ON c.source = t.source
     ORDER BY t.source"""))
 
+  // ---------------------------------------------------------------- d28
+  // CONTAINMENT DEDUP — asymmetric near-dup: flag pairs where one doc's
+  // shingle set is mostly CONTAINED in the other's (|A∩B| / min(|A|,|B|)
+  // ≥ 0.5), the quoted-/embedded-document class both symmetric Jaccard
+  // (a small doc inside a big one has low J) and d12's prefix rule (the
+  // quote can sit anywhere) miss. Candidate generation cannot use d02's
+  // minhash bands for the same reason — band collision probability IS
+  // Jaccard — so it inverts on RARE shingles instead: a posting-list
+  // self-join restricted to shingles with document frequency in [2, 5].
+  // A ≥50%-contained pair shares ~half of the smaller doc's shingles, so
+  // missing every rare one is vanishingly unlikely on real corpora,
+  // while the df cap bounds candidate cost at Σ_{df≤5} df² ≤ 5·|rare
+  // postings| — linear in corpus size, never N². (A boilerplate-heavy
+  // corpus where EVERY shared shingle is common would evade the rare
+  // filter; that corpus is t20/t25's problem — strip boilerplate first.)
+  // Verify is exact set intersection over the candidates' hashed shingle
+  // arrays, integer ppm against the SMALLER set.
+  private val d28 = QueryDef(
+    "d28_containment_dedup",
+    (s, dir) => {
+      val hs = shingled(s, dir)
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .cache()
+      hs.count()
+      // no distinct: shingleFromTokens already array_distinct's per doc,
+      // so the exploded (doc_id, h) stream is unique — a distinct here
+      // re-shuffled the whole posting volume for nothing (A/B: 5.2→4.4 s)
+      val ex = hs.select(col("doc_id"), explode(col("hs")).as("h"))
+      // df ∈ [2, 5] and ≥2 shared rare shingles per pair: the r14 A/B cut
+      // candidates 11.5k → 1.1k at sf0.01 (7.1→5.2 s at sf0.1) with ZERO
+      // flagged pairs lost at either probed SF — a ≥50%-contained pair shares a large shingle
+      // mass, so demanding two rare witnesses is nearly free recall-wise
+      val rare = ex.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("h"))
+      val cand = ex.join(rare, "h").as("a")
+        .join(ex.join(rare, "h").as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("nshared"))
+        .filter(col("nshared") >= 2)
+        .select(col("id1"), col("id2"))
+      val out = cand
+        .join(hs.select(col("doc_id").as("id1"), col("hs").as("h1")), "id1")
+        .join(hs.select(col("doc_id").as("id2"), col("hs").as("h2")), "id2")
+        .select(col("id1"), col("id2"),
+          size(col("h1")).cast("long").as("n1"),
+          size(col("h2")).cast("long").as("n2"),
+          expr("size(array_intersect(h1, h2)) * 1000000 DIV least(size(h1), size(h2))")
+            .as("cont_ppm"))
+        .filter(col("cont_ppm") >= 500000)
+        .orderBy(col("id1"), col("id2"))
+        .localCheckpoint()
+      hs.unpersist()
+      out
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hs),
+    rare AS (SELECT h FROM (SELECT h, COUNT(*) AS df FROM ex GROUP BY h)
+             WHERE df BETWEEN 2 AND 5),
+    cand AS (SELECT id1, id2 FROM (
+               SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS nshared
+               FROM ex a JOIN rare USING (h) JOIN ex b USING (h)
+               WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+             WHERE nshared >= 2)
+    SELECT id1, id2,
+      CAST(len(x.hs) AS BIGINT) AS n1, CAST(len(y.hs) AS BIGINT) AS n2,
+      CAST(len(list_intersect(x.hs, y.hs)) * 1000000
+           // least(len(x.hs), len(y.hs)) AS BIGINT) AS cont_ppm
+    FROM cand JOIN hs x ON x.doc_id = id1 JOIN hs y ON y.doc_id = id2
+    WHERE len(list_intersect(x.hs, y.hs)) * 1000000
+          // least(len(x.hs), len(y.hs)) >= 500000
+    ORDER BY id1, id2"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28)
 }
