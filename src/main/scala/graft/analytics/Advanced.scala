@@ -1853,9 +1853,12 @@ object Advanced {
           .select(col("g"), col("k"), col("c").as("c1")), Seq("g", "k"))
         .join(tot.filter(col("w") === 0).select(col("g"), col("n").as("n0")), "g")
         .join(tot.filter(col("w") === 1).select(col("g"), col("n").as("n1")), "g")
+        // greatest(1, …): past ~1M rows per group an empty bin's smoothed
+        // ppm floors to 0 and ln(0) diverges cross-engine (Spark casts
+        // -Inf→NULL, DuckDB errors) — clamp to 1 ppm on BOTH engines
         .select(col("g"), col("k"),
-          expr("((c0 + 1) * 1000000) DIV (n0 + 10)").as("p_ppm"),
-          expr("((c1 + 1) * 1000000) DIV (n1 + 10)").as("q_ppm"),
+          expr("greatest(1L, ((c0 + 1) * 1000000) DIV (n0 + 10))").as("p_ppm"),
+          expr("greatest(1L, ((c1 + 1) * 1000000) DIV (n1 + 10))").as("q_ppm"),
           col("n0"), col("n1"))
       val out = pq.groupBy(col("g"))
         .agg(max(col("n0")).as("n_ref"), max(col("n1")).as("n_cur"),
@@ -1893,8 +1896,8 @@ object Advanced {
       SELECT t.g, t.w, 10 AS k, t.n - l.cle AS c
       FROM tot t JOIN le l ON l.g = t.g AND l.w = t.w AND l.k = 9),
     pq AS (SELECT b0.g, b0.k,
-        ((b0.c + 1) * 1000000) // (t0.n + 10) AS p_ppm,
-        ((b1.c + 1) * 1000000) // (t1.n + 10) AS q_ppm,
+        greatest(1, ((b0.c + 1) * 1000000) // (t0.n + 10)) AS p_ppm,
+        greatest(1, ((b1.c + 1) * 1000000) // (t1.n + 10)) AS q_ppm,
         t0.n AS n0, t1.n AS n1
       FROM bins b0 JOIN bins b1 ON b1.g = b0.g AND b1.k = b0.k
         AND b0.w = 0 AND b1.w = 1

@@ -2368,8 +2368,185 @@ object Streams {
     },
     Some(Dedup.kcoreOracle))
 
+  // --------------------------------------------------------------- q135
+  // STREAMING DRIFT GATE — q133's PSI monitor run the way production
+  // runs it: a PUBLISHED reference (decile edges + smoothed bin
+  // proportions from the even-event_id half, pre-exists at scale) and a
+  // micro-batched stream of the odd half (3 mtime-ordered batch files,
+  // maxFilesPerTrigger=1), each batch scoring its OWN distribution
+  // against the reference in foreachBatch and appending one alert row
+  // per (event_type, batch). The per-batch work is one broadcast edge
+  // join over the batch (9× expansion into map-side partials, the q133
+  // A/B'd shape) + bounded-size lag/psi arithmetic — per-batch cost ∝
+  // batch size, reference never recomputed. Groups absent from a batch
+  // still emit a row (reference left-join; uniform-smoothed q), and the
+  // smoothed ppm clamps at 1 so ln never sees 0 (the q133 guard).
+  // Oracle: the same per-batch PSI unrolled relationally — batch
+  // membership is the deterministic event_id%6 ∈ {1,3,5} → {0,1,2} map,
+  // so DuckDB reproduces every micro-batch exactly.
+  private val q135 = QueryDef(
+    "q135_stream_drift_gate",
+    (s, dir) => withStreamShuffle(s) {
+      val streamDir = Tables.tmpDir("graft-q135-stream")
+      val resultsDir = Tables.tmp("graft-q135-drift")
+      val edgesDir = Tables.tmp("graft-q135-edges")
+      val refDir = Tables.tmp("graft-q135-ref")
+      def ev = Tables.events(s, dir)
+        .select(col("event_type").as("g"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+          col("event_id"))
+      graft.BenchSplit.setup {
+        // publish the reference artifacts (pre-exist at scale)
+        val ref = ev.filter(col("event_id") % 2 === 0)
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("x"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+        val edges = ref.groupBy(col("g"), col("x")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wCum))
+          .withColumn("n", sum(col("c")).over(wAll))
+          .select(col("g"), col("cum"), col("n"), col("x"),
+            explode(expr("sequence(1, 9)")).as("k"))
+          .filter(col("cum") >= expr("(k * n + 9) DIV 10"))
+          .groupBy(col("g"), col("k")).agg(min(col("x")).as("edge"))
+          .localCheckpoint()
+        edges.write.mode("overwrite").parquet(edgesDir)
+        val rtot = ref.groupBy(col("g")).agg(count(lit(1)).as("n"))
+        val rle = ref.join(broadcast(edges), "g")
+          .groupBy(col("g"), col("k"))
+          .agg(sum(when(col("x") <= col("edge"), 1L).otherwise(0L)).as("cle"))
+        val wLag = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("k"))
+        rle
+          .withColumn("c", col("cle") - coalesce(lag(col("cle"), 1).over(wLag), lit(0L)))
+          .select(col("g"), col("k"), col("c"))
+          .union(rtot.join(rle.filter(col("k") === 9).select(col("g"), col("cle")), "g")
+            .select(col("g"), lit(10).as("k"), (col("n") - col("cle")).as("c")))
+          .join(rtot, "g")
+          .select(col("g"), col("k"),
+            expr("greatest(1L, ((c + 1) * 1000000) DIV (n + 10))").as("p_ppm"))
+          .write.mode("overwrite").parquet(refDir)
+        // the stream: odd events as 3 mtime-ordered batch files
+        val baseT = 1700000000000L
+        (1 to 3).foreach { b =>
+          val stage = Tables.tmp(s"graft-q135-b$b")
+          ev.filter(col("event_id") % 6 === (2 * b - 1))
+            .select(col("g"), col("x"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          import scala.jdk.CollectionConverters._
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+            .iterator().asScala
+            .find(_.getFileName.toString.startsWith("part-"))
+            .getOrElse(sys.error(s"no part file in $stage"))
+          val dest = streamDir.resolve(s"b$b.parquet")
+          java.nio.file.Files.move(part, dest)
+          dest.toFile.setLastModified(baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // no localCheckpoint: unlike q119 nothing here reads a table it
+          // later appends to — the batch re-derives from its own files
+          val b = batch
+          val bs = b.sparkSession
+          val edges = bs.read.parquet(edgesDir)   // (g, k, edge) — 45 rows
+          val refp = bs.read.parquet(refDir)      // (g, k, p_ppm) — 50 rows
+          val tot = b.groupBy(col("g")).agg(count(lit(1)).as("n"))
+          val le = b.join(broadcast(edges), "g")
+            .groupBy(col("g"), col("k"))
+            .agg(sum(when(col("x") <= col("edge"), 1L).otherwise(0L)).as("cle"))
+          val wLag = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("k"))
+          val bins = le
+            .withColumn("c", col("cle") - coalesce(lag(col("cle"), 1).over(wLag), lit(0L)))
+            .select(col("g"), col("k"), col("c"))
+            .union(tot.join(le.filter(col("k") === 9).select(col("g"), col("cle")), "g")
+              .select(col("g"), lit(10).as("k"), (col("n") - col("cle")).as("c")))
+          refp
+            .join(bins, Seq("g", "k"), "left")
+            .join(tot, Seq("g"), "left")
+            .select(col("g"), col("k"), col("p_ppm"),
+              expr("""greatest(1L, ((coalesce(c, 0L) + 1) * 1000000)
+                      DIV (coalesce(n, 0L) + 10))""").as("q_ppm"),
+              coalesce(col("n"), lit(0L)).as("n"))
+            .groupBy(col("g"))
+            .agg(max(col("n")).as("n_cur"),
+              sum((col("p_ppm") - col("q_ppm")) *
+                (expr(Tables.lnQ("p_ppm")) - expr(Tables.lnQ("q_ppm"))))
+                .as("psi_scaled"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("append").parquet(resultsDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q135-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .select(col("g"), col("batch_id"), col("n_cur"), col("psi_scaled"))
+        .orderBy(col("g"), col("batch_id"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_type AS g,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x, event_id
+      FROM events),
+    ref AS (SELECT g, x FROM ev WHERE event_id % 2 = 0),
+    rh AS (SELECT g, x, COUNT(*) AS c FROM ref GROUP BY 1, 2),
+    rc AS (SELECT g, x, c,
+        SUM(c) OVER (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(c) OVER (PARTITION BY g) AS n
+      FROM rh),
+    edges AS (SELECT g, k, MIN(x) AS edge
+              FROM rc, unnest(range(1, 10)) AS t(k)
+              WHERE cum >= (k * n + 9) // 10 GROUP BY g, k),
+    rtot AS (SELECT g, COUNT(*) AS n FROM ref GROUP BY 1),
+    rle AS (SELECT r.g, e.k,
+              CAST(COUNT(CASE WHEN r.x <= e.edge THEN 1 END) AS BIGINT) AS cle
+            FROM ref r JOIN edges e ON e.g = r.g GROUP BY 1, 2),
+    rbins AS (
+      SELECT g, k, cle - COALESCE(LAG(cle) OVER (PARTITION BY g ORDER BY k), 0) AS c
+      FROM rle
+      UNION ALL
+      SELECT t.g, 10 AS k, t.n - l.cle FROM rtot t
+      JOIN rle l ON l.g = t.g AND l.k = 9),
+    refp AS (SELECT b.g, b.k,
+        greatest(1, ((b.c + 1) * 1000000) // (t.n + 10)) AS p_ppm
+      FROM rbins b JOIN rtot t ON t.g = b.g),
+    cur AS (SELECT g, x, (event_id % 6 - 1) // 2 AS b FROM ev WHERE event_id % 2 = 1),
+    ctot AS (SELECT g, b, COUNT(*) AS n FROM cur GROUP BY 1, 2),
+    cle AS (SELECT c.g, c.b, e.k,
+              CAST(COUNT(CASE WHEN c.x <= e.edge THEN 1 END) AS BIGINT) AS cle
+            FROM cur c JOIN edges e ON e.g = c.g GROUP BY 1, 2, 3),
+    cbins AS (
+      SELECT g, b, k,
+        cle - COALESCE(LAG(cle) OVER (PARTITION BY g, b ORDER BY k), 0) AS c
+      FROM cle
+      UNION ALL
+      SELECT t.g, t.b, 10 AS k, t.n - l.cle FROM ctot t
+      JOIN cle l ON l.g = t.g AND l.b = t.b AND l.k = 9),
+    grid AS (SELECT r.g, r.k, r.p_ppm, bb.b
+             FROM refp r, unnest(range(0, 3)) AS bb(b)),
+    j AS (SELECT gr.g, gr.b, gr.p_ppm,
+            greatest(1, ((COALESCE(cb.c, 0) + 1) * 1000000)
+                        // (COALESCE(ct.n, 0) + 10)) AS q_ppm,
+            COALESCE(ct.n, 0) AS n
+          FROM grid gr
+          LEFT JOIN cbins cb ON cb.g = gr.g AND cb.k = gr.k AND cb.b = gr.b
+          LEFT JOIN ctot ct ON ct.g = gr.g AND ct.b = gr.b)
+    SELECT g, CAST(b AS BIGINT) AS batch_id, CAST(MAX(n) AS BIGINT) AS n_cur,
+      CAST(SUM((p_ppm - q_ppm) * (${Tables.lnQ("p_ppm")} - ${Tables.lnQ("q_ppm")}))
+        AS BIGINT) AS psi_scaled
+    FROM j GROUP BY 1, 2 ORDER BY g, batch_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, d24)
+      q111, q112, q113, q115, q118, q119, q135, d24)
 }
