@@ -1955,9 +1955,112 @@ object Advanced {
       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM paths GROUP BY 1 ORDER BY n_journeys DESC, path LIMIT 20"""))
 
+  // --------------------------------------------------------------- q136
+  // CUPED VARIANCE REDUCTION — the experimentation-platform estimator:
+  // adjust each user's experiment-window metric by θ·(covariate − mean)
+  // where the covariate is the user's PRE-period activity and θ =
+  // Cov(X,Y)/Var(X), shrinking metric variance without biasing the
+  // treatment contrast. Everything reduces to MOMENTS: per-user (x, y)
+  // from one conditional aggregate, then pooled and per-arm sums of
+  // x, y, x², xy, y² in DECIMAL(38,0) (exact at any scale — the s19
+  // discipline), so θ, adjusted means, and the variance-reduction ratio
+  // are pure arithmetic on a handful of exact numbers; no per-user
+  // adjusted values ever materialize (linearity of the adjustment).
+  // The only fact-sized ops are the event→user rollup and the user→arm
+  // rollup, both map-side combined. Doubles appear ONLY in the final
+  // ratios, written in the same operation order as the oracle (IEEE-
+  // deterministic) and rounded at 6 decimals; the exact BIGINT sums ride
+  // along so the hash pins the integer state too.
+  private val q136 = QueryDef(
+    "q136_cuped",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val u = events(s, dir)
+        .select(col("user_id"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+          expr("(unix_micros(ts) DIV 86400000000) % 2").as("w"))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("w") === 0, col("cents")).otherwise(0L)).as("x"),
+          sum(when(col("w") === 1, col("cents")).otherwise(0L)).as("y"))
+        .withColumn("arm", col("user_id") % 2)
+      val mom = u.agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"))
+        .select(col("n"), col("sx"),
+          expr("""(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0D)""").as("theta"),
+          expr("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)").as("mx"))
+      val arm = u.groupBy(col("arm")).agg(
+        count(lit(1)).as("n_users"),
+        sum(col("x").cast(dec)).as("ax"), sum(col("y").cast(dec)).as("ay"),
+        sum(col("y").cast(dec) * col("y")).as("ayy"),
+        sum(col("x").cast(dec) * col("x")).as("axx"),
+        sum(col("x").cast(dec) * col("y")).as("axy"))
+      arm.crossJoin(broadcast(mom))
+        .select(col("arm"), col("n_users"),
+          col("ax").cast("long").as("sum_x"), col("ay").cast("long").as("sum_y"),
+          expr("round(CAST(ay AS DOUBLE) / n_users, 6)").as("mean_y"),
+          expr("""round(CAST(ay AS DOUBLE) / n_users
+                  - theta * (CAST(ax AS DOUBLE) / n_users - mx), 6)""").as("mean_y_adj"),
+          expr("""round(1.0D - (CAST(ayy AS DOUBLE) - 2.0D * theta * CAST(axy AS DOUBLE)
+                   + theta * theta * CAST(axx AS DOUBLE)
+                   - n_users * (CAST(ay AS DOUBLE) / n_users - theta * CAST(ax AS DOUBLE) / n_users)
+                     * (CAST(ay AS DOUBLE) / n_users - theta * CAST(ax AS DOUBLE) / n_users))
+                  / nullif(CAST(ayy AS DOUBLE)
+                     - n_users * (CAST(ay AS DOUBLE) / n_users) * (CAST(ay AS DOUBLE) / n_users), 0.0D), 6)""")
+            .as("var_reduction"))
+        .orderBy(col("arm"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        (epoch_us(ts) // 86400000000) % 2 AS w
+      FROM events),
+    u AS (SELECT user_id,
+            CAST(SUM(CASE WHEN w = 0 THEN cents ELSE 0 END) AS BIGINT) AS x,
+            CAST(SUM(CASE WHEN w = 1 THEN cents ELSE 0 END) AS BIGINT) AS y,
+            user_id % 2 AS arm
+          FROM ev GROUP BY user_id),
+    mom AS (SELECT COUNT(*) AS n,
+            CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+            CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+          FROM u),
+    th AS (SELECT n,
+            (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS theta,
+            CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx
+          FROM mom),
+    arm AS (SELECT arm, COUNT(*) AS n_users,
+            CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ax,
+            CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS ay,
+            CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS ayy,
+            CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS axx,
+            CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS axy
+          FROM u GROUP BY arm)
+    SELECT a.arm, a.n_users,
+      CAST(a.ax AS BIGINT) AS sum_x, CAST(a.ay AS BIGINT) AS sum_y,
+      round(CAST(a.ay AS DOUBLE) / a.n_users, 6) AS mean_y,
+      round(CAST(a.ay AS DOUBLE) / a.n_users
+            - t.theta * (CAST(a.ax AS DOUBLE) / a.n_users - t.mx), 6) AS mean_y_adj,
+      round(1.0 - (CAST(a.ayy AS DOUBLE) - 2.0 * t.theta * CAST(a.axy AS DOUBLE)
+                   + t.theta * t.theta * CAST(a.axx AS DOUBLE)
+                   - a.n_users * (CAST(a.ay AS DOUBLE) / a.n_users - t.theta * CAST(a.ax AS DOUBLE) / a.n_users)
+                     * (CAST(a.ay AS DOUBLE) / a.n_users - t.theta * CAST(a.ax AS DOUBLE) / a.n_users))
+            / nullif(CAST(a.ayy AS DOUBLE)
+               - a.n_users * (CAST(a.ay AS DOUBLE) / a.n_users) * (CAST(a.ay AS DOUBLE) / a.n_users), 0.0), 6)
+        AS var_reduction
+    FROM arm a, th t ORDER BY a.arm"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134)
+      q130, q132, q133, q134, q136)
 }
