@@ -473,7 +473,10 @@ object Advanced {
         count(lit(1)).as("n_rows"),
         sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("n_null_custkey"),
         (count(lit(1)) - countDistinct(col("o_orderkey"))).as("n_dup_orderkey"))
-      val orphans = o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left_anti")
+      // customer is SF-proportional (the d09 hazard class): the hint is
+      // gated on the dim's on-disk size, not applied unconditionally
+      val orphans = o.join(bcastIfSmall(c, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "left_anti")
         .agg(count(lit(1)).as("n_fk_orphans"))
       base.crossJoin(orphans)
     },

@@ -799,8 +799,9 @@ object Pipeline {
     (s, dir) => {
       val baskets = rd(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey"))
-        .join(broadcast(rd(s, dir, "part")
-          .select(col("p_partkey"), col("p_brand").as("b"))),
+        // size-gated hint: part is SF-proportional (the d09 hazard class)
+        .join(bcastIfSmall(rd(s, dir, "part")
+          .select(col("p_partkey"), col("p_brand").as("b")), dir, "part"),
           col("l_partkey") === col("p_partkey"))
         .groupBy(col("ok"))
         .agg(sort_array(collect_set(col("b"))).as("bs"))

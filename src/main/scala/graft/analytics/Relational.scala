@@ -50,7 +50,8 @@ object Relational {
       val o = rd(s, dir, "orders")
       val c = rd(s, dir, "customer")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        // size-gated hint: customer grows with SF (the d09 hazard class)
+        .join(bcastIfSmall(c, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(
           countDistinct(col("o_orderkey")).as("n_orders"),
@@ -261,7 +262,8 @@ object Relational {
       val li = rd(s, dir, "lineitem")
       val p = rd(s, dir, "part")
         .select(col("p_partkey"), split(col("p_type"), " ").getItem(0).as("p_class"))
-      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // size-gated hint: part grows with SF (the d09 hazard class)
+      li.join(bcastIfSmall(p, dir, "part"), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_class"))
         .agg(count(lit(1)).as("n"), sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
         .orderBy(col("p_class"))

@@ -660,7 +660,10 @@ object Streams {
       val tiers = rd(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
       val joined = eventsStream(s, dir)
-        .join(broadcast(tiers), "user_id")
+        // size-gated hint: customer is SF-proportional; below the gate the
+        // static side broadcasts per batch, above it the per-batch
+        // planner picks a shuffled join — never a forced huge broadcast
+        .join(Tables.bcastIfSmall(tiers, dir, "customer"), "user_id")
         .groupBy(col("segment"), col("event_type"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       val sinkName = "q38_stream_static_join_sink"

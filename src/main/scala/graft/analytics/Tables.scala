@@ -48,6 +48,18 @@ object Tables {
   def dsum(c: Column, scale: Int = 2): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
+  /** Broadcast `df` only while its backing parquet is small enough to be
+    * a safe build side. The TPC-H-ish dims (customer, part) are
+    * SF-PROPORTIONAL, so an unconditional `broadcast()` hint on them is
+    * the d09 hazard class — a driver-memory killer at 100 TB. The gate
+    * is a zero-cost driver-side file stat: under 64 MB on disk the hint
+    * applies (bench-scale plans unchanged); above it the hint drops and
+    * AQE picks the join from real statistics. */
+  def bcastIfSmall(df: DataFrame, dir: String, table: String): DataFrame = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.isFile && f.length < (64L << 20)) broadcast(df) else df
+  }
+
   /** Quantized natural log in 1e-4 integer units — identical SparkSQL and
     * DuckDB syntax, so additive log forms (Zipf/Heaps fits, PMI, PSI) are
     * exact int64 arithmetic on both engines after the one rounded ln. */
