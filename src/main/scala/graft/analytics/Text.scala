@@ -152,7 +152,10 @@ object Text {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
-      tok.join(broadcast(df), "token")
+      // df is VOCAB-sized (grows with the corpus via Heaps' law): the
+      // hint is gated on corpus size — dropping it does NOT force a
+      // shuffle, it just returns the decision to AQE's statistics
+      tok.join(bcastIfSmall(df, dir, "documents"), "token")
         .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -283,7 +286,8 @@ object Text {
       // a double division would land on unrepresentable decimal ties
       // (e.g. -197.3363/58 = -3.402350 exactly) that the engines'
       // round() then resolves differently
-      toks.join(broadcast(lp), "token")
+      // lp is vocab-sized (Heaps-unbounded): size-gated hint
+      toks.join(bcastIfSmall(lp, dir, "documents"), "token")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("slp"))
@@ -335,7 +339,8 @@ object Text {
       srcTok.join(ns, "source")
         .withColumn("lpu_s",
           round(log(col("cs").cast("double") / col("ns")) * 10000).cast("long"))
-        .join(broadcast(lpu), "token")
+        // lpu is vocab-sized (Heaps-unbounded): size-gated hint
+        .join(bcastIfSmall(lpu, dir, "documents"), "token")
         .groupBy(col("source"))
         .agg(max(col("ns")).as("n_tokens"),
           sum(col("cs") * (col("lpu_s") - col("lpu"))).as("su"))
@@ -899,7 +904,8 @@ object Text {
       val oov = scalars
         .select(expr(s"${lnQ("1 / CAST(ntr + v AS DOUBLE)")}").as("lq0"))
       test.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cte"))
-        .join(broadcast(lp), Seq("w"), "left")
+        // lp is vocab-sized (Heaps-unbounded): size-gated hint
+        .join(bcastIfSmall(lp, dir, "documents"), Seq("w"), "left")
         .crossJoin(broadcast(oov))
         .groupBy(col("source"))
         .agg(sum(col("cte")).as("n_test_tokens"),
@@ -1315,7 +1321,8 @@ object Text {
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
       // reused by both aggregates below; |vocab × sources| rows, so the
       // checkpoint is bounded and saves re-running the scan + join twice
-      val joined = perSrc.join(broadcast(enc), "w").localCheckpoint()
+      // enc is trained-vocab-sized (Heaps-unbounded): size-gated hint
+      val joined = perSrc.join(bcastIfSmall(enc, dir, "documents"), "w").localCheckpoint()
       val stats = joined.groupBy(col("source")).agg(
         sum(col("cnt")).as("n_words"),
         sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
