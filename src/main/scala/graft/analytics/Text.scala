@@ -451,7 +451,10 @@ object Text {
       // former inner-join + separate per-doc count + rejoin shape cost an
       // extra shuffle and an extra join for the same answer
       val out = ex.filter(col("doc_id") % 97 =!= 0)
-        .join(broadcast(bench), Seq("ng"), "left")
+        // the %97 split makes this stand-in benchmark corpus-proportional
+        // (a REAL held-out benchmark is fixed-size); gate the hint so the
+        // stand-in also behaves at scale
+        .join(bcastIfSmall(bench, dir, "documents"), Seq("ng"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_distinct_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
