@@ -1538,6 +1538,9 @@ object Advanced {
         .withColumn("prevmax", max(col("lmax")).over(wPrev))
         .filter(col("prevmax").isNull || col("lmax") > col("prevmax"))
         .select(col("brand").as("fb"), col("price").as("fp"), col("lmax"))
+      // front ≤ |brands| × |distinct prices| — bounded by the VALUE
+      // DOMAIN (cents in a generator-fixed range), not by row count, so
+      // the hint is scale-safe unlike the d09/dimension class
       base.join(broadcast(front),
           col("brand") === col("fb") && col("price") === col("fp") &&
             col("size") === col("lmax"))
