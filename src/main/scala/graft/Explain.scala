@@ -49,7 +49,8 @@ object Explain {
         "q130_time_weighted_avg", "q131_interval_coalesce",
         "d26_exact_substring_spans", "t32_quality_classifier",
         "d27_substring_dedup_apply", "m14_aspect_bucket_pack",
-        "t33_pmi_collocations", "q132_mad_outliers", "q133_psi_drift", "q134_path_mining", "d28_containment_dedup", "q136_cuped")
+        "t33_pmi_collocations", "q132_mad_outliers", "q133_psi_drift", "q134_path_mining", "d28_containment_dedup", "q136_cuped",
+        "q137_k_anonymity", "q138_deletion_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

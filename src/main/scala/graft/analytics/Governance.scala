@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+import Tables._
+
+/**
+ * Data-governance / privacy-audit operators — the compliance layer a
+ * production data platform runs beside curation: re-identification risk
+ * measurement before a data release (q137) and the subject-rights impact
+ * sweep behind deletion/access requests (q138). Both are pure aggregate
+ * plans (integer-exact, one map-side-combined pass per table) and both
+ * push their subject predicates into the scans.
+ */
+object Governance {
+
+  // --------------------------------------------------------------- q137
+  // K-ANONYMITY AUDIT — before releasing a table keyed by quasi-
+  // identifiers (segment, nation, coarse balance band), measure how
+  // identifiable its rows are: rows in equivalence classes smaller than
+  // k = 5 violate k-anonymity, and the expected re-identification risk
+  // of a random row in a class of size s is 1/s — summed here as the
+  // exact integer Σ s·(10⁶ DIV s) ppm (each row contributes its class's
+  // floor-ppm risk, so engines agree bitwise; a double 1/s sum would be
+  // partition-order-dependent). One groupBy over the quasi-identifier
+  // tuple (high-cardinality — no skew), one bounded rollup per segment.
+  // At 100 TB the plan is unchanged: class counting is a map-side-
+  // combined aggregate, the audit never materializes per-row output.
+  private val AnonK = 5
+
+  private val q137 = QueryDef(
+    "q137_k_anonymity",
+    (s, dir) => {
+      val cls = rd(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100000")
+            .as("band"))
+        .groupBy(col("seg"), col("nat"), col("band"))
+        .agg(count(lit(1)).as("sz"))
+      cls.groupBy(col("seg"))
+        .agg(
+          sum(col("sz")).as("n_rows"),
+          count(lit(1)).as("n_classes"),
+          sum(when(col("sz") < AnonK, col("sz")).otherwise(0L)).as("n_violating_rows"),
+          min(col("sz")).as("min_class"),
+          sum(col("sz") * expr("1000000 DIV sz")).as("reid_risk_ppm_sum"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""WITH qi AS (
+      SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS band
+      FROM customer),
+    cls AS (SELECT seg, nat, band, COUNT(*) AS sz FROM qi GROUP BY 1, 2, 3)
+    SELECT seg,
+      CAST(SUM(sz) AS BIGINT) AS n_rows,
+      COUNT(*) AS n_classes,
+      CAST(SUM(CASE WHEN sz < $AnonK THEN sz ELSE 0 END) AS BIGINT) AS n_violating_rows,
+      CAST(MIN(sz) AS BIGINT) AS min_class,
+      CAST(SUM(sz * (1000000 // sz)) AS BIGINT) AS reid_risk_ppm_sum
+    FROM cls GROUP BY 1 ORDER BY 1"""))
+
+  // --------------------------------------------------------------- q138
+  // DELETION-IMPACT SWEEP — the report behind a right-to-be-forgotten /
+  // subject-access batch: for a deterministic subject set (key % 1000 =
+  // 7, standing in for the request table), how many rows, distinct
+  // subjects, and how much value mass each table would surrender, with
+  // an id checksum pinning the exact row set. The subject predicate is a
+  // pure per-row filter, so every scan prunes at the source (no join —
+  // at scale a real request list joins as a broadcast/bloom semi-join,
+  // q51's pattern); each table is one filtered map-side-combined
+  // aggregate and the three reports union. This is the BATCH twin of
+  // q115's streaming tombstone wipe: q115 applies deletions to live
+  // state, this one scopes them across the lake first.
+  private val q138 = QueryDef(
+    "q138_deletion_sweep",
+    (s, dir) => {
+      def report(df: org.apache.spark.sql.DataFrame, tbl: String,
+          subject: String, cents: String, rowId: String) =
+        df.filter(expr(s"$subject % 1000 = 7"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col(subject)).as("n_subjects"),
+            sum(expr(cents)).as("cents"),
+            (sum(expr(s"$rowId % $HashMod")) % lit(HashMod)).as("row_checksum"))
+          .select(lit(tbl).as("tbl"), col("n_rows"), col("n_subjects"),
+            coalesce(col("cents"), lit(0L)).as("cents"),
+            coalesce(col("row_checksum"), lit(0L)).as("row_checksum"))
+      report(events(s, dir), "events", "user_id",
+          "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)", "event_id")
+        .unionAll(report(rd(s, dir, "customer"), "customer", "c_custkey",
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)", "c_custkey"))
+        .unionAll(report(rd(s, dir, "orders"), "orders", "o_custkey",
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "o_orderkey"))
+        .orderBy(col("tbl"))
+    },
+    Some(s"""SELECT 'events' AS tbl, COUNT(*) AS n_rows,
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_subjects,
+      CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS cents,
+      CAST(COALESCE(SUM(event_id % $HashMod) % $HashMod, 0) AS BIGINT) AS row_checksum
+    FROM events WHERE user_id % 1000 = 7
+    UNION ALL
+    SELECT 'customer', COUNT(*), CAST(COUNT(DISTINCT c_custkey) AS BIGINT),
+      CAST(COALESCE(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM(c_custkey % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM customer WHERE c_custkey % 1000 = 7
+    UNION ALL
+    SELECT 'orders', COUNT(*), CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+      CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM(o_orderkey % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM orders WHERE o_custkey % 1000 = 7
+    ORDER BY tbl"""))
+
+  val defs: Seq[QueryDef] = Seq(q137, q138)
+}

@@ -16,7 +16,7 @@ object Registry {
       Relational.defs ++ Advanced.defs ++ Ingest.defs ++ Streams.defs ++
         Text.defs ++ Similarity.defs ++ Dedup.defs ++ Multimodal.defs ++
         Formats.defs ++ Pipeline.defs ++ Semi.defs ++ Subquery.defs ++
-        CorpusPipeline.defs
+        CorpusPipeline.defs ++ Governance.defs
     // a duplicate name would silently drop a query at the toMap below —
     // fail loudly at first touch instead
     val dups = defs.groupBy(_.name).collect { case (n, g) if g.size > 1 => n }
