@@ -108,5 +108,54 @@ object Governance {
     FROM orders WHERE o_custkey % 1000 = 7
     ORDER BY tbl"""))
 
-  val defs: Seq[QueryDef] = Seq(q137, q138)
+  // --------------------------------------------------------------- q139
+  // PII-PATTERN DISCOVERY SWEEP — the "scan the lake for identifier-
+  // looking columns" audit compliance teams run before classification:
+  // for every (table, string column) pair, count rows matching
+  // identifier heuristics (≥6-digit runs — account/ID-like; '#' account
+  // markers; email-shaped tokens) and measure the column's distinct-
+  // value cardinality (a fully-distinct "free-text" column is a
+  // re-identification vector even without pattern hits; q137 then
+  // quantifies it). Each column is ONE pruned scan + map-side-combined
+  // aggregate (regexes are codegen'd per-row predicates, no explode,
+  // no shuffle beyond the per-column 1-row rollup); the per-column
+  // reports union. The column list is configuration, not discovery —
+  // at scale the same plan fans out per column from the catalog schema.
+  private val q139 = QueryDef(
+    "q139_pii_scan",
+    (s, dir) => {
+      def scan(table: String, column: String) =
+        rd(s, dir, table).select(col(column).cast("string").as("v"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("v").rlike("[0-9]{6,}"), 1L).otherwise(0L)).as("n_digit_run"),
+            sum(when(col("v").rlike("#"), 1L).otherwise(0L)).as("n_acct_marker"),
+            sum(when(col("v").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), 1L)
+              .otherwise(0L)).as("n_email_like"),
+            countDistinct(col("v")).as("n_distinct"))
+          .select(lit(table).as("tbl"), lit(column).as("col"), col("n_rows"),
+            col("n_digit_run"), col("n_acct_marker"), col("n_email_like"),
+            col("n_distinct"))
+      Seq(
+        scan("customer", "c_name"), scan("customer", "c_mktsegment"),
+        scan("supplier", "s_name"), scan("orders", "o_orderpriority"),
+        scan("events", "event_type"), scan("events", "props"))
+        .reduce(_ unionAll _)
+        .orderBy(col("tbl"), col("col"))
+    },
+    Some {
+      def scanSql(table: String, column: String) =
+        s"""SELECT '$table' AS tbl, '$column' AS col, COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN regexp_matches(CAST($column AS VARCHAR), '[0-9]{6,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_digit_run,
+          CAST(SUM(CASE WHEN regexp_matches(CAST($column AS VARCHAR), '#') THEN 1 ELSE 0 END) AS BIGINT) AS n_acct_marker,
+          CAST(SUM(CASE WHEN regexp_matches(CAST($column AS VARCHAR), '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}') THEN 1 ELSE 0 END) AS BIGINT) AS n_email_like,
+          CAST(COUNT(DISTINCT CAST($column AS VARCHAR)) AS BIGINT) AS n_distinct
+        FROM $table"""
+      Seq(
+        scanSql("customer", "c_name"), scanSql("customer", "c_mktsegment"),
+        scanSql("supplier", "s_name"), scanSql("orders", "o_orderpriority"),
+        scanSql("events", "event_type"), scanSql("events", "props"))
+        .mkString("", "\n    UNION ALL\n    ", "\n    ORDER BY tbl, col")
+    })
+
+  val defs: Seq[QueryDef] = Seq(q137, q138, q139)
 }
