@@ -52,6 +52,48 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("q137 counts violating rows and risk exactly on a hand-built dimension") {
+    val tmp = java.nio.file.Files.createTempDirectory("q137inv").toString
+    // segment A: one class of 6 (k-safe) + one singleton → 1 violating
+    // row; risk = 6·(1e6 DIV 6) + 1·1e6 = 999996 + 1000000
+    val rows =
+      (1 to 6).map(i => (i.toLong, "Customer#%09d".format(i), 1, 100.0, "A")) ++
+      Seq((7L, "Customer#000000007", 2, 100.0, "A")) ++
+      (8 to 12).map(i => (i.toLong, "Customer#%09d".format(i), 3, 100.0, "B"))
+    rows.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = Registry.queries("q137_k_anonymity")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    out shouldBe Seq(
+      ("A", 7L, 2L, 1L, 1L, 6L * (1000000L / 6L) + 1000000L),
+      ("B", 5L, 1L, 0L, 5L, 5L * (1000000L / 5L)))
+  }
+
+  test("q138 sweeps exactly the subject rows with exact value mass") {
+    val tmp = java.nio.file.Files.createTempDirectory("q138inv").toString
+    // subjects: key % 1000 == 7 → custkeys 7 and 1007 only
+    Seq((7L, "c7", 1, 10.50, "A"), (1007L, "c1007", 1, 4.25, "A"),
+      (8L, "c8", 1, 99.99, "B"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((100L, 7L, "O", 20.00, ts(0), "1-URGENT"),
+      (101L, 8L, "O", 30.00, ts(0), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, ts(60), 7L, "click", 1.25, ""), (2L, ts(61), 9L, "view", 7.00, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q138_deletion_sweep")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    out shouldBe Seq(
+      ("customer", 2L, 2L, 1050L + 425L),
+      ("events", 1L, 1L, 125L),
+      ("orders", 1L, 1L, 2000L))
+  }
+
   test("d28 flags the quoted document against its host, not unrelated docs") {
     val tmp = java.nio.file.Files.createTempDirectory("d28inv").toString
     // doc 1 = the quote (20 tokens); doc 2 embeds it verbatim inside
