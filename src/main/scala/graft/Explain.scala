@@ -50,7 +50,8 @@ object Explain {
         "d26_exact_substring_spans", "t32_quality_classifier",
         "d27_substring_dedup_apply", "m14_aspect_bucket_pack",
         "t33_pmi_collocations", "q132_mad_outliers", "q133_psi_drift", "q134_path_mining", "d28_containment_dedup", "q136_cuped",
-        "q137_k_anonymity", "q138_deletion_sweep", "q139_pii_scan")
+        "q137_k_anonymity", "q138_deletion_sweep", "q139_pii_scan",
+        "q140_autocorrelation")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

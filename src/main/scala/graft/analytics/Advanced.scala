@@ -2064,9 +2064,80 @@ object Advanced {
         AS var_reduction
     FROM arm a, th t ORDER BY a.arm"""))
 
+  // --------------------------------------------------------------- q140
+  // AUTOCORRELATION (lags 1–7) — the seasonality diagnostic over the
+  // daily activity series per event type: a weekly cycle shows as an
+  // ACF spike at lag 7, trend as slow decay — the check run before any
+  // forecasting/anomaly model. The fact table collapses to the |days|-
+  // bounded daily series in ONE map-side-combined aggregate; the lag
+  // pairing is a self-join of that bounded series (never the fact), and
+  // ACF reduces to q136's exact-moment discipline: DECIMAL(38,0) sums
+  // (Σx, Σy, Σxy per lag; Σc, Σc², n per series), with doubles only in
+  // the final ratio, oracle-identical operation order, rounded at 6.
+  private val q140 = QueryDef(
+    "q140_autocorrelation",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = events(s, dir)
+        .groupBy(col("event_type").as("g"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // |days|-bounded; read by both sides of the lag join
+      val st = daily.groupBy(col("g")).agg(
+        count(lit(1)).as("n"),
+        sum(col("c").cast(dec)).as("sc"),
+        sum(col("c").cast(dec) * col("c")).as("scc"))
+      val pr = daily
+        .select(col("g"), col("day"), col("c"),
+          explode(expr("sequence(1, 7)")).as("lag"))
+        .join(daily.select(col("g"), col("day").as("day2"), col("c").as("c2")),
+          Seq("g"))
+        .filter(col("day2") === col("day") + col("lag"))
+        .groupBy(col("g"), col("lag"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("c").cast(dec)).as("sx"),
+          sum(col("c2").cast(dec)).as("sy"),
+          sum(col("c").cast(dec) * col("c2")).as("sxy"))
+      pr.join(broadcast(st), "g")
+        .select(col("g"), col("lag").cast("long").as("lag"), col("n_pairs"),
+          expr("""round((CAST(sxy AS DOUBLE)
+                   - (CAST(sc AS DOUBLE) / n) * CAST(sx AS DOUBLE)
+                   - (CAST(sc AS DOUBLE) / n) * CAST(sy AS DOUBLE)
+                   + n_pairs * (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+                  / nullif(CAST(scc AS DOUBLE)
+                     - n * (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0D), 6)""")
+            .as("acf"))
+        .orderBy(col("g"), col("lag"))
+    },
+    Some("""WITH daily AS (
+      SELECT event_type AS g, epoch_us(ts) // 86400000000 AS day,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    st AS (SELECT g, COUNT(*) AS n,
+            CAST(SUM(CAST(c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sc,
+            CAST(SUM(CAST(c AS DECIMAL(38,0)) * c) AS DECIMAL(38,0)) AS scc
+          FROM daily GROUP BY 1),
+    pr AS (SELECT a.g, k.lag, COUNT(*) AS n_pairs,
+            CAST(SUM(CAST(a.c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sx,
+            CAST(SUM(CAST(b.c AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+            CAST(SUM(CAST(a.c AS DECIMAL(38,0)) * b.c) AS DECIMAL(38,0)) AS sxy
+          FROM daily a
+          JOIN (SELECT unnest(range(1, 8)) AS lag) k ON TRUE
+          JOIN daily b ON b.g = a.g AND b.day = a.day + k.lag
+          GROUP BY 1, 2)
+    SELECT p.g, CAST(p.lag AS BIGINT) AS lag, p.n_pairs,
+      round((CAST(p.sxy AS DOUBLE)
+             - (CAST(s.sc AS DOUBLE) / s.n) * CAST(p.sx AS DOUBLE)
+             - (CAST(s.sc AS DOUBLE) / s.n) * CAST(p.sy AS DOUBLE)
+             + p.n_pairs * (CAST(s.sc AS DOUBLE) / s.n) * (CAST(s.sc AS DOUBLE) / s.n))
+            / nullif(CAST(s.scc AS DOUBLE)
+               - s.n * (CAST(s.sc AS DOUBLE) / s.n) * (CAST(s.sc AS DOUBLE) / s.n), 0.0), 6) AS acf
+    FROM pr p JOIN st s ON s.g = p.g
+    ORDER BY p.g, p.lag"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136)
+      q130, q132, q133, q134, q136, q140)
 }
