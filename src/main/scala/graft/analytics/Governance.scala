@@ -157,5 +157,54 @@ object Governance {
         .mkString("", "\n    UNION ALL\n    ", "\n    ORDER BY tbl, col")
     })
 
-  val defs: Seq[QueryDef] = Seq(q137, q138, q139)
+  // --------------------------------------------------------------- q141
+  // BENFORD FIRST-DIGIT AUDIT — the fabrication/fraud screen auditors
+  // run on money columns: naturally-occurring amounts follow
+  // P(d) = log₁₀(1+1/d); uniform or hand-entered data does not, and the
+  // per-digit chi contribution localizes WHICH digits deviate (TPC-H's
+  // uniform prices rightly fail it — the audit's job is to say so).
+  // Exact integers end-to-end: the first significant digit comes from
+  // the cents' decimal string (identical cross-engine), expectations are
+  // precomputed ppm constants, and the chi contribution is integer
+  // floor arithmetic — no doubles anywhere. One scan, one 9-row
+  // aggregate; the scalar total broadcasts back.
+  private val benfordPpm: Map[Int, Long] =
+    (1 to 9).map(d => d -> math.round(math.log10(1.0 + 1.0 / d) * 1e6)).toMap
+  private def benfordCase(col0: String): String =
+    s"CASE $col0 ${(1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}L").mkString(" ")} END"
+  private def benfordCaseSql(col0: String): String =
+    s"CASE $col0 ${(1 to 9).map(d => s"WHEN $d THEN ${benfordPpm(d)}").mkString(" ")} END"
+
+  private val q141 = QueryDef(
+    "q141_benford_audit",
+    (s, dir) => {
+      val b = rd(s, dir, "orders")
+        .filter(col("o_totalprice") > 0)
+        .select(expr("""CAST(substring(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+          * 100 AS BIGINT) AS STRING), 1, 1) AS BIGINT)""").as("digit"))
+      val n = b.agg(count(lit(1)).as("n"))
+      b.groupBy(col("digit")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(n))
+        .select(col("digit"), col("cnt"),
+          expr("cnt * 1000000 DIV n").as("obs_ppm"),
+          expr(benfordCase("digit")).as("exp_ppm"))
+        .withColumn("chi_contrib",
+          expr("(obs_ppm - exp_ppm) * (obs_ppm - exp_ppm) DIV exp_ppm"))
+        .orderBy(col("digit"))
+    },
+    Some(s"""WITH b AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0),
+    n AS (SELECT COUNT(*) AS n FROM b),
+    h AS (SELECT digit, COUNT(*) AS cnt FROM b GROUP BY 1)
+    SELECT h.digit, CAST(h.cnt AS BIGINT) AS cnt,
+      CAST(h.cnt * 1000000 // n.n AS BIGINT) AS obs_ppm,
+      CAST(${benfordCaseSql("h.digit")} AS BIGINT) AS exp_ppm,
+      CAST((h.cnt * 1000000 // n.n - ${benfordCaseSql("h.digit")})
+           * (h.cnt * 1000000 // n.n - ${benfordCaseSql("h.digit")})
+           // (${benfordCaseSql("h.digit")}) AS BIGINT) AS chi_contrib
+    FROM h, n ORDER BY h.digit"""))
+
+  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141)
 }
