@@ -1706,8 +1706,61 @@ object Text {
     SELECT w1, w2, n12, pmi_q FROM p
     ORDER BY pmi_q DESC, w1, w2 LIMIT 20"""))
 
+  // ---------------------------------------------------------------- t35
+  // TERM BURSTINESS — the variance-to-mean dispersion index D of per-doc
+  // occurrence counts for the corpus's top-30 terms, over ALL docs
+  // (zero-count docs included): D ≈ 1 is Poisson (function-word-like
+  // even spread), D ≫ 1 is bursty topical clumping — the diagnostic
+  // behind data-driven stopword discovery and tf saturation choices
+  // (complements t11's concentration and t19's Zipf shape, which see
+  // only corpus totals, not per-doc spread). Zeros never materialize:
+  // with N known, D = (N·Σc² − (Σc)²)/(N·Σc) from moments over only the
+  // docs containing the term — Spark computes in DECIMAL(38,0) (capped,
+  // stays decimal), the oracle in HUGEINT: DuckDB's decimal width rules
+  // would promote the ×10⁶ product to DOUBLE and drift the floor by one
+  // ulp (caught by the r14 gate on first run). One token aggregate for totals, a
+  // 30-row broadcast restricts the per-doc count to the top terms.
+  private val t35 = QueryDef(
+    "t35_term_burstiness",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val tok = docsNarrow(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val top = tok.groupBy(col("w")).agg(count(lit(1)).as("total"))
+        .orderBy(col("total").desc, col("w")).limit(30)
+        .select(col("w"))
+      val nn = docsNarrow(s, dir).agg(count(lit(1)).as("n"))
+      tok.join(broadcast(top), "w") // 30-row build side — bounded by policy
+        .groupBy(col("w"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("w"))
+        .agg(sum(col("c").cast(dec)).as("sc"),
+          sum(col("c").cast(dec) * col("c")).as("scc"),
+          count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(nn))
+        .select(col("w"), col("sc").cast("long").as("total"), col("n_docs"),
+          expr("""CAST(CAST((n * scc - sc * sc) * 1000000 AS DECIMAL(38,0))
+                  DIV CAST(n * sc AS DECIMAL(38,0)) AS BIGINT)""").as("disp_ppm"))
+        .orderBy(col("disp_ppm").desc, col("w"))
+        .limit(30)
+    },
+    Some("""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    top AS (SELECT w, COUNT(*) AS total FROM tok GROUP BY 1
+            ORDER BY total DESC, w LIMIT 30),
+    pd AS (SELECT t.w, tok.doc_id, COUNT(*) AS c
+           FROM tok JOIN top t USING (w) GROUP BY 1, 2),
+    nn AS (SELECT COUNT(*) AS n FROM documents),
+    m AS (SELECT w, CAST(SUM(c) AS BIGINT) AS sc,
+            CAST(SUM(CAST(c AS HUGEINT) * c) AS BIGINT) AS scc,
+            COUNT(*) AS n_docs
+          FROM pd GROUP BY 1)
+    SELECT m.w, m.sc AS total, CAST(m.n_docs AS BIGINT) AS n_docs,
+      CAST((CAST(nn.n AS HUGEINT) * m.scc - CAST(m.sc AS HUGEINT) * m.sc) * 1000000
+           // (CAST(nn.n AS HUGEINT) * m.sc) AS BIGINT) AS disp_ppm
+    FROM m, nn ORDER BY disp_ppm DESC, m.w LIMIT 30"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33)
+      t29, t30, t31, t32, t33, t35)
 }
