@@ -1706,7 +1706,7 @@ object Text {
     SELECT w1, w2, n12, pmi_q FROM p
     ORDER BY pmi_q DESC, w1, w2 LIMIT 20"""))
 
-  // ---------------------------------------------------------------- t35
+  // ---------------------------------------------------------------- t34
   // TERM BURSTINESS — the variance-to-mean dispersion index D of per-doc
   // occurrence counts for the corpus's top-30 terms, over ALL docs
   // (zero-count docs included): D ≈ 1 is Poisson (function-word-like
@@ -1720,8 +1720,8 @@ object Text {
   // would promote the ×10⁶ product to DOUBLE and drift the floor by one
   // ulp (caught by the r14 gate on first run). One token aggregate for totals, a
   // 30-row broadcast restricts the per-doc count to the top terms.
-  private val t35 = QueryDef(
-    "t35_term_burstiness",
+  private val t34 = QueryDef(
+    "t34_term_burstiness",
     (s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val tok = docsNarrow(s, dir)
@@ -1762,5 +1762,5 @@ object Text {
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t35)
+      t29, t30, t31, t32, t33, t34)
 }
