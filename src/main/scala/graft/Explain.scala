@@ -51,7 +51,7 @@ object Explain {
         "d27_substring_dedup_apply", "m14_aspect_bucket_pack",
         "t33_pmi_collocations", "q132_mad_outliers", "q133_psi_drift", "q134_path_mining", "d28_containment_dedup", "q136_cuped",
         "q137_k_anonymity", "q138_deletion_sweep", "q139_pii_scan",
-        "q140_autocorrelation", "q141_benford_audit", "t34_term_burstiness")
+        "q140_autocorrelation", "q141_benford_audit", "t34_term_burstiness", "q142_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

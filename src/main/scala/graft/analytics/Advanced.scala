@@ -2135,9 +2135,61 @@ object Advanced {
     FROM pr p JOIN st s ON s.g = p.g
     ORDER BY p.g, p.lag"""))
 
+  // --------------------------------------------------------------- q142
+  // WEIGHTED MEDIAN / PERCENTILE — quantity-weighted price quantiles,
+  // the market/billing statistic where each row counts by its volume
+  // (unweighted medians over-represent small lots; q29/q94/q132 are all
+  // unweighted). Same scale design as q132's exact-median machinery
+  // with WEIGHT MASS in place of row counts: one map-side-combined
+  // (group, cents) histogram summing weights, a cumulative-weight window
+  // over the value domain (never the fact), and quantile positions
+  // located by the cum−w < rank ≤ cum containment test — the weighted
+  // median uses the even/odd midpoint-sum (wmed2 = 2·median, integer),
+  // the weighted p90 the ceil-rank ⌈0.9·W⌉. Everything int64-exact.
+  private val q142 = QueryDef(
+    "q142_weighted_median",
+    (s, dir) => {
+      val wCum = Window.partitionBy(col("g")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      rd(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"),
+          expr("CAST(l_quantity AS BIGINT)").as("wt"))
+        .groupBy(col("g"), col("x")).agg(sum(col("wt")).as("w"))
+        .withColumn("cum", sum(col("w")).over(wCum))
+        .withColumn("tw", sum(col("w")).over(wAll))
+        .groupBy(col("g"))
+        .agg(max(col("tw")).as("total_weight"),
+          (sum(when(col("cum") - col("w") < expr("(tw + 1) DIV 2") &&
+              expr("(tw + 1) DIV 2") <= col("cum"), col("x")).otherwise(0L))
+            + sum(when(col("cum") - col("w") < expr("tw DIV 2 + 1") &&
+              expr("tw DIV 2 + 1") <= col("cum"), col("x")).otherwise(0L))).as("wmed2"),
+          sum(when(col("cum") - col("w") < expr("(tw * 9 + 9) DIV 10") &&
+              expr("(tw * 9 + 9) DIV 10") <= col("cum"), col("x")).otherwise(0L))
+            .as("wp90"))
+        .orderBy(col("g"))
+    },
+    Some("""WITH base AS (
+      SELECT l_returnflag AS g,
+        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem),
+    h AS (SELECT g, x, CAST(SUM(wt) AS BIGINT) AS w FROM base GROUP BY 1, 2),
+    c AS (SELECT g, x, w,
+        SUM(w) OVER (PARTITION BY g ORDER BY x
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        SUM(w) OVER (PARTITION BY g) AS tw
+      FROM h)
+    SELECT g, CAST(MAX(tw) AS BIGINT) AS total_weight,
+      CAST(SUM(CASE WHEN cum - w < (tw + 1) // 2 AND (tw + 1) // 2 <= cum THEN x ELSE 0 END)
+         + SUM(CASE WHEN cum - w < tw // 2 + 1 AND tw // 2 + 1 <= cum THEN x ELSE 0 END) AS BIGINT) AS wmed2,
+      CAST(SUM(CASE WHEN cum - w < (tw * 9 + 9) // 10 AND (tw * 9 + 9) // 10 <= cum THEN x ELSE 0 END) AS BIGINT) AS wp90
+    FROM c GROUP BY g ORDER BY g"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140)
+      q130, q132, q133, q134, q136, q140, q142)
 }
