@@ -19,13 +19,27 @@ import org.apache.spark.sql.functions._
  *     self-join always hits) — doubles label reach per round, giving
  *     O(log diameter) rounds instead of O(diameter), the difference
  *     between ~a dozen shuffles and hundreds on a 100 TB chain graph.
- * The label table is |nodes|-small and broadcast into both joins; the
- * (much larger) edge list is only ever map-scanned, never shuffled.
+ * The label table is |nodes|-sized — small relative to edges, but at
+ * 100 TB |nodes| is "documents appearing in near-dup pairs", i.e.
+ * potentially billions of rows, so the broadcast hint into the two
+ * joins is GATED on an exact one-time node count (the same guard d09
+ * uses — see Dedup.scala d09 block): ~16 B/row means 2 M nodes ≈ 32 MB
+ * build side, comfortably inside executor broadcast budgets; past that
+ * the hint drops and AQE picks the join strategy (shuffle-hash on the
+ * edge key at true scale). The count is free — labels is already
+ * localCheckpoint-materialized and the loop runs an action per round
+ * anyway. The (much larger) edge list is only ever map-scanned when
+ * the broadcast applies, never shuffled.
  * Convergence is detected by the monotone label-sum — comp never
  * increases, so an unchanged sum means a fixpoint — avoiding a join
  * against the previous round.
  */
 object ConnectedComponents {
+
+  /** Broadcast the label table only below this exact node count
+    * (~16 B/row → ≈32 MB build side at the cap); beyond it AQE picks
+    * the join strategy. Same threshold as d09's PageRank guard. */
+  private val BroadcastNodeCap = 2000000L
 
   /** @param edges        edge list with columns `id1`, `id2` (LongType)
     * @param maxIterations fail-fast bound on propagation rounds
@@ -43,18 +57,23 @@ object ConnectedComponents {
     // reliable storage instead (same idea, executor-loss-safe).
     var labels = both.select(col("id1").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
+    // every round's aggregate preserves the node set, so one count at
+    // entry prices the broadcast gate for the whole propagation
+    val nn = labels.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nn <= BroadcastNodeCap) broadcast(df) else df
     var prevSum = Long.MinValue
     var changed = true
     var iter = 0
     while (changed && iter < maxIterations) {
       val neighbor = both
-        .join(broadcast(labels), col("id2") === col("node"))
+        .join(gated(labels), col("id2") === col("node"))
         .select(col("id1").as("n2"), col("comp"))
       // the parent hop also provides the monotonicity floor: for every
       // node v, comp(comp(v)) <= comp(v), so a separate self branch is
       // redundant
       val parent = labels
-        .join(broadcast(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
+        .join(gated(labels.select(col("node").as("pnode"), col("comp").as("hcomp"))),
           col("comp") === col("pnode"))
         .select(col("node").as("n2"), col("hcomp").as("comp"))
       val next = neighbor.union(parent)
