@@ -1730,12 +1730,6 @@ object Advanced {
               + col(v) * when(col("cum") - col("c") < expr("n DIV 2 + 1") &&
                 expr("n DIV 2 + 1") <= col("cum"), 1L).otherwise(0L)).as(out))
       }
-      // the sf events table is one parquet file = one input split; widen
-      // the cached 2-column projection so the three downstream passes
-      // (value histogram, deviation histogram, flagging) all read a
-      // parallel cache instead of funneling through a single task — at
-      // real scale the table is many splits and this re-split is a no-op
-      // shuffle of a 16-byte-row projection
       // three passes read `base` (value histogram, deviation histogram,
       // flagging) but it stays UNMATERIALIZED: re-scanning the 2-column
       // pruned parquet beat caching in the r14 A/B (1.7 s vs 3.9 s

@@ -1540,6 +1540,16 @@ object Dedup {
   // mass; the per-source token totals are an independent one-scan
   // map-side-combined aggregate. The oracle repeats the surgery in SQL
   // and must remove the SAME spans (cut checksum over (doc, start)).
+  // KNOWN LIMITATION (extent sensitivity): span identity is the whole
+  // MAXIMAL island's (chash, span_tok), so a content-identical duplicate
+  // whose island merged with ADJACENT duplicated text (different extent)
+  // gets a different key and neither copy is cut — the apply step
+  // under-removes relative to suffix-array exact-substring dedup, which
+  // keys on the shared substring itself. Deterministic and
+  // oracle-consistent (the oracle repeats the same maximal-island rule);
+  // closer suffix-array parity would key keep/cut on per-gram content
+  // and re-segment islands at cut boundaries — ∝ dup-mass extra work,
+  // not taken until a consumer needs it.
   private val d27 = QueryDef(
     "d27_substring_dedup_apply",
     (s, dir) => {

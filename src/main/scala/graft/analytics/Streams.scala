@@ -112,6 +112,23 @@ object Streams {
     WHERE epoch_us(date_trunc('hour', ts)) + 3600000000 <= cut_us
     GROUP BY 1, 2 ORDER BY hour, event_type"""))
 
+  /** Move the single part file of a staged coalesce(1) parquet write to
+    * `dest` and stamp its mtime (FileStreamSource batch ordering).
+    * Files.list holds an open directory fd until the stream is closed —
+    * the try/finally keeps a multi-batch setup from leaking one fd per
+    * staged file. */
+  private def movePartFile(stage: String, dest: java.nio.file.Path, mtime: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    val listing = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+    val part =
+      try listing.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(sys.error(s"no part file in $stage"))
+      finally listing.close()
+    java.nio.file.Files.move(part, dest)
+    dest.toFile.setLastModified(mtime)
+  }
+
   /** FileStreamSource needs a directory; the sf tables are single files. */
   private def streamDirFor(dir: String, table: String): String = {
     val streamDir = Tables.tmpDir(s"graft-stream-$table")
@@ -2151,14 +2168,7 @@ object Streams {
           docs(s, dir).filter(col("doc_id") % 6 === (2 * b - 1))
             .select(col("doc_id"), col("text"), col("source"))
             .coalesce(1).write.mode("overwrite").parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file in $stage"))
-          val dest = streamDir.resolve(s"b$b.parquet")
-          java.nio.file.Files.move(part, dest)
-          dest.toFile.setLastModified(baseT + b * 60000L)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
         }
       }
       val schema = s.read.parquet(streamDir.toString).schema
@@ -2301,14 +2311,7 @@ object Streams {
           docs(s, dir).filter(col("doc_id") % 6 === (2 * b - 1))
             .select(col("doc_id"), col("text"))
             .coalesce(1).write.mode("overwrite").parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file in $stage"))
-          val dest = streamDir.resolve(s"b$b.parquet")
-          java.nio.file.Files.move(part, dest)
-          dest.toFile.setLastModified(baseT + b * 60000L)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
         }
       }
       val schema = s.read.parquet(streamDir.toString).schema
@@ -2437,14 +2440,7 @@ object Streams {
           ev.filter(col("event_id") % 6 === (2 * b - 1))
             .select(col("g"), col("x"))
             .coalesce(1).write.mode("overwrite").parquet(stage)
-          import scala.jdk.CollectionConverters._
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
-            .iterator().asScala
-            .find(_.getFileName.toString.startsWith("part-"))
-            .getOrElse(sys.error(s"no part file in $stage"))
-          val dest = streamDir.resolve(s"b$b.parquet")
-          java.nio.file.Files.move(part, dest)
-          dest.toFile.setLastModified(baseT + b * 60000L)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
         }
       }
       val schema = s.read.parquet(streamDir.toString).schema

@@ -52,12 +52,20 @@ object Tables {
     * a safe build side. The TPC-H-ish dims (customer, part) are
     * SF-PROPORTIONAL, so an unconditional `broadcast()` hint on them is
     * the d09 hazard class — a driver-memory killer at 100 TB. The gate
-    * is a zero-cost driver-side file stat: under 64 MB on disk the hint
-    * applies (bench-scale plans unchanged); above it the hint drops and
-    * AQE picks the join from real statistics. */
+    * is a zero-cost driver-side file stat; above the cap the hint drops
+    * and AQE picks the join from real statistics.
+    *
+    * CONTRACT: `df` must be bounded by the named file's own rows — a
+    * projection/filter/row-wise derivation of that table. It is NOT a
+    * valid gate for Heaps-unbounded derived tables (a vocab built FROM
+    * `documents` is not row-bounded by it); those sites carry no hint at
+    * all and let AQE read the real aggregate-output size at the shuffle
+    * boundary (A/B r15 at sf0.1: flat). Cap is 32 MB COMPRESSED — parquet
+    * dims decompress 3-8×, so the worst-case in-memory build stays in the
+    * low hundreds of MB, inside executor broadcast budgets. */
   def bcastIfSmall(df: DataFrame, dir: String, table: String): DataFrame = {
     val f = new java.io.File(s"$dir/$table.parquet")
-    if (f.isFile && f.length < (64L << 20)) broadcast(df) else df
+    if (f.isFile && f.length < (32L << 20)) broadcast(df) else df
   }
 
   /** Quantized natural log in 1e-4 integer units — identical SparkSQL and

@@ -152,10 +152,13 @@ object Text {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("token"))
-      // df is VOCAB-sized (grows with the corpus via Heaps' law): the
-      // hint is gated on corpus size — dropping it does NOT force a
-      // shuffle, it just returns the decision to AQE's statistics
-      tok.join(bcastIfSmall(df, dir, "documents"), "token")
+      // df is VOCAB-sized (grows with the corpus via Heaps' law) and the
+      // corpus-file gate was only a PROXY for it (a dictionary-heavy
+      // corpus breaks the proportionality) — so no hint at all: the
+      // build side is an aggregate output at a shuffle boundary, exactly
+      // where AQE reads the real size and picks broadcast itself when it
+      // fits (A/B r15 at sf0.1: 2.06 s hintless vs 2.03 s hinted — flat)
+      tok.join(df, "token")
         .crossJoin(broadcast(n))
         .withColumn("score",
           round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
@@ -286,8 +289,9 @@ object Text {
       // a double division would land on unrepresentable decimal ties
       // (e.g. -197.3363/58 = -3.402350 exactly) that the engines'
       // round() then resolves differently
-      // lp is vocab-sized (Heaps-unbounded): size-gated hint
-      toks.join(bcastIfSmall(lp, dir, "documents"), "token")
+      // lp is vocab-sized (Heaps-unbounded): no hint — AQE reads the real
+      // aggregate-output size at the shuffle boundary (A/B r15: flat)
+      toks.join(lp, "token")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tokens"),
           sum(col("lp").cast(org.apache.spark.sql.types.DecimalType(18, 4))).as("slp"))
@@ -339,8 +343,9 @@ object Text {
       srcTok.join(ns, "source")
         .withColumn("lpu_s",
           round(log(col("cs").cast("double") / col("ns")) * 10000).cast("long"))
-        // lpu is vocab-sized (Heaps-unbounded): size-gated hint
-        .join(bcastIfSmall(lpu, dir, "documents"), "token")
+        // lpu is vocab-sized (Heaps-unbounded): no hint — AQE decides from
+        // the real aggregate-output size (A/B r15: flat)
+        .join(lpu, "token")
         .groupBy(col("source"))
         .agg(max(col("ns")).as("n_tokens"),
           sum(col("cs") * (col("lpu_s") - col("lpu"))).as("su"))
@@ -452,9 +457,9 @@ object Text {
       // extra shuffle and an extra join for the same answer
       val out = ex.filter(col("doc_id") % 97 =!= 0)
         // the %97 split makes this stand-in benchmark corpus-proportional
-        // (a REAL held-out benchmark is fixed-size); gate the hint so the
-        // stand-in also behaves at scale
-        .join(bcastIfSmall(bench, dir, "documents"), Seq("ng"), "left")
+        // (a REAL held-out benchmark is fixed-size); no hint — AQE reads
+        // the real build-side size, so the stand-in also behaves at scale
+        .join(bench, Seq("ng"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_distinct_grams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
@@ -907,8 +912,9 @@ object Text {
       val oov = scalars
         .select(expr(s"${lnQ("1 / CAST(ntr + v AS DOUBLE)")}").as("lq0"))
       test.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cte"))
-        // lp is vocab-sized (Heaps-unbounded): size-gated hint
-        .join(bcastIfSmall(lp, dir, "documents"), Seq("w"), "left")
+        // lp is vocab-sized (Heaps-unbounded): no hint — AQE reads the real
+      // aggregate-output size at the shuffle boundary (A/B r15: flat)
+        .join(lp, Seq("w"), "left")
         .crossJoin(broadcast(oov))
         .groupBy(col("source"))
         .agg(sum(col("cte")).as("n_test_tokens"),
@@ -1324,8 +1330,9 @@ object Text {
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("cnt"))
       // reused by both aggregates below; |vocab × sources| rows, so the
       // checkpoint is bounded and saves re-running the scan + join twice
-      // enc is trained-vocab-sized (Heaps-unbounded): size-gated hint
-      val joined = perSrc.join(bcastIfSmall(enc, dir, "documents"), "w").localCheckpoint()
+      // enc is trained-vocab-sized (Heaps-unbounded): no hint — AQE
+      // decides from the real size (A/B r15: flat)
+      val joined = perSrc.join(enc, "w").localCheckpoint()
       val stats = joined.groupBy(col("source")).agg(
         sum(col("cnt")).as("n_words"),
         sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),

@@ -81,17 +81,24 @@ object StateInspect {
     val opDir = Paths.get(ckpt, "state", opId.toString)
     if (!Files.isDirectory(opDir)) return 0L
     def size(p: Path): Long = Try(Files.size(p)).getOrElse(0L)
-    Files.list(opDir).iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.forall(_.isDigit))
-      .map { part =>
-        val storeDir = part.resolve(store)
-        if (store != "default" && Files.isDirectory(storeDir))
-          Files.walk(storeDir).iterator().asScala
-            .filter(Files.isRegularFile(_)).map(size).sum
-        else
-          Files.list(part).iterator().asScala
-            .filter(Files.isRegularFile(_)).map(size).sum
-      }.sum
+    // Files.list/walk hold an open directory fd until closed
+    def withListing[T](open: => java.util.stream.Stream[Path])(f: Iterator[Path] => T): T = {
+      val st = open
+      try f(st.iterator().asScala) finally st.close()
+    }
+    withListing(Files.list(opDir)) { parts =>
+      parts
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.forall(_.isDigit))
+        .map { part =>
+          val storeDir = part.resolve(store)
+          if (store != "default" && Files.isDirectory(storeDir))
+            withListing(Files.walk(storeDir))(
+              _.filter(Files.isRegularFile(_)).map(size).sum)
+          else
+            withListing(Files.list(part))(
+              _.filter(Files.isRegularFile(_)).map(size).sum)
+        }.sum
+    }
   }
 
   def main(args: Array[String]): Unit = {
