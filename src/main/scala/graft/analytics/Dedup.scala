@@ -1645,11 +1645,37 @@ object Dedup {
   // A ≥50%-contained pair shares ~half of the smaller doc's shingles, so
   // missing every rare one is vanishingly unlikely on real corpora,
   // while the df cap bounds candidate cost at Σ_{df≤5} df² ≤ 5·|rare
-  // postings| — linear in corpus size, never N². (A boilerplate-heavy
+  // postings| — linear in corpus size, never N². That recall argument is
+  // MEASURED, not assumed: NewOpsInvariantSpec audits the candidates
+  // against exact all-pairs containment ([[containmentExactPairs]]) —
+  // recall 100% on sf0.001's 28 true pairs. (A boilerplate-heavy
   // corpus where EVERY shared shingle is common would evade the rare
   // filter; that corpus is t20/t25's problem — strip boilerplate first.)
   // Verify is exact set intersection over the candidates' hashed shingle
   // arrays, integer ppm against the SMALLER set.
+  /** TEST HOOK (NewOpsInvariantSpec): exact all-pairs containment over
+    * the same shingle/hash representation d28 searches — the ground
+    * truth its rare-shingle candidate generation is audited against
+    * (the s16 recall discipline applied to the containment modality).
+    * All-pairs by construction: bounded-corpus test use ONLY, never a
+    * query path. Because d28's verify stage is exact set intersection,
+    * its output is always a SUBSET of this truth; recall = 100% iff the
+    * sets are equal. Measured at sf0.001 (500 docs, 28 true pairs):
+    * recall 100% — every true ≥50%-contained pair carried ≥2 rare
+    * witnesses. */
+  private[graft] def containmentExactPairs(
+      s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val hs = shingled(s, dir)
+      .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+    hs.select(col("doc_id").as("id1"), col("hs").as("h1"))
+      .crossJoin(hs.select(col("doc_id").as("id2"), col("hs").as("h2")))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        expr("size(array_intersect(h1, h2)) * 1000000 DIV least(size(h1), size(h2))")
+          .as("cont_ppm"))
+      .filter(col("cont_ppm") >= 500000)
+  }
+
   private val d28 = QueryDef(
     "d28_containment_dedup",
     (s, dir) => {
