@@ -126,7 +126,11 @@ object Streams {
         .getOrElse(sys.error(s"no part file in $stage"))
       finally listing.close()
     java.nio.file.Files.move(part, dest)
-    dest.toFile.setLastModified(mtime)
+    // Files.setLastModifiedTime throws on failure (File.setLastModified
+    // returns false silently) — a stale mtime would quietly break
+    // FileStreamSource batch ordering, so fail fast with the path.
+    java.nio.file.Files.setLastModifiedTime(
+      dest, java.nio.file.attribute.FileTime.fromMillis(mtime))
   }
 
   /** FileStreamSource needs a directory; the sf tables are single files. */

@@ -61,8 +61,11 @@ object Tables {
     * `documents` is not row-bounded by it); those sites carry no hint at
     * all and let AQE read the real aggregate-output size at the shuffle
     * boundary (A/B r15 at sf0.1: flat). Cap is 32 MB COMPRESSED — parquet
-    * dims decompress 3-8×, so the worst-case in-memory build stays in the
-    * low hundreds of MB, inside executor broadcast budgets. */
+    * dims decompress 3-8×, and the BroadcastHashJoin relation adds
+    * ~40-64 B/row of UnsafeRow + hash-map overhead on top of that, so
+    * the worst-case in-memory build lands in the low hundreds of MB —
+    * still inside executor broadcast budgets, but the dominant term is
+    * the hash relation, not the raw column bytes. */
   def bcastIfSmall(df: DataFrame, dir: String, table: String): DataFrame = {
     val f = new java.io.File(s"$dir/$table.parquet")
     if (f.isFile && f.length < (32L << 20)) broadcast(df) else df

@@ -913,7 +913,7 @@ object Text {
         .select(expr(s"${lnQ("1 / CAST(ntr + v AS DOUBLE)")}").as("lq0"))
       test.groupBy(col("source"), col("w")).agg(count(lit(1)).as("cte"))
         // lp is vocab-sized (Heaps-unbounded): no hint — AQE reads the real
-      // aggregate-output size at the shuffle boundary (A/B r15: flat)
+        // aggregate-output size at the shuffle boundary (A/B r15: flat)
         .join(lp, Seq("w"), "left")
         .crossJoin(broadcast(oov))
         .groupBy(col("source"))

@@ -36,9 +36,13 @@ import org.apache.spark.sql.functions._
  */
 object ConnectedComponents {
 
-  /** Broadcast the label table only below this exact node count
-    * (~16 B/row → ≈32 MB build side at the cap); beyond it AQE picks
-    * the join strategy. Same threshold as d09's PageRank guard. */
+  /** Broadcast the label table only below this exact node count.
+    * The BroadcastHashJoin build side costs ~40-64 B/row (UnsafeRow +
+    * LongToUnsafeRowMap overhead, not the 16 B of raw longs), so the
+    * cap prices at ≈100 MB on the driver and each executor — inside
+    * the default budgets here; lower it if driver memory is tight.
+    * Beyond the cap AQE picks the join strategy. Same threshold as
+    * d09's PageRank guard. */
   private val BroadcastNodeCap = 2000000L
 
   /** @param edges        edge list with columns `id1`, `id2` (LongType)
