@@ -206,5 +206,63 @@ object Governance {
            // (${benfordCaseSql("h.digit")}) AS BIGINT) AS chi_contrib
     FROM h, n ORDER BY h.digit"""))
 
-  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141)
+  // --------------------------------------------------------------- q143
+  // RETENTION-AGE AUDIT — the partition-lifecycle sweep a lake platform
+  // runs against its retention policy: bucket every day-partition of the
+  // event log by age (7-day bands, capped at "28+"), and report per band
+  // the partition count, row count, value mass, and day range, plus
+  // whether the band falls past the 21-day purge horizon. The audit is
+  // anchored to the table's own newest partition (deterministic — a
+  // wall-clock anchor would change the answer every run), mirroring how
+  // the billing compactor derives its work list from SHOW PARTITIONS
+  // rather than a calendar. Shape: ONE map-side-combined per-day
+  // aggregate (at scale this is a partition-metadata scan — day is the
+  // physical partition key, so per-partition stats come from the
+  // manifest, not the rows), then a |days|-row bucket rollup with the
+  // 1-row as-of scalar broadcast back. Integer-exact throughout: days
+  // are epoch-day BIGINTs, money is cents.
+  private val RetentionDays = 21
+  private val BandDays = 7
+
+  private val q143 = QueryDef(
+    "q143_retention_audit",
+    (s, dir) => {
+      val perDay = events(s, dir)
+        .select(
+          expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"))
+      val asOf = perDay.agg(max(col("day")).as("as_of"))
+      perDay.crossJoin(broadcast(asOf)) // 1-row scalar
+        .select(col("day"), col("n_rows"), col("cents"),
+          expr(s"LEAST((as_of - day) DIV $BandDays, 4)").as("age_band"),
+          expr(s"CASE WHEN as_of - day >= $RetentionDays THEN 1L ELSE 0L END")
+            .as("past_retention"))
+        .groupBy(col("age_band"), col("past_retention"))
+        .agg(
+          count(lit(1)).as("n_partitions"),
+          sum(col("n_rows")).as("n_rows"),
+          sum(col("cents")).as("cents"),
+          min(col("day")).as("oldest_day"),
+          max(col("day")).as("newest_day"))
+        .orderBy(col("age_band"))
+    },
+    Some(s"""WITH pd AS (
+      SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        COUNT(*) AS n_rows,
+        CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1),
+    a AS (SELECT MAX(day) AS as_of FROM pd)
+    SELECT CAST(LEAST((as_of - day) // $BandDays, 4) AS BIGINT) AS age_band,
+      CAST(CASE WHEN as_of - day >= $RetentionDays THEN 1 ELSE 0 END AS BIGINT)
+        AS past_retention,
+      COUNT(*) AS n_partitions,
+      CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+      CAST(SUM(cents) AS BIGINT) AS cents,
+      CAST(MIN(day) AS BIGINT) AS oldest_day,
+      CAST(MAX(day) AS BIGINT) AS newest_day
+    FROM pd, a GROUP BY 1, 2 ORDER BY age_band"""))
+
+  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143)
 }
