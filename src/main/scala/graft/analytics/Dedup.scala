@@ -1736,7 +1736,93 @@ object Dedup {
           // least(len(x.hs), len(y.hs)) >= 500000
     ORDER BY id1, id2"""))
 
+  // ---------------------------------------------------------------- d30
+  // SEMANTIC DEDUP (SemDeDup-style) — the embedding-space twin of the
+  // lexical family above: cluster the corpus by nearest centroid, then
+  // inside each cluster drop every vector that has a sufficiently-cosine-
+  // similar earlier (lower-id) neighbor, and account the kept/dropped
+  // budget per cluster. This is the curation operator that removes
+  // paraphrase-level redundancy MinHash can't see (d02/d06 key on exact
+  // token/sign overlap; d30 keys on learned-representation proximity).
+  // Candidate pairs form within a semantic cluster (s03's exact-integer
+  // centroid assignment) — the algorithm's actual contract: the
+  // within-cluster pair join is quadratic in |cluster|, and the scale
+  // lever is k ∝ N so |cluster| stays bounded (SemDeDup runs k ≈ 50k on
+  // web-scale corpora; here k = the 10 label centroids). Composing the
+  // s02 sign-LSH bucket as a prefilter was measured and REJECTED: at
+  // sf0.01 every intra-cluster pair at cosine ≥ 0.4 disagrees in ≥1 of
+  // the 8 sign bits (same-bucket pairs top out at 0.35), so the
+  // conjunction has ~zero recall — near-threshold pairs flip crude sign
+  // bits too easily. The drop rule is deterministic (any lower-id
+  // neighbor at cosine ≥ 0.4 dominates), the oracle replays cluster
+  // assignment and rule exactly, and the dropped-id checksum pins the
+  // surviving set, not just its size.
+  private val SemDedupSim = 0.4
+
+  private val d30 = QueryDef(
+    "d30_semantic_dedup",
+    (s, dir) => {
+      val q = Similarity.withQuant(dir, s)
+      val cent = Similarity.labelCentroids(q)
+      // nearest-centroid assignment (s04's inverted-list shape),
+      // materialized once: the self-join reads it twice and the
+      // per-cluster totals a third time
+      val assigned = q.join(broadcast(cent)) // bounded: one row per label
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(Window
+          .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
+        .cache()
+      assigned.count()
+      val l = assigned.select(col("c_label"),
+        col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
+      val r = assigned.select(col("c_label").as("cl2"),
+        col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
+      val dropped = l.join(r,
+          col("c_label") === col("cl2") && col("id1") < col("id2"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .filter(col("sim") >= SemDedupSim)
+        .select(col("c_label"), col("id2")).distinct()
+      val out = assigned.groupBy(col("c_label")).agg(count(lit(1)).as("n_vecs"))
+        .join(dropped.groupBy(col("c_label")).agg(
+            count(lit(1)).as("n_dropped"),
+            (sum(col("id2") % lit(HashMod)) % lit(HashMod)).as("drop_checksum")),
+          Seq("c_label"), "left")
+        .select(col("c_label"), col("n_vecs"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          expr("(n_vecs - coalesce(n_dropped, 0L)) * 1000000 DIV n_vecs")
+            .as("keep_ppm"),
+          coalesce(col("drop_checksum"), lit(0L)).as("drop_checksum"))
+        .orderBy(col("c_label"))
+        .localCheckpoint()
+      assigned.unpersist()
+      out
+    },
+    Some(s"""WITH ${Similarity.quantCte},
+    ${Similarity.ivfProbeCte},
+    cb AS (SELECT vec_id, qv, norm2, list_label AS c_label FROM lists),
+    dr AS (SELECT DISTINCT a.c_label, b.vec_id AS id2
+           FROM cb a JOIN cb b
+             ON a.c_label = b.c_label AND a.vec_id < b.vec_id
+           WHERE ${Similarity.simSql} >= $SemDedupSim),
+    dc AS (SELECT c_label, COUNT(*) AS n_dropped,
+             SUM(id2 % $HashMod) % $HashMod AS drop_checksum
+           FROM dr GROUP BY 1),
+    nv AS (SELECT c_label, COUNT(*) AS n_vecs FROM cb GROUP BY 1)
+    SELECT nv.c_label, nv.n_vecs,
+      CAST(COALESCE(dc.n_dropped, 0) AS BIGINT) AS n_dropped,
+      CAST((nv.n_vecs - COALESCE(dc.n_dropped, 0)) * 1000000 // nv.n_vecs
+        AS BIGINT) AS keep_ppm,
+      CAST(COALESCE(dc.drop_checksum, 0) AS BIGINT) AS drop_checksum
+    FROM nv LEFT JOIN dc ON nv.c_label = dc.c_label
+    ORDER BY nv.c_label"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30)
 }

@@ -102,7 +102,7 @@ object Similarity {
 
   /** Per-label quantized centroids `(c_label, cqv, cnorm2)`: exact integer
     * component sums floored to a quantized mean — shared by s03/s04/s07. */
-  private def labelCentroids(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[analytics] def labelCentroids(q: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     q.select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
       .groupBy(col("label"), col("pos"))
       .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
@@ -188,7 +188,7 @@ object Similarity {
     * per-label centroids, nearest-centroid assignment, inverted lists,
     * and the anchors' nearest-2 probe rule — shared by the s04/s12
     * oracle and s16's evaluation side. Expects [[quantCte]] upstream. */
-  private lazy val ivfProbeCte: String = s"""ex AS (SELECT label, i AS pos, qv[i] AS v
+  private[analytics] lazy val ivfProbeCte: String = s"""ex AS (SELECT label, i AS pos, qv[i] AS v
            FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
     cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
            FROM ex GROUP BY label, pos),
