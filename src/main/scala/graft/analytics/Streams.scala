@@ -2378,6 +2378,164 @@ object Streams {
     },
     Some(Dedup.kcoreOracle))
 
+  // ---------------------------------------------------------------- d29
+  // STREAMING EXACT-SUBSTRING GATE — d26's suffix-array-style dedup run
+  // at ingest time, the third member of the self-maintaining family
+  // (q119 = MinHash gate, d24 = graph maintenance, d29 = substring
+  // surgery's admission twin): the corpus's distinct 8-token gram hashes
+  // are a persisted GRAM INDEX; each arriving micro-batch rolls its own
+  // gram hashes in one native O(len) pass, probes the index with one
+  // semi-join on the gram hash (per-batch cost ∝ |batch| tokens, never
+  // corpus-sized), merges hit positions into maximal duplicated spans
+  // per doc (gaps-and-islands, dup-mass-bounded state), and REJECTS any
+  // doc whose ≥15-token duplicated spans cover ≥50% of its tokens.
+  // Accepted docs' NOVEL grams (anti-join, materialized before the
+  // append severs the index-read lineage — the q119/d24 hazard) join
+  // the index, so batch k gates against corpus ∪ accepted(1..k-1):
+  // a near-copy of an accepted delta doc IS a duplicate, and the probe
+  // run (sf0.001 AND sf0.01) confirms the sequential semantics bites —
+  // round 3 flags 7/9 docs vs 5/6 against the corpus index alone. The
+  // oracle unrolls the three flag→admit rounds relationally and the
+  // flagged-id checksum pins the exact rejected set.
+  private val GateGram = 8    // d26's SpanGram
+  private val GateMinSpan = 15 // d26's MinSpanTok
+
+  private val d29 = QueryDef(
+    "d29_stream_substring_gate",
+    (s, dir) => withStreamShuffle(s) {
+      graft.functions.PolyHash.register(s)
+      graft.functions.NgramHashes.register(s)
+      val streamDir = Tables.tmpDir("graft-d29-stream")
+      val idxDir = Tables.tmp("graft-d29-gramidx")
+      val resultsDir = Tables.tmp("graft-d29-verdicts")
+      def gramsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"),
+            expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+          .select(col("doc_id"),
+            posexplode(expr(s"ngram_hashes(th, $GateGram)")).as(Seq("pos", "gh")))
+      graft.BenchSplit.setup {
+        // publish the corpus gram index (pre-exists at scale) and lay the
+        // delta out as 3 mtime-ordered batch files (the q119/d24 layout)
+        gramsOf(docs(s, dir).filter(col("doc_id") % 2 === 0))
+          .select(col("gh")).distinct()
+          .write.parquet(idxDir)
+        val baseT = 1700000000000L
+        (1 to 3).foreach { b =>
+          val stage = Tables.tmp(s"graft-d29-b$b")
+          docs(s, dir).filter(col("doc_id") % 6 === (2 * b - 1))
+            .select(col("doc_id"), col("text"), col("source"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val bs = batch.sparkSession
+          // hash every token ONCE per batch: grams and the token count
+          // both read this frame
+          val th = batch
+            .select(col("doc_id"), col("source"),
+              expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+            .localCheckpoint()
+          val grams = th.select(col("doc_id"),
+            posexplode(expr(s"ngram_hashes(th, $GateGram)")).as(Seq("pos", "gh")))
+          val idx = bs.read.parquet(idxDir)
+          // positions duplicated against corpus ∪ earlier accepted docs;
+          // islands merge them into maximal spans (d26's discipline)
+          val wDoc = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id")).orderBy(col("pos"))
+          val dupTok = grams.join(idx, Seq("gh"), "left_semi")
+            .withColumn("isl", col("pos") - row_number().over(wDoc))
+            .groupBy(col("doc_id"), col("isl"))
+            .agg((count(lit(1)) + lit(GateGram - 1)).as("span_tok"))
+            .filter(col("span_tok") >= GateMinSpan)
+            .groupBy(col("doc_id"))
+            .agg(sum(col("span_tok")).as("dup_tok"))
+          val verdicts = th
+            .select(col("doc_id"), col("source"), size(col("th")).cast("long").as("n_tok"))
+            .join(dupTok, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("source"), col("n_tok"),
+              coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+            .withColumn("flag",
+              when(col("dup_tok") * 2 >= col("n_tok"), 1L).otherwise(0L))
+            .withColumn("batch_id", lit(bid))
+            .localCheckpoint() // sever the index-read lineage before appends
+          verdicts.write.mode("append").parquet(resultsDir)
+          // accepted docs' novel grams join the index — visible to
+          // SUBSEQUENT batches; materialize the anti-join (it reads the
+          // index) before the append touches the same path
+          val novel = grams
+            .join(verdicts.filter(col("flag") === 0L).select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .select(col("gh")).distinct()
+            .join(idx, Seq("gh"), "left_anti")
+            .localCheckpoint()
+          novel.write.mode("append").parquet(idxDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-d29-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_delta"),
+          sum(col("flag")).as("n_flagged"),
+          sum(col("dup_tok")).as("dup_tokens"),
+          (sum(when(col("flag") === 1L, col("doc_id") % lit(HashMod)).otherwise(0L))
+            % lit(HashMod)).as("flag_checksum"))
+        .orderBy(col("source"))
+    },
+    Some {
+      def gateRound(r: Int, batchMod: Int): String = s"""
+    dr$r AS (SELECT doc_id, pos FROM g WHERE doc_id % 6 = $batchMod
+             AND gh IN (SELECT gh FROM i${r - 1})),
+    il$r AS (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+             FROM dr$r),
+    sp$r AS (SELECT doc_id, COUNT(*) + ${GateGram - 1} AS span_tok
+             FROM il$r GROUP BY doc_id, isl),
+    dt$r AS (SELECT doc_id, SUM(span_tok) AS dup_tok FROM sp$r
+             WHERE span_tok >= $GateMinSpan GROUP BY 1),
+    v$r AS (SELECT tk.doc_id, COALESCE(dt$r.dup_tok, 0) AS dup_tok, tk.n_tok,
+              CASE WHEN COALESCE(dt$r.dup_tok, 0) * 2 >= tk.n_tok
+                   THEN 1 ELSE 0 END AS flag
+            FROM tk LEFT JOIN dt$r ON tk.doc_id = dt$r.doc_id
+            WHERE tk.doc_id % 6 = $batchMod),
+    i$r AS (SELECT gh FROM i${r - 1}
+            UNION
+            SELECT gh FROM g JOIN v$r ON g.doc_id = v$r.doc_id AND v$r.flag = 0)"""
+      s"""WITH th AS (
+      SELECT doc_id, list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    tk AS (SELECT doc_id, len(th) AS n_tok FROM th),
+    ng AS (SELECT doc_id,
+        CASE WHEN len(th) >= $GateGram THEN
+          list_transform(generate_series(1, len(th) - ${GateGram - 1}),
+            i -> list_reduce(th[i:i+${GateGram - 1}], (acc, h) -> (acc * 31 + h) % $HashMod))
+        ELSE CAST([] AS BIGINT[]) END AS ngs
+      FROM th),
+    g AS (SELECT doc_id, unnest(range(0, len(ngs))) AS pos, unnest(ngs) AS gh FROM ng),
+    i0 AS (SELECT DISTINCT gh FROM g WHERE doc_id % 2 = 0),
+    ${gateRound(1, 1)},
+    ${gateRound(2, 3)},
+    ${gateRound(3, 5)},
+    v AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2 UNION ALL SELECT * FROM v3)
+    SELECT d.source, COUNT(*) AS n_delta,
+      CAST(SUM(v.flag) AS BIGINT) AS n_flagged,
+      CAST(SUM(v.dup_tok) AS BIGINT) AS dup_tokens,
+      CAST(SUM(CASE WHEN v.flag = 1 THEN v.doc_id % $HashMod ELSE 0 END)
+           % $HashMod AS BIGINT) AS flag_checksum
+    FROM v JOIN documents d ON d.doc_id = v.doc_id
+    GROUP BY 1 ORDER BY 1"""
+    })
+
   // --------------------------------------------------------------- q135
   // STREAMING DRIFT GATE — q133's PSI monitor run the way production
   // runs it: a PUBLISHED reference (decile edges + smoothed bin
@@ -2551,5 +2709,5 @@ object Streams {
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, q135, d24)
+      q111, q112, q113, q115, q118, q119, q135, d24, d29)
 }
