@@ -114,6 +114,74 @@ class NewOpsInvariantSpec extends SparkSuite {
     out shouldBe Seq((1L, 2L, 1000000L))
   }
 
+  test("q143 buckets hand-built day partitions by age with exact band edges") {
+    val tmp = java.nio.file.Files.createTempDirectory("q143inv").toString
+    // days 0, 8, 25 → as_of 25; ages 25, 17, 0 → bands 3 (past the
+    // 21-day horizon), 2, 0; cents exact per band
+    def atDay(day: Long, sec: Long) = ts(day * 86400L + sec)
+    Seq(
+      (1L, atDay(0, 10), 1L, "click", 1.00, ""),
+      (2L, atDay(0, 20), 2L, "click", 2.00, ""),
+      (3L, atDay(8, 30), 3L, "view", 3.50, ""),
+      (4L, atDay(25, 40), 4L, "view", 10.00, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q143_retention_audit")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    out shouldBe Seq(
+      (0L, 0L, 1L, 1L, 1000L, 25L, 25L),
+      (2L, 0L, 1L, 1L, 350L, 8L, 8L),
+      (3L, 1L, 1L, 2L, 300L, 0L, 0L))
+  }
+
+  test("d30 drops exactly the dominated duplicates inside each cluster") {
+    val tmp = java.nio.file.Files.createTempDirectory("d30inv").toString
+    // cluster 0 = three copies of e1 → ids 2, 3 dominated by id 1;
+    // cluster 1 = two copies of e2 → id 5 dominated by id 4. The two
+    // centroids are exactly e1 and e2 (orthogonal), so assignment is
+    // unambiguous and every intra-cluster pair has cosine 1.
+    def unit(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    Seq(
+      (1L, unit(0), 0), (2L, unit(0), 0), (3L, unit(0), 0),
+      (4L, unit(1), 1), (5L, unit(1), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("d30_semantic_dedup")(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    out shouldBe Seq(
+      (0, 3L, 2L, 333333L, 5L),
+      (1, 2L, 1L, 500000L, 5L))
+  }
+
+  test("d29 gates sequentially: accepted deltas extend, rejected never do") {
+    val tmp = java.nio.file.Files.createTempDirectory("d29inv").toString
+    // corpus doc 2 = c1..c30. Batch 1 (ids %6=1): doc 1 all-novel
+    // (accepted), doc 7 = c1..c20 + d1..d15 (20 of 35 dup → flagged).
+    // Batch 2 (ids %6=3): doc 3 copies ACCEPTED doc 1's u-prefix →
+    // flagged only because batch 1 grew the index; doc 9 copies REJECTED
+    // doc 7's d-tail → clean, because rejected docs never index.
+    // Batch 3 (id %6=5): doc 5 copies doc 1's u-prefix → flagged.
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val docs = Seq(
+      (2L, toks("c", 30)),
+      (1L, toks("u", 30)),
+      (7L, toks("c", 20) + " " + toks("d", 15)),
+      (3L, toks("u", 20) + " " + toks("w", 4)),
+      (9L, toks("d", 15) + " " + toks("y", 5)),
+      (5L, toks("u", 20) + " " + toks("z", 4)))
+    docs.map { case (id, text) => (id, text, "en", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d29_stream_substring_gate")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // 5 delta docs; flagged = 7 (corpus dup), 3 and 5 (accepted-delta
+    // dup); each flagged doc's duplicated span is exactly 20 tokens
+    out shouldBe Seq(("s", 5L, 3L, 60L, 15L))
+  }
+
   test("d28 rare-shingle candidates reach 100% recall vs exact containment at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     // ground truth: brute-force all-pairs containment over the same
