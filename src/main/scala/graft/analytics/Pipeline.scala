@@ -944,7 +944,91 @@ object Pipeline {
         AS n_intervals
     FROM swept GROUP BY user_id ORDER BY user_id"""))
 
+  // ---------------------------------------------------------------- q144
+  // TEMPERATURE MIXTURE SAMPLING — the α-sampling rule multilingual LM
+  // training uses to rebalance domains (α = 0.5: sample ∝ √mass, lifting
+  // low-resource languages without drowning high-resource ones). Distinct
+  // from t16 (fixed per-source manifest rates) and q39/q50 (given
+  // fractions): here the rates are COMPUTED from the corpus's own mass
+  // distribution — the operator is the weight derivation, with the
+  // hash-threshold keep rule shared downstream machinery. Domain
+  // mass is Σ n_chars per lang; weights are exact-integer √mass (floor
+  // sqrt via a double SQRT with a ±1 correction clause — correctly-
+  // rounded IEEE sqrt lands within one of the floor, the CASE pins it,
+  // so both engines agree bit-for-bit). A 40%-of-corpus budget splits
+  // across domains ∝ weight, then selection is hash-THRESHOLD sampling,
+  // not rank-based: doc selected iff (doc_id·2654435761) mod p mod 10⁶
+  // falls under the domain's per-doc ppm quota. That rule is one scan +
+  // one 5-row broadcast join — a per-domain top-k rank would funnel each
+  // domain through one reducer (the skew trap for a 5-domain corpus at
+  // 100 TB), while the threshold form never sorts and still lands within
+  // sampling noise of the exact target. n_selected reports the realized
+  // count; the checksum pins the selected SET, not just its size.
+  private val q144 = QueryDef(
+    "q144_mixture_sample",
+    (s, dir) => {
+      val stats = docsNarrow(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("mass"))
+        .withColumn("s0", expr("CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT)"))
+        .withColumn("isq", expr(
+          """CASE WHEN s0 * s0 > mass THEN s0 - 1
+                  WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
+                  ELSE s0 END"""))
+      val ctl = stats
+        .crossJoin(broadcast(
+          stats.agg(sum(col("isq")).as("sw"), sum(col("n_docs")).as("nt"))))
+        .withColumn("weight_ppm", expr("isq * 1000000 DIV sw"))
+        .withColumn("n_target", expr("(nt * 2 DIV 5) * isq DIV sw"))
+        .withColumn("sel_ppm",
+          least(expr("n_target * 1000000 DIV n_docs"), lit(1000000L)))
+        .select(col("lang"), col("n_docs"), col("mass"), col("weight_ppm"),
+          col("n_target"), col("sel_ppm"))
+      val sel = docsNarrow(s, dir).select(col("lang"), col("doc_id"))
+        // bounded build side: one control row per language (domain
+        // vocabulary, not corpus-growing)
+        .join(broadcast(ctl.select(col("lang"), col("sel_ppm"))), "lang")
+        .filter(expr("doc_id * 2654435761 % 1000000007 % 1000000 < sel_ppm"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_selected"),
+          (sum(col("doc_id") % HashMod) % HashMod).as("sel_checksum"))
+      ctl.join(sel, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("mass"), col("weight_ppm"),
+          col("n_target"),
+          coalesce(col("n_selected"), lit(0L)).as("n_selected"),
+          coalesce(col("sel_checksum"), lit(0L)).as("sel_checksum"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH st AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS mass
+      FROM documents GROUP BY 1),
+    sq AS (SELECT *, CAST(FLOOR(SQRT(CAST(mass AS DOUBLE))) AS BIGINT) AS s0
+           FROM st),
+    iq AS (SELECT lang, n_docs, mass,
+             CASE WHEN s0 * s0 > mass THEN s0 - 1
+                  WHEN (s0 + 1) * (s0 + 1) <= mass THEN s0 + 1
+                  ELSE s0 END AS isq
+           FROM sq),
+    tot AS (SELECT CAST(SUM(isq) AS BIGINT) AS sw,
+                   CAST(SUM(n_docs) AS BIGINT) AS nt FROM iq),
+    ctl AS (SELECT lang, n_docs, mass,
+              isq * 1000000 // sw AS weight_ppm,
+              (nt * 2 // 5) * isq // sw AS n_target,
+              LEAST((nt * 2 // 5) * isq // sw * 1000000 // n_docs, 1000000)
+                AS sel_ppm
+            FROM iq, tot),
+    sel AS (SELECT d.lang, COUNT(*) AS n_selected,
+              CAST(SUM(d.doc_id % $HashMod) % $HashMod AS BIGINT) AS sel_checksum
+            FROM documents d JOIN ctl ON ctl.lang = d.lang
+            WHERE d.doc_id * 2654435761 % 1000000007 % 1000000 < ctl.sel_ppm
+            GROUP BY 1)
+    SELECT ctl.lang, ctl.n_docs, ctl.mass, ctl.weight_ppm, ctl.n_target,
+      COALESCE(sel.n_selected, 0) AS n_selected,
+      COALESCE(sel.sel_checksum, 0) AS sel_checksum
+    FROM ctl LEFT JOIN sel ON ctl.lang = sel.lang
+    ORDER BY ctl.lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131)
+      q131, q144)
 }

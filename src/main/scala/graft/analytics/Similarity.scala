@@ -1374,7 +1374,238 @@ object Similarity {
         AS BIGINT) AS num_checksum
     FROM terms GROUP BY label ORDER BY label"""))
 
+  // ---------------------------------------------------------------- s20
+  // k-NN GRAPH BUILD — the neighborhood-graph constructor behind
+  // graph-based ANN (NN-descent initialization, HNSW layer-0) and
+  // graph-propagated curation (label spreading over near-neighbors):
+  // each vector's directed top-3 cosine edges, restricted to its IVF
+  // cell, plus the MUTUAL-edge subgraph (both directions survive the
+  // top-k cut — the symmetrized graph NN-descent actually refines;
+  // mutual rate is the standard connectivity diagnostic for "is k big
+  // enough"). Scale contract is d30's: candidate pairs form only within
+  // a nearest-centroid cluster, quadratic in |cluster| with k ∝ N
+  // keeping cells bounded; the per-source top-3 is a window on the
+  // cluster-pair stream (never a global sort), and the mutuality check
+  // is an equi-self-join on the (src, dst) edge key — edge-volume, i.e.
+  // ≤ 3N rows a side. Ties break on (sim DESC, dst): both engines rank
+  // the same IEEE double computed from exact int64 dots, so ranks agree
+  // bit-for-bit (the s01 discipline).
+  private val s20 = QueryDef(
+    "s20_knn_graph",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val assigned = q.join(broadcast(cent)) // bounded: one row per label
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
+        .cache()
+      assigned.count()
+      val a = assigned.select(col("c_label"),
+        col("vec_id").as("src"), col("qv").as("qv1"), col("norm2").as("n1"))
+      val b = assigned.select(col("c_label").as("cl2"),
+        col("vec_id").as("dst"), col("qv").as("qv2"), col("norm2").as("n2"))
+      val edges = a.join(b,
+          col("c_label") === col("cl2") && col("src") =!= col("dst"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rnk") <= 3)
+        .select(col("c_label"), col("src"), col("dst"))
+        .cache()
+      edges.count()
+      val mutual = edges.as("e1")
+        .join(edges.as("e2"),
+          col("e1.src") === col("e2.dst") && col("e1.dst") === col("e2.src"))
+        .filter(col("e1.src") < col("e1.dst"))
+        .select(col("e1.c_label").as("c_label"), col("e1.src").as("src"),
+          col("e1.dst").as("dst"))
+      val out = assigned.groupBy(col("c_label")).agg(count(lit(1)).as("n_nodes"))
+        .join(edges.groupBy(col("c_label")).agg(count(lit(1)).as("n_edges")),
+          Seq("c_label"), "left")
+        .join(mutual.groupBy(col("c_label")).agg(
+            count(lit(1)).as("n_mutual"),
+            (sum((col("src") * 1000003L + col("dst")) % HashMod) % HashMod)
+              .as("mutual_checksum")),
+          Seq("c_label"), "left")
+        .select(col("c_label"), col("n_nodes"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_mutual"), lit(0L)).as("n_mutual"),
+          coalesce(col("mutual_checksum"), lit(0L)).as("mutual_checksum"))
+        .orderBy(col("c_label"))
+        .localCheckpoint()
+      edges.unpersist()
+      assigned.unpersist()
+      out
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    cb AS (SELECT vec_id, qv, norm2, list_label AS c_label FROM lists),
+    e AS (SELECT c_label, src, dst FROM (
+        SELECT a.c_label, a.vec_id AS src, b.vec_id AS dst,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY $simSql DESC, b.vec_id) AS rnk
+        FROM cb a JOIN cb b
+          ON a.c_label = b.c_label AND a.vec_id <> b.vec_id)
+      WHERE rnk <= 3),
+    m AS (SELECT e1.c_label, e1.src, e1.dst
+          FROM e e1 JOIN e e2 ON e1.src = e2.dst AND e1.dst = e2.src
+          WHERE e1.src < e1.dst),
+    nn AS (SELECT c_label, COUNT(*) AS n_nodes FROM cb GROUP BY 1),
+    ec AS (SELECT c_label, COUNT(*) AS n_edges FROM e GROUP BY 1),
+    mc AS (SELECT c_label, COUNT(*) AS n_mutual,
+             CAST(SUM((src * 1000003 + dst) % $HashMod) % $HashMod AS BIGINT)
+               AS mutual_checksum
+           FROM m GROUP BY 1)
+    SELECT nn.c_label, nn.n_nodes,
+      COALESCE(ec.n_edges, 0) AS n_edges,
+      COALESCE(mc.n_mutual, 0) AS n_mutual,
+      COALESCE(mc.mutual_checksum, 0) AS mutual_checksum
+    FROM nn LEFT JOIN ec ON nn.c_label = ec.c_label
+    LEFT JOIN mc ON nn.c_label = mc.c_label
+    ORDER BY nn.c_label"""))
+
+  // ---------------------------------------------------------------- s21
+  // PCA POWER ITERATION (matrix-free) — the top principal component of
+  // the centered embedding cloud plus its explained-variance ratio: the
+  // spectral diagnostic behind embedding anisotropy checks and the
+  // "all-but-the-top" / whitening post-processing step (dominant-PC
+  // removal) curation pipelines run before similarity search. The 64×64
+  // covariance is NEVER materialized: each iteration computes C·v as
+  // Σᵢ cᵢ(cᵢ·v) with two one-pass aggregations — dᵢ = cᵢ·v via the
+  // codegen'd dot_i64 against a LITERAL v, then 64 map-side-combined
+  // sums — and ships exactly 64 numbers to the driver per round (the
+  // MLlib RowMatrix/gram-free pattern: O(dims) driver traffic, O(N)
+  // executor work, no shuffle wider than one row). Every step is exact
+  // integer math so the 4-round unrolled DuckDB oracle reproduces v
+  // bit-for-bit: quantized components are centered on the floor-mean,
+  // w sums accumulate in DECIMAL(38,0)/HUGEINT (per-term ~2.6e22
+  // overflows int64), w is pre-scaled by N before normalizing (keeps
+  // every later product under 38 digits at any N), and ALL divisions
+  // route negatives through truncate-toward-zero CASE arms because
+  // Spark's DIV truncates while DuckDB's // floors — the one
+  // cross-engine integer-division divergence, invisible until a
+  // negative loading hits it. Normalization pins ‖v‖∞ = 1e6 with the
+  // sign fixed positive at the smallest max-|w| index (power iteration
+  // is sign-ambiguous; the rule makes both engines and every rerun
+  // agree). Assumes a non-degenerate corpus (some variance — mx > 0),
+  // which any real embedding table satisfies.
+  private val PcaIters = 4
+
+  /** Truncate-toward-zero division as SQL text (num may be negative,
+    * den > 0) — identical semantics on Spark (`DIV` truncates) and
+    * DuckDB (`//` floors, so the negative arm re-routes through the
+    * positive one). */
+  private def tdivSql(num: String, den: String, op: String): String =
+    s"CASE WHEN ($num) >= 0 THEN ($num) $op ($den) ELSE -((-($num)) $op ($den)) END"
+
+  private val s21 = QueryDef(
+    "s21_pca_power",
+    (s, dir) => {
+      import s.implicits._
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val q = withQuant(dir, s)
+      // global floor-mean per position (the labelCentroids rule, one
+      // group): exact under float64 at any N both engines can reach
+      val m = q.select(posexplode(col("qv")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("m"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1).map(_._2)
+      val mLit = m.mkString("array(", "L, ", "L)")
+      val centered = q
+        .select(col("vec_id"), expr(s"zip_with(qv, $mLit, (x, m) -> x - m)").as("cv"))
+        .cache()
+      val n = centered.count()
+      def tdiv(a: BigInt, b: BigInt): BigInt = a / b // BigInt divide truncates
+      var v: IndexedSeq[BigInt] = IndexedSeq.fill(64)(BigInt(1000000))
+      def vLit = v.map(x => s"CAST($x AS BIGINT)").mkString("array(", ", ", ")")
+      for (_ <- 1 to PcaIters) {
+        val dd = centered.select(col("cv"), expr(s"dot_i64(cv, $vLit)").as("d"))
+        val aggs = (0 until 64).map(j =>
+          sum(element_at(col("cv"), j + 1).cast(dec) * col("d")).as(s"w$j"))
+        val row = dd.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val wn = (0 until 64).map(j =>
+          tdiv(BigInt(row.getDecimal(j).toBigInteger), BigInt(n)))
+        val mx = wn.map(_.abs).max
+        val sgn = if (wn(wn.indexWhere(_.abs == mx)) < 0) BigInt(-1) else BigInt(1)
+        if (mx > 0) v = wn.map(x => tdiv(x * sgn * 1000000, mx))
+      }
+      val fin = centered
+        .select(expr(s"dot_i64(cv, $vLit)").as("d"), col("cv"))
+        .agg(sum(col("d").cast(dec) * col("d")).as("ssd"),
+          sum(expr("dot_i64(cv, cv)").cast(dec)).as("ssc"))
+        .collect()(0)
+      centered.unpersist()
+      val ssd = BigInt(fin.getDecimal(0).toBigInteger)
+      val ssc = BigInt(fin.getDecimal(1).toBigInteger)
+      val sv2 = v.map(x => x * x).sum
+      val evPpm = tdiv(tdiv(ssd, sv2) * 1000000, ssc)
+      v.zipWithIndex
+        .map { case (x, j) => (j + 1L, x.toLong, evPpm.toLong) }
+        .toDF("pos", "loading", "ev_ppm")
+    },
+    Some {
+      // one unrolled iteration: d<k> from v<k-1>, HUGEINT w sums,
+      // N-prescale, max-abs sign rule, ‖·‖∞ = 1e6 renormalize
+      // (every CTE is forced MATERIALIZED below: DuckDB inlines CTEs by
+      // default, and the 4-deep iteration chain re-expands its whole
+      // prefix at every reference — measured 219 s inlined vs 0.1 s
+      // materialized at sf0.001, identical results)
+      def iter(k: Int): String = {
+        val pv = if (k == 1) "v0" else s"v${k - 1}"
+        s"""d$k AS (SELECT vec_id, cv,
+          list_reduce(list_transform(list_zip(cv, (SELECT v FROM $pv)),
+            p -> p[1] * p[2]), (a, b) -> a + b) AS d FROM cvt),
+    w$k AS (SELECT i AS pos, SUM(CAST(cv[i] AS HUGEINT) * d) AS w
+            FROM d$k CROSS JOIN generate_series(1, 64) AS g(i) GROUP BY i),
+    wn$k AS (SELECT pos, ${tdivSql("w", "(SELECT n FROM nn)", "//")} AS wn FROM w$k),
+    mx$k AS (SELECT mx, (SELECT CASE WHEN wn < 0 THEN -1 ELSE 1 END FROM wn$k
+               WHERE ABS(wn) = mx ORDER BY pos LIMIT 1) AS s
+             FROM (SELECT MAX(ABS(wn)) AS mx FROM wn$k)),
+    v$k AS (SELECT list(CAST(${tdivSql("wn * s * 1000000", "mx", "//")} AS BIGINT)
+              ORDER BY pos) AS v
+            FROM wn$k, mx$k)"""
+      }
+      val sql = s"""WITH $quantCte,
+    ex AS (SELECT vec_id, i AS pos, qv[i] AS x
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    mn AS (SELECT pos, CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           FROM ex GROUP BY pos),
+    ml AS (SELECT list(m ORDER BY pos) AS m FROM mn),
+    cvt AS (SELECT vec_id, list_transform(list_zip(qv, (SELECT m FROM ml)),
+              p -> p[1] - p[2]) AS cv FROM qn),
+    nn AS (SELECT COUNT(*) AS n FROM cvt),
+    v0 AS (SELECT list_transform(generate_series(1, 64),
+             i -> CAST(1000000 AS BIGINT)) AS v),
+    ${(1 to PcaIters).map(iter).mkString(",\n    ")},
+    df AS (SELECT vec_id, cv,
+             list_reduce(list_transform(list_zip(cv, (SELECT v FROM v$PcaIters)),
+               p -> p[1] * p[2]), (a, b) -> a + b) AS d FROM cvt),
+    fin AS (SELECT SUM(CAST(d AS HUGEINT) * d) AS ssd,
+              SUM(CAST(list_reduce(list_transform(list_zip(cv, cv),
+                p -> p[1] * p[2]), (a, b) -> a + b) AS HUGEINT)) AS ssc
+            FROM df),
+    sv AS (SELECT SUM(CAST(vj AS HUGEINT) * vj) AS sv2
+           FROM (SELECT unnest((SELECT v FROM v$PcaIters)) AS vj))
+    SELECT CAST(i AS BIGINT) AS pos,
+      (SELECT v FROM v$PcaIters)[i] AS loading,
+      CAST(((ssd // sv2) * 1000000) // ssc AS BIGINT) AS ev_ppm
+    FROM generate_series(1, 64) AS g(i), fin, sv
+    ORDER BY pos"""
+      // "<name> AS (" appears only at CTE heads in this query (column
+      // aliases never precede a paren), so the rewrite is total
+      sql.replaceAll("""AS \(""", "AS MATERIALIZED (")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, d15)
+      s15, s16, s17, s18, s19, s20, s21, d15)
 }

@@ -182,6 +182,65 @@ class NewOpsInvariantSpec extends SparkSuite {
     out shouldBe Seq(("s", 5L, 3L, 60L, 15L))
   }
 
+  test("q144 derives temperature weights and thresholds exactly by hand") {
+    val tmp = java.nio.file.Files.createTempDirectory("q144inv").toString
+    // lang aa: 8 docs × 100 chars → mass 800, isqrt 28; lang bb: 2 docs →
+    // mass 200, isqrt 14. sw = 42, budget = 10·2 DIV 5 = 4. aa target =
+    // 4·28 DIV 42 = 2 → sel_ppm 250000, keeps {5, 7} under the hash rule;
+    // bb target = 1 → sel_ppm 500000, keeps {10} (verified in python)
+    val docs = (1L to 8L).map(i => (i, "x", "aa", "s", 100L)) ++
+      Seq((9L, "x", "bb", "s", 100L), (10L, "x", "bb", "s", 100L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("q144_mixture_sample")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    out shouldBe Seq(
+      ("aa", 8L, 800L, 666666L, 2L, 2L, 12L),
+      ("bb", 2L, 200L, 333333L, 1L, 1L, 10L))
+  }
+
+  test("s20 builds the hand-derivable kNN graph inside each IVF cell") {
+    val tmp = java.nio.file.Files.createTempDirectory("s20inv").toString
+    // cluster 0 = five identical unit(0) vectors (ids 1–5): every
+    // intra-cell sim is exactly 1, so top-3 edges tie-break to the three
+    // lowest other ids — 1..4 form a mutual clique (6 mutual pairs), 5's
+    // edges are one-way. cluster 1 = two unit(1) vectors: one mutual pair.
+    def unit(axis: Int) = Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    ((1L to 5L).map(i => (i, unit(0), 0)) ++ Seq((6L, unit(1), 1), (7L, unit(1), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s20_knn_graph")(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // mutual checksums: Σ(src·1000003 + dst): cluster 0 pairs (1,2) (1,3)
+    // (1,4) (2,3) (2,4) (3,4) → 10000050; cluster 1 pair (6,7) → 6000025
+    out shouldBe Seq(
+      (0, 5L, 15L, 6L, 10000050L),
+      (1, 2L, 2L, 1L, 6000025L))
+  }
+
+  test("s21 recovers a hand-built dominant axis with full explained variance") {
+    val tmp = java.nio.file.Files.createTempDirectory("s21inv").toString
+    // six vectors ±0.5 on axis 4 (1-based), zero elsewhere: mean is
+    // exactly 0, all variance lives on one axis → the power iteration
+    // must converge to loading 1e6 at pos 4, 0 elsewhere, ev_ppm = 1e6
+    def axis(v: Float) = Array.tabulate(64)(i => if (i == 3) v else 0.0f)
+    ((1L to 3L).map(i => (i, axis(0.5f), 0)) ++
+      (4L to 6L).map(i => (i, axis(-0.5f), 0)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s21_pca_power")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    out should have size 64
+    out.foreach { case (pos, loading, evPpm) =>
+      withClue(s"pos $pos: ") {
+        loading shouldBe (if (pos == 4L) 1000000L else 0L)
+        evPpm shouldBe 1000000L
+      }
+    }
+  }
+
   test("d28 rare-shingle candidates reach 100% recall vs exact containment at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     // ground truth: brute-force all-pairs containment over the same
