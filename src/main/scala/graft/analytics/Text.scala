@@ -1766,8 +1766,97 @@ object Text {
            // (CAST(nn.n AS HUGEINT) * m.sc) AS BIGINT) AS disp_ppm
     FROM m, nn ORDER BY disp_ppm DESC, m.w LIMIT 30"""))
 
+  // ---------------------------------------------------------------- t35
+  // CCNet PERPLEXITY BUCKETS — the per-DOCUMENT LM-quality split CCNet
+  // runs after dedup: train a per-language reference LM on a trusted
+  // slice (here the deterministic doc_id % 7 stand-in for the wiki
+  // reference), score every document's mean per-token negative log
+  // likelihood under ITS language's model, and bucket head/middle/tail
+  // relative to the reference slice's own token-weighted mean NLL (head:
+  // ≤ ref; middle: ≤ 1.02×ref via the 50·score ≤ 51·ref integer cross-
+  // multiply; tail: the rest — unigram NLL spread is NARROW, measured
+  // +0.7% median / +8.9% max excess over ref at sf0.01, so a percent-
+  // scale margin is the meaningful knob where a 1.25× one never fires).
+  // This is the missing per-doc granularity
+  // between t09 (corpus-mean token logprob) and t30 (per-SOURCE bigram
+  // cross-entropy): curation keeps/weights whole documents, so the score
+  // has to land on the document. Add-one smoothing keeps unseen tokens
+  // in the same additive form (c = 0 → lnQ(1) = 0), and every step after
+  // the one rounded lnQ is exact int64, so buckets — threshold
+  // comparisons included — are engine-identical. Scale: the per-doc
+  // (lang, w, n) pre-aggregation shrinks the LM join from token volume
+  // to per-doc vocab volume, the LM join is a co-partitioned (lang, w)
+  // equi-join (vocab-sized right side, Heaps-unbounded → no broadcast
+  // hint, t30's rule), and the per-lang stats/reference rows are
+  // domain-bounded broadcasts.
+  private val t35 = QueryDef(
+    "t35_ccnet_ppl_buckets",
+    (s, dir) => {
+      val toks = docsNarrow(s, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      val lm = toks.filter(col("doc_id") % 7 === 0)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+      val stats = lm.groupBy(col("lang"))
+        .agg(sum(col("c")).as("t"), count(lit(1)).as("v"))
+      val dtok = toks.groupBy(col("doc_id"), col("lang"), col("w"))
+        .agg(count(lit(1)).as("n"))
+      val ds = dtok
+        .join(lm, Seq("lang", "w"), "left")
+        .join(broadcast(stats), Seq("lang")) // bounded: one row per language
+        .select(col("doc_id"), col("lang"), col("n"),
+          (col("n") * (expr(lnQ("t + v")) - expr(lnQ("coalesce(c, 0) + 1"))))
+            .as("nllt"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("nllt")).as("nll"), sum(col("n")).as("ntok"))
+        .withColumn("score_q", expr("nll DIV ntok"))
+      val ref = ds.filter(col("doc_id") % 7 === 0)
+        .groupBy(col("lang"))
+        .agg(expr("sum(nll) DIV sum(ntok)").as("refq"))
+      ds.join(broadcast(ref), Seq("lang")) // bounded: one row per language
+        .withColumn("bucket",
+          when(col("score_q") <= col("refq"), "head")
+            .when(col("score_q") * 50 <= col("refq") * 51, "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("ntok")).as("n_tokens"),
+          expr("sum(nll) DIV sum(ntok)").as("mean_score_q"),
+          (sum(col("doc_id") % HashMod) % HashMod).as("doc_checksum"))
+        .orderBy(col("lang"), col("bucket"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+    lm AS (SELECT lang, w, COUNT(*) AS c FROM tok
+           WHERE doc_id % 7 = 0 GROUP BY 1, 2),
+    st AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t, COUNT(*) AS v
+           FROM lm GROUP BY 1),
+    dt AS (SELECT doc_id, lang, w, COUNT(*) AS n FROM tok GROUP BY 1, 2, 3),
+    sc AS (SELECT dt.doc_id, dt.lang,
+             CAST(SUM(dt.n * (${lnQ("st.t + st.v")}
+               - ${lnQ("COALESCE(lm.c, 0) + 1")})) AS BIGINT) AS nll,
+             CAST(SUM(dt.n) AS BIGINT) AS ntok
+           FROM dt
+           LEFT JOIN lm ON lm.lang = dt.lang AND lm.w = dt.w
+           JOIN st ON st.lang = dt.lang
+           GROUP BY 1, 2),
+    ds AS (SELECT *, nll // ntok AS score_q FROM sc),
+    rf AS (SELECT lang,
+             CAST(SUM(nll) AS BIGINT) // CAST(SUM(ntok) AS BIGINT) AS refq
+           FROM ds WHERE doc_id % 7 = 0 GROUP BY 1),
+    bk AS (SELECT ds.lang, ds.doc_id, ds.nll, ds.ntok,
+             CASE WHEN score_q <= refq THEN 'head'
+                  WHEN score_q * 50 <= refq * 51 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+           FROM ds JOIN rf ON rf.lang = ds.lang)
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+      CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+      CAST(CAST(SUM(nll) AS BIGINT) // CAST(SUM(ntok) AS BIGINT) AS BIGINT)
+        AS mean_score_q,
+      CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS doc_checksum
+    FROM bk GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34)
+      t29, t30, t31, t32, t33, t34, t35)
 }

@@ -241,6 +241,30 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("t35 buckets hand-computed NLL scores at the exact integer edges") {
+    val tmp = java.nio.file.Files.createTempDirectory("t35inv").toString
+    // reference slice (%7) = two copies of "a a a b": c(a)=6, c(b)=2,
+    // T+V = 10 → lnQ units: NLL(a) = 23026−19459 = 3567, NLL(b) =
+    // 23026−10986 = 12040, refq = 45482 DIV 8 = 5685. doc 1 scores
+    // exactly refq → head; doc 2 (35×a + 12×b) scores 269325 DIV 47 =
+    // 5730, inside the 2% band (5730·50 ≤ 5685·51) → middle; doc 3
+    // all-unseen scores lnQ(10) = 23026 → tail
+    val ref = "a a a b"
+    Seq((7L, ref), (14L, ref), (1L, ref),
+      (2L, (Seq.fill(35)("a") ++ Seq.fill(12)("b")).mkString(" ")),
+      (3L, "z z z z"))
+      .map { case (id, text) => (id, text, "aa", "s", 0L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t35_ccnet_ppl_buckets")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    out shouldBe Seq(
+      ("aa", "head", 3L, 12L, 5685L, 22L),
+      ("aa", "middle", 1L, 47L, 5730L, 2L),
+      ("aa", "tail", 1L, 4L, 23026L, 3L))
+  }
+
   test("d28 rare-shingle candidates reach 100% recall vs exact containment at sf0.001") {
     val dir = "/root/testdata/sf0.001"
     // ground truth: brute-force all-pairs containment over the same
