@@ -1822,7 +1822,75 @@ object Dedup {
     FROM nv LEFT JOIN dc ON nv.c_label = dc.c_label
     ORDER BY nv.c_label"""))
 
+  // ---------------------------------------------------------------- d31
+  // SHARDED-BLOOM DEDUP GATE — the "is this batch doc already in the
+  // 100 TB historical corpus" membership check, structured so NO part of
+  // it scales with |history| on the probe path. History fingerprints
+  // (poly_hash of the 8-token prefix — d12's truncation-duplicate key)
+  // are hash-sharded into S per-shard bloom filters: ONE global bloom
+  // over billions of fps would be tens of GB on the driver, but each
+  // shard bloom is a fixed-bits config (FP rate degrades instead of
+  // memory), built by one map-side-combined aggregate whose shuffle is
+  // S rows. The batch probes its shard's bloom as a pure per-row CASE
+  // over S foldable binary literals (whole-stage codegen — the native
+  // might_contain, q51's pattern, not a UDF): bloom-negatives are
+  // admitted with ZERO shuffle, and only bloom-positives (true dups +
+  // ε·|batch| false positives) reach the exact anti-join. That verify
+  // join moves the 8-byte fp INDEX, never document text — ~0.1% of
+  // corpus bytes, the d16 persisted-index discipline. The result is
+  // EXACT whatever the bloom does: FPs are removed by the anti-join,
+  // and blooms have no false negatives, so admitted ≡ batch ∖ history.
+  private val d31 = QueryDef(
+    "d31_bloom_dedup_gate",
+    (s, dir) => {
+      graft.functions.BloomFunctions.register(s)
+      val S = 4L // shard count — config constant, not data-scaled
+      val base = docsNarrow(s, dir).withColumn("fp",
+        expr(strHashExpr("concat_ws(' ', slice(split(text, ' '), 1, 8))")))
+      // block split (every 5th block of 20 ids is "the new batch") so the
+      // batch crosses all sources — doc_id % 5 would alias the source key
+      val hist = base.filter(expr("(doc_id DIV 20) % 5") =!= 0).select(col("fp"))
+      val batch = base.filter(expr("(doc_id DIV 20) % 5") === 0)
+        .select(col("doc_id"), col("source"), col("fp"))
+      // S bounded rows, each a fixed-size bloom — driver-safe by design
+      val blooms = hist.groupBy((col("fp") % S).as("shard"))
+        .agg(call_function("bloom_filter_agg", col("fp"), lit(1L << 16)).as("bf"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("bf"))
+        .sortBy(_._1)
+      val probe = blooms.foldLeft(lit(false)) { case (acc, (sh, bytes)) =>
+        when(col("fp") % S === sh,
+          call_function("might_contain", lit(bytes), col("fp"))).otherwise(acc)
+      }
+      val admitted = batch.filter(!probe).unionByName(
+        batch.filter(probe).join(hist, Seq("fp"), "left_anti"))
+      val aa = admitted.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_admitted"),
+          (sum(col("doc_id") % HashMod) % HashMod).as("admitted_checksum"))
+      batch.groupBy(col("source")).agg(count(lit(1)).as("n_batch"))
+        .join(aa, Seq("source"), "left")
+        .select(col("source"), col("n_batch"),
+          coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+          coalesce(col("admitted_checksum"), lit(0L)).as("admitted_checksum"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source,
+        ${strHashSql("array_to_string(string_split(text, ' ')[1:8], ' ')")} AS fp
+      FROM documents),
+    h AS (SELECT fp FROM d WHERE (doc_id // 20) % 5 <> 0),
+    b AS (SELECT doc_id, source, fp FROM d WHERE (doc_id // 20) % 5 = 0),
+    adm AS (SELECT * FROM b
+            WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = b.fp)),
+    ba AS (SELECT source, COUNT(*) AS n_batch FROM b GROUP BY 1),
+    aa AS (SELECT source, COUNT(*) AS n_admitted,
+             CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS admitted_checksum
+           FROM adm GROUP BY 1)
+    SELECT ba.source, ba.n_batch,
+      CAST(COALESCE(aa.n_admitted, 0) AS BIGINT) AS n_admitted,
+      CAST(COALESCE(aa.admitted_checksum, 0) AS BIGINT) AS admitted_checksum
+    FROM ba LEFT JOIN aa USING (source) ORDER BY ba.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31)
 }

@@ -1605,7 +1605,61 @@ object Similarity {
       sql.replaceAll("""AS \(""", "AS MATERIALIZED (")
     })
 
+  // ---------------------------------------------------------------- s22
+  // PROTOTYPICALITY PRUNING — the embedding-side data-pruning screen
+  // ("SSL prototypes": score every example by cosine to its own cluster
+  // centroid, drop the least prototypical) that complements d30's
+  // SemDeDup: d30 prunes points too CLOSE to a cluster neighbor
+  // (redundancy), s22 prunes points too FAR from their own centroid
+  // (outliers / label noise). The threshold is a CONFIG constant (0.0 =
+  // anti-correlated with own cluster), not a data-derived percentile, so
+  // the prune decision is a pure per-row expression — no rank window over
+  // a K-bounded partition key (the q04 skew funnel: members-per-cluster
+  // grows with N, cluster count doesn't). Scale: one posexplode +
+  // map-side-combined aggregate builds the K×64 centroid table (shuffle
+  // rows = K×64, not N), the centroid join is a K-row bounded broadcast,
+  // and the verdict aggregate is one hash agg on the bounded label key.
+  // Cosine inputs are exact int64 (quantized), so the double division and
+  // the τ comparison are engine-identical; sim sums go through the
+  // deterministic DECIMAL path ([[Tables.dsum]]).
+  private val s22 = QueryDef(
+    "s22_prototype_prune",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q) // bounded: one row per cluster label
+      q.join(broadcast(cent), col("label") === col("c_label"))
+        .withColumn("sim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("pruned", col("sim") < 0.0d)
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(
+          count(lit(1)).as("n_members"),
+          sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+          dsum(col("sim"), 6).as("sum_sim"),
+          (sum(when(col("pruned"), col("vec_id") % HashMod).otherwise(0L)) % HashMod)
+            .as("pruned_checksum"))
+        .orderBy(col("label"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    sc AS (SELECT qn.vec_id, qn.label,
+             CAST(${dotSql("qn.qv", "cn.cqv")} AS DOUBLE)
+               / (sqrt(CAST(qn.norm2 AS DOUBLE)) * sqrt(CAST(cn.cnorm2 AS DOUBLE))) AS sim
+           FROM qn JOIN cn ON cn.c_label = qn.label)
+    SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_members,
+      CAST(SUM(CASE WHEN sim < 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+      ${dsumSql("sim", 6)} AS sum_sim,
+      CAST(SUM(CASE WHEN sim < 0.0 THEN vec_id % $HashMod ELSE 0 END) % $HashMod AS BIGINT)
+        AS pruned_checksum
+    FROM sc GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, d15)
 }

@@ -1855,8 +1855,72 @@ object Text {
       CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS doc_checksum
     FROM bk GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- t36
+  // DSIR IMPORTANCE WEIGHTS — Data Selection via Importance Resampling
+  // (Xie et al. 2023): score every raw document by the log-likelihood
+  // ratio between a TARGET unigram LM (trained on the trusted doc_id % 7
+  // slice — t35's reference stand-in) and the RAW-corpus LM, then take
+  // the top-50 by ratio as the selected pretraining subset. Differs from
+  // t35 in both axes: one corpus-global LM pair (no per-lang split) and
+  // a RATIO score (target-likeness), not an absolute perplexity bucket.
+  // llr(d) = Σ_w n_dw·(lnQ(c_tgt+1) − lnQ(c_raw+1)) + N_d·(lnQ(T_raw+V)
+  // − lnQ(T_tgt+V)) — add-one smoothing over the shared raw vocab (the
+  // target slice is a subset of the corpus, so its vocab is covered).
+  // The RAW llr is kept integer end-to-end and never divided: a per-token
+  // normalize would need integer division of a SIGNED sum, where Spark's
+  // DIV (truncate) and DuckDB's // (floor) disagree — the one cross-engine
+  // dtype hazard this family has left (PERF.md r14); DSIR itself ranks on
+  // the raw weight. Scale: both LMs come off ONE (doc_id, w) partial
+  // aggregate (shuffle = per-doc vocab, combiner-packed); the LM join is
+  // the co-partitioned vocab equi-join with no broadcast hint (t30's
+  // Heaps-unbounded rule); corpus totals are a one-row broadcast; and the
+  // final top-50 is TakeOrderedAndProject — per-partition heads merged on
+  // the driver, never a global sort shuffle.
+  private val t36 = QueryDef(
+    "t36_dsir_importance",
+    (s, dir) => {
+      val dtok = docsNarrow(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      val lm = dtok.groupBy(col("w")).agg(
+        sum(col("n")).as("cr"),
+        sum(when(col("doc_id") % 7 === 0, col("n")).otherwise(0L)).as("ct"))
+      val tot = lm.agg(
+        sum(col("cr")).as("tr"), sum(col("ct")).as("tt"), count(lit(1)).as("v"))
+      dtok.join(lm, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n") * (expr(lnQ("ct + 1")) - expr(lnQ("cr + 1")))).as("sdelta"),
+          sum(col("n")).as("ntok"))
+        .crossJoin(broadcast(tot)) // bounded: one corpus-totals row
+        .select(col("doc_id"), col("ntok"),
+          (col("sdelta") + col("ntok") * (expr(lnQ("tr + v")) - expr(lnQ("tt + v"))))
+            .as("llr_q"))
+        .join(docsNarrow(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), col("doc_id"), col("ntok"), col("llr_q"))
+        .orderBy(col("llr_q").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dt AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    lm AS (SELECT w, CAST(SUM(n) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN doc_id % 7 = 0 THEN n ELSE 0 END) AS BIGINT) AS ct
+           FROM dt GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt,
+              COUNT(*) AS v FROM lm),
+    pd AS (SELECT dt.doc_id,
+             CAST(SUM(dt.n * (${lnQ("lm.ct + 1")} - ${lnQ("lm.cr + 1")})) AS BIGINT) AS sdelta,
+             CAST(SUM(dt.n) AS BIGINT) AS ntok
+           FROM dt JOIN lm USING (w) GROUP BY 1)
+    SELECT d.source, pd.doc_id, pd.ntok,
+      CAST(pd.sdelta + pd.ntok * (${lnQ("tot.tr + tot.v")} - ${lnQ("tot.tt + tot.v")})
+        AS BIGINT) AS llr_q
+    FROM pd CROSS JOIN tot JOIN documents d ON d.doc_id = pd.doc_id
+    ORDER BY llr_q DESC, pd.doc_id LIMIT 50"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35)
+      t29, t30, t31, t32, t33, t34, t35, t36)
 }
