@@ -264,5 +264,99 @@ object Governance {
       CAST(MAX(day) AS BIGINT) AS newest_day
     FROM pd, a GROUP BY 1, 2 ORDER BY age_band"""))
 
-  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143)
+  // --------------------------------------------------------------- q146
+  // SCHEMA-DRIFT AUDIT — the upstream-feed contract monitor: profile
+  // every column of a stream across two epochs (early/late halves of the
+  // window) and flag distribution-shape changes the schema itself can't
+  // express — null-rate shifts, cardinality collapse/explosion, and
+  // appearing/disappearing semi-structured keys (each JSON key in
+  // `props` is profiled as its own `props.<key>` pseudo-column, so an
+  // upstream producer silently adding or dropping a field lands in the
+  // same report as a typed-column change). Complements q133 (PSI on ONE
+  // chosen metric) by sweeping EVERY column with schema-level stats.
+  // Values are profiled on a canonical string encoding (longs/strings
+  // verbatim, doubles floored at 1e-3 — a raw double→string cast is NOT
+  // cross-engine-stable, the canonical form is). Scale: one unpivot
+  // generate (5 rows per event — narrow, no shuffle), then ONE
+  // (col, epoch, value) pre-aggregate feeding both the distinct count
+  // and the null profile — the exact-distinct two-level shape whose
+  // shuffle is the distinct-value volume; at 100 TB you'd swap the exact
+  // count for a per-column sketch (q18's approx path) and keep the rest
+  // of the plan unchanged. The column key is domain-bounded, so the
+  // final pivot aggregate is trivially small.
+  private val q146 = QueryDef(
+    "q146_schema_drift",
+    (s, dir) => {
+      val splitUs = 1705363200000000L // 2024-01-16 00:00 UTC — window midpoint
+      val ev = events(s, dir)
+        .withColumn("epoch",
+          when(unix_micros(col("ts")) < splitUs, "a").otherwise("b"))
+      val base = ev.selectExpr("epoch", """stack(4,
+          'event_type', event_type,
+          'user_id', CAST(user_id AS STRING),
+          'value', CAST(CAST(floor(value * 1000) AS BIGINT) AS STRING),
+          'props', props) AS (col_name, v)""")
+      val keyed = ev.select(col("epoch"),
+          explode(expr("from_json(props, 'map<string,string>')")).as(Seq("k", "v")))
+        .select(col("epoch"), concat(lit("props."), col("k")).as("col_name"), col("v"))
+      val u = base.unionByName(keyed)
+      // one (col, epoch, value) pre-aggregate serves null AND distinct
+      // profiles: nv rows = distinct values (+1 null bucket), never N
+      val pre = u.groupBy(col("col_name"), col("epoch"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      pre.groupBy(col("col_name"))
+        .agg(
+          sum(when(col("epoch") === "a", col("cnt")).otherwise(0L)).as("n_a"),
+          sum(when(col("epoch") === "b", col("cnt")).otherwise(0L)).as("n_b"),
+          sum(when(col("epoch") === "a" && col("v").isNull, col("cnt")).otherwise(0L)).as("nn_a"),
+          sum(when(col("epoch") === "b" && col("v").isNull, col("cnt")).otherwise(0L)).as("nn_b"),
+          sum(when(col("epoch") === "a" && col("v").isNotNull, 1L).otherwise(0L)).as("distinct_a"),
+          sum(when(col("epoch") === "b" && col("v").isNotNull, 1L).otherwise(0L)).as("distinct_b"))
+        .select(col("col_name"), col("n_a"), col("n_b"),
+          expr("CASE WHEN n_a = 0 THEN 0 ELSE nn_a * 1000000 DIV n_a END").as("null_ppm_a"),
+          expr("CASE WHEN n_b = 0 THEN 0 ELSE nn_b * 1000000 DIV n_b END").as("null_ppm_b"),
+          col("distinct_a"), col("distinct_b"),
+          expr("""CASE WHEN n_a = 0 THEN 'added' WHEN n_b = 0 THEN 'dropped'
+               WHEN distinct_a * 2 < distinct_b OR distinct_b * 2 < distinct_a
+                 THEN 'distinct_shift'
+               WHEN abs(nn_a * 1000000 DIV greatest(n_a, 1)
+                      - nn_b * 1000000 DIV greatest(n_b, 1)) > 10000
+                 THEN 'null_shift'
+               ELSE 'stable' END""").as("verdict"))
+        .orderBy(col("col_name"))
+    },
+    Some(s"""WITH e AS (
+      SELECT *, CASE WHEN epoch_us(ts) < 1705363200000000 THEN 'a' ELSE 'b' END AS epoch
+      FROM events),
+    u AS (
+      SELECT epoch, 'event_type' AS col_name, event_type AS v FROM e
+      UNION ALL SELECT epoch, 'user_id', CAST(user_id AS VARCHAR) FROM e
+      UNION ALL SELECT epoch, 'value',
+        CAST(CAST(floor(value * 1000) AS BIGINT) AS VARCHAR) FROM e
+      UNION ALL SELECT epoch, 'props', props FROM e
+      UNION ALL SELECT epoch, 'props.' || k, json_extract_string(props, '$$.' || k)
+        FROM (SELECT epoch, props, unnest(json_keys(props)) AS k FROM e)),
+    pre AS (SELECT col_name, epoch, v, COUNT(*) AS cnt FROM u GROUP BY 1, 2, 3),
+    pv AS (SELECT col_name,
+        CAST(SUM(CASE WHEN epoch = 'a' THEN cnt ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN epoch = 'b' THEN cnt ELSE 0 END) AS BIGINT) AS n_b,
+        CAST(SUM(CASE WHEN epoch = 'a' AND v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS nn_a,
+        CAST(SUM(CASE WHEN epoch = 'b' AND v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS nn_b,
+        CAST(SUM(CASE WHEN epoch = 'a' AND v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS distinct_a,
+        CAST(SUM(CASE WHEN epoch = 'b' AND v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS distinct_b
+      FROM pre GROUP BY 1)
+    SELECT col_name, n_a, n_b,
+      CAST(CASE WHEN n_a = 0 THEN 0 ELSE nn_a * 1000000 // n_a END AS BIGINT) AS null_ppm_a,
+      CAST(CASE WHEN n_b = 0 THEN 0 ELSE nn_b * 1000000 // n_b END AS BIGINT) AS null_ppm_b,
+      distinct_a, distinct_b,
+      CASE WHEN n_a = 0 THEN 'added' WHEN n_b = 0 THEN 'dropped'
+           WHEN distinct_a * 2 < distinct_b OR distinct_b * 2 < distinct_a
+             THEN 'distinct_shift'
+           WHEN abs(nn_a * 1000000 // greatest(n_a, 1)
+                  - nn_b * 1000000 // greatest(n_b, 1)) > 10000
+             THEN 'null_shift'
+           ELSE 'stable' END AS verdict
+    FROM pv ORDER BY col_name"""))
+
+  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143, q146)
 }

@@ -1028,7 +1028,93 @@ object Pipeline {
     FROM ctl LEFT JOIN sel ON ctl.lang = sel.lang
     ORDER BY ctl.lang"""))
 
+  // --------------------------------------------------------------- q145
+  // BITEMPORAL AS-OF — the two-axis temporal lookup (SQL:2011
+  // system-versioned + application-time tables): "as of TRANSACTION time
+  // T, what did we believe the value was at VALID time V". q53's SCD2
+  // merge tracks ONE time axis; audit/finance ledgers need both, because
+  // corrections arrive late and retroactively. The ledger is a
+  // deterministic retroactive-amendment stream derived from orders: each
+  // order carries 1–3 revisions, revision r recorded at odate + r days,
+  // declaring its value effective from odate + 7r days ONWARD (open
+  // validity — later revisions shadow earlier ones where they overlap).
+  // The probe answers with the visible (recorded ≤ T) revision whose
+  // valid_from is the latest ≤ V — an argmax, computed as max_by over
+  // the strictly-increasing (per key) valid_from, NOT a rank window: the
+  // aggregate is map-side combined and shuffles one row per (probe, key),
+  // where a row_number window would shuffle every revision. All time
+  // arithmetic is integer epoch-µs (unix_micros / epoch_us — the one
+  // cross-engine-identical date representation; interval functions are
+  // not parity-safe), values are exact int64. Scale: the explode is a
+  // narrow generate, the only wide op is the (probe, key) aggregate —
+  // probes are a 3-row bounded broadcast, keys are high-cardinality so
+  // no skew funnel; at 100 TB the same plan runs with the ledger
+  // partitioned on key.
+  private val q145 = QueryDef(
+    "q145_bitemporal_asof",
+    (s, dir) => {
+      val dayUs = 86400000000L
+      // probes pin (T, V) in epoch-µs: mid-history/mid-history, early
+      // belief about later validity, full knowledge about early validity
+      val probes = Seq(
+        (1L, usOf(1997, 1, 1), usOf(1997, 1, 1)),
+        (2L, usOf(1996, 1, 1), usOf(1999, 6, 30)),
+        (3L, usOf(2002, 1, 1), usOf(1996, 6, 30)))
+      val probeDf = s.sql(
+        "SELECT * FROM VALUES " +
+          probes.map { case (i, t, v) => s"(${i}L, ${t}L, ${v}L)" }.mkString(", ") +
+          " AS p(probe_id, t_us, v_us)")
+      val led = rd(s, dir, "orders")
+        .select(col("o_orderkey").as("okey"),
+          // o_orderdate ships NTZ; the UTC session makes the cast
+          // instant-preserving, matching the oracle's epoch_us
+          unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+          floor(col("o_totalprice")).cast("long").as("base"),
+          explode(sequence(lit(0L), col("o_orderkey") % 3)).as("r"))
+        .select(col("okey"),
+          (col("od_us") + col("r") * (7L * dayUs)).as("vf_us"),
+          (col("od_us") + col("r") * dayUs).as("rec_us"),
+          (col("base") * (lit(100L) + col("r"))).as("val_c"))
+      led.crossJoin(broadcast(probeDf)) // bounded: 3 probe rows
+        .filter(col("rec_us") <= col("t_us") && col("vf_us") <= col("v_us"))
+        .groupBy(col("probe_id"), col("okey"))
+        .agg(max_by(col("val_c"), col("vf_us")).as("val_c"))
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("val_c")).as("sum_value"),
+          (sum(col("val_c") % HashMod) % HashMod).as("val_checksum"))
+        .orderBy(col("probe_id"))
+    },
+    Some {
+      val dayUs = 86400000000L
+      val probesSql = Seq(
+        (1L, usOf(1997, 1, 1), usOf(1997, 1, 1)),
+        (2L, usOf(1996, 1, 1), usOf(1999, 6, 30)),
+        (3L, usOf(2002, 1, 1), usOf(1996, 6, 30)))
+        .map { case (i, t, v) => s"($i, $t, $v)" }.mkString(", ")
+      s"""WITH led AS (
+      SELECT o_orderkey AS okey,
+        epoch_us(o_orderdate) + r * ${7L * dayUs} AS vf_us,
+        epoch_us(o_orderdate) + r * $dayUs AS rec_us,
+        CAST(floor(o_totalprice) AS BIGINT) * (100 + r) AS val_c
+      FROM orders, unnest(range(0, o_orderkey % 3 + 1)) AS u(r)),
+    p AS (SELECT * FROM (VALUES $probesSql) AS v(probe_id, t_us, v_us)),
+    sel AS (SELECT p.probe_id, l.okey, arg_max(l.val_c, l.vf_us) AS val_c
+            FROM led l CROSS JOIN p
+            WHERE l.rec_us <= p.t_us AND l.vf_us <= p.v_us
+            GROUP BY 1, 2)
+    SELECT CAST(probe_id AS BIGINT) AS probe_id, COUNT(*) AS n_keys,
+      CAST(SUM(val_c) AS BIGINT) AS sum_value,
+      CAST(SUM(val_c % $HashMod) % $HashMod AS BIGINT) AS val_checksum
+    FROM sel GROUP BY 1 ORDER BY 1"""
+    })
+
+  /** Epoch-µs of a UTC midnight — shared by q145's Spark and oracle sides
+    * so the probe constants are one source of truth. */
+  private def usOf(y: Int, m: Int, d: Int): Long =
+    java.time.LocalDate.of(y, m, d).toEpochDay * 86400000000L
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144)
+      q131, q144, q145)
 }
