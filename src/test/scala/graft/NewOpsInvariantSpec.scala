@@ -283,4 +283,108 @@ class NewOpsInvariantSpec extends SparkSuite {
       got shouldBe truth
     }
   }
+
+  test("d31 admits exactly batch-minus-history whatever the blooms say") {
+    val tmp = java.nio.file.Files.createTempDirectory("d31inv").toString
+    // batch block = ids 0..19 ((id DIV 20) % 5 == 0); history = 20..99.
+    // doc 0 shares its 8-token prefix with history doc 25 (a truncation
+    // duplicate — different tail, same fingerprint) → blocked; doc 1 is
+    // unique → admitted. The assertion pins the EXACTNESS contract: the
+    // output is batch ∖ history regardless of bloom false positives.
+    val pre = "w1 w2 w3 w4 w5 w6 w7 w8"
+    Seq(
+      (0L, s"$pre batch tail", "en", "s", 0L),
+      (1L, "u1 u2 u3 u4 u5 u6 u7 u8 unique tail", "en", "s", 0L),
+      (25L, s"$pre history tail differs", "en", "s", 0L),
+      (30L, "h1 h2 h3 h4 h5 h6 h7 h8 other", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d31_bloom_dedup_gate")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    out shouldBe Seq(("s", 2L, 1L, 1L)) // only doc 1 admitted; checksum = 1
+  }
+
+  test("s22 prunes exactly the vectors anti-correlated with their centroid") {
+    val tmp = java.nio.file.Files.createTempDirectory("s22inv").toString
+    // label 0: two vectors at +0.5 on axis 0, one at -0.5 → centroid
+    // points +, vec 2 has sim < 0 and is the only prune; label 1: both
+    // aligned → no prunes.
+    def v(x: Float) = Array.fill(64)(0.0f).updated(0, x)
+    Seq((0L, v(0.5f), 0), (1L, v(0.4f), 0), (2L, v(-0.5f), 0),
+      (3L, v(0.3f), 1), (4L, v(0.2f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s22_prototype_prune")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSeq
+    out shouldBe Seq((0L, 3L, 1L, 2L), (1L, 2L, 0L, 0L))
+  }
+
+  test("t36 ranks target-like documents above off-target ones") {
+    val tmp = java.nio.file.Files.createTempDirectory("t36inv").toString
+    // target slice (doc_id % 7 == 0) speaks 'aim'; raw doc 1 mimics the
+    // target distribution, raw doc 2 speaks only off-target 'off' → the
+    // importance ratio must order doc 1 strictly above doc 2.
+    Seq(
+      (0L, "aim aim aim aim common", "en", "s", 0L),
+      (7L, "aim aim common common aim", "en", "s", 0L),
+      (1L, "aim aim aim common aim", "en", "s", 0L),
+      (2L, "off off off common off", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val ranked = Registry.queries("t36_dsir_importance")(spark, tmp)
+      .collect().map(_.getLong(1)).toSeq
+    ranked.indexOf(1L) should be < ranked.indexOf(2L)
+    // and the target slice itself scores high (it IS the target dist)
+    ranked.indexOf(0L) should be < ranked.indexOf(2L)
+  }
+
+  test("q145 resolves the hand-built bitemporal ledger at all three probes") {
+    val tmp = java.nio.file.Files.createTempDirectory("q145inv").toString
+    // okey 1 (1 % 3 = 1 → revisions r=0,1): odate 1996-06-25, base 100 →
+    //   r0: vf=rec=06-25, val 10000; r1: vf=07-02, rec=06-26, val 10100.
+    // okey 3 (3 % 3 = 0 → r=0 only): odate 1996-01-10, base 200 → 20000.
+    // probe 1 (T=1997-01-01, V=1997-01-01): both keys, okey1→r1 → 30100.
+    // probe 2 (T=1996-01-01, V=1999-06-30): nothing recorded yet → no row.
+    // probe 3 (T=2002-01-01, V=1996-06-30): okey1 r1's vf > V → r0 → 30000.
+    def d(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    Seq((1L, 10L, "O", 100.5, d("1996-06-25"), "1-URGENT"),
+      (3L, 11L, "O", 200.5, d("1996-01-10"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Registry.queries("q145_bitemporal_asof")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    out shouldBe Seq(
+      (1L, 2L, 30100L, 30100L),
+      (3L, 2L, 30000L, 30000L))
+  }
+
+  test("q146 flags the planted null, cardinality, and key-set drifts") {
+    val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
+    // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
+    // props key k. epoch b: all type x (1 distinct → distinct_shift), one
+    // null user_id (→ null_shift), props key m (k dropped, m added).
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    val rows = Seq(
+      (1L, t("2024-01-10 00:00:00"), Option(1L), "x", 1.0, """{"k": 1}"""),
+      (2L, t("2024-01-11 00:00:00"), Option(2L), "y", 2.0, """{"k": 2}"""),
+      (3L, t("2024-01-12 00:00:00"), Option(3L), "z", 3.0, """{"k": 3}"""),
+      (4L, t("2024-01-20 00:00:00"), Option(4L), "x", 1.0, """{"m": 5}"""),
+      (5L, t("2024-01-21 00:00:00"), None: Option[Long], "x", 2.0, """{"m": 6}"""),
+      (6L, t("2024-01-22 00:00:00"), Option(5L), "x", 3.0, """{"m": 7}"""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q146_schema_drift")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(7))).toMap
+    out shouldBe Map(
+      "event_type" -> "distinct_shift",
+      "props" -> "stable",
+      "props.k" -> "dropped",
+      "props.m" -> "added",
+      "user_id" -> "null_shift",
+      "value" -> "stable")
+  }
 }
