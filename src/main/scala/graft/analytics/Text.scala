@@ -1896,10 +1896,17 @@ object Text {
         .select(col("doc_id"), col("ntok"),
           (col("sdelta") + col("ntok") * (expr(lnQ("tr + v")) - expr(lnQ("tt + v"))))
             .as("llr_q"))
+        // select FIRST (TakeOrderedAndProject over narrow score rows),
+        // then decorate the 50 winners with source — the other order
+        // would join source onto every document just to throw it away.
+        // The winners are LIMIT-bounded, so broadcasting them keeps the
+        // decoration join from shuffling the documents table at all.
+        .orderBy(col("llr_q").desc, col("doc_id"))
+        .limit(50)
+        .transform(broadcast)
         .join(docsNarrow(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
         .select(col("source"), col("doc_id"), col("ntok"), col("llr_q"))
         .orderBy(col("llr_q").desc, col("doc_id"))
-        .limit(50)
     },
     Some(s"""WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -70,4 +70,110 @@ class NewOpsPlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("t36: top-50 is TakeOrdered, and one token exchange feeds both LMs") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("t36_dsir_importance")(spark, dir)
+        .queryExecution.executedPlan
+      // the selection is a per-partition-heads merge, not a global sort
+      val topk = plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+      withClue(s"no TakeOrderedAndProject:\n$plan\n") { topk should not be empty }
+      // the (doc, term) partial aggregate is computed ONCE: the raw-LM
+      // branch reuses the per-doc branch's token exchange instead of
+      // re-scanning and re-shuffling the token stream
+      val reused = plan.collect {
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r }
+      withClue(s"token exchange not reused across LM branches:\n$plan\n") {
+        reused should not be empty
+      }
+    }
+  }
+
+  test("s22: the prune verdict is window-free and the centroid join stays broadcast") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("s22_prototype_prune")(spark, dir)
+        .queryExecution.executedPlan
+      // the scale argument: prune is a per-row threshold, never a rank
+      // window over the K-bounded cluster key
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      withClue(s"unexpected window in prune plan:\n$plan\n") { windows shouldBe empty }
+      // hinted K-row centroid build side survives autoBroadcast=-1
+      val bhj = plan.collect { case b: BroadcastHashJoinExec => b }
+      withClue(s"centroid join fell off broadcast:\n$plan\n") { bhj should not be empty }
+    }
+  }
+
+  test("d31: the bloom probe is a native scan-stage filter, not a shuffle") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("d31_bloom_dedup_gate")(spark, dir)
+        .queryExecution.executedPlan
+      val probeFilters = plan.collect {
+        case f: org.apache.spark.sql.execution.FilterExec
+          if f.condition.toString.contains("might_contain") => f }
+      withClue(s"no native might_contain filter:\n${plan.toString.take(4000)}\n") {
+        probeFilters should not be empty
+      }
+      // the probe filter evaluates directly on the scan stage: no
+      // Exchange below it — admitting a bloom-negative row costs zero
+      // shuffle
+      probeFilters.foreach { f =>
+        val below = f.collect {
+          case e: org.apache.spark.sql.execution.exchange.Exchange => e }
+        withClue(s"exchange below the bloom probe:\n${f.toString.take(4000)}\n") {
+          below shouldBe empty
+        }
+      }
+    }
+  }
+
+  test("q145: the as-of argmax combines map-side (max_by partials below the shuffle)") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("q145_bitemporal_asof")(spark, dir)
+        .queryExecution.executedPlan
+      val partialBelowEx = plan.collect {
+        case e: Exchange if e.collect { case a: HashAggregateExec
+          if a.aggregateExpressions.exists(_.toString.contains("partial_max_by")) => a
+        }.nonEmpty => e
+      }
+      withClue(s"argmax not combined map-side:\n$plan\n") {
+        partialBelowEx should not be empty
+      }
+      // a rank-window formulation would show up here; the aggregate form
+      // must keep the plan window-free
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      } shouldBe empty
+    }
+  }
+
+  test("q146: profile stats flow through one (col, epoch, value) pre-aggregate") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("q146_schema_drift")(spark, dir)
+        .queryExecution.executedPlan
+      // the distinct-value volume shuffles exactly once: a partial count
+      // on (col_name, epoch, v) below its exchange, then only bounded
+      // per-column rows move
+      val partialBelowEx = plan.collect {
+        case e: Exchange if e.collect { case a: HashAggregateExec
+          if a.aggregateExpressions.exists(_.toString.contains("partial_count")) &&
+            a.groupingExpressions.size == 3 => a
+        }.nonEmpty => e
+      }
+      withClue(s"(col, epoch, value) pre-aggregate not map-side:\n$plan\n") {
+        partialBelowEx should not be empty
+      }
+    }
+  }
 }
