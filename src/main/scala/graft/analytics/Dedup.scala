@@ -1890,7 +1890,104 @@ object Dedup {
       CAST(COALESCE(aa.admitted_checksum, 0) AS BIGINT) AS admitted_checksum
     FROM ba LEFT JOIN aa USING (source) ORDER BY ba.source"""))
 
+  // ---------------------------------------------------------------- d32
+  // LEAKAGE-SAFE TRAIN/TEST SPLIT — the evaluation-integrity step after
+  // dedup: a random per-document split leaks whenever a near-dup CLUSTER
+  // straddles train and test (the model "memorizes" the test doc's twin
+  // from train — t12 decontaminates against an EXTERNAL benchmark; this
+  // is the INTERNAL holdout version of the same failure). Both policies
+  // are materialized side by side from one pass: `by_doc` hashes the
+  // doc id into 80/10/10 train/val/test; `by_cluster` hashes the
+  // near-dup component REPRESENTATIVE, so every cluster member inherits
+  // one split and cross-split near-dup pairs are structurally
+  // impossible (the measured by_cluster leak count is 0 — pinned by
+  // NewOpsInvariantSpec, not assumed). Scale: the near-dup graph and
+  // its components are the d07 machinery (bucketed pair generation +
+  // pointer-jumping CC); split assignment is a pure per-row hash; the
+  // leak audit joins the pair list to the split table twice on the
+  // co-partitioned doc key. Singleton docs (no near-dup edge) are their
+  // own representative via the left join + coalesce, costing nothing.
+  private val d32 = QueryDef(
+    "d32_leakage_safe_split",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      val reps = docsNarrow(s, dir).select(col("doc_id"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("rep"))
+      def splitCase(h: String) =
+        s"CASE WHEN $h < 1 THEN 'test' WHEN $h < 2 THEN 'val' ELSE 'train' END"
+      val splits = reps.selectExpr("doc_id",
+          s"${strHashExpr("CAST(doc_id AS STRING)")} % 10 AS hd",
+          s"${strHashExpr("CAST(rep AS STRING)")} % 10 AS hc")
+        .selectExpr("doc_id",
+          s"${splitCase("hd")} AS split_doc",
+          s"${splitCase("hc")} AS split_cluster")
+        .localCheckpoint() // consumed 3× below (counts + both leak joins)
+      val counts = splits.selectExpr(
+          "stack(2, 'by_doc', split_doc, 'by_cluster', split_cluster) AS (policy, split)")
+        .groupBy(col("policy"))
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+      val leaks = pairs
+        .join(splits.select(col("doc_id").as("id1"), col("split_doc").as("sd1"),
+          col("split_cluster").as("sc1")), Seq("id1"))
+        .join(splits.select(col("doc_id").as("id2"), col("split_doc").as("sd2"),
+          col("split_cluster").as("sc2")), Seq("id2"))
+        .select(
+          sum(when(col("sd1") =!= col("sd2"), 1L).otherwise(0L)).as("by_doc"),
+          sum(when(col("sc1") =!= col("sc2"), 1L).otherwise(0L)).as("by_cluster"))
+        .selectExpr("stack(2, 'by_doc', by_doc, 'by_cluster', by_cluster) AS (policy, n_leaky_pairs)")
+      val out = counts.join(leaks, Seq("policy"))
+        .select(col("policy"), col("n_train"), col("n_val"), col("n_test"),
+          coalesce(col("n_leaky_pairs"), lit(0L)).as("n_leaky_pairs"))
+        .orderBy(col("policy"))
+        .localCheckpoint()
+      pairs.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    reps AS (SELECT doc_id, COALESCE(c.comp, doc_id) AS rep
+             FROM documents LEFT JOIN comp c ON c.node = doc_id),
+    hs AS (SELECT doc_id,
+             ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 AS hd,
+             ${strHashSql("CAST(rep AS VARCHAR)")} % 10 AS hc
+           FROM reps),
+    w AS (SELECT doc_id,
+            CASE WHEN hd < 1 THEN 'test' WHEN hd < 2 THEN 'val' ELSE 'train' END AS split_doc,
+            CASE WHEN hc < 1 THEN 'test' WHEN hc < 2 THEN 'val' ELSE 'train' END AS split_cluster
+          FROM hs),
+    u AS (SELECT 'by_doc' AS policy, split_doc AS split FROM w
+          UNION ALL SELECT 'by_cluster', split_cluster FROM w),
+    cnt AS (SELECT policy,
+              CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+              CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+              CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+            FROM u GROUP BY 1),
+    lk0 AS (SELECT
+              CAST(SUM(CASE WHEN w1.split_doc <> w2.split_doc THEN 1 ELSE 0 END) AS BIGINT) AS by_doc,
+              CAST(SUM(CASE WHEN w1.split_cluster <> w2.split_cluster THEN 1 ELSE 0 END) AS BIGINT) AS by_cluster
+            FROM p JOIN w w1 ON w1.doc_id = p.id1 JOIN w w2 ON w2.doc_id = p.id2),
+    lk AS (SELECT 'by_doc' AS policy, by_doc AS n_leaky_pairs FROM lk0
+           UNION ALL SELECT 'by_cluster', by_cluster FROM lk0)
+    SELECT cnt.policy, cnt.n_train, cnt.n_val, cnt.n_test,
+      CAST(COALESCE(lk.n_leaky_pairs, 0) AS BIGINT) AS n_leaky_pairs
+    FROM cnt JOIN lk USING (policy) ORDER BY cnt.policy"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32)
 }

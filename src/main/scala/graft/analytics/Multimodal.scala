@@ -781,6 +781,95 @@ object Multimodal {
       CAST(SUM(ck) % $HashMod AS BIGINT) AS assign_checksum
     FROM pb GROUP BY bucket ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- m15
+  // IMAGE–CAPTION ALIGNMENT GATE — the LAION/DataComp curation step:
+  // score every (media payload, caption) pair with a dual-encoder
+  // similarity and keep only pairs above a threshold, reporting yield.
+  // CLIP's property is a SHARED space where matching content lands
+  // together; the deterministic stand-in is one featurizer applied to
+  // both sides (the stub-decoder discipline, m02): decode(payload) →
+  // 16-bin token-hash histogram, caption → the same featurizer. An
+  // as-crawled pair scores cos = 1 by construction; a scrape-swapped
+  // caption scores at corpus-background content overlap (measured
+  // 0.45–0.98, median 0.87 at sf0.01), so the cos ≥ 0.95 gate admits
+  // every true pair and only the near-duplicate-content swaps — the
+  // exact failure profile of the real gate. Half the pairs simulate
+  // scrape errors (caption swapped with the id-neighbor); the output
+  // groups by that ground truth so discrimination is measurable, but
+  // the gate itself never sees the flag. Scoring is m13's integer
+  // discipline: cos² compared by 128-bit cross-multiply (dot ≥ 0 —
+  // histograms are counts), per-pair score as exact dot²·10⁶ DIV n₁n₂
+  // ppm. Scale: the histogram is a mergeable 16-long sketch built ONCE
+  // by one two-phase count aggregate (shuffle = 16 rows per doc, never
+  // token volume) and joined twice (payload key, caption key — both
+  // co-partitioned equi-joins); the verdict aggregate is bounded.
+  private val ClipT2e4 = 9025L // gate: cos² ≥ 0.9025 (cos ≥ 0.95), ×10⁴
+
+  private val m15 = QueryDef(
+    "m15_clip_gate",
+    (s, dir) => {
+      graft.functions.DotI64.register(s)
+      val base = docsNarrow(s, dir).filter(col("n_chars") > 0)
+      val hist = base
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), expr("poly_hash(w) % 16").as("bin")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt")))).as("m"))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0L))").as("v"))
+        .withColumn("n2", expr(dotExpr("v", "v")))
+      val img = hist.select(col("doc_id"), col("v").as("hv"), col("n2").as("hn"))
+      val cap = hist.select(col("doc_id").as("cap_id"), col("v").as("cv"), col("n2").as("cn"))
+      base.select(col("doc_id"),
+          expr("""CASE WHEN doc_id % 4 < 2 THEN doc_id
+                  WHEN doc_id % 2 = 0 THEN doc_id + 1 ELSE doc_id - 1 END""").as("cap_id"),
+          (col("doc_id") % 4 < 2).as("aligned"))
+        .join(img, Seq("doc_id")).join(cap, Seq("cap_id"))
+        .withColumn("dot", expr(dotExpr("hv", "cv")))
+        .withColumn("pass",
+          expr(s"CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= CAST($ClipT2e4 AS DECIMAL(38,0)) * hn * cn"))
+        .withColumn("score2_ppm",
+          expr("CAST(CAST(dot AS DECIMAL(38,0)) * dot * 1000000 DIV (CAST(hn AS DECIMAL(38,0)) * cn) AS BIGINT)"))
+        .groupBy(col("aligned"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(col("score2_ppm")).as("sum_score2_ppm"),
+          (sum(when(col("pass"), col("doc_id") % HashMod).otherwise(0L)) % HashMod)
+            .as("pass_checksum"))
+        .withColumn("pass_ppm", expr("n_pass * 1000000 DIV n_pairs"))
+        .orderBy(col("aligned"))
+    },
+    Some(s"""WITH hb AS (
+      SELECT doc_id,
+        list_transform(generate_series(0, 15), b -> CAST(len(list_filter(
+          list_transform(string_split(text, ' '), t -> ${strHashSql("t")}),
+          h -> h % 16 = b)) AS BIGINT)) AS v
+      FROM documents WHERE n_chars > 0),
+    hn AS (SELECT doc_id, v, ${dotSql("v", "v")} AS n2 FROM hb),
+    im AS (SELECT doc_id, v AS hv, n2 AS hn FROM hn),
+    cp AS (SELECT doc_id AS cap_id, v AS cv, n2 AS cn FROM hn),
+    pr AS (SELECT d.doc_id,
+             CASE WHEN d.doc_id % 4 < 2 THEN d.doc_id
+                  WHEN d.doc_id % 2 = 0 THEN d.doc_id + 1
+                  ELSE d.doc_id - 1 END AS cap_id,
+             d.doc_id % 4 < 2 AS aligned
+           FROM documents d WHERE d.n_chars > 0),
+    sc AS (SELECT pr.aligned, pr.doc_id,
+             ${dotSql("im.hv", "cp.cv")} AS dot, im.hn, cp.cn
+           FROM pr JOIN im USING (doc_id) JOIN cp USING (cap_id))
+    SELECT aligned, COUNT(*) AS n_pairs,
+      CAST(SUM(CASE WHEN CAST(dot AS HUGEINT) * dot * 10000 >= CAST($ClipT2e4 AS HUGEINT) * hn * cn
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CAST(dot AS HUGEINT) * dot * 1000000 // (CAST(hn AS HUGEINT) * cn)) AS BIGINT)
+        AS sum_score2_ppm,
+      CAST(SUM(CASE WHEN CAST(dot AS HUGEINT) * dot * 10000 >= CAST($ClipT2e4 AS HUGEINT) * hn * cn
+               THEN doc_id % $HashMod ELSE 0 END) % $HashMod AS BIGINT) AS pass_checksum,
+      CAST(SUM(CASE WHEN CAST(dot AS HUGEINT) * dot * 10000 >= CAST($ClipT2e4 AS HUGEINT) * hn * cn
+               THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+    FROM sc GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14)
+    Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
+      m15)
 }

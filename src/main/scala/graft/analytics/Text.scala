@@ -1926,8 +1926,111 @@ object Text {
     FROM pd CROSS JOIN tot JOIN documents d ON d.doc_id = pd.doc_id
     ORDER BY llr_q DESC, pd.doc_id LIMIT 50"""))
 
+  // ---------------------------------------------------------------- t37
+  // GOPHER RULE BATTERY — the MassiveText/Gopher document-format filter
+  // set as a NAMED per-rule failure matrix: where t02 emits one combined
+  // keep verdict and t13 emits repetition mass, a curation run needs to
+  // know WHICH rule kills how many docs per language before tuning
+  // thresholds. Six rules, each an integer cross-multiply (no float
+  // thresholds): word count ∈ [50, 100k]; mean word length ∈ [3, 10]
+  // (via 3·n ≤ Σlen ≤ 10·n); ≥ 2 DISTINCT stopword hits; most-frequent
+  // token ≤ 20% of tokens; duplicate-trigram share ≤ 20%; ≥ 80%
+  // alphabetic tokens. Scale: one (doc, word) count aggregate serves
+  // four rules at once (its rows are distinct words, so stopword
+  // DISTINCT hits, the max-token share, the alpha mass, and the token
+  // total all fall out of the same combiner-packed shuffle); the
+  // trigram rule is a narrow per-row pass on the native rolling
+  // ngram_hashes; the two sides meet in a co-partitioned doc-key join
+  // and roll up to the lang-bounded matrix.
+  private val t37 = QueryDef(
+    "t37_gopher_rules",
+    (s, dir) => {
+      val dt = docsNarrow(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_tok"),
+          max(col("n")).as("max_tok"),
+          sum(when(col("w").isin("the", "a", "of", "to", "and"), 1L).otherwise(0L))
+            .as("n_stop_distinct"),
+          sum(when(col("w").rlike("^[a-z]+$"), col("n")).otherwise(0L)).as("n_alpha"))
+      val tri = docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .withColumn("tg", expr(ngramExpr("th", 3)))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CAST(size(tg) AS BIGINT)").as("n_tri"),
+          expr("CAST(size(tg) - size(array_distinct(tg)) AS BIGINT)").as("dup_tri"))
+      tri.join(dt, Seq("doc_id"))
+        .withColumn("sum_len", col("n_chars") - (col("n_tok") - lit(1L)))
+        .select(col("lang"),
+          (!col("n_tok").between(50L, 100000L)).as("f_wordcount"),
+          (col("sum_len") < col("n_tok") * 3 || col("sum_len") > col("n_tok") * 10)
+            .as("f_meanlen"),
+          (col("n_stop_distinct") < 2).as("f_stopword"),
+          (col("max_tok") * 5 > col("n_tok")).as("f_maxtok"),
+          (col("dup_tri") * 5 > col("n_tri")).as("f_duptri"),
+          (col("n_alpha") * 5 < col("n_tok") * 4).as("f_alpha"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("f_wordcount"), 1L).otherwise(0L)).as("fail_wordcount"),
+          sum(when(col("f_meanlen"), 1L).otherwise(0L)).as("fail_meanlen"),
+          sum(when(col("f_stopword"), 1L).otherwise(0L)).as("fail_stopword"),
+          sum(when(col("f_maxtok"), 1L).otherwise(0L)).as("fail_maxtok"),
+          sum(when(col("f_duptri"), 1L).otherwise(0L)).as("fail_duptri"),
+          sum(when(col("f_alpha"), 1L).otherwise(0L)).as("fail_alpha"),
+          sum(when(!col("f_wordcount") && !col("f_meanlen") && !col("f_stopword") &&
+            !col("f_maxtok") && !col("f_duptri") && !col("f_alpha"), 1L).otherwise(0L))
+            .as("n_pass"))
+        .withColumn("pass_ppm", expr("n_pass * 1000000 DIV n_docs"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    dt AS (SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tok,
+             CAST(MAX(n) AS BIGINT) AS max_tok,
+             CAST(SUM(CASE WHEN w IN ('the', 'a', 'of', 'to', 'and')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct,
+             CAST(SUM(CASE WHEN regexp_matches(w, '^[a-z]+$$')
+               THEN n ELSE 0 END) AS BIGINT) AS n_alpha
+           FROM dw GROUP BY 1),
+    th AS (SELECT doc_id, lang, n_chars,
+             list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+           FROM documents),
+    tri AS (SELECT doc_id, lang, n_chars,
+              CAST(len(tg) AS BIGINT) AS n_tri,
+              CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup_tri
+            FROM (SELECT doc_id, lang, n_chars, ${ngramSqlDuck("th", 3)} AS tg FROM th)),
+    fl AS (SELECT tri.lang,
+             NOT (dt.n_tok BETWEEN 50 AND 100000) AS f_wordcount,
+             ((tri.n_chars - (dt.n_tok - 1)) < dt.n_tok * 3
+               OR (tri.n_chars - (dt.n_tok - 1)) > dt.n_tok * 10) AS f_meanlen,
+             dt.n_stop_distinct < 2 AS f_stopword,
+             dt.max_tok * 5 > dt.n_tok AS f_maxtok,
+             tri.dup_tri * 5 > tri.n_tri AS f_duptri,
+             dt.n_alpha * 5 < dt.n_tok * 4 AS f_alpha
+           FROM tri JOIN dt USING (doc_id))
+    SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN f_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+      CAST(SUM(CASE WHEN f_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS fail_meanlen,
+      CAST(SUM(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+      CAST(SUM(CASE WHEN f_maxtok THEN 1 ELSE 0 END) AS BIGINT) AS fail_maxtok,
+      CAST(SUM(CASE WHEN f_duptri THEN 1 ELSE 0 END) AS BIGINT) AS fail_duptri,
+      CAST(SUM(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+      CAST(SUM(CASE WHEN NOT f_wordcount AND NOT f_meanlen AND NOT f_stopword
+        AND NOT f_maxtok AND NOT f_duptri AND NOT f_alpha
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      CAST(SUM(CASE WHEN NOT f_wordcount AND NOT f_meanlen AND NOT f_stopword
+        AND NOT f_maxtok AND NOT f_duptri AND NOT f_alpha
+        THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
+    FROM fl GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37)
 }
