@@ -362,6 +362,63 @@ class NewOpsInvariantSpec extends SparkSuite {
       (3L, 2L, 30000L, 30000L))
   }
 
+  test("t37 attributes each planted defect to exactly its named rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("t37inv").toString
+    // aa: 60 distinct tokens, 3 stopwords, mean len ~4.9 → passes all six.
+    // bb: 10 clean tokens → fails ONLY the 50-token floor.
+    // cc: 60 tokens with 'xxx' interleaved 30× (distinct neighbors, so no
+    //     trigram dups), mean len 3.5 → fails ONLY max-token ≤ 20%.
+    // letter-only suffixes — a digit in a token would trip f_alpha
+    def suf(i: Int) = "" + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+    val passTokens = Seq("the", "a", "of") ++ (4 to 60).map(i => "tok" + suf(i))
+    val ccTokens = Seq("xxx", "the", "xxx", "a") ++
+      (3 to 30).flatMap(i => Seq("xxx", "wrd" + suf(i)))
+    val bbTokens = Seq("the", "a") ++ (3 to 10).map(i => "tok" + suf(i))
+    val rows = Seq(
+      (1L, passTokens.mkString(" "), "aa"),
+      (2L, bbTokens.mkString(" "), "bb"),
+      (3L, ccTokens.mkString(" "), "cc"))
+      .map { case (id, text, lang) => (id, text, lang, "s", text.length.toLong) }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t37_gopher_rules")(spark, tmp)
+      .collect().map(r => (r.getString(0), (1 to 8).map(r.getLong).toList)).toMap
+    // (n_docs, fail_wordcount, fail_meanlen, fail_stopword, fail_maxtok,
+    //  fail_duptri, fail_alpha, n_pass)
+    out("aa") shouldBe List(1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L)
+    out("bb") shouldBe List(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)
+    out("cc") shouldBe List(1L, 0L, 0L, 0L, 1L, 0L, 0L, 0L)
+  }
+
+  test("d32 cluster-policy splits are structurally leak-free at sf0.001") {
+    val out = Registry.queries("d32_leakage_safe_split")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (ct, cv, cs, cl) = out("by_cluster")
+    val (dt, dv, ds0, dl) = out("by_doc")
+    // both policies partition the full corpus
+    ct + cv + cs shouldBe 500L
+    dt + dv + ds0 shouldBe 500L
+    // the load-bearing claim: cluster-representative hashing makes a
+    // cross-split near-dup pair impossible; doc hashing leaks
+    cl shouldBe 0L
+    withClue("fixture corpus must exhibit by-doc leakage: ") { dl should be > 0L }
+  }
+
+  test("m15 admits every as-crawled pair by construction at sf0.001") {
+    val out = Registry.queries("m15_clip_gate")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getBoolean(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (alignedPairs, alignedPass) = out(true)
+    val (swappedPairs, swappedPass) = out(false)
+    // shared featurizer ⇒ an aligned pair scores cos = 1 ≥ any threshold
+    alignedPass shouldBe alignedPairs
+    // swapped captions score at content-overlap level; the 0.95 gate
+    // must reject most of them or it gates nothing
+    withClue(s"swapped pass $swappedPass/$swappedPairs: ") {
+      swappedPass * 2 should be < swappedPairs
+    }
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
