@@ -392,6 +392,56 @@ object Formats {
       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q147
+  // COMPACTION-PLANNER AUDIT — the analytics-layer twin of the
+  // reference's operational core (`run_compact_tables.py`: day
+  // partitions accumulate small streaming files until a compactor
+  // rewrites them). The audit answers "which partitions need compaction"
+  // from the `_metadata` hidden columns alone — no listing RPC storm,
+  // the planner input IS a query. The fixture layout is engineered
+  // deterministically (q128's discipline): one single-file write of the
+  // whole table, then a single-file APPEND of only the 'A' partition, so
+  // 'A' holds exactly two files (and twice its rows) while 'N'/'R' hold
+  // one — the verdict column flags exactly 'A'. The oracle replays the
+  // layout arithmetic (base ∪ appended-'A') without seeing files, so
+  // file counts, row masses, and the verdict are all cross-checked.
+  // At 100 TB: the audit is one pruned scan of (partition cols +
+  // _metadata) with a map-side-combined aggregate per partition —
+  // the same shape whatever the partition count.
+  private val q147 = QueryDef(
+    "q147_compaction_planner",
+    (s, dir) => {
+      val out = tmp("graft-compactplan")
+      graft.BenchSplit.setup {
+        val base = rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
+          .withColumn("rf", col("l_returnflag"))
+        base.coalesce(1).write.mode("overwrite").partitionBy("rf").parquet(out)
+        base.filter(col("l_returnflag") === "A")
+          .coalesce(1).write.mode("append").partitionBy("rf").parquet(out)
+      }
+      s.read.parquet(out)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("_metadata.file_name").as("fn"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("fn")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .withColumn("needs_compaction", col("n_files") > 1L)
+        .orderBy(col("l_returnflag"))
+    },
+    Some(s"""WITH layout AS (
+      SELECT l_returnflag, l_quantity, 0 AS gen FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, l_quantity, 1 FROM lineitem WHERE l_returnflag = 'A')
+    SELECT l_returnflag,
+      CAST(COUNT(DISTINCT gen) AS BIGINT) AS n_files,
+      COUNT(*) AS n_rows,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      COUNT(DISTINCT gen) > 1 AS needs_compaction
+    FROM layout GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128)
+    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147)
 }

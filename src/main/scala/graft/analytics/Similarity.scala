@@ -1659,7 +1659,109 @@ object Similarity {
         AS pruned_checksum
     FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- s23
+  // RECALL-vs-PROBES SWEEP — the nprobe TUNING CURVE s16's single point
+  // can't draw: corpus-level recall@5 of the IVF index at probe budgets
+  // 1, 2, and 3, in one query. This is the measurement that actually
+  // sets an index's latency/recall knob. One centroid assignment is
+  // computed once; a candidate reached through the j-th-nearest probed
+  // centroid belongs to every budget p ≥ j, so the sweep is a 3-row
+  // bounded budgets broadcast + a probe-rank filter — the expensive
+  // list join runs ONCE at the widest budget, never per budget. Ranking
+  // windows partition on (budget, anchor) — bounded 3×|anchors| groups
+  // with nprobe-bounded members. Both sides are exact integer dot
+  // products (s16's discipline), recall ships as integer ppm.
+  private val s23 = QueryDef(
+    "s23_recall_probe_sweep",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val anchors = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val truth = all
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("t_rnk", row_number().over(winQ).cast("long"))
+        .filter(col("t_rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val cent = labelCentroids(all)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = all.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 3)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"),
+          col("crnk").cast("long").as("probe_rnk"))
+      val budgets = s.range(1, 4).select(col("id").as("p"))
+      val cand = lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .crossJoin(broadcast(budgets)) // bounded: 3 budget rows
+        .filter(col("probe_rnk") <= col("p"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("p"), col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("p"), col("q_id"), col("vec_id").as("c_id"), lit(1L).as("hit"))
+      truth.crossJoin(broadcast(budgets))
+        .join(cand, Seq("p", "q_id", "c_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .groupBy(col("p").as("nprobe"))
+        .agg(
+          count(lit(1)).as("n_truth"),
+          sum(col("hit")).as("n_hits"))
+        .withColumn("recall_ppm", expr("n_hits * 1000000 DIV n_truth"))
+        .orderBy(col("nprobe"))
+    },
+    Some {
+      val ivfSim =
+        s"CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE)))"
+      val truthSim =
+        s"CAST(${dotSql("q.q_qv", "a.qv")} AS DOUBLE) / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    pb AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2,
+             c_label AS probe_label, CAST(crnk AS BIGINT) AS probe_rnk
+           FROM asg WHERE vec_id < 8 AND crnk <= 3),
+    bud AS (SELECT unnest(generate_series(1, 3)) AS p),
+    cand AS (SELECT p, q_id, c_id FROM (
+        SELECT b.p, p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY b.p, p.q_id
+            ORDER BY $ivfSim DESC, l.vec_id) AS rnk
+        FROM lists l
+        JOIN pb p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id
+        CROSS JOIN bud b
+        WHERE p.probe_rnk <= b.p)
+      WHERE rnk <= 5),
+    anch AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2 FROM qn WHERE vec_id < 8),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT q.q_id, a.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $truthSim DESC, a.vec_id) AS t_rnk
+        FROM qn a JOIN anch q ON a.vec_id <> q.q_id)
+      WHERE t_rnk <= 5),
+    j AS (SELECT b.p, t.q_id, t.c_id,
+            CASE WHEN c.c_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM truth t CROSS JOIN bud b
+          LEFT JOIN cand c ON c.p = b.p AND c.q_id = t.q_id AND c.c_id = t.c_id)
+    SELECT CAST(p AS BIGINT) AS nprobe, COUNT(*) AS n_truth,
+      CAST(SUM(hit) AS BIGINT) AS n_hits,
+      CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM j GROUP BY 1 ORDER BY 1"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, d15)
 }
