@@ -419,6 +419,32 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("s23 recall is monotone in the probe budget (candidate sets nest)") {
+    val rows = Registry.queries("s23_recall_probe_sweep")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    rows.map(_._1) shouldBe Seq(1L, 2L, 3L)
+    rows.foreach { case (_, nTruth, nHits, ppm) =>
+      nTruth shouldBe 40L // 8 anchors × k=5 ground-truth rows each
+      ppm shouldBe nHits * 1000000L / 40L
+    }
+    // probing one more centroid can only ADD candidates — recall at
+    // budget p+1 below budget p would mean the sweep broke set nesting
+    rows.map(_._3) shouldBe rows.map(_._3).sorted
+  }
+
+  test("q147 flags exactly the partition with the extra file generation") {
+    val out = Registry.queries("q147_compaction_planner")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    out("A")._1 shouldBe 2L
+    out("A")._3 shouldBe true
+    Seq("N", "R").foreach { f =>
+      out(f)._1 shouldBe 1L
+      out(f)._3 shouldBe false
+    }
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
