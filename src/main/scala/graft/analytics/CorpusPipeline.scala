@@ -146,5 +146,62 @@ object CorpusPipeline {
       CAST(SUM(CAST(doc_id AS DECIMAL(38,0))) % $HashMod AS BIGINT) AS doc_id_checksum
     FROM cums GROUP BY 1, 2 ORDER BY source, shard_id"""))
 
-  val defs: Seq[QueryDef] = Seq(d20)
+  // --------------------------------------------------------------- q148
+  // CORPUS DATASHEET — the "datasheets for datasets" composition card a
+  // training-data release ships with: per (lang, source) cell, the
+  // volume (docs, tokens, chars), the exact-duplicate exposure (docs
+  // whose 40-char-prefix fingerprint — d08's key — collides anywhere in
+  // the corpus), and the quality yield (t02's rule pair in exact
+  // integer-cross-multiply form: 20 ≤ tokens ≤ 400 AND stopword count
+  // × 5 < tokens), each as count + ppm. One narrow scan computes every
+  // per-doc signal; the only wide ops are the fingerprint-frequency
+  // aggregate joined back on its own co-partitioned key and the
+  // (lang, source)-bounded rollup — at 100 TB the plan is two
+  // combiner-packed shuffles regardless of corpus size. This is the
+  // summary artifact the d20 pipeline's output manifest points at.
+  private val q148 = QueryDef(
+    "q148_corpus_datasheet",
+    (s, dir) => {
+      val base = docsNarrow(s, dir).select(
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_tok"),
+        expr("CAST(size(filter(split(text, ' '), t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT)")
+          .as("n_stop"),
+        expr(strHashExpr("substring(text, 1, 40)")).as("fp"))
+      val fpc = base.groupBy(col("fp")).agg(count(lit(1)).as("fpn"))
+      base.join(fpc, Seq("fp")) // co-partitioned: the aggregate's own key
+        .withColumn("keep", col("n_tok").between(20L, 400L) && col("n_stop") * 5 < col("n_tok"))
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(when(col("fpn") > 1, 1L).otherwise(0L)).as("n_dup_exposed"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+        .withColumn("dup_ppm", expr("n_dup_exposed * 1000000 DIV n_docs"))
+        .withColumn("keep_ppm", expr("n_keep * 1000000 DIV n_docs"))
+        .orderBy(col("lang"), col("source"))
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, lang, source, n_chars,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        CAST(len(list_filter(string_split(text, ' '),
+          t -> t IN ('the', 'a', 'of', 'to', 'and'))) AS BIGINT) AS n_stop,
+        ${strHashSql("substr(text, 1, 40)")} AS fp
+      FROM documents),
+    fpc AS (SELECT fp, COUNT(*) AS fpn FROM base GROUP BY 1)
+    SELECT lang, source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+      CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_exposed,
+      CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 400 AND n_stop * 5 < n_tok
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      CAST(SUM(CASE WHEN fpn > 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+        AS dup_ppm,
+      CAST(SUM(CASE WHEN n_tok BETWEEN 20 AND 400 AND n_stop * 5 < n_tok
+        THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS keep_ppm
+    FROM base JOIN fpc USING (fp)
+    GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  val defs: Seq[QueryDef] = Seq(d20, q148)
 }

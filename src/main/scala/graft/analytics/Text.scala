@@ -2029,8 +2029,80 @@ object Text {
         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
     FROM fl GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- t38
+  // N-GRAM NOVELTY / MEMORIZATION-RISK SCORES — the per-document rollup
+  // of the Lee-et-al. duplicated-span diagnosis: a doc whose 8-gram
+  // vocabulary is mostly shared with other documents is memorization
+  // bait and dilutes training signal even after doc-level dedup. d26
+  // FINDS the duplicated spans (for surgery); t38 SCORES every doc by
+  // the fraction of its distinct 8-grams that are corpus-unique
+  // (df = 1), rolled up per source — the triage view that says which
+  // feeds need d27's cut applied. Per-doc novelty is exact integer ppm
+  // (unique·10⁶ DIV grams; docs under 8 tokens carry no grams and are
+  // reported separately, never divided). Scale: the rolling native
+  // ngram_hashes pass is O(len) per doc; the only wide ops are the
+  // (gram) document-frequency aggregate — keyed on the gram hash, high
+  // cardinality, combiner-packed — the co-partitioned join back on that
+  // same key, and the source-bounded rollup.
+  private val t38 = QueryDef(
+    "t38_novelty_scores",
+    (s, dir) => {
+      val dg = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .select(col("doc_id"), col("source"),
+          explode(expr(s"array_distinct(${ngramExpr("th", 8)})")).as("g"))
+      val df = dg.groupBy(col("g")).agg(count(lit(1)).as("gdf"))
+      val perDoc = dg.join(df, Seq("g")) // co-partitioned: the df key
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("gdf") === 1L, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_ppm", expr("n_unique * 1000000 DIV n_grams"))
+      val short = docsNarrow(s, dir)
+        .select(col("doc_id"), col("source"))
+        .join(perDoc.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_short"))
+      perDoc.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_scored"),
+          sum(col("n_grams")).as("n_grams"),
+          sum(col("n_unique")).as("n_unique"),
+          expr("sum(novelty_ppm) DIV count(1)").as("mean_novelty_ppm"))
+        .join(short, Seq("source"), "left")
+        .select(col("source"), col("n_scored"),
+          coalesce(col("n_short"), lit(0L)).as("n_short"),
+          col("n_grams"), col("n_unique"), col("mean_novelty_ppm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id, source,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    dg AS (SELECT doc_id, source, unnest(list_distinct(${ngramSqlDuck("th", 8)})) AS g
+           FROM th),
+    df AS (SELECT g, COUNT(*) AS gdf FROM dg GROUP BY 1),
+    pd AS (SELECT dg.doc_id, dg.source,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN df.gdf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           FROM dg JOIN df USING (g) GROUP BY 1, 2),
+    pn AS (SELECT *, n_unique * 1000000 // n_grams AS novelty_ppm FROM pd),
+    sh AS (SELECT d.source, COUNT(*) AS n_short
+           FROM documents d
+           WHERE NOT EXISTS (SELECT 1 FROM pd WHERE pd.doc_id = d.doc_id)
+           GROUP BY 1),
+    ag AS (SELECT source, COUNT(*) AS n_scored,
+             CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+             CAST(SUM(n_unique) AS BIGINT) AS n_unique,
+             CAST(CAST(SUM(novelty_ppm) AS BIGINT) // COUNT(*) AS BIGINT)
+               AS mean_novelty_ppm
+           FROM pn GROUP BY 1)
+    SELECT ag.source, ag.n_scored,
+      CAST(COALESCE(sh.n_short, 0) AS BIGINT) AS n_short,
+      ag.n_grams, ag.n_unique, ag.mean_novelty_ppm
+    FROM ag LEFT JOIN sh USING (source) ORDER BY ag.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
 }
