@@ -445,6 +445,45 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("t38 scores the twin docs non-novel and the unique doc fully novel") {
+    val tmp = java.nio.file.Files.createTempDirectory("t38inv").toString
+    // docs 1/2 share their full 10-token text (every 8-gram df = 2 →
+    // novelty 0); doc 3 is disjoint (every 8-gram df = 1 → novelty 1e6);
+    // doc 4 has 5 tokens → no 8-grams → counted as short, never divided
+    val shared = (1 to 10).map(i => "sh" + ('a' + i).toChar).mkString(" ")
+    val unique = (1 to 10).map(i => "un" + ('a' + i).toChar).mkString(" ")
+    Seq((1L, shared, "en", "s1", 0L), (2L, shared, "en", "s1", 0L),
+      (3L, unique, "en", "s2", 0L), (4L, "a b c d e", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t38_novelty_scores")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    out shouldBe Seq(
+      ("s1", 2L, 0L, 6L, 0L, 0L),        // 3 grams each, all df=2
+      ("s2", 1L, 1L, 3L, 3L, 1000000L))  // doc 3 scored, doc 4 short
+  }
+
+  test("q148 datasheet cells reconcile with hand counts on a planted corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("q148inv").toString
+    // two docs share a 40-char prefix (dup-exposed); one passes the
+    // quality rules (25 clean tokens, 1 stopword), one fails (5 tokens)
+    val prefix = "p" * 45
+    val keepTokens = Seq("the") ++ (2 to 25).map(i => "tok" + ('a' + i).toChar)
+    Seq(
+      (1L, prefix + " tail one", "en", "s", (prefix + " tail one").length.toLong),
+      (2L, prefix + " tail two", "en", "s", (prefix + " tail two").length.toLong),
+      (3L, keepTokens.mkString(" "), "en", "s", keepTokens.mkString(" ").length.toLong),
+      (4L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("q148_corpus_datasheet")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(5), r.getLong(6))).toSeq
+    // (lang, source, n_docs, n_dup_exposed, n_keep)
+    out shouldBe Seq(("en", "s", 4L, 2L, 1L))
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
