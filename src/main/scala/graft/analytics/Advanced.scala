@@ -2181,9 +2181,88 @@ object Advanced {
       CAST(SUM(CASE WHEN cum - w < (tw * 9 + 9) // 10 AND (tw * 9 + 9) // 10 <= cum THEN x ELSE 0 END) AS BIGINT) AS wp90
     FROM c GROUP BY g ORDER BY g"""))
 
+  // --------------------------------------------------------------- q149
+  // EXACT KOLMOGOROV–SMIRNOV DRIFT TEST — the distribution-shape
+  // complement of q133's binned PSI: per event_type, the KS statistic
+  // D = max |F_a(x) − F_b(x)| between the early and late halves of the
+  // window, computed EXACTLY on the cent-quantized value domain with no
+  // floats until nothing is left to compare: per distinct value the
+  // cross-multiplied gap |cum_a·n_b − cum_b·n_a| is exact int64, D
+  // ships as that max gap in ppm of n_a·n_b, and the argmax value
+  // (smallest x attaining it) ships beside it — the "where does the
+  // distribution tear" diagnostic PSI's bins blur. Scale: q132's
+  // discipline — one map-side-combined (group, value) histogram
+  // collapses the fact to its value domain, every window after that
+  // runs over the bounded histogram (cents quantization bounds the
+  // domain independently of row count). The verdict uses the proper
+  // SIZE-SCALED critical value, not a fixed ppm knob: reject at α=0.05
+  // iff D > 1.358·√((n_a+n_b)/(n_a·n_b)), squared and cross-multiplied
+  // into exact integers — gmax²·1000 > 1844·(n_a+n_b)·n_a·n_b (1.358² ≈
+  // 1.8442; gmax = D·n_a·n_b). gmax² needs 128 bits at scale, so the
+  // compare runs in DECIMAL(38,0) / HUGEINT (m13's discipline).
+
+  private val q149 = QueryDef(
+    "q149_ks_drift",
+    (s, dir) => {
+      val splitUs = 1705363200000000L // window midpoint (q146's epoch cut)
+      val hist = events(s, dir)
+        .select(col("event_type").as("g"),
+          when(unix_micros(col("ts")) < splitUs, 1L).otherwise(0L).as("ea"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("x"))
+        .groupBy(col("g"), col("x"))
+        .agg(sum(col("ea")).as("ca"), sum(lit(1L) - col("ea")).as("cb"))
+      val w = Window.partitionBy(col("g")).orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("g"))
+      hist
+        .withColumn("cum_a", sum(col("ca")).over(w))
+        .withColumn("cum_b", sum(col("cb")).over(w))
+        .withColumn("na", sum(col("ca")).over(wAll))
+        .withColumn("nb", sum(col("cb")).over(wAll))
+        .withColumn("gap", expr("abs(cum_a * nb - cum_b * na)"))
+        .withColumn("gmax", max(col("gap")).over(wAll))
+        .groupBy(col("g").as("event_type"))
+        .agg(
+          max(col("na")).as("n_a"),
+          max(col("nb")).as("n_b"),
+          expr("max(gap) * 1000000 DIV (max(na) * max(nb))").as("d_ppm"),
+          min(when(col("gap") === col("gmax"), col("x"))).as("x_at_max"),
+          max(col("gmax")).as("gmax"))
+        .withColumn("drifted",
+          expr("CAST(gmax AS DECIMAL(38,0)) * gmax * 1000 " +
+            "> CAST(1844 AS DECIMAL(38,0)) * (n_a + n_b) * n_a * n_b"))
+        .drop("gmax")
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH h AS (
+      SELECT event_type AS g,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        CAST(SUM(CASE WHEN epoch_us(ts) < 1705363200000000 THEN 0 ELSE 1 END) AS BIGINT) AS cb
+      FROM events GROUP BY 1, 2),
+    c AS (SELECT g, x,
+        SUM(ca) OVER (PARTITION BY g ORDER BY x
+          ROWS UNBOUNDED PRECEDING) AS cum_a,
+        SUM(cb) OVER (PARTITION BY g ORDER BY x
+          ROWS UNBOUNDED PRECEDING) AS cum_b,
+        SUM(ca) OVER (PARTITION BY g) AS na,
+        SUM(cb) OVER (PARTITION BY g) AS nb
+      FROM h),
+    gp AS (SELECT g, x, na, nb, abs(cum_a * nb - cum_b * na) AS gap,
+        MAX(abs(cum_a * nb - cum_b * na)) OVER (PARTITION BY g) AS gmax
+      FROM c)
+    SELECT g AS event_type,
+      CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+      CAST(MAX(gap) * 1000000 // (MAX(na) * MAX(nb)) AS BIGINT) AS d_ppm,
+      CAST(MIN(CASE WHEN gap = gmax THEN x END) AS BIGINT) AS x_at_max,
+      CAST(MAX(gmax) AS HUGEINT) * MAX(gmax) * 1000
+        > CAST(1844 AS HUGEINT) * (MAX(na) + MAX(nb)) * MAX(na) * MAX(nb)
+        AS drifted
+    FROM gp GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142)
+      q130, q132, q133, q134, q136, q140, q142, q149)
 }

@@ -484,6 +484,31 @@ class NewOpsInvariantSpec extends SparkSuite {
     out shouldBe Seq(("en", "s", 4L, 2L, 1L))
   }
 
+  test("q149 KS statistic and size-scaled verdict are exact on planted shifts") {
+    val tmp = java.nio.file.Files.createTempDirectory("q149inv").toString
+    val splitA = "2024-01-10 00:00:00"
+    val splitB = "2024-01-20 00:00:00"
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0)
+    // 'shift': a = {1.0×10, 2.0×10}, b = {2.0×10, 3.0×10} → D = 0.5,
+    //   gmax = |10·20 − 0·20| = 200 at x = 100 cents; 200²·1000 = 4e7 >
+    //   1844·40·20·20 = 2.95e7 → drifted. 'same': identical → D = 0.
+    val rows =
+      (1 to 10).map(i => (i.toLong, t(splitA), 1L, "shift", 1.0, "")) ++
+      (11 to 20).map(i => (i.toLong, t(splitA), 1L, "shift", 2.0, "")) ++
+      (21 to 30).map(i => (i.toLong, t(splitB), 1L, "shift", 2.0, "")) ++
+      (31 to 40).map(i => (i.toLong, t(splitB), 1L, "shift", 3.0, "")) ++
+      (41 to 50).map(i => (i.toLong, t(splitA), 1L, "same", 1.0, "")) ++
+      (51 to 60).map(i => (i.toLong, t(splitB), 1L, "same", 1.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q149_ks_drift")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    out("shift") shouldBe (20L, 20L, 500000L, 100L, true)
+    out("same") shouldBe (10L, 10L, 0L, 100L, false)
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
