@@ -1987,7 +1987,67 @@ object Dedup {
       CAST(COALESCE(lk.n_leaky_pairs, 0) AS BIGINT) AS n_leaky_pairs
     FROM cnt JOIN lk USING (policy) ORDER BY cnt.policy"""))
 
+  // ---------------------------------------------------------------- d33
+  // SOFT DEDUP (TRAINING WEIGHTS) — the alternative to dropping
+  // near-dups that modern pipelines increasingly prefer: keep every
+  // document but weight it 1/|cluster|, so each near-dup CLUSTER
+  // contributes one document's worth of gradient mass however many
+  // copies exist. d08/d17 pick a representative and discard the rest;
+  // d33 preserves coverage (different copies may carry different rare
+  // spans) while neutralizing repetition bias. Weights are exact
+  // integer ppm (10⁶ DIV size — floor on positives, engine-identical);
+  // the per-source rollup reports effective dataset size (Σ weights) vs
+  // raw size, i.e. the repetition inflation each feed carries. Scale:
+  // the cluster machinery is d07's (bucketed pairs + gated CC); the
+  // size table joins back on the component key and the doc decoration
+  // is a left join + coalesce for singletons — nothing new shuffles.
+  private val d33 = QueryDef(
+    "d33_soft_dedup_weights",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csz"))
+      val out = docsNarrow(s, dir).select(col("doc_id"), col("source"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .join(sizes, Seq("comp"), "left")
+        .withColumn("csz", coalesce(col("csz"), lit(1L)))
+        .withColumn("w_ppm", expr("1000000 DIV csz"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("csz") > 1, 1L).otherwise(0L)).as("n_in_clusters"),
+          sum(col("w_ppm")).as("eff_docs_ppm"),
+          min(col("w_ppm")).as("min_w_ppm"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      pairs.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    cs AS (SELECT comp, COUNT(*) AS csz FROM comp GROUP BY 1),
+    d AS (SELECT doc_id, source, COALESCE(cs.csz, 1) AS csz
+          FROM documents
+          LEFT JOIN comp c ON c.node = doc_id
+          LEFT JOIN cs ON cs.comp = c.comp)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(CASE WHEN csz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+      CAST(SUM(1000000 // csz) AS BIGINT) AS eff_docs_ppm,
+      CAST(MIN(1000000 // csz) AS BIGINT) AS min_w_ppm
+    FROM d GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
-      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32)
+      d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
+      d33)
 }

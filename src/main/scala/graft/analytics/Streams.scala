@@ -2706,8 +2706,79 @@ object Streams {
         AS BIGINT) AS psi_scaled
     FROM j GROUP BY 1, 2 ORDER BY g, batch_id"""))
 
+  // --------------------------------------------------------------- q150
+  // EVENT-TIME DISORDER AUDIT — the measurement that SIZES a watermark
+  // instead of guessing it: for every event, its lateness relative to
+  // the per-key high-water mark at its arrival position (arrival order
+  // proxied by event_id, the generation sequence), bucketed into the
+  // delay tiers a `withWatermark` call would choose between, with
+  // cumulative coverage ppm per tier. An event `late_us` behind its
+  // key's running max is exactly the event a `withWatermark(d)` with
+  // d < late would drop from per-key state — so the smallest tier
+  // reaching the coverage target IS the recommended delay. Scale: the
+  // running max partitions on the HIGH-CARDINALITY key (per-key state
+  // is also how the streaming operators shard, so the audit measures
+  // the disorder that matters to them), the bucket rollup is bounded
+  // (6 tiers), and the cumulative ppm runs over those 6 rows.
+  private val q150 = QueryDef(
+    "q150_disorder_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // deterministic transport jitter (≤ 2 h, an LCG step on the
+      // bounded event ordinal) models the reordering a network ingest
+      // actually sees — the raw generator emits in perfect time order,
+      // which would make every audit read "on time"
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr",
+          expr("us + (event_id % 100000) * 1103515245 % 7200000000"))
+        .withColumn("late_us", max(col("us")).over(w) - col("us"))
+        .select(col("late_us"),
+          expr("""CASE WHEN late_us = 0 THEN '0_ontime'
+                  WHEN late_us < 60000000 THEN '1_under_1m'
+                  WHEN late_us < 300000000 THEN '2_under_5m'
+                  WHEN late_us < 900000000 THEN '3_under_15m'
+                  WHEN late_us < 3600000000 THEN '4_under_1h'
+                  ELSE '5_over_1h' END""").as("tier"))
+      val byTier = late.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_events"), max(col("late_us")).as("max_late_us"))
+      val wc = Window.orderBy(col("tier"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // the cumulative window runs over ≤ 6 tier rows — bounded by the
+      // CASE domain, not the data
+      byTier
+        .withColumn("cum", sum(col("n_events")).over(wc))
+        .withColumn("total", sum(col("n_events")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("tier"), col("n_events"), col("max_late_us"),
+          expr("cum * 1000000 DIV total").as("coverage_ppm"))
+        .orderBy(col("tier"))
+    },
+    Some("""WITH l AS (
+      SELECT late_us,
+        CASE WHEN late_us = 0 THEN '0_ontime'
+             WHEN late_us < 60000000 THEN '1_under_1m'
+             WHEN late_us < 300000000 THEN '2_under_5m'
+             WHEN late_us < 900000000 THEN '3_under_15m'
+             WHEN late_us < 3600000000 THEN '4_under_1h'
+             ELSE '5_over_1h' END AS tier
+      FROM (SELECT MAX(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+              ROWS UNBOUNDED PRECEDING) - us AS late_us
+            FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+                    epoch_us(ts) + (event_id % 100000) * 1103515245 % 7200000000 AS arr
+                  FROM events))),
+    bt AS (SELECT tier, COUNT(*) AS n_events,
+             CAST(MAX(late_us) AS BIGINT) AS max_late_us
+           FROM l GROUP BY 1)
+    SELECT tier, n_events, max_late_us,
+      CAST(SUM(n_events) OVER (ORDER BY tier ROWS UNBOUNDED PRECEDING)
+        * 1000000 // SUM(n_events) OVER () AS BIGINT) AS coverage_ppm
+    FROM bt ORDER BY tier"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, q135, d24, d29)
+      q111, q112, q113, q115, q118, q119, q135, q150, d24, d29)
 }
