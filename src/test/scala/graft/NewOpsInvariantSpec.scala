@@ -509,6 +509,38 @@ class NewOpsInvariantSpec extends SparkSuite {
     out("same") shouldBe (10L, 10L, 0L, 100L, false)
   }
 
+  test("d33 weights every cluster to exactly one effective document") {
+    val out = Registry.queries("d33_soft_dedup_weights")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nDocs = out.map(_._1).sum
+    val effPpm = out.map(_._3).sum
+    nDocs shouldBe 500L
+    // Σ over a cluster of 10⁶ DIV size differs from 10⁶ only by the
+    // floor remainder (< size per cluster) — effective mass never
+    // exceeds one doc per cluster and never undercounts by a whole doc
+    effPpm should be <= 500L * 1000000L
+    out.foreach { case (n, inCl, eff, minW) =>
+      eff should be >= (n - inCl) * 1000000L // singletons carry full weight
+      minW should be >= 1L
+    }
+  }
+
+  test("q150 coverage is cumulative and closes at exactly 10^6 ppm") {
+    val rows = Registry.queries("q150_disorder_audit")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    rows.map(_._1) shouldBe rows.map(_._1).sorted // tier order = output order
+    rows.last._4 shouldBe 1000000L
+    rows.map(_._4) shouldBe rows.map(_._4).sorted // coverage monotone
+    // every non-ontime tier's max lateness sits inside its bound
+    val bounds = Map("1_under_1m" -> 60000000L, "2_under_5m" -> 300000000L,
+      "3_under_15m" -> 900000000L, "4_under_1h" -> 3600000000L)
+    rows.foreach { case (tier, _, maxLate, _) =>
+      bounds.get(tier).foreach(b => maxLate should be < b)
+      if (tier == "0_ontime") maxLate shouldBe 0L
+    }
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
