@@ -2777,8 +2777,124 @@ object Streams {
         * 1000000 // SUM(n_events) OVER () AS BIGINT) AS coverage_ppm
     FROM bt ORDER BY tier"""))
 
+  // --------------------------------------------------------------- q151
+  // STREAMING TOKEN-BUCKET RATE LIMITER — the per-key quota gate every
+  // multi-tenant ingest runs in front of expensive downstream work:
+  // each user holds a bucket of capacity C = 4 tokens refilled R = 2
+  // per micro-batch; a batch admits each user's events in (ts,
+  // event_id) order while tokens last and throttles the rest. Unlike
+  // q119's content gate, the state here is a NUMBER that must refill
+  // for users ABSENT from the batch too, so per-batch maintenance is a
+  // full-outer merge of the state ledger with the batch's admissions
+  // (state-sized, versioned per batch — the d24/q119 append-only-store
+  // discipline, with the same clone-session read rule). Admission
+  // ranking is a per-(user) window inside each batch — high-cardinality
+  // key, batch-bounded rows. The oracle unrolls the three batches as
+  // token-recursion CTEs (d29's pattern) and must admit the SAME event
+  // ids: verdicts carry an admitted-id checksum, not just counts.
+  private val RlCap = 4L
+  private val RlRefill = 2L
+
+  private val q151 = QueryDef(
+    "q151_stream_rate_limit",
+    (s, dir) => withStreamShuffle(s) {
+      import org.apache.spark.sql.expressions.Window
+      val streamDir = Tables.tmpDir("graft-q151-stream")
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q151-b$b")
+          events(s, dir).filter(col("event_id") % 3 === b)
+            .select(col("event_id"), unix_micros(col("ts")).as("us"),
+              col("user_id"), col("event_type"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val resultsDir = Tables.tmp("graft-q151-verdicts")
+      val stateRoot = Tables.tmp("graft-q151-state")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val bs = batch.sparkSession
+          val b = batch.localCheckpoint()
+          val state =
+            if (bid == 0)
+              b.select(col("user_id")).limit(0)
+                .withColumn("tok", lit(RlCap)) // empty ledger, schema only
+            else bs.read.parquet(s"$stateRoot/v${bid - 1}")
+          val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+          val ranked = b.withColumn("rn", row_number().over(w).cast("long"))
+          val verdicts = ranked
+            .join(state, Seq("user_id"), "left")
+            .withColumn("tok", coalesce(col("tok"), lit(RlCap)))
+            .withColumn("admitted", (col("rn") <= col("tok")).cast("long"))
+            .withColumn("batch_id", lit(bid))
+            .localCheckpoint() // sever the state-read lineage before rewrite
+          verdicts.select(col("batch_id"), col("event_id"), col("user_id"),
+            col("event_type"), col("admitted"))
+            .write.mode("append").parquet(resultsDir)
+          // refill EVERYONE: absent users regain tokens too, so the merge
+          // is state ∪ batch admissions, never just the batch's keys
+          val adm = verdicts.groupBy(col("user_id"))
+            .agg(sum(col("admitted")).as("adm"))
+          state.join(adm, Seq("user_id"), "full_outer")
+            .select(col("user_id"),
+              least(lit(RlCap),
+                coalesce(col("tok"), lit(RlCap)) - coalesce(col("adm"), lit(0L))
+                  + lit(RlRefill)).as("tok"))
+            .write.mode("overwrite").parquet(s"$stateRoot/v$bid")
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q151-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .groupBy(col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("admitted")).as("n_admitted"),
+          sum(lit(1L) - col("admitted")).as("n_throttled"),
+          (sum(when(col("admitted") === 1L, col("event_id") % HashMod).otherwise(0L))
+            % HashMod).as("admitted_checksum"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, epoch_us(ts) AS us, user_id, event_id % 3 AS b
+      FROM events),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, b
+            ORDER BY us, event_id) AS rn FROM ev),
+    u AS (SELECT DISTINCT user_id FROM ev),
+    n AS (SELECT user_id, b, COUNT(*) AS n FROM ev GROUP BY 1, 2),
+    t0 AS (SELECT u.user_id, CAST($RlCap AS BIGINT) AS tok FROM u),
+    a0 AS (SELECT t0.user_id, t0.tok,
+             LEAST(COALESCE(n.n, 0), t0.tok) AS adm
+           FROM t0 LEFT JOIN n ON n.user_id = t0.user_id AND n.b = 0),
+    t1 AS (SELECT user_id, LEAST($RlCap, tok - adm + $RlRefill) AS tok FROM a0),
+    a1 AS (SELECT t1.user_id, t1.tok,
+             LEAST(COALESCE(n.n, 0), t1.tok) AS adm
+           FROM t1 LEFT JOIN n ON n.user_id = t1.user_id AND n.b = 1),
+    t2 AS (SELECT user_id, LEAST($RlCap, tok - adm + $RlRefill) AS tok FROM a1),
+    tok AS (SELECT user_id, 0 AS b, tok FROM a0
+            UNION ALL SELECT user_id, 1, tok FROM a1
+            UNION ALL SELECT user_id, 2, tok FROM t2),
+    v AS (SELECT r.b, r.event_id,
+            CASE WHEN r.rn <= tok.tok THEN 1 ELSE 0 END AS admitted
+          FROM r JOIN tok ON tok.user_id = r.user_id AND tok.b = r.b)
+    SELECT CAST(b AS BIGINT) AS batch_id, COUNT(*) AS n_events,
+      CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+      CAST(SUM(1 - admitted) AS BIGINT) AS n_throttled,
+      CAST(SUM(CASE WHEN admitted = 1 THEN event_id % $HashMod ELSE 0 END)
+        % $HashMod AS BIGINT) AS admitted_checksum
+    FROM v GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, q135, q150, d24, d29)
+      q111, q112, q113, q115, q118, q119, q135, q150, q151, d24, d29)
 }
