@@ -541,6 +541,28 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("q151 token bucket drains, refills, and seeds new users at cap") {
+    val tmp = java.nio.file.Files.createTempDirectory("q151inv").toString
+    // user 1: six events in batch 0 (ids 0,3,..,15 ≡ 0 mod 3) → admit 4
+    // (cap), bucket → min(4, 4−4+2) = 2; two in batch 1 (ids 1,4) →
+    // admit 2; one in batch 2 (id 2) → admit 1. user 2 first appears in
+    // batch 2 (id 5) → seeded at cap, admitted.
+    val ids = Seq(0L, 3L, 6L, 9L, 12L, 15L, 1L, 4L, 2L, 5L)
+    val rows = ids.map { id =>
+      val user = if (id == 5L) 2L else 1L
+      (id, ts(1000 + id), user, "click", 1.0, "")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q151_stream_rate_limit")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toSeq
+    out shouldBe Seq(
+      (0L, 6L, 4L, 0L + 3L + 6L + 9L), // four earliest admitted
+      (1L, 2L, 2L, 1L + 4L),           // refilled to 2, both admitted
+      (2L, 2L, 2L, 2L + 5L))           // user 1 refilled, user 2 seeded
+  }
+
   test("q146 flags the planted null, cardinality, and key-set drifts") {
     val tmp = java.nio.file.Files.createTempDirectory("q146inv").toString
     // epoch a (before 2024-01-16): types x/y/z (3 distinct), no nulls,
