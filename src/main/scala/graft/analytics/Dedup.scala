@@ -2046,8 +2046,66 @@ object Dedup {
       CAST(MIN(1000000 // csz) AS BIGINT) AS min_w_ppm
     FROM d GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- d34
+  // SEMANTIC DECONTAMINATION — the embedding twin of t12's n-gram
+  // decontamination: flag training vectors whose nearest EVAL-set
+  // neighbor exceeds a similarity bar (paraphrased benchmark leakage
+  // that exact n-gram overlap misses). The eval set is the fixed
+  // vec_id < 64 block — an eval benchmark is FIXED-SIZE no matter how
+  // big the corpus grows, so this is the one broadcast in the dedup
+  // family that is bounded by construction, not by a guard. The corpus
+  // side is a single pass: broadcast-join against the 64 eval rows,
+  // then a groupBy argmax via max(struct(sim, -eval_id)) — lexicographic
+  // struct max ≡ (sim DESC, eval_id ASC), and crucially it PARTIAL-
+  // AGGREGATES map-side, so the shuffle carries at most one candidate
+  // row per vector per partition instead of the |corpus|×64 sim stream
+  // a window-rank formulation would sort. Output is flagged rows only
+  // (∝ contamination mass, not corpus size). Sims are IEEE doubles of
+  // exact int64 dots (the s01 discipline), so the argmax and the tier
+  // verdicts are bit-deterministic; the oracle formulates the same
+  // argmax independently as a window rank.
+  private val DecontamFlag    = 0.40 // "contaminated": drop before training
+  private val DecontamSuspect = 0.35 // "suspect": route to manual review
+  private val d34 = QueryDef(
+    "d34_semantic_decontam",
+    (s, dir) => {
+      val q = Similarity.withQuant(dir, s)
+      val ev = q.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("eval_id"), col("qv").as("e_qv"),
+          col("norm2").as("e_norm2"))
+      q.filter(col("vec_id") >= 64)
+        .join(broadcast(ev))
+        .withColumn("sim",
+          expr(dotExpr("qv", "e_qv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("e_norm2").cast("double"))))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("sim"), (-col("eval_id")).as("neg_eval"))).as("m"))
+        .select(col("vec_id"), (-col("m.neg_eval")).as("eval_id"),
+          col("m.sim").as("sim"))
+        .filter(col("sim") >= DecontamSuspect)
+        .withColumn("verdict",
+          when(col("sim") >= DecontamFlag, lit("contaminated"))
+            .otherwise(lit("suspect")))
+        .select(col("vec_id"), col("eval_id"), round(col("sim"), 6).as("sim"),
+          col("verdict"))
+        .orderBy(col("vec_id"))
+    },
+    Some {
+      val sim =
+        s"CAST(${dotSql("t.qv", "e.qv")} AS DOUBLE) / (sqrt(CAST(t.norm2 AS DOUBLE)) * sqrt(CAST(e.norm2 AS DOUBLE)))"
+      s"""WITH ${Similarity.quantCte},
+    ev AS (SELECT vec_id AS eval_id, qv, norm2 FROM qn WHERE vec_id < 64),
+    sims AS (SELECT t.vec_id, e.eval_id, $sim AS sim,
+          ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY $sim DESC, e.eval_id) AS rnk
+        FROM qn t CROSS JOIN ev e WHERE t.vec_id >= 64)
+    SELECT vec_id, eval_id, round(sim, 6) AS sim,
+      CASE WHEN sim >= $DecontamFlag THEN 'contaminated' ELSE 'suspect' END AS verdict
+    FROM sims WHERE rnk = 1 AND sim >= $DecontamSuspect
+    ORDER BY vec_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33)
+      d33, d34)
 }

@@ -358,5 +358,55 @@ object Governance {
            ELSE 'stable' END AS verdict
     FROM pv ORDER BY col_name"""))
 
-  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143, q146)
+  // --------------------------------------------------------------- q153
+  // L-DIVERSITY AUDIT — k-anonymity's complement (q137 measures class
+  // SIZE; this measures class CONTENT): a class of quasi-identifiers
+  // that is large but uniform in its sensitive attribute still discloses
+  // it ("everyone in this (nation, balance-band) cell is BUILDING").
+  // QI here is (nation, 1000-unit balance band), sensitive attribute the
+  // market segment; a class violates distinct-l-diversity when it holds
+  // fewer than l = 3 distinct sensitive values, and the worst disclosure
+  // share is the largest single-value fraction (exact floor-ppm, so both
+  // engines agree bitwise — the q137 discipline). Plan: two stacked
+  // map-side-combined aggregates (QI×sensitive counts → per-class
+  // rollup) and a bounded per-nation report; never materializes per-row
+  // output, unchanged at 100 TB.
+  private val DivL = 3
+  private val q153 = QueryDef(
+    "q153_l_diversity",
+    (s, dir) => {
+      val cls = rd(s, dir, "customer")
+        .select(col("c_nationkey").as("nat"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 100000")
+            .as("band"),
+          col("c_mktsegment").as("sens"))
+        .groupBy(col("nat"), col("band"), col("sens"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("nat"), col("band"))
+        .agg(sum(col("cnt")).as("sz"), count(lit(1)).as("l"),
+          max(col("cnt")).as("top_cnt"))
+      cls.groupBy(col("nat"))
+        .agg(
+          count(lit(1)).as("n_classes"),
+          sum(col("sz")).as("n_rows"),
+          sum(when(col("l") < DivL, 1L).otherwise(0L)).as("n_violating"),
+          min(col("l")).as("min_l"),
+          max(expr("(top_cnt * 1000000) DIV sz")).as("max_share_ppm"))
+        .orderBy(col("nat"))
+    },
+    Some(s"""WITH cls AS (
+      SELECT c_nationkey AS nat,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000 AS band,
+        c_mktsegment AS sens, COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2, 3),
+    cl AS (SELECT nat, band, SUM(cnt) AS sz, COUNT(*) AS l, MAX(cnt) AS top_cnt
+           FROM cls GROUP BY 1, 2)
+    SELECT nat, COUNT(*) AS n_classes,
+      CAST(SUM(sz) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN l < $DivL THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      CAST(MIN(l) AS BIGINT) AS min_l,
+      CAST(MAX(top_cnt * 1000000 // sz) AS BIGINT) AS max_share_ppm
+    FROM cl GROUP BY 1 ORDER BY 1"""))
+
+  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143, q146, q153)
 }

@@ -1114,7 +1114,61 @@ object Pipeline {
   private def usOf(y: Int, m: Int, d: Int): Long =
     java.time.LocalDate.of(y, m, d).toEpochDay * 86400000000L
 
+  // ---------------------------------------------------------------- q152
+  // WEIGHTED RESERVOIR SAMPLE (A-ES) — Efraimidis–Spirakis weighted
+  // sampling WITHOUT replacement: each row draws priority u^(1/w)
+  // (equivalently ln(u)/w, maximized), and the sample is the top-n by
+  // priority per stratum. This is the third sampler mode next to q39
+  // (uniform stratified), q50 (consistent-hash) and q123 (PPS with
+  // multiplicity): distinct rows, inclusion probability ∝ weight, and —
+  // the property reservoirs exist for — MERGEABLE: the top-n of a union
+  // is the top-n of the per-shard top-n's, so shards/streams combine
+  // without re-drawing. Determinism: u is the exact rational
+  // (2·polyhash(key)%1e6 + 1)/2e6 ∈ (0,1) (never 0, so ln is finite) and
+  // ln goes through the house lnQ quantization (1e-4 units) before the
+  // exact-int-by-int double division — both engines rank identical
+  // doubles, ties break on key. Scale shape: the priority is a pure
+  // per-row expression (no shuffle to draw), and the top-n runs
+  // two-level — local top-n per (stratum, key-shard) window, then the
+  // per-stratum refine over the ≤ 32·n survivors — so a 5-stratum
+  // 100 TB table never funnels a stratum into one partition.
+  private val ResN = 8
+  private val q152 = QueryDef(
+    "q152_weighted_reservoir",
+    (s, dir) => {
+      graft.functions.PolyHash.register(s)
+      val base = rd(s, dir, "orders")
+        .select(col("o_orderpriority").as("stratum"), col("o_orderkey").as("key"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("w"))
+        .withColumn("h", expr(s"${strHashExpr("CAST(key AS STRING)")} % 1000000"))
+        .withColumn("prio",
+          expr(lnQ("(2 * h + 1) / 2000000.0D")).cast("double") / col("w"))
+      val local = Window.partitionBy(col("stratum"), expr("key % 32"))
+        .orderBy(col("prio").desc, col("key"))
+      val global = Window.partitionBy(col("stratum"))
+        .orderBy(col("prio").desc, col("key"))
+      base.withColumn("lr", row_number().over(local)).filter(col("lr") <= ResN)
+        .withColumn("rnk", row_number().over(global).cast("long"))
+        .filter(col("rnk") <= ResN)
+        .select(col("stratum"), col("rnk"), col("key"), col("w").as("w_cents"),
+          round(col("prio"), 6).as("prio"))
+        .orderBy(col("stratum"), col("rnk"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderpriority AS stratum, o_orderkey AS key,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w,
+        ${strHashSql("CAST(o_orderkey AS VARCHAR)")} % 1000000 AS h
+      FROM orders),
+    pr AS (SELECT stratum, key, w,
+        CAST(${lnQ("(2 * h + 1) / 2000000.0")} AS DOUBLE) / w AS prio
+      FROM base)
+    SELECT stratum, rnk, key, w AS w_cents, round(prio, 6) AS prio FROM (
+      SELECT stratum, key, w, prio,
+        ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY prio DESC, key) AS rnk
+      FROM pr)
+    WHERE rnk <= $ResN ORDER BY stratum, rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145)
+      q131, q144, q145, q152)
 }

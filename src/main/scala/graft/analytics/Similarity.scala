@@ -1761,7 +1761,120 @@ object Similarity {
     FROM j GROUP BY 1 ORDER BY 1"""
     })
 
+  // ---------------------------------------------------------------- s24
+  // ATTRIBUTE-FILTERED ANN — vector search under a per-query metadata
+  // predicate (the "filtered search" mode every production vector store
+  // exposes: top-k among candidates matching the request's filter, here
+  // label ≡ q_id mod 3). The query runs the filter through BOTH
+  // strategies and reports the trade: exact pre-filter search (the
+  // ground truth — predicate pushed into the candidate scan, then
+  // brute-force rank over the ~⅓ that survive) versus filtered-IVF
+  // (s04's nearest-2-list probe with the predicate applied to list
+  // entries BEFORE any distance math). Output per query: candidate
+  // count after the filter (the selectivity the strategy chooser would
+  // key on), hits, recall, and the first exact rank the filtered index
+  // missed. At 100 TB: the predicate is a pure per-row comparison that
+  // rides in the inverted-list payload, so the IVF side stays
+  // nprobe-bounded AND shrinks by selectivity before ranking — the
+  // failure mode this audit quantifies is the classic one where a
+  // selective filter empties the probed lists and recall collapses
+  // (the signal to fall back to the pre-filter scan). Both sides are
+  // exact int64 dot products, so every number is deterministic.
+  private val s24 = QueryDef(
+    "s24_filtered_ann",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val anchors = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"))
+      // exact pre-filter side: predicate in the join condition, so it
+      // prunes candidates before the dot product is ever computed
+      val filtered = all
+        .select(col("vec_id").as("c_id"), col("label").as("c_lab"),
+          col("qv").as("c_qv"), col("norm2").as("c_norm2"))
+        .join(broadcast(anchors),
+          col("c_id") =!= col("q_id") && col("c_lab") % 3 === col("q_id") % 3)
+      val nCands = filtered.groupBy(col("q_id")).agg(count(lit(1)).as("n_cands"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+      val truth = filtered
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .withColumn("t_rnk", row_number().over(winQ).cast("long"))
+        .filter(col("t_rnk") <= 5)
+        .select(col("q_id"), col("t_rnk"), col("c_id"))
+      // filtered-IVF side: s04's probe shape, predicate on list entries
+      val cent = labelCentroids(all)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = all.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+          col("c_label").as("list_label"))
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+      val ivf = lists.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id") &&
+            col("label") % 3 === col("q_id") % 3)
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"), lit(1L).as("hit"))
+      truth.join(ivf, Seq("q_id", "c_id"), "left")
+        .withColumn("hit", coalesce(col("hit"), lit(0L)))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(col("hit")).as("n_hits"),
+          (sum(col("hit")) * lit(20L)).as("recall_pct"),
+          min(when(col("hit") === 0L, col("t_rnk"))).as("first_miss_rank"))
+        .join(broadcast(nCands), Seq("q_id"))
+        .withColumn("k", lit(5L))
+        .select(col("q_id"), col("k"), col("n_cands"), col("n_hits"),
+          col("recall_pct"), col("first_miss_rank"))
+        .orderBy(col("q_id"))
+    },
+    Some {
+      val ivfSim =
+        s"CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE)))"
+      val truthSim =
+        s"CAST(${dotSql("q.q_qv", "a.qv")} AS DOUBLE) / (sqrt(CAST(q.q_norm2 AS DOUBLE)) * sqrt(CAST(a.norm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    fivf AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY $ivfSim DESC, l.vec_id) AS rnk
+        FROM lists l
+        JOIN qn v ON v.vec_id = l.vec_id
+        JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id
+          AND v.label % 3 = p.q_id % 3)
+      WHERE rnk <= 5),
+    anch AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2 FROM qn WHERE vec_id < 8),
+    ft AS (SELECT q.q_id, a.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $truthSim DESC, a.vec_id) AS t_rnk
+        FROM qn a JOIN anch q ON a.vec_id <> q.q_id AND a.label % 3 = q.q_id % 3),
+    nc AS (SELECT q_id, COUNT(*) AS n_cands FROM ft GROUP BY q_id),
+    truth AS (SELECT q_id, t_rnk, c_id FROM ft WHERE t_rnk <= 5),
+    j AS (SELECT t.q_id, t.t_rnk,
+        CASE WHEN i.c_id IS NULL THEN 0 ELSE 1 END AS hit
+      FROM truth t LEFT JOIN fivf i ON t.q_id = i.q_id AND t.c_id = i.c_id)
+    SELECT j.q_id, CAST(5 AS BIGINT) AS k, nc.n_cands,
+      CAST(SUM(hit) AS BIGINT) AS n_hits,
+      CAST(SUM(hit) * 20 AS BIGINT) AS recall_pct,
+      CAST(MIN(CASE WHEN hit = 0 THEN t_rnk END) AS BIGINT) AS first_miss_rank
+    FROM j JOIN nc ON j.q_id = nc.q_id
+    GROUP BY j.q_id, nc.n_cands ORDER BY j.q_id"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, d15)
 }

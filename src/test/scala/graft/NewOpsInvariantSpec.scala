@@ -588,4 +588,84 @@ class NewOpsInvariantSpec extends SparkSuite {
       "user_id" -> "null_shift",
       "value" -> "stable")
   }
+
+  test("d34 tiers a planted copy, a borderline vector, and an orthogonal one") {
+    val tmp = java.nio.file.Files.createTempDirectory("d34inv").toString
+    // evals (vec_id < 64): e0 = x̂, e1 = ŷ. train: 100 is a scaled copy of
+    // e1 (cos = 1 → contaminated, argmax eval 1), 101 sits at cos 0.37
+    // against e0 and 0 against e1 (→ suspect, eval 0), 102 is orthogonal
+    // to both (→ absent from the report)
+    Seq(
+      (0L,   Array(1.0f, 0f, 0f, 0f),      0),
+      (1L,   Array(0f, 1.0f, 0f, 0f),      1),
+      (100L, Array(0f, 0.5f, 0f, 0f),      2),
+      (101L, Array(0.37f, 0f, 0.929f, 0f), 3),
+      (102L, Array(0f, 0f, 0f, 1.0f),      4))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("d34_semantic_decontam")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    out.map(t => (t._1, t._2, t._4)).toSeq shouldBe
+      Seq((100L, 1L, "contaminated"), (101L, 0L, "suspect"))
+    out(0)._3 shouldBe 1.0 +- 1e-6
+    out(1)._3 shouldBe 0.37 +- 1e-3
+  }
+
+  test("s24 candidate counts equal the predicate's share and recall is consistent") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("s24_filtered_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    out.map(_._1).toSeq shouldBe (0L until 8L)
+    // n_cands must equal the direct per-query predicate count (label ≡
+    // q_id mod 3, anchor itself excluded)
+    val byMod = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label"))
+    out.foreach { case (q, k, nCands, nHits, pct, miss) =>
+      k shouldBe 5L
+      val expect = byMod.count { case (id, lab) => id != q && lab % 3 == q % 3 }
+      withClue(s"q=$q: ") { nCands shouldBe expect.toLong }
+      pct shouldBe nHits * 20L
+      if (nHits == 5L) miss shouldBe None else miss.get should be >= 1L
+    }
+  }
+
+  test("q152 two-level reservoir equals the single-window top-n and is mergeable") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("q152_weighted_reservoir")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // 5 strata × 8 draws, distinct keys inside each stratum
+    out.groupBy(_._1).values.foreach { g =>
+      g.map(_._2).toSeq.sorted shouldBe (1L to 8L)
+      g.map(_._3).distinct.length shouldBe 8
+    }
+    // the two-level refine must equal the direct single-window top-n on
+    // the same priority expression (the A-ES mergeability property)
+    import graft.analytics.Tables
+    val direct = spark.read.parquet(s"$dir/orders.parquet")
+      .selectExpr("o_orderpriority AS stratum", "o_orderkey AS key",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w")
+      .selectExpr("stratum", "key",
+        s"CAST(${Tables.lnQ(s"(2 * (${Tables.strHashExpr("CAST(key AS STRING)")} % 1000000) + 1) / 2000000.0D")} AS DOUBLE) / w AS prio")
+      .selectExpr("stratum", "key",
+        "CAST(ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY prio DESC, key) AS BIGINT) AS rnk")
+      .where("rnk <= 8")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getLong(1)))
+    out.toSet shouldBe direct.toSet
+  }
+
+  test("q153 scores hand-built uniform and diverse classes exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("q153inv").toString
+    // nation 1, band 0: 3 rows all BUILDING → l = 1 (violating), share 1e6
+    // nation 1, band 1: one row each of three segments → l = 3, share ⌊1e6/3⌋
+    Seq(
+      (1, 100.0, "BUILDING"), (1, 200.0, "BUILDING"), (1, 300.0, "BUILDING"),
+      (1, 1100.0, "BUILDING"), (1, 1200.0, "AUTOMOBILE"), (1, 1300.0, "MACHINERY"))
+      .toDF("c_nationkey", "c_acctbal", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = Registry.queries("q153_l_diversity")(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.toSeq shouldBe Seq((1, 2L, 6L, 1L, 1L, 1000000L))
+  }
 }

@@ -176,4 +176,36 @@ class NewOpsPlanSpec extends SparkSuite {
       }
     }
   }
+
+  test("d34: eval join stays broadcast; the argmax combines map-side, window-free") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("d34_semantic_decontam")(spark, dir)
+        .queryExecution.executedPlan
+      // the eval set is fixed-size by construction — only the explicit
+      // hint keeps the |corpus| × 64 sim pass off a shuffle join path
+      // (the pairing is conditionless, so it lowers to a broadcast
+      // nested-loop, the intended |corpus|-scan × 64-row shape)
+      plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      } should not be empty
+      // the per-vector argmax is max(struct(sim, -eval_id)): a partial
+      // max below its exchange, so the shuffle carries ≤ one candidate
+      // per vector per partition, not the ×64 sim stream (struct max
+      // lowers to a SortAggregate — match the aggregate base class)
+      val partialMaxBelowEx = plan.collect {
+        case e: Exchange if e.collect { case a: BaseAggregateExec
+          if a.aggregateExpressions.exists(_.toString.contains("partial_max")) => a
+        }.nonEmpty => e
+      }
+      withClue(s"argmax not combined map-side:\n$plan\n") {
+        partialMaxBelowEx should not be empty
+      }
+      // a rank-window argmax would sort the full sim stream per vector
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      } shouldBe empty
+    }
+  }
 }
