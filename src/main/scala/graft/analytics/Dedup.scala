@@ -2104,8 +2104,69 @@ object Dedup {
     ORDER BY vec_id"""
     })
 
+  // ---------------------------------------------------------------- d35
+  // DETECTOR-AGREEMENT AUDIT — do the two independent near-dup detectors
+  // see the same corpus? MinHash-LSH (d02: shingle-set Jaccard) and
+  // SimHash (d05: token-histogram Hamming) are built from different
+  // signals, so their pair-set overlap is the standard cross-check
+  // before trusting either alone: low agreement means the thresholds
+  // are mis-calibrated for this corpus (d14's tuning knob) or one
+  // modality is blind to a duplication style (shuffled boilerplate hits
+  // SimHash, verbatim n-gram reuse hits MinHash). The query composes
+  // the REGISTERED d02/d05 plans verbatim (no reformulation to drift
+  // from what's actually shipped) and reports the confusion: pairs
+  // found by both, by exactly one, and the Jaccard of the edge sets in
+  // exact ppm. Scale: both generators are bucketed (their own scale
+  // stories); the agreement join is an equi-join on the (id1, id2) edge
+  // key — edge-volume, never quadratic — and the report is one bounded
+  // aggregate.
+  private val d35 = QueryDef(
+    "d35_detector_agreement",
+    (s, dir) => {
+      val m = d02.run(s, dir).select(col("id1"), col("id2"), lit(1L).as("in_m"))
+      val p = d05.run(s, dir).select(col("id1"), col("id2"), lit(1L).as("in_s"))
+      m.join(p, Seq("id1", "id2"), "full_outer")
+        .agg(
+          sum(coalesce(col("in_m"), lit(0L))).as("n_minhash"),
+          sum(coalesce(col("in_s"), lit(0L))).as("n_simhash"),
+          sum(coalesce(col("in_m"), lit(0L)) * coalesce(col("in_s"), lit(0L)))
+            .as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_minhash"), col("n_simhash"), col("n_both"), col("n_union"),
+          expr("(n_both * 1000000) DIV n_union").as("agree_ppm"))
+    },
+    Some(s"""WITH $simhashCteDuck,
+    sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b
+             ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    msh AS (SELECT doc_id, $shingleSqlDuck AS shg FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+    mhh AS (SELECT doc_id, shg, list_transform(shg, x -> ${strHashSql("x")}) AS hs FROM msh),
+    mmh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM mhh),
+    mbands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+               FROM mmh CROSS JOIN generate_series(0, 3) AS g(i)),
+    mcand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+              FROM mbands a JOIN mbands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    mp AS (SELECT id1, id2 FROM mcand
+           JOIN msh x ON x.doc_id = id1 JOIN msh y ON y.doc_id = id2
+           WHERE round(CAST(len(list_intersect(x.shg, y.shg)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shg, y.shg))), 6) >= 0.005),
+    u AS (SELECT id1, id2,
+            MAX(CASE WHEN src = 'm' THEN 1 ELSE 0 END) AS in_m,
+            MAX(CASE WHEN src = 's' THEN 1 ELSE 0 END) AS in_s
+          FROM (SELECT id1, id2, 'm' AS src FROM mp
+                UNION ALL SELECT id1, id2, 's' FROM sp)
+          GROUP BY 1, 2)
+    SELECT CAST(SUM(in_m) AS BIGINT) AS n_minhash,
+      CAST(SUM(in_s) AS BIGINT) AS n_simhash,
+      CAST(SUM(in_m * in_s) AS BIGINT) AS n_both,
+      COUNT(*) AS n_union,
+      CAST(SUM(in_m * in_s) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
+    FROM u"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34)
+      d33, d34, d35)
 }

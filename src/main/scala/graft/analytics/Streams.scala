@@ -2893,8 +2893,151 @@ object Streams {
         % $HashMod AS BIGINT) AS admitted_checksum
     FROM v GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q154
+  // STREAMING LATE-DATA DEAD-LETTER ROUTER — the operational complement
+  // of q150's watermark-sizing audit: a `withWatermark` pipeline DROPS
+  // late rows silently, but a production ingest routes them to a
+  // dead-letter store with provenance so backfill can replay them. Each
+  // micro-batch applies the watermark Spark itself would hold — global
+  // max event time over all PRIOR batches minus the allowed lateness,
+  // advanced only at batch boundaries (exactly the engine's rule) — and
+  // splits the batch: on-time rows pass, older rows are routed with how
+  // far behind the watermark they were. The arrival stream is a
+  // deterministic transport jitter cut into 3 equal arrival-order
+  // ranges; two measured design corrections shaped it. (1) The jitter
+  // and the allowed lateness are SCALED TO THE DATA'S TIME SPAN
+  // (jitter < ⅙ of it ≈ half a batch range, lateness = 1/24), because
+  // draining months of history through 3 micro-batches compresses the
+  // timeline: a wall-clock 2 h jitter against 30-day batch ranges
+  // routes nothing and the operator would be tested on an empty set.
+  // (2) The jitter draws from poly_hash(event_id), NOT q150's LCG
+  // multiply-mod: at a span-sized modulus the LCG product never wraps,
+  // leaving the jitter MONOTONE in event_id — which correlates with
+  // event time, so arrival order stayed time order and again nothing
+  // was late (both first cuts measured 0 routed rows; the hash breaks
+  // the correlation). The watermark
+  // state is a single (max event time) row versioned per batch — O(1)
+  // state, the cheapest member of the d24/q151 append-only-ledger
+  // family. The oracle unrolls the batches with a running-max window
+  // over per-batch maxima and must route the SAME rows (routed-id
+  // checksum, not just counts).
+  private val q154 = QueryDef(
+    "q154_stream_late_router",
+    (s, dir) => withStreamShuffle(s) {
+      graft.functions.PolyHash.register(s)
+      val streamDir = Tables.tmpDir("graft-q154-stream")
+      var lateD = 0L // span/24, set during stream construction below
+      graft.BenchSplit.setup {
+        val base = events(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        // event-time bounds: one bounded agg drives the span-scaled
+        // jitter/lateness knobs AND the 3 arrival ranges
+        val rb = base.agg(min(col("us")), max(col("us"))).head
+        val (umn, umx) = (rb.getLong(0), rb.getLong(1))
+        val jitterMod = (umx - umn + 1) / 6
+        lateD = (umx - umn + 1) / 24
+        // poly_hash of sequential id strings is nearly AFFINE in the id
+        // (each digit step shifts the polynomial by a constant), so its
+        // low bits alone still track event order — the Knuth
+        // multiplicative step scrambles them (h ≤ 1e9+6, so h·2654435761
+        // < 2^63: exact in both engines); 12 bits then scale into
+        // [0, jitterMod) without overflow at any span
+        val withArr = base.withColumn("arr",
+          expr(s"us + (((${Tables.strHashExpr("CAST(event_id AS STRING)")} * 2654435761) % 4096) * $jitterMod) DIV 4096"))
+        val ra = withArr.agg(min(col("arr")), max(col("arr"))).head
+        val (mn, mx) = (ra.getLong(0), ra.getLong(1))
+        val baseT = 1700000000000L
+        val tiers = withArr.withColumn("b",
+          expr(s"least(2, ((arr - $mn) * 3) DIV ${mx - mn + 1})"))
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q154-b$b")
+          tiers.filter(col("b") === b)
+            .select(col("event_id"), col("user_id"), col("us"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val LateD = lateD
+      val schema = s.read.parquet(streamDir.toString).schema
+      val resultsDir = Tables.tmp("graft-q154-verdicts")
+      val stateRoot = Tables.tmp("graft-q154-state")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val bs = batch.sparkSession
+          val b = batch.localCheckpoint()
+          // watermark BEFORE this batch: prior-batches max event time −
+          // allowed lateness; batch 0 has no watermark yet
+          val wmUs: Option[Long] =
+            if (bid == 0) None
+            else Some(bs.read.parquet(s"$stateRoot/v${bid - 1}").head.getLong(0) - LateD)
+          val verdicts = b
+            .withColumn("late",
+              wmUs.map(w => (col("us") < w).cast("long")).getOrElse(lit(0L)))
+            .withColumn("behind_us",
+              wmUs.map(w => when(col("us") < w, lit(w) - col("us")).otherwise(0L))
+                .getOrElse(lit(0L)))
+            .withColumn("batch_id", lit(bid))
+            .localCheckpoint() // sever the state-read lineage before rewrite
+          verdicts
+            .select(col("batch_id"), col("event_id"), col("user_id"),
+              col("late"), col("behind_us"))
+            .write.mode("append").parquet(resultsDir)
+          // advance the watermark clock: running max of event time
+          val batchMax = verdicts.agg(max(col("us"))).head.getLong(0)
+          val newMax = wmUs.map(w => math.max(w + LateD, batchMax)).getOrElse(batchMax)
+          bs.range(1).select(lit(newMax).as("max_us"))
+            .write.mode("overwrite").parquet(s"$stateRoot/v$bid")
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q154-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .groupBy(col("batch_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(lit(1L) - col("late")).as("n_passed"),
+          sum(col("late")).as("n_routed"),
+          max(col("behind_us")).as("max_behind_us"),
+          (sum(when(col("late") === 1L, col("event_id") % HashMod).otherwise(0L))
+            % HashMod).as("routed_checksum"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""WITH ev0 AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+    ub AS (SELECT (MAX(us) - MIN(us) + 1) // 6 AS jmod,
+                  (MAX(us) - MIN(us) + 1) // 24 AS lated FROM ev0),
+    ev AS (SELECT e.*,
+             us + (((${Tables.strHashSql("CAST(event_id AS VARCHAR)")} * 2654435761) % 4096) * jmod) // 4096 AS arr
+           FROM ev0 e CROSS JOIN ub),
+    bounds AS (SELECT MIN(arr) AS mn, MAX(arr) AS mx FROM ev),
+    t AS (SELECT e.*, LEAST(2, (arr - mn) * 3 // (mx - mn + 1)) AS b
+          FROM ev e CROSS JOIN bounds),
+    mxs AS (SELECT b, MAX(us) AS mxus FROM t GROUP BY b),
+    wm AS (SELECT b, MAX(mxus) OVER (ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             - (SELECT lated FROM ub) AS wm_us
+           FROM mxs),
+    v AS (SELECT t.b, t.event_id,
+            CASE WHEN wm.wm_us IS NOT NULL AND t.us < wm.wm_us THEN 1 ELSE 0 END AS late,
+            CASE WHEN wm.wm_us IS NOT NULL AND t.us < wm.wm_us
+                 THEN wm.wm_us - t.us ELSE 0 END AS behind
+          FROM t JOIN wm ON wm.b = t.b)
+    SELECT CAST(b AS BIGINT) AS batch_id, COUNT(*) AS n_events,
+      CAST(SUM(1 - late) AS BIGINT) AS n_passed,
+      CAST(SUM(late) AS BIGINT) AS n_routed,
+      CAST(MAX(behind) AS BIGINT) AS max_behind_us,
+      CAST(SUM(CASE WHEN late = 1 THEN event_id % $HashMod ELSE 0 END)
+        % $HashMod AS BIGINT) AS routed_checksum
+    FROM v GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, q135, q150, q151, d24, d29)
+      q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, d24, d29)
 }

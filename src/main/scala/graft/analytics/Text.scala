@@ -2101,8 +2101,75 @@ object Text {
       ag.n_grams, ag.n_unique, ag.mean_novelty_ppm
     FROM ag LEFT JOIN sh USING (source) ORDER BY ag.source"""))
 
+  // ---------------------------------------------------------------- t39
+  // TOKENIZER FERTILITY AUDIT — the fairness report behind a SHARED
+  // tokenizer: one BPE vocabulary trained on the whole corpus (t26's
+  // trainer) encodes every language, and languages the merges under-fit
+  // pay more tokens per word ("fertility") — which at serving time is
+  // literally a per-language price multiplier on context budget. Per
+  // lang: word/char/token volumes, fertility and chars-per-token (exact
+  // integer ppm, t13's numerator/denominator discipline), and a verdict
+  // against the corpus-wide fertility — >1.25× flags 'high_fertility'
+  // (re-train with per-lang balance), <0.8× 'low_fertility' (the vocab
+  // over-serves it), else 'ok'. The ×100/×125 comparison is pure int64
+  // (ppm ≤ ~64e6 here, far from overflow). Scale shape is t28's: one
+  // corpus scan into a map-side-combined (lang, word) aggregate, the
+  // trained-vocab join left to AQE (Heaps-unbounded — no hint, t28's
+  // rule), the corpus baseline a 1-row aggregate cross-joined back.
+  private val t39 = QueryDef(
+    "t39_tokenizer_fertility",
+    (s, dir) => {
+      val (words, _) = bpeTrain(s, dir)
+      val enc = words.select(col("w"),
+        size(expr("split(trim(units), ' ')")).cast("long").as("ntok"))
+      val perLang = docs(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .filter(col("w").rlike("^[a-z]+$") && length(col("w")) >= 2)
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val st = perLang.join(enc, "w")
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+          sum(col("cnt") * col("ntok")).as("n_tokens"))
+      val tot = st.agg(sum(col("n_words")).as("tw"), sum(col("n_tokens")).as("tt"))
+      st.crossJoin(broadcast(tot))
+        .withColumn("fertility_ppm", expr("(n_tokens * 1000000) DIV n_words"))
+        .withColumn("corpus_ppm", expr("(tt * 1000000) DIV tw"))
+        .withColumn("verdict",
+          when(expr("fertility_ppm * 100 > corpus_ppm * 125"), lit("high_fertility"))
+            .when(expr("fertility_ppm * 100 < corpus_ppm * 80"), lit("low_fertility"))
+            .otherwise(lit("ok")))
+        .select(col("lang"), col("n_words"), col("n_tokens"),
+          col("fertility_ppm"),
+          expr("(n_chars * 1000000) DIV n_tokens").as("cpt_ppm"),
+          col("verdict"))
+        .orderBy(col("lang"))
+    },
+    Some(s"""WITH $bpeTrainCte,
+    enc AS (SELECT w, len(string_split(trim(units), ' ')) AS ntok FROM r$BpeRounds),
+    wl AS (SELECT lang, w, COUNT(*) AS cnt FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE regexp_matches(w, '^[a-z]+$$') AND len(w) >= 2 GROUP BY lang, w),
+    st AS (SELECT lang,
+        CAST(SUM(cnt) AS BIGINT) AS n_words,
+        CAST(SUM(cnt * len(w)) AS BIGINT) AS n_chars,
+        CAST(SUM(cnt * ntok) AS BIGINT) AS n_tokens
+      FROM wl JOIN enc USING (w) GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n_words) AS BIGINT) AS tw,
+                   CAST(SUM(n_tokens) AS BIGINT) AS tt FROM st)
+    SELECT lang, n_words, n_tokens,
+      (n_tokens * 1000000) // n_words AS fertility_ppm,
+      (n_chars * 1000000) // n_tokens AS cpt_ppm,
+      CASE WHEN (n_tokens * 1000000) // n_words * 100 > (tt * 1000000) // tw * 125
+             THEN 'high_fertility'
+           WHEN (n_tokens * 1000000) // n_words * 100 < (tt * 1000000) // tw * 80
+             THEN 'low_fertility'
+           ELSE 'ok' END AS verdict
+    FROM st CROSS JOIN tot ORDER BY lang"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
 }

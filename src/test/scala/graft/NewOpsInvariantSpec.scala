@@ -654,6 +654,64 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.toSet shouldBe direct.toSet
   }
 
+  test("t39 flags planted fertility disparity between merge-served and starved langs") {
+    val tmp = java.nio.file.Files.createTempDirectory("t39inv").toString
+    // lang bb dominates, so the 3 merge rounds learn (a b) then (ab ab) —
+    // "abab" collapses to ONE token (fertility 1). Round 3 only reaches
+    // 'x y', so lang aa's "xyzq" stays [xy, z, q] — 3 tokens/word.
+    // corpus fertility = (30·1 + 6·3)/36 = 4/3: aa is > 1.25× (high),
+    // bb is < 0.8× (low)
+    val docs =
+      (1 to 10).map(i => (i.toLong, "abab abab abab", "bb", "src", 14L)) ++
+        Seq((100L, "xyzq xyzq xyzq", "aa", "src", 14L), (101L, "xyzq xyzq xyzq", "aa", "src", 14L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t39_tokenizer_fertility")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    out.toSeq shouldBe Seq(
+      ("aa", 6L, 18L, 3000000L, 1333333L, "high_fertility"),
+      ("bb", 30L, 30L, 1000000L, 4000000L, "low_fertility"))
+  }
+
+  test("d35 confusion cells reconcile with the registered d02/d05 edge sets") {
+    val dir = "/root/testdata/sf0.001"
+    val Array(row) = Registry.queries("d35_detector_agreement")(spark, dir).collect()
+    val (nM, nS, nBoth, nUnion, ppm) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3), row.getLong(4))
+    // the audit must count exactly the registered detectors' outputs
+    nM shouldBe Registry.queries("d02_minhash_lsh")(spark, dir).count()
+    nS shouldBe Registry.queries("d05_simhash_pairs")(spark, dir).count()
+    nBoth should be <= math.min(nM, nS)
+    nUnion shouldBe nM + nS - nBoth
+    ppm shouldBe nBoth * 1000000L / nUnion
+  }
+
+  test("q154 routes only behind-watermark rows and batch 0 never routes") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("q154_stream_late_router")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L)
+    out.foreach { case (_, n, passed, routed, _) => passed + routed shouldBe n }
+    // every event lands in exactly one batch
+    val ev = graft.analytics.Tables.events(spark, dir)
+    out.map(_._2).sum shouldBe ev.count()
+    // no watermark exists before batch 0
+    out(0)._4 shouldBe 0L
+    // the jitter design must actually produce late data (the two
+    // zero-routed first cuts are the regression this pins)
+    out(1)._4 should be > 0L
+    out(2)._4 should be > 0L
+    // a routed row can be at most (jitter span − lateness) behind:
+    // us ≥ arr − jmod and wm ≤ batch-boundary max − lateness
+    val mm = ev.selectExpr("unix_micros(ts) AS us")
+      .agg(org.apache.spark.sql.functions.min("us"),
+        org.apache.spark.sql.functions.max("us")).head
+    val span = mm.getLong(1) - mm.getLong(0) + 1
+    out.map(_._5).max should be < span / 6 - span / 24
+  }
+
   test("q153 scores hand-built uniform and diverse classes exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("q153inv").toString
     // nation 1, band 0: 3 rows all BUILDING → l = 1 (violating), share 1e6
