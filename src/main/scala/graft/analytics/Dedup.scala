@@ -2165,8 +2165,69 @@ object Dedup {
       CAST(SUM(in_m * in_s) * 1000000 // COUNT(*) AS BIGINT) AS agree_ppm
     FROM u"""))
 
+  // ---------------------------------------------------------------- d36
+  // THRESHOLD COST SWEEP — the tuning curve an operator actually stares
+  // at before fixing a dedup threshold: for each candidate Jaccard bar,
+  // how many verified pairs survive and how much corpus the keep-
+  // lowest-id rule (d06/d08's drop policy) would remove, in exact ppm
+  // of the document count. d14 calibrates the ESTIMATOR (E[J | k bands
+  // agree]); this prices the DECISION. One pass over d02's registered
+  // verified-pair output (composed verbatim, the d35 rule): all five
+  // thresholds evaluate as conditional aggregates inside a SINGLE
+  // aggregate — no pair×threshold join, no re-scan per τ — then stack
+  // to rows. At 100 TB the sweep costs one edge-volume aggregate more
+  // than d02 itself (the multi-distinct expand is ×5 on pairs, still
+  // edge-volume); the oracle keeps every τ row alive via a left join
+  // so an empty band reads 0, not absent.
+  // bars chosen to resolve BOTH modes of the measured jacc distribution
+  // (band-collision noise at ~0.005 and true near-dups ≥ 0.95 — between
+  // them the curve is flat, so mid-range bars all read identically)
+  private val SweepTaus = Seq(5000L -> 0.005, 20000L -> 0.02,
+    500000L -> 0.5, 950000L -> 0.95, 980000L -> 0.98)
+  private val d36 = QueryDef(
+    "d36_threshold_sweep",
+    (s, dir) => {
+      val pairs = d02.run(s, dir).select(col("id2"), col("jacc"))
+      val aggs = SweepTaus.flatMap { case (ppm, t) =>
+        Seq(count(when(col("jacc") >= t, 1)).as(s"p$ppm"),
+          countDistinct(when(col("jacc") >= t, col("id2"))).as(s"d$ppm"))
+      }
+      val stacked = pairs.agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${SweepTaus.size}, " +
+          SweepTaus.map { case (ppm, _) =>
+            s"CAST($ppm AS BIGINT), p$ppm, d$ppm" }.mkString(", ") +
+          ") AS (tau_ppm, n_pairs, n_dropped)"))
+      val nd = docsNarrow(s, dir).agg(count(lit(1)).as("n_docs"))
+      stacked.crossJoin(broadcast(nd))
+        .select(col("tau_ppm"), col("n_pairs"), col("n_dropped"),
+          expr("(n_dropped * 1000000) DIV n_docs").as("drop_ppm"))
+        .orderBy(col("tau_ppm"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+              FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    pr AS (SELECT id2, round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jacc
+           FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+           WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6) >= 0.005),
+    t(tau_ppm, tau) AS (VALUES ${SweepTaus.map { case (ppm, t) =>
+      s"(CAST($ppm AS BIGINT), CAST($t AS DOUBLE))" }.mkString(", ")}),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    g AS (SELECT tau_ppm,
+            COUNT(CASE WHEN jacc >= tau THEN 1 END) AS n_pairs,
+            COUNT(DISTINCT CASE WHEN jacc >= tau THEN id2 END) AS n_dropped
+          FROM t LEFT JOIN pr ON jacc >= tau GROUP BY tau_ppm)
+    SELECT tau_ppm, n_pairs, n_dropped,
+      CAST(n_dropped * 1000000 // n_docs AS BIGINT) AS drop_ppm
+    FROM g CROSS JOIN nd ORDER BY tau_ppm"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35)
+      d33, d34, d35, d36)
 }

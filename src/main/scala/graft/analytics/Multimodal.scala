@@ -869,7 +869,64 @@ object Multimodal {
                THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS pass_ppm
     FROM sc GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- m16
+  // PAYLOAD-INTEGRITY QUARANTINE — the validation gate in front of every
+  // decode stage: per payload, a priority-ordered reason battery
+  // (declared-vs-actual length mismatch ≻ non-printable header ≻ too
+  // short ≻ too long ≻ ok), rolled up per (kind, reason) with an id
+  // checksum pinning exactly which payloads each cell holds. Transfer
+  // faults are PLANTED deterministically on the as-generated corpus
+  // (m15's contrast discipline — the clean tables carry no corruption
+  // to catch): doc_id ≡ 0 (mod 23) payloads arrive truncated to 16
+  // bytes with the declared length intact (the mid-transfer cut →
+  // meta_mismatch), doc_id ≡ 0 (mod 29, not caught above) arrive with
+  // a zeroed 4-byte header (the bad-frame write → bad_header); the
+  // too_short/too_long tails are organic data. Every rule is a pure
+  // per-row codegen expression — one scan, one map-side-combined
+  // aggregate, no join, no window; unchanged at 100 TB.
+  private val m16 = QueryDef(
+    "m16_payload_quarantine",
+    (s, dir) => {
+      val rec = docs(s, dir).select(
+        col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        col("n_chars").as("declared"),
+        expr("""CASE WHEN doc_id % 23 = 0 THEN substring(text, 1, 16)
+                WHEN doc_id % 29 = 0 THEN concat('0000', substring(text, 5))
+                ELSE text END""").as("payload"))
+      rec
+        .withColumn("reason", expr(s"""CASE
+          WHEN length(payload) <> declared THEN 'meta_mismatch'
+          WHEN substring(payload, 1, 1) NOT RLIKE '^[a-z]' THEN 'bad_header'
+          WHEN length(payload) < 64 THEN 'too_short'
+          WHEN length(payload) > 512 THEN 'too_long'
+          ELSE 'ok' END"""))
+        .groupBy(col("kind"), col("reason"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("doc_id") % HashMod) % HashMod).as("id_checksum"))
+        .orderBy(col("kind"), col("reason"))
+    },
+    Some(s"""WITH rec AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        n_chars AS declared,
+        CASE WHEN doc_id % 23 = 0 THEN substr(text, 1, 16)
+             WHEN doc_id % 29 = 0 THEN '0000' || substr(text, 5)
+             ELSE text END AS payload
+      FROM documents),
+    v AS (SELECT kind, doc_id,
+        CASE WHEN length(payload) <> declared THEN 'meta_mismatch'
+             WHEN NOT regexp_matches(substr(payload, 1, 1), '^[a-z]') THEN 'bad_header'
+             WHEN length(payload) < 64 THEN 'too_short'
+             WHEN length(payload) > 512 THEN 'too_long'
+             ELSE 'ok' END AS reason
+      FROM rec)
+    SELECT kind, reason, COUNT(*) AS n,
+      CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
+    FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15)
+      m15, m16)
 }

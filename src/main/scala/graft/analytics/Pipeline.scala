@@ -1168,7 +1168,68 @@ object Pipeline {
       FROM pr)
     WHERE rnk <= $ResN ORDER BY stratum, rnk"""))
 
+  // ---------------------------------------------------------------- q155
+  // INCREMENTAL JOIN-VIEW MAINTENANCE — q86 maintains an AGGREGATE from
+  // deltas; this maintains a JOIN view when BOTH inputs change, via the
+  // bilinear delta rule (the differential-dataflow / DBSP identity):
+  //   Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_old ⋈ ΔB  ∪  ΔA ⋈ ΔB.
+  // A = orders (late-date rows are the fact delta), B = customer (a
+  // deterministic custkey slice stands in for newly onboarded
+  // customers). The maintained view is revenue per market segment: the
+  // base state aggregates A_old ⋈ B_old, the three delta joins aggregate
+  // into one delta table, and the publish is q86's full-outer merge.
+  // The oracle is the FULL recompute over A ⋈ B — the invariant every
+  // incremental maintenance plan must reproduce exactly. At 100 TB this
+  // is the whole point: the recompute touches |A|×|B| join work every
+  // refresh, the delta plan touches work bounded by the deltas — ΔB
+  // broadcasts (bcastIfSmall: customer-file-bounded), B_old broadcasts
+  // against the fact delta, and only ΔA's bounded slice of the fact
+  // table is ever rescanned. Money stays DECIMAL until the final cast
+  // (the discPrice discipline).
+  private val q155 = QueryDef(
+    "q155_incremental_join_view",
+    (s, dir) => {
+      val factSplit = "1997-06-01"
+      val o = rd(s, dir, "orders").select(col("o_custkey"), col("o_orderdate"),
+        expr("CAST(o_totalprice AS DECIMAL(18,2))").as("price"))
+      val c = rd(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      val aOld = o.filter(col("o_orderdate") < factSplit)
+      val dA = o.filter(col("o_orderdate") >= factSplit)
+      val bOld = c.filter(col("c_custkey") % 20 =!= 0)
+      val dB = c.filter(col("c_custkey") % 20 === 0)
+      def agg(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("price")).as("rev"))
+      // base state: the view as of the last refresh
+      val base = agg(aOld.join(bcastIfSmall(bOld, dir, "customer"),
+          col("o_custkey") === col("c_custkey")))
+        .withColumnsRenamed(Map("c_mktsegment" -> "bk", "n" -> "b_n", "rev" -> "b_rev"))
+      // the three bilinear delta terms, aggregated together (unionAll is
+      // cheap: each term is already delta-bounded)
+      val deltaRows =
+        dA.join(bcastIfSmall(bOld, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .unionAll(aOld.join(bcastIfSmall(dB, dir, "customer"),
+            col("o_custkey") === col("c_custkey")))
+          .unionAll(dA.join(bcastIfSmall(dB, dir, "customer"),
+            col("o_custkey") === col("c_custkey")))
+      val delta = agg(deltaRows)
+        .withColumnsRenamed(Map("c_mktsegment" -> "dk", "n" -> "d_n", "rev" -> "d_rev"))
+      base.join(delta, col("bk") === col("dk"), "full_outer")
+        .select(
+          coalesce(col("bk"), col("dk")).as("segment"),
+          (coalesce(col("b_n"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_orders"),
+          (coalesce(col("b_rev"), expr("CAST(0 AS DECIMAL(28,2))"))
+            + coalesce(col("d_rev"), expr("CAST(0 AS DECIMAL(28,2))")))
+            .cast("double").as("revenue"))
+        .orderBy(col("segment"))
+    },
+    // full recompute — the invariant the delta rule must reproduce
+    Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152)
+      q131, q144, q145, q152, q155)
 }

@@ -712,6 +712,68 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.map(_._5).max should be < span / 6 - span / 24
   }
 
+  test("q155 merges all four bilinear delta quadrants on a hand-built ledger") {
+    val tmp = java.nio.file.Files.createTempDirectory("q155inv").toString
+    def t(s0: String) = java.sql.Timestamp.valueOf(s0 + " 00:00:00")
+    // quadrants: (cust1, old) = A_old⋈B_old, (cust1, new) = ΔA⋈B_old,
+    // (cust20, old) = A_old⋈ΔB, (cust20, new) = ΔA⋈ΔB — dropping ANY
+    // term of the delta rule loses a quadrant and breaks the total
+    Seq(
+      (1L, 1L, "O", 10.0, t("1997-01-01"), "1-URGENT"),
+      (2L, 1L, "O", 20.0, t("1997-07-01"), "1-URGENT"),
+      (3L, 20L, "O", 40.0, t("1997-01-02"), "1-URGENT"),
+      (4L, 20L, "O", 80.0, t("1997-08-01"), "1-URGENT"),
+      (5L, 2L, "O", 5.0, t("1996-05-05"), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1L, "SEG_A"), (20L, "SEG_A"), (2L, "SEG_B"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val out = Registry.queries("q155_incremental_join_view")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq(("SEG_A", 4L, 150.0), ("SEG_B", 1L, 5.0))
+  }
+
+  test("d36 sweep is monotone in the threshold and anchored at d02's pair count") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("d36_threshold_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    out.map(_._1) shouldBe Seq(5000L, 20000L, 500000L, 950000L, 980000L)
+    // raising the bar can only shrink the surviving pair and drop sets
+    out.map(_._2) shouldBe out.map(_._2).sorted.reverse
+    out.map(_._3) shouldBe out.map(_._3).sorted.reverse
+    // the lowest bar is d02's own output threshold — same pair count
+    out.head._2 shouldBe Registry.queries("d02_minhash_lsh")(spark, dir).count()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    out.foreach { case (_, _, dropped, ppm) => ppm shouldBe dropped * 1000000L / nDocs }
+  }
+
+  test("m16 attributes each planted fault class to exactly its reason cell") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Registry.queries("m16_payload_quarantine")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val mod = graft.analytics.Tables.HashMod
+    def cells(p: Long => Boolean) = {
+      val ids = docs.map(_._1).filter(p)
+      (ids.length.toLong, ids.map(_ % mod).sum % mod)
+    }
+    // planted classes land in their reason, whatever the kind split
+    // (collect on the SEQ of entries — Map.collect would rebuild a map
+    // keyed on the first tuple slot and silently drop equal-n cells)
+    val mm = out.toSeq.collect { case ((_, "meta_mismatch"), v) => v }
+    (mm.map(_._1).sum, mm.map(_._2).sum % mod) shouldBe cells(_ % 23 == 0)
+    val bh = out.toSeq.collect { case ((_, "bad_header"), v) => v }
+    (bh.map(_._1).sum, bh.map(_._2).sum % mod) shouldBe cells(id => id % 23 != 0 && id % 29 == 0)
+    // conservation: every payload lands in exactly one cell
+    out.values.map(_._1).sum shouldBe docs.length.toLong
+  }
+
   test("q153 scores hand-built uniform and diverse classes exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("q153inv").toString
     // nation 1, band 0: 3 rows all BUILDING → l = 1 (violating), share 1e6
