@@ -1229,7 +1229,65 @@ object Pipeline {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY 1 ORDER BY 1"""))
 
+  // ---------------------------------------------------------------- q156
+  // SCORE CALIBRATION / LIFT DIAGRAM — the model-eval readout behind
+  // every learned curation filter (t32's class): bucket a per-row score
+  // into fixed bins (the reliability-diagram convention) and report per
+  // bin the observed positive rate against the corpus base rate, as a
+  // lift. Here the score is an English-stopword density in exact ppm
+  // and the proxy ground truth is lang = 'en' — a genuinely predictive
+  // pairing, so the diagram shows a real gradient instead of a flat
+  // harness demo. Everything is one narrow scan (per-row HOF count, no
+  // explode), one map-side-combined bin aggregate, and a 1-row base-rate
+  // cross join; integer ppm/percent end-to-end. Fixed-width score bins
+  // (not NTILE) are deliberate: the binning is a pure per-row
+  // expression, so there is no global sort/window anywhere — the
+  // scale-correct form of the chart.
+  private val CalSw = Seq("the", "of", "and", "to", "a")
+  private val q156 = QueryDef(
+    "q156_score_calibration",
+    (s, dir) => {
+      val inList = CalSw.map("'" + _ + "'").mkString(", ")
+      val scored = docsNarrow(s, dir)
+        .select(col("lang"), split(col("text"), " ").as("w"))
+        .withColumn("n_words", size(col("w")).cast("long"))
+        .filter(col("n_words") > 0)
+        .withColumn("n_sw",
+          expr(s"CAST(size(filter(w, t -> t IN ($inList))) AS BIGINT)"))
+        .withColumn("score_ppm", expr("(n_sw * 1000000) DIV n_words"))
+        .withColumn("pos", (col("lang") === "en").cast("long"))
+        .withColumn("bin", expr("least(CAST(9 AS BIGINT), (score_ppm * 10) DIV 1000000)"))
+      val base = scored.agg(sum(col("pos")).as("tp"), count(lit(1)).as("tn"))
+      scored.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("pos")).as("n_pos"))
+        .crossJoin(broadcast(base))
+        .withColumn("pos_ppm", expr("(n_pos * 1000000) DIV n_docs"))
+        .withColumn("base_ppm", expr("(tp * 1000000) DIV tn"))
+        .select(col("bin"), col("n_docs"), col("n_pos"), col("pos_ppm"),
+          col("base_ppm"),
+          expr("(pos_ppm * 100) DIV base_ppm").as("lift_pct"))
+        .orderBy(col("bin"))
+    },
+    Some {
+      val inList = CalSw.map("'" + _ + "'").mkString(", ")
+      s"""WITH sc AS (
+      SELECT lang, len(string_split(text, ' ')) AS n_words,
+        len(list_filter(string_split(text, ' '), t -> t IN ($inList))) AS n_sw
+      FROM documents),
+    b AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+            LEAST(9, (CAST(n_sw AS BIGINT) * 1000000 // n_words) * 10 // 1000000) AS bin,
+            (CAST(n_sw AS BIGINT) * 1000000 // n_words) AS score_ppm
+          FROM sc WHERE n_words > 0),
+    tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tp, COUNT(*) AS tn FROM b)
+    SELECT CAST(bin AS BIGINT) AS bin, COUNT(*) AS n_docs,
+      CAST(SUM(pos) AS BIGINT) AS n_pos,
+      CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm,
+      CAST(tp * 1000000 // tn AS BIGINT) AS base_ppm,
+      CAST((SUM(pos) * 1000000 // COUNT(*)) * 100 // (tp * 1000000 // tn) AS BIGINT) AS lift_pct
+    FROM b CROSS JOIN tot GROUP BY bin, tp, tn ORDER BY bin"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155)
+      q131, q144, q145, q152, q155, q156)
 }

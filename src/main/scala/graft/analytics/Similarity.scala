@@ -1874,7 +1874,67 @@ object Similarity {
     GROUP BY j.q_id, nc.n_cands ORDER BY j.q_id"""
     })
 
+  // ---------------------------------------------------------------- s25
+  // SIMPLIFIED SILHOUETTE — cluster-quality scoring at O(N·K) instead of
+  // the textbook O(N²): per vector, a = distance to its OWN label
+  // centroid, b = the nearest OTHER centroid, s = (b − a)/max(a, b) ∈
+  // [−1, 1]; negative s means the vector sits closer to a foreign
+  // centroid than its own (the misfit count is the actionable column —
+  // candidates for re-labeling or s22's prune). Squared distances are
+  // exact int64 (norm² − 2·dot + cnorm²) so the sqrt inputs are
+  // identical on both engines; per-row silhouettes round to 6 decimals
+  // and sum as DECIMAL (the dsum discipline — a double sum would be
+  // partition-order-dependent). Plan: one K-row centroid broadcast into
+  // a narrow corpus map, one per-vector min over K rows, one per-label
+  // aggregate — no window, nothing shuffles but partials.
+  private val s25 = QueryDef(
+    "s25_simplified_silhouette",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val d = q.join(broadcast(cent))
+        .withColumn("d2",
+          col("norm2") - lit(2L) * expr(dotExpr("qv", "cqv")) + col("cnorm2"))
+      val own = d.filter(col("label") === col("c_label"))
+        .select(col("vec_id"), col("label"), col("d2").as("a2"))
+      val other = d.filter(col("label") =!= col("c_label"))
+        .groupBy(col("vec_id")).agg(min(col("d2")).as("b2"))
+      own.join(other, "vec_id")
+        .withColumn("sil", round(
+          (sqrt(col("b2").cast("double")) - sqrt(col("a2").cast("double"))) /
+            greatest(sqrt(col("a2").cast("double")), sqrt(col("b2").cast("double"))), 6))
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("b2") < col("a2"), 1L).otherwise(0L)).as("n_misfit"),
+          round(sum(col("sil").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+            .cast("double") / count(lit(1)), 6).as("mean_sil"))
+        .orderBy(col("label"))
+    },
+    Some {
+      val d2 = s"(v.norm2 - 2 * ${dotSql("v.qv", "c.cqv")} + c.cnorm2)"
+      s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    dd AS (SELECT v.vec_id, v.label, c.c_label, $d2 AS d2
+           FROM qn v CROSS JOIN cn c),
+    own AS (SELECT vec_id, label, d2 AS a2 FROM dd WHERE label = c_label),
+    oth AS (SELECT vec_id, MIN(d2) AS b2 FROM dd WHERE label <> c_label GROUP BY vec_id),
+    sil AS (SELECT o.vec_id, o.label, o.a2, t.b2,
+              round((sqrt(CAST(t.b2 AS DOUBLE)) - sqrt(CAST(o.a2 AS DOUBLE)))
+                / greatest(sqrt(CAST(o.a2 AS DOUBLE)), sqrt(CAST(t.b2 AS DOUBLE))), 6) AS sil
+            FROM own o JOIN oth t USING (vec_id))
+    SELECT label, COUNT(*) AS n,
+      CAST(SUM(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit,
+      round(CAST(SUM(CAST(sil AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_sil
+    FROM sil GROUP BY label ORDER BY label"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, d15)
 }

@@ -2168,8 +2168,64 @@ object Text {
            ELSE 'ok' END AS verdict
     FROM st CROSS JOIN tot ORDER BY lang"""))
 
+  // ---------------------------------------------------------------- t40
+  // EVAL-SIDE CONTAMINATION REPORT — t12 flags TRAINING docs that
+  // overlap the benchmark; this answers the other operational question:
+  // which EVAL items are burned and by how much (a benchmark row whose
+  // n-grams all appear in training measures memorization, not ability —
+  // the per-item report drives which rows to retire). Same machinery
+  // reversed: per held-out doc (doc_id % 97), the share of its distinct
+  // 4-grams present anywhere in the training split, with a verdict tier
+  // (burned ≥ 50%, partial > 0, clean). The gram-distinct explode is
+  // shared with t12's shape; the training gram SET is Heaps-unbounded,
+  // so the membership join carries no hint (t28's rule — AQE reads the
+  // real build size), while the eval side is fixed-size in production.
+  // Output is |eval|-bounded.
+  private val t40 = QueryDef(
+    "t40_burned_benchmark",
+    (s, dir) => {
+      val th = docs(s, dir)
+        .select(col("doc_id"), expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+      val ex = th
+        .select(col("doc_id"), explode(expr(ngramExpr("th", 4))).as("ng"))
+        .distinct()
+        .cache()
+      ex.count()
+      val trainGrams = ex.filter(col("doc_id") % 97 =!= 0).select(col("ng")).distinct()
+        .withColumn("hit", lit(1L))
+      val out = ex.filter(col("doc_id") % 97 === 0)
+        .join(trainGrams, Seq("ng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_burned"))
+        .withColumn("burned_ppm", expr("(n_burned * 1000000) DIV n_grams"))
+        .withColumn("verdict",
+          when(expr("n_burned * 2 >= n_grams"), lit("burned"))
+            .when(col("n_burned") > 0, lit("partial"))
+            .otherwise(lit("clean")))
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+      ex.unpersist()
+      out
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ng AS (SELECT doc_id, ${ngramSqlDuck("th", 4)} AS ngs FROM th),
+    ex AS (SELECT DISTINCT doc_id, unnest(ngs) AS ng FROM ng),
+    tg AS (SELECT DISTINCT ng FROM ex WHERE doc_id % 97 <> 0),
+    ev AS (SELECT e.doc_id, e.ng, CASE WHEN tg.ng IS NULL THEN 0 ELSE 1 END AS hit
+           FROM ex e LEFT JOIN tg ON e.ng = tg.ng WHERE e.doc_id % 97 = 0)
+    SELECT doc_id, COUNT(*) AS n_grams,
+      CAST(SUM(hit) AS BIGINT) AS n_burned,
+      CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS burned_ppm,
+      CASE WHEN SUM(hit) * 2 >= COUNT(*) THEN 'burned'
+           WHEN SUM(hit) > 0 THEN 'partial' ELSE 'clean' END AS verdict
+    FROM ev GROUP BY doc_id ORDER BY doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
 }

@@ -774,6 +774,65 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.values.map(_._1).sum shouldBe docs.length.toLong
   }
 
+  test("s25 scores separated clusters high and counts the planted misfit") {
+    val tmp = java.nio.file.Files.createTempDirectory("s25inv").toString
+    // label 0 clusters on x̂, label 1 on ŷ; vec 100 is labeled 0 but sits
+    // on ŷ — the one vector closer to a foreign centroid
+    Seq(
+      (0L, Array(1.0f, 0f, 0f, 0f), 0), (1L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (2L, Array(0.95f, 0.05f, 0f, 0f), 0),
+      (10L, Array(0f, 1.0f, 0f, 0f), 1), (11L, Array(0.1f, 0.9f, 0f, 0f), 1),
+      (12L, Array(0.05f, 0.95f, 0f, 0f), 1),
+      (100L, Array(0f, 1.0f, 0f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s25_simplified_silhouette")(spark, tmp)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (n0, mis0, sil0) = out(0)
+    val (n1, mis1, sil1) = out(1)
+    (n0, n1) shouldBe (4L, 3L)
+    mis0 shouldBe 1L // exactly the planted foreign vector
+    mis1 shouldBe 0L
+    sil1 should be > 0.8 // tight cluster, far centroid
+    sil0 should be < sil1 // the misfit's negative silhouette drags label 0
+  }
+
+  test("t40 tiers burned/partial/clean eval docs on a planted overlap corpus") {
+    val tmp = java.nio.file.Files.createTempDirectory("t40inv").toString
+    // eval docs are doc_id % 97 = 0. doc 0 shares 1 of its 2 4-grams with
+    // train doc 1 (burned at exactly 50%), doc 194 shares 1 of 3
+    // (partial), doc 97 shares none (clean)
+    Seq(
+      (0L, "a b c d e"), (97L, "p q r s t u"), (194L, "m n o p q r"),
+      (1L, "a b c d x"), (2L, "z m n o p z2"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t40_burned_benchmark")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 1L, "burned"),
+      (97L, 3L, 0L, "clean"),
+      (194L, 3L, 1L, "partial"))
+  }
+
+  test("q156 reads a perfectly separating score as a clean two-bin diagram") {
+    val tmp = java.nio.file.Files.createTempDirectory("q156inv").toString
+    // en docs are pure stopwords (score 1e6 → bin 9), zh docs contain
+    // none (bin 0): base rate 1/2, so bin 9 must read lift 200%
+    val docs =
+      (1 to 3).map(i => (i.toLong, "the of and to a the", "en", "s", 18L)) ++
+        (4 to 6).map(i => (i.toLong, "wu mao liang qi ba jiu", "zh", "s", 22L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("q156_score_calibration")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.toSeq shouldBe Seq(
+      (0L, 3L, 0L, 0L, 500000L, 0L),
+      (9L, 3L, 3L, 1000000L, 500000L, 200L))
+  }
+
   test("q153 scores hand-built uniform and diverse classes exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("q153inv").toString
     // nation 1, band 0: 3 rows all BUILDING → l = 1 (violating), share 1e6
