@@ -2260,9 +2260,56 @@ object Advanced {
         AS drifted
     FROM gp GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q158
+  // SAMPLE-RATIO MISMATCH (SRM) AUDIT — the first gate every experiment
+  // readout runs BEFORE q136's CUPED analysis is allowed to mean
+  // anything: if the 50/50 assignment didn't land 50/50 over exposed
+  // units, the randomization is broken (bot filtering, redirect loss,
+  // logging bias) and the experiment is invalid regardless of effect
+  // size. Per experiment (event_type here), distinct exposed users per
+  // arm (user-id parity = the deterministic hash assignment), and the
+  // 2-arm χ² statistic — which collapses to (a−b)²/n exactly, so the
+  // α = 0.05 verdict is the pure integer cross-multiply
+  // (a−b)²·100 > 384·n (χ²₁ critical 3.841 rounded down: a conservative
+  // gate is the right direction for an invalidation test). One distinct
+  // aggregate per (experiment, arm) — map-side combined on the
+  // high-cardinality user key — then a bounded per-experiment rollup.
+  private val q158 = QueryDef(
+    "q158_srm_audit",
+    (s, dir) => {
+      events(s, dir)
+        .select(col("event_type").as("experiment"), col("user_id"),
+          (col("user_id") % 2).as("arm"))
+        .groupBy(col("experiment"), col("arm"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .groupBy(col("experiment"))
+        .agg(
+          sum(when(col("arm") === 0, col("n")).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, col("n")).otherwise(0L)).as("n_b"))
+        .withColumn("chi2_ppm",
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000) DIV (n_a + n_b)"))
+        .withColumn("srm",
+          expr("(n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b)"))
+        .select(col("experiment"), col("n_a"), col("n_b"), col("chi2_ppm"),
+          col("srm"))
+        .orderBy(col("experiment"))
+    },
+    Some("""WITH arms AS (
+      SELECT event_type AS experiment, user_id % 2 AS arm,
+        COUNT(DISTINCT user_id) AS n
+      FROM events GROUP BY 1, 2),
+    g AS (SELECT experiment,
+            CAST(SUM(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+            CAST(SUM(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+          FROM arms GROUP BY 1)
+    SELECT experiment, n_a, n_b,
+      CAST((n_a - n_b) * (n_a - n_b) * 1000000 // (n_a + n_b) AS BIGINT) AS chi2_ppm,
+      (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS srm
+    FROM g ORDER BY experiment"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142, q149)
+      q130, q132, q133, q134, q136, q140, q142, q149, q158)
 }

@@ -2226,8 +2226,76 @@ object Dedup {
       CAST(n_dropped * 1000000 // n_docs AS BIGINT) AS drop_ppm
     FROM g CROSS JOIN nd ORDER BY tau_ppm"""))
 
+  // ---------------------------------------------------------------- d37
+  // TRANSLATION-PAIR MINING — the multilingual pipeline's bitext step
+  // (the LASER/CCMatrix shape): cross-LANGUAGE document pairs whose
+  // embeddings nearly coincide are translation candidates, mined here
+  // with s02's sign-LSH bucket prefilter so candidates form only inside
+  // a bucket (never all-pairs), then verified with exact quantized
+  // cosine and REQUIRED to differ in language (the same-language case
+  // is d06's near-dup, a different decision). Report
+  // per language pair: candidate count, best similarity, and a pair
+  // checksum pinning exactly which pairs were mined. The lang column
+  // rides the embedding row through one id equi-join before bucketing,
+  // so the pair join carries it for free; at 100 TB the plan is s02's
+  // (one bucket-keyed self-join) plus that narrow metadata join.
+  private val XlingTau = 0.3
+  private val d37 = QueryDef(
+    "d37_translation_pairs",
+    (s, dir) => {
+      val langs = docsNarrow(s, dir).select(col("doc_id"), col("lang"))
+      val b = Similarity.withQuant(dir, s)
+        .join(langs, col("vec_id") === col("doc_id"))
+        .withColumn("bucket", expr(Similarity.bucketExprSpark))
+        .select(col("vec_id"), col("lang"), col("qv"), col("norm2"), col("bucket"))
+        .cache()
+      b.count()
+      val l = b.select(col("bucket"), col("vec_id").as("id1"), col("lang").as("lang1"),
+        col("qv").as("qv1"), col("norm2").as("n1"))
+      val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"),
+        col("lang").as("lang2"), col("qv").as("qv2"), col("norm2").as("n2"))
+      // id1 < id2 enumerates each unordered pair once; the LANGUAGE pair
+      // key must then be normalized separately (least/greatest) — gating
+      // on lang1 < lang2 instead would silently drop every cross-lang
+      // pair whose id order disagrees with the lang order (≈ half)
+      val out = l.join(r, col("bucket") === col("bucket2") &&
+          col("id1") < col("id2") && col("lang1") =!= col("lang2"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .filter(col("sim") >= XlingTau)
+        .groupBy(least(col("lang1"), col("lang2")).as("lang_lo"),
+          greatest(col("lang1"), col("lang2")).as("lang_hi"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          round(max(col("sim")), 6).as("max_sim"),
+          (sum(((col("id1") % HashMod) * 31 + col("id2") % HashMod) % HashMod)
+            % HashMod).as("pair_checksum"))
+        .orderBy(col("lang_lo"), col("lang_hi"))
+        .localCheckpoint()
+      b.unpersist()
+      out
+    },
+    Some {
+      val sim =
+        s"CAST(${dotSql("a.qv", "b.qv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE)))"
+      s"""WITH ${Similarity.quantCte},
+    qb AS (SELECT qn.vec_id, qn.qv, qn.norm2, d.lang,
+             ${Similarity.bucketExprDuck} AS bucket
+           FROM qn JOIN documents d ON d.doc_id = qn.vec_id)
+    SELECT LEAST(a.lang, b.lang) AS lang_lo, GREATEST(a.lang, b.lang) AS lang_hi,
+      COUNT(*) AS n_pairs,
+      round(MAX($sim), 6) AS max_sim,
+      CAST(SUM(((a.vec_id % $HashMod) * 31 + b.vec_id % $HashMod) % $HashMod)
+        % $HashMod AS BIGINT) AS pair_checksum
+    FROM qb a JOIN qb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      AND a.lang <> b.lang
+    WHERE $sim >= $XlingTau
+    GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36)
+      d33, d34, d35, d36, d37)
 }

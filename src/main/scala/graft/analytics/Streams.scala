@@ -3036,8 +3036,130 @@ object Streams {
         % $HashMod AS BIGINT) AS routed_checksum
     FROM v GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q157
+  // STREAMING SCD2 DIMENSION HISTORY — q53 classifies a batch SCD2
+  // merge; this MAINTAINS the type-2 history across micro-batches (the
+  // production shape: a change feed continuously versioning a dimension
+  // with validity intervals). The change feed is events time-sliced
+  // into 3 batches (thirds of the event-time axis — an ordered ingest,
+  // unlike q154's jittered one); per batch each user's LAST record wins
+  // (q112's batch-upsert rule), and the ledger update is the SCD2 law:
+  // a changed attribute CLOSES the open row (valid_to = the new row's
+  // timestamp) and INSERTS a new open row; an unchanged attribute is a
+  // no-op; history rows are immutable forever after. State is the full
+  // versioned history table (the q151 ledger discipline). The oracle
+  // derives the same history declaratively: per-user batch-latest
+  // records, LAG-detected transitions, LEAD-assigned closing
+  // timestamps — the streaming ledger and the window formulation must
+  // agree row-for-row (per-attr counts + (user, valid_from) checksum).
+  private val q157 = QueryDef(
+    "q157_stream_scd2",
+    (s, dir) => withStreamShuffle(s) {
+      import org.apache.spark.sql.expressions.Window
+      val streamDir = Tables.tmpDir("graft-q157-stream")
+      graft.BenchSplit.setup {
+        val base = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type").as("attr"),
+            unix_micros(col("ts")).as("us"))
+        val rb = base.agg(min(col("us")), max(col("us"))).head
+        val (mn, mx) = (rb.getLong(0), rb.getLong(1))
+        val baseT = 1700000000000L
+        val tiers = base.withColumn("b",
+          expr(s"least(2, ((us - $mn) * 3) DIV ${mx - mn + 1})"))
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q157-b$b")
+          tiers.filter(col("b") === b)
+            .select(col("event_id"), col("user_id"), col("attr"), col("us"))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stateRoot = Tables.tmp("graft-q157-state")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val bs = batch.sparkSession
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("us").desc, col("event_id").desc)
+          val bl = batch.localCheckpoint()
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("user_id"), col("attr").as("new_attr"), col("us").as("new_us"))
+          val state =
+            if (bid == 0)
+              bl.select(col("user_id")).limit(0)
+                .withColumn("attr", lit("")).withColumn("from_us", lit(0L))
+                .withColumn("to_us", lit(null).cast("long"))
+            else bs.read.parquet(s"$stateRoot/v${bid - 1}")
+          // decide per open row/arrival what changes; closed history rows
+          // (to_us set) are immutable and pass through untouched
+          val open = state.filter(col("to_us").isNull)
+          val closedHist = state.filter(col("to_us").isNotNull)
+          val merged = open.join(bl, Seq("user_id"), "full_outer")
+          val unchanged = merged
+            .filter(col("attr").isNotNull &&
+              (col("new_attr").isNull || col("new_attr") === col("attr")))
+            .select(col("user_id"), col("attr"), col("from_us"),
+              lit(null).cast("long").as("to_us"))
+          val closedNow = merged
+            .filter(col("attr").isNotNull && col("new_attr").isNotNull &&
+              col("new_attr") =!= col("attr"))
+            .select(col("user_id"), col("attr"), col("from_us"),
+              col("new_us").as("to_us"))
+          val opened = merged
+            .filter(col("new_attr").isNotNull &&
+              (col("attr").isNull || col("new_attr") =!= col("attr")))
+            .select(col("user_id"), col("new_attr").as("attr"),
+              col("new_us").as("from_us"), lit(null).cast("long").as("to_us"))
+          closedHist.unionByName(unchanged).unionByName(closedNow)
+            .unionByName(opened)
+            .localCheckpoint() // sever the state-read lineage before rewrite
+            .write.mode("overwrite").parquet(s"$stateRoot/v$bid")
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q157-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(s"$stateRoot/v2")
+        .groupBy(col("attr"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("to_us").isNull, 1L).otherwise(0L)).as("n_open"),
+          (sum(((col("user_id") % HashMod) * 31 + col("from_us") % HashMod)
+            % HashMod) % HashMod).as("from_checksum"))
+        .orderBy(col("attr"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, user_id, event_type AS attr, epoch_us(ts) AS us
+      FROM events),
+    ub AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM ev),
+    t AS (SELECT e.*, LEAST(2, (us - mn) * 3 // (mx - mn + 1)) AS b
+          FROM ev e CROSS JOIN ub),
+    bl AS (SELECT user_id, b, attr, us FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, b
+          ORDER BY us DESC, event_id DESC) AS rn FROM t)
+      WHERE rn = 1),
+    tr AS (SELECT user_id, b, attr, us,
+             LAG(attr) OVER (PARTITION BY user_id ORDER BY b) AS prev
+           FROM bl),
+    trans AS (SELECT user_id, b, attr, us FROM tr
+              WHERE prev IS NULL OR attr <> prev),
+    hist AS (SELECT user_id, attr, us AS from_us,
+               LEAD(us) OVER (PARTITION BY user_id ORDER BY b) AS to_us
+             FROM trans)
+    SELECT attr, COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+      CAST(SUM(((user_id % $HashMod) * 31 + from_us % $HashMod) % $HashMod)
+        % $HashMod AS BIGINT) AS from_checksum
+    FROM hist GROUP BY 1 ORDER BY 1"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
-      q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, d24, d29)
+      q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
+      d29)
 }

@@ -833,6 +833,64 @@ class NewOpsInvariantSpec extends SparkSuite {
       (9L, 3L, 3L, 1000000L, 500000L, 200L))
   }
 
+  test("d37 mines the colinear cross-lang pairs whatever the id/lang order") {
+    val tmp = java.nio.file.Files.createTempDirectory("d37inv").toString
+    // vectors 1 (en), 2 (fr), 3 (en) are colinear: unordered cross-lang
+    // pairs are {1,2} (id order agrees with lang order) and {2,3} (id
+    // order DISAGREES — the pair a lang1<lang2 join gate would drop);
+    // {1,3} is same-language and must not appear
+    Seq((1L, Array(1.0f, 0f, 0f, 0f), 0), (2L, Array(0.9f, 0f, 0f, 0f), 1),
+      (3L, Array(0.8f, 0f, 0f, 0f), 2))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    Seq((1L, "en"), (2L, "fr"), (3L, "en")).toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d37_translation_pairs")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    out.length shouldBe 1
+    val (lo, hi, n, mx) = out(0)
+    (lo, hi, n) shouldBe ("en", "fr", 2L)
+    mx shouldBe 1.0 +- 1e-5 // colinear ⇒ cosine 1
+  }
+
+  test("q157 replays hand-built SCD2 transitions: close, no-op, last-write-wins") {
+    val tmp = java.nio.file.Files.createTempDirectory("q157inv").toString
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000) // µs → ms epoch
+    // time thirds over us ∈ [0, 200]: b0 = [0,66], b1 = [67,133], b2 = [134,200]
+    // user 1: b0 'w' then 'x' (last-write-wins: 'w' must never reach the
+    // history), b1 'y' (closes x), b2 'y' (no-op) → x closed, y open
+    // user 2: only b1 'z' → z open
+    val rows = Seq(
+      (1L, ts(1000000L), 1L, "w", 0.0, ""),
+      (2L, ts(50000000L), 1L, "x", 0.0, ""),
+      (3L, ts(100000000L), 1L, "y", 0.0, ""),
+      (4L, ts(200000000L), 1L, "y", 0.0, ""),
+      (5L, ts(101000000L), 2L, "z", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q157_stream_scd2")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(("x", 1L, 0L), ("y", 1L, 1L), ("z", 1L, 1L))
+  }
+
+  test("q158 flags only the experiment with the planted assignment imbalance") {
+    val tmp = java.nio.file.Files.createTempDirectory("q158inv").toString
+    def ts(sec: Long) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(sec))
+    // exp_bad: 9 even-id users vs 1 odd → (9−1)²·100 = 6400 > 384·10
+    // exp_ok: 5 vs 5 → χ² = 0
+    val bad = (1 to 9).map(i => (i.toLong, ts(i * 60L), i * 2L, "exp_bad", 1.0, "")) :+
+      (10L, ts(600L), 1L, "exp_bad", 1.0, "")
+    val ok = (1 to 10).map(i => (100L + i, ts(1000L + i * 60L), i.toLong, "exp_ok", 1.0, ""))
+    (bad ++ ok).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q158_srm_audit")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    out.toSeq shouldBe Seq(
+      ("exp_bad", 9L, 1L, 6400000L, true),
+      ("exp_ok", 5L, 5L, 0L, false))
+  }
+
   test("q153 scores hand-built uniform and diverse classes exactly") {
     val tmp = java.nio.file.Files.createTempDirectory("q153inv").toString
     // nation 1, band 0: 3 rows all BUILDING → l = 1 (violating), share 1e6
