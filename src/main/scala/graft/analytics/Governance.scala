@@ -408,5 +408,70 @@ object Governance {
       CAST(MAX(top_cnt * 1000000 // sz) AS BIGINT) AS max_share_ppm
     FROM cl GROUP BY 1 ORDER BY 1"""))
 
-  val defs: Seq[QueryDef] = Seq(q137, q138, q139, q141, q143, q146, q153)
+  // --------------------------------------------------------------- q159
+  // REFERENTIAL-INTEGRITY SWEEP — orphan audit over the schema's whole
+  // foreign-key graph (7 edges), one verdict row per edge: child rows,
+  // rows whose FK has no parent, and the orphan rate in exact integer
+  // ppm. q45 proves the single-edge primitive inside a one-table DQ row;
+  // this is the catalog-wide sweep a platform runs after every backfill
+  // or partial restore, where the DELIVERABLE is the per-edge table.
+  // Each edge is one left join against the parent's unique key with the
+  // child aggregated in the same pass (count + null-parent sum), so no
+  // per-row output survives the stage. Parent sides go through
+  // bcastIfSmall: nation/region always broadcast; the SF-proportional
+  // parents (orders/part/supplier/customer) fall back to a shuffled
+  // join, which is the correct 100 TB shape (both sides hash on the key;
+  // a forced broadcast would OOM — the d09 hazard class). A NULL FK
+  // never matches, so it counts as an orphan in both engines — the
+  // strict-audit convention; add a NOT NULL pre-filter for the lax one.
+  private val q159 = QueryDef(
+    "q159_referential_orphans",
+    (s, dir) => {
+      def audit(child: org.apache.spark.sql.DataFrame, ck: String,
+                parentTable: String, pk: String, name: String) =
+        child.select(col(ck))
+          .join(bcastIfSmall(rd(s, dir, parentTable).select(col(pk)), dir, parentTable),
+            col(ck) === col(pk), "left")
+          .agg(count(lit(1)).as("child_rows"),
+            sum(when(col(pk).isNull, 1L).otherwise(0L)).as("orphan_rows"))
+          .select(lit(name).as("fk_edge"), col("child_rows"), col("orphan_rows"),
+            expr("orphan_rows * 1000000 DIV child_rows").as("orphan_ppm"))
+      val li = rd(s, dir, "lineitem")
+      Seq(
+        audit(li, "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        audit(li, "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        audit(li, "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        audit(rd(s, dir, "orders"), "o_custkey", "customer", "c_custkey",
+          "orders.o_custkey->customer"),
+        audit(rd(s, dir, "customer"), "c_nationkey", "nation", "n_nationkey",
+          "customer.c_nationkey->nation"),
+        audit(rd(s, dir, "supplier"), "s_nationkey", "nation", "n_nationkey",
+          "supplier.s_nationkey->nation"),
+        audit(rd(s, dir, "nation"), "n_regionkey", "region", "r_regionkey",
+          "nation.n_regionkey->region"))
+        .reduce(_.unionByName(_))
+        .orderBy(col("fk_edge"))
+    },
+    Some {
+      def edgeSql(childTable: String, ck: String, parentTable: String,
+                  pk: String, name: String) =
+        s"""SELECT '$name' AS fk_edge,
+          COUNT(*) AS child_rows,
+          CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+          CAST(SUM(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS BIGINT) AS orphan_ppm
+        FROM $childTable c LEFT JOIN $parentTable p ON c.$ck = p.$pk"""
+      Seq(
+        edgeSql("lineitem", "l_orderkey", "orders", "o_orderkey", "lineitem.l_orderkey->orders"),
+        edgeSql("lineitem", "l_partkey", "part", "p_partkey", "lineitem.l_partkey->part"),
+        edgeSql("lineitem", "l_suppkey", "supplier", "s_suppkey", "lineitem.l_suppkey->supplier"),
+        edgeSql("orders", "o_custkey", "customer", "c_custkey", "orders.o_custkey->customer"),
+        edgeSql("customer", "c_nationkey", "nation", "n_nationkey", "customer.c_nationkey->nation"),
+        edgeSql("supplier", "s_nationkey", "nation", "n_nationkey", "supplier.s_nationkey->nation"),
+        edgeSql("nation", "n_regionkey", "region", "r_regionkey", "nation.n_regionkey->region"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
+    })
+
+  val defs: Seq[QueryDef] =
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159)
 }

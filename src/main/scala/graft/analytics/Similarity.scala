@@ -1934,7 +1934,93 @@ object Similarity {
     FROM sil GROUP BY label ORDER BY label"""
     })
 
+  // ---------------------------------------------------------------- s26
+  // ANISOTROPY PROBE — exact second-moment diagnostics of the embedding
+  // space, per label and overall. Anisotropic (cone-shaped) embedding
+  // spaces break cosine-threshold dedup and retrieval calibration, so
+  // curation pipelines audit E[<u,v>] over RANDOM pairs before picking
+  // thresholds. The naive estimator is an N² pair join; this operator
+  // uses the exact algebraic identity
+  //     Σ_{u≠v} <u,v>  =  ||Σ v||² − Σ ||v||²
+  // so the whole audit is ONE corpus scan: a posexplode + (label, dim)
+  // hash aggregate (map-side combine caps the shuffle at labels × 64
+  // rows per partition) plus a per-label count/norm² aggregate — no pair
+  // set, no join, unchanged at 100 TB. All sums are integer-exact on the
+  // quantized vectors (per-dim sums bounded by N·1e7 — DECIMAL(19,0)
+  // holds to N = 1e12 rows; their squares and Σ||v||² are DECIMAL(38,0))
+  // and the only float ops are the two final single divisions, written
+  // identically in both engines. The global row reuses the per-label
+  // dim sums (Σ_all = Σ over labels of Σ_label — exact), so the second
+  // pass aggregates 10 × 64 rows, not the corpus.
+  //   avg_pair_dot  — mean <u,v> over unordered pairs, in original
+  //                   (unquantized) units: the 1e14 divisor is QuantScale².
+  //   anisotropy    — avg_pair_dot / mean ||v||²: ≈0 for a centered
+  //                   isotropic cloud, →1 as the space collapses to a ray.
+  private val s26 = QueryDef(
+    "s26_anisotropy_probe",
+    (s, dir) => {
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val base = withQuant(dir, s).select(col("label"), col("qv"), col("norm2"))
+      val stats = base.groupBy(col("label")).agg(
+        count(lit(1)).as("n"),
+        sum(col("norm2").cast(dec38)).as("sn2"))
+      val dims = base
+        .select(col("label"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("v")).as("dv"))
+      val ssdLbl = dims.groupBy(col("label"))
+        .agg(sum(col("dv").cast(dec19) * col("dv").cast(dec19)).as("ssd"))
+      val perLabel = stats.join(ssdLbl, Seq("label"))
+        .select(col("label").cast("string").as("scope"),
+          col("n"), col("sn2"), col("ssd"))
+      // global row: collapse the per-(label, dim) sums first (exact), so
+      // this branch aggregates ≤ labels × 64 rows — not a second scan
+      // (dims/stats are tiny aggregate outputs; Spark recomputes the scan
+      // once per branch but each is the same one-pass shape).
+      val gssd = dims.groupBy(col("pos")).agg(sum(col("dv")).as("dv"))
+        .agg(sum(col("dv").cast(dec19) * col("dv").cast(dec19)).as("ssd"))
+      val gstat = stats.agg(sum(col("n")).as("n"), sum(col("sn2")).as("sn2"))
+      val allRow = gstat.crossJoin(gssd)
+        .select(lit("all").as("scope"), col("n"), col("sn2"), col("ssd"))
+      perLabel.unionByName(allRow)
+        .select(col("scope"), col("n"),
+          round((col("ssd") - col("sn2")).cast("double") /
+            (col("n").cast("double") * (col("n") - 1).cast("double") * lit(1.0e14)), 6)
+            .as("avg_pair_dot"),
+          round((col("ssd") - col("sn2")).cast("double") /
+            ((col("n") - 1).cast("double") * col("sn2").cast("double")), 6)
+            .as("anisotropy"))
+        .orderBy(col("scope"))
+    },
+    Some(s"""WITH $quantCte,
+    base AS (SELECT label, qv, norm2 FROM qn),
+    stats AS (SELECT label, COUNT(*) AS n,
+                SUM(CAST(norm2 AS DECIMAL(38,0))) AS sn2
+              FROM base GROUP BY label),
+    dims AS (SELECT label, i AS pos, SUM(qv[i]) AS dv
+             FROM base CROSS JOIN generate_series(1, 64) AS g(i)
+             GROUP BY label, i),
+    ssd_lbl AS (SELECT label,
+                  SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS ssd
+                FROM dims GROUP BY label),
+    per_label AS (SELECT CAST(label AS VARCHAR) AS scope, n, sn2, ssd
+                  FROM stats JOIN ssd_lbl USING (label)),
+    gdims AS (SELECT pos, SUM(dv) AS dv FROM dims GROUP BY pos),
+    gssd AS (SELECT SUM(CAST(dv AS DECIMAL(19,0)) * CAST(dv AS DECIMAL(19,0))) AS ssd
+             FROM gdims),
+    gstat AS (SELECT SUM(n) AS n, SUM(sn2) AS sn2 FROM stats),
+    all_row AS (SELECT 'all' AS scope, CAST(n AS BIGINT) AS n, sn2, ssd
+                FROM gstat CROSS JOIN gssd)
+    SELECT scope, n,
+      round(CAST(ssd - sn2 AS DOUBLE) /
+        (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) * 1e14), 6) AS avg_pair_dot,
+      round(CAST(ssd - sn2 AS DOUBLE) /
+        (CAST(n - 1 AS DOUBLE) * CAST(sn2 AS DOUBLE)), 6) AS anisotropy
+    FROM (SELECT * FROM per_label UNION ALL SELECT * FROM all_row)
+    ORDER BY scope"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, d15)
 }

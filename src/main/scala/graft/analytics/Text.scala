@@ -2224,8 +2224,62 @@ object Text {
            WHEN SUM(hit) > 0 THEN 'partial' ELSE 'clean' END AS verdict
     FROM ev GROUP BY doc_id ORDER BY doc_id"""))
 
+  // ---------------------------------------------------------------- t41
+  // GOOD–TURING COUNT-OF-COUNTS — the frequency-of-frequencies table
+  // N_r (#word types observed exactly r times) and the Good–Turing
+  // re-estimated count r* = (r+1)·N_{r+1}/N_r for the low-frequency head
+  // r ≤ 10, which is where LM smoothing (Katz backoff, simple GT) and
+  // OOV-mass estimation (p₀ = N₁/total tokens) actually read the table.
+  // The audited head is the 10 SMALLEST OBSERVED frequencies (not a
+  // fixed r ≤ 10 cut, which goes empty on a corpus whose vocabulary is
+  // dense — this one's closed word list leaves no type below r ≈ 30 even
+  // at sf0.001, and real curated corpora shift the same way as they
+  // grow). Two map-side-combined hash aggregates (token → r, then
+  // r → N_r); the count-of-counts table is bounded by the number of
+  // DISTINCT frequencies (≤ hundreds), so the rank window and the exact
+  // r+1 lookup both run on that tiny table — the corpus is scanned once,
+  // and the plan is unchanged at 100 TB. r* is exact integer arithmetic
+  // up to one final double division; N_{r+1} = 0 (a gap in the frequency
+  // spectrum) yields SQL NULL, the standard "smoothing undefined here,
+  // interpolate" signal.
+  private val t41 = QueryDef(
+    "t41_good_turing",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("r"))
+      val cc = freq.groupBy(col("r")).agg(count(lit(1)).as("n_types"))
+      val nxt = cc.select((col("r") - 1).as("r"), col("n_types").as("nn"))
+      // global window over the count-of-counts table only — its row
+      // count is the number of distinct frequencies, never corpus-sized
+      cc.join(nxt, Seq("r"), "left")
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("r"))).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("rnk"), col("r"), col("n_types"),
+          coalesce(col("nn"), lit(0L)).as("n_next"),
+          when(coalesce(col("nn"), lit(0L)) > 0,
+            round(((col("r") + 1) * col("nn")).cast("double") /
+              col("n_types").cast("double"), 6)).as("r_star"))
+        .orderBy(col("rnk"))
+    },
+    Some("""WITH freq AS (
+      SELECT token, COUNT(*) AS r FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      GROUP BY token),
+    cc AS (SELECT r, COUNT(*) AS n_types FROM freq GROUP BY r)
+    SELECT rnk, r, n_types, n_next, r_star FROM (
+      SELECT c.r, c.n_types,
+        ROW_NUMBER() OVER (ORDER BY c.r) AS rnk,
+        COALESCE(n.n_types, 0) AS n_next,
+        CASE WHEN COALESCE(n.n_types, 0) > 0 THEN
+          round(CAST((c.r + 1) * n.n_types AS DOUBLE) / CAST(c.n_types AS DOUBLE), 6)
+        END AS r_star
+      FROM cc c LEFT JOIN cc n ON n.r = c.r + 1)
+    WHERE rnk <= 10 ORDER BY rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
 }

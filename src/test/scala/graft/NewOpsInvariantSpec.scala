@@ -905,4 +905,77 @@ class NewOpsInvariantSpec extends SparkSuite {
         r.getLong(4), r.getLong(5)))
     out.toSeq shouldBe Seq((1, 2L, 6L, 1L, 1L, 1000000L))
   }
+
+  test("s26 matches the closed-form anisotropy of colinear and cancelling clouds") {
+    val tmp = java.nio.file.Files.createTempDirectory("s26inv").toString
+    // label 0: four copies of 0.5·e₀ — every pair dot = 0.25, so
+    // avg_pair_dot = 0.25 and anisotropy = 1 (a pure ray).
+    // label 1: ±0.5·e₀, ±0.5·e₁ — Σv = 0, so Σ_{u≠v}<u,v> = −Σ||v||²
+    // and avg_pair_dot = −0.25·4/12 = −1/12, anisotropy = −1/3.
+    // all (8 vecs): Σv = 2·e₀ → ||Σ||² = 4, Σ||v||² = 2, num = 2,
+    // pairs = 56 → avg_pair_dot = 1/28, anisotropy = 2/(7·2) = 1/7.
+    def axis(a: Int, v: Float) = Array.tabulate(64)(i => if (i == a) v else 0.0f)
+    (Seq.fill(4)(axis(0, 0.5f)).zipWithIndex.map { case (e, i) => (i.toLong, e, 0) } ++
+      Seq((4L, axis(0, 0.5f), 1), (5L, axis(0, -0.5f), 1),
+        (6L, axis(1, 0.5f), 1), (7L, axis(1, -0.5f), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s26_anisotropy_probe")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    // ±0.5 quantizes exactly (floor(±5000000.0)), so every expected
+    // value below is closed-form, no quantization residue
+    out.toSeq shouldBe Seq(
+      ("0", 4L, 0.25, 1.0),
+      ("1", 4L, -0.083333, -0.333333),
+      ("all", 8L, 0.035714, 0.142857))
+  }
+
+  test("t41 reads a planted frequency spectrum: N_r table, gaps, and r*") {
+    val tmp = java.nio.file.Files.createTempDirectory("t41inv").toString
+    // types: x→1, y→2, z→4 ⇒ N₁=1, N₂=1, N₄=1. Ranked head:
+    // r=1: N₂=1 → r* = 2·1/1 = 2.0; r=2: N₃=0 → NULL; r=4: N₅=0 → NULL.
+    Seq((1L, "x", "en", "s0", 1L), (2L, "y y", "en", "s0", 3L),
+      (3L, "z z z z", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t41_good_turing")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+    out.toSeq shouldBe Seq(
+      (1L, 1L, 1L, 1L, Some(2.0)),
+      (2L, 2L, 1L, 0L, None),
+      (3L, 4L, 1L, 0L, None))
+  }
+
+  test("q159 attributes each planted orphan (incl. a NULL FK) to its edge") {
+    val tmp = java.nio.file.Files.createTempDirectory("q159inv").toString
+    // FK graph with one planted break per child edge; NULL l_partkey
+    // counts as an orphan (the strict-audit convention the scaladoc pins)
+    Seq((1L, Option(100L), 7L), (2L, Option(100L), 7L),
+      (3L, Option(200L), 7L), (1L, None, 9L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, 10L), (2L, 99L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((10L, 0)).toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((7L, 100)).toDF("s_suppkey", "s_nationkey")
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    Seq((0, 0)).toDF("n_nationkey", "n_regionkey")
+      .write.mode("overwrite").parquet(s"$tmp/nation.parquet")
+    Seq(Tuple1(0)).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$tmp/region.parquet")
+    Seq(Tuple1(100L), Tuple1(200L)).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val out = Registry.queries("q159_referential_orphans")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("customer.c_nationkey->nation", 1L, 0L, 0L),
+      ("lineitem.l_orderkey->orders", 4L, 1L, 250000L),
+      ("lineitem.l_partkey->part", 4L, 1L, 250000L),
+      ("lineitem.l_suppkey->supplier", 4L, 1L, 250000L),
+      ("nation.n_regionkey->region", 1L, 0L, 0L),
+      ("orders.o_custkey->customer", 2L, 1L, 500000L),
+      ("supplier.s_nationkey->nation", 1L, 1L, 1000000L))
+  }
 }
