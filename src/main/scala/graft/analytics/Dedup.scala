@@ -2294,8 +2294,69 @@ object Dedup {
     GROUP BY 1, 2 ORDER BY 1, 2"""
     })
 
+  // ---------------------------------------------------------------- d38
+  // CLUSTER-COHERENCE AUDIT — quality control over the d07 duplicate
+  // clusters themselves. Transitive closure over near-dup edges can
+  // CHAIN: a…b…c where a–c are not near-dups still merge, and at dedup
+  // time that silently deletes non-duplicates. The standard audit is
+  // edge completeness per cluster: observed candidate edges vs the
+  // n·(n−1)/2 a clique would have. Low completeness on a big cluster ⇒
+  // chained merge ⇒ review before deleting. Composes the REGISTERED
+  // building blocks verbatim (simhashPairs + ConnectedComponents — the
+  // d35 discipline: auditing a reformulation would audit nothing), so
+  // the cost is d07's plus one hash-join of the edge list against the
+  // label table and two tiny aggregates; the per-cluster math is exact
+  // integer ppm. Same 100 TB shape as d07 — the audit adds no new
+  // scale hazard class.
+  private val d38 = QueryDef(
+    "d38_cluster_coherence",
+    (s, dir) => {
+      val cachedPairs = simhashPairs(s, dir)
+      Tables.withShuffle(s, 8) {
+        val labels = graft.operators.ConnectedComponents.label(cachedPairs)
+        val edges = cachedPairs
+          .join(labels.select(col("node").as("id1"), col("comp")), Seq("id1"))
+          .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
+        val members = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
+        val out = members.join(edges, Seq("comp"))
+          .select(col("comp").as("cluster_rep"), col("n_members"), col("n_edges"),
+            expr("(n_edges * 2000000) DIV (n_members * (n_members - 1))")
+              .as("completeness_ppm"))
+          .withColumn("verdict",
+            when(col("n_members") === 2, "pair")
+              .when(col("completeness_ppm") < 600000L, "chained")
+              .otherwise("cohesive"))
+          .orderBy(col("cluster_rep"))
+          .localCheckpoint()
+        cachedPairs.unpersist()
+        out
+      }
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+             FROM r GROUP BY node),
+    mem AS (SELECT cluster_rep, COUNT(*) AS n_members FROM comp GROUP BY cluster_rep),
+    ed AS (SELECT c.cluster_rep, COUNT(*) AS n_edges
+           FROM p JOIN comp c ON p.id1 = c.node GROUP BY c.cluster_rep)
+    SELECT m.cluster_rep, m.n_members, d.n_edges,
+      CAST((d.n_edges * 2000000) // (m.n_members * (m.n_members - 1)) AS BIGINT)
+        AS completeness_ppm,
+      CASE WHEN m.n_members = 2 THEN 'pair'
+           WHEN (d.n_edges * 2000000) // (m.n_members * (m.n_members - 1)) < 600000
+             THEN 'chained'
+           ELSE 'cohesive' END AS verdict
+    FROM mem m JOIN ed d USING (cluster_rep) ORDER BY cluster_rep"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37)
+      d33, d34, d35, d36, d37, d38)
 }

@@ -472,6 +472,55 @@ object Governance {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY fk_edge")
     })
 
+  // --------------------------------------------------------------- q160
+  // CANDIDATE-KEY DISCOVERY — uniqueness profiling over a declared
+  // candidate list (the ANALYZE-side of schema governance: which column
+  // sets can serve as primary/merge keys, and how badly the rest
+  // duplicate). Each candidate is one exact DISTINCT count — a two-phase
+  // hash aggregate whose partial phase dedups map-side, so the shuffle
+  // carries at most one row per distinct tuple per partition. The
+  // candidate LIST is bounded configuration, not data: 5 passes here,
+  // and at 100 TB you would prescreen with HLL sketches (q18's operator)
+  // and exact-verify only near-unique survivors — this is that exact
+  // verifier. DISTINCT (not COUNT(DISTINCT col…)) so NULL-bearing tuples
+  // group as equal in both engines.
+  private val q160 = QueryDef(
+    "q160_candidate_keys",
+    (s, dir) => {
+      val base = rd(s, dir, "orders")
+      def cand(cols: Seq[String]) =
+        base.agg(count(lit(1)).as("n_rows"))
+          .crossJoin(base.select(cols.map(col): _*).distinct()
+            .agg(count(lit(1)).as("n_distinct")))
+          .select(lit(cols.mkString(",")).as("candidate"),
+            col("n_rows"), col("n_distinct"),
+            (col("n_rows") === col("n_distinct")).as("is_key"),
+            expr("((n_rows - n_distinct) * 1000000) DIV n_rows").as("dup_ppm"))
+      Seq(
+        cand(Seq("o_orderkey")),
+        cand(Seq("o_custkey")),
+        cand(Seq("o_orderdate")),
+        cand(Seq("o_custkey", "o_orderdate")),
+        cand(Seq("o_orderstatus", "o_orderpriority")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("candidate"))
+    },
+    Some {
+      def candSql(cols: Seq[String]) =
+        s"""SELECT '${cols.mkString(",")}' AS candidate,
+          (SELECT COUNT(*) FROM orders) AS n_rows,
+          (SELECT COUNT(*) FROM (SELECT DISTINCT ${cols.mkString(", ")} FROM orders))
+            AS n_distinct"""
+      Seq(
+        Seq("o_orderkey"), Seq("o_custkey"), Seq("o_orderdate"),
+        Seq("o_custkey", "o_orderdate"), Seq("o_orderstatus", "o_orderpriority"))
+        .map(candSql)
+        .mkString(
+          "SELECT candidate, n_rows, n_distinct, n_rows = n_distinct AS is_key,\n" +
+            "  CAST(((n_rows - n_distinct) * 1000000) // n_rows AS BIGINT) AS dup_ppm\n" +
+            "FROM (\n", "\nUNION ALL\n", "\n) ORDER BY candidate")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q141, q143, q146, q153, q159)
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160)
 }

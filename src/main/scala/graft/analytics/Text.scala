@@ -2278,8 +2278,76 @@ object Text {
       FROM cc c LEFT JOIN cc n ON n.r = c.r + 1)
     WHERE rnk <= 10 ORDER BY rnk"""))
 
+  // ---------------------------------------------------------------- t42
+  // SYMSPELL TYPO CORRECTION — spell-normalization by deletion-
+  // neighborhood lookup (SymSpell): a word pair is an edit-distance-1
+  // candidate iff the two words share a key in {word} ∪ its 1-deletion
+  // variants, so the all-pairs O(V²·len) comparison becomes one
+  // equi-join on that key space (Σ len(w) keys per side — VOCABULARY-
+  // bounded, never corpus-bounded) with exact `levenshtein` verification
+  // only on candidates, then a per-typo rank (distance, dict frequency
+  // desc). The typo channel is deterministic — docs with doc_id ≡ 0
+  // (mod 97) re-emit their ≥4-char tokens with the 2nd char dropped —
+  // the m16/q154 planted-fault discipline, since this corpus's closed
+  // vocabulary contains no natural distance-1 pairs. At 100 TB the only
+  // corpus-sized work is the two token-count aggregates; the variant
+  // join and the rank window both run on type tables.
+  private val t42 = QueryDef(
+    "t42_symspell_correct",
+    (s, dir) => {
+      def delKeys(c: String) =
+        s"""array_union(array($c), transform(sequence(1, length($c)),
+            i -> concat(substring($c, 1, i - 1), substring($c, i + 1, length($c)))))"""
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      val dict = toks.groupBy(col("token")).agg(count(lit(1)).as("dict_freq"))
+      val qs = toks
+        .filter(col("doc_id") % 97 === 0 && length(col("token")) >= 4)
+        .select(expr("concat(substring(token, 1, 1), substring(token, 3, length(token)))").as("q"))
+        .groupBy(col("q")).agg(count(lit(1)).as("n_occ"))
+      val qk = qs.select(col("q"), col("n_occ"), explode(expr(delKeys("q"))).as("key"))
+      val dk = dict.select(col("token"), col("dict_freq"),
+        explode(expr(delKeys("token"))).as("key"))
+      qk.join(dk, Seq("key"))
+        .filter(expr("levenshtein(q, token)") <= 1)
+        .select(col("q"), col("n_occ"), col("token"), col("dict_freq"),
+          expr("CAST(levenshtein(q, token) AS BIGINT)").as("distance"))
+        .distinct()
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q"))
+            .orderBy(col("distance"), col("dict_freq").desc, col("token"))))
+        .filter(col("rnk") === 1)
+        .select(col("q").as("typo"), col("n_occ"),
+          col("token").as("suggestion"), col("distance"), col("dict_freq"))
+        .orderBy(col("typo"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    dict AS (SELECT token, COUNT(*) AS dict_freq FROM toks GROUP BY token),
+    qs AS (SELECT substr(token, 1, 1) || substr(token, 3, length(token)) AS q,
+             COUNT(*) AS n_occ
+           FROM toks WHERE doc_id % 97 = 0 AND length(token) >= 4 GROUP BY 1),
+    qk AS (SELECT q, n_occ, unnest(list_distinct(list_prepend(q,
+             list_transform(range(1, length(q) + 1),
+               i -> substr(q, 1, i - 1) || substr(q, i + 1, length(q)))))) AS key
+           FROM qs),
+    dk AS (SELECT token, dict_freq, unnest(list_distinct(list_prepend(token,
+             list_transform(range(1, length(token) + 1),
+               i -> substr(token, 1, i - 1) || substr(token, i + 1, length(token)))))) AS key
+           FROM dict),
+    cands AS (SELECT DISTINCT q, n_occ, token, dict_freq,
+                CAST(levenshtein(q, token) AS BIGINT) AS distance
+              FROM qk JOIN dk USING (key)
+              WHERE levenshtein(q, token) <= 1),
+    best AS (SELECT q, n_occ, token, dict_freq, distance,
+               ROW_NUMBER() OVER (PARTITION BY q
+                 ORDER BY distance, dict_freq DESC, token) AS rnk
+             FROM cands)
+    SELECT q AS typo, n_occ, token AS suggestion, distance, dict_freq
+    FROM best WHERE rnk = 1 ORDER BY typo"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
 }

@@ -978,4 +978,64 @@ class NewOpsInvariantSpec extends SparkSuite {
       ("orders.o_custkey->customer", 2L, 1L, 500000L),
       ("supplier.s_nationkey->nation", 1L, 1L, 1000000L))
   }
+
+  test("d38 coherence reconciles with the registered d05 edges and d07 clusters") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.queries("d38_cluster_coherence")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // the audit must describe exactly the registered detector/cluster pair
+    rows.map(_._3).sum shouldBe Registry.queries("d05_simhash_pairs")(spark, dir).count()
+    val d07 = Registry.queries("d07_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    rows.map(r => (r._1, r._2)).toMap shouldBe d07
+    rows.foreach { case (rep, n, e, ppm, verdict) =>
+      withClue(s"cluster $rep: ") {
+        // spanning-connected and at most a clique
+        assert(n >= 2L && e >= n - 1 && e <= n * (n - 1) / 2)
+        ppm shouldBe e * 2000000L / (n * (n - 1))
+        verdict shouldBe (if (n == 2) "pair"
+                          else if (ppm < 600000L) "chained" else "cohesive")
+        if (n == 2) { e shouldBe 1L; ppm shouldBe 1000000L }
+      }
+    }
+  }
+
+  test("t42 corrects planted typos to the highest-frequency distance-1 word") {
+    val tmp = java.nio.file.Files.createTempDirectory("t42inv").toString
+    // doc 97 is the typo channel: its ≥4-char tokens re-emit with the
+    // 2nd char dropped → queries 'tble' and 'cble'. 'tble' has TWO
+    // distance-1 dictionary neighbors (table freq 4, tible freq 5) —
+    // pins the (distance, dict_freq DESC) tie-break; 'cble' has one.
+    Seq((1L, "table table table", "en", "s0", 17L),
+      (2L, "tible tible tible tible tible", "en", "s0", 29L),
+      (97L, "table cable", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t42_symspell_correct")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      ("cble", 1L, "cable", 1L, 1L),
+      ("tble", 1L, "tible", 1L, 5L))
+  }
+
+  test("q160 profiles a hand-built orders table: unique key, dup ratios") {
+    val tmp = java.nio.file.Files.createTempDirectory("q160inv").toString
+    val d1 = ts(86400); val d2 = ts(2 * 86400)
+    Seq((1L, 1L, "O", 10.0, d1, "1-URGENT"), (2L, 1L, "O", 20.0, d1, "1-URGENT"),
+      (3L, 2L, "F", 30.0, d1, "1-URGENT"), (4L, 2L, "F", 40.0, d2, "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Registry.queries("q160_candidate_keys")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      ("o_custkey", 4L, 2L, false, 500000L),
+      ("o_custkey,o_orderdate", 4L, 3L, false, 250000L),
+      ("o_orderdate", 4L, 2L, false, 500000L),
+      ("o_orderkey", 4L, 4L, true, 0L),
+      ("o_orderstatus,o_orderpriority", 4L, 2L, false, 500000L))
+  }
 }
