@@ -51,7 +51,24 @@ object Explain {
         "d27_substring_dedup_apply", "m14_aspect_bucket_pack",
         "t33_pmi_collocations", "q132_mad_outliers", "q133_psi_drift", "q134_path_mining", "d28_containment_dedup", "q136_cuped",
         "q137_k_anonymity", "q138_deletion_sweep", "q139_pii_scan",
-        "q140_autocorrelation", "q141_benford_audit", "t34_term_burstiness", "q142_weighted_median")
+        "q140_autocorrelation", "q141_benford_audit", "t34_term_burstiness", "q142_weighted_median",
+        // r15/r16 batch additions (streaming queries and driver-iterating
+        // builders — s21 power iterations, t26 BPE rounds — stay out, the
+        // t26 precedent)
+        "q143_retention_audit", "q144_mixture_sample", "q145_bitemporal_asof",
+        "q146_schema_drift", "q147_compaction_planner", "q148_corpus_datasheet",
+        "q149_ks_drift", "q152_weighted_reservoir", "q153_l_diversity",
+        "q155_incremental_join_view", "q156_score_calibration", "q158_srm_audit",
+        "q159_referential_orphans", "q160_candidate_keys", "q161_join_estimate",
+        "t35_ccnet_ppl_buckets", "t36_dsir_importance", "t37_gopher_rules",
+        "t38_novelty_scores", "t39_tokenizer_fertility", "t40_burned_benchmark",
+        "t41_good_turing", "t42_symspell_correct",
+        "d30_semantic_dedup", "d31_bloom_dedup_gate", "d32_leakage_safe_split",
+        "d33_soft_dedup_weights", "d34_semantic_decontam", "d35_detector_agreement",
+        "d36_threshold_sweep", "d37_translation_pairs", "d38_cluster_coherence",
+        "s20_knn_graph", "s22_prototype_prune", "s23_recall_probe_sweep",
+        "s24_filtered_ann", "s25_simplified_silhouette", "s26_anisotropy_probe",
+        "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2307,9 +2307,143 @@ object Advanced {
       (n_a - n_b) * (n_a - n_b) * 100 > 384 * (n_a + n_b) AS srm
     FROM g ORDER BY experiment"""))
 
+  // --------------------------------------------------------------- q161
+  // JOIN-CARDINALITY ESTIMATOR AUDIT — the CBO-statistics operator: for
+  // each join edge, build an end-biased histogram per side (exact heavy
+  // hitters at the 1/500-frequency threshold + a uniform residual
+  // summary) and compare the System-R-style estimate against the exact
+  // join cardinality Σ_k cA(k)·cB(k), computed from the same per-key
+  // count tables WITHOUT materializing the join. The estimate is
+  //   Σ_{hitter∩hitter} cA·cB                        (exact skew mass)
+  //   + (ΣcA_unmatched-hitters · rowsB_res) DIV ndvB_res   (containment)
+  //   + symmetric                                        + residual²:
+  //   + (rowsA_res · rowsB_res) DIV max(ndvA_res, ndvB_res)
+  // — all BIGINT, single floor-division per term, so both engines agree
+  // bitwise. The threshold hitter set (a pure filter on the count
+  // table) replaces a top-k rank window on purpose: it needs no global
+  // order, so the plan holds at any key cardinality. Scale: per side
+  // one map-side-combined count aggregate; everything after runs on
+  // key-cardinality tables (the hitter frames are ≤ 500 rows by
+  // construction). The four audited edges span the regimes that break
+  // naive estimators: FK–PK fan-out, near-uniform FK, a mildly skewed
+  // self-join, and a 5-value heavy-skew self-join where the hitter term
+  // carries everything and the uniform assumption alone would be off
+  // by orders of magnitude.
+  private def estEdge(a: org.apache.spark.sql.DataFrame, ka: String,
+                      b: org.apache.spark.sql.DataFrame, kb: String,
+                      name: String): org.apache.spark.sql.DataFrame = {
+    def counts(df: org.apache.spark.sql.DataFrame, k: String, cn: String) =
+      df.select(col(k).as("k")).filter(col("k").isNotNull)
+        .groupBy(col("k")).agg(count(lit(1)).as(cn))
+    val ca = counts(a, ka, "ca")
+    val cb = counts(b, kb, "cb")
+    val ta = ca.crossJoin(ca.agg(sum(col("ca")).as("rows_a")))
+      .withColumn("hit", col("ca") * 500 >= col("rows_a"))
+    val tb = cb.crossJoin(cb.agg(sum(col("cb")).as("rows_b")))
+      .withColumn("hit", col("cb") * 500 >= col("rows_b"))
+    val exact = ca.join(cb, Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
+    val hh = ta.filter(col("hit")).select(col("k"), col("ca"))
+      .join(tb.filter(col("hit")).select(col("k"), col("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("t_hh"))
+    val resA = ta.filter(!col("hit")).agg(
+      coalesce(sum(col("ca")), lit(0L)).as("rows_a_res"),
+      count(lit(1)).as("ndv_a_res"))
+    val resB = tb.filter(!col("hit")).agg(
+      coalesce(sum(col("cb")), lit(0L)).as("rows_b_res"),
+      count(lit(1)).as("ndv_b_res"))
+    val haum = ta.filter(col("hit"))
+      .join(tb.filter(col("hit")).select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("ca")), lit(0L)).as("ca_hit_um"))
+    val hbum = tb.filter(col("hit"))
+      .join(ta.filter(col("hit")).select(col("k")), Seq("k"), "left_anti")
+      .agg(coalesce(sum(col("cb")), lit(0L)).as("cb_hit_um"))
+    exact.crossJoin(hh).crossJoin(resA).crossJoin(resB)
+      .crossJoin(haum).crossJoin(hbum)
+      .select(lit(name).as("edge"), col("exact_rows"),
+        expr("""t_hh
+          + CASE WHEN ndv_b_res > 0 THEN (ca_hit_um * rows_b_res) DIV ndv_b_res ELSE 0 END
+          + CASE WHEN ndv_a_res > 0 THEN (cb_hit_um * rows_a_res) DIV ndv_a_res ELSE 0 END
+          + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
+                 THEN (rows_a_res * rows_b_res) DIV greatest(ndv_a_res, ndv_b_res)
+                 ELSE 0 END""").as("est_rows"))
+      .withColumn("err_ppm", expr(
+        "CASE WHEN exact_rows > 0 THEN abs(est_rows - exact_rows) * 1000000 DIV exact_rows END"))
+  }
+
+  private def estEdgeSql(ta: String, ka: String, tb: String, kb: String,
+                         name: String, sfx: String): (String, String) = {
+    val cte = s"""ca_$sfx AS (SELECT $ka AS k, COUNT(*) AS ca FROM $ta
+             WHERE $ka IS NOT NULL GROUP BY 1),
+    cb_$sfx AS (SELECT $kb AS k, COUNT(*) AS cb FROM $tb
+             WHERE $kb IS NOT NULL GROUP BY 1),
+    ta_$sfx AS (SELECT k, ca, ca * 500 >= (SELECT SUM(ca) FROM ca_$sfx) AS hit FROM ca_$sfx),
+    tb_$sfx AS (SELECT k, cb, cb * 500 >= (SELECT SUM(cb) FROM cb_$sfx) AS hit FROM cb_$sfx),
+    ex_$sfx AS (SELECT COALESCE(SUM(ca * cb), 0) AS exact_rows
+             FROM ca_$sfx JOIN cb_$sfx USING (k)),
+    hh_$sfx AS (SELECT COALESCE(SUM(a.ca * b.cb), 0) AS t_hh
+             FROM ta_$sfx a JOIN tb_$sfx b USING (k) WHERE a.hit AND b.hit),
+    ra_$sfx AS (SELECT COALESCE(SUM(ca), 0) AS rows_a_res, COUNT(*) AS ndv_a_res
+             FROM ta_$sfx WHERE NOT hit),
+    rb_$sfx AS (SELECT COALESCE(SUM(cb), 0) AS rows_b_res, COUNT(*) AS ndv_b_res
+             FROM tb_$sfx WHERE NOT hit),
+    ha_$sfx AS (SELECT COALESCE(SUM(a.ca), 0) AS ca_hit_um FROM ta_$sfx a
+             WHERE a.hit AND NOT EXISTS (
+               SELECT 1 FROM tb_$sfx b WHERE b.k = a.k AND b.hit)),
+    hb_$sfx AS (SELECT COALESCE(SUM(b.cb), 0) AS cb_hit_um FROM tb_$sfx b
+             WHERE b.hit AND NOT EXISTS (
+               SELECT 1 FROM ta_$sfx a WHERE a.k = b.k AND a.hit))"""
+    val sel = s"""SELECT '$name' AS edge,
+      CAST(exact_rows AS BIGINT) AS exact_rows,
+      CAST(t_hh
+        + CASE WHEN ndv_b_res > 0 THEN (ca_hit_um * rows_b_res) // ndv_b_res ELSE 0 END
+        + CASE WHEN ndv_a_res > 0 THEN (cb_hit_um * rows_a_res) // ndv_a_res ELSE 0 END
+        + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
+               THEN (rows_a_res * rows_b_res) // greatest(ndv_a_res, ndv_b_res)
+               ELSE 0 END AS BIGINT) AS est_rows,
+      CAST(CASE WHEN exact_rows > 0 THEN abs(t_hh
+        + CASE WHEN ndv_b_res > 0 THEN (ca_hit_um * rows_b_res) // ndv_b_res ELSE 0 END
+        + CASE WHEN ndv_a_res > 0 THEN (cb_hit_um * rows_a_res) // ndv_a_res ELSE 0 END
+        + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
+               THEN (rows_a_res * rows_b_res) // greatest(ndv_a_res, ndv_b_res)
+               ELSE 0 END - exact_rows) * 1000000 // exact_rows END AS BIGINT) AS err_ppm
+    FROM ex_$sfx CROSS JOIN hh_$sfx CROSS JOIN ra_$sfx CROSS JOIN rb_$sfx
+      CROSS JOIN ha_$sfx CROSS JOIN hb_$sfx"""
+    (cte, sel)
+  }
+
+  private val q161 = QueryDef(
+    "q161_join_estimate",
+    (s, dir) => {
+      val ev = events(s, dir)
+      Seq(
+        estEdge(rd(s, dir, "lineitem"), "l_orderkey", rd(s, dir, "orders"),
+          "o_orderkey", "e1_lineitem_orders_orderkey"),
+        estEdge(rd(s, dir, "orders"), "o_custkey", rd(s, dir, "customer"),
+          "c_custkey", "e2_orders_customer_custkey"),
+        estEdge(ev, "user_id", ev, "user_id", "e3_events_self_user_id"),
+        estEdge(ev, "event_type", ev, "event_type", "e4_events_self_event_type"))
+        .reduce(_.unionByName(_))
+        .orderBy(col("edge"))
+    },
+    Some {
+      val edges = Seq(
+        estEdgeSql("lineitem", "l_orderkey", "orders", "o_orderkey",
+          "e1_lineitem_orders_orderkey", "e1"),
+        estEdgeSql("orders", "o_custkey", "customer", "c_custkey",
+          "e2_orders_customer_custkey", "e2"),
+        estEdgeSql("events", "user_id", "events", "user_id",
+          "e3_events_self_user_id", "e3"),
+        estEdgeSql("events", "event_type", "events", "event_type",
+          "e4_events_self_event_type", "e4"))
+      edges.map(_._1).mkString("WITH ", ",\n    ", "\n") +
+        edges.map(_._2).mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY edge")
+    })
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142, q149, q158)
+      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161)
 }

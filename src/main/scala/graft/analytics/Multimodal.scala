@@ -926,7 +926,59 @@ object Multimodal {
       CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
     FROM v GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ---------------------------------------------------------------- m17
+  // VISION-TOKEN BUDGET — the "what will this corpus cost the vision
+  // encoder" audit a multimodal training plan starts from: per image,
+  // the ViT patch-token count at native resolution for two patch sizes
+  // (tokens_p = ⌈w/p⌉·⌈h/p⌉, p ∈ {14, 16} — the ViT-L/ViT-B grid), then
+  // per aspect bucket the total/max token mass and how native-resolution
+  // tiling prices against the fixed resize-to-448 path (448/14 = 32² =
+  // 1024 tokens/image, the classic fixed-budget encoder). Geometry is
+  // m14's derivation verbatim (same hash, same bucket key), so this
+  // audit describes exactly the shapes m14 packs. Everything is pure
+  // per-row integer expressions (⌈a/b⌉ as (a + b − 1) DIV b) + one
+  // map-side-combined aggregate — one scan, no join, unchanged at
+  // 100 TB.
+  private val m17 = QueryDef(
+    "m17_vision_token_budget",
+    (s, dir) => {
+      val geo = docs(s, dir)
+        .filter(length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          (lit(64L) + expr(strHashExpr("substring(text, 1, 8)")) % lit(449L)).as("w"),
+          (lit(64L) + expr(strHashExpr("substring(text, 9, 8)")) % lit(449L)).as("h"))
+        .select(col("media_id"), col("w"), col("h"),
+          (col("w") * col("h")).as("px"),
+          expr("w * 4 DIV h").as("bucket"),
+          expr("((w + 13) DIV 14) * ((h + 13) DIV 14)").as("tok14"),
+          expr("((w + 15) DIV 16) * ((h + 15) DIV 16)").as("tok16"))
+      geo.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("px")).as("total_px"),
+          sum(col("tok14")).as("tokens_p14"),
+          sum(col("tok16")).as("tokens_p16"),
+          max(col("tok14")).as("max_tokens_p14"),
+          expr("(sum(tok14) * 1000000) DIV (count(1) * 1024)").as("native_vs_fixed_ppm"))
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH geo AS (
+      SELECT doc_id AS media_id,
+        64 + ${strHashSql("substr(text, 1, 8)")} % 449 AS w,
+        64 + ${strHashSql("substr(text, 9, 8)")} % 449 AS h
+      FROM documents WHERE length(text) >= 16),
+    b AS (SELECT media_id, w, h, w * h AS px, w * 4 // h AS bucket,
+            ((w + 13) // 14) * ((h + 13) // 14) AS tok14,
+            ((w + 15) // 16) * ((h + 15) // 16) AS tok16
+          FROM geo)
+    SELECT bucket, COUNT(*) AS n_images,
+      CAST(SUM(px) AS BIGINT) AS total_px,
+      CAST(SUM(tok14) AS BIGINT) AS tokens_p14,
+      CAST(SUM(tok16) AS BIGINT) AS tokens_p16,
+      CAST(MAX(tok14) AS BIGINT) AS max_tokens_p14,
+      CAST((SUM(tok14) * 1000000) // (COUNT(*) * 1024) AS BIGINT) AS native_vs_fixed_ppm
+    FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16)
+      m15, m16, m17)
 }

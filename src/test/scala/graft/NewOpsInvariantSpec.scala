@@ -1038,4 +1038,75 @@ class NewOpsInvariantSpec extends SparkSuite {
       ("o_orderkey", 4L, 4L, true, 0L),
       ("o_orderstatus,o_orderpriority", 4L, 2L, false, 500000L))
   }
+
+  test("q161 estimates hand-built edges exactly when every key is a hitter") {
+    val tmp = java.nio.file.Files.createTempDirectory("q161inv").toString
+    // at 9 rows the 1/500 threshold makes every key a heavy hitter, so
+    // the estimate must equal Σ cA·cB exactly — including a planted
+    // A-side hitter (orderkey 9, custkey 20) with NO parent: its
+    // containment term multiplies into an empty residual (ndv = 0) and
+    // must contribute 0, exactly as it does to the true cardinality
+    Seq(1L, 1L, 1L, 2L, 9L).map(k => (k, 100L, 7L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, 10L), (2L, 10L), (3L, 20L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq(Tuple1(10L)).toDF("c_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    Seq((1L, ts(0), 1L, "a", 1.0, ""), (2L, ts(60), 1L, "a", 1.0, ""),
+      (3L, ts(120), 2L, "a", 1.0, ""), (4L, ts(180), 3L, "b", 1.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q161_join_estimate")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("e1_lineitem_orders_orderkey", 4L, 4L, 0L),
+      ("e2_orders_customer_custkey", 2L, 2L, 0L),
+      ("e3_events_self_user_id", 6L, 6L, 0L),
+      ("e4_events_self_event_type", 10L, 10L, 0L))
+  }
+
+  test("q161 exact cardinalities reconcile with directly materialized joins") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Registry.queries("q161_join_estimate")(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    import graft.analytics.Tables
+    val li = Tables.rd(spark, dir, "lineitem")
+    val o = Tables.rd(spark, dir, "orders")
+    rows("e1_lineitem_orders_orderkey")._1 shouldBe
+      li.join(o, li("l_orderkey") === o("o_orderkey")).count()
+    val ev = Tables.events(spark, dir)
+    val sumSq = ev.groupBy("event_type").count()
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("count") *
+          org.apache.spark.sql.functions.col("count"))).head.getLong(0)
+    rows("e4_events_self_event_type")._1 shouldBe sumSq
+    rows.values.foreach { case (exact, est, err) =>
+      exact should be > 0L
+      est should be > 0L
+      err shouldBe math.abs(est - exact) * 1000000L / exact
+    }
+  }
+
+  test("m17 token budget reconciles with m14's geometry and the grid bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val m14 = Registry.queries("m14_aspect_bucket_pack")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    m17.map(_._1).toSet shouldBe m14.keySet
+    m17.foreach { case (bucket, n, px, t14, t16, max14, ratio) =>
+      withClue(s"bucket $bucket: ") {
+        // same population and pixel mass as the packer's view
+        (n, px) shouldBe m14(bucket)
+        // dims are 64..512 → per-image grid between ⌈64/14⌉² and ⌈512/14⌉²
+        t14 should be >= n * 25L
+        max14 should be <= 1369L
+        // a 16-px patch never needs more tokens than a 14-px patch
+        t16 should be <= t14
+        ratio shouldBe t14 * 1000000L / (n * 1024L)
+      }
+    }
+  }
 }
