@@ -62,7 +62,8 @@ object Explain {
         "q159_referential_orphans", "q160_candidate_keys", "q161_join_estimate",
         "t35_ccnet_ppl_buckets", "t36_dsir_importance", "t37_gopher_rules",
         "t38_novelty_scores", "t39_tokenizer_fertility", "t40_burned_benchmark",
-        "t41_good_turing", "t42_symspell_correct",
+        "t41_good_turing", "t42_symspell_correct", "t43_kneser_ney",
+        "q162_rfm_segments",
         "d30_semantic_dedup", "d31_bloom_dedup_gate", "d32_leakage_safe_split",
         "d33_soft_dedup_weights", "d34_semantic_decontam", "d35_detector_agreement",
         "d36_threshold_sweep", "d37_translation_pairs", "d38_cluster_coherence",

@@ -2451,9 +2451,68 @@ object Advanced {
           "\n) ORDER BY edge")
     })
 
+  // --------------------------------------------------------------- q162
+  // RFM SEGMENTATION — the classic customer-value operator: per user,
+  // Recency (last event time), Frequency (event count), Monetary (exact
+  // DECIMAL value sum), each scored 1–5 against its own exact quintile
+  // boundaries, rolled up per "R-F-M" segment. The quintile boundaries
+  // come from ONE exact interpolated-percentile aggregate over the
+  // per-user table (the q29/q94 cross-engine percentile discipline —
+  // `percentile` ≡ `quantile_cont`, identical lower+(upper−lower)·f
+  // interpolation), broadcast as a 1-row frame; scoring is then a pure
+  // per-row expression (count of boundaries strictly below the value),
+  // so no rank/ntile window and no global sort anywhere. Scale: the
+  // per-user aggregate is map-side combined; the percentile buffers the
+  // USER-cardinality table (the documented exact-percentile trade,
+  // q29) — at 100 TB you'd swap in approx_percentile for boundary
+  // discovery and keep the same scoring plan.
+  private val q162 = QueryDef(
+    "q162_rfm_segments",
+    (s, dir) => {
+      val per = events(s, dir).groupBy(col("user_id")).agg(
+        expr("unix_micros(max(ts))").as("rec_us"),
+        count(lit(1)).as("freq"),
+        dsum(col("value")).as("monetary"))
+      val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+      val bounds = per.agg(
+        expr(s"percentile(rec_us, $qs)").as("rb"),
+        expr(s"percentile(freq, $qs)").as("fb"),
+        expr(s"percentile(monetary, $qs)").as("mb"))
+      per.crossJoin(bounds)
+        .select(
+          expr("1 + size(filter(rb, x -> rec_us > x))").cast("long").as("r"),
+          expr("1 + size(filter(fb, x -> freq > x))").cast("long").as("f"),
+          expr("1 + size(filter(mb, x -> monetary > x))").cast("long").as("m"),
+          col("monetary"))
+        .groupBy(concat_ws("-", col("r"), col("f"), col("m")).as("segment"))
+        .agg(count(lit(1)).as("n_users"),
+          dsum(col("monetary")).as("total_monetary"))
+        .orderBy(col("segment"))
+    },
+    Some("""WITH per AS (
+      SELECT user_id, epoch_us(max(ts)) AS rec_us, COUNT(*) AS freq,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id),
+    bounds AS (SELECT
+      quantile_cont(rec_us, [0.2, 0.4, 0.6, 0.8]) AS rb,
+      quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fb,
+      quantile_cont(monetary, [0.2, 0.4, 0.6, 0.8]) AS mb
+      FROM per),
+    scored AS (SELECT
+      1 + len(list_filter(rb, x -> rec_us > x)) AS r,
+      1 + len(list_filter(fb, x -> freq > x)) AS f,
+      1 + len(list_filter(mb, x -> monetary > x)) AS m,
+      monetary
+      FROM per CROSS JOIN bounds)
+    SELECT CAST(r AS VARCHAR) || '-' || CAST(f AS VARCHAR) || '-' || CAST(m AS VARCHAR)
+        AS segment,
+      COUNT(*) AS n_users,
+      CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1 ORDER BY segment"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161)
+      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162)
 }

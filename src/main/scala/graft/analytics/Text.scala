@@ -2346,8 +2346,61 @@ object Text {
     SELECT q AS typo, n_occ, token AS suggestion, distance, dict_freq
     FROM best WHERE rnk = 1 ORDER BY typo"""))
 
+  // ---------------------------------------------------------------- t43
+  // KNESER–NEY CONTINUATION COUNTS — the type-based statistics behind
+  // KN smoothing, the standard n-gram LM estimator: per word, the
+  // continuation count N₁₊(•w) (distinct left contexts — how "novel"
+  // the word's occurrences are) and the right fertility N₁₊(w•) (the
+  // backoff-weight numerator), plus the KN lower-order probability
+  // p_cont(w) = N₁₊(•w) / |bigram types| in exact integer ppm. A word
+  // with huge token frequency but few contexts ("francisco") gets a
+  // LOW continuation probability — the exact correction MLE unigrams
+  // (t09) get wrong. Plan: one bigram explode → one map-side-combined
+  // DISTINCT on (w1,w2) — everything after runs on the bigram-TYPE
+  // table (vocabulary²-bounded, corpus-independent), two tiny
+  // aggregates and a vocab-sized full join. Unchanged at 100 TB.
+  private val t43 = QueryDef(
+    "t43_kneser_ney",
+    (s, dir) => {
+      val types = docs(s, dir)
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .distinct()
+      val cont = types.groupBy(col("w2").as("w")).agg(count(lit(1)).as("cont_count"))
+      val fert = types.groupBy(col("w1").as("w")).agg(count(lit(1)).as("fert_count"))
+      val total = types.agg(count(lit(1)).as("n_bigram_types"))
+      cont.join(fert, Seq("w"), "full")
+        .crossJoin(total)
+        .select(col("w"),
+          coalesce(col("cont_count"), lit(0L)).as("cont_count"),
+          coalesce(col("fert_count"), lit(0L)).as("fert_count"),
+          expr("(coalesce(cont_count, 0L) * 1000000) DIV n_bigram_types")
+            .as("p_cont_ppm"))
+        .orderBy(col("w"))
+    },
+    Some("""WITH d AS (
+      SELECT string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    ty AS (SELECT DISTINCT ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    cont AS (SELECT w2 AS w, COUNT(*) AS cont_count FROM ty GROUP BY 1),
+    fert AS (SELECT w1 AS w, COUNT(*) AS fert_count FROM ty GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_bigram_types FROM ty)
+    SELECT COALESCE(c.w, f.w) AS w,
+      COALESCE(c.cont_count, 0) AS cont_count,
+      COALESCE(f.fert_count, 0) AS fert_count,
+      CAST((COALESCE(c.cont_count, 0) * 1000000)
+           // (SELECT n_bigram_types FROM tot) AS BIGINT) AS p_cont_ppm
+    FROM cont c FULL JOIN fert f ON c.w = f.w ORDER BY w"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
-      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42)
+      t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
+      t43)
 }

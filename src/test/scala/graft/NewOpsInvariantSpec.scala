@@ -1088,6 +1088,39 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("t43 continuation/fertility counts on a hand-built bigram type set") {
+    val tmp = java.nio.file.Files.createTempDirectory("t43inv").toString
+    // bigram TYPES: (a,b) (c,b) (b,a) — doc 4 is sub-bigram and drops.
+    // cont: b←{a,c}=2, a←{b}=1, c←{}=0; fert: a→1, b→1, c→1; total = 3.
+    Seq((1L, "a b", "en", "s0", 3L), (2L, "c b", "en", "s0", 3L),
+      (3L, "b a", "en", "s0", 3L), (4L, "x", "en", "s0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("t43_kneser_ney")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("a", 1L, 1L, 333333L),
+      ("b", 2L, 1L, 666666L),
+      ("c", 0L, 1L, 0L))
+  }
+
+  test("q162 scores five cleanly separated users onto the RFM diagonal") {
+    val tmp = java.nio.file.Files.createTempDirectory("q162inv").toString
+    // user u: u events, last at u·1000 s, each worth u·10 → every
+    // quintile boundary falls strictly between adjacent users, so user u
+    // scores exactly (u,u,u) and monetary u²·10 survives to its segment
+    val rows = for { u <- 1 to 5; i <- 1 to u } yield
+      ((u * 10 + i).toLong, ts(u * 1000L - (u - i) * 60L), u.toLong, "buy",
+        u * 10.0, "")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q162_rfm_segments")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq(
+      ("1-1-1", 1L, 10.0), ("2-2-2", 1L, 40.0), ("3-3-3", 1L, 90.0),
+      ("4-4-4", 1L, 160.0), ("5-5-5", 1L, 250.0))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
