@@ -69,6 +69,7 @@ object Explain {
         "d36_threshold_sweep", "d37_translation_pairs", "d38_cluster_coherence",
         "s20_knn_graph", "s22_prototype_prune", "s23_recall_probe_sweep",
         "s24_filtered_ann", "s25_simplified_silhouette", "s26_anisotropy_probe",
+        "s27_pq_distortion", "q163_contract_check",
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget")
 
   def main(args: Array[String]): Unit = {

@@ -521,6 +521,67 @@ object Governance {
             "FROM (\n", "\nUNION ALL\n", "\n) ORDER BY candidate")
     })
 
+  // --------------------------------------------------------------- q163
+  // DATA-CONTRACT BATTERY — the declarative expectation suite a platform
+  // runs on every load (dbt tests / Great Expectations): not-null,
+  // enum-domain, numeric-range and timestamp-plausibility rules over
+  // three tables, one verdict row per rule. A NULL predicate counts as
+  // a VIOLATION (contract semantics: unknown is not compliant). Each
+  // table is ONE scan with a conditional sum per rule, exploded to
+  // per-rule rows afterward — adding a rule adds an aggregate column,
+  // never a pass, so the battery's cost is constant in the rule count's
+  // scan term and unchanged at 100 TB. Uniqueness and referential rules
+  // deliberately live elsewhere (q160, q159) — this battery is the
+  // row-local layer of the same contract.
+  private val q163 = QueryDef(
+    "q163_contract_check",
+    (s, dir) => {
+      def battery(tbl: String, df: org.apache.spark.sql.DataFrame,
+                  rules: Seq[(String, String)]) = {
+        val agg = df.agg(count(lit(1)).as("n_rows"),
+          rules.map { case (id, pred) =>
+            sum(when(expr(pred), 0L).otherwise(1L)).as(s"v_$id")
+          }: _*)
+        agg.select(col("n_rows"), explode(expr(rules.map { case (id, _) =>
+            s"struct('$id' AS rule_id, v_$id AS n_violations)"
+          }.mkString("array(", ", ", ")"))).as("x"))
+          .select(col("x.rule_id"), lit(tbl).as("table_name"), col("n_rows"),
+            col("x.n_violations"), (col("x.n_violations") === 0L).as("pass"))
+      }
+      Seq(
+        battery("orders", rd(s, dir, "orders"), Seq(
+          "r01_orderkey_not_null" -> "o_orderkey IS NOT NULL",
+          "r02_totalprice_positive" -> "o_totalprice > 0",
+          "r03_status_domain" -> "o_orderstatus IN ('O', 'F', 'P')")),
+        battery("lineitem", rd(s, dir, "lineitem"), Seq(
+          "r04_quantity_range" -> "l_quantity BETWEEN 1 AND 50",
+          "r05_discount_range" -> "l_discount BETWEEN 0 AND 0.1",
+          "r06_returnflag_domain" -> "l_returnflag IN ('N', 'A', 'R')")),
+        battery("events", events(s, dir), Seq(
+          "r07_ts_plausible" ->
+            "ts >= timestamp'2020-01-01 00:00:00' AND ts < timestamp'2030-01-01 00:00:00'")))
+        .reduce(_.unionByName(_))
+        .orderBy(col("rule_id"))
+    },
+    Some {
+      def ruleSql(id: String, tbl: String, pred: String) =
+        s"""SELECT '$id' AS rule_id, '$tbl' AS table_name,
+          COUNT(*) AS n_rows,
+          CAST(SUM(CASE WHEN $pred THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+          SUM(CASE WHEN $pred THEN 0 ELSE 1 END) = 0 AS pass
+        FROM $tbl"""
+      Seq(
+        ruleSql("r01_orderkey_not_null", "orders", "o_orderkey IS NOT NULL"),
+        ruleSql("r02_totalprice_positive", "orders", "o_totalprice > 0"),
+        ruleSql("r03_status_domain", "orders", "o_orderstatus IN ('O', 'F', 'P')"),
+        ruleSql("r04_quantity_range", "lineitem", "l_quantity BETWEEN 1 AND 50"),
+        ruleSql("r05_discount_range", "lineitem", "l_discount BETWEEN 0 AND 0.1"),
+        ruleSql("r06_returnflag_domain", "lineitem", "l_returnflag IN ('N', 'A', 'R')"),
+        ruleSql("r07_ts_plausible", "events",
+          "ts >= TIMESTAMP '2020-01-01 00:00:00' AND ts < TIMESTAMP '2030-01-01 00:00:00'"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule_id")
+    })
+
   val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160)
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163)
 }

@@ -2020,7 +2020,102 @@ object Similarity {
     FROM (SELECT * FROM per_label UNION ALL SELECT * FROM all_row)
     ORDER BY scope"""))
 
+  // ---------------------------------------------------------------- s27
+  // PQ DISTORTION AUDIT — quantization quality control over s10's
+  // product-quantizer: per subspace, how much signal the 16-code
+  // codebook destroys (Σ reconstruction error vs Σ subvector energy,
+  // exact integer ppm) and whether the codebook has COLLAPSED (few
+  // codes used / one code absorbing the corpus — the failure mode of
+  // untrained or drifted codebooks, which silently flattens all ADC
+  // distances in s11). Uses s10's codebook and argmin verbatim, so the
+  // audit describes exactly the codes s11 searches with. Plan: the s10
+  // per-row encode, one explode to (subspace, code) rows, then a
+  // (m, code) hash aggregate — the ≤ 64-row code-usage table is where
+  // the rank window and the per-m rollup run. Sums are DECIMAL(38,0)
+  // (per-vector err ≤ 16·(2e7)² ≈ 6.4e15 — corpus sums overflow int64).
+  // One corpus scan, unchanged at 100 TB.
+  private val s27 = QueryDef(
+    "s27_pq_distortion",
+    (s, dir) => {
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val enc0 = (0 until PqM).foldLeft(withQuant(dir, s)) { (df, m) =>
+        df.withColumn(s"d$m", expr(
+          s"""transform(${pqBookSpark(m)}, c ->
+                aggregate(zip_with(slice(qv, ${m * PqD + 1}, $PqD), c,
+                  (a, b) -> (a - b) * (a - b)),
+                  CAST(0 AS BIGINT), (acc, v) -> acc + v))"""))
+      }
+      val enc = (0 until PqM).foldLeft(enc0) { (df, m) =>
+        df.withColumn(s"code$m",
+            expr(s"array_position(d$m, array_min(d$m))").cast("long"))
+          .withColumn(s"err$m", expr(s"element_at(d$m, CAST(code$m AS INT))"))
+          .withColumn(s"nrm$m", expr(
+            s"""aggregate(slice(qv, ${m * PqD + 1}, $PqD),
+                CAST(0 AS BIGINT), (acc, v) -> acc + v * v)"""))
+      }
+      val ex = enc.select(explode(expr((0 until PqM).map(m =>
+          s"struct(CAST($m AS BIGINT) AS m, code$m AS code, err$m AS err, nrm$m AS nrm)")
+          .mkString("array(", ", ", ")"))).as("x"))
+        .select(col("x.m"), col("x.code"), col("x.err"), col("x.nrm"))
+      val byCode = ex.groupBy(col("m"), col("code"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("err").cast(dec38)).as("serr"),
+          sum(col("nrm").cast(dec38)).as("snrm"))
+      val totals = byCode.groupBy(col("m")).agg(
+        sum(col("cnt")).as("n"),
+        count(lit(1)).as("used_codes"),
+        sum(col("serr")).as("terr"),
+        sum(col("snrm")).as("tnrm"))
+      val top = byCode.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("m"))
+            .orderBy(col("cnt").desc, col("code"))))
+        .filter(col("rnk") === 1)
+        .select(col("m"), col("code").as("top_code"), col("cnt").as("top_cnt"))
+      totals.join(top, Seq("m"))
+        .select(col("m"), col("n"), col("used_codes"), col("top_code"),
+          expr("(top_cnt * 1000000) DIV n").as("top_code_share_ppm"),
+          expr("CAST((terr * 1000000) DIV tnrm AS BIGINT)").as("distortion_ppm"))
+        .orderBy(col("m"))
+    },
+    Some {
+      val distCols = (0 until PqM).map { m =>
+        s"""list_transform(${pqBookDuck(m)}, c ->
+              list_reduce(list_transform(
+                list_zip(qv[${m * PqD + 1}:${(m + 1) * PqD}], c),
+                p -> (p[1] - p[2]) * (p[1] - p[2])),
+                (acc, v) -> acc + v)) AS d$m"""
+      }.mkString(",\n      ")
+      val codeCols = (0 until PqM).map(m =>
+        s"""CAST(list_position(d$m, list_min(d$m)) AS BIGINT) AS code$m,
+           d$m[CAST(list_position(d$m, list_min(d$m)) AS INT)] AS err$m,
+           list_reduce(list_transform(qv[${m * PqD + 1}:${(m + 1) * PqD}],
+             x -> x * x), (acc, v) -> acc + v) AS nrm$m""").mkString(",\n      ")
+      val exRows = (0 until PqM).map(m =>
+        s"SELECT CAST($m AS BIGINT) AS m, code$m AS code, err$m AS err, nrm$m AS nrm FROM c")
+        .mkString("\nUNION ALL\n")
+      s"""WITH qe AS (SELECT vec_id, ${quantizeSql("embedding")} AS qv FROM embeddings),
+      d AS (SELECT vec_id, qv, $distCols FROM qe),
+      c AS (SELECT vec_id, $codeCols FROM d),
+      ex AS ($exRows),
+      by_code AS (SELECT m, code, COUNT(*) AS cnt,
+                    SUM(CAST(err AS HUGEINT)) AS serr,
+                    SUM(CAST(nrm AS HUGEINT)) AS snrm
+                  FROM ex GROUP BY m, code),
+      totals AS (SELECT m, CAST(SUM(cnt) AS BIGINT) AS n,
+                   COUNT(*) AS used_codes,
+                   SUM(serr) AS terr, SUM(snrm) AS tnrm
+                 FROM by_code GROUP BY m),
+      top AS (SELECT m, code AS top_code, cnt AS top_cnt FROM (
+                SELECT m, code, cnt, ROW_NUMBER() OVER (PARTITION BY m
+                  ORDER BY cnt DESC, code) AS rnk FROM by_code)
+              WHERE rnk = 1)
+      SELECT t.m, t.n, t.used_codes, p.top_code,
+        CAST((p.top_cnt * 1000000) // t.n AS BIGINT) AS top_code_share_ppm,
+        CAST((t.terr * 1000000) // t.tnrm AS BIGINT) AS distortion_ppm
+      FROM totals t JOIN top p USING (m) ORDER BY t.m"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, d15)
 }

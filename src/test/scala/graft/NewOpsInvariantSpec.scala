@@ -1121,6 +1121,57 @@ class NewOpsInvariantSpec extends SparkSuite {
       ("4-4-4", 1L, 160.0), ("5-5-5", 1L, 250.0))
   }
 
+  test("q163 attributes each planted contract violation to exactly its rule") {
+    val tmp = java.nio.file.Files.createTempDirectory("q163inv").toString
+    // one violation per rule: NULL key (r01), negative price (r02),
+    // status 'X' (r03), quantity 99 (r04), discount 0.5 (r05),
+    // returnflag 'Z' (r06), a 1999 timestamp (r07)
+    Seq((Option(1L), 10.0, "O"), (Option.empty[Long], 20.0, "F"),
+      (Option(3L), -5.0, "X"))
+      .toDF("o_orderkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Seq((1.0, 0.05, "N"), (99.0, 0.5, "Z"))
+      .toDF("l_quantity", "l_discount", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    Seq((1L, ts(915148800L), 1L, "a", 1.0, ""),   // 1999-01-01 → implausible
+      (2L, ts(1704067200L), 1L, "a", 1.0, ""))    // 2024-01-01 → fine
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q163_contract_check")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4)))
+    out.toSeq shouldBe Seq(
+      ("r01_orderkey_not_null", "orders", 3L, 1L, false),
+      ("r02_totalprice_positive", "orders", 3L, 1L, false),
+      ("r03_status_domain", "orders", 3L, 1L, false),
+      ("r04_quantity_range", "lineitem", 2L, 1L, false),
+      ("r05_discount_range", "lineitem", 2L, 1L, false),
+      ("r06_returnflag_domain", "lineitem", 2L, 1L, false),
+      ("r07_ts_plausible", "events", 2L, 1L, false))
+  }
+
+  test("s27 usage cells reconcile with the registered s10 code assignments") {
+    val dir = "/root/testdata/sf0.001"
+    val s10 = Registry.queries("s10_pq_encode")(spark, dir).collect()
+    val out = Registry.queries("s27_pq_distortion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out should have size 4
+    out.foreach { case (m, n, used, topCode, topShare, distortion) =>
+      withClue(s"subspace $m: ") {
+        n shouldBe s10.length.toLong
+        // independent recount of the SAME codes s10 ships (column 1+m)
+        val codes = s10.map(_.getLong(1 + m.toInt))
+        used shouldBe codes.distinct.length.toLong
+        val (mode, cnt) = codes.groupBy(identity).view.mapValues(_.length)
+          .toSeq.maxBy { case (c, k) => (k, -c) }
+        topCode shouldBe mode
+        topShare shouldBe cnt.toLong * 1000000L / n
+        distortion should be >= 0L
+      }
+    }
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
