@@ -978,7 +978,65 @@ object Multimodal {
       CAST((SUM(tok14) * 1000000) // (COUNT(*) * 1024) AS BIGINT) AS native_vs_fixed_ppm
     FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- m18
+  // CAPTION-DUP TRIAGE — the cross-modal refinement of text dedup: in
+  // crawled image–text corpora, records with an identical caption split
+  // into two very different populations — TRUE duplicates (same caption,
+  // same payload bytes: re-fetches of one asset, delete all but one) and
+  // VARIANTS (same caption, different payload — resizes, re-encodes,
+  // alt-text templates: deleting them drops distinct images). Caption-
+  // only dedup cannot tell them apart; this audit joins caption identity
+  // with payload identity and sizes both classes. The corpus has no
+  // natural re-crawls (every text is unique — probed at both SFs), so
+  // the capture channel is planted deterministically (the m16/q154/t42
+  // discipline): docs with id ≡ 0 (mod 7) gained a byte-identical
+  // re-fetch, ids ≡ 0 (mod 13, not mod 7) a resized one. Plan: one
+  // generator explode (≤ 2 captures/doc), one caption-fp hash aggregate
+  // with an exact payload distinct count (two-level partial aggregate),
+  // one 2-row rollup — no join, unchanged at 100 TB.
+  private val m18 = QueryDef(
+    "m18_template_captions",
+    (s, dir) => {
+      val rec = docs(s, dir).select(col("doc_id"), explode(expr(
+          """CASE WHEN doc_id % 7 = 0 THEN array(text, text)
+             WHEN doc_id % 13 = 0 THEN array(text, concat(text, '_resized'))
+             ELSE array(text) END""")).as("payload_src"),
+          col("text"))
+        .select(col("doc_id"),
+          expr(strHashExpr("text")).as("caption_fp"),
+          expr(strHashExpr("payload_src")).as("payload_hash"))
+      rec.groupBy(col("caption_fp"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("payload_hash")).as("n_payloads"),
+          min(col("doc_id")).as("rep_doc"))
+        .filter(col("n_copies") >= 2)
+        .withColumn("class",
+          when(col("n_payloads") === 1, "true_dup").otherwise("variant"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_groups"),
+          sum(col("n_copies")).as("n_docs"),
+          (sum(col("rep_doc") % HashMod) % HashMod).as("rep_checksum"))
+        .orderBy(col("class"))
+    },
+    Some(s"""WITH rec AS (
+      SELECT doc_id, text, text AS payload_src FROM documents
+      UNION ALL
+      SELECT doc_id, text, text FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, text, text || '_resized' FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0),
+    h AS (SELECT doc_id, ${strHashSql("text")} AS caption_fp,
+            ${strHashSql("payload_src")} AS payload_hash FROM rec),
+    g AS (SELECT caption_fp, COUNT(*) AS n_copies,
+            COUNT(DISTINCT payload_hash) AS n_payloads,
+            MIN(doc_id) AS rep_doc
+          FROM h GROUP BY caption_fp HAVING COUNT(*) >= 2)
+    SELECT CASE WHEN n_payloads = 1 THEN 'true_dup' ELSE 'variant' END AS class,
+      COUNT(*) AS n_groups, CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+      CAST(SUM(rep_doc % $HashMod) % $HashMod AS BIGINT) AS rep_checksum
+    FROM g GROUP BY 1 ORDER BY class"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17)
+      m15, m16, m17, m18)
 }

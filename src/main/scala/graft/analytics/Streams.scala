@@ -3157,9 +3157,105 @@ object Streams {
         % $HashMod AS BIGINT) AS from_checksum
     FROM hist GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q164
+  // STREAMING CONTRACT GATE — the content-based dead-letter router:
+  // q163's declarative rule battery applied per micro-batch at ingest,
+  // with admitted rows and violations routed to SEPARATE ledgers (the
+  // DLQ pattern; q154 routes on TIME, this routes on CONTENT — together
+  // they are the two halves of a production ingest gate). Rules are
+  // per-row, so unlike q151/q157 no state ledger crosses batches: each
+  // batch is one narrow expression pass + two idempotent appends, and
+  // the oracle needs no batch unrolling — per-row verdicts are batch-
+  // composition-invariant, pinned by grouping on the same event_id % 3
+  // split the stage writer used. Faults are planted deterministically
+  // at stage time (the wire corrupts: negated value on id ≡ 0 mod 23,
+  // out-of-domain type on id ≡ 0 mod 29, a 1999 timestamp on id ≡ 0
+  // mod 31 — first matching rule wins, the m16 discipline). At 100 TB
+  // the plan per batch is a pure map + append: no shuffle at all until
+  // the final report aggregate.
+  private val q164 = QueryDef(
+    "q164_stream_contract_gate",
+    (s, dir) => withStreamShuffle(s) {
+      val streamDir = Tables.tmpDir("graft-q164-stream")
+      val corrupt = Seq(
+        "CASE WHEN event_id % 23 = 0 THEN -value ELSE value END AS value",
+        """CASE WHEN event_id % 23 <> 0 AND event_id % 29 = 0
+           THEN concat('zz_', event_type) ELSE event_type END AS event_type""",
+        """CASE WHEN event_id % 23 <> 0 AND event_id % 29 <> 0 AND event_id % 31 = 0
+           THEN us - 800000000000000 ELSE us END AS us""")
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q164-b$b")
+          events(s, dir).filter(col("event_id") % 3 === b)
+            .select(col("event_id"), unix_micros(col("ts")).as("us"),
+              col("user_id"), col("event_type"), col("value"))
+            .selectExpr(Seq("event_id", "user_id") ++ corrupt: _*)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val verdictExpr =
+        """CASE WHEN value < 0 THEN 'r1_value_negative'
+                WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+                  THEN 'r2_type_domain'
+                WHEN us < 1577836800000000 OR us >= 1893456000000000
+                  THEN 'r3_ts_implausible'
+                ELSE 'ok' END"""
+      val schema = s.read.parquet(streamDir.toString).schema
+      val admittedDir = Tables.tmp("graft-q164-admitted")
+      val dlqDir = Tables.tmp("graft-q164-dlq")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val v = batch.withColumn("verdict", expr(verdictExpr))
+            .withColumn("batch_id", lit(bid))
+            .localCheckpoint() // one evaluation feeds both routed appends
+          v.filter(col("verdict") === "ok")
+            .write.mode("append").parquet(admittedDir)
+          v.filter(col("verdict") =!= "ok")
+            .write.mode("append").parquet(dlqDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q164-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(admittedDir).unionByName(s.read.parquet(dlqDir))
+        .groupBy(col("batch_id"), col("verdict"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("event_id") % HashMod) % HashMod).as("id_checksum"))
+        .orderBy(col("batch_id"), col("verdict"))
+    },
+    Some(s"""WITH raw AS (
+      SELECT event_id, event_id % 3 AS batch_id, epoch_us(ts) AS us0,
+        value AS v0, event_type AS t0
+      FROM events),
+    c AS (SELECT event_id, batch_id,
+        CASE WHEN event_id % 23 = 0 THEN -v0 ELSE v0 END AS value,
+        CASE WHEN event_id % 23 <> 0 AND event_id % 29 = 0
+             THEN 'zz_' || t0 ELSE t0 END AS event_type,
+        CASE WHEN event_id % 23 <> 0 AND event_id % 29 <> 0 AND event_id % 31 = 0
+             THEN us0 - 800000000000000 ELSE us0 END AS us
+      FROM raw),
+    v AS (SELECT batch_id, event_id,
+        CASE WHEN value < 0 THEN 'r1_value_negative'
+             WHEN event_type NOT IN ('click', 'view', 'purchase', 'signup', 'error')
+               THEN 'r2_type_domain'
+             WHEN us < 1577836800000000 OR us >= 1893456000000000
+               THEN 'r3_ts_implausible'
+             ELSE 'ok' END AS verdict
+      FROM c)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, verdict, COUNT(*) AS n,
+      CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
+    FROM v GROUP BY 1, 2 ORDER BY batch_id, verdict"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29)
+      d29, q164)
 }

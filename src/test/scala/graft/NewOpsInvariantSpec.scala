@@ -1172,6 +1172,41 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("q164 routes each planted fault class to its rule, first match wins") {
+    val tmp = java.nio.file.Files.createTempDirectory("q164inv").toString
+    // batch = id % 3; id 69 → mod-23 negated value, 87 → mod-29 bad
+    // type, 93 → mod-31 1999 timestamp, 1/2/3 → clean
+    val good = ts(1704067200L) // 2024-01-01
+    Seq(69L, 87L, 93L, 3L, 1L, 2L).map(id =>
+      (id, good, 1L, "click", 5.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q164_stream_contract_gate")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      (0L, "ok", 1L, 3L),
+      (0L, "r1_value_negative", 1L, 69L),
+      (0L, "r2_type_domain", 1L, 87L),
+      (0L, "r3_ts_implausible", 1L, 93L),
+      (1L, "ok", 1L, 1L),
+      (2L, "ok", 1L, 2L))
+  }
+
+  test("m18 separates byte-identical re-fetches from resized variants") {
+    val tmp = java.nio.file.Files.createTempDirectory("m18inv").toString
+    // id 7 and 91 → byte-identical re-fetch (91 is also ≡0 mod 13 — the
+    // mod-7 branch wins); id 13 → resized re-fetch; id 1 → singleton
+    Seq((1L, "alpha words", "en", "s0", 11L), (7L, "bravo words", "en", "s0", 11L),
+      (13L, "delta words", "en", "s0", 11L), (91L, "gamma words", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("m18_template_captions")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("true_dup", 2L, 4L, 98L),
+      ("variant", 1L, 2L, 13L))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
