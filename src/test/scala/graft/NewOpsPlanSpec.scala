@@ -208,4 +208,76 @@ class NewOpsPlanSpec extends SparkSuite {
       } shouldBe empty
     }
   }
+
+  test("s26: the dim sums combine map-side — the one-scan-at-scale fact") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = Registry.queries("s26_anisotropy_probe")(spark, dir)
+        .queryExecution.executedPlan
+      // the posexplode stream folds to ≤ labels × 64 partial rows per
+      // partition BEFORE any exchange — the shuffle never carries the
+      // N×64 element stream
+      val partialSumBelowEx = plan.collect {
+        case e: Exchange if e.collect { case a: HashAggregateExec
+          if a.aggregateExpressions.exists(_.toString.contains("partial_sum")) => a
+        }.nonEmpty => e
+      }
+      withClue(s"dim sums not combined map-side:\n$plan\n") {
+        partialSumBelowEx should not be empty
+      }
+      // no window anywhere — the Σ-trick needs no ordering at all
+      plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      } shouldBe empty
+    }
+  }
+
+  test("q161: every derived frame reads the cached count tables, not the base") {
+    val plan = Registry.queries("q161_join_estimate")(spark, dir)
+      .queryExecution.executedPlan
+    // the scan-count fix: the base tables materialize into the cached
+    // per-key count tables once; hitter splits / residual summaries /
+    // exact-sum / containment anti-joins all read InMemoryTableScan.
+    // AdaptiveSparkPlanExec is a leaf to TreeNode.collect — recurse the
+    // PlanLintSpec way.
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children ++ other.subqueries
+      }
+      p +: kids.flatMap(allNodes)
+    }
+    val cacheScans = allNodes(plan).collect {
+      case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec => c
+    }
+    withClue(s"no cache scans in:\n$plan\n") {
+      cacheScans.size should be >= 8 // ≥ 2 reads per edge × 4 edges
+    }
+  }
+
+  test("t42/q162: rank windows are keyed; the RFM plan is window-free") {
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "false") {
+      // t42's suggestion rank partitions by the typo — a global
+      // ORDER BY would serialize the (vocabulary-sized) candidate table
+      val t42 = Registry.queries("t42_symspell_correct")(spark, dir)
+        .queryExecution.executedPlan
+      val unkeyed = t42.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      withClue(s"unpartitioned window in t42:\n$t42\n") { unkeyed shouldBe empty }
+      // q162 scores quintiles with expressions against one percentile
+      // row — NO ntile/rank window, which would globally sort users
+      val q162 = Registry.queries("q162_rfm_segments")(spark, dir)
+        .queryExecution.executedPlan
+      q162.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      } shouldBe empty
+    }
+  }
 }
