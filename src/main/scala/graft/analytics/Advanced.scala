@@ -2510,9 +2510,69 @@ object Advanced {
       CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS total_monetary
     FROM scored GROUP BY 1 ORDER BY segment"""))
 
+  // --------------------------------------------------------------- q165
+  // SEMI-ADDITIVE SNAPSHOT — the warehouse balance fact: a measure that
+  // sums across ACCOUNTS but not across TIME (account balances,
+  // inventory levels). Daily total = Σ over accounts of each account's
+  // LAST reported level, carried forward over silent days from the day
+  // the account first appears. q46 forward-fills a per-group measure on
+  // a grid; the semi-additive twist is last-not-sum within the day, a
+  // per-account activation edge, and the cross-account rollup. Days are
+  // integer epoch arithmetic (us DIV 1 day — the q47 discipline, no
+  // shared calendar dialect needed). Scale: the close-of-day window and
+  // the forward-fill both partition on user_id (high cardinality); the
+  // grid is |users| × |days| rows built from a 1-row span frame — the
+  // operator's inherent output shape, never corpus-sized.
+  private val q165 = QueryDef(
+    "q165_semi_additive",
+    (s, dir) => {
+      val dayUs = 24L * 3600 * 1000000L
+      val ev = events(s, dir)
+        .select(col("user_id"), expr(s"unix_micros(ts) DIV $dayUs").as("d"),
+          expr("unix_micros(ts)").as("us"), col("event_id"), col("value"))
+      val wLast = Window.partitionBy(col("user_id"), col("d"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      val close = ev.withColumn("rn", row_number().over(wLast))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("d"), col("value").as("close"))
+      val span = ev.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val firstDay = ev.groupBy(col("user_id")).agg(min(col("d")).as("fd"))
+      val grid = span.select(explode(expr("sequence(d0, d1)")).as("d"))
+        .crossJoin(firstDay)
+        .filter(col("d") >= col("fd"))
+      val wFill = Window.partitionBy(col("user_id")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(close, Seq("user_id", "d"), "left")
+        .withColumn("bal", last(col("close"), ignoreNulls = true).over(wFill))
+        .groupBy(col("d").as("day"))
+        .agg(count(lit(1)).as("n_accounts"), dsum(col("bal")).as("total_balance"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS d, epoch_us(ts) AS us,
+        event_id, value
+      FROM events),
+    close AS (SELECT user_id, d, value AS close FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d
+          ORDER BY us DESC, event_id DESC) AS rn FROM ev)
+      WHERE rn = 1),
+    span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ev),
+    fd AS (SELECT user_id, MIN(d) AS fd FROM ev GROUP BY user_id),
+    grid AS (SELECT g.d, fd.user_id, fd.fd
+             FROM (SELECT unnest(generate_series(d0, d1)) AS d FROM span) g
+             CROSS JOIN fd
+             WHERE g.d >= fd.fd),
+    filled AS (SELECT grid.user_id, grid.d,
+        last_value(close.close IGNORE NULLS) OVER (
+          PARTITION BY grid.user_id ORDER BY grid.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+      FROM grid LEFT JOIN close ON grid.user_id = close.user_id AND grid.d = close.d)
+    SELECT d AS day, COUNT(*) AS n_accounts, ${dsumSql("bal")} AS total_balance
+    FROM filled GROUP BY d ORDER BY day"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162)
+      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162, q165)
 }

@@ -442,6 +442,67 @@ object Formats {
       COUNT(DISTINCT gen) > 1 AS needs_compaction
     FROM layout GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q166
+  // PERMISSIVE-PARSE QUARANTINE — the malformed-input half of the CSV
+  // source q42's clean round-trip never exercises: real feeds arrive
+  // with type garbage and truncated lines, and the production pattern
+  // is schema-on-read under mode=PERMISSIVE with a corrupt-record
+  // column, then triage. The feed is staged deterministically from
+  // events with two planted fault channels (id ≡ 0 mod 17: the value
+  // field becomes 'oops' — a type error that still parses the OTHER
+  // fields; id ≡ 0 mod 19, not 17: the line is truncated to one field —
+  // a row-shape error that nulls everything). The query classifies each
+  // row from what the parser actually recovered (corrupt column + which
+  // fields survived), so the oracle can reproduce the verdicts from id
+  // arithmetic without parsing CSV. Scale: parse + classify is a pure
+  // per-row map; one aggregate. The parsed-id checksum pins that
+  // PERMISSIVE really does recover well-formed fields of a bad row.
+  private val q166 = QueryDef(
+    "q166_csv_quarantine",
+    (s, dir) => {
+      val out = tmp("graft-csv-dirty")
+      graft.BenchSplit.setup {
+        events(s, dir)
+          .select(expr("""CASE
+              WHEN event_id % 17 = 0
+                THEN concat(event_id, ',oops,', event_type)
+              WHEN event_id % 19 = 0
+                THEN CAST(event_id AS STRING)
+              ELSE concat(event_id, ',', CAST(value AS STRING), ',', event_type)
+            END""").as("value"))
+          .write.mode("overwrite").text(out)
+      }
+      s.read
+        .schema("event_id BIGINT, value DOUBLE, event_type STRING, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .select(expr("""CASE
+            WHEN _corrupt IS NULL THEN 'ok'
+            WHEN event_type IS NOT NULL THEN 'bad_value'
+            ELSE 'short_row' END""").as("class"),
+          coalesce(col("event_id"), lit(0L)).as("id0"),
+          col("value"))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("id0") % HashMod) % HashMod).as("id_checksum"),
+          dsum(coalesce(col("value"), lit(0.0))).as("sum_value"))
+        .orderBy(col("class"))
+    },
+    Some(s"""WITH cls AS (
+      SELECT event_id, value,
+        CASE WHEN event_id % 17 = 0 THEN 'bad_value'
+             WHEN event_id % 19 = 0 THEN 'short_row'
+             ELSE 'ok' END AS class
+      FROM events),
+    v AS (SELECT class, event_id AS id0,
+        CASE WHEN class = 'ok' THEN value ELSE 0.0 END AS v0
+      FROM cls)
+    SELECT class, COUNT(*) AS n,
+      CAST(SUM(id0 % $HashMod) % $HashMod AS BIGINT) AS id_checksum,
+      ${dsumSql("v0")} AS sum_value
+    FROM v GROUP BY 1 ORDER BY class"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147)
+    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166)
 }

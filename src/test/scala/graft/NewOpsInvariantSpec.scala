@@ -1207,6 +1207,38 @@ class NewOpsInvariantSpec extends SparkSuite {
       ("variant", 1L, 2L, 13L))
   }
 
+  test("q165 carries each account's close forward and sums across accounts") {
+    val tmp = java.nio.file.Files.createTempDirectory("q165inv").toString
+    // user 1: day 0 closes at 20 (last write wins), silent day 1, day 2
+    // closes 30; user 2 activates day 1 at 5, silent day 2 → totals
+    // 20 / 25 / 35 with account counts 1 / 2 / 2
+    Seq((1L, ts(10), 1L, "a", 10.0, ""), (2L, ts(3600), 1L, "a", 20.0, ""),
+      (3L, ts(86400 + 5), 2L, "a", 5.0, ""),
+      (4L, ts(2 * 86400 + 5), 1L, "a", 30.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q165_semi_additive")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    out.toSeq shouldBe Seq((0L, 1L, 20.0), (1L, 2L, 25.0), (2L, 2L, 35.0))
+  }
+
+  test("q166 triages planted CSV faults; PERMISSIVE recovers well-formed fields") {
+    val tmp = java.nio.file.Files.createTempDirectory("q166inv").toString
+    // id 17 → type-garbage value; 19 → truncated line; 323 = 17·19 →
+    // the mod-17 channel wins; 1, 2 → clean. The bad_value checksum
+    // (17 + 323) pins that the parser recovered event_id from bad rows.
+    Seq((1L, 1.5), (2L, 2.5), (17L, 9.9), (19L, 9.9), (323L, 9.9))
+      .map { case (id, v) => (id, ts(1704067200L), 1L, "click", v, "") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q166_csv_quarantine")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    out.toSeq shouldBe Seq(
+      ("bad_value", 2L, 340L, 0.0),
+      ("ok", 2L, 3L, 4.0),
+      ("short_row", 1L, 19L, 0.0))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
