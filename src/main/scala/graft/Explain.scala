@@ -70,7 +70,8 @@ object Explain {
         "s20_knn_graph", "s22_prototype_prune", "s23_recall_probe_sweep",
         "s24_filtered_ann", "s25_simplified_silhouette", "s26_anisotropy_probe",
         "s27_pq_distortion", "q163_contract_check",
-        "q165_semi_additive", "q166_csv_quarantine",
+        "q165_semi_additive", "q166_csv_quarantine", "q167_cusum_changepoint",
+        "s28_tombstone_search",
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget",
         "m18_template_captions")
 

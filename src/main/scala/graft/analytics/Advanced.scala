@@ -2570,9 +2570,71 @@ object Advanced {
     SELECT d AS day, COUNT(*) AS n_accounts, ${dsumSql("bal")} AS total_balance
     FROM filled GROUP BY d ORDER BY day"""))
 
+  // --------------------------------------------------------------- q167
+  // CUSUM CHANGEPOINT — sequential level-shift detection over each
+  // event type's daily revenue: the page-Hinkley/CUSUM statistic
+  // C_t = max(0, C_{t-1} + (x_t − target)) is a RECURSION, which looks
+  // window-hostile — but with the drawup identity C_t = S_t − min_{s≤t}
+  // S_s (S = running sum of deviations) it becomes two keyed running
+  // windows and a max: fully parallel per type, no fold, no UDF. The
+  // complement to q149 (KS tests the DISTRIBUTION; CUSUM finds WHEN the
+  // level moved, and argmax-day is the changepoint estimate). Exact
+  // integer cents throughout (target = total DIV n_days, the house
+  // integer-division rule), so both engines agree bitwise. Scale: the
+  // daily rollup is map-side combined; every window partitions on
+  // event_type over a CALENDAR-bounded series, not raw events.
+  private val q167 = QueryDef(
+    "q167_cusum_changepoint",
+    (s, dir) => {
+      val dayUs = 24L * 3600 * 1000000L
+      val daily = events(s, dir)
+        .select(col("event_type"), expr(s"unix_micros(ts) DIV $dayUs").as("d"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("cents")).as("cents"))
+      val target = daily.groupBy(col("event_type"))
+        .agg(expr("sum(cents) DIV count(1)").as("target"),
+          count(lit(1)).as("n_days"))
+      val wRun = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cus = daily.join(target, Seq("event_type"))
+        .withColumn("s", sum(col("cents") - col("target")).over(wRun))
+        .withColumn("cusum", col("s") - min(col("s")).over(wRun))
+      cus.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("event_type"))
+            .orderBy(col("cusum").desc, col("d"))))
+        .filter(col("rnk") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("cusum").as("max_cusum_cents"), col("d").as("cp_day"))
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    tgt AS (SELECT event_type, SUM(cents) // COUNT(*) AS target,
+              COUNT(*) AS n_days
+            FROM daily GROUP BY 1),
+    runs AS (SELECT d.event_type, d.d, t.n_days,
+        SUM(d.cents - t.target) OVER (PARTITION BY d.event_type ORDER BY d.d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM daily d JOIN tgt t USING (event_type)),
+    cus AS (SELECT event_type, d, n_days,
+        s - MIN(s) OVER (PARTITION BY event_type ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+      FROM runs)
+    SELECT event_type, n_days,
+      CAST(max_cusum_cents AS BIGINT) AS max_cusum_cents, cp_day
+    FROM (SELECT event_type, n_days, cusum AS max_cusum_cents, d AS cp_day,
+            ROW_NUMBER() OVER (PARTITION BY event_type
+              ORDER BY cusum DESC, d) AS rnk
+          FROM cus)
+    WHERE rnk = 1 ORDER BY event_type"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
-      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162, q165)
+      q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162, q165,
+      q167)
 }

@@ -2115,7 +2115,62 @@ object Similarity {
       FROM totals t JOIN top p USING (m) ORDER BY t.m"""
     })
 
+  // ---------------------------------------------------------------- s28
+  // TOMBSTONE-AWARE ANN SEARCH — the delete path of the index
+  // lifecycle: s13 proves appends without a rebuild, this proves
+  // DELETES without one. Deleted vectors (id ≡ 0 mod 9 — the planted
+  // deterministic delete set) stay in the inverted lists; correctness
+  // comes from filtering them INSIDE the probed cells, before ranking —
+  // the FAISS IDSelector/tombstone-bitmap pattern. That placement is
+  // the scale fact: the filter touches only the ≤ 2 probed lists per
+  // query, never the index, and a rebuild-free delete is O(0) at write
+  // time. Layout, probe rule, and ranking are s04's verbatim, so s04
+  // vs s28 differ exactly where s04 surfaced a deleted id (pinned in
+  // NewOpsInvariantSpec).
+  private val s28 = QueryDef(
+    "s28_tombstone_search",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      // the delete set is a predicate on the probed cells — no rebuild
+      val live = lists.filter(col("vec_id") % 9 =!= 0)
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      live.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("rnk"), col("vec_id").as("c_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("q_id"), col("rnk"))
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    live AS (SELECT * FROM lists WHERE vec_id % 9 <> 0)
+    SELECT q_id, rnk, c_id, sim FROM (
+      SELECT p.q_id, l.vec_id AS c_id,
+        round(CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))), 6) AS sim,
+        ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+          CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+      FROM live l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+    WHERE rnk <= 5 ORDER BY q_id, rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
-      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, d15)
+      s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
+      d15)
 }

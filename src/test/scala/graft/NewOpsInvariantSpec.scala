@@ -1239,6 +1239,41 @@ class NewOpsInvariantSpec extends SparkSuite {
       ("short_row", 1L, 19L, 0.0))
   }
 
+  test("q167 locates a planted level shift and stays flat on a flat series") {
+    val tmp = java.nio.file.Files.createTempDirectory("q167inv").toString
+    // 'shift': 4 days at 10 then 4 at 30 → target 20, drawup 1000·k
+    // after the shift → max 4000 cents at day 7. 'flat': all-zero CUSUM,
+    // argmax tie breaks to the earliest day.
+    val shift = (0 until 8).map(k =>
+      ((k + 1).toLong, ts(k * 86400L + 10), 1L, "shift",
+        if (k < 4) 10.0 else 30.0, ""))
+    val flat = (0 until 4).map(k =>
+      ((100 + k).toLong, ts(k * 86400L + 20), 2L, "flat", 10.0, ""))
+    (shift ++ flat)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q167_cusum_changepoint")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(("flat", 4L, 0L, 0L), ("shift", 8L, 4000L, 7L))
+  }
+
+  test("s28 equals s04 minus tombstones: prefix property, none surface") {
+    val dir = "/root/testdata/sf0.001"
+    val s04 = Registry.queries("s04_ivf_topk")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    val s28 = Registry.queries("s28_tombstone_search")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+    s28.values.flatten.foreach { case (_, cId) => cId % 9 should not be 0L }
+    // deleting candidates never reorders survivors: s04's non-deleted
+    // top-5 entries, in order, are a prefix of s28's ranking
+    s04.foreach { case (qId, rows) =>
+      val survivors = rows.map(_._2).filter(_ % 9 != 0)
+      withClue(s"query $qId: ") {
+        s28(qId).map(_._2).take(survivors.length).toSeq shouldBe survivors.toSeq
+      }
+    }
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
