@@ -2355,8 +2355,53 @@ object Dedup {
            ELSE 'cohesive' END AS verdict
     FROM mem m JOIN ed d USING (cluster_rep) ORDER BY cluster_rep"""))
 
+  // ---------------------------------------------------------------- d39
+  // LSH BUCKET-SKEW AUDIT — the scale-health check of the whole dedup
+  // family: every LSH-bucketed candidate generator (d02/d11/d16/d21/
+  // q119) is linear only while buckets stay small; one hot bucket of
+  // size s costs s·(s−1)/2 candidate pairs, so the quadratic term
+  // hides in the bucket-size distribution, not in row counts. This
+  // audit prices it EXACTLY before any dedup runs: per band, the
+  // bucket count, occupancy, largest bucket, the exact Σ s·(s−1)/2
+  // candidate-pair bound the band join would generate, and the top
+  // bucket's occupancy share. Uses d02's banding verbatim (auditing a
+  // reformulation would audit nothing). Plan: one signature scan, one
+  // (band-key) count aggregate — map-side combined — then a 4-row
+  // rollup. The audit itself never forms a pair.
+  private val d39 = QueryDef(
+    "d39_lsh_bucket_audit",
+    (s, dir) => {
+      val buckets = minhashBandsOf(docs(s, dir))
+        .select(expr("CAST(split(band, ':')[0] AS BIGINT)").as("band_idx"),
+          col("band"))
+        .groupBy(col("band_idx"), col("band")).agg(count(lit(1)).as("sz"))
+      buckets.groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("sz")).as("n_docs"),
+          max(col("sz")).as("max_bucket"),
+          sum(expr("sz * (sz - 1) DIV 2")).as("pairs_bound"),
+          expr("(max(sz) * 1000000) DIV sum(sz)").as("top_bucket_share_ppm"))
+        .orderBy(col("band_idx"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS BIGINT) AS band_idx,
+        CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+      FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    buckets AS (SELECT band_idx, band, COUNT(*) AS sz
+                FROM bands GROUP BY 1, 2)
+    SELECT band_idx, COUNT(*) AS n_buckets,
+      CAST(SUM(sz) AS BIGINT) AS n_docs,
+      CAST(MAX(sz) AS BIGINT) AS max_bucket,
+      CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pairs_bound,
+      CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_bucket_share_ppm
+    FROM buckets GROUP BY band_idx ORDER BY band_idx"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38)
+      d33, d34, d35, d36, d37, d38, d39)
 }

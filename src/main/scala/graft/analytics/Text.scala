@@ -2398,9 +2398,67 @@ object Text {
            // (SELECT n_bigram_types FROM tot) AS BIGINT) AS p_cont_ppm
     FROM cont c FULL JOIN fert f ON c.w = f.w ORDER BY w"""))
 
+  // ---------------------------------------------------------------- t44
+  // N-GRAM COVERAGE CURVE — how much of held-out text the training
+  // corpus has literally seen, by n-gram order: the standard diagnostic
+  // for memorization headroom and LM backoff pressure (unigram coverage
+  // is near-total in any corpus; the order where coverage collapses is
+  // where the model must generalize). Same 80/20 doc-hash split as t30,
+  // so the curve describes exactly the split t30 scores. One corpus
+  // scan emits (n, gram) for n = 1..4 via a flattened per-row
+  // transform; a (n, gram) aggregate with two presence flags, then a
+  // 4-row rollup — all map-side combined, TYPE-table sized after the
+  // first aggregate. Docs shorter than 4 tokens are excluded from all
+  // orders (one consistent population; also keeps `sequence` ascending).
+  private val t44 = QueryDef(
+    "t44_ngram_coverage",
+    (s, dir) => {
+      val gramExpr = (1 to 4).map { n =>
+        s"""transform(sequence(1, size(ws) - ${n - 1}),
+            i -> struct(CAST($n AS BIGINT) AS n, concat_ws(' ', slice(ws, i, $n)) AS g))"""
+      }.mkString("flatten(array(", ", ", "))")
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      val grams = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 4)
+        .select(isTrain.as("is_train"), explode(expr(gramExpr)).as("x"))
+        .select(col("is_train"), col("x.n"), col("x.g"))
+      grams.groupBy(col("n"), col("g"))
+        .agg(max(when(col("is_train"), 1L).otherwise(0L)).as("in_train"),
+          max(when(!col("is_train"), 1L).otherwise(0L)).as("in_test"))
+        .groupBy(col("n"))
+        .agg(sum(col("in_train")).as("train_types"),
+          sum(col("in_test")).as("test_types"),
+          sum(col("in_train") * col("in_test")).as("covered_types"))
+        .withColumn("coverage_ppm",
+          expr("(covered_types * 1000000) DIV test_types"))
+        .orderBy(col("n"))
+    },
+    Some(s"""WITH d AS (
+      SELECT ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 AS is_train,
+        string_split(text, ' ') AS ws
+      FROM documents WHERE len(string_split(text, ' ')) >= 4),
+    gx AS (${(1 to 4).map { n =>
+        s"""SELECT is_train, CAST($n AS BIGINT) AS n,
+          array_to_string(ws[i:i + ${n - 1}], ' ') AS g
+        FROM (SELECT is_train, ws,
+                unnest(generate_series(1, len(ws) - ${n - 1})) AS i FROM d)"""
+      }.mkString("\nUNION ALL\n")}),
+    ty AS (SELECT n, g,
+             MAX(CASE WHEN is_train THEN 1 ELSE 0 END) AS in_train,
+             MAX(CASE WHEN is_train THEN 0 ELSE 1 END) AS in_test
+           FROM gx GROUP BY n, g)
+    SELECT n,
+      CAST(SUM(in_train) AS BIGINT) AS train_types,
+      CAST(SUM(in_test) AS BIGINT) AS test_types,
+      CAST(SUM(in_train * in_test) AS BIGINT) AS covered_types,
+      CAST((SUM(in_train * in_test) * 1000000) // SUM(in_test) AS BIGINT)
+        AS coverage_ppm
+    FROM ty GROUP BY n ORDER BY n"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43)
+      t43, t44)
 }

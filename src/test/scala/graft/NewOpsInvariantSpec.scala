@@ -1274,6 +1274,62 @@ class NewOpsInvariantSpec extends SparkSuite {
     }
   }
 
+  test("d39 prices a planted hot bucket and holds the band identities") {
+    val tmp = java.nio.file.Files.createTempDirectory("d39inv").toString
+    // 10 byte-identical docs share every minhash → every band has a
+    // bucket of ≥ 10 → pairs_bound ≥ 45 per band; 5 distinct docs fill
+    // the rest. n_docs must equal the signed population in EVERY band.
+    val hot = (1 to 10).map(i =>
+      (i.toLong, "the fast query scans the wide table", "en", "s0", 35L))
+    val cold = (11 to 15).map(i =>
+      (i.toLong, s"unique doc $i with filter merge join sort batch", "en", "s0", 40L))
+    (hot ++ cold).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d39_lsh_bucket_audit")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.foreach { case (idx, nBuckets, nDocs, maxB, pairsBound, share) =>
+      withClue(s"band $idx: ") {
+        nDocs shouldBe 15L
+        maxB should be >= 10L
+        nBuckets should be <= 6L // 10 identical + ≤ 5 singleton buckets
+        pairsBound should be >= 45L
+        share shouldBe maxB * 1000000L / 15L
+      }
+    }
+  }
+
+  test("t44 coverage equals an independent per-side n-gram type recount") {
+    val tmp = java.nio.file.Files.createTempDirectory("t44inv").toString
+    val texts = (1 to 12).map { i =>
+      (i.toLong, s"alpha beta gamma delta tail$i extra words here", "en", "s0", 40L)
+    }
+    texts.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    // learn each doc's split side through the registered hash, then
+    // recount the per-order type sets independently in plain Scala
+    val side = spark.read.parquet(s"$tmp/documents.parquet")
+      .selectExpr("doc_id",
+        s"${graft.analytics.Tables.strHashExpr("CAST(doc_id AS STRING)")} % 10 < 8 AS tr")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val expected = (1 to 4).map { n =>
+      def types(train: Boolean) = texts
+        .filter(t => side(t._1) == train)
+        .flatMap(_._2.split(" ").sliding(n).map(_.mkString(" ")))
+        .toSet
+      val (tr, te) = (types(true), types(false))
+      val cov = (tr & te).size.toLong
+      (n.toLong, tr.size.toLong, te.size.toLong, cov, cov * 1000000L / te.size)
+    }
+    assert(side.values.exists(identity) && side.values.exists(!_),
+      "fixture must populate both split sides")
+    val out = Registry.queries("t44_ngram_coverage")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe expected
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
