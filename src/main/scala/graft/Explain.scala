@@ -63,7 +63,8 @@ object Explain {
         "t35_ccnet_ppl_buckets", "t36_dsir_importance", "t37_gopher_rules",
         "t38_novelty_scores", "t39_tokenizer_fertility", "t40_burned_benchmark",
         "t41_good_turing", "t42_symspell_correct", "t43_kneser_ney",
-        "t44_ngram_coverage", "d39_lsh_bucket_audit",
+        "t44_ngram_coverage", "d39_lsh_bucket_audit", "d40_bucket_split_pairs",
+        "q168_salt_planner",
         "q162_rfm_segments",
         "d30_semantic_dedup", "d31_bloom_dedup_gate", "d32_leakage_safe_split",
         "d33_soft_dedup_weights", "d34_semantic_decontam", "d35_detector_agreement",

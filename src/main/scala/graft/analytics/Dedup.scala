@@ -2400,8 +2400,81 @@ object Dedup {
       CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_bucket_share_ppm
     FROM buckets GROUP BY band_idx ORDER BY band_idx"""))
 
+  // ---------------------------------------------------------------- d40
+  // BOUNDED-BUCKET LSH JOIN — the mitigation d39's audit motivates: a
+  // hot LSH bucket of size s costs s·(s−1)/2 pairs, so production LSH
+  // joins CAP the bucket size, splitting oversized buckets into k =
+  // ⌈s/B⌉ sub-buckets by a content-independent doc hash. Same-sub
+  // pairs survive; cross-sub pairs are deterministically sacrificed —
+  // bounded work for bounded recall loss, both priced EXACTLY here per
+  // band (pairs before, pairs after, kept ppm). B = 3 so the cap binds
+  // on this corpus's real size-4 buckets (and the 10-copy fixture
+  // plants a genuinely hot one). Plan: the d02 banding, one bucket-size
+  // aggregate, one size-table join to tag each row's sub-bucket, one
+  // bucketed self-join per variant — no global order anywhere, and the
+  // after-join's largest bucket is ≤ B + ⌈s/k⌉-rounding by
+  // construction, which is the whole point at 100 TB.
+  private val BucketCap = 3L
+
+  private val d40 = QueryDef(
+    "d40_bucket_split_pairs",
+    (s, dir) => {
+      val bands = minhashBandsOf(docs(s, dir))
+        .select(expr("CAST(split(band, ':')[0] AS BIGINT)").as("band_idx"),
+          col("band"), col("doc_id"))
+      val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+        .withColumn("k", expr(s"(sz + $BucketCap - 1) DIV $BucketCap"))
+      val tagged = bands.join(sizes, Seq("band"))
+        .withColumn("sub", expr(
+          s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+        .select(col("band_idx"), col("band"), col("sub"), col("doc_id"))
+      def pairCount(keyCols: Seq[String]) = {
+        val l = tagged.select(col("band_idx") +: keyCols.map(col) :+
+          col("doc_id").as("id1"): _*)
+        val r = tagged.select(keyCols.map(c => col(c).as(s"r_$c")) :+
+          col("doc_id").as("id2"): _*)
+        l.join(r, keyCols.map(c => col(c) === col(s"r_$c"))
+            .reduce(_ && _) && col("id1") < col("id2"))
+          .select(col("band_idx"), col("id1"), col("id2")).distinct()
+          .groupBy(col("band_idx")).agg(count(lit(1)).as("n"))
+      }
+      val before = pairCount(Seq("band")).withColumnRenamed("n", "pairs_before")
+      val after = pairCount(Seq("band", "sub")).withColumnRenamed("n", "pairs_after")
+      before.join(after, Seq("band_idx"))
+        .withColumn("kept_ppm", expr("(pairs_after * 1000000) DIV pairs_before"))
+        .orderBy(col("band_idx"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS BIGINT) AS band_idx,
+        CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+      FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    sizes AS (SELECT band, COUNT(*) AS sz,
+                (COUNT(*) + $BucketCap - 1) // $BucketCap AS k
+              FROM bands GROUP BY band),
+    tagged AS (SELECT b.band_idx, b.band,
+        CASE WHEN s.k > 1
+             THEN ${strHashSql("CAST(b.doc_id AS VARCHAR)")} % s.k ELSE 0 END AS sub,
+        b.doc_id
+      FROM bands b JOIN sizes s USING (band)),
+    before AS (SELECT band_idx, COUNT(*) AS pairs_before FROM (
+        SELECT DISTINCT a.band_idx, a.doc_id AS id1, b.doc_id AS id2
+        FROM tagged a JOIN tagged b
+          ON a.band = b.band AND a.doc_id < b.doc_id) GROUP BY band_idx),
+    after AS (SELECT band_idx, COUNT(*) AS pairs_after FROM (
+        SELECT DISTINCT a.band_idx, a.doc_id AS id1, b.doc_id AS id2
+        FROM tagged a JOIN tagged b
+          ON a.band = b.band AND a.sub = b.sub AND a.doc_id < b.doc_id)
+      GROUP BY band_idx)
+    SELECT band_idx, pairs_before, pairs_after,
+      CAST((pairs_after * 1000000) // pairs_before AS BIGINT) AS kept_ppm
+    FROM before JOIN after USING (band_idx) ORDER BY band_idx"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39)
+      d33, d34, d35, d36, d37, d38, d39, d40)
 }

@@ -582,6 +582,52 @@ object Governance {
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule_id")
     })
 
+  // --------------------------------------------------------------- q168
+  // SALT-FACTOR PLANNER — the configuration producer for the skew-join
+  // mitigation this engine already ships (q83 / operators/SaltedJoin):
+  // given a join key, find the keys whose row counts exceed the
+  // per-task target and emit each one's replication factor
+  // ⌈count / target⌉, where target = max(total DIV 200, 1) (≈ rows per
+  // shuffle task at 200 partitions). Uniform keys produce NO rows
+  // (orders.o_custkey — audited empty by the fixture); skewed keys
+  // produce the exact salt map a q83-style join consumes. Plan: one
+  // map-side-combined count per audited key, a scalar crossJoin, a
+  // filter — the planner costs one aggregate per key, never a pass
+  // over pairs.
+  private val q168 = QueryDef(
+    "q168_salt_planner",
+    (s, dir) => {
+      def plan(df: org.apache.spark.sql.DataFrame, key: String, name: String) = {
+        val counts = df.select(col(key).cast("string").as("k"))
+          .filter(col("k").isNotNull)
+          .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        counts.crossJoin(
+            counts.agg(expr("greatest(sum(cnt) DIV 200, 1L)").as("target")))
+          .withColumn("salt_factor", expr("(cnt + target - 1) DIV target"))
+          .filter(col("salt_factor") > 1)
+          .select(lit(name).as("join_key"), col("k").as("key"),
+            col("cnt"), col("salt_factor"))
+      }
+      plan(events(s, dir), "event_type", "events.event_type")
+        .unionByName(plan(rd(s, dir, "orders"), "o_custkey", "orders.o_custkey"))
+        .orderBy(col("join_key"), col("key"))
+    },
+    Some("""SELECT * FROM (
+      WITH c1 AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS cnt
+                  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+      t1 AS (SELECT GREATEST(SUM(cnt) // 200, 1) AS target FROM c1),
+      c2 AS (SELECT CAST(o_custkey AS VARCHAR) AS k, COUNT(*) AS cnt
+             FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      t2 AS (SELECT GREATEST(SUM(cnt) // 200, 1) AS target FROM c2)
+      SELECT 'events.event_type' AS join_key, k AS key, cnt,
+        CAST((cnt + target - 1) // target AS BIGINT) AS salt_factor
+      FROM c1 CROSS JOIN t1 WHERE (cnt + target - 1) // target > 1
+      UNION ALL
+      SELECT 'orders.o_custkey', k, cnt,
+        CAST((cnt + target - 1) // target AS BIGINT)
+      FROM c2 CROSS JOIN t2 WHERE (cnt + target - 1) // target > 1
+    ) ORDER BY join_key, key"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163)
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168)
 }

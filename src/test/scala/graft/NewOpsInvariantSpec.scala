@@ -1330,6 +1330,49 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.toSeq shouldBe expected
   }
 
+  test("d40 caps the planted hot bucket and prices the sacrifice exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("d40inv").toString
+    val hot = (1 to 10).map(i =>
+      (i.toLong, "the fast query scans the wide table", "en", "s0", 35L))
+    val cold = (11 to 15).map(i =>
+      (i.toLong, s"unique doc $i with filter merge join sort batch", "en", "s0", 40L))
+    (hot ++ cold).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d40_bucket_split_pairs")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.foreach { case (idx, before, after, ppm) =>
+      withClue(s"band $idx: ") {
+        before should be >= 45L // the size-10 bucket alone
+        after should be <= before
+        ppm shouldBe after * 1000000L / before
+        // k = ⌈10/3⌉ = 4 sub-buckets over 10 docs: by pigeonhole the
+        // largest sub holds ≤ 10 − 3 = 7 docs, so at least
+        // C(10,2) − C(7,2) − C(3,2)·… pairs go; the loose safe bound is
+        // after ≤ before − 9 (the minimum sacrifice when subs are 7+1+1+1)
+        after should be <= before - 9L
+      }
+    }
+  }
+
+  test("q168 emits a salt map only for keys over the per-task target") {
+    val tmp = java.nio.file.Files.createTempDirectory("q168inv").toString
+    // events: 360 'hot' + 40 singleton types → total 400, target 2 →
+    // hot salts at 180, singletons (cnt 1) stay unflagged.
+    val ev = (1 to 360).map(i =>
+      (i.toLong, ts(i * 60L), 1L, "hot", 1.0, "")) ++
+      (1 to 40).map(i => ((1000 + i).toLong, ts(i * 60L), 1L, s"t$i", 1.0, ""))
+    ev.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    // orders: strictly unique custkeys → cnt 1 everywhere → empty side
+    (1 to 30).map(i => (i.toLong, (100 + i).toLong))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Registry.queries("q168_salt_planner")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(("events.event_type", "hot", 360L, 180L))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
