@@ -2169,8 +2169,104 @@ object Similarity {
       FROM live l JOIN probes p ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
     WHERE rnk <= 5 ORDER BY q_id, rnk"""))
 
+  // ---------------------------------------------------------------- s29
+  // DELETE-RATE RECALL CURVE — "how much deletion before the index
+  // needs a rebuild": s28 proves tombstone filtering is CORRECT; this
+  // measures what rising delete rates do to probe-bounded recall, the
+  // number an index-ops runbook actually keys its rebuild threshold
+  // on. For each planted delete rate (ids ≡ 0 mod 9/5/3/2 ≈
+  // 11/20/33/50%), the s28 tombstone-aware IVF top-5 is scored against
+  // the BRUTE-FORCE top-5 over the same live set (the s16 discipline:
+  // truth and candidate share tie-breaks, so the gap is exactly the
+  // probe bound, never ranking noise). The assignment/layout work is
+  // cached once and shared by all four variants — rates differ only in
+  // a filter, mirroring how a real index serves many tombstone bitmaps
+  // over one layout. Output: per rate, live/deleted counts and exact
+  // integer recall ppm over 8 queries × 5 slots.
+  private val s29 = QueryDef(
+    "s29_delete_recall_curve",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+        .cache()
+      val probesDf = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+        .cache()
+      val queries = assigned.filter(col("vec_id") < 8 && col("crnk") === 1)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+        .cache()
+      def top5(cand: org.apache.spark.sql.DataFrame) = {
+        val winQ = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+        cand.withColumn("sim",
+            expr(dotExpr("q_qv", "qv")).cast("double") /
+              (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+          .withColumn("rnk", row_number().over(winQ))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("vec_id").as("c_id"))
+      }
+      val curves = Seq(9L, 5L, 3L, 2L).map { m =>
+        val live = lists.filter(col("vec_id") % m =!= 0)
+        val ivf = top5(live.join(broadcast(probesDf),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id")))
+        val truth = top5(live.join(broadcast(queries), col("vec_id") =!= col("q_id")))
+        val hits = ivf.join(truth, Seq("q_id", "c_id"))
+          .agg(count(lit(1)).as("n_hits"))
+        val counts = lists.agg(
+          sum(when(col("vec_id") % m === 0, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("vec_id") % m =!= 0, 1L).otherwise(0L)).as("n_live"))
+        counts.crossJoin(hits)
+          .select(lit(m).as("delete_mod"), col("n_deleted"), col("n_live"),
+            expr("(n_hits * 1000000) DIV 40").as("recall_ppm"))
+      }
+      curves.reduce(_.unionByName(_)).orderBy(col("delete_mod"))
+    },
+    Some {
+      val variants = Seq(9, 5, 3, 2).map { m =>
+        s"""live_$m AS (SELECT * FROM lists WHERE vec_id % $m <> 0),
+    ivf_$m AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+            CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+        FROM live_$m l JOIN probes p
+          ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+      WHERE rnk <= 5),
+    tr_$m AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+            CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+        FROM live_$m l JOIN (SELECT DISTINCT q_id, q_qv, q_norm2 FROM probes) p
+          ON l.vec_id <> p.q_id)
+      WHERE rnk <= 5),
+    row_$m AS (SELECT CAST($m AS BIGINT) AS delete_mod,
+        (SELECT CAST(SUM(CASE WHEN vec_id % $m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lists) AS n_deleted,
+        (SELECT CAST(SUM(CASE WHEN vec_id % $m <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lists) AS n_live,
+        CAST(((SELECT COUNT(*) FROM ivf_$m JOIN tr_$m USING (q_id, c_id))
+              * 1000000) // 40 AS BIGINT) AS recall_ppm)"""
+      }.mkString(",\n    ")
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    $variants
+    SELECT * FROM (
+      SELECT * FROM row_9 UNION ALL SELECT * FROM row_5
+      UNION ALL SELECT * FROM row_3 UNION ALL SELECT * FROM row_2)
+    ORDER BY delete_mod"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      d15)
+      s29, d15)
 }

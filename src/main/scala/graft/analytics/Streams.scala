@@ -3253,9 +3253,90 @@ object Streams {
       CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
     FROM v GROUP BY 1, 2 ORDER BY batch_id, verdict"""))
 
+  // --------------------------------------------------------------- q169
+  // STREAMING TEMPORAL ENRICH — the stream-side AS-OF lookup: every
+  // arriving event joins the dimension VERSION that was valid at its
+  // EVENT time (not at arrival time — q38's stream-static equi-join
+  // gets amnesia about history; this is the SCD2-consuming half of
+  // q157, which MAINTAINS the history). The dimension is a two-version
+  // SCD2 tier table published before the stream starts (v1 from epoch
+  // 0, v2 from the corpus midpoint — both derived deterministically
+  // from the data, the fixture clock discipline). Per micro-batch the
+  // enrich is one equi-join on user_id plus the interval predicate —
+  // each probe meets ≤ 2 candidate versions, so the join stays linear
+  // and hash-partitioned on the user key at any scale (no broadcast
+  // hint: the dim is SF-proportional, the d09 hazard class). Per-row
+  // verdicts are batch-composition-invariant, so the oracle needs no
+  // batch unrolling.
+  private val q169 = QueryDef(
+    "q169_stream_temporal_enrich",
+    (s, dir) => withStreamShuffle(s) {
+      val streamDir = Tables.tmpDir("graft-q169-stream")
+      val dimPath = Tables.tmp("graft-q169-dim")
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        val ev = events(s, dir)
+          .select(col("event_id"), unix_micros(col("ts")).as("us"),
+            col("user_id"), col("value"))
+        // publish the SCD2 dim first (it pre-exists at ingest time):
+        // v1 [0, mid) tier = user % 3; v2 [mid, ∞) tier = user % 3 + 10
+        val mid = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
+        ev.select(col("user_id")).distinct().crossJoin(mid)
+          .select(col("user_id"), col("mid"))
+          .selectExpr("user_id",
+            "stack(2, 0L, mid, user_id % 3, mid, 9223372036854775807L, user_id % 3 + 10) AS (valid_from, valid_to, tier)")
+          .write.mode("overwrite").parquet(dimPath)
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q169-b$b")
+          ev.filter(col("event_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val dim = s.read.parquet(dimPath)
+      val schema = s.read.parquet(streamDir.toString).schema
+      val resultsDir = Tables.tmp("graft-q169-enriched")
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batch.join(dim, Seq("user_id"))
+            .filter(col("us") >= col("valid_from") && col("us") < col("valid_to"))
+            .withColumn("batch_id", lit(bid))
+            .select(col("batch_id"), col("event_id"), col("tier"),
+              expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+            .write.mode("append").parquet(resultsDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q169-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(resultsDir)
+        .groupBy(col("batch_id"), col("tier"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"),
+          (sum(col("event_id") % HashMod) % HashMod).as("id_checksum"))
+        .orderBy(col("batch_id"), col("tier"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, event_id % 3 AS batch_id, epoch_us(ts) AS us,
+        user_id, value
+      FROM events),
+    mid AS (SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM ev),
+    enriched AS (SELECT batch_id, event_id, value,
+        CASE WHEN us < (SELECT mid FROM mid) THEN user_id % 3
+             ELSE user_id % 3 + 10 END AS tier
+      FROM ev)
+    SELECT CAST(batch_id AS BIGINT) AS batch_id, tier, COUNT(*) AS n,
+      CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+      CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
+    FROM enriched GROUP BY 1, 2 ORDER BY batch_id, tier"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164)
+      d29, q164, q169)
 }

@@ -1373,6 +1373,41 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.toSeq shouldBe Seq(("events.event_type", "hot", 360L, 180L))
   }
 
+  test("s29 curve rows partition the corpus and bound recall") {
+    val dir = "/root/testdata/sf0.001"
+    val n = Registry.queries("d04_simhash")(spark, dir).sparkSession
+      .read.parquet(s"$dir/embeddings.parquet").count()
+    val out = Registry.queries("s29_delete_recall_curve")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.map(_._1).toSeq shouldBe Seq(2L, 3L, 5L, 9L)
+    out.foreach { case (m, deleted, live, recall) =>
+      withClue(s"mod $m: ") {
+        deleted + live shouldBe n
+        deleted shouldBe (0L until n).count(_ % m == 0).toLong
+        recall should be >= 0L
+        recall should be <= 1000000L
+      }
+    }
+  }
+
+  test("q169 enriches each event with the dim version valid at EVENT time") {
+    val tmp = java.nio.file.Files.createTempDirectory("q169inv").toString
+    // span [0 s, 100 s] → mid = 50 s; events straddle it per user, and
+    // batch = id % 3 scatters versions across batches
+    Seq((3L, ts(0), 1L, "a", 1.0, ""), (4L, ts(100), 1L, "a", 2.0, ""),
+      (5L, ts(40), 2L, "a", 3.0, ""), (6L, ts(60), 2L, "a", 4.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q169_stream_temporal_enrich")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 1L, 1L, 100L, 3L),   // id 3 at t=0  → v1 of user 1 (tier 1)
+      (0L, 12L, 1L, 400L, 6L),  // id 6 at t=60 → v2 of user 2 (tier 12)
+      (1L, 11L, 1L, 200L, 4L),  // id 4 at t=100 → v2 of user 1
+      (2L, 2L, 1L, 300L, 5L))   // id 5 at t=40 → v1 of user 2
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
