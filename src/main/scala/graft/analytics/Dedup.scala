@@ -2473,8 +2473,82 @@ object Dedup {
       CAST((pairs_after * 1000000) // pairs_before AS BIGINT) AS kept_ppm
     FROM before JOIN after USING (band_idx) ORDER BY band_idx"""))
 
+  // --------------------------------------------------------------- q170
+  // TRAINING-MIX MANIFEST — the capstone composition the whole
+  // curation layer exists to produce: the per-source token quota a
+  // training run actually samples from, combining (a) raw token mass
+  // (t01's counting), (b) d33's soft-dedup weights (each doc counts
+  // 1/cluster-size — duplicates share one vote), and (c) t16's
+  // per-source mixing rate, all composed from the REGISTERED rules
+  // verbatim (the d35 audit discipline). Per-doc quota units are exact
+  // integers (tokens × w_ppm × rate_pct ≤ 4e10 — far inside int64);
+  // the share division promotes to DECIMAL/HUGEINT because quota×1e6
+  // exceeds int64 at corpus scale. Plan: d33's CC labeling (the one
+  // iterative piece, already scale-gated) + one narrow join + two
+  // map-side-combined aggregates + a scalar crossJoin.
+  private val q170 = QueryDef(
+    "q170_training_manifest",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csz"))
+      val per = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .join(labels, col("doc_id") === col("node"), "left")
+        .join(sizes, Seq("comp"), "left")
+        .withColumn("w_ppm", expr("1000000 DIV coalesce(csz, 1L)"))
+        .withColumn("rate_pct", expr(s"10 + ${strHashExpr("source")} % 80"))
+        .withColumn("quota_units", expr("tokens * w_ppm * rate_pct"))
+      val bySrc = per.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("tokens")).as("n_tokens"),
+        sum(expr("tokens * w_ppm")).as("eff_tokens_ppm"),
+        sum(col("quota_units")).as("quota_units"))
+      val out = bySrc
+        .crossJoin(bySrc.agg(sum(col("quota_units")).as("tq")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("eff_tokens_ppm"), col("quota_units"),
+          expr("""CAST(CAST(quota_units AS DECIMAL(38,0)) * 1000000
+                  DIV CAST(tq AS DECIMAL(38,0)) AS BIGINT)""").as("quota_share_ppm"))
+        .orderBy(col("source"))
+        .localCheckpoint()
+      pairs.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp
+             FROM r GROUP BY node),
+    csz AS (SELECT comp, COUNT(*) AS csz FROM comp GROUP BY comp),
+    per AS (SELECT d.source,
+        CAST(len(string_split(d.text, ' ')) AS BIGINT) AS tokens,
+        1000000 // COALESCE(z.csz, 1) AS w_ppm,
+        10 + ${strHashSql("d.source")} % 80 AS rate_pct
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.node
+      LEFT JOIN csz z ON c.comp = z.comp),
+    by_src AS (SELECT source, COUNT(*) AS n_docs,
+        CAST(SUM(tokens) AS BIGINT) AS n_tokens,
+        CAST(SUM(tokens * w_ppm) AS BIGINT) AS eff_tokens_ppm,
+        CAST(SUM(tokens * w_ppm * rate_pct) AS BIGINT) AS quota_units
+      FROM per GROUP BY source)
+    SELECT source, n_docs, n_tokens, eff_tokens_ppm, quota_units,
+      CAST((CAST(quota_units AS HUGEINT) * 1000000)
+           // (SELECT SUM(quota_units) FROM by_src) AS BIGINT) AS quota_share_ppm
+    FROM by_src ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40)
+      d33, d34, d35, d36, d37, d38, d39, d40, q170)
 }

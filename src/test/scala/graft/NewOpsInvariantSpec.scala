@@ -1408,6 +1408,34 @@ class NewOpsInvariantSpec extends SparkSuite {
       (2L, 2L, 1L, 300L, 5L))   // id 5 at t=40 → v1 of user 2
   }
 
+  test("q170 manifest reconciles with d33 populations and its own bounds") {
+    val dir = "/root/testdata/sf0.001"
+    val d33 = Registry.queries("d33_soft_dedup_weights")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tok = graft.analytics.Tables.docs(spark, dir)
+      .selectExpr("source", "CAST(size(split(text, ' ')) AS LONG) AS t")
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("t").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Registry.queries("q170_training_manifest")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    out.map(_._1).toSet shouldBe d33.keySet
+    out.foreach { case (src, nDocs, nTokens, eff, quota, share) =>
+      withClue(s"source $src: ") {
+        nDocs shouldBe d33(src)              // same population as d33
+        nTokens shouldBe tok(src)            // independent token recount
+        eff should be <= nTokens * 1000000L  // weights never exceed 1
+        // the mixing rate is bounded in [10, 89] by construction
+        quota should be >= eff * 10L
+        quota should be <= eff * 89L
+      }
+    }
+    // floor divisions undershoot by < 1 ppm per source
+    val shares = out.map(_._6).sum
+    shares should be <= 1000000L
+    shares should be >= 1000000L - out.length
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
