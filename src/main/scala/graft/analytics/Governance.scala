@@ -628,6 +628,98 @@ object Governance {
       FROM c2 CROSS JOIN t2 WHERE (cnt + target - 1) // target > 1
     ) ORDER BY join_key, key"""))
 
+  // --------------------------------------------------------------- q171
+  // MERKLE-STYLE TABLE DIFF — cross-snapshot reconciliation (the
+  // data-diff / anti-entropy operator): comparing two 100 TB snapshots
+  // row-by-row is a full-table shuffle, so production diffs go in two
+  // phases — (1) per-bucket count + order-independent checksum on both
+  // sides (map-side combined; only |buckets| rows ever move), (2) a
+  // row-level full outer join restricted BY SEMI-JOIN to the buckets
+  // whose checksums disagree, so row work is proportional to the
+  // CHANGED region, not the table. The changed snapshot is planted
+  // deterministically (id ≡ 0 mod 41: price drifts by 1 cent; mod 43,
+  // not 41: row lost; mod 47, not 41/43: a new row appears with the
+  // id offset by 10⁶ — the m16 discipline). Output: the differing-
+  // bucket count plus added/removed/changed rows with exact id
+  // checksums. No driver-side bucket list — the phase-2 restriction is
+  // a semi-join, so the plan is identical at any bucket count.
+  private val q171 = QueryDef(
+    "q171_table_diff",
+    (s, dir) => {
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val changed = base
+        .withColumn("cents",
+          expr("CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END"))
+        .filter(expr("NOT (k % 41 <> 0 AND k % 43 = 0)"))
+        .unionByName(base
+          .filter(expr("k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0"))
+          .select((col("k") + 1000000L).as("k"), col("cents")))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 64)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum((col("k") * 1000003L + col("cents")) % HashMod) % HashMod).as("ck"))
+      val diffBuckets = digest(base).withColumnRenamed("n", "n_b").withColumnRenamed("ck", "ck_b")
+        .join(digest(changed).withColumnRenamed("n", "n_c").withColumnRenamed("ck", "ck_c"),
+          Seq("bucket"), "full")
+        .filter(!(col("n_b") <=> col("n_c")) || !(col("ck_b") <=> col("ck_c")))
+        .select(col("bucket"))
+      def inDiff(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 64)
+          .join(diffBuckets, Seq("bucket"), "left_semi")
+      val rows = inDiff(base).select(col("k"), col("cents").as("cents_b"))
+        .join(inDiff(changed).select(col("k"), col("cents").as("cents_c")),
+          Seq("k"), "full")
+        .withColumn("status", expr("""CASE
+            WHEN cents_b IS NULL THEN 'added'
+            WHEN cents_c IS NULL THEN 'removed'
+            WHEN cents_b <> cents_c THEN 'changed' END"""))
+        .filter(col("status").isNotNull)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("k") % HashMod) % HashMod).as("key_checksum"))
+      diffBuckets.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("bucket")), lit(0L)).as("key_checksum"))
+        .select(lit("buckets_differing").as("status"), col("n"), col("key_checksum"))
+        .unionByName(rows)
+        .orderBy(col("status"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    changed AS (
+      SELECT k, CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE NOT (k % 41 <> 0 AND k % 43 = 0)
+      UNION ALL
+      SELECT k + 1000000, cents FROM base
+      WHERE k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0),
+    db AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM base GROUP BY 1),
+    dc AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM changed GROUP BY 1),
+    diffb AS (SELECT COALESCE(db.bucket, dc.bucket) AS bucket
+              FROM db FULL JOIN dc ON db.bucket = dc.bucket
+              WHERE db.n IS DISTINCT FROM dc.n OR db.ck IS DISTINCT FROM dc.ck),
+    rb AS (SELECT * FROM base WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    rc AS (SELECT * FROM changed WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    d AS (SELECT COALESCE(rb.k, rc.k) AS k,
+            CASE WHEN rb.k IS NULL THEN 'added'
+                 WHEN rc.k IS NULL THEN 'removed'
+                 WHEN rb.cents <> rc.cents THEN 'changed' END AS status
+          FROM rb FULL JOIN rc ON rb.k = rc.k),
+    rows_out AS (SELECT status, COUNT(*) AS n,
+            CAST(SUM(k % $HashMod) % $HashMod AS BIGINT) AS key_checksum
+          FROM d WHERE status IS NOT NULL GROUP BY status)
+    SELECT * FROM (
+      SELECT 'buckets_differing' AS status, COUNT(*) AS n,
+        CAST(COALESCE(SUM(bucket), 0) AS BIGINT) AS key_checksum FROM diffb
+      UNION ALL SELECT status, n, key_checksum FROM rows_out
+    ) ORDER BY status"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168)
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168, q171)
 }

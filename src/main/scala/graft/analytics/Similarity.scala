@@ -2265,8 +2265,51 @@ object Similarity {
     ORDER BY delete_mod"""
     })
 
+  // ---------------------------------------------------------------- s30
+  // RADIUS (RANGE) SEARCH — the other retrieval API: not "the best k"
+  // but "EVERYTHING within distance r", the primitive behind
+  // threshold-based dedup sweeps and duplicate-cluster seeding. Exact
+  // and query-bounded like s01 (8 broadcast anchors × N — the
+  // correctness baseline; the bucketed scale path for all-pairs radius
+  // work is s02/d06), with counts at three nested radii in one pass so
+  // the result doubles as a per-anchor density profile. Same integer-
+  // exact cosine as the rest of the family; counts are exact, and the
+  // id checksum pins membership at the tightest radius.
+  private val s30 = QueryDef(
+    "s30_radius_search",
+    (s, dir) => {
+      val all = withQuant(dir, s)
+      val anchors = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"))
+      all.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("norm2").as("c_norm2"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("c_norm2").cast("double"))))
+        .groupBy(col("q_id"))
+        .agg(
+          sum(when(col("sim") >= 0.8, 1L).otherwise(0L)).as("n_r80"),
+          sum(when(col("sim") >= 0.9, 1L).otherwise(0L)).as("n_r90"),
+          sum(when(col("sim") >= 0.95, 1L).otherwise(0L)).as("n_r95"),
+          (sum(when(col("sim") >= 0.95, col("c_id") % HashMod).otherwise(0L))
+            % HashMod).as("r95_checksum"))
+        .orderBy(col("q_id"))
+    },
+    Some(s"""WITH $quantCte,
+    pairs AS (SELECT a.vec_id AS q_id, b.vec_id AS c_id, $simSql AS sim
+              FROM qn a JOIN qn b ON a.vec_id < 8 AND b.vec_id <> a.vec_id)
+    SELECT q_id,
+      CAST(SUM(CASE WHEN sim >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_r80,
+      CAST(SUM(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_r90,
+      CAST(SUM(CASE WHEN sim >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_r95,
+      CAST(SUM(CASE WHEN sim >= 0.95 THEN c_id % $HashMod ELSE 0 END)
+           % $HashMod AS BIGINT) AS r95_checksum
+    FROM pairs GROUP BY q_id ORDER BY q_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, d15)
+      s29, s30, d15)
 }

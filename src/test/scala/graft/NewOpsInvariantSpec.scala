@@ -1436,6 +1436,40 @@ class NewOpsInvariantSpec extends SparkSuite {
     shares should be >= 1000000L - out.length
   }
 
+  test("q171 diffs only the planted buckets and classifies every mutation") {
+    val tmp = java.nio.file.Files.createTempDirectory("q171inv").toString
+    // keys 1/2/64 untouched (buckets 1, 2, 0 must NOT differ); 41 →
+    // changed, 43 → removed, 47 → added twin at 1000047 (bucket 47)
+    Seq(1L, 2L, 41L, 43L, 47L, 64L).map(k => (k, 10.0))
+      .toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Registry.queries("q171_table_diff")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.toSeq shouldBe Seq(
+      ("added", 1L, 1000047L),
+      ("buckets_differing", 3L, 131L), // buckets 41 + 43 + 47
+      ("changed", 1L, 41L),
+      ("removed", 1L, 43L))
+  }
+
+  test("s30 counts nested radii exactly on hand-placed directions") {
+    val tmp = java.nio.file.Files.createTempDirectory("s30inv").toString
+    def v(a: Float, b: Float) =
+      Array.tabulate(64)(i => if (i == 0) a else if (i == 1) b else 0.0f)
+    // anchor 0 sees: dup (cos 1), a 12-13-5 direction (cos ≈ .923), a
+    // 3-4-5 direction (cos .6); anchor 1 sees the 3-4-5 at exactly .8
+    Seq((0L, v(1f, 0f), 0), (1L, v(0f, 1f), 0), (8L, v(1f, 0f), 1),
+      (9L, v(12f / 13f, 5f / 13f), 1), (10L, v(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = Registry.queries("s30_radius_search")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    out.toSeq shouldBe Seq(
+      (0L, 2L, 2L, 1L, 8L),
+      (1L, 1L, 0L, 0L, 0L))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
