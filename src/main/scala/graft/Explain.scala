@@ -65,7 +65,7 @@ object Explain {
         "t41_good_turing", "t42_symspell_correct", "t43_kneser_ney",
         "t44_ngram_coverage", "d39_lsh_bucket_audit", "d40_bucket_split_pairs",
         "q168_salt_planner", "s29_delete_recall_curve", "q171_table_diff",
-        "s30_radius_search",
+        "s30_radius_search", "q172_bot_screen",
         "q162_rfm_segments",
         "d30_semantic_dedup", "d31_bloom_dedup_gate", "d32_leakage_safe_split",
         "d33_soft_dedup_weights", "d34_semantic_decontam", "d35_detector_agreement",

@@ -720,6 +720,68 @@ object Governance {
       UNION ALL SELECT status, n, key_checksum FROM rows_out
     ) ORDER BY status"""))
 
+  // --------------------------------------------------------------- q172
+  // BEHAVIORAL BOT SCREEN — automated-traffic triage before events
+  // feed analytics or training data: humans are bursty and irregular,
+  // bots are fast and metronomic. Per user, three exact behavioral
+  // statistics — event count, mean inter-event gap, and the gap
+  // variance-to-mean-squared ratio (the regularity signal, in integer
+  // ppm via the Σg²/Σg form so no float accumulates) — and a verdict:
+  // `bot` when a high-volume user's gaps are nearly uniform
+  // (ratio < 5%), `burst` when the mean gap is subsecond, else
+  // `human`. Gaps come from one LAG window partitioned by user_id
+  // (high cardinality — no skew funnel); everything after is one
+  // map-side-combined aggregate per user and a 3-row rollup. Variance
+  // identity: n·Σg² − (Σg)² over (Σg)², all BIGINT (gaps in ms bound
+  // the squares inside int64 for month-scale spans).
+  private val q172 = QueryDef(
+    "q172_bot_screen",
+    (s, dir) => {
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+        .withColumn("gap_ms", expr("(us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)) DIV 1000"))
+        .filter(col("gap_ms").isNotNull)
+      // a single squared gap fits int64 (month-scale ms ² ≈ 6.9e18) but
+      // their SUM does not — accumulate Σg² in DECIMAL(38,0)/HUGEINT
+      val per = gaps.groupBy(col("user_id")).agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_ms")).as("sg"),
+        sum((col("gap_ms") * col("gap_ms"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("sg2"))
+        .filter(col("n_gaps") >= 3 && col("sg") > 0)
+        .withColumn("mean_gap_ms", expr("sg DIV n_gaps"))
+        .withColumn("cv2_ppm", expr("((n_gaps * sg2 - sg * sg) * 1000000) DIV (sg * sg)"))
+        .withColumn("verdict", expr("""CASE
+            WHEN cv2_ppm < 50000 THEN 'bot'
+            WHEN mean_gap_ms < 1000 THEN 'burst'
+            ELSE 'human' END"""))
+      per.groupBy(col("verdict")).agg(
+          count(lit(1)).as("n_users"),
+          sum(col("n_gaps") + 1).as("n_events"),
+          (sum(col("user_id") % HashMod) % HashMod).as("user_checksum"))
+        .orderBy(col("verdict"))
+    },
+    Some(s"""WITH g AS (
+      SELECT user_id, event_id,
+        (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id)) // 1000 AS gap_ms
+      FROM events),
+    per AS (SELECT user_id, COUNT(*) AS n_gaps,
+        CAST(SUM(gap_ms) AS BIGINT) AS sg,
+        SUM(CAST(gap_ms * gap_ms AS HUGEINT)) AS sg2
+      FROM g WHERE gap_ms IS NOT NULL GROUP BY user_id),
+    v AS (SELECT user_id, n_gaps,
+        CASE WHEN ((n_gaps * sg2 - sg * sg) * 1000000) // (sg * sg) < 50000
+               THEN 'bot'
+             WHEN sg // n_gaps < 1000 THEN 'burst'
+             ELSE 'human' END AS verdict
+      FROM per WHERE n_gaps >= 3 AND sg > 0)
+    SELECT verdict, COUNT(*) AS n_users,
+      CAST(SUM(n_gaps + 1) AS BIGINT) AS n_events,
+      CAST(SUM(user_id % $HashMod) % $HashMod AS BIGINT) AS user_checksum
+    FROM v GROUP BY verdict ORDER BY verdict"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168, q171)
+    Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
+      q171, q172)
 }

@@ -1470,6 +1470,30 @@ class NewOpsInvariantSpec extends SparkSuite {
       (1L, 1L, 0L, 0L, 0L))
   }
 
+  test("q172 triages the metronome, the burster, and the human exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("q172inv").toString
+    val rows =
+      // user 1: 5 events every 10 s exactly → zero variance → bot
+      (1 to 5).map(i => (i.toLong, i * 10.0, 1L)) ++
+      // user 2: gaps 0.1 / 0.4 / 0.9 s → cv² = 50% but mean < 1 s → burst
+      Seq((11L, 0.0, 2L), (12L, 0.1, 2L), (13L, 0.5, 2L), (14L, 1.4, 2L)) ++
+      // user 3: the same shape ×100 → cv² = 50%, mean 46.6 s → human
+      Seq((21L, 0.0, 3L), (22L, 10.0, 3L), (23L, 50.0, 3L), (24L, 140.0, 3L)) ++
+      // user 4: one gap only → below the n_gaps ≥ 3 floor, excluded
+      Seq((31L, 0.0, 4L), (32L, 60.0, 4L))
+    rows.map { case (id, sec, u) =>
+      (id, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochMilli((sec * 1000).toLong)), u, "a", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q172_bot_screen")(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    out.toSeq shouldBe Seq(
+      ("bot", 1L, 5L, 1L),
+      ("burst", 1L, 4L, 2L),
+      ("human", 1L, 4L, 3L))
+  }
+
   test("m17 token budget reconciles with m14's geometry and the grid bounds") {
     val dir = "/root/testdata/sf0.001"
     val m17 = Registry.queries("m17_vision_token_budget")(spark, dir)
