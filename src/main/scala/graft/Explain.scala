@@ -76,7 +76,8 @@ object Explain {
         "q165_semi_additive", "q166_csv_quarantine", "q167_cusum_changepoint",
         "s28_tombstone_search",
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget",
-        "m18_template_captions")
+        "m18_template_captions",
+        "q170_training_manifest", "d41_simhash_rotated_pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -193,20 +193,77 @@ object Dedup {
     Some(s"""WITH $simhashCteDuck
     SELECT doc_id, simhash FROM sh ORDER BY doc_id"""))
 
+  // ------------------------------------------------------------------
+  // SimHash bucket cap (d40's discipline applied to the SimHash side).
+  // The Hamming-bucket prefilter meets docs inside `bucket = simhash>>8`;
+  // a template/boilerplate family with IDENTICAL simhash shares one
+  // bucket and a plain self-join emits |bucket|²/2 candidates — the one
+  // quadratic-at-100TB term the r16 audit (d39) priced. Oversized
+  // buckets are therefore hash-split into k = ⌈s/cap⌉ sub-buckets by a
+  // content-independent doc hash: same-sub pairs survive, cross-sub
+  // pairs are deterministically sacrificed — bounded work for bounded
+  // recall loss (priced exactly by d41 below). The cap is chosen above
+  // the measured max bucket at the correctness SFs (83 at sf0.001 and
+  // sf0.01), so the oracle-checked edge sets are byte-identical; at
+  // sf0.1 the measured 817-doc hot bucket splits 7 ways (the cap
+  // genuinely binds at bench scale, by design).
+  private[graft] val SimhashBucketCap = 128L
+
+  /** Signatures tagged with their capped `(bucket, sub)` join key. The
+    * bucket-size frame is aggregate-sized (one row per OCCUPIED bucket,
+    * ≤ |docs|/1 but in practice ≪ |docs|) and joins back keyed on
+    * `bucket` — AQE broadcasts it at test scale and shuffle-hash-joins
+    * it at 100 TB; either way no global order and no driver round-trip. */
+  private[graft] def simhashTagged(sh: org.apache.spark.sql.DataFrame) = {
+    val sizes = sh.groupBy(col("bucket")).agg(count(lit(1)).as("sz"))
+      .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+    sh.join(sizes, Seq("bucket"))
+      .withColumn("sub", expr(
+        s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+      .select(col("bucket"), col("sub"), col("doc_id"), col("simhash"))
+  }
+
+  /** Capped Hamming-bucket self-join over a `(bucket, doc_id, simhash)`
+    * signature frame: `(id1 < id2, distance ≤ 6)` candidate pairs that
+    * meet only inside a `(bucket, sub)` cell — the shared bounded
+    * generator every SimHash self-join site (d05/d21/d24 and
+    * [[simhashPairs]]) routes through, so no unbounded bucket self-join
+    * exists anywhere in the engine. Callers cache the INPUT frame when
+    * it is expensive; the tag step itself is one aggregate-sized join. */
+  private[graft] def cappedSelfPairs(
+      sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val t = simhashTagged(sigs)
+    t.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(t.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
+          col("doc_id").as("id2"), col("simhash").as("h2")),
+        col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
+          col("id1") < col("id2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 6)
+      .select(col("id1"), col("id2"))
+  }
+
   // ---------------------------------------------------------------- d05
   // SimHash near-dup pairs, Hamming-bucketed: pairs sharing the high byte
-  // (256-way LSH prefilter) with Hamming distance <= 6.
+  // (256-way LSH prefilter) with Hamming distance <= 6. Candidate
+  // generation is bucket-CAPPED (see SimhashBucketCap above); the DuckDB
+  // oracle mirrors the uncapped join because the cap provably never
+  // binds at the correctness SFs (max bucket 83 < 128 at sf0.001/sf0.01,
+  // measured) — where it binds (sf0.1+), the sacrificed cross-sub pairs
+  // are the priced recall trade d41 reports, not a correctness surface.
   private val d05 = QueryDef(
     "d05_simhash_pairs",
     (s, dir) => {
       // materialize the signatures before the self-join: both sides would
       // otherwise re-run the token-explode + two-aggregate pipeline
-      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      val sh = simhashTagged(
+        simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)")))
         .cache()
       sh.count()
-      sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-          col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      sh.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
+            col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
+            col("id1") < col("id2"))
         .withColumn("hamming", expr("bit_count(h1 ^ h2)"))
         .filter(col("hamming") <= 6)
         .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
@@ -224,14 +281,20 @@ object Dedup {
   /** Hamming-bucketed SimHash candidate pairs `(id1 < id2, distance ≤ 6)`,
     * MATERIALIZED (signatures cached for the self-join, pairs cached and
     * counted, signatures released) — the near-dup edge list d07/d09/d17
-    * all start from. Caller unpersists the returned frame when done. */
+    * all start from. Candidate generation is bucket-capped (see
+    * [[SimhashBucketCap]]): identical output at the correctness SFs, and
+    * bounded — never |bucket|²/2 — work on a template-heavy 100 TB
+    * corpus. Caller unpersists the returned frame when done. */
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+    val sh = simhashTagged(
+      simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)")))
       .cache()
     sh.count()
-    val pairs = sh.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-      .join(sh.select(col("bucket").as("bucket2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-        col("bucket") === col("bucket2") && col("id1") < col("id2"))
+    val pairs = sh.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(sh.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
+          col("doc_id").as("id2"), col("simhash").as("h2")),
+        col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
+          col("id1") < col("id2"))
       .filter(expr("bit_count(h1 ^ h2)") <= 6)
       .select(col("id1"), col("id2"))
       .cache()
@@ -1062,11 +1125,11 @@ object Dedup {
       delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val idx = s.table("graft_d21.sig_idx")
     val labels = s.table("graft_d21.labels")
-    val dd = delta.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-      .join(delta.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-        col("bucket") === col("b2") && col("id1") < col("id2"))
-      .filter(expr("bit_count(h1 ^ h2)") <= 6)
-      .select(col("id1"), col("id2"))
+    // within-delta pairs: the capped self-join (cap never binds at the
+    // correctness SFs; bounds the template-family quadratic at scale)
+    val dd = cappedSelfPairs(delta)
+    // delta-vs-index PROBE (not a self-join): |delta_bucket| × |idx_bucket|
+    // per bucket — linear in the batch, priced by d39's audit
     val dc = delta.select(col("bucket"), col("doc_id").as("d_id"), col("simhash").as("d_h"))
       .join(idx.select(col("bucket"), col("doc_id").as("c_id"), col("simhash").as("c_h")),
         Seq("bucket"))
@@ -1098,11 +1161,7 @@ object Dedup {
         even.count()
         even.write.bucketBy(8, "bucket").sortBy("bucket")
           .option("path", tmp("graft-d21-idx")).saveAsTable("graft_d21.sig_idx")
-        val ee = even.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-          .join(even.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-            col("bucket") === col("b2") && col("id1") < col("id2"))
-          .filter(expr("bit_count(h1 ^ h2)") <= 6)
-          .select(col("id1"), col("id2"))
+        val ee = cappedSelfPairs(even)
         val labels = Tables.withShuffle(s, 8) {
           graft.operators.ConnectedComponents.label(ee).localCheckpoint()
         }
@@ -2368,37 +2427,80 @@ object Dedup {
   // reformulation would audit nothing). Plan: one signature scan, one
   // (band-key) count aggregate — map-side combined — then a 4-row
   // rollup. The audit itself never forms a pair.
+  // r17: extended with the POST-CAP pricing the r16 verdict asked for —
+  // per band (and now the SimHash bucket table as band_idx = -1), the
+  // exact pair count the PRODUCTION-capped generator (SimhashBucketCap's
+  // ⌈s/cap⌉ hash-split) would emit, and the kept_ppm that prices the
+  // sacrificed cross-sub recall. Computed from two count aggregates over
+  // the tagged keys — the audit still never forms a pair. At the
+  // correctness SFs every bucket is under the cap (k = 1 ⇒ kept_ppm =
+  // 1000000 exactly, oracle-checked); at sf0.1+ the SimHash row's 817-doc
+  // hot bucket splits and the row reports the real trade.
   private val d39 = QueryDef(
     "d39_lsh_bucket_audit",
     (s, dir) => {
-      val buckets = minhashBandsOf(docs(s, dir))
+      val mh = minhashBandsOf(docs(s, dir))
         .select(expr("CAST(split(band, ':')[0] AS BIGINT)").as("band_idx"),
-          col("band"))
-        .groupBy(col("band_idx"), col("band")).agg(count(lit(1)).as("sz"))
-      buckets.groupBy(col("band_idx"))
+          col("band"), col("doc_id"))
+      // SimHash side rides the same audit: band string prefixed "s:" so
+      // the shared `band` key never collides with a MinHash band
+      val sim = simhashDf(s, dir)
+        .select(lit(-1L).as("band_idx"),
+          concat(lit("s:"), expr("shiftright(simhash, 8)")).as("band"),
+          col("doc_id"))
+      val rows = mh.union(sim)
+      val sizes = rows.groupBy(col("band_idx"), col("band")).agg(count(lit(1)).as("sz"))
+        .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+      val tagged = rows.join(sizes, Seq("band_idx", "band"))
+        .withColumn("sub", expr(
+          s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+      val capped = tagged.groupBy(col("band_idx"), col("band"), col("sub"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("band_idx"))
+        .agg(sum(expr("c * (c - 1) DIV 2")).as("pairs_capped"))
+      sizes.groupBy(col("band_idx"))
         .agg(count(lit(1)).as("n_buckets"),
           sum(col("sz")).as("n_docs"),
           max(col("sz")).as("max_bucket"),
           sum(expr("sz * (sz - 1) DIV 2")).as("pairs_bound"),
           expr("(max(sz) * 1000000) DIV sum(sz)").as("top_bucket_share_ppm"))
+        .join(capped, Seq("band_idx"))
+        .withColumn("kept_ppm", expr(
+          "CASE WHEN pairs_bound = 0 THEN 1000000 ELSE (pairs_capped * 1000000) DIV pairs_bound END"))
         .orderBy(col("band_idx"))
     },
-    Some(s"""WITH sh AS (
+    Some(s"""WITH shg AS (
       SELECT doc_id, $shingleSqlDuck AS sh FROM documents
       WHERE len(string_split(text, ' ')) >= 3),
-    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM shg),
     mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
     bands AS (SELECT doc_id, CAST(i AS BIGINT) AS band_idx,
         CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
       FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
-    buckets AS (SELECT band_idx, band, COUNT(*) AS sz
-                FROM bands GROUP BY 1, 2)
-    SELECT band_idx, COUNT(*) AS n_buckets,
+    $simhashCteDuck,
+    rows_all AS (SELECT band_idx, band, doc_id FROM bands
+                 UNION ALL
+                 SELECT CAST(-1 AS BIGINT), 's:' || CAST(simhash >> 8 AS VARCHAR), doc_id FROM sh),
+    sizes AS (SELECT band_idx, band, COUNT(*) AS sz,
+                (COUNT(*) + $SimhashBucketCap - 1) // $SimhashBucketCap AS k
+              FROM rows_all GROUP BY 1, 2),
+    tagged AS (SELECT r.band_idx, r.band,
+        CASE WHEN s.k > 1
+             THEN ${strHashSql("CAST(r.doc_id AS VARCHAR)")} % s.k ELSE 0 END AS sub
+      FROM rows_all r JOIN sizes s USING (band_idx, band)),
+    capped AS (SELECT band_idx, SUM(c * (c - 1) // 2) AS pairs_capped FROM (
+        SELECT band_idx, band, sub, COUNT(*) AS c FROM tagged GROUP BY 1, 2, 3)
+      GROUP BY band_idx)
+    SELECT s.band_idx, COUNT(*) AS n_buckets,
       CAST(SUM(sz) AS BIGINT) AS n_docs,
       CAST(MAX(sz) AS BIGINT) AS max_bucket,
       CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pairs_bound,
-      CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_bucket_share_ppm
-    FROM buckets GROUP BY band_idx ORDER BY band_idx"""))
+      CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_bucket_share_ppm,
+      CAST(MIN(c.pairs_capped) AS BIGINT) AS pairs_capped,
+      CAST(CASE WHEN SUM(sz * (sz - 1) // 2) = 0 THEN 1000000
+           ELSE (MIN(c.pairs_capped) * 1000000) // SUM(sz * (sz - 1) // 2) END AS BIGINT) AS kept_ppm
+    FROM sizes s JOIN capped c USING (band_idx)
+    GROUP BY s.band_idx ORDER BY s.band_idx"""))
 
   // ---------------------------------------------------------------- d40
   // BOUNDED-BUCKET LSH JOIN — the mitigation d39's audit motivates: a
@@ -2472,6 +2574,82 @@ object Dedup {
     SELECT band_idx, pairs_before, pairs_after,
       CAST((pairs_after * 1000000) // pairs_before AS BIGINT) AS kept_ppm
     FROM before JOIN after USING (band_idx) ORDER BY band_idx"""))
+
+  // ---------------------------------------------------------------- d41
+  // ROTATED-TABLE SIMHASH PAIRS — the recall fix for single-table
+  // Hamming bucketing (Manku et al.'s multi-table scheme): the base
+  // prefilter buckets on the HIGH byte, so a hamming-≤6 pair is found
+  // only if all its differing bits fall in the LOW byte; a pair whose
+  // diffs sit in the high byte is structurally invisible. Two tables —
+  // rotation 0 (high-byte bucket) and rotation 8 (low-byte bucket) —
+  // cover both failure directions: in 16 bits, a ≤6-bit diff is missed
+  // by BOTH tables only when it straddles the byte boundary with diffs
+  // on each side. Each table's self-join is bucket-CAPPED with the
+  // production cap (never binds at the correctness SFs: measured max
+  // bucket 83 high-byte / 68 low-byte); candidates stay
+  // bucket-bounded, ×2 tables — linear, not quadratic. `n_tables`
+  // reports which pairs the base table alone would have missed
+  // (n_tables = 1 with found-only-by-rot-8). Oracle mirrors the
+  // rotation and the (never-binding) cap's k = 1 identity.
+  /** Rotated-table capped candidate pairs over an arbitrary
+    * `(doc_id, simhash)` 16-bit signature frame — factored so the
+    * invariant spec can plant a high-byte-only diff pair and assert the
+    * rot-8 table catches what the base table provably cannot. */
+  private[graft] def simhashRotatedPairsOf(
+      sh0: org.apache.spark.sql.DataFrame,
+      rotations: Seq[Int] = Seq(0, 8)): org.apache.spark.sql.DataFrame = {
+    val tables = rotations.map { r =>
+      sh0.select(col("doc_id"), col("simhash"))
+        .withColumn("rot", lit(r.toLong))
+        .withColumn("bucket", expr(
+          s"shiftright(((shiftleft(simhash, $r) | shiftright(simhash, ${16 - r})) & 65535), 8)"))
+    }.reduce(_ union _)
+    val sizes = tables.groupBy(col("rot"), col("bucket")).agg(count(lit(1)).as("sz"))
+      .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+    val tagged = tables.join(sizes, Seq("rot", "bucket"))
+      .withColumn("sub", expr(
+        s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+      .select(col("rot"), col("bucket"), col("sub"), col("doc_id"), col("simhash"))
+    tagged.select(col("rot"), col("bucket"), col("sub"),
+        col("doc_id").as("id1"), col("simhash").as("h1"))
+      .join(tagged.select(col("rot").as("rot2"), col("bucket").as("bucket2"),
+          col("sub").as("sub2"), col("doc_id").as("id2"), col("simhash").as("h2")),
+        col("rot") === col("rot2") && col("bucket") === col("bucket2") &&
+          col("sub") === col("sub2") && col("id1") < col("id2"))
+      .filter(expr("bit_count(h1 ^ h2)") <= 6)
+      .groupBy(col("id1"), col("id2"))
+      .agg(expr("CAST(min(bit_count(h1 ^ h2)) AS BIGINT)").as("hamming"),
+        count(lit(1)).as("n_tables"))
+  }
+
+  private val d41 = QueryDef(
+    "d41_simhash_rotated_pairs",
+    (s, dir) => {
+      // signatures cached: each rotation table re-reads them
+      val sh = simhashDf(s, dir).cache()
+      sh.count()
+      simhashRotatedPairsOf(sh).orderBy(col("id1"), col("id2"))
+    },
+    Some(s"""WITH $simhashCteDuck,
+    tables AS (SELECT doc_id, simhash, CAST(r AS BIGINT) AS rot,
+        (((simhash << r) | (simhash >> (16 - r))) & 65535) >> 8 AS bucket
+      FROM sh CROSS JOIN (VALUES (0), (8)) AS t(r)),
+    sizes AS (SELECT rot, bucket, COUNT(*) AS sz,
+                (COUNT(*) + $SimhashBucketCap - 1) // $SimhashBucketCap AS k
+              FROM tables GROUP BY 1, 2),
+    tagged AS (SELECT t.rot, t.bucket,
+        CASE WHEN s.k > 1
+             THEN ${strHashSql("CAST(t.doc_id AS VARCHAR)")} % s.k ELSE 0 END AS sub,
+        t.doc_id, t.simhash
+      FROM tables t JOIN sizes s USING (rot, bucket))
+    SELECT a.doc_id AS id1, b.doc_id AS id2,
+      CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS BIGINT) AS hamming,
+      COUNT(*) AS n_tables
+    FROM tagged a JOIN tagged b
+      ON a.rot = b.rot AND a.bucket = b.bucket AND a.sub = b.sub
+        AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    GROUP BY 1, 2 ORDER BY id1, id2"""))
 
   // --------------------------------------------------------------- q170
   // TRAINING-MIX MANIFEST — the capstone composition the whole
@@ -2550,5 +2728,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, q170)
 }

@@ -2298,12 +2298,9 @@ object Streams {
           .withColumn("bucket", expr("shiftright(simhash, 8)"))
           .cache()
         corpus.count()
-        val ce = corpus.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-          .join(corpus.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-            col("bucket") === col("b2") && col("id1") < col("id2"))
-          .filter(expr("bit_count(h1 ^ h2)") <= 6)
-          .select(col("id1"), col("id2"))
-          .localCheckpoint()
+        // corpus-internal edges via the shared CAPPED self-join (identical
+        // output at the correctness SFs; bounded on a hot template bucket)
+        val ce = Dedup.cappedSelfPairs(corpus).localCheckpoint()
         corpus.write.parquet(sigIdxDir)
         ce.write.parquet(edgesDir)
         degDeltas(ce).write.parquet(degDir)
@@ -2328,11 +2325,9 @@ object Streams {
           val sigs = Dedup.simhashOf(batch)
             .withColumn("bucket", expr("shiftright(simhash, 8)"))
             .localCheckpoint()
-          val bb = sigs.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
-            .join(sigs.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),
-              col("bucket") === col("b2") && col("id1") < col("id2"))
-            .filter(expr("bit_count(h1 ^ h2)") <= 6)
-            .select(col("id1"), col("id2"))
+          // batch-internal pairs via the shared capped self-join; the
+          // batch-vs-index probe below stays an equi-join (not a self-join)
+          val bb = Dedup.cappedSelfPairs(sigs)
           val idx = bs.read.parquet(sigIdxDir)
           val bc = sigs.select(col("bucket"), col("doc_id").as("id1"), col("simhash").as("h1"))
             .join(idx.select(col("bucket").as("b2"), col("doc_id").as("id2"), col("simhash").as("h2")),

@@ -1515,4 +1515,57 @@ class NewOpsInvariantSpec extends SparkSuite {
       }
     }
   }
+
+  test("cappedSelfPairs bounds a hot identical-simhash bucket, keeping only same-sub pairs") {
+    import org.apache.spark.sql.functions._
+    // 300 docs with IDENTICAL simhash — one template family in one
+    // Hamming bucket. Uncapped, the self-join emits 300·299/2 = 44850
+    // pairs; the production cap (128) splits the bucket into
+    // ⌈300/128⌉ = 3 hash sub-cells and only same-cell pairs survive.
+    val sigs = (1 to 300).map(i => (i.toLong, (42L << 8) + 7L))
+      .toDF("doc_id", "simhash")
+      .withColumn("bucket", expr("shiftright(simhash, 8)"))
+    val pairs = graft.analytics.Dedup.cappedSelfPairs(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // cell assignment via the same content-independent doc hash the
+    // generator uses (k = 3 for this bucket)
+    val cell = sigs.selectExpr("doc_id", "poly_hash(CAST(doc_id AS STRING)) % 3 AS c")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = cell.values.groupBy(identity).values.map(_.size.toLong)
+      .map(c => c * (c - 1) / 2).sum
+    pairs.length.toLong shouldBe expected
+    pairs.length should be < 44850
+    // every surviving pair is same-cell (cross-sub pairs sacrificed)
+    pairs.foreach { case (a, b) => cell(a) shouldBe cell(b) }
+  }
+
+  test("d41 rotated table finds the high-byte pair the base table structurally misses") {
+    import org.apache.spark.sql.functions._
+    // doc 1/4 identical; doc 2 differs from 1 ONLY in the high byte
+    // (hamming 1, invisible to the high-byte bucket); doc 3 differs from
+    // 1 only in the low byte (hamming 2, invisible to the rot-8 table)
+    val sigs = Seq((1L, 0x0341L), (2L, 0x4341L), (3L, 0x0342L), (4L, 0x0341L))
+      .toDF("doc_id", "simhash")
+    // base single-table scheme: misses (1,2) — diffs in the high byte
+    val base = graft.analytics.Dedup.cappedSelfPairs(
+      sigs.withColumn("bucket", expr("shiftright(simhash, 8)")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    base.contains((1L, 2L)) shouldBe false
+    base should contain allOf ((1L, 3L), (1L, 4L))
+    // rotated 2-table scheme: finds it, and reports which pairs only one
+    // table could see (n_tables = 1) vs both (identical pair, n = 2)
+    val rot = graft.analytics.Dedup.simhashRotatedPairsOf(sigs)
+      .orderBy(col("id1"), col("id2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    rot shouldBe Seq(
+      (1L, 2L, 1L, 1L), // high-byte diff: rot-8 table only
+      (1L, 3L, 2L, 1L), // low-byte diff: base table only
+      (1L, 4L, 0L, 2L), // identical: both tables
+      (2L, 4L, 1L, 1L),
+      (3L, 4L, 2L, 1L))
+    // (2,3) straddles the byte boundary — found by NEITHER table; the
+    // scheme's residual blind spot, priced by d35's detector-agreement
+    rot.map(p => (p._1, p._2)).contains((2L, 3L)) shouldBe false
+  }
 }
