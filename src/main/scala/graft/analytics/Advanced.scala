@@ -2377,8 +2377,15 @@ object Advanced {
           + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
                  THEN (rows_a_res * rows_b_res) DIV greatest(ndv_a_res, ndv_b_res)
                  ELSE 0 END""").as("est_rows"))
+      // error term promoted before the ×1e6 (q170's quota_share_ppm
+      // pattern): a low-cardinality self-join edge at large SF can be
+      // mis-estimated by > 9e12 rows, where BIGINT×1e6 wraps silently in
+      // Spark (non-ANSI) while DuckDB raises — the engines would diverge
+      // exactly where the estimator is most stressed
       .withColumn("err_ppm", expr(
-        "CASE WHEN exact_rows > 0 THEN abs(est_rows - exact_rows) * 1000000 DIV exact_rows END"))
+        """CASE WHEN exact_rows > 0
+           THEN CAST(CAST(abs(est_rows - exact_rows) AS DECIMAL(38,0)) * 1000000
+                     DIV CAST(exact_rows AS DECIMAL(38,0)) AS BIGINT) END"""))
   }
 
   private def estEdgeSql(ta: String, ka: String, tb: String, kb: String,
@@ -2411,12 +2418,12 @@ object Advanced {
         + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
                THEN (rows_a_res * rows_b_res) // greatest(ndv_a_res, ndv_b_res)
                ELSE 0 END AS BIGINT) AS est_rows,
-      CAST(CASE WHEN exact_rows > 0 THEN abs(t_hh
+      CAST(CASE WHEN exact_rows > 0 THEN CAST(abs(t_hh
         + CASE WHEN ndv_b_res > 0 THEN (ca_hit_um * rows_b_res) // ndv_b_res ELSE 0 END
         + CASE WHEN ndv_a_res > 0 THEN (cb_hit_um * rows_a_res) // ndv_a_res ELSE 0 END
         + CASE WHEN greatest(ndv_a_res, ndv_b_res) > 0
                THEN (rows_a_res * rows_b_res) // greatest(ndv_a_res, ndv_b_res)
-               ELSE 0 END - exact_rows) * 1000000 // exact_rows END AS BIGINT) AS err_ppm
+               ELSE 0 END - exact_rows) AS HUGEINT) * 1000000 // exact_rows END AS BIGINT) AS err_ppm
     FROM ex_$sfx CROSS JOIN hh_$sfx CROSS JOIN ra_$sfx CROSS JOIN rb_$sfx
       CROSS JOIN ha_$sfx CROSS JOIN hb_$sfx"""
     (cte, sel)

@@ -2220,14 +2220,21 @@ object Similarity {
         val ivf = top5(live.join(broadcast(probesDf),
           col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id")))
         val truth = top5(live.join(broadcast(queries), col("vec_id") =!= col("q_id")))
-        val hits = ivf.join(truth, Seq("q_id", "c_id"))
+        val truthC = truth.cache()
+        val hits = ivf.join(truthC, Seq("q_id", "c_id"))
           .agg(count(lit(1)).as("n_hits"))
+        // recall denominator = the ACTUAL truth-list size, not the 8×5
+        // nominal (on a fixture with < 8 low-id vectors, or where heavy
+        // deletion leaves a truth list under 5, the literal would
+        // silently understate recall); identical (40) on this fixture
+        val denom = truthC.agg(count(lit(1)).as("n_truth"))
         val counts = lists.agg(
           sum(when(col("vec_id") % m === 0, 1L).otherwise(0L)).as("n_deleted"),
           sum(when(col("vec_id") % m =!= 0, 1L).otherwise(0L)).as("n_live"))
-        counts.crossJoin(hits)
+        counts.crossJoin(hits).crossJoin(denom)
           .select(lit(m).as("delete_mod"), col("n_deleted"), col("n_live"),
-            expr("(n_hits * 1000000) DIV 40").as("recall_ppm"))
+            expr("CASE WHEN n_truth > 0 THEN (n_hits * 1000000) DIV n_truth ELSE 1000000 END")
+              .as("recall_ppm"))
       }
       curves.reduce(_.unionByName(_)).orderBy(col("delete_mod"))
     },
@@ -2253,8 +2260,10 @@ object Similarity {
            FROM lists) AS n_deleted,
         (SELECT CAST(SUM(CASE WHEN vec_id % $m <> 0 THEN 1 ELSE 0 END) AS BIGINT)
            FROM lists) AS n_live,
-        CAST(((SELECT COUNT(*) FROM ivf_$m JOIN tr_$m USING (q_id, c_id))
-              * 1000000) // 40 AS BIGINT) AS recall_ppm)"""
+        CAST(CASE WHEN (SELECT COUNT(*) FROM tr_$m) > 0
+             THEN ((SELECT COUNT(*) FROM ivf_$m JOIN tr_$m USING (q_id, c_id))
+                   * 1000000) // (SELECT COUNT(*) FROM tr_$m)
+             ELSE 1000000 END AS BIGINT) AS recall_ppm)"""
       }.mkString(",\n    ")
       s"""WITH $quantCte,
     $ivfProbeCte,
