@@ -3329,9 +3329,173 @@ object Streams {
       CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
     FROM enriched GROUP BY 1, 2 ORDER BY batch_id, tier"""))
 
+  // ---------------------------------------------------------------- q173
+  // STREAMING MERKLE TABLE DIFF — q171's two-phase snapshot diff with the
+  // PRIMARY side's bucket digests maintained incrementally, the
+  // d24/q119 append-only-ledger discipline: the digest monoid
+  // (count, Σ(k·1000003+cents) mod M) is additive, so each micro-batch
+  // appends ONLY its own per-bucket delta digest to a ledger — the
+  // update path never reads the ledger or rescans the table, and the
+  // diff phase folds |buckets|×|generations| ledger rows instead of
+  // re-digesting 100 TB of rows (`q173DigestFold`'s plan scans the
+  // ledger alone — pinned by `StreamDiffPlanSpec`). The replica carries
+  // q171's planted mutations; row-level work stays semi-join-restricted
+  // to differing buckets. Output adds a `ledger_entries` row pinning
+  // that 4 digest generations (base + 3 batches) actually exist.
+  // Oracle: the ledger unrolled as one digest CTE per generation, folded
+  // — maintenance must be indistinguishable from rebuilding the digest.
+  private def q173Digest(df: org.apache.spark.sql.DataFrame) =
+    df.withColumn("bucket", col("k") % 64)
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        (sum((col("k") * 1000003L + col("cents")) % HashMod) % HashMod).as("ck"))
+
+  /** Ledger fold: the maintained digest of the CURRENT primary snapshot,
+    * computed from ledger rows only (exposed for the plan spec). */
+  private[graft] def q173DigestFold(
+      s: org.apache.spark.sql.SparkSession, ledgerDir: String) =
+    s.read.parquet(ledgerDir)
+      .groupBy(col("bucket"))
+      .agg(sum(col("n")).as("n"), (sum(col("ck")) % HashMod).as("ck"))
+
+  private val q173 = QueryDef(
+    "q173_stream_table_diff",
+    (s, dir) => withStreamShuffle(s) {
+      val streamDir = Tables.tmpDir("graft-q173-stream")
+      val ledgerDir = Tables.tmp("graft-q173-ledger")
+      val rowsDir = Tables.tmp("graft-q173-rows")
+      def kv(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("o_orderkey").as("k"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      graft.BenchSplit.setup {
+        // the pre-existing primary (even keys): rows + its digest ledger
+        // generation 0 (at scale both exist already)
+        val base = kv(rd(s, dir, "orders")).filter(col("k") % 2 === 0)
+        base.write.parquet(rowsDir)
+        q173Digest(base).write.parquet(ledgerDir)
+        // the delta: 3 mtime-ordered batch files (odd keys, q119 layout)
+        val baseT = 1700000000000L
+        (1 to 3).foreach { b =>
+          val stage = Tables.tmp(s"graft-q173-b$b")
+          kv(rd(s, dir, "orders")).filter(col("k") % 6 === (2 * b - 1))
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the ingest path: rows append to the table, the batch's OWN
+          // delta digest appends to the ledger — neither write reads
+          // existing state (batch pinned first: it feeds both writes)
+          val b = batch.localCheckpoint()
+          b.write.mode("append").parquet(rowsDir)
+          q173Digest(b).write.mode("append").parquet(ledgerDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q173-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // ---- diff phase: ledger fold vs the replica's one-scan digest ----
+      val ledger = s.read.parquet(ledgerDir)
+      val cur = q173DigestFold(s, ledgerDir)
+      // the replica (another cluster's copy): primary + planted mutations
+      val primary = kv(rd(s, dir, "orders"))
+      val replica = primary
+        .withColumn("cents",
+          expr("CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END"))
+        .filter(expr("NOT (k % 41 <> 0 AND k % 43 = 0)"))
+        .unionByName(primary
+          .filter(expr("k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0"))
+          .select((col("k") + 1000000L).as("k"), col("cents")))
+      val diffBuckets = cur.withColumnRenamed("n", "n_p").withColumnRenamed("ck", "ck_p")
+        .join(q173Digest(replica)
+            .withColumnRenamed("n", "n_r").withColumnRenamed("ck", "ck_r"),
+          Seq("bucket"), "full")
+        .filter(!(col("n_p") <=> col("n_r")) || !(col("ck_p") <=> col("ck_r")))
+        .select(col("bucket"))
+      def inDiff(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 64)
+          .join(diffBuckets, Seq("bucket"), "left_semi")
+      val rows = inDiff(s.read.parquet(rowsDir)).select(col("k"), col("cents").as("cents_p"))
+        .join(inDiff(replica).select(col("k"), col("cents").as("cents_r")),
+          Seq("k"), "full")
+        .withColumn("status", expr("""CASE
+            WHEN cents_p IS NULL THEN 'added'
+            WHEN cents_r IS NULL THEN 'removed'
+            WHEN cents_p <> cents_r THEN 'changed' END"""))
+        .filter(col("status").isNotNull)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("k") % HashMod) % HashMod).as("key_checksum"))
+      diffBuckets.agg(count(lit(1)).as("n"),
+          coalesce(sum(col("bucket")), lit(0L)).as("key_checksum"))
+        .select(lit("buckets_differing").as("status"), col("n"), col("key_checksum"))
+        .unionByName(ledger.agg(count(lit(1)).as("n"),
+            coalesce(sum(col("bucket")) % HashMod, lit(0L)).as("key_checksum"))
+          .select(lit("ledger_entries").as("status"), col("n"), col("key_checksum")))
+        .unionByName(rows)
+        .orderBy(col("status"))
+    },
+    Some(s"""WITH prim AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    g0 AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM prim WHERE k % 2 = 0 GROUP BY 1),
+    g1 AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM prim WHERE k % 6 = 1 GROUP BY 1),
+    g2 AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM prim WHERE k % 6 = 3 GROUP BY 1),
+    g3 AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM prim WHERE k % 6 = 5 GROUP BY 1),
+    ledger AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+               UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+    cur AS (SELECT bucket, SUM(n) AS n, SUM(ck) % $HashMod AS ck
+            FROM ledger GROUP BY 1),
+    replica AS (
+      SELECT k, CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM prim WHERE NOT (k % 41 <> 0 AND k % 43 = 0)
+      UNION ALL
+      SELECT k + 1000000, cents FROM prim
+      WHERE k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0),
+    dr AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM replica GROUP BY 1),
+    diffb AS (SELECT COALESCE(cur.bucket, dr.bucket) AS bucket
+              FROM cur FULL JOIN dr ON cur.bucket = dr.bucket
+              WHERE cur.n IS DISTINCT FROM dr.n OR cur.ck IS DISTINCT FROM dr.ck),
+    rp AS (SELECT * FROM prim WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    rr AS (SELECT * FROM replica WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    d AS (SELECT COALESCE(rp.k, rr.k) AS k,
+            CASE WHEN rp.k IS NULL THEN 'added'
+                 WHEN rr.k IS NULL THEN 'removed'
+                 WHEN rp.cents <> rr.cents THEN 'changed' END AS status
+          FROM rp FULL JOIN rr ON rp.k = rr.k),
+    rows_out AS (SELECT status, COUNT(*) AS n,
+            CAST(SUM(k % $HashMod) % $HashMod AS BIGINT) AS key_checksum
+          FROM d WHERE status IS NOT NULL GROUP BY status)
+    SELECT * FROM (
+      SELECT 'buckets_differing' AS status, COUNT(*) AS n,
+        CAST(COALESCE(SUM(bucket), 0) AS BIGINT) AS key_checksum FROM diffb
+      UNION ALL
+      SELECT 'ledger_entries', COUNT(*),
+        CAST(COALESCE(SUM(bucket) % $HashMod, 0) AS BIGINT) FROM ledger
+      UNION ALL SELECT status, n, key_checksum FROM rows_out
+    ) ORDER BY status"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169)
+      d29, q164, q169, q173)
 }
