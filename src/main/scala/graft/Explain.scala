@@ -77,7 +77,8 @@ object Explain {
         "s28_tombstone_search",
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget",
         "m18_template_captions",
-        "q170_training_manifest", "d41_simhash_rotated_pairs")
+        "q170_training_manifest", "d41_simhash_rotated_pairs",
+        "q174_maintenance_plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

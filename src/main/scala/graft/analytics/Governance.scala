@@ -264,6 +264,71 @@ object Governance {
       CAST(MAX(day) AS BIGINT) AS newest_day
     FROM pd, a GROUP BY 1, 2 ORDER BY age_band"""))
 
+  // --------------------------------------------------------------- q174
+  // TONIGHT'S MAINTENANCE PLAN — the operational composition the
+  // reference's cron pair implies (`run_compact_tables.py` picks
+  // partitions to rewrite; a retention sweep decides what to drop):
+  // one report answering, per day-partition of the event log, "what do
+  // we do tonight?". The fixture is a REAL day-partitioned layout
+  // (q147's deterministic discipline, by the reference's actual
+  // partition key): one single-file write of every day, then a
+  // single-file APPEND to even days — so even days hold two files
+  // (and twice their rows), odd days one. Verdicts compose q147 and
+  // q143: `purge` when the day is past the 21-day horizon from the
+  // table's own newest day (the deterministic as-of anchor — never
+  // wall-clock), else `compact` when the partition is multi-file, else
+  // `none` — purge SUPERSEDES compact, because rewriting a partition
+  // tonight that the retention sweep deletes tonight is wasted IO, the
+  // exact coupling a naive cron pair gets wrong. One `_metadata` scan
+  // of (day, cents, file_name), one map-side-combined per-day
+  // aggregate, 1-row as-of broadcast back. The oracle replays the
+  // layout arithmetic (base ∪ even-day append) without seeing files.
+  private val q174 = QueryDef(
+    "q174_maintenance_plan",
+    (s, dir) => {
+      val out = Tables.tmp("graft-maintplan")
+      graft.BenchSplit.setup {
+        val base = events(s, dir).select(
+          expr("unix_micros(date_trunc('DAY', ts)) DIV 86400000000").as("day"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        base.coalesce(1).write.mode("overwrite").partitionBy("day").parquet(out)
+        base.filter(col("day") % 2 === 0)
+          .coalesce(1).write.mode("append").partitionBy("day").parquet(out)
+      }
+      val perDay = s.read.parquet(out)
+        .select(col("day").cast("long").as("day"), col("cents"),
+          col("_metadata.file_name").as("fn"))
+        .groupBy(col("day"))
+        .agg(countDistinct(col("fn")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("cents"))
+      val asOf = perDay.agg(max(col("day")).as("as_of"))
+      perDay.crossJoin(broadcast(asOf)) // 1-row scalar
+        .select(col("day"), col("n_files"), col("n_rows"), col("cents"),
+          (col("as_of") - col("day")).as("age_days"),
+          expr(s"""CASE WHEN as_of - day >= $RetentionDays THEN 'purge'
+               WHEN n_files > 1 THEN 'compact' ELSE 'none' END""").as("action"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH base AS (
+      SELECT epoch_us(date_trunc('day', ts)) // 86400000000 AS day,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    layout AS (SELECT day, cents, 0 AS gen FROM base
+               UNION ALL
+               SELECT day, cents, 1 FROM base WHERE day % 2 = 0),
+    pd AS (SELECT day, COUNT(DISTINCT gen) AS n_files, COUNT(*) AS n_rows,
+             CAST(SUM(cents) AS BIGINT) AS cents
+           FROM layout GROUP BY 1),
+    a AS (SELECT MAX(day) AS as_of FROM pd)
+    SELECT CAST(day AS BIGINT) AS day,
+      CAST(n_files AS BIGINT) AS n_files,
+      n_rows, cents,
+      CAST(as_of - day AS BIGINT) AS age_days,
+      CASE WHEN as_of - day >= $RetentionDays THEN 'purge'
+           WHEN n_files > 1 THEN 'compact' ELSE 'none' END AS action
+    FROM pd, a ORDER BY day"""))
+
   // --------------------------------------------------------------- q146
   // SCHEMA-DRIFT AUDIT — the upstream-feed contract monitor: profile
   // every column of a stream across two epochs (early/late halves of the
@@ -783,5 +848,5 @@ object Governance {
 
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172)
+      q171, q172, q174)
 }
