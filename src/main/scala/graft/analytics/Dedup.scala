@@ -94,8 +94,21 @@ object Dedup {
           }: _*).as("mhs"))
       val bands = mh.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      // candidate generation is bucket-CAPPED (same discipline as the
+      // SimHash side, see SimhashBucketCap): a 100 TB template family
+      // lands whole in one band bucket, and an uncapped self-join emits
+      // |bucket|²/2 rows before the Jaccard verify can drop any. The cap
+      // never binds at the correctness SFs (band buckets measure ≤ ~10),
+      // so the oracle keeps the uncapped mirror.
+      val bandSizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+        .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+      val taggedBands = bands.join(bandSizes, Seq("band"))
+        .withColumn("sub", expr(
+          s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+        .select(col("band"), col("sub"), col("doc_id"))
+      val cand = taggedBands.as("a").join(taggedBands.as("b"),
+          col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+            col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
       cand
