@@ -2664,6 +2664,48 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     GROUP BY 1, 2 ORDER BY id1, id2"""))
 
+  // ---------------------------------------------------------------- d42
+  // STAR-CONTRACTION COMPONENTS — d07's cluster resolution on the
+  // alternating large-star/small-star algorithm (Kiveris et al.), the
+  // scale path the ConnectedComponents Scaladoc has pointed at since
+  // r14: min-label propagation rounds are bounded by component
+  // diameter and each round joins the full |nodes| label table, while
+  // star contraction rewrites the EDGE SET toward component-min stars
+  // in O(log² n) rounds on ANY topology — the variant you deploy when
+  // a 100 TB near-dup graph contains adversarial chains (serial
+  // plagiarism, quote chains) that defeat diameter-bounded loops. Same
+  // input edges as d07 (the capped SimHash candidates), same component
+  // semantics; the oracle is the algorithm-independent truth (recursive
+  // transitive closure, min over the reach set), so Spark running a
+  // DIFFERENT algorithm than the oracle is the point of the row. The
+  // chain-graph round bound and equality with ConnectedComponents are
+  // pinned in NewOpsInvariantSpec.
+  private val d42 = QueryDef(
+    "d42_star_components",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val labels = graft.operators.StarContraction.label(pairs).localCheckpoint()
+      pairs.unpersist()
+      labels.groupBy(col("comp").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(col("node") % HashMod) % HashMod).as("member_checksum"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+             FROM r GROUP BY node)
+    SELECT cluster_rep, COUNT(*) AS n_members,
+      CAST(SUM(node % $HashMod) % $HashMod AS BIGINT) AS member_checksum
+    FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
+
   // --------------------------------------------------------------- q170
   // TRAINING-MIX MANIFEST — the capstone composition the whole
   // curation layer exists to produce: the per-source token quota a
@@ -2741,5 +2783,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, d41, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, q170)
 }

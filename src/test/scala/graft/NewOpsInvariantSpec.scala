@@ -1568,4 +1568,25 @@ class NewOpsInvariantSpec extends SparkSuite {
     // scheme's residual blind spot, priced by d35's detector-agreement
     rot.map(p => (p._1, p._2)).contains((2L, 3L)) shouldBe false
   }
+
+  test("d42 star contraction labels an adversarial chain in O(log) rounds, agreeing with min-label CC") {
+    // a 64-node path: diameter 63 — the topology diameter-bounded loops
+    // pay for, and the one star contraction must beat
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    // plus a disjoint second component with min 100 (star + extra edge)
+    val edges = (chain ++ Seq((100L, 101L), (100L, 102L), (200L, 101L)))
+      .toDF("id1", "id2")
+    val (labelsDf, rounds) =
+      graft.operators.StarContraction.labelWithRounds(edges)
+    val star = labelsDf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    star.keySet shouldBe ((0L to 63L).toSet ++ Set(100L, 101L, 102L, 200L))
+    (0L to 63L).foreach(n => star(n) shouldBe 0L)
+    Seq(100L, 101L, 102L, 200L).foreach(n => star(n) shouldBe 100L)
+    // O(log² n) bound, far under the chain's diameter
+    rounds should be <= 8
+    // algorithm-independent agreement with the deployed min-label CC
+    val cc = graft.operators.ConnectedComponents.label(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    cc shouldBe star
+  }
 }
