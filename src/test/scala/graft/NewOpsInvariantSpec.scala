@@ -1287,15 +1287,22 @@ class NewOpsInvariantSpec extends SparkSuite {
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = Registry.queries("d39_lsh_bucket_audit")(spark, tmp)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5)))
-    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
-    out.foreach { case (idx, nBuckets, nDocs, maxB, pairsBound, share) =>
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // band_idx -1 is the SimHash bucket table (r17 extension); 0..3 the
+    // MinHash bands
+    out.map(_._1).toSeq shouldBe Seq(-1L, 0L, 1L, 2L, 3L)
+    out.foreach { case (idx, nBuckets, nDocs, maxB, pairsBound, share,
+        pairsCapped, keptPpm) =>
       withClue(s"band $idx: ") {
         nDocs shouldBe 15L
         maxB should be >= 10L
         nBuckets should be <= 6L // 10 identical + ≤ 5 singleton buckets
         pairsBound should be >= 45L
         share shouldBe maxB * 1000000L / 15L
+        // every bucket here is far under the production cap (128): the
+        // capped generator sacrifices nothing on this fixture
+        pairsCapped shouldBe pairsBound
+        keptPpm shouldBe 1000000L
       }
     }
   }
