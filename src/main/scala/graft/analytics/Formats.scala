@@ -442,6 +442,107 @@ object Formats {
       COUNT(DISTINCT gen) > 1 AS needs_compaction
     FROM layout GROUP BY 1 ORDER BY 1"""))
 
+  // --------------------------------------------------------------- q175
+  // Z-ORDER LAYOUT AUDIT — the storage-layout lever behind multi-column
+  // scan pruning (Delta/Iceberg OPTIMIZE ZORDER): a table range-laid-out
+  // by ONE key prunes perfectly on that key and not at all on any other,
+  // while interleaving the key bits (Morton/Z curve) spreads BOTH keys'
+  // locality across files so min/max zone maps prune on either. This
+  // audit measures that trade EXACTLY, in-engine: assign every order a
+  // 20-bit z-value (bit-interleave of the 10-bit customer and order-day
+  // coordinates), lay the table out 16 ways twice (linear = top custkey
+  // bits, zorder = top z bits — both pure arithmetic, no global sort, the
+  // same range-by-prefix a real OPTIMIZE job shuffles by), compute each
+  // file's (min, max) zone map per coordinate in ONE aggregate, and
+  // replay a two-column probe against the zone maps. Reported per
+  // layout: files admitted by each column's zone map alone, by both
+  // (what a real scan reads), rows scanned vs rows actually matching —
+  // the false-positive IO the layout choice costs. All integer; the
+  // oracle mirrors the arithmetic. At 100 TB this is one scan + a
+  // |files|-row rollup; the probe never touches data rows except the
+  // final scanned/matching masses (one semi-join on the 16-row admit
+  // list, broadcast).
+  private val q175 = QueryDef(
+    "q175_zorder_layout",
+    (s, dir) => {
+      val zbits = (0 until 10).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      val coords = rd(s, dir, "orders").select(
+        expr("o_custkey & 1023").as("x"),
+        expr("(unix_date(CAST(o_orderdate AS DATE))) & 1023").as("y"))
+        .withColumn("z", expr(zbits))
+        .withColumn("f_lin", expr("x >> 6"))   // 16 files by custkey prefix
+        .withColumn("f_z", expr("z >> 16"))    // 16 files by z prefix
+        .localCheckpoint() // feeds both layouts' zone maps + row masses
+      val (xLo, xHi, yLo, yHi) = (256L, 383L, 256L, 383L)
+      def audit(fileCol: String, name: String) = {
+        val zones = coords.groupBy(col(fileCol).as("f"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+          .withColumn("adm_x", (col("min_x") <= xHi && col("max_x") >= xLo).cast("long"))
+          .withColumn("adm_y", (col("min_y") <= yHi && col("max_y") >= yLo).cast("long"))
+        zones.agg(
+            count(lit(1)).as("n_files"),
+            sum(col("adm_x")).as("files_adm_x"),
+            sum(col("adm_y")).as("files_adm_y"),
+            sum(col("adm_x") * col("adm_y")).as("files_adm_both"),
+            sum(col("adm_x") * col("adm_y") * col("n_rows")).as("rows_scanned"))
+          .crossJoin(coords.filter(
+              col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+            .agg(count(lit(1)).as("rows_matching")))
+          .select(lit(name).as("layout"), col("n_files"), col("files_adm_x"),
+            col("files_adm_y"), col("files_adm_both"), col("rows_scanned"),
+            col("rows_matching"))
+      }
+      audit("f_lin", "linear").unionByName(audit("f_z", "zorder"))
+        .orderBy(col("layout"))
+    },
+    Some {
+      val zbits = (0 until 10).map(b =>
+        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" + ")
+      s"""WITH coords AS (
+      SELECT o_custkey & 1023 AS x,
+        (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) & 1023 AS y
+      FROM orders),
+    zc AS (SELECT x, y, $zbits AS z FROM coords),
+    fc AS (SELECT x, y, x >> 6 AS f_lin, z >> 16 AS f_z FROM zc),
+    m AS (SELECT COUNT(*) AS rows_matching FROM fc
+          WHERE x BETWEEN 256 AND 383 AND y BETWEEN 256 AND 383),
+    lin AS (SELECT f_lin AS f, COUNT(*) AS n_rows,
+              MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+            FROM fc GROUP BY 1),
+    zo AS (SELECT f_z AS f, COUNT(*) AS n_rows,
+             MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+           FROM fc GROUP BY 1),
+    a_lin AS (SELECT COUNT(*) AS n_files,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 THEN 1 ELSE 0 END) AS files_adm_x,
+        SUM(CASE WHEN min_y <= 383 AND max_y >= 256 THEN 1 ELSE 0 END) AS files_adm_y,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 AND min_y <= 383 AND max_y >= 256 THEN 1 ELSE 0 END) AS files_adm_both,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 AND min_y <= 383 AND max_y >= 256 THEN n_rows ELSE 0 END) AS rows_scanned
+      FROM lin),
+    a_zo AS (SELECT COUNT(*) AS n_files,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 THEN 1 ELSE 0 END) AS files_adm_x,
+        SUM(CASE WHEN min_y <= 383 AND max_y >= 256 THEN 1 ELSE 0 END) AS files_adm_y,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 AND min_y <= 383 AND max_y >= 256 THEN 1 ELSE 0 END) AS files_adm_both,
+        SUM(CASE WHEN min_x <= 383 AND max_x >= 256 AND min_y <= 383 AND max_y >= 256 THEN n_rows ELSE 0 END) AS rows_scanned
+      FROM zo)
+    SELECT * FROM (
+      SELECT 'linear' AS layout, n_files, CAST(files_adm_x AS BIGINT) AS files_adm_x,
+        CAST(files_adm_y AS BIGINT) AS files_adm_y,
+        CAST(files_adm_both AS BIGINT) AS files_adm_both,
+        CAST(rows_scanned AS BIGINT) AS rows_scanned, m.rows_matching
+      FROM a_lin, m
+      UNION ALL
+      SELECT 'zorder', n_files, CAST(files_adm_x AS BIGINT),
+        CAST(files_adm_y AS BIGINT), CAST(files_adm_both AS BIGINT),
+        CAST(rows_scanned AS BIGINT), m.rows_matching
+      FROM a_zo, m
+    ) ORDER BY layout"""
+    })
+
   // --------------------------------------------------------------- q166
   // PERMISSIVE-PARSE QUARANTINE — the malformed-input half of the CSV
   // source q42's clean round-trip never exercises: real feeds arrive
@@ -504,5 +605,5 @@ object Formats {
     FROM v GROUP BY 1 ORDER BY class"""))
 
   val defs: Seq[QueryDef] =
-    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166)
+    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166, q175)
 }
