@@ -82,14 +82,22 @@ object StarContraction {
       (r.getLong(0), r.getLong(1))
     }
 
+    var prevEdges = e
     var prev = fingerprint(e)
     var rounds = 0
     var changed = true
     while (changed && rounds < maxIterations) {
       e = smallStar(largeStar(e)).localCheckpoint()
       val cur = fingerprint(e)
-      changed = cur != prev
+      // fingerprint equality is the cheap signal; STOPPING additionally
+      // requires exact set equality (same count + empty anti-join), so a
+      // checksum collision on a non-fixpoint round can never end the
+      // loop with wrong labels — the confirm join runs only on the
+      // (rare) fingerprint-match round, over the shrunken edge set
+      changed = cur != prev ||
+        e.join(prevEdges, Seq("u", "v"), "left_anti").limit(1).count() > 0
       prev = cur
+      prevEdges = e
       rounds += 1
     }
     if (changed)
