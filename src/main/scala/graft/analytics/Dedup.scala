@@ -2706,6 +2706,106 @@ object Dedup {
       CAST(SUM(node % $HashMod) % $HashMod AS BIGINT) AS member_checksum
     FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
 
+  // ---------------------------------------------------------------- d43
+  // PROBE-BUDGET AUDIT — the bound for the one candidate-volume path the
+  // bucket caps don't touch: a DELTA→INDEX probe (d16/d21/d24/q119) is
+  // an equi-join on the bucket key, so its volume is Σ_b |delta_b|·|idx_b|
+  // — linear in the delta, but a hot index bucket multiplies every delta
+  // arrival forever. The IR discipline is posting-list truncation: rank
+  // each band's index entries by a deterministic priority and admit only
+  // the top B to the probe, accounting the sacrifice exactly. This audit
+  // prices it per band: index entries vs kept, probe pairs full vs
+  // budgeted (kept_ppm), and — the part d40-style pair arithmetic can't
+  // see — MATCHES lost (d16's calibrated ≥4-of-8 minhash agreement,
+  // full vs budgeted), i.e. the recall cost of the IO bound. B = 2 so
+  // the budget binds on this corpus's real index buckets (measured
+  // max 4 at sf0.001 / 3 at sf0.01 in the even-half index). The
+  // rank pass is one window per band — LINEAR in the bucket (that's the
+  // point: a linear rank pass instead of an unbounded join fan-out);
+  // at 100 TB the priority would be a quality score and the rank a
+  // bounded top-B aggregate, same plan role. The full probe computed
+  // here as the baseline is exactly the thing the budget avoids — it
+  // exists because the audit's job is to price the delta.
+  private val ProbeBudget = 2L
+
+  private val d43 = QueryDef(
+    "d43_probe_budget",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val idx = minhashBandsOf(d.filter(col("doc_id") % 2 === 0))
+        .select(col("doc_id"), col("mhs"), col("band")).cache()
+      idx.count()
+      val delta = minhashBandsOf(d.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("mhs"), col("band")).cache()
+      delta.count()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band")).orderBy(col("doc_id"))
+      val ranked = idx.withColumn("rnk", row_number().over(w))
+      def probe(ix: org.apache.spark.sql.DataFrame) = delta
+        .select(col("band"), col("doc_id").as("d_id"), col("mhs").as("d_mhs"))
+        .join(ix.select(col("band"), col("doc_id").as("c_id"), col("mhs").as("c_mhs")),
+          "band")
+        .select(expr("CAST(split(band, ':')[0] AS BIGINT)").as("band_idx"),
+          expr("CAST(size(filter(zip_with(d_mhs, c_mhs, (x, y) -> x = y), bb -> bb)) >= 4 AS LONG)")
+            .as("is_match"))
+        .groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("pairs"), sum(col("is_match")).as("matches"))
+      val fullAgg = probe(idx)
+        .withColumnRenamed("pairs", "pairs_full").withColumnRenamed("matches", "matches_full")
+      val budAgg = probe(ranked.filter(col("rnk") <= ProbeBudget))
+        .withColumnRenamed("pairs", "pairs_budget").withColumnRenamed("matches", "matches_budget")
+      val idxAgg = ranked
+        .select(expr("CAST(split(band, ':')[0] AS BIGINT)").as("band_idx"), col("rnk"))
+        .groupBy(col("band_idx"))
+        .agg(count(lit(1)).as("idx_entries"),
+          sum(when(col("rnk") <= ProbeBudget, 1L).otherwise(0L)).as("kept_entries"))
+      val out = idxAgg.join(fullAgg, Seq("band_idx")).join(budAgg, Seq("band_idx"))
+        .withColumn("pairs_kept_ppm", expr(
+          "CASE WHEN pairs_full = 0 THEN 1000000 ELSE (pairs_budget * 1000000) DIV pairs_full END"))
+        .select(col("band_idx"), col("idx_entries"), col("kept_entries"),
+          col("pairs_full"), col("pairs_budget"), col("pairs_kept_ppm"),
+          col("matches_full"), col("matches_budget"))
+        .orderBy(col("band_idx"))
+        .localCheckpoint()
+      idx.unpersist(); delta.unpersist()
+      out
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, mhs, CAST(i AS BIGINT) AS band_idx,
+        CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+      FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    idx AS (SELECT * FROM bands WHERE doc_id % 2 = 0),
+    delta AS (SELECT * FROM bands WHERE doc_id % 2 = 1),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY band ORDER BY doc_id) AS rnk
+               FROM idx),
+    pf AS (SELECT d.band_idx, COUNT(*) AS pairs_full,
+             SUM(CASE WHEN len(list_filter(list_zip(d.mhs, c.mhs), p -> p[1] = p[2])) >= 4
+                 THEN 1 ELSE 0 END) AS matches_full
+           FROM delta d JOIN idx c USING (band) GROUP BY 1),
+    pb AS (SELECT d.band_idx, COUNT(*) AS pairs_budget,
+             SUM(CASE WHEN len(list_filter(list_zip(d.mhs, c.mhs), p -> p[1] = p[2])) >= 4
+                 THEN 1 ELSE 0 END) AS matches_budget
+           FROM delta d JOIN ranked c USING (band)
+           WHERE c.rnk <= $ProbeBudget GROUP BY 1),
+    ia AS (SELECT band_idx, COUNT(*) AS idx_entries,
+             SUM(CASE WHEN rnk <= $ProbeBudget THEN 1 ELSE 0 END) AS kept_entries
+           FROM ranked GROUP BY 1)
+    SELECT ia.band_idx,
+      CAST(idx_entries AS BIGINT) AS idx_entries,
+      CAST(kept_entries AS BIGINT) AS kept_entries,
+      CAST(pairs_full AS BIGINT) AS pairs_full,
+      CAST(pairs_budget AS BIGINT) AS pairs_budget,
+      CAST(CASE WHEN pairs_full = 0 THEN 1000000
+           ELSE (pairs_budget * 1000000) // pairs_full END AS BIGINT) AS pairs_kept_ppm,
+      CAST(matches_full AS BIGINT) AS matches_full,
+      CAST(matches_budget AS BIGINT) AS matches_budget
+    FROM ia JOIN pf USING (band_idx) JOIN pb USING (band_idx)
+    ORDER BY band_idx"""))
+
   // --------------------------------------------------------------- q170
   // TRAINING-MIX MANIFEST — the capstone composition the whole
   // curation layer exists to produce: the per-source token quota a
@@ -2783,5 +2883,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, q170)
 }

@@ -1596,4 +1596,34 @@ class NewOpsInvariantSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     cc shouldBe star
   }
+
+  test("d43 budget truncates a planted hot index bucket and prices the lost matches") {
+    val tmp = java.nio.file.Files.createTempDirectory("d43inv").toString
+    // 10 byte-identical EVEN docs form a hot index bucket in every band;
+    // ONE identical odd doc is the delta that probes it. Unique odd/even
+    // docs pad the corpus so the audit isn't degenerate.
+    val hotIdx = (1 to 10).map(i =>
+      (2L * i, "the fast query scans the wide table", "en", "s0", 35L))
+    val delta = Seq((1L, "the fast query scans the wide table", "en", "s0", 35L))
+    val pad = (30 to 40).map(i =>
+      (i.toLong, s"unique doc $i with filter merge join sort batch", "en", "s0", 40L))
+    (hotIdx ++ delta ++ pad).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Registry.queries("d43_probe_budget")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7)))
+    out.map(_._1).toSeq shouldBe Seq(0L, 1L, 2L, 3L)
+    out.foreach { case (idx, full, budget, keptPpm, mFull, mBudget) =>
+      withClue(s"band $idx: ") {
+        // the delta doc meets all 10 identical index entries un-budgeted
+        full should be >= 10L
+        mFull should be >= 10L
+        // the budget admits exactly 2 of the hot bucket
+        budget should be <= (full - 8L)
+        mBudget should be <= (mFull - 8L)
+        keptPpm should be < 1000000L
+        keptPpm shouldBe budget * 1000000L / full
+      }
+    }
+  }
 }
