@@ -785,6 +785,101 @@ object Governance {
       UNION ALL SELECT status, n, key_checksum FROM rows_out
     ) ORDER BY status"""))
 
+  // --------------------------------------------------------------- q176
+  // REPLICATION-IMPACT SWEEP — the referential half of the snapshot
+  // diff: q171 tells you WHICH orders drifted between primary and
+  // replica; this report prices what that drift BREAKS downstream —
+  // every lineitem still referencing a dropped order is an orphan the
+  // moment a failover promotes the replica, and every changed order
+  // taints its lines' join results. Phase 1/2 are exactly q171's
+  // two-phase machinery (bucket digests → semi-join-restricted row
+  // diff) producing the per-status key sets; phase 3 joins those keys
+  // (diff-sized — tiny relative to the table, broadcast at any scale)
+  // into lineitem once and rolls up per status: drifted orders,
+  // affected lineitems, and the affected line value in cents. The
+  // oracle replays the planted mutation arithmetic. 'added' orders
+  // (replica-only, key+10⁶) have no lines by construction — the row
+  // pins that a failover ADDS no orphans, only removals do.
+  private val q176 = QueryDef(
+    "q176_replication_impact",
+    (s, dir) => {
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val replica = base
+        .withColumn("cents",
+          expr("CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END"))
+        .filter(expr("NOT (k % 41 <> 0 AND k % 43 = 0)"))
+        .unionByName(base
+          .filter(expr("k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0"))
+          .select((col("k") + 1000000L).as("k"), col("cents")))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 64)
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n"),
+            (sum((col("k") * 1000003L + col("cents")) % HashMod) % HashMod).as("ck"))
+      val diffBuckets = digest(base).withColumnRenamed("n", "n_b").withColumnRenamed("ck", "ck_b")
+        .join(digest(replica).withColumnRenamed("n", "n_c").withColumnRenamed("ck", "ck_c"),
+          Seq("bucket"), "full")
+        .filter(!(col("n_b") <=> col("n_c")) || !(col("ck_b") <=> col("ck_c")))
+        .select(col("bucket"))
+      def inDiff(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("bucket", col("k") % 64)
+          .join(diffBuckets, Seq("bucket"), "left_semi")
+      val drifted = inDiff(base).select(col("k"), col("cents").as("cents_p"))
+        .join(inDiff(replica).select(col("k"), col("cents").as("cents_r")),
+          Seq("k"), "full")
+        .withColumn("status", expr("""CASE
+            WHEN cents_p IS NULL THEN 'added'
+            WHEN cents_r IS NULL THEN 'removed'
+            WHEN cents_p <> cents_r THEN 'changed' END"""))
+        .filter(col("status").isNotNull)
+        .select(col("k"), col("status"))
+        .localCheckpoint() // diff-sized; feeds the rollup and the FK join
+      val lines = rd(s, dir, "lineitem").select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("lc"))
+      drifted
+        .join(lines, col("k") === col("l_orderkey"), "left")
+        .groupBy(col("status"))
+        .agg(countDistinct(col("k")).as("n_orders"),
+          count(col("l_orderkey")).as("n_lineitems"),
+          coalesce(sum(col("lc")), lit(0L)).as("line_value_cents"))
+        .orderBy(col("status"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    replica AS (
+      SELECT k, CASE WHEN k % 41 = 0 THEN cents + 1 ELSE cents END AS cents
+      FROM base WHERE NOT (k % 41 <> 0 AND k % 43 = 0)
+      UNION ALL
+      SELECT k + 1000000, cents FROM base
+      WHERE k % 41 <> 0 AND k % 43 <> 0 AND k % 47 = 0),
+    db AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM base GROUP BY 1),
+    dc AS (SELECT k % 64 AS bucket, COUNT(*) AS n,
+             CAST(SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS BIGINT) AS ck
+           FROM replica GROUP BY 1),
+    diffb AS (SELECT COALESCE(db.bucket, dc.bucket) AS bucket
+              FROM db FULL JOIN dc ON db.bucket = dc.bucket
+              WHERE db.n IS DISTINCT FROM dc.n OR db.ck IS DISTINCT FROM dc.ck),
+    rb AS (SELECT * FROM base WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    rc AS (SELECT * FROM replica WHERE k % 64 IN (SELECT bucket FROM diffb)),
+    drift AS (SELECT COALESCE(rb.k, rc.k) AS k,
+            CASE WHEN rb.k IS NULL THEN 'added'
+                 WHEN rc.k IS NULL THEN 'removed'
+                 WHEN rb.cents <> rc.cents THEN 'changed' END AS status
+          FROM rb FULL JOIN rc ON rb.k = rc.k),
+    d AS (SELECT k, status FROM drift WHERE status IS NOT NULL)
+    SELECT status,
+      CAST(COUNT(DISTINCT d.k) AS BIGINT) AS n_orders,
+      COUNT(l.l_orderkey) AS n_lineitems,
+      CAST(COALESCE(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT)
+        AS line_value_cents
+    FROM d LEFT JOIN lineitem l ON l.l_orderkey = d.k
+    GROUP BY status ORDER BY status"""))
+
   // --------------------------------------------------------------- q172
   // BEHAVIORAL BOT SCREEN — automated-traffic triage before events
   // feed analytics or training data: humans are bursty and irregular,
@@ -848,5 +943,5 @@ object Governance {
 
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174)
+      q171, q172, q174, q176)
 }
