@@ -2456,9 +2456,80 @@ object Text {
         AS coverage_ppm
     FROM ty GROUP BY n ORDER BY n"""))
 
+  // ---------------------------------------------------------------- t45
+  // SEQUENCE-PACKING AUDIT — the last arithmetic a pretraining data
+  // pipeline runs before tensors exist: documents are truncated to the
+  // context length, concatenated per source in a deterministic order,
+  // and chunked into fixed 256-token training sequences. The audit
+  // prices that layout exactly: per source, the token mass kept vs
+  // truncated, the sequence count (⌈Σkept/256⌉ — concat-then-chunk
+  // achieves the packing lower bound by construction), the padding in
+  // the final partial sequence, and — what padding numbers hide — how
+  // many documents get SPLIT across a sequence boundary (attention
+  // contamination: a fragment sees a foreign prefix), with the split
+  // count derived from each doc's [start, end) offset in the concat
+  // stream via one cumulative-sum window. The window is per-source
+  // ordered by doc_id — deterministic and shuffle-partitioned by
+  // source; at 100 TB you pack per partition and the same arithmetic
+  // runs inside each, the cross-partition boundary being one seam per
+  // partition, not per doc. All integer; the oracle mirrors the window.
+  private val SeqLen = 256L
+
+  private val t45 = QueryDef(
+    "t45_sequence_packing",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val per = docsNarrow(s, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tokens"))
+        .withColumn("kept", least(col("tokens"), lit(SeqLen)))
+        .withColumn("start", coalesce(sum(col("kept")).over(w), lit(0L)))
+        .withColumn("endo", col("start") + col("kept"))
+        // a doc crosses a boundary once per 256-multiple strictly inside
+        // (start, endo): (endo-1) DIV 256 - start DIV 256 fragments - 1
+        .withColumn("splits", expr(
+          s"CASE WHEN kept = 0 THEN 0 ELSE (endo - 1) DIV $SeqLen - start DIV $SeqLen END"))
+      per.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tokens")).as("total_tokens"),
+          sum(col("kept")).as("kept_tokens"),
+          sum(when(col("tokens") > SeqLen, 1L).otherwise(0L)).as("truncated_docs"),
+          expr(s"(sum(kept) + $SeqLen - 1) DIV $SeqLen").as("n_sequences"),
+          expr(s"((sum(kept) + $SeqLen - 1) DIV $SeqLen) * $SeqLen - sum(kept)")
+            .as("padding_tokens"),
+          sum(when(col("splits") > 0, 1L).otherwise(0L)).as("docs_split"),
+          sum(col("splits")).as("n_boundary_crossings"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH per AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+        LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), $SeqLen) AS kept
+      FROM documents),
+    off AS (SELECT *,
+        COALESCE(SUM(kept) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM per),
+    eo AS (SELECT *, start + kept AS endo FROM off),
+    sp AS (SELECT *,
+        CASE WHEN kept = 0 THEN 0
+             ELSE (endo - 1) // $SeqLen - start // $SeqLen END AS splits
+      FROM eo)
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(kept) AS BIGINT) AS kept_tokens,
+      CAST(SUM(CASE WHEN tokens > $SeqLen THEN 1 ELSE 0 END) AS BIGINT) AS truncated_docs,
+      CAST((SUM(kept) + $SeqLen - 1) // $SeqLen AS BIGINT) AS n_sequences,
+      CAST(((SUM(kept) + $SeqLen - 1) // $SeqLen) * $SeqLen - SUM(kept) AS BIGINT) AS padding_tokens,
+      CAST(SUM(CASE WHEN splits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_split,
+      CAST(SUM(splits) AS BIGINT) AS n_boundary_crossings
+    FROM sp GROUP BY source ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44)
+      t43, t44, t45)
 }
