@@ -1036,7 +1036,151 @@ object Multimodal {
       CAST(SUM(rep_doc % $HashMod) % $HashMod AS BIGINT) AS rep_checksum
     FROM g GROUP BY 1 ORDER BY class"""))
 
+  // ---------------------------------------------------------------- m19
+  // MULTIMODAL TRAINING-MIX MANIFEST — the m-family's q170: the
+  // per-modality quota a multimodal training run actually samples from,
+  // composed from the REGISTERED rules verbatim (the d35 audit
+  // discipline): (a) m16's integrity quarantine admits items — planted
+  // faults never reach dedup; (b) m13's byte-histogram near-dup rule
+  // (cos ≥ 0.98 inside the (kind, coarse-shape) bucket) drops the
+  // higher-id side of every near pair among ADMITTED items; (c) each
+  // survivor is priced in encoder tokens by its modality — images at
+  // m17's ViT-L 14-px grid over m14's hash-derived geometry, audio at
+  // 4 bytes/token (a 4-byte-frame codec stub), video at 64 tokens per
+  // 32-byte frame (the m02 frame-count discipline) — and the manifest
+  // reports each modality's exact quota share (DECIMAL/HUGEINT
+  // division, the q170 pattern). Plan: one quarantine scan, m13's
+  // bucketed self-join over the admitted subset, one anti-join, one
+  // 3-row rollup + scalar crossJoin.
+  private val m19 = QueryDef(
+    "m19_training_mix_manifest",
+    (s, dir) => {
+      graft.functions.DotI64.register(s)
+      val rec = docs(s, dir).select(
+        col("doc_id"),
+        expr("CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END").as("kind"),
+        col("n_chars").as("declared"),
+        expr("""CASE WHEN doc_id % 23 = 0 THEN substring(text, 1, 16)
+                WHEN doc_id % 29 = 0 THEN concat('0000', substring(text, 5))
+                ELSE text END""").as("payload"),
+        col("text"))
+        .withColumn("ok", expr("""
+          length(payload) = declared AND substring(payload, 1, 1) RLIKE '^[a-z]'
+          AND length(payload) >= 64 AND length(payload) <= 512"""))
+      val kept = rec.filter(col("ok")).select(col("doc_id"), col("kind"), col("text"))
+      // m13's histogram + coarse-shape bucket, over admitted items only
+      val hist = kept
+        .select(col("doc_id"), col("kind"),
+          explode(expr("transform(split(text, ''), c -> ascii(c))")).as("c"))
+        .groupBy(col("doc_id"), col("kind"), expr("c % 16").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("doc_id"), col("kind"))
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("cnt")))).as("m"),
+          sum(col("cnt")).as("len"))
+        .select(col("doc_id"), col("kind"), col("len"),
+          expr("transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0L))").as("h"))
+        .withColumn("norm2", expr(dotExpr("h", "h")))
+        .withColumn("shape",
+          expr("concat_ws(',', transform(h, v -> CAST(v * 16 DIV len AS STRING)))"))
+        .cache()
+      hist.count()
+      val drops = hist.select(col("kind"), col("shape"), col("doc_id").as("id1"),
+          col("h").as("h1"), col("norm2").as("n1"))
+        .join(hist.select(col("kind").as("k2"), col("shape").as("s2"),
+            col("doc_id").as("id2"), col("h").as("h2"), col("norm2").as("n2")),
+          col("kind") === col("k2") && col("shape") === col("s2") &&
+            col("id1") < col("id2"))
+        .withColumn("dot", expr(dotExpr("h1", "h2")))
+        .filter(expr("CAST(dot AS DECIMAL(38,0)) * dot * 10000 >= " +
+          "CAST(9604 AS DECIMAL(38,0)) * n1 * n2"))
+        .select(col("id2").as("drop_id")).distinct()
+      val survivors = kept.join(drops, col("doc_id") === col("drop_id"), "left_anti")
+        .withColumn("len", length(col("text")).cast("long"))
+        .withColumn("tokens", expr(s"""CASE
+          WHEN kind = 'image' THEN
+            (((64 + ${strHashExpr("substring(text, 1, 8)")} % 449) + 13) DIV 14)
+            * (((64 + ${strHashExpr("substring(text, 9, 8)")} % 449) + 13) DIV 14)
+          WHEN kind = 'audio' THEN (len + 3) DIV 4
+          ELSE ((len + 31) DIV 32) * 64 END"""))
+      val perKind = rec.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
+        .join(survivors.groupBy(col("kind"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("tokens")).as("token_cost")),
+          Seq("kind"))
+        .withColumn("n_dropped_neardup",
+          col("n_raw") - col("n_quarantined") - col("n_kept"))
+      val out = perKind
+        .crossJoin(perKind.agg(sum(col("token_cost")).as("tc")))
+        .select(col("kind"), col("n_raw"), col("n_quarantined"),
+          col("n_dropped_neardup"), col("n_kept"), col("token_cost"),
+          expr("""CAST(CAST(token_cost AS DECIMAL(38,0)) * 1000000
+                  DIV CAST(tc AS DECIMAL(38,0)) AS BIGINT)""").as("quota_share_ppm"))
+        .orderBy(col("kind"))
+        .localCheckpoint()
+      hist.unpersist()
+      out
+    },
+    Some(s"""WITH rec AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        n_chars AS declared,
+        CASE WHEN doc_id % 23 = 0 THEN substr(text, 1, 16)
+             WHEN doc_id % 29 = 0 THEN '0000' || substr(text, 5)
+             ELSE text END AS payload,
+        text
+      FROM documents),
+    v AS (SELECT *, length(payload) = declared
+            AND regexp_matches(substr(payload, 1, 1), '^[a-z]')
+            AND length(payload) >= 64 AND length(payload) <= 512 AS ok
+          FROM rec),
+    kept AS (SELECT doc_id, kind, text FROM v WHERE ok),
+    h0 AS (SELECT doc_id, kind, text,
+        list_transform(generate_series(0, 15), b -> CAST(len(list_filter(
+          list_transform(string_split(text, ''), c -> ord(c)),
+          c -> c % 16 = b)) AS BIGINT)) AS h,
+        len(string_split(text, '')) AS len
+      FROM kept),
+    hist AS (SELECT doc_id, kind, h, len,
+        ${dotSql("h", "h")} AS norm2,
+        array_to_string(list_transform(h, v -> CAST(v * 16 // len AS VARCHAR)),
+          ',') AS shape
+      FROM h0),
+    drops AS (SELECT DISTINCT b.doc_id AS drop_id
+      FROM hist a JOIN hist b
+        ON a.kind = b.kind AND a.shape = b.shape AND a.doc_id < b.doc_id
+      WHERE CAST(${dotSql("a.h", "b.h")} AS HUGEINT) * ${dotSql("a.h", "b.h")} * 10000
+            >= CAST(9604 AS HUGEINT) * a.norm2 * b.norm2),
+    surv AS (SELECT k.doc_id, k.kind, length(k.text) AS len, k.text
+             FROM kept k WHERE k.doc_id NOT IN (SELECT drop_id FROM drops)),
+    costed AS (SELECT kind,
+        CASE WHEN kind = 'image' THEN
+          (((64 + ${strHashSql("substr(text, 1, 8)")} % 449) + 13) // 14)
+          * (((64 + ${strHashSql("substr(text, 9, 8)")} % 449) + 13) // 14)
+        WHEN kind = 'audio' THEN (len + 3) // 4
+        ELSE ((len + 31) // 32) * 64 END AS tokens
+      FROM surv),
+    pk AS (SELECT r.kind,
+        COUNT(*) AS n_raw,
+        SUM(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS n_quarantined
+      FROM v r GROUP BY 1),
+    sk AS (SELECT kind, COUNT(*) AS n_kept, SUM(tokens) AS token_cost
+           FROM costed GROUP BY 1),
+    j AS (SELECT pk.kind, n_raw, n_quarantined,
+            n_raw - n_quarantined - n_kept AS n_dropped_neardup,
+            n_kept, token_cost
+          FROM pk JOIN sk USING (kind))
+    SELECT kind, CAST(n_raw AS BIGINT) AS n_raw,
+      CAST(n_quarantined AS BIGINT) AS n_quarantined,
+      CAST(n_dropped_neardup AS BIGINT) AS n_dropped_neardup,
+      CAST(n_kept AS BIGINT) AS n_kept,
+      CAST(token_cost AS BIGINT) AS token_cost,
+      CAST((CAST(token_cost AS HUGEINT) * 1000000)
+           // (SELECT SUM(token_cost) FROM j) AS BIGINT) AS quota_share_ppm
+    FROM j ORDER BY kind"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18)
+      m15, m16, m17, m18, m19)
 }
