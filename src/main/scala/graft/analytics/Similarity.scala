@@ -2317,8 +2317,57 @@ object Similarity {
            % $HashMod AS BIGINT) AS r95_checksum
     FROM pairs GROUP BY q_id ORDER BY q_id"""))
 
+  // ---------------------------------------------------------------- s31
+  // IVF CELL-SKEW AUDIT — d39's discipline applied to the vector side:
+  // every IVF search cost in the family (s04/s12/s13/s16/s23/s28/s29)
+  // is "rows in the probed cells", so the performance hazard is not the
+  // average cell but the HOT one — a centroid that captures a dense
+  // cluster makes every query probing it scan that whole cell, and at
+  // 100 TB cell imbalance is the difference between an index and a
+  // table scan. This audit prices it exactly from the assignment alone
+  // (the s03 nearest-centroid rule, no probe ever runs): cell count and
+  // population, the extreme cell sizes, Σ s² (the exact expected scan
+  // cost × N under data-distributed queries — the quadratic term the
+  // mean hides), the max/mean imbalance and the hot cell's population
+  // share, in ppm. One assignment pass + a |cells|-row rollup; the
+  // mitigation when it fires is re-seeding or cell splitting (s07's
+  // k-means update), which this row makes a measured decision.
+  private val s31 = QueryDef(
+    "s31_ivf_skew",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val sizes = q.join(broadcast(cent))
+        .withColumn("sim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
+      sizes.agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("sz")).as("n_vecs"),
+          max(col("sz")).as("max_cell"),
+          min(col("sz")).as("min_cell"),
+          sum(col("sz") * col("sz")).as("scan_cost_bound"),
+          expr("(max(sz) * 1000000 * count(1)) DIV sum(sz)").as("imbalance_ppm"),
+          expr("(max(sz) * 1000000) DIV sum(sz)").as("top_cell_share_ppm"))
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    sizes AS (SELECT list_label, COUNT(*) AS sz FROM lists GROUP BY 1)
+    SELECT COUNT(*) AS n_cells,
+      CAST(SUM(sz) AS BIGINT) AS n_vecs,
+      CAST(MAX(sz) AS BIGINT) AS max_cell,
+      CAST(MIN(sz) AS BIGINT) AS min_cell,
+      CAST(SUM(sz * sz) AS BIGINT) AS scan_cost_bound,
+      CAST((MAX(sz) * 1000000 * COUNT(*)) // SUM(sz) AS BIGINT) AS imbalance_ppm,
+      CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_cell_share_ppm
+    FROM sizes"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, d15)
+      s29, s30, s31, d15)
 }
