@@ -880,6 +880,79 @@ object Governance {
     FROM d LEFT JOIN lineitem l ON l.l_orderkey = d.k
     GROUP BY status ORDER BY status"""))
 
+  // --------------------------------------------------------------- q177
+  // MAX-MIN FAIR-SHARE ALLOCATION — the admission-control arithmetic a
+  // multi-tenant cluster runs every scheduling cycle (YARN/K8s fair
+  // scheduler semantics): given each tenant's demand and a capacity of
+  // half the total, water-fill — everyone whose demand fits under the
+  // rising water level is fully satisfied, the rest are capped at the
+  // level, and the integer remainder goes one unit each to the first
+  // capped tenants in sorted order (deterministic, no fractional
+  // shares). The closed form needs no loop: sort tenants by demand,
+  // one cumulative-sum window gives P_k; the saturation point j is the
+  // largest k with d_k·(n−k+1) + P_{k−1} ≤ C; the level is
+  // t = (C − P_j) DIV (n − j). The tenant table is aggregate-sized
+  // (16 rows here; thousands at scale), so the global-order window is
+  // a deliberate non-hazard — the EVENT scan below it is the only
+  // data-sized pass. Oracle replays the identical formula.
+  private val q177 = QueryDef(
+    "q177_fair_share",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("demand"), col("tenant"))
+      val ten = events(s, dir)
+        .groupBy((col("user_id") % 16).as("tenant"))
+        .agg(count(lit(1)).as("demand"))
+        .withColumn("k", row_number().over(w))
+        .withColumn("p", sum(col("demand")).over(w))
+      val tot = ten.agg(sum(col("demand")).as("td"), count(lit(1)).as("n"))
+        .withColumn("cap", expr("td DIV 2"))
+      val j = ten.crossJoin(broadcast(tot))
+        .filter(col("demand") * (col("n") - col("k") + 1) + col("p") - col("demand") <= col("cap"))
+        .agg(coalesce(max(col("k")), lit(0L)).as("j"))
+      val pj = ten.crossJoin(broadcast(j))
+        .filter(col("k") === col("j"))
+        .agg(coalesce(max(col("p")), lit(0L)).as("pj"))
+      ten.crossJoin(broadcast(tot)).crossJoin(broadcast(j)).crossJoin(broadcast(pj))
+        .withColumn("t", expr(
+          "CASE WHEN j >= n THEN 0 ELSE (cap - pj) DIV (n - j) END"))
+        .withColumn("leftover", expr(
+          "CASE WHEN j >= n THEN 0 ELSE cap - pj - t * (n - j) END"))
+        .withColumn("share", expr("""CASE
+            WHEN k <= j THEN demand
+            WHEN k <= j + leftover THEN t + 1
+            ELSE t END"""))
+        .select(col("tenant"), col("demand"), col("share"),
+          (col("share") < col("demand")).as("saturated"))
+        .orderBy(col("tenant"))
+    },
+    Some("""WITH ten AS (
+      SELECT user_id % 16 AS tenant, COUNT(*) AS demand
+      FROM events GROUP BY 1),
+    o AS (SELECT tenant, demand,
+        ROW_NUMBER() OVER (ORDER BY demand, tenant) AS k,
+        SUM(demand) OVER (ORDER BY demand, tenant
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      FROM ten),
+    tot AS (SELECT SUM(demand) AS td, COUNT(*) AS n, SUM(demand) // 2 AS cap
+            FROM ten),
+    jj AS (SELECT COALESCE(MAX(k), 0) AS j FROM o, tot
+           WHERE demand * (n - k + 1) + p - demand <= cap),
+    pj AS (SELECT COALESCE(MAX(p), 0) AS pj FROM o, jj WHERE k = j),
+    lvl AS (SELECT CASE WHEN j >= n THEN 0 ELSE (cap - pj) // (n - j) END AS t,
+              CASE WHEN j >= n THEN 0
+                   ELSE cap - pj - ((cap - pj) // (n - j)) * (n - j) END AS leftover
+            FROM tot, jj, pj),
+    sh AS (SELECT tenant, demand,
+        CASE WHEN k <= j THEN demand
+             WHEN k <= j + leftover THEN t + 1
+             ELSE t END AS share
+      FROM o, tot, jj, pj, lvl)
+    SELECT tenant, CAST(demand AS BIGINT) AS demand,
+      CAST(share AS BIGINT) AS share,
+      share < demand AS saturated
+    FROM sh ORDER BY tenant"""))
+
   // --------------------------------------------------------------- q172
   // BEHAVIORAL BOT SCREEN — automated-traffic triage before events
   // feed analytics or training data: humans are bursty and irregular,
@@ -943,5 +1016,5 @@ object Governance {
 
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176)
+      q171, q172, q174, q176, q177)
 }

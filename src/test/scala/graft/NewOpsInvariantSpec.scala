@@ -1597,6 +1597,29 @@ class NewOpsInvariantSpec extends SparkSuite {
     cc shouldBe star
   }
 
+  test("q177 water-fills the hand-derivable allocation exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("q177inv").toString
+    // demands 1/2/10/100 (tenants 1..4), capacity = 113 DIV 2 = 56:
+    // j = 3 (the first three fit under the level), level t = 56−13 = 43,
+    // leftover 0 → shares 1, 2, 10, 43 and only the whale is saturated
+    val rows = Seq((1L, 1)) ++ Seq.fill(2)((2L, 1)) ++
+      Seq.fill(10)((3L, 1)) ++ Seq.fill(100)((4L, 1))
+    rows.zipWithIndex.map { case ((u, _), i) =>
+      (i.toLong, ts(i * 60), u, "click", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = Registry.queries("q177_fair_share")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    out shouldBe Seq(
+      (1L, 1L, 1L, false),
+      (2L, 2L, 2L, false),
+      (3L, 10L, 10L, false),
+      (4L, 100L, 43L, true))
+    // conservation: allocated exactly the capacity
+    out.map(_._3).sum shouldBe 56L
+  }
+
   test("d43 budget truncates a planted hot index bucket and prices the lost matches") {
     val tmp = java.nio.file.Files.createTempDirectory("d43inv").toString
     // 10 byte-identical EVEN docs form a hot index bucket in every band;
