@@ -2638,10 +2638,55 @@ object Advanced {
           FROM cus)
     WHERE rnk = 1 ORDER BY event_type"""))
 
+  // --------------------------------------------------------------- q178
+  // RECURSIVE CTE HIERARCHY WALK — Spark 4's `WITH RECURSIVE` (new API
+  // surface the catalog's iterative operators have until now expressed
+  // as driver loops): a 10-ary ownership tree over customers
+  // (parent = custkey DIV 10), walked from the sub-10 roots, rolling up
+  // per depth the node count and account-balance mass. Both engines
+  // evaluate the SAME recursive semantics natively — Spark's recursion
+  // executes as one iterative union per level (|levels| = log₁₀ N
+  // joins, each pruned to the frontier), which is exactly the CC-loop
+  // shape but planned by the engine instead of the driver. The closed
+  // form (depth = digit count − 1) exists, and the oracle deliberately
+  // does NOT use it: DuckDB runs the identical recursion, so the gate
+  // checks the recursive evaluation itself.
+  private val q178 = QueryDef(
+    "q178_recursive_hierarchy",
+    (s, dir) => {
+      rd(s, dir, "customer").createOrReplaceTempView("graft_q178_customer")
+      s.sql(s"""WITH RECURSIVE h(ck, depth, cents) AS (
+        SELECT c_custkey, 0,
+          CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM graft_q178_customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, h.depth + 1,
+          CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        FROM graft_q178_customer c JOIN h ON c.c_custkey DIV 10 = h.ck
+        WHERE c.c_custkey >= 10)
+      SELECT depth, COUNT(*) AS n_nodes,
+        CAST(SUM(cents) AS BIGINT) AS cents,
+        CAST(SUM(ck % $HashMod) % $HashMod AS BIGINT) AS node_checksum
+      FROM h GROUP BY depth ORDER BY depth""")
+    },
+    Some(s"""WITH RECURSIVE h(ck, depth, cents) AS (
+      SELECT c_custkey, 0,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, h.depth + 1,
+        CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      FROM customer c JOIN h ON c.c_custkey // 10 = h.ck
+      WHERE c.c_custkey >= 10)
+    SELECT depth, COUNT(*) AS n_nodes,
+      CAST(SUM(cents) AS BIGINT) AS cents,
+      CAST(SUM(ck % $HashMod) % $HashMod AS BIGINT) AS node_checksum
+    FROM h GROUP BY depth ORDER BY depth"""))
+
   val defs: Seq[QueryDef] =
     Seq(q25, q26, q27, q28, q29, q31, q32, q33, q34, q35, q36, q39, q44, q45,
       q46, q47, q48, q50, q70, q73, q74, q77, q78, q79, q82, q83, q87, q89,
       q90, q91, q92, q94, q104, q105, q109, q110, q114, q124, q127, q129,
       q130, q132, q133, q134, q136, q140, q142, q149, q158, q161, q162, q165,
-      q167)
+      q167, q178)
 }
