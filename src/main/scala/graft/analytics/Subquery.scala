@@ -245,5 +245,46 @@ object Subquery {
            - SUM(CASE WHEN day = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
     FROM ev GROUP BY 1, 2 ORDER BY event_type, h"""))
 
-  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66, q93)
+  // --------------------------------------------------------------- q179
+  // VARIANT SHREDDING — Spark 4's semi-structured VARIANT type (new API
+  // surface): `props` is parsed ONCE to a variant value, then shredded
+  // with typed `variant_get` paths — the open-schema ingestion pattern
+  // that replaces per-query `from_json` with a parse-once binary
+  // encoding (at 100 TB the variant column is written at ingest and
+  // every query shreds the binary, never re-parsing text; this query is
+  // that read path). A probe of an ABSENT path pins the missing→NULL
+  // contract alongside the typed extraction. The DuckDB oracle shreds
+  // the same JSON with its native JSON accessors — the gate checks the
+  // shredded VALUES, which is exactly what must agree across engines.
+  private val q179 = QueryDef(
+    "q179_variant_shredding",
+    (s, dir) => {
+      events(s, dir).createOrReplaceTempView("graft_q179_events")
+      s.sql(s"""WITH v AS (
+        SELECT event_id, parse_json(props) AS pv FROM graft_q179_events),
+      shred AS (
+        SELECT event_id,
+          variant_get(pv, '$$.k', 'bigint') AS k,
+          variant_get(pv, '$$.absent', 'bigint') AS miss
+        FROM v)
+      SELECT k % 10 AS k_band, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS k_sum,
+        CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum,
+        CAST(SUM(CASE WHEN miss IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_absent_nonnull
+      FROM shred GROUP BY k % 10 ORDER BY k_band""")
+    },
+    Some(s"""WITH shred AS (
+      SELECT event_id,
+        CAST(json_extract(props, '$$.k') AS BIGINT) AS k,
+        CAST(json_extract(props, '$$.absent') AS BIGINT) AS miss
+      FROM events)
+    SELECT k % 10 AS k_band, COUNT(*) AS n,
+      CAST(SUM(k) AS BIGINT) AS k_sum,
+      CAST(SUM(event_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum,
+      CAST(SUM(CASE WHEN miss IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_absent_nonnull
+    FROM shred GROUP BY k % 10 ORDER BY k_band"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66, q93, q179)
 }
