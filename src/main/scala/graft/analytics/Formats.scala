@@ -465,13 +465,11 @@ object Formats {
   private val q175 = QueryDef(
     "q175_zorder_layout",
     (s, dir) => {
-      val zbits = (0 until 10).map(b =>
-        s"(((x >> $b) & 1) << ${2 * b}) + (((y >> $b) & 1) << ${2 * b + 1})")
-        .mkString(" + ")
+      graft.functions.ZInterleave.register(s)
       val coords = rd(s, dir, "orders").select(
         expr("o_custkey & 1023").as("x"),
         expr("(unix_date(CAST(o_orderdate AS DATE))) & 1023").as("y"))
-        .withColumn("z", expr(zbits))
+        .withColumn("z", expr("z_interleave(x, y)"))
         .withColumn("f_lin", expr("x >> 6"))   // 16 files by custkey prefix
         .withColumn("f_z", expr("z >> 16"))    // 16 files by z prefix
         .localCheckpoint() // feeds both layouts' zone maps + row masses
