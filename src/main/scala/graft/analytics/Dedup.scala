@@ -68,9 +68,11 @@ object Dedup {
     """list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
        i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]))"""
 
-  /** MinHash permutation constants: h_i = (a_i * h + b_i) mod HashMod. */
-  private[analytics] val perm: Seq[(Long, Long)] =
-    Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (11L, 5L), (13L, 6L), (17L, 7L), (19L, 8L))
+  /** MinHash permutation constants: h_i = (a_i * h + b_i) mod HashMod —
+    * the canonical list lives in [[graft.functions.MinHashSigs.Perms]]
+    * (the native one-pass signature expression); aliased here so every
+    * DuckDB oracle twin and the engine agree by construction. */
+  private[analytics] val perm: Seq[(Long, Long)] = graft.functions.MinHashSigs.Perms
 
   // ---------------------------------------------------------------- d02
   // MinHash + LSH banding near-dup: 8 minhashes, 4 bands of 2; pairs
@@ -87,11 +89,8 @@ object Dedup {
       // permuted minima from the hashed array — not one re-hash per perm
       val mh = base
         .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
-        .select(
-          col("doc_id"),
-          array(perm.map { case (a, b) =>
-            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
-          }: _*).as("mhs"))
+        // native one-pass signature (see minhashSigsOf)
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
       val bands = mh.select(col("doc_id"), explode(expr(
         "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
       // candidate generation is bucket-CAPPED (same discipline as the
@@ -737,10 +736,8 @@ object Dedup {
       val sh = shingled(s, dir).filter(col("doc_id") < 60)
       val mh = sh
         .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
-        .select(col("doc_id"),
-          array(perm.map { case (a, b) =>
-            expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
-          }: _*).as("mhs"))
+        // native one-pass signature (see minhashSigsOf)
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
       val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
         .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
           col("id1") < col("id2"))
@@ -803,11 +800,10 @@ object Dedup {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), expr(shingleFromTokens).as("sh"))
       .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
-      .select(
-        col("doc_id"),
-        array(perm.map { case (a, b) =>
-          expr(s"array_min(transform(hs, h -> ($a * h + $b) % $HashMod))")
-        }: _*).as("mhs"))
+      // ONE pass over the hashed shingles for all 8 minima (value-identical
+      // to the 8-fold array_min(transform(...)) form it replaced — native
+      // codegen, no per-permutation intermediate arrays)
+      .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
 
   /** [[minhashSigsOf]] exploded to 4 bands of 2: one `(doc_id, mhs, band)`
     * row per (doc, band) with the full signature carried. */

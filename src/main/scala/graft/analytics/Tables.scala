@@ -183,6 +183,7 @@ object Tables {
     graft.functions.PolyHash.register(spark)
     graft.functions.NgramHashes.register(spark)
     graft.functions.CdcCuts.register(spark)
+    graft.functions.MinHashSigs.register(spark)
     rd(spark, dir, "documents")
   }
   def embs(spark: SparkSession, dir: String): DataFrame = {

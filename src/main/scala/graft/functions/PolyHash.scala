@@ -97,6 +97,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(NgramHashes.descriptor)
     ext.injectFunction(CdcCuts.descriptor)
     ext.injectFunction(ZInterleave.descriptor)
+    ext.injectFunction(MinHashSigs.descriptor)
     ext.injectFunction(BloomFunctions.aggDescriptor)
     ext.injectFunction(BloomFunctions.mightContainDescriptor)
     ext.injectFunction(CmsEstimate.descriptor)
