@@ -1131,9 +1131,10 @@ object Dedup {
     * final plan is a post-localCheckpoint ExistingRDD that hides it. */
   private[graft] def d21DeltaEdges(
       s: org.apache.spark.sql.SparkSession,
-      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val idx = s.table("graft_d21.sig_idx")
-    val labels = s.table("graft_d21.labels")
+      delta: org.apache.spark.sql.DataFrame,
+      db: String = "graft_d21"): org.apache.spark.sql.DataFrame = {
+    val idx = s.table(s"$db.sig_idx")
+    val labels = s.table(s"$db.labels")
     // within-delta pairs: the capped self-join (cap never binds at the
     // correctness SFs; bounds the template-family quadratic at scale)
     val dd = cappedSelfPairs(delta)
@@ -2802,6 +2803,79 @@ object Dedup {
     FROM ia JOIN pf USING (band_idx) JOIN pb USING (band_idx)
     ORDER BY band_idx"""))
 
+  // ---------------------------------------------------------------- d44
+  // INCREMENTAL STAR-CONTRACTION MAINTENANCE — d21's delta-merge story
+  // composed with d42's scale-path operator: the corpus half's cluster
+  // labeling (built by STAR CONTRACTION, persisted alongside the
+  // bucketed signature index) absorbs one delta batch via the exact
+  // d21 machinery — within-delta capped pairs + delta→index probe with
+  // corpus endpoints CONTRACTED through their stored representative —
+  // then the merged relabeling runs star contraction again on the
+  // contracted (delta-sized) graph. Works because star contraction and
+  // min-label CC share the same label contract (comp = component-
+  // minimum id), so the d21 merge algebra (stale labels mapped through
+  // the relabeling, newbies self-labeled) transfers verbatim; at
+  // 100 TB the delta merge is O(|delta|) with O(log²|delta graph|)
+  // rounds regardless of how adversarial the delta's chain structure
+  // is — the case that would stall the diameter-bounded loop. Oracle:
+  // the full-recompute recursive closure (maintenance must be
+  // indistinguishable from rebuilding), plus a member checksum pinning
+  // the exact membership, not just sizes.
+  private val d44 = QueryDef(
+    "d44_incremental_star",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)"))
+      graft.BenchSplit.setup {
+        s.sql(s"CREATE DATABASE IF NOT EXISTS graft_d44 LOCATION '${tmp("graft-d44-db")}'")
+        s.sql("DROP TABLE IF EXISTS graft_d44.sig_idx")
+        s.sql("DROP TABLE IF EXISTS graft_d44.labels")
+        val even = sh.filter(col("doc_id") % 2 === 0).cache()
+        even.count()
+        even.write.bucketBy(8, "bucket").sortBy("bucket")
+          .option("path", tmp("graft-d44-idx")).saveAsTable("graft_d44.sig_idx")
+        val labels = Tables.withShuffle(s, 8) {
+          graft.operators.StarContraction.label(cappedSelfPairs(even)).localCheckpoint()
+        }
+        labels.write.option("path", tmp("graft-d44-labels")).saveAsTable("graft_d44.labels")
+        even.unpersist()
+      }
+      val delta = sh.filter(col("doc_id") % 2 === 1).cache()
+      delta.count()
+      val labels = s.table("graft_d44.labels")
+      val contracted = d21DeltaEdges(s, delta, "graft_d44").localCheckpoint()
+      val labC = Tables.withShuffle(s, 8) {
+        graft.operators.StarContraction.label(contracted).localCheckpoint()
+      }
+      delta.unpersist()
+      val contractedNodes = contracted.select(col("id1").as("node"))
+        .union(contracted.select(col("id2").as("node"))).distinct()
+      val newbies = contractedNodes.join(labels, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp"))
+      val members = labels.select(col("node"), col("comp")).union(newbies)
+      members
+        .join(labC.select(col("node").as("oc"), col("comp").as("nc")),
+          col("comp") === col("oc"), "left")
+        .select(col("node"), coalesce(col("nc"), col("comp")).as("ncomp"))
+        .groupBy(col("ncomp").as("cluster_rep"))
+        .agg(count(lit(1)).as("n_members"),
+          (sum(col("node") % HashMod) % HashMod).as("member_checksum"))
+        .orderBy(col("cluster_rep"))
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS cluster_rep
+             FROM r GROUP BY node)
+    SELECT cluster_rep, COUNT(*) AS n_members,
+      CAST(SUM(node % $HashMod) % $HashMod AS BIGINT) AS member_checksum
+    FROM comp GROUP BY cluster_rep ORDER BY cluster_rep"""))
+
   // --------------------------------------------------------------- q170
   // TRAINING-MIX MANIFEST — the capstone composition the whole
   // curation layer exists to produce: the per-source token quota a
@@ -2879,5 +2953,5 @@ object Dedup {
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, q170)
 }
