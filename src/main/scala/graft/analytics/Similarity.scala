@@ -2366,8 +2366,102 @@ object Similarity {
       CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_cell_share_ppm
     FROM sizes"""))
 
+  // ---------------------------------------------------------------- s32
+  // PRODUCTION SEARCH PATH, END-TO-END — the s-family capstone: every
+  // feature the family proves in isolation, COMPOSED the way a serving
+  // system actually runs them — int64-quantized vectors (s05), IVF
+  // probe-bounded candidate generation (s04), the tombstone delete
+  // filter INSIDE the probed cells (s28), and a metadata attribute
+  // filter on candidates (s24), scored per query against the exact
+  // brute-force truth over the SAME live∩allowed set (the s16
+  // discipline: shared tie-breaks, so the gap is exactly the probe
+  // bound). Features that each pass alone can still interact wrongly
+  // (a filter applied before vs after the probe changes recall); this
+  // row pins the composition. Per query: truth size, probe-path hits,
+  // and the hit-set checksum; the recall denominator is derived from
+  // the truth side (the s29 lesson), never a literal.
+  private val s32 = QueryDef(
+    "s32_production_search",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
+          col("c_label").as("list_label"))
+        .cache()
+      lists.count()
+      // the serving-side candidate set: tombstones out, attribute in
+      val servable = lists
+        .filter(col("vec_id") % 9 =!= 0)        // s28's delete set
+        .filter(col("label") % 4 === 1)          // s24's attribute filter
+      val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= 2)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+        .cache()
+      probes.count()
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      def top5(cand: org.apache.spark.sql.DataFrame) = cand
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"))
+      val ivf = top5(servable.join(broadcast(probes),
+        col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id")))
+      val truth = top5(servable.join(
+          broadcast(probes.select(col("q_id"), col("q_qv"), col("q_norm2")).distinct()),
+          col("vec_id") =!= col("q_id")))
+        .cache()
+      truth.count()
+      val out = truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
+        .join(ivf.join(truth, Seq("q_id", "c_id"))
+            .groupBy(col("q_id"))
+            .agg(count(lit(1)).as("n_hits"),
+              (sum(col("c_id") % HashMod) % HashMod).as("hit_checksum")),
+          Seq("q_id"), "left")
+        .select(col("q_id"), col("n_truth"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("hit_checksum"), lit(0L)).as("hit_checksum"))
+        .orderBy(col("q_id"))
+        .localCheckpoint()
+      lists.unpersist(); probes.unpersist(); truth.unpersist()
+      out
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    srv AS (SELECT l.* FROM lists l JOIN qn USING (vec_id)
+            WHERE l.vec_id % 9 <> 0 AND qn.label % 4 = 1),
+    ivf AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+            CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+        FROM srv l JOIN probes p
+          ON l.list_label = p.probe_label AND l.vec_id <> p.q_id)
+      WHERE rnk <= 5),
+    tr AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+            CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+        FROM srv l JOIN (SELECT DISTINCT q_id, q_qv, q_norm2 FROM probes) p
+          ON l.vec_id <> p.q_id)
+      WHERE rnk <= 5)
+    SELECT t.q_id, COUNT(*) AS n_truth,
+      CAST(COALESCE(SUM(CASE WHEN i.c_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hits,
+      CAST(COALESCE(SUM(CASE WHEN i.c_id IS NOT NULL THEN t.c_id % $HashMod ELSE 0 END) % $HashMod, 0) AS BIGINT) AS hit_checksum
+    FROM tr t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
+    GROUP BY t.q_id ORDER BY t.q_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, d15)
+      s29, s30, s31, s32, d15)
 }
