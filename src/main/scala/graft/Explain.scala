@@ -78,7 +78,7 @@ object Explain {
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget",
         "m18_template_captions",
         "q170_training_manifest", "d41_simhash_rotated_pairs",
-        "q174_maintenance_plan", "d42_star_components", "q175_zorder_layout", "d43_probe_budget", "q176_replication_impact", "t45_sequence_packing", "m19_training_mix_manifest", "s31_ivf_skew", "q177_fair_share", "q178_recursive_hierarchy", "q179_variant_shredding", "d44_incremental_star", "s32_production_search")
+        "q174_maintenance_plan", "d42_star_components", "q175_zorder_layout", "d43_probe_budget", "q176_replication_impact", "t45_sequence_packing", "m19_training_mix_manifest", "s31_ivf_skew", "q177_fair_share", "q178_recursive_hierarchy", "q179_variant_shredding", "d44_incremental_star", "s32_production_search", "s33_filtered_probe_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2460,8 +2460,106 @@ object Similarity {
     FROM tr t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.c_id = i.c_id
     GROUP BY t.q_id ORDER BY t.q_id"""))
 
+  // ---------------------------------------------------------------- s33
+  // FILTERED-PROBE ADAPTATION CURVE — the operational answer to what
+  // s32 measures: an attribute filter thins every probed cell, so a
+  // fixed nprobe that hits 90% recall unfiltered can halve under a
+  // selective filter, and production systems scale nprobe by
+  // 1/selectivity. This row measures that curve exactly: for nprobe ∈
+  // 1..4, the filtered IVF top-5 recall against the same exact
+  // filtered truth (shared tie-breaks, derived denominator). The
+  // assignment/layout work is computed once and shared by all four
+  // variants (the s29 pattern) — probes differ only in a crnk bound.
+  // Read next to s23 (the UNfiltered sweep): the gap between the two
+  // curves at each nprobe IS the filter's probe tax.
+  private val s33 = QueryDef(
+    "s33_filtered_probe_sweep",
+    (s, dir) => {
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val winAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winAll))
+        .cache()
+      assigned.count()
+      val servable = assigned.filter(col("crnk") === 1)
+        .filter(col("vec_id") % 9 =!= 0 && col("label") % 4 === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      val winQ = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      def top5(cand: org.apache.spark.sql.DataFrame) = cand
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id").as("c_id"))
+      val queries = assigned.filter(col("vec_id") < 8 && col("crnk") === 1)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
+      val truth = top5(servable.join(broadcast(queries), col("vec_id") =!= col("q_id")))
+        .cache()
+      truth.count()
+      val curves = (1L to 4L).map { np =>
+        val probes = assigned.filter(col("vec_id") < 8 && col("crnk") <= np)
+          .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+            col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
+        val ivf = top5(servable.join(broadcast(probes),
+          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id")))
+        ivf.join(truth, Seq("q_id", "c_id")).agg(count(lit(1)).as("n_hits"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .select(lit(np).as("nprobe"), col("n_truth"), col("n_hits"),
+            expr("CASE WHEN n_truth > 0 THEN (n_hits * 1000000) DIV n_truth ELSE 1000000 END")
+              .as("recall_ppm"))
+      }
+      val out = curves.reduce(_.unionByName(_)).orderBy(col("nprobe")).localCheckpoint()
+      assigned.unpersist(); truth.unpersist()
+      out
+    },
+    Some {
+      val variants = (1 to 4).map { np =>
+        s"""ivf_$np AS (SELECT q_id, c_id FROM (
+          SELECT p.q_id, l.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+              CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+          FROM srv l JOIN pn p
+            ON l.list_label = p.probe_label AND l.vec_id <> p.q_id AND p.crnk <= $np)
+        WHERE rnk <= 5),
+    row_$np AS (SELECT CAST($np AS BIGINT) AS nprobe,
+        (SELECT COUNT(*) FROM tr) AS n_truth,
+        (SELECT COUNT(*) FROM ivf_$np JOIN tr USING (q_id, c_id)) AS n_hits)"""
+      }.mkString(",\n    ")
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    srv AS (SELECT l.* FROM lists l JOIN qn USING (vec_id)
+            WHERE l.vec_id % 9 <> 0 AND qn.label % 4 = 1),
+    pn AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2,
+             c_label AS probe_label, crnk
+           FROM asg WHERE vec_id < 8 AND crnk <= 4),
+    tr AS (SELECT q_id, c_id FROM (
+        SELECT p.q_id, l.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY p.q_id ORDER BY
+            CAST(${dotSql("p.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(p.q_norm2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) DESC, l.vec_id) AS rnk
+        FROM srv l JOIN (SELECT DISTINCT vec_id AS q_id, qv AS q_qv, norm2 AS q_norm2
+                         FROM asg WHERE vec_id < 8 AND crnk = 1) p
+          ON l.vec_id <> p.q_id)
+      WHERE rnk <= 5),
+    $variants
+    SELECT nprobe,
+      CAST(n_truth AS BIGINT) AS n_truth,
+      CAST(n_hits AS BIGINT) AS n_hits,
+      CAST(CASE WHEN n_truth > 0 THEN (n_hits * 1000000) // n_truth
+           ELSE 1000000 END AS BIGINT) AS recall_ppm
+    FROM (SELECT * FROM row_1 UNION ALL SELECT * FROM row_2
+          UNION ALL SELECT * FROM row_3 UNION ALL SELECT * FROM row_4)
+    ORDER BY nprobe"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, d15)
+      s29, s30, s31, s32, s33, d15)
 }
