@@ -466,35 +466,42 @@ object Formats {
     "q175_zorder_layout",
     (s, dir) => {
       graft.functions.ZInterleave.register(s)
-      val coords = rd(s, dir, "orders").select(
+      def coords = rd(s, dir, "orders").select(
         expr("o_custkey & 1023").as("x"),
         expr("(unix_date(CAST(o_orderdate AS DATE))) & 1023").as("y"))
         .withColumn("z", expr("z_interleave(x, y)"))
-        .withColumn("f_lin", expr("x >> 6"))   // 16 files by custkey prefix
-        .withColumn("f_z", expr("z >> 16"))    // 16 files by z prefix
-        .localCheckpoint() // feeds both layouts' zone maps + row masses
       val (xLo, xHi, yLo, yHi) = (256L, 383L, 256L, 383L)
-      def audit(fileCol: String, name: String) = {
-        val zones = coords.groupBy(col(fileCol).as("f"))
-          .agg(count(lit(1)).as("n_rows"),
-            min(col("x")).as("min_x"), max(col("x")).as("max_x"),
-            min(col("y")).as("min_y"), max(col("y")).as("max_y"))
-          .withColumn("adm_x", (col("min_x") <= xHi && col("max_x") >= xLo).cast("long"))
-          .withColumn("adm_y", (col("min_y") <= yHi && col("max_y") >= yLo).cast("long"))
-        zones.agg(
-            count(lit(1)).as("n_files"),
-            sum(col("adm_x")).as("files_adm_x"),
-            sum(col("adm_y")).as("files_adm_y"),
-            sum(col("adm_x") * col("adm_y")).as("files_adm_both"),
-            sum(col("adm_x") * col("adm_y") * col("n_rows")).as("rows_scanned"))
-          .crossJoin(coords.filter(
-              col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
-            .agg(count(lit(1)).as("rows_matching")))
-          .select(lit(name).as("layout"), col("n_files"), col("files_adm_x"),
-            col("files_adm_y"), col("files_adm_both"), col("rows_scanned"),
-            col("rows_matching"))
-      }
-      audit("f_lin", "linear").unionByName(audit("f_z", "zorder"))
+      // BOTH layouts' zone maps from ONE pass: each row contributes to
+      // its (layout, file) cell via a 2-element generator explode, then
+      // a single map-side-combined aggregate — no full-table
+      // materialization (the earlier localCheckpoint here would be a
+      // |table|-sized executor cache at 100 TB), no second shuffle
+      val zones = coords
+        .select(col("x"), col("y"), explode(array(
+          struct(lit("linear").as("layout"), expr("x >> 6").as("f")),
+          struct(lit("zorder").as("layout"), expr("z >> 16").as("f")))).as("a"))
+        .select(col("x"), col("y"), col("a.layout").as("layout"), col("a.f").as("f"))
+        .groupBy(col("layout"), col("f"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .withColumn("adm_x", (col("min_x") <= xHi && col("max_x") >= xLo).cast("long"))
+        .withColumn("adm_y", (col("min_y") <= yHi && col("max_y") >= yLo).cast("long"))
+      // rows actually matching the probe: one pruned re-scan (predicate
+      // pushes to the parquet reader; identical for both layouts)
+      val matching = coords.filter(
+          col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+        .agg(count(lit(1)).as("rows_matching"))
+      zones.groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(col("adm_x")).as("files_adm_x"),
+          sum(col("adm_y")).as("files_adm_y"),
+          sum(col("adm_x") * col("adm_y")).as("files_adm_both"),
+          sum(col("adm_x") * col("adm_y") * col("n_rows")).as("rows_scanned"))
+        .crossJoin(broadcast(matching))
+        .select(col("layout"), col("n_files"), col("files_adm_x"),
+          col("files_adm_y"), col("files_adm_both"), col("rows_scanned"),
+          col("rows_matching"))
         .orderBy(col("layout"))
     },
     Some {
