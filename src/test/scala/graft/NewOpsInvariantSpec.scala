@@ -1620,6 +1620,27 @@ class NewOpsInvariantSpec extends SparkSuite {
     out.map(_._3).sum shouldBe 56L
   }
 
+  test("s33 recall curve is monotone in nprobe and consistent with s32 at nprobe 2") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = Registry.queries("s33_filtered_probe_sweep")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    curve.map(_._1) shouldBe Seq(1L, 2L, 3L, 4L)
+    // probing more cells can only add candidates: hits (hence recall)
+    // are monotone nondecreasing, and every variant shares one truth
+    curve.map(_._2).distinct should have size 1
+    curve.map(_._3) shouldBe curve.map(_._3).sorted
+    curve.foreach { case (_, nt, nh, ppm) =>
+      nh should be <= nt
+      ppm shouldBe nh * 1000000L / nt
+    }
+    // s32 is the same composed path at nprobe = 2 — totals must agree
+    val s32hits = Registry.queries("s32_production_search")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    s32hits.map(_._1).sum shouldBe curve.find(_._1 == 2L).get._2
+    s32hits.map(_._2).sum shouldBe curve.find(_._1 == 2L).get._3
+  }
+
   test("d43 budget truncates a planted hot index bucket and prices the lost matches") {
     val tmp = java.nio.file.Files.createTempDirectory("d43inv").toString
     // 10 byte-identical EVEN docs form a hot index bucket in every band;
