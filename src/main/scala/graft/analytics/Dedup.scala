@@ -91,8 +91,7 @@ object Dedup {
         .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
         // native one-pass signature (see minhashSigsOf)
         .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
-      val bands = mh.select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))")).as("band"))
+      val bands = mh.select(col("doc_id"), explode(expr(bandKeysExpr)).as("band"))
       // candidate generation is bucket-CAPPED (same discipline as the
       // SimHash side, see SimhashBucketCap): a 100 TB template family
       // lands whole in one band bucket, and an uncapped self-join emits
@@ -188,7 +187,7 @@ object Dedup {
       .select(col("doc_id"), col("simhash"))
   }
 
-  private def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def simhashDf(s: org.apache.spark.sql.SparkSession, dir: String) =
     simhashOf(docs(s, dir))
 
   private[analytics] val simhashCteDuck =
@@ -220,6 +219,22 @@ object Dedup {
   // sf0.1 the measured 817-doc hot bucket splits 7 ways (the cap
   // genuinely binds at bench scale, by design).
   private[graft] val SimhashBucketCap = 128L
+
+  /** The d02 band-key derivation from a `mhs` signature array — one
+    * constant so the query and the fixture bucket-size invariant spec
+    * ([[bandKeysOf]], `BucketCapInvariantSpec`) can never drift apart. */
+  private[graft] val bandKeysExpr =
+    "transform(sequence(0, 3), i -> concat(i, ':', element_at(mhs, 2 * i + 1), ':', element_at(mhs, 2 * i + 2)))"
+
+  /** `(doc_id, band)` keys of the d02 MinHash LSH layout over a fixture
+    * dir — exposed for `BucketCapInvariantSpec`, which asserts that no
+    * band bucket at the correctness SFs reaches [[SimhashBucketCap]]
+    * (the invariant ~10 capped-generator oracles silently rely on). */
+  private[graft] def bandKeysOf(s: org.apache.spark.sql.SparkSession, dir: String) =
+    shingled(s, dir)
+      .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+      .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+      .select(col("doc_id"), explode(expr(bandKeysExpr)).as("band"))
 
   /** Signatures tagged with their capped `(bucket, sub)` join key. The
     * bucket-size frame is aggregate-sized (one row per OCCUPIED bucket,

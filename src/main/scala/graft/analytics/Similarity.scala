@@ -2351,8 +2351,14 @@ object Similarity {
           max(col("sz")).as("max_cell"),
           min(col("sz")).as("min_cell"),
           sum(col("sz") * col("sz")).as("scan_cost_bound"),
-          expr("(max(sz) * 1000000 * count(1)) DIV sum(sz)").as("imbalance_ppm"),
-          expr("(max(sz) * 1000000) DIV sum(sz)").as("top_cell_share_ppm"))
+          // promote before the ×1e6×n_cells product (q161's err_ppm
+          // pattern): at 100 TB a hot cell × cell count overflows BIGINT
+          // silently in Spark (non-ANSI) while DuckDB raises — exactly
+          // the regime this audit exists to flag
+          expr("""CAST(CAST(max(sz) AS DECIMAL(38,0)) * 1000000 * count(1)
+                  DIV CAST(sum(sz) AS DECIMAL(38,0)) AS BIGINT)""").as("imbalance_ppm"),
+          expr("""CAST(CAST(max(sz) AS DECIMAL(38,0)) * 1000000
+                  DIV CAST(sum(sz) AS DECIMAL(38,0)) AS BIGINT)""").as("top_cell_share_ppm"))
     },
     Some(s"""WITH $quantCte,
     $ivfProbeCte,
@@ -2362,8 +2368,8 @@ object Similarity {
       CAST(MAX(sz) AS BIGINT) AS max_cell,
       CAST(MIN(sz) AS BIGINT) AS min_cell,
       CAST(SUM(sz * sz) AS BIGINT) AS scan_cost_bound,
-      CAST((MAX(sz) * 1000000 * COUNT(*)) // SUM(sz) AS BIGINT) AS imbalance_ppm,
-      CAST((MAX(sz) * 1000000) // SUM(sz) AS BIGINT) AS top_cell_share_ppm
+      CAST((CAST(MAX(sz) AS HUGEINT) * 1000000 * COUNT(*)) // CAST(SUM(sz) AS HUGEINT) AS BIGINT) AS imbalance_ppm,
+      CAST((CAST(MAX(sz) AS HUGEINT) * 1000000) // CAST(SUM(sz) AS HUGEINT) AS BIGINT) AS top_cell_share_ppm
     FROM sizes"""))
 
   // ---------------------------------------------------------------- s32

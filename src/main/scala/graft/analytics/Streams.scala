@@ -3369,10 +3369,14 @@ object Streams {
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       graft.BenchSplit.setup {
         // the pre-existing primary (even keys): rows + its digest ledger
-        // generation 0 (at scale both exist already)
+        // generation 0 (at scale both exist already); both live in the
+        // same batch_id-partitioned layout the streaming writes use, so
+        // a replayed micro-batch lands in its own partition (see below)
         val base = kv(rd(s, dir, "orders")).filter(col("k") % 2 === 0)
-        base.write.parquet(rowsDir)
-        q173Digest(base).write.parquet(ledgerDir)
+        base.withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(rowsDir)
+        q173Digest(base).withColumn("batch_id", lit(-1L))
+          .write.partitionBy("batch_id").parquet(ledgerDir)
         // the delta: 3 mtime-ordered batch files (odd keys, q119 layout)
         val baseT = 1700000000000L
         (1 to 3).foreach { b =>
@@ -3387,13 +3391,20 @@ object Streams {
         .option("maxFilesPerTrigger", 1)
         .parquet(streamDir.toString)
       val q = stream.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          // the ingest path: rows append to the table, the batch's OWN
-          // delta digest appends to the ledger — neither write reads
-          // existing state (batch pinned first: it feeds both writes)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          // the ingest path: rows and the batch's OWN delta digest land
+          // as a batchId-keyed DYNAMIC partition overwrite — neither
+          // write reads existing state, and a replayed micro-batch
+          // (foreachBatch is at-least-once) replaces its own partition
+          // instead of double-appending, so the maintained digest stays
+          // indistinguishable from a rebuild even under retries
           val b = batch.localCheckpoint()
-          b.write.mode("append").parquet(rowsDir)
-          q173Digest(b).write.mode("append").parquet(ledgerDir)
+          b.withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(rowsDir)
+          q173Digest(b).withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ledgerDir)
           ()
         }
         .option("checkpointLocation", Tables.tmp("graft-q173-ckpt"))

@@ -70,17 +70,18 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
       val p = ctx.freshName("p")
       val h = ctx.freshName("h")
       val v = ctx.freshName("v")
-      val minv = ctx.freshName("minv")
       val seen = ctx.freshName("seen")
-      val res = ctx.freshName("res")
-      val aConst = MinHashSigs.A.mkString(", ")
-      val bConst = MinHashSigs.B.mkString(", ")
+      // the permutation constants and the 8-slot scratch buffer live on
+      // the generated class, not in the per-row block — this expression
+      // exists to remove per-row allocation churn, so it must not
+      // reintroduce three allocations of its own per row
+      val aRef = ctx.addReferenceObj("minhashA", MinHashSigs.A, "long[]")
+      val bRef = ctx.addReferenceObj("minhashB", MinHashSigs.B, "long[]")
+      val minv = ctx.addMutableState(
+        "long[]", "minhashMinv", vn => s"$vn = new long[${MinHashSigs.NPerms}];")
       val k = MinHashSigs.NPerms
       s"""
          |final int $n = $c.numElements();
-         |final long[] ${minv}A = new long[] {${aConst}};
-         |final long[] ${minv}B = new long[] {${bConst}};
-         |long[] $minv = new long[$k];
          |java.util.Arrays.fill($minv, Long.MAX_VALUE);
          |boolean $seen = false;
          |for (int $i = 0; $i < $n; $i++) {
@@ -88,16 +89,17 @@ case class MinHashSigs(child: Expression) extends UnaryExpression {
          |    $seen = true;
          |    final long $h = $c.getLong($i);
          |    for (int $p = 0; $p < $k; $p++) {
-         |      final long $v = (${minv}A[$p] * $h + ${minv}B[$p]) % ${PolyHash.Mod}L;
+         |      final long $v = ($aRef[$p] * $h + $bRef[$p]) % ${PolyHash.Mod}L;
          |      if ($v < $minv[$p]) $minv[$p] = $v;
          |    }
          |  }
          |}
-         |Object[] $res = new Object[$k];
          |if ($seen) {
-         |  for (int $p = 0; $p < $k; $p++) $res[$p] = Long.valueOf($minv[$p]);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(java.util.Arrays.copyOf($minv, $k));
+         |} else {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Object[$k]);
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($res);
        """.stripMargin
     })
 
