@@ -270,5 +270,109 @@ object Semi {
     Some("""SELECT event_type, COUNT(*) AS n, TRUE AS ok_lower, TRUE AS ok_upper
     FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58, q71, q72, q107)
+  // --------------------------------------------------------------- q180
+  // KMV (k-minimum-values) DISTINCT SKETCH — the fourth sketch family
+  // (q18/q58 HLL, q71 theta, q72 top-k, q107 CMS) and the only one whose
+  // estimate is DETERMINISTIC given the house hash, so the estimator
+  // itself is oracle-checkable, not just bounds: keep the k=64 smallest
+  // distinct poly_hash values per group; if fewer than k exist the
+  // sketch IS the exact count, else est = (k−1)·M / h_(k) (Bar-Yossef et
+  // al.). The sketch is a true monoid — the k smallest of a union are
+  // each among the k smallest of their own group (a subset has no extra
+  // smaller elements), so merging per-group sketches reproduces the raw
+  // global sketch EXACTLY; the merged row checks that identity for real
+  // on both engines (merged kth == raw-global kth) rather than assuming
+  // it. Scale: one distinct shuffle on (grp, h); the per-group top-k
+  // rank is WindowGroupLimit-pushed (per-partition top-64 before the
+  // exchange); partials are 64 rows per group, the merge folds
+  // 64·|groups| rows — the per-shard sketch table answers any group
+  // combination's distinct count without rescanning 100 TB.
+  private val q180 = QueryDef(
+    "q180_kmv_sketch",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 64
+      val base = rd(s, dir, "orders").select(
+        col("o_orderpriority").as("grp"),
+        // poly_hash of a short numeric string is clustered near 0 — the
+        // KMV estimator needs uniformity over [0, M), so the Knuth
+        // multiplicative step (a bijection mod the prime M; h ≤ 1e9+6 so
+        // h·2654435761 fits BIGINT) spreads it, same scramble as q123
+        expr(s"(${strHashExpr("CAST(o_custkey AS STRING)")} * 2654435761) % $HashMod").as("h"),
+        col("o_custkey"))
+      val dist = base.select(col("grp"), col("h")).distinct()
+      val sk = dist
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
+        .filter(col("rnk") <= k)
+        .cache()
+      sk.count()
+      def estCol = when(col("n_sk") < k, col("n_sk"))
+        .otherwise(expr(s"(${k - 1} * CAST($HashMod AS BIGINT)) DIV kth"))
+      val perGrp = sk.groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+        .join(base.groupBy(col("grp"))
+          .agg(countDistinct(col("o_custkey")).as("n_exact")), Seq("grp"))
+        .withColumn("est_distinct", estCol)
+        .withColumn("merged_matches_raw", lit(null).cast("boolean"))
+      // the merged sketch (fold of the 5 partials) vs the raw global one
+      val mergedSk = sk.select(col("h")).distinct()
+        .withColumn("rnk", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rnk") <= k)
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+      val rawSk = base.select(col("h")).distinct()
+        .withColumn("rnk", row_number().over(Window.orderBy(col("h"))))
+        .filter(col("rnk") <= k)
+        .agg(count(lit(1)).as("n_raw"), max(col("h")).as("kth_raw"))
+      val merged = mergedSk.crossJoin(rawSk)
+        .crossJoin(base.agg(countDistinct(col("o_custkey")).as("n_exact")))
+        .withColumn("grp", lit("__merged__"))
+        .withColumn("est_distinct", estCol)
+        .withColumn("merged_matches_raw",
+          col("n_sk") === col("n_raw") && col("kth") === col("kth_raw"))
+        .select(col("grp"), col("n_sk"), col("kth"), col("n_exact"),
+          col("est_distinct"), col("merged_matches_raw"))
+      perGrp.select(col("grp"), col("n_sk"), col("kth"), col("n_exact"),
+          col("est_distinct"), col("merged_matches_raw"))
+        .unionByName(merged)
+        .withColumn("err_ppm", expr(
+          """CAST(CAST(abs(est_distinct - n_exact) AS DECIMAL(38,0)) * 1000000
+             DIV CAST(n_exact AS DECIMAL(38,0)) AS BIGINT)"""))
+        .orderBy(col("grp"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderpriority AS grp,
+        (${strHashSql("CAST(o_custkey AS VARCHAR)")} * 2654435761) % $HashMod AS h, o_custkey
+      FROM orders),
+    dist AS (SELECT DISTINCT grp, h FROM base),
+    sk AS (SELECT grp, h FROM (
+        SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rnk FROM dist)
+      WHERE rnk <= 64),
+    per_grp AS (SELECT s.grp, COUNT(*) AS n_sk, MAX(s.h) AS kth, e.n_exact
+      FROM sk s JOIN (SELECT grp, COUNT(DISTINCT o_custkey) AS n_exact
+                      FROM base GROUP BY 1) e ON s.grp = e.grp
+      GROUP BY s.grp, e.n_exact),
+    merged_sk AS (SELECT COUNT(*) AS n_sk, MAX(h) AS kth FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM (SELECT DISTINCT h FROM sk))
+      WHERE rnk <= 64),
+    raw_sk AS (SELECT COUNT(*) AS n_raw, MAX(h) AS kth_raw FROM (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rnk FROM (SELECT DISTINCT h FROM base))
+      WHERE rnk <= 64),
+    unioned AS (
+      SELECT grp, n_sk, kth, n_exact,
+        CASE WHEN n_sk < 64 THEN n_sk ELSE (63 * CAST($HashMod AS BIGINT)) // kth END AS est_distinct,
+        CAST(NULL AS BOOLEAN) AS merged_matches_raw
+      FROM per_grp
+      UNION ALL
+      SELECT '__merged__', m.n_sk, m.kth,
+        (SELECT COUNT(DISTINCT o_custkey) FROM base),
+        CASE WHEN m.n_sk < 64 THEN m.n_sk ELSE (63 * CAST($HashMod AS BIGINT)) // m.kth END,
+        m.n_sk = r.n_raw AND m.kth = r.kth_raw
+      FROM merged_sk m, raw_sk r)
+    SELECT grp, CAST(n_sk AS BIGINT) AS n_sk, kth, CAST(n_exact AS BIGINT) AS n_exact,
+      CAST(est_distinct AS BIGINT) AS est_distinct, merged_matches_raw,
+      CAST((CAST(abs(est_distinct - n_exact) AS HUGEINT) * 1000000)
+           // CAST(n_exact AS HUGEINT) AS BIGINT) AS err_ppm
+    FROM unioned ORDER BY grp"""))
+
+  val defs: Seq[QueryDef] = Seq(q55, q56, q57, q58, q71, q72, q107, q180)
 }

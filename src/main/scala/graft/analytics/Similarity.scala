@@ -2564,8 +2564,166 @@ object Similarity {
     ORDER BY nprobe"""
     })
 
+  // ---------------------------------------------------------------- s34
+  // BALANCED IVF ASSIGNMENT — the mitigation s31's cell-skew audit
+  // prices: nearest-centroid assignment with a hard per-cell capacity
+  // cap = ⌈N/K⌉, so no inverted list can dominate scan cost (s31
+  // measured max_cell 64 vs mean 50 on this corpus — every probe of the
+  // hot cell pays 1.28×). Deferred-acceptance rounds, all deterministic:
+  // (1) every vector proposes to its nearest centroid; each cell keeps
+  // its top-cap proposers by (sim desc, vec_id); (2) rejects propose to
+  // their 2nd-nearest, kept up to the cell's REMAINING capacity;
+  // (3) still-unplaced vectors fill leftover slots in (c_label, rank)
+  // order — feasible by construction (K·cap ≥ N). Scale: the per-round
+  // windows partition by CELL (≤ cap + spill rows each after
+  // WindowGroupLimit); the slot-fill rank is the q122/q123 two-level
+  // cumsum (per-shard rank + 32-row shard offsets), so nothing funnels
+  // into one partition even if one mega-cluster rejects half the corpus;
+  // the capacity/offset frames are K-row. Output per cell: unbalanced
+  // size, per-round intake, final size (≤ cap by construction), and the
+  // assignment checksum that pins the exact vector→cell mapping.
+  private val s34 = QueryDef(
+    "s34_balanced_assign",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val sims = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(Window
+          .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") <= 2)
+        .select(col("vec_id"), col("c_label"), col("csim"), col("crnk"))
+        .cache()
+      sims.count()
+      val capRow = sims.filter(col("crnk") === 1).agg(count(lit(1)).as("nv"))
+        .crossJoin(cent.agg(count(lit(1)).as("k")))
+        .select(expr("(nv + k - 1) DIV k").as("cap"))
+      val cellW = Window.partitionBy(col("c_label"))
+        .orderBy(col("csim").desc, col("vec_id"))
+      val p1 = sims.filter(col("crnk") === 1)
+        .withColumn("arnk", row_number().over(cellW).cast("long"))
+        .crossJoin(broadcast(capRow))
+      val acc1 = p1.filter(col("arnk") <= col("cap")).select(col("vec_id"), col("c_label"))
+      val rej1 = p1.filter(col("arnk") > col("cap")).select(col("vec_id"))
+      val cells = cent.select(col("c_label"))
+      val n1 = cells.join(
+          acc1.groupBy(col("c_label")).agg(count(lit(1)).as("n1")), Seq("c_label"), "left")
+        .withColumn("n1", coalesce(col("n1"), lit(0L)))
+      val p2 = sims.filter(col("crnk") === 2).join(rej1, Seq("vec_id"))
+        .withColumn("arnk", row_number().over(cellW).cast("long"))
+        .join(broadcast(n1.crossJoin(capRow).withColumn("rem1", col("cap") - col("n1"))
+          .select(col("c_label"), col("rem1"))), Seq("c_label"))
+      val acc2 = p2.filter(col("arnk") <= col("rem1")).select(col("vec_id"), col("c_label"))
+      val rej2 = p2.filter(col("arnk") > col("rem1")).select(col("vec_id"))
+      // leftover slots, exclusive-prefix offsets over the K-row cell frame
+      val rem = n1.join(
+          acc2.groupBy(col("c_label")).agg(count(lit(1)).as("n2")), Seq("c_label"), "left")
+        .withColumn("n2", coalesce(col("n2"), lit(0L)))
+        .crossJoin(broadcast(capRow))
+        .withColumn("rem2", col("cap") - col("n1") - col("n2"))
+        .withColumn("off", coalesce(sum(col("rem2")).over(Window.orderBy(col("c_label"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("c_label"), col("rem2"), col("off"))
+      // two-level global rank of the unplaced remainder (q122's cumsum)
+      val frShard = rej2.withColumn("shard", col("vec_id") % 32)
+        .withColumn("srn", row_number().over(Window
+          .partitionBy(col("shard")).orderBy(col("vec_id"))).cast("long"))
+      val shardOff = frShard.groupBy(col("shard")).agg(count(lit(1)).as("sn"))
+        .withColumn("soff", coalesce(sum(col("sn")).over(Window.orderBy(col("shard"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("shard"), col("soff"))
+      val acc3 = frShard.join(broadcast(shardOff), Seq("shard"))
+        .withColumn("r", col("soff") + col("srn"))
+        .join(broadcast(rem), col("r") > col("off") && col("r") <= col("off") + col("rem2"))
+        .select(col("vec_id"), col("c_label"))
+      val tagged = acc1.withColumn("rnd", lit(1))
+        .unionByName(acc2.withColumn("rnd", lit(2)))
+        .unionByName(acc3.withColumn("rnd", lit(3)))
+      val before = sims.filter(col("crnk") === 1).groupBy(col("c_label"))
+        .agg(count(lit(1)).as("sz_before"))
+      cells
+        .join(before, Seq("c_label"), "left")
+        .join(tagged.groupBy(col("c_label")).agg(
+            count(lit(1)).as("sz_after"),
+            sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("n_r1"),
+            sum(when(col("rnd") === 2, 1L).otherwise(0L)).as("n_r2"),
+            sum(when(col("rnd") === 3, 1L).otherwise(0L)).as("n_fill"),
+            (sum(col("vec_id") % HashMod) % HashMod).as("asg_checksum")),
+          Seq("c_label"), "left")
+        .crossJoin(broadcast(capRow))
+        .select(col("c_label"), col("cap"),
+          coalesce(col("sz_before"), lit(0L)).as("sz_before"),
+          coalesce(col("sz_after"), lit(0L)).as("sz_after"),
+          coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+          coalesce(col("n_r2"), lit(0L)).as("n_r2"),
+          coalesce(col("n_fill"), lit(0L)).as("n_fill"),
+          coalesce(col("asg_checksum"), lit(0L)).as("asg_checksum"))
+        .orderBy(col("c_label"))
+    },
+    Some(s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    sims0 AS (SELECT a.vec_id, b.c_label,
+        CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) AS csim,
+        ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+          CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) DESC, b.c_label) AS crnk
+      FROM qn a CROSS JOIN cn b),
+    sims AS (SELECT * FROM sims0 WHERE crnk <= 2),
+    cap AS (SELECT ((SELECT COUNT(*) FROM qn) + (SELECT COUNT(*) FROM cn) - 1)
+                   // (SELECT COUNT(*) FROM cn) AS cap),
+    p1 AS (SELECT vec_id, c_label,
+        ROW_NUMBER() OVER (PARTITION BY c_label ORDER BY csim DESC, vec_id) AS arnk
+      FROM sims WHERE crnk = 1),
+    acc1 AS (SELECT vec_id, c_label FROM p1, cap WHERE arnk <= cap),
+    rej1 AS (SELECT vec_id FROM p1, cap WHERE arnk > cap),
+    n1 AS (SELECT c.c_label, COUNT(a.vec_id) AS n1
+           FROM cn c LEFT JOIN acc1 a ON c.c_label = a.c_label GROUP BY 1),
+    p2 AS (SELECT s.vec_id, s.c_label,
+        ROW_NUMBER() OVER (PARTITION BY s.c_label ORDER BY s.csim DESC, s.vec_id) AS arnk
+      FROM sims s JOIN rej1 r ON s.vec_id = r.vec_id WHERE s.crnk = 2),
+    acc2 AS (SELECT p.vec_id, p.c_label FROM p2 p JOIN n1 ON p.c_label = n1.c_label, cap
+             WHERE p.arnk <= cap - n1.n1),
+    rej2 AS (SELECT p.vec_id FROM p2 p JOIN n1 ON p.c_label = n1.c_label, cap
+             WHERE p.arnk > cap - n1.n1),
+    n2 AS (SELECT c.c_label, COUNT(a.vec_id) AS n2
+           FROM cn c LEFT JOIN acc2 a ON c.c_label = a.c_label GROUP BY 1),
+    rem AS (SELECT n1.c_label, cap - n1.n1 - n2.n2 AS rem2,
+        COALESCE(SUM(cap - n1.n1 - n2.n2) OVER (ORDER BY n1.c_label
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM n1 JOIN n2 ON n1.c_label = n2.c_label, cap),
+    frs AS (SELECT vec_id, vec_id % 32 AS shard,
+        ROW_NUMBER() OVER (PARTITION BY vec_id % 32 ORDER BY vec_id) AS srn
+      FROM rej2),
+    soff AS (SELECT shard, COALESCE(SUM(COUNT(*)) OVER (ORDER BY shard
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS soff
+      FROM frs GROUP BY shard),
+    acc3 AS (SELECT f.vec_id, r.c_label
+      FROM frs f JOIN soff o ON f.shard = o.shard
+      JOIN rem r ON o.soff + f.srn > r.off AND o.soff + f.srn <= r.off + r.rem2),
+    tagged AS (SELECT vec_id, c_label, 1 AS rnd FROM acc1
+      UNION ALL SELECT vec_id, c_label, 2 FROM acc2
+      UNION ALL SELECT vec_id, c_label, 3 FROM acc3),
+    bef AS (SELECT c_label, COUNT(*) AS sz_before FROM sims WHERE crnk = 1 GROUP BY 1)
+    SELECT c.c_label, (SELECT cap FROM cap) AS cap,
+      CAST(COALESCE(b.sz_before, 0) AS BIGINT) AS sz_before,
+      CAST(COALESCE(COUNT(t.vec_id), 0) AS BIGINT) AS sz_after,
+      CAST(COALESCE(SUM(CASE WHEN t.rnd = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_r1,
+      CAST(COALESCE(SUM(CASE WHEN t.rnd = 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_r2,
+      CAST(COALESCE(SUM(CASE WHEN t.rnd = 3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_fill,
+      CAST(COALESCE(SUM(t.vec_id % $HashMod) % $HashMod, 0) AS BIGINT) AS asg_checksum
+    FROM cn c LEFT JOIN bef b ON c.c_label = b.c_label
+    LEFT JOIN tagged t ON c.c_label = t.c_label
+    GROUP BY c.c_label, b.sz_before ORDER BY c.c_label"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, d15)
+      s29, s30, s31, s32, s33, s34, d15)
 }
