@@ -1014,7 +1014,95 @@ object Governance {
       CAST(SUM(user_id % $HashMod) % $HashMod AS BIGINT) AS user_checksum
     FROM v GROUP BY verdict ORDER BY verdict"""))
 
+  // --------------------------------------------------------------- q181
+  // FK-CASCADE DELETE PLAN — the transitive closure q138's direct-keyed
+  // sweep cannot see: deleting a customer orphans their orders'
+  // lineitems (q159's orphan class) unless the delete FOLLOWS the FK
+  // graph. Two deletion roots run in one plan — the customer chain
+  // (customer → orders → lineitem, depth 2) and the supplier direct
+  // edge (supplier → lineitem, depth 1) — the real right-to-be-forgotten
+  // batch shape, where one request file names subjects of several entity
+  // types and a lineitem reached by BOTH roots must be deleted (and
+  // counted) exactly once. The frontier propagates as joins: the subject
+  // lists are request-file-sized (broadcast); deleted-orders → lineitem
+  // is an equi-join on the FK itself (the table's natural key — shuffle
+  // co-partitions, AQE broadcasts when the frontier is small). The
+  // lineitem verdict is ONE scan with two frontier left-joins providing
+  // by_chain/by_supplier flags, so union-dedup and overlap accounting
+  // cost no second pass. Output per (tbl, depth): rows, cent mass, and
+  // the row checksum that pins the exact delete set; the overlap row
+  // proves double-reached rows were deduplicated, not double-counted.
+  private val q181 = QueryDef(
+    "q181_fk_cascade",
+    (s, dir) => {
+      val subjC = rd(s, dir, "customer").filter(expr("c_custkey % 97 = 7"))
+      val subjS = rd(s, dir, "supplier").filter(expr("s_suppkey % 7 = 3"))
+      val delOrd = rd(s, dir, "orders")
+        .join(broadcast(subjC.select(col("c_custkey"))),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .localCheckpoint()
+      def row(tbl: String, depth: Int, df: org.apache.spark.sql.DataFrame,
+          cents: String, rowId: String) =
+        df.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(expr(cents)), lit(0L)).as("cents"),
+            coalesce(sum(expr(s"($rowId) % $HashMod")) % lit(HashMod), lit(0L)).as("row_checksum"))
+          .select(lit(tbl).as("tbl"), lit(depth.toLong).as("depth"),
+            col("n_rows"), col("cents"), col("row_checksum"))
+      val li = rd(s, dir, "lineitem")
+        .join(delOrd.select(col("o_orderkey"), lit(1).as("by_chain")),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .join(broadcast(subjS.select(col("s_suppkey"), lit(1).as("by_supp"))),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .filter(col("by_chain") === 1 || col("by_supp") === 1)
+      row("customer", 0, subjC,
+          "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)", "c_custkey")
+        .unionAll(row("supplier", 0, subjS,
+          "CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)", "s_suppkey"))
+        .unionAll(row("orders", 1, delOrd,
+          "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)", "o_orderkey"))
+        .unionAll(row("lineitem", 2, li,
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "l_orderkey * 7 + l_linenumber"))
+        .unionAll(row("lineitem_overlap", 2,
+          li.filter(col("by_chain") === 1 && col("by_supp") === 1),
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+          "l_orderkey * 7 + l_linenumber"))
+        .orderBy(col("tbl"), col("depth"))
+    },
+    Some(s"""WITH subjc AS (SELECT * FROM customer WHERE c_custkey % 97 = 7),
+    subjs AS (SELECT * FROM supplier WHERE s_suppkey % 7 = 3),
+    dord AS (SELECT o.* FROM orders o JOIN subjc s ON o.o_custkey = s.c_custkey),
+    li AS (SELECT l.*,
+        (l.l_orderkey IN (SELECT o_orderkey FROM dord)) AS by_chain,
+        (l.l_suppkey IN (SELECT s_suppkey FROM subjs)) AS by_supp
+      FROM lineitem l)
+    SELECT 'customer' AS tbl, CAST(0 AS BIGINT) AS depth, COUNT(*) AS n_rows,
+      CAST(COALESCE(SUM(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT) AS cents,
+      CAST(COALESCE(SUM(c_custkey % $HashMod) % $HashMod, 0) AS BIGINT) AS row_checksum
+    FROM subjc
+    UNION ALL
+    SELECT 'supplier', 0, COUNT(*),
+      CAST(COALESCE(SUM(CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM(s_suppkey % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM subjs
+    UNION ALL
+    SELECT 'orders', 1, COUNT(*),
+      CAST(COALESCE(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM(o_orderkey % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM dord
+    UNION ALL
+    SELECT 'lineitem', 2, COUNT(*),
+      CAST(COALESCE(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM((l_orderkey * 7 + l_linenumber) % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM li WHERE by_chain OR by_supp
+    UNION ALL
+    SELECT 'lineitem_overlap', 2, COUNT(*),
+      CAST(COALESCE(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)), 0) AS BIGINT),
+      CAST(COALESCE(SUM((l_orderkey * 7 + l_linenumber) % $HashMod) % $HashMod, 0) AS BIGINT)
+    FROM li WHERE by_chain AND by_supp
+    ORDER BY tbl, depth"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177)
+      q171, q172, q174, q176, q177, q181)
 }

@@ -2527,9 +2527,204 @@ object Text {
       CAST(SUM(splits) AS BIGINT) AS n_boundary_crossings
     FROM sp GROUP BY source ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t46
+  // JELINEK-MERCER INTERPOLATED LM — the third member of the smoothing
+  // family (t30 add-one, t43 Kneser-Ney continuation counts, t41
+  // Good-Turing): p(w2|w1) = λ·c12/c1 + (1−λ)·(c(w2)+1)/(N+V), the
+  // classic fix for add-one's pathology of taxing SEEN bigrams to pay
+  // for the whole vocabulary. Three λ values {0.25, 0.5, 0.75} — exact
+  // binary fractions, so the interpolation arithmetic is bit-identical
+  // across engines — run as a 3-row broadcast replay of the ONE scored
+  // join (s23's budget-sweep pattern; the bigram/unigram count shuffles
+  // happen once), and the add-one cross-entropy computes in the same
+  // pass so the per-source gain is read off one result. Per-type log
+  // probs in t19's exact 1e-4 lnQ units; the held-out split and count
+  // tables are t30's verbatim, making the two models directly
+  // comparable. The measurable claim: ce_jm < ce_addone at every λ on
+  // natural sources (interpolation strictly dominates add-one here).
+  private val t46 = QueryDef(
+    "t46_interpolated_lm",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      val train = bi.filter(isTrain)
+      val test = bi.filter(!isTrain)
+      val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cc = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(isTrain)
+      val uc = tok.groupBy(col("w")).agg(count(lit(1)).as("cw2"))
+        .withColumnRenamed("w", "w2")
+      val scalars = tok.agg(count(lit(1)).as("ntr"), countDistinct(col("w")).as("v"))
+      val lams = s.range(1, 4).select((col("id") * 250000L).as("lam_ppm"))
+      test.groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("cte"))
+        .join(bc, Seq("w1", "w2"), "left")
+        .join(cc, Seq("w1"), "left")
+        .join(uc, Seq("w2"), "left")
+        .crossJoin(broadcast(scalars))
+        .crossJoin(broadcast(lams))
+        .select(col("source"), col("lam_ppm"), col("cte"),
+          expr(lnQ(
+            """(CAST(lam_ppm AS DOUBLE) / 1000000.0D) *
+               (CASE WHEN coalesce(c1, 0L) > 0
+                     THEN CAST(coalesce(c12, 0L) AS DOUBLE) / c1 ELSE 0.0D END) +
+               (1.0D - CAST(lam_ppm AS DOUBLE) / 1000000.0D) *
+               (CAST(coalesce(cw2, 0L) + 1 AS DOUBLE) / (ntr + v))""")).as("lq_jm"),
+          expr(lnQ(
+            "(coalesce(c12, 0L) + 1) / CAST(coalesce(c1, 0L) + v AS DOUBLE)")).as("lq_a1"))
+        .groupBy(col("source"), col("lam_ppm"))
+        .agg(sum(col("cte")).as("n_test_bigrams"),
+          sum(col("cte") * col("lq_jm")).as("sj"),
+          sum(col("cte") * col("lq_a1")).as("sa"))
+        .select(col("source"), col("lam_ppm"), col("n_test_bigrams"),
+          expr("-CAST(sj AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_jm"),
+          expr("-CAST(sa AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_addone"))
+        .withColumn("gain", expr("ce_addone - ce_jm"))
+        .orderBy(col("source"), col("lam_ppm"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS c1 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tr AS (SELECT w FROM tok WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8),
+    uc AS (SELECT w AS w2, COUNT(*) AS cw2 FROM tr GROUP BY 1),
+    sc AS (SELECT COUNT(*) AS ntr, COUNT(DISTINCT w) AS v FROM tr),
+    lams AS (SELECT CAST(lam_ppm AS BIGINT) AS lam_ppm
+             FROM (VALUES (250000), (500000), (750000)) t(lam_ppm)),
+    te AS (SELECT source, w1, w2, COUNT(*) AS cte FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2, 3),
+    j AS (SELECT source, lam_ppm, cte,
+            ${lnQ("""(CAST(lam_ppm AS DOUBLE) / 1000000.0) *
+               (CASE WHEN COALESCE(cc.c1, 0) > 0
+                     THEN CAST(COALESCE(bc.c12, 0) AS DOUBLE) / cc.c1 ELSE 0.0 END) +
+               (1.0 - CAST(lam_ppm AS DOUBLE) / 1000000.0) *
+               (CAST(COALESCE(uc.cw2, 0) + 1 AS DOUBLE) / (sc.ntr + sc.v))""")} AS lq_jm,
+            ${lnQ("(COALESCE(bc.c12, 0) + 1) / CAST(COALESCE(cc.c1, 0) + sc.v AS DOUBLE)")} AS lq_a1
+          FROM te LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1)
+          LEFT JOIN uc USING (w2) CROSS JOIN sc CROSS JOIN lams)
+    SELECT source, lam_ppm,
+      CAST(SUM(cte) AS BIGINT) AS n_test_bigrams,
+      -CAST(SUM(cte * lq_jm) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_jm,
+      -CAST(SUM(cte * lq_a1) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_addone,
+      (-CAST(SUM(cte * lq_a1) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0)
+        - (-CAST(SUM(cte * lq_jm) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0) AS gain
+    FROM j GROUP BY source, lam_ppm ORDER BY source, lam_ppm"""))
+
+  // ---------------------------------------------------------------- t47
+  // CONTAMINATION-DETECTOR ENSEMBLE — d35's agreement discipline applied
+  // to decontamination: the n-gram detector (t12, verbatim-sequence
+  // overlap) and a semantic detector (m15's deterministic 16-bin
+  // token-hash-histogram cosine standing in for an embedding encoder,
+  // bar 0.98) run against the SAME eval set (doc_id % 97), and every doc
+  // flagged by either is reported with BOTH signals — the calibration
+  // view a release gate needs before trusting one detector alone. On
+  // this corpus the sets are disjoint and that is the finding: the
+  // n-gram flags are single-collision noise (n_hit = 1 of ~60 grams)
+  // while the distributional near-dups the corpus actually plants never
+  // repeat a verbatim 4-gram, so each detector is blind to the other's
+  // contamination style (d35's lesson, paraphrase edition). Composes the
+  // REGISTERED t12 plan; the semantic side is |eval|-broadcast with a
+  // map-side max aggregate (d34's shape), never quadratic.
+  private val t47 = QueryDef(
+    "t47_contamination_ensemble",
+    (s, dir) => {
+      val ng = t12.run(s, dir)
+        .select(col("doc_id"), col("n_hit"), col("n_distinct_grams"),
+          lit(1L).as("ng_flag"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .select(col("doc_id"), expr(s"${strHashExpr("t")} % 16").as("bin"))
+      val vec = tok.groupBy(col("doc_id"), col("bin")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(map_from_entries(collect_list(struct(col("bin"), col("c")))).as("m"))
+        .select(col("doc_id"),
+          expr("transform(sequence(0, 15), b -> coalesce(element_at(m, b), 0L))").as("v"))
+        .withColumn("n2", expr(Tables.dotExpr("v", "v")))
+      val ev = vec.filter(col("doc_id") % 97 === 0)
+        .select(col("v").as("evv"), col("n2").as("en2"))
+      val best = vec.filter(col("doc_id") % 97 =!= 0)
+        .join(broadcast(ev))
+        .withColumn("sim", expr(Tables.dotExpr("v", "evv")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("en2").cast("double"))))
+        .groupBy(col("doc_id"))
+        .agg(max(col("sim")).as("best_sim"))
+      val sem = best.filter(col("best_sim") >= 0.98)
+        .select(col("doc_id"), lit(1L).as("sem_flag"))
+      ng.join(sem, Seq("doc_id"), "full_outer")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr("""CASE WHEN coalesce(n_distinct_grams, 0L) > 0
+                  THEN coalesce(n_hit, 0L) * 1000000 DIV n_distinct_grams
+                  ELSE 0L END""").as("gram_share_ppm"),
+          round(col("best_sim"), 6).as("best_sim"),
+          when(col("ng_flag") === 1 && col("sem_flag") === 1, lit("both"))
+            .when(col("ng_flag") === 1, lit("ngram_only"))
+            .otherwise(lit("semantic_only")).as("verdict"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH th AS (
+      SELECT doc_id,
+        list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+      FROM documents),
+    ngr AS (SELECT doc_id, ${ngramSqlDuck("th", 4)} AS ngs FROM th),
+    ex AS (SELECT DISTINCT doc_id, unnest(ngs) AS ng FROM ngr),
+    bench AS (SELECT DISTINCT ng FROM ex WHERE doc_id % 97 = 0),
+    corpus AS (SELECT doc_id, ng FROM ex WHERE doc_id % 97 <> 0),
+    per_doc AS (SELECT doc_id, COUNT(*) AS n_distinct_grams
+                FROM corpus GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_hit
+             FROM corpus c JOIN bench USING (ng) GROUP BY c.doc_id),
+    ngside AS (SELECT h.doc_id, h.n_hit, p.n_distinct_grams, 1 AS ng_flag
+               FROM hits h JOIN per_doc p USING (doc_id)),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    hb AS (SELECT doc_id, ${strHashSql("t")} % 16 AS bin FROM tok),
+    hist AS (SELECT doc_id, bin, COUNT(*) AS c FROM hb GROUP BY 1, 2),
+    dense AS (SELECT d.doc_id, g.b AS bin, COALESCE(hist.c, 0) AS c
+      FROM (SELECT DISTINCT doc_id FROM hist) d
+      CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS b) g
+      LEFT JOIN hist ON hist.doc_id = d.doc_id AND hist.bin = g.b),
+    vec AS (SELECT doc_id, list(c ORDER BY bin) AS v FROM dense GROUP BY doc_id),
+    vn AS (SELECT doc_id, v, ${dotSql("v", "v")} AS n2 FROM vec),
+    evd AS (SELECT v AS evv, n2 AS en2 FROM vn WHERE doc_id % 97 = 0),
+    best AS (SELECT c.doc_id,
+        MAX(CAST(${dotSql("c.v", "e.evv")} AS DOUBLE) /
+            (sqrt(CAST(c.n2 AS DOUBLE)) * sqrt(CAST(e.en2 AS DOUBLE)))) AS best_sim
+      FROM vn c CROSS JOIN evd e WHERE c.doc_id % 97 <> 0 GROUP BY c.doc_id),
+    sem AS (SELECT doc_id, 1 AS sem_flag FROM best WHERE best_sim >= 0.98),
+    flags AS (SELECT COALESCE(n.doc_id, s.doc_id) AS doc_id,
+        n.n_hit, n.n_distinct_grams, n.ng_flag, s.sem_flag
+      FROM ngside n FULL OUTER JOIN sem s ON n.doc_id = s.doc_id)
+    SELECT f.doc_id,
+      CAST(COALESCE(f.n_hit, 0) AS BIGINT) AS n_hit,
+      CAST(CASE WHEN COALESCE(f.n_distinct_grams, 0) > 0
+           THEN COALESCE(f.n_hit, 0) * 1000000 // f.n_distinct_grams
+           ELSE 0 END AS BIGINT) AS gram_share_ppm,
+      round(b.best_sim, 6) AS best_sim,
+      CASE WHEN f.ng_flag = 1 AND f.sem_flag = 1 THEN 'both'
+           WHEN f.ng_flag = 1 THEN 'ngram_only'
+           ELSE 'semantic_only' END AS verdict
+    FROM flags f LEFT JOIN best b ON f.doc_id = b.doc_id
+    ORDER BY f.doc_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45)
+      t43, t44, t45, t46, t47)
 }
