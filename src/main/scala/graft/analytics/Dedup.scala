@@ -2965,8 +2965,42 @@ object Dedup {
            // (SELECT SUM(quota_units) FROM by_src) AS BIGINT) AS quota_share_ppm
     FROM by_src ORDER BY source"""))
 
+  // ---------------------------------------------------------------- d45
+  // SIMILAR-DOCUMENT TOP-K RETRIEVAL — the dedup machinery re-aimed at
+  // lookup: per document, its 3 most-similar neighbors by verified
+  // Jaccard, the "show me this doc's near-dups" query behind review
+  // UIs, cluster seeding, and citation-style provenance. Composes the
+  // REGISTERED d02 plan verbatim (bucket-capped LSH candidates, exact
+  // Jaccard verify — the edge set is already bounded), symmetrizes the
+  // id1<id2 edges (a retrieval answer is per-ENDPOINT), and takes the
+  // per-doc top-3 by (jacc desc, neighbor id) — WindowGroupLimit makes
+  // the rank a per-partition top-k, so the only cost beyond d02 is one
+  // edge-volume shuffle on doc_id. Docs with no candidates are rightly
+  // absent: LSH retrieval returns nothing below the collision floor.
+  private val d45 = QueryDef(
+    "d45_similar_doc_topk",
+    (s, dir) => {
+      val pairs = d02.run(s, dir)
+      val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("nbr_id"), col("jacc"))
+        .unionByName(pairs.select(col("id2").as("doc_id"), col("id1").as("nbr_id"), col("jacc")))
+      sym.withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+            .orderBy(col("jacc").desc, col("nbr_id"))).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("nbr_id"), col("jacc"))
+        .orderBy(col("doc_id"), col("rnk"))
+    },
+    Some(s"""WITH pairs AS (${d02.oracle.get}),
+    sym AS (SELECT id1 AS doc_id, id2 AS nbr_id, jacc FROM pairs
+            UNION ALL SELECT id2, id1, jacc FROM pairs),
+    ranked AS (SELECT doc_id, nbr_id, jacc,
+        ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jacc DESC, nbr_id) AS rnk
+      FROM sym)
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, jacc
+    FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, q170)
 }

@@ -1180,7 +1180,121 @@ object Multimodal {
            // (SELECT SUM(token_cost) FROM j) AS BIGINT) AS quota_share_ppm
     FROM j ORDER BY kind"""))
 
+  // ---------------------------------------------------------------- m20
+  // STREAMING MEDIA QUARANTINE ROUTER — m16's integrity battery moved to
+  // where it belongs in production: the ingest boundary. Payload files
+  // arrive as a paced binaryFile stream (m10's source discipline), each
+  // micro-batch joins the STATIC metadata table for declared sizes
+  // (q111's stream-static broadcast shape — metadata is catalog-sized),
+  // runs the priority-ordered reason battery on the decoded bytes, and
+  // SPLITS: clean payloads to the accepted sink, faulted ones to the
+  // dead-letter sink with their reason (q164's content-DLQ router, the
+  // m-family edition). Both sinks write batchId-keyed DYNAMIC partition
+  // overwrites (q173's idempotence rule), so an at-least-once replay
+  // re-lands its own partition instead of double-counting quarantined
+  // media. Transfer faults are planted deterministically at file-write
+  // time (truncation → meta_mismatch, zeroed header → bad_header —
+  // m16's contrast pairs, here applied to real bytes on disk). The
+  // oracle is the batch battery over the same planted subset: streaming
+  // admission must be indistinguishable from a one-shot batch audit.
+  private val m20 = QueryDef(
+    "m20_stream_quarantine",
+    (s, dir) => {
+      val root = java.nio.file.Paths.get(Tables.tmp("graft-m20-files"))
+      java.nio.file.Files.createDirectories(root)
+      graft.BenchSplit.setup {
+        docs(s, dir).filter(col("doc_id") < 120)
+          .select(col("doc_id"), col("text"))
+          .collect() // 120 rows, bounded — setup, not the operator
+          .foreach { r =>
+            val id = r.getLong(0)
+            val text = r.getString(1)
+            val payload =
+              if (id % 23 == 0) text.substring(0, 16)
+              else if (id % 29 == 0) "0000" + text.substring(4)
+              else text
+            val kind = (id % 3) match {
+              case 0 => "image"; case 1 => "audio"; case _ => "video" }
+            val d = root.resolve(kind)
+            java.nio.file.Files.createDirectories(d)
+            java.nio.file.Files.write(d.resolve(s"media_$id.bin"),
+              payload.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+      }
+      val meta = docs(s, dir).filter(col("doc_id") < 120)
+        .select(col("doc_id"), col("n_chars").as("declared"))
+      val accDir = Tables.tmp("graft-m20-acc")
+      val dlqDir = Tables.tmp("graft-m20-dlq")
+      val binSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+      val stream = s.readStream.format("binaryFile")
+        .schema(binSchema)
+        .option("pathGlobFilter", "*.bin")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "40")
+        .load(root.toString)
+        .select(
+          regexp_extract(col("path"), "media_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+          regexp_extract(col("path"), "([^/]+)/media_\\d+\\.bin$", 1).as("kind"),
+          col("content").cast("string").as("payload"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          val verdict = batch
+            .join(broadcast(meta), Seq("doc_id"))
+            .withColumn("reason", expr("""CASE
+              WHEN length(payload) <> declared THEN 'meta_mismatch'
+              WHEN substring(payload, 1, 1) NOT RLIKE '^[a-z]' THEN 'bad_header'
+              WHEN length(payload) < 64 THEN 'too_short'
+              WHEN length(payload) > 512 THEN 'too_long'
+              ELSE 'ok' END"""))
+            .select(col("doc_id"), col("kind"), col("reason"),
+              lit(bid).as("batch_id"))
+            .localCheckpoint()
+          verdict.filter(col("reason") === "ok")
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(accDir)
+          verdict.filter(col("reason") =!= "ok")
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(dlqDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-m20-ckpt"))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      s.read.parquet(accDir).withColumn("sink", lit("accepted"))
+        .unionByName(s.read.parquet(dlqDir).withColumn("sink", lit("dlq")))
+        .groupBy(col("sink"), col("kind"), col("reason"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("doc_id") % HashMod) % HashMod).as("id_checksum"))
+        .orderBy(col("sink"), col("kind"), col("reason"))
+    },
+    Some(s"""WITH rec AS (
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        n_chars AS declared,
+        CASE WHEN doc_id % 23 = 0 THEN substr(text, 1, 16)
+             WHEN doc_id % 29 = 0 THEN '0000' || substr(text, 5)
+             ELSE text END AS payload
+      FROM documents WHERE doc_id < 120),
+    v AS (SELECT kind, doc_id,
+        CASE WHEN length(payload) <> declared THEN 'meta_mismatch'
+             WHEN NOT regexp_matches(substr(payload, 1, 1), '^[a-z]') THEN 'bad_header'
+             WHEN length(payload) < 64 THEN 'too_short'
+             WHEN length(payload) > 512 THEN 'too_long'
+             ELSE 'ok' END AS reason
+      FROM rec)
+    SELECT CASE WHEN reason = 'ok' THEN 'accepted' ELSE 'dlq' END AS sink,
+      kind, reason, COUNT(*) AS n,
+      CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
+    FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19)
+      m15, m16, m17, m18, m19, m20)
 }

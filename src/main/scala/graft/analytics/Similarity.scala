@@ -2722,8 +2722,119 @@ object Similarity {
     LEFT JOIN tagged t ON c.c_label = t.c_label
     GROUP BY c.c_label, b.sz_before ORDER BY c.c_label"""))
 
+  // ---------------------------------------------------------------- s35
+  // COMPRESSION-TIER RECALL CURVE — the storage-sizing decision table
+  // the family's tiers (s05 int8, s17 binary-sign, s09/s27 PQ) imply but
+  // never put side by side: against ONE exact top-10 ground truth, each
+  // cheaper representation's recall@10, next to its bytes/vector — the
+  // "what does each 8× compression step cost in recall" readout that
+  // decides which tier serves which traffic. One pass builds all three
+  // representations (the int64-quantized exact vectors, the 127-scale
+  // int8 tier, the packed sign bits), ONE anchor join is reused by all
+  // three rankings (the ranking column differs, the join doesn't), and
+  // each tier's top-10 left-joins the truth set — candidate volume is
+  // |anchors|·N once, not per tier. The exact tier's row is computed
+  // through the same join (self-recall must read 100%), pinning the
+  // harness itself.
+  private val s35 = QueryDef(
+    "s35_compression_recall",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val all = withQuant(dir, s)
+        .withColumn("q8", expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0D) AS BIGINT))"))
+        .withColumn("n8", expr(dotExpr("q8", "q8")))
+        .withColumn("h1", expr(packSpark(0)))
+        .withColumn("h2", expr(packSpark(1)))
+        .select(col("vec_id"), col("qv"), col("norm2"), col("q8"), col("n8"),
+          col("h1"), col("h2"))
+      val anch = all.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("a_qv"), col("norm2").as("a_n2"),
+          col("q8").as("a_q8"), col("n8").as("a_n8"),
+          col("h1").as("a_h1"), col("h2").as("a_h2"))
+      val joined = all
+        .select(col("vec_id").as("c_id"), col("qv"), col("norm2"), col("q8"),
+          col("n8"), col("h1"), col("h2"))
+        .join(broadcast(anch), col("c_id") =!= col("q_id"))
+        .withColumn("sim_t",
+          expr(dotExpr("a_qv", "qv")).cast("double") /
+            (sqrt(col("a_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("sim_8",
+          expr(dotExpr("a_q8", "q8")).cast("double") /
+            (sqrt(col("a_n8").cast("double")) * sqrt(col("n8").cast("double"))))
+        .withColumn("ham",
+          (expr("bit_count(h1 ^ a_h1)") + expr("bit_count(h2 ^ a_h2)")).cast("long"))
+        .localCheckpoint()
+      val truth = joined
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("sim_t").desc, col("c_id"))))
+        .filter(col("rnk") <= 10).select(col("q_id"), col("c_id"))
+        .localCheckpoint()
+      def tier(name: String, bytes: Long, picked: org.apache.spark.sql.DataFrame) =
+        truth.join(picked.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .select(lit(name).as("tier"), lit(bytes).as("bytes_per_vec"),
+            col("n_truth"), col("n_hits"),
+            expr("(n_hits * 1000000) DIV n_truth").as("recall_ppm"))
+      val int8 = joined.withColumn("rnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("sim_8").desc, col("c_id"))))
+        .filter(col("rnk") <= 10).select(col("q_id"), col("c_id"))
+      val bin = joined.withColumn("rnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("ham"), col("c_id"))))
+        .filter(col("rnk") <= 10).select(col("q_id"), col("c_id"))
+      tier("exact_int64", 512L, truth)
+        .unionByName(tier("int8", 64L, int8))
+        .unionByName(tier("binary_sign", 8L, bin))
+        .orderBy(col("tier"))
+    },
+    Some {
+      val simT =
+        s"CAST(${dotSql("a.qv", "c.qv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))"
+      val sim8 =
+        s"CAST(${dotSql("a.q8", "c.q8")} AS DOUBLE) / (sqrt(CAST(a.n8 AS DOUBLE)) * sqrt(CAST(c.n8 AS DOUBLE)))"
+      val ham = "bit_count(xor(c.h1, a.h1)) + bit_count(xor(c.h2, a.h2))"
+      s"""WITH $quantCte,
+    rep AS (SELECT qn.vec_id, qn.qv, qn.norm2,
+        list_transform(e.embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0) AS BIGINT)) AS q8,
+        ${packDuck(0)} AS h1, ${packDuck(1)} AS h2
+      FROM qn JOIN embeddings e ON e.vec_id = qn.vec_id),
+    rn AS (SELECT vec_id, qv, norm2, q8, ${dotSql("q8", "q8")} AS n8, h1, h2 FROM rep),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simT DESC, c.vec_id) AS rnk
+        FROM rn a JOIN rn c ON a.vec_id < 8 AND c.vec_id <> a.vec_id)
+      WHERE rnk <= 10),
+    t8 AS (SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $sim8 DESC, c.vec_id) AS rnk
+        FROM rn a JOIN rn c ON a.vec_id < 8 AND c.vec_id <> a.vec_id)
+      WHERE rnk <= 10),
+    tb AS (SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $ham, c.vec_id) AS rnk
+        FROM rn a JOIN rn c ON a.vec_id < 8 AND c.vec_id <> a.vec_id)
+      WHERE rnk <= 10)
+    SELECT 'exact_int64' AS tier, CAST(512 AS BIGINT) AS bytes_per_vec,
+      COUNT(*) AS n_truth,
+      CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST((SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM truth t LEFT JOIN truth p ON t.q_id = p.q_id AND t.c_id = p.c_id
+    UNION ALL
+    SELECT 'int8', 64, COUNT(*),
+      CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST((SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+    FROM truth t LEFT JOIN t8 p ON t.q_id = p.q_id AND t.c_id = p.c_id
+    UNION ALL
+    SELECT 'binary_sign', 8, COUNT(*),
+      CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+      CAST((SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT)
+    FROM truth t LEFT JOIN tb p ON t.q_id = p.q_id AND t.c_id = p.c_id
+    ORDER BY tier"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, d15)
+      s29, s30, s31, s32, s33, s34, s35, d15)
 }
