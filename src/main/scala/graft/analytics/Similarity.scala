@@ -2582,9 +2582,13 @@ object Similarity {
   // the capacity/offset frames are K-row. Output per cell: unbalanced
   // size, per-round intake, final size (≤ cap by construction), and the
   // assignment checksum that pins the exact vector→cell mapping.
-  private val s34 = QueryDef(
-    "s34_balanced_assign",
-    (s, dir) => {
+  /** The s34 deferred-acceptance machinery, shared with s36's impact
+    * readout: returns (sims: nearest-2 centroid rows per vector,
+    * capRow: the 1-row ⌈N/K⌉ capacity, cells: the K cell labels,
+    * tagged: the balanced (vec_id, c_label, rnd) assignment). The caller
+    * owns unpersisting nothing — sims is cached and left to LRU (a few
+    * KB per 1k vectors). */
+  private def balancedAssign(s: org.apache.spark.sql.SparkSession, dir: String) = {
       import org.apache.spark.sql.expressions.Window
       val q = withQuant(dir, s)
       val cent = labelCentroids(q)
@@ -2642,28 +2646,13 @@ object Similarity {
       val tagged = acc1.withColumn("rnd", lit(1))
         .unionByName(acc2.withColumn("rnd", lit(2)))
         .unionByName(acc3.withColumn("rnd", lit(3)))
-      val before = sims.filter(col("crnk") === 1).groupBy(col("c_label"))
-        .agg(count(lit(1)).as("sz_before"))
-      cells
-        .join(before, Seq("c_label"), "left")
-        .join(tagged.groupBy(col("c_label")).agg(
-            count(lit(1)).as("sz_after"),
-            sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("n_r1"),
-            sum(when(col("rnd") === 2, 1L).otherwise(0L)).as("n_r2"),
-            sum(when(col("rnd") === 3, 1L).otherwise(0L)).as("n_fill"),
-            (sum(col("vec_id") % HashMod) % HashMod).as("asg_checksum")),
-          Seq("c_label"), "left")
-        .crossJoin(broadcast(capRow))
-        .select(col("c_label"), col("cap"),
-          coalesce(col("sz_before"), lit(0L)).as("sz_before"),
-          coalesce(col("sz_after"), lit(0L)).as("sz_after"),
-          coalesce(col("n_r1"), lit(0L)).as("n_r1"),
-          coalesce(col("n_r2"), lit(0L)).as("n_r2"),
-          coalesce(col("n_fill"), lit(0L)).as("n_fill"),
-          coalesce(col("asg_checksum"), lit(0L)).as("asg_checksum"))
-        .orderBy(col("c_label"))
-    },
-    Some(s"""WITH $quantCte,
+      (sims, capRow, cells, tagged)
+  }
+
+  /** DuckDB twin of [[balancedAssign]]: the CTE chain through `tagged`
+    * (the balanced assignment), shared by the s34 and s36 oracles.
+    * Expects nothing upstream — starts with [[quantCte]]. */
+  private lazy val balancedCte: String = s"""$quantCte,
     ex AS (SELECT label, i AS pos, qv[i] AS v
            FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
     cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
@@ -2709,7 +2698,34 @@ object Similarity {
       JOIN rem r ON o.soff + f.srn > r.off AND o.soff + f.srn <= r.off + r.rem2),
     tagged AS (SELECT vec_id, c_label, 1 AS rnd FROM acc1
       UNION ALL SELECT vec_id, c_label, 2 FROM acc2
-      UNION ALL SELECT vec_id, c_label, 3 FROM acc3),
+      UNION ALL SELECT vec_id, c_label, 3 FROM acc3)"""
+
+  private val s34 = QueryDef(
+    "s34_balanced_assign",
+    (s, dir) => {
+      val (sims, capRow, cells, tagged) = balancedAssign(s, dir)
+      val before = sims.filter(col("crnk") === 1).groupBy(col("c_label"))
+        .agg(count(lit(1)).as("sz_before"))
+      cells
+        .join(before, Seq("c_label"), "left")
+        .join(tagged.groupBy(col("c_label")).agg(
+            count(lit(1)).as("sz_after"),
+            sum(when(col("rnd") === 1, 1L).otherwise(0L)).as("n_r1"),
+            sum(when(col("rnd") === 2, 1L).otherwise(0L)).as("n_r2"),
+            sum(when(col("rnd") === 3, 1L).otherwise(0L)).as("n_fill"),
+            (sum(col("vec_id") % HashMod) % HashMod).as("asg_checksum")),
+          Seq("c_label"), "left")
+        .crossJoin(broadcast(capRow))
+        .select(col("c_label"), col("cap"),
+          coalesce(col("sz_before"), lit(0L)).as("sz_before"),
+          coalesce(col("sz_after"), lit(0L)).as("sz_after"),
+          coalesce(col("n_r1"), lit(0L)).as("n_r1"),
+          coalesce(col("n_r2"), lit(0L)).as("n_r2"),
+          coalesce(col("n_fill"), lit(0L)).as("n_fill"),
+          coalesce(col("asg_checksum"), lit(0L)).as("asg_checksum"))
+        .orderBy(col("c_label"))
+    },
+    Some(s"""WITH $balancedCte,
     bef AS (SELECT c_label, COUNT(*) AS sz_before FROM sims WHERE crnk = 1 GROUP BY 1)
     SELECT c.c_label, (SELECT cap FROM cap) AS cap,
       CAST(COALESCE(b.sz_before, 0) AS BIGINT) AS sz_before,
@@ -2833,8 +2849,114 @@ object Similarity {
     ORDER BY tier"""
     })
 
+  // ---------------------------------------------------------------- s36
+  // REBALANCE IMPACT — the closing member of the skew arc (s31 measures
+  // the hot cell, s34 caps it): what does capacity-balancing COST in
+  // recall, and what does it BUY in probe cost? Both inverted-list
+  // layouts — natural nearest-centroid and s34's balanced assignment —
+  // serve the same 8 queries at nprobe=2 with exact re-ranking, scored
+  // against one exact top-5 truth (the s16 discipline). Per layout:
+  // recall, the hot-cell size (the per-probe worst case s31 prices),
+  // and the ACTUAL candidate rows these queries scanned. Measured at
+  // sf0.01: max_cell 64 → 50 (the tail-latency bound — what balancing
+  // buys) at IDENTICAL recall (375000 ppm both, nprobe=2's floor per
+  // s32) and ~equal probed_rows (777 vs 792: near-uniform cells make
+  // mean probe cost ≈ 2·cap either way; the win is the worst case, not
+  // the mean). The measured basis for choosing s34 at 100 TB, where the
+  // hot cell IS the tail latency. One candidate join per layout
+  // (|anchors|-bounded broadcast), the truth join runs once.
+  private val s36 = QueryDef(
+    "s36_rebalance_impact",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val (sims, _, _, tagged) = balancedAssign(s, dir)
+      val qv = withQuant(dir, s).select(col("vec_id"), col("qv"), col("norm2"))
+      val anchors = qv.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("a_qv"), col("norm2").as("a_n2"))
+      val probes = sims.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("c_label").as("probe_label"))
+        .join(broadcast(anchors), Seq("q_id"))
+      val truth = qv.select(col("vec_id").as("c_id"), col("qv"), col("norm2"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("sim", expr(dotExpr("a_qv", "qv")).cast("double") /
+          (sqrt(col("a_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5).select(col("q_id"), col("c_id"))
+        .localCheckpoint()
+      def impact(name: String, lists: org.apache.spark.sql.DataFrame) = {
+        val cand = lists.join(qv, Seq("vec_id"))
+          .join(broadcast(probes),
+            col("c_label") === col("probe_label") && col("vec_id") =!= col("q_id"))
+          .localCheckpoint()
+        val top5 = cand
+          .withColumn("sim", expr(dotExpr("a_qv", "qv")).cast("double") /
+            (sqrt(col("a_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+          .withColumn("rnk", row_number().over(
+            W.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("vec_id").as("c_id"), lit(1L).as("hit"))
+        truth.join(top5, Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .crossJoin(lists.groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
+            .agg(max(col("sz")).as("max_cell")))
+          .crossJoin(cand.agg(count(lit(1)).as("probed_rows")))
+          .select(lit(name).as("layout"), col("n_truth"), col("n_hits"),
+            expr("(n_hits * 1000000) DIV n_truth").as("recall_ppm"),
+            col("max_cell"), col("probed_rows"))
+      }
+      val natural = sims.filter(col("crnk") === 1).select(col("vec_id"), col("c_label"))
+      val balanced = tagged.select(col("vec_id"), col("c_label"))
+      impact("natural", natural)
+        .unionByName(impact("balanced", balanced))
+        .orderBy(col("layout"))
+    },
+    Some {
+      def simSql(a: String, c: String) =
+        s"CAST(${dotSql(s"$a.qv", s"$c.qv")} AS DOUBLE) / (sqrt(CAST($a.norm2 AS DOUBLE)) * sqrt(CAST($c.norm2 AS DOUBLE)))"
+      def impactSql(lists: String) = s"""
+      SELECT COUNT(*) AS n_truth,
+        CAST(SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        CAST((SUM(CASE WHEN p.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000) // COUNT(*) AS BIGINT) AS recall_ppm,
+        (SELECT MAX(sz) FROM (SELECT COUNT(*) AS sz FROM $lists GROUP BY c_label)) AS max_cell,
+        (SELECT COUNT(*) FROM ${lists}_cand) AS probed_rows
+      FROM truth t LEFT JOIN ${lists}_top5 p ON t.q_id = p.q_id AND t.c_id = p.c_id"""
+      s"""WITH $balancedCte,
+    nat_lists AS (SELECT vec_id, c_label FROM sims WHERE crnk = 1),
+    bal_lists AS (SELECT vec_id, c_label FROM tagged),
+    probes AS (SELECT s.vec_id AS q_id, s.c_label AS probe_label, q.qv AS a_qv, q.norm2 AS a_n2
+      FROM sims s JOIN qn q ON q.vec_id = s.vec_id WHERE s.vec_id < 8),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY ${simSql("a", "c")} DESC, c.vec_id) AS rnk
+        FROM qn a JOIN qn c ON a.vec_id < 8 AND c.vec_id <> a.vec_id)
+      WHERE rnk <= 5),
+    nat_lists_cand AS (SELECT p.q_id, l.vec_id, p.a_qv, p.a_n2, q.qv, q.norm2
+      FROM nat_lists l JOIN qn q ON q.vec_id = l.vec_id
+      JOIN probes p ON l.c_label = p.probe_label AND l.vec_id <> p.q_id),
+    bal_lists_cand AS (SELECT p.q_id, l.vec_id, p.a_qv, p.a_n2, q.qv, q.norm2
+      FROM bal_lists l JOIN qn q ON q.vec_id = l.vec_id
+      JOIN probes p ON l.c_label = p.probe_label AND l.vec_id <> p.q_id),
+    nat_lists_top5 AS (SELECT q_id, vec_id AS c_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+            CAST(${dotSql("a_qv", "qv")} AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(norm2 AS DOUBLE))) DESC, vec_id) AS rnk
+        FROM nat_lists_cand) WHERE rnk <= 5),
+    bal_lists_top5 AS (SELECT q_id, vec_id AS c_id FROM (
+        SELECT q_id, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+            CAST(${dotSql("a_qv", "qv")} AS DOUBLE) / (sqrt(CAST(a_n2 AS DOUBLE)) * sqrt(CAST(norm2 AS DOUBLE))) DESC, vec_id) AS rnk
+        FROM bal_lists_cand) WHERE rnk <= 5)
+    SELECT * FROM (
+      SELECT 'natural' AS layout, * FROM (${impactSql("nat_lists")})
+      UNION ALL
+      SELECT 'balanced', * FROM (${impactSql("bal_lists")}))
+    ORDER BY layout"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, d15)
 }

@@ -2540,8 +2540,10 @@ object Text {
   // pass so the per-source gain is read off one result. Per-type log
   // probs in t19's exact 1e-4 lnQ units; the held-out split and count
   // tables are t30's verbatim, making the two models directly
-  // comparable. The measurable claim: ce_jm < ce_addone at every λ on
-  // natural sources (interpolation strictly dominates add-one here).
+  // comparable. The measurable claim: the bigram-weighted corpus gain
+  // ce_addone − ce_jm is positive at every λ (per-source rows all
+  // positive at sf0.01; one −0.004 outlier at sf0.001's ~20-bigram
+  // splits — NewOpsR18Spec pins the corpus-level dominance).
   private val t46 = QueryDef(
     "t46_interpolated_lm",
     (s, dir) => {
