@@ -3283,7 +3283,11 @@ object Streams {
           .write.mode("overwrite").parquet(dimPath)
         (0 to 2).foreach { b =>
           val stage = Tables.tmp(s"graft-q169-b$b")
-          ev.filter(col("event_id") % 3 === b)
+          // batch by USER cohort, not event slice — each arriving batch
+          // brings genuinely new subjects, so the prefix curve grows
+          // (an event_id split would put every user in every batch and
+          // flatline the gate)
+          ev.filter(col("user_id") % 3 === b)
             .coalesce(1).write.mode("overwrite").parquet(stage)
           movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
         }
@@ -3504,9 +3508,120 @@ object Streams {
       UNION ALL SELECT status, n, key_checksum FROM rows_out
     ) ORDER BY status"""))
 
+  // --------------------------------------------------------------- q182
+  // STREAMING KMV CARDINALITY LEDGER — "how many distinct users so far"
+  // maintained at ingest with O(k) state per micro-batch: each batch
+  // appends only its own 64-minimum-hash partial (q180's sketch, whose
+  // k-min-of-union monoid law makes per-batch partials EXACTLY
+  // equivalent to sketching the union), written as a batchId-keyed
+  // dynamic partition overwrite (q173's idempotence rule). The per-batch
+  // running estimate then folds the ledger PREFIX — |batches|·k rows —
+  // never the event stream, which is the whole point: a
+  // dropDuplicates-style exact count holds state proportional to the
+  // distinct domain, this gate holds 512 bytes per batch at any scale.
+  // The exact prefix counts are the audit column (they rescan the
+  // events table — the thing production cannot afford and the ledger
+  // replaces); err_ppm prices the estimator against them. Both
+  // estimator branches are exercised across the correctness SFs (below
+  // k the sketch IS exact; above k the (k−1)·M/h_k estimate engages).
+  private val q182 = QueryDef(
+    "q182_stream_kmv_gate",
+    (s, dir) => withStreamShuffle(s) {
+      val streamDir = Tables.tmpDir("graft-q182-stream")
+      val ledgerDir = Tables.tmp("graft-q182-ledger")
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        val ev = events(s, dir).select(col("event_id"), col("user_id"))
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q182-b$b")
+          // batch by USER cohort, not event slice — each arriving batch
+          // brings genuinely new subjects, so the prefix curve grows
+          // (an event_id split would put every user in every batch and
+          // flatline the gate)
+          ev.filter(col("user_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          batch
+            .select(expr(
+              s"(${strHashExpr("CAST(user_id AS STRING)")} * 2654435761) % $HashMod").as("h"))
+            .distinct()
+            .withColumn("rnk", row_number().over(Window.orderBy(col("h"))))
+            .filter(col("rnk") <= 64)
+            .select(col("h"), lit(bid).as("batch_id"))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ledgerDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q182-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      import org.apache.spark.sql.expressions.Window
+      val ledger = s.read.parquet(ledgerDir)
+      val batches = s.range(0, 3).select(col("id").as("b"))
+      val folded = broadcast(batches)
+        .join(ledger, col("batch_id") <= col("b"))
+        .select(col("b"), col("h")).distinct()
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("b")).orderBy(col("h"))))
+        .filter(col("rnk") <= 64)
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_sk"), max(col("h")).as("kth"))
+        .withColumn("est_distinct", when(col("n_sk") < 64, col("n_sk"))
+          .otherwise(expr(s"(63 * CAST($HashMod AS BIGINT)) DIV kth")))
+      // audit side: the exact prefix distincts the ledger exists to avoid
+      val exact = broadcast(batches)
+        .join(events(s, dir).select((col("user_id") % 3).as("bb"), col("user_id")),
+          col("bb") <= col("b"))
+        .groupBy(col("b")).agg(countDistinct(col("user_id")).as("n_exact"))
+      folded.join(exact, Seq("b"))
+        .select(col("b").as("batch_id"), col("n_sk"), col("kth"),
+          col("est_distinct"), col("n_exact"),
+          expr("""CAST(CAST(abs(est_distinct - n_exact) AS DECIMAL(38,0)) * 1000000
+                  DIV CAST(n_exact AS DECIMAL(38,0)) AS BIGINT)""").as("err_ppm"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id % 3 AS batch_id,
+        (${strHashSql("CAST(user_id AS VARCHAR)")} * 2654435761) % $HashMod AS h,
+        user_id
+      FROM events),
+    led AS (SELECT batch_id, h FROM (
+        SELECT batch_id, h, ROW_NUMBER() OVER (PARTITION BY batch_id ORDER BY h) AS rnk
+        FROM (SELECT DISTINCT batch_id, h FROM ev))
+      WHERE rnk <= 64),
+    batches AS (SELECT unnest(generate_series(0, 2)) AS b),
+    pre AS (SELECT DISTINCT b, h FROM batches JOIN led ON led.batch_id <= b),
+    fold AS (SELECT b, COUNT(*) AS n_sk, MAX(h) AS kth FROM (
+        SELECT b, h, ROW_NUMBER() OVER (PARTITION BY b ORDER BY h) AS rnk FROM pre)
+      WHERE rnk <= 64 GROUP BY b),
+    est AS (SELECT b, n_sk, kth,
+        CASE WHEN n_sk < 64 THEN n_sk
+             ELSE (63 * CAST($HashMod AS BIGINT)) // kth END AS est_distinct
+      FROM fold),
+    ex AS (SELECT b, COUNT(DISTINCT user_id) AS n_exact
+           FROM batches JOIN ev ON ev.batch_id <= b GROUP BY b)
+    SELECT CAST(e.b AS BIGINT) AS batch_id,
+      CAST(e.n_sk AS BIGINT) AS n_sk, e.kth,
+      CAST(e.est_distinct AS BIGINT) AS est_distinct,
+      CAST(x.n_exact AS BIGINT) AS n_exact,
+      CAST((CAST(abs(e.est_distinct - x.n_exact) AS HUGEINT) * 1000000)
+           // CAST(x.n_exact AS HUGEINT) AS BIGINT) AS err_ppm
+    FROM est e JOIN ex x ON e.b = x.b ORDER BY batch_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169, q173)
+      d29, q164, q169, q173, q182)
 }
