@@ -2772,6 +2772,127 @@ object Streams {
         * 1000000 // SUM(n_events) OVER () AS BIGINT) AS coverage_ppm
     FROM bt ORDER BY tier"""))
 
+  // --------------------------------------------------------------- q183
+  // WATERMARK-DELAY AUTOTUNER — q150 measures disorder and q154 shows
+  // what a given watermark drops; this query CLOSES the loop and picks
+  // the config value: for each candidate delay tier, the continuous
+  // per-key lateness coverage (q150's audit, verbatim derivation) next
+  // to the ROUTED loss a batch-boundary global watermark at that delay
+  // would actually incur (q154's engine rule — prior batches' max event
+  // time minus delay, advanced only at batch boundaries), with the
+  // smallest tier reaching 99% coverage flagged as the recommendation.
+  // The two ppm columns deliberately differ: coverage is per-KEY and
+  // continuous (the audit's pessimistic view), routing is GLOBAL and
+  // batch-paced (the engine's actual behavior, laggier watermark =
+  // fewer drops) — the gap is the safety margin the audit buys. The
+  // 6-delay sweep is one conditional pass over the arrival frame joined
+  // to a 6-row broadcast (s23's budget-replay pattern); batches are
+  // arrival-time terciles via a pure expression, their watermarks a
+  // 3-row cumulative. q154 is the live foreachBatch twin of the replay
+  // rule; this is the planning query you run BEFORE deploying it.
+  private val q183 = QueryDef(
+    "q183_watermark_autotune",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("arr"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val base = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr",
+          expr("us + (event_id % 100000) * 1103515245 % 7200000000"))
+      val late = base
+        .withColumn("late_us", max(col("us")).over(w) - col("us"))
+        .select(col("us"), col("arr"), col("late_us"),
+          expr("""CASE WHEN late_us = 0 THEN '0_ontime'
+                  WHEN late_us < 60000000 THEN '1_under_1m'
+                  WHEN late_us < 300000000 THEN '2_under_5m'
+                  WHEN late_us < 900000000 THEN '3_under_15m'
+                  WHEN late_us < 3600000000 THEN '4_under_1h'
+                  ELSE '5_over_1h' END""").as("tier"))
+        .localCheckpoint()
+      val wc = Window.orderBy(col("tier"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val coverage = late.groupBy(col("tier")).agg(count(lit(1)).as("n_events"))
+        .withColumn("cum", sum(col("n_events")).over(wc))
+        .withColumn("total", sum(col("n_events")).over(
+          Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("tier"), expr("cum * 1000000 DIV total").as("coverage_ppm"))
+      val tiers = s.range(1).selectExpr(
+        """stack(6,
+           '0_ontime', 0L,
+           '1_under_1m', 60000000L,
+           '2_under_5m', 300000000L,
+           '3_under_15m', 900000000L,
+           '4_under_1h', 3600000000L,
+           '5_over_1h', 7200000000L) AS (tier, delay_us)""")
+      // arrival-time terciles stand in for micro-batches; watermark of
+      // batch b = max event time of batches < b (3-row cumulative)
+      val span = base.agg(min(col("arr")).as("amin"),
+        (max(col("arr")) - min(col("arr")) + 1).as("aspan"))
+      val batched = late.crossJoin(broadcast(span))
+        .withColumn("b", expr("(arr - amin) * 3 DIV aspan"))
+        .select(col("us"), col("b"))
+      val wms = batched.groupBy(col("b")).agg(max(col("us")).as("bmax"))
+        .withColumn("wm_base", max(col("bmax")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("b"), col("wm_base"))
+      val routed = batched.join(broadcast(wms), Seq("b"))
+        .crossJoin(broadcast(tiers))
+        .groupBy(col("tier"), col("delay_us"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("wm_base").isNotNull &&
+            col("us") < col("wm_base") - col("delay_us"), 1L).otherwise(0L)).as("n_routed"))
+        .select(col("tier"), col("delay_us"),
+          expr("n_routed * 1000000 DIV total").as("routed_ppm"))
+      val pick = coverage.filter(col("coverage_ppm") >= 990000)
+        .agg(min(col("tier")).as("chosen_tier"))
+      routed.join(coverage, Seq("tier"))
+        .crossJoin(broadcast(pick))
+        .select(col("tier"), col("delay_us"), col("coverage_ppm"), col("routed_ppm"),
+          (col("tier") === col("chosen_tier")).as("chosen"))
+        .orderBy(col("tier"))
+    },
+    Some("""WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        epoch_us(ts) + (event_id % 100000) * 1103515245 % 7200000000 AS arr
+      FROM events),
+    l AS (SELECT us, arr,
+        MAX(us) OVER (PARTITION BY user_id ORDER BY arr, event_id
+          ROWS UNBOUNDED PRECEDING) - us AS late_us
+      FROM base),
+    lt AS (SELECT us, arr,
+        CASE WHEN late_us = 0 THEN '0_ontime'
+             WHEN late_us < 60000000 THEN '1_under_1m'
+             WHEN late_us < 300000000 THEN '2_under_5m'
+             WHEN late_us < 900000000 THEN '3_under_15m'
+             WHEN late_us < 3600000000 THEN '4_under_1h'
+             ELSE '5_over_1h' END AS tier
+      FROM l),
+    cov AS (SELECT tier,
+        CAST(SUM(COUNT(*)) OVER (ORDER BY tier ROWS UNBOUNDED PRECEDING)
+          * 1000000 // SUM(COUNT(*)) OVER () AS BIGINT) AS coverage_ppm
+      FROM lt GROUP BY tier),
+    tiers AS (SELECT * FROM (VALUES
+        ('0_ontime', 0), ('1_under_1m', 60000000), ('2_under_5m', 300000000),
+        ('3_under_15m', 900000000), ('4_under_1h', 3600000000),
+        ('5_over_1h', 7200000000)) t(tier, delay_us)),
+    sp AS (SELECT MIN(arr) AS amin, MAX(arr) - MIN(arr) + 1 AS aspan FROM base),
+    bt AS (SELECT us, (arr - sp.amin) * 3 // sp.aspan AS b FROM lt, sp),
+    wms AS (SELECT b, MAX(bmax) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+      FROM (SELECT b, MAX(us) AS bmax FROM bt GROUP BY b)),
+    routed AS (SELECT t.tier, t.delay_us,
+        CAST(SUM(CASE WHEN w.wm_base IS NOT NULL
+                 AND e.us < w.wm_base - t.delay_us THEN 1 ELSE 0 END)
+          * 1000000 // COUNT(*) AS BIGINT) AS routed_ppm
+      FROM bt e JOIN wms w ON e.b = w.b CROSS JOIN tiers t
+      GROUP BY t.tier, t.delay_us),
+    pick AS (SELECT MIN(tier) AS chosen_tier FROM cov WHERE coverage_ppm >= 990000)
+    SELECT r.tier, CAST(r.delay_us AS BIGINT) AS delay_us, c.coverage_ppm,
+      r.routed_ppm, r.tier = p.chosen_tier AS chosen
+    FROM routed r JOIN cov c ON r.tier = c.tier CROSS JOIN pick p
+    ORDER BY r.tier"""))
+
   // --------------------------------------------------------------- q151
   // STREAMING TOKEN-BUCKET RATE LIMITER — the per-key quota gate every
   // multi-tenant ingest runs in front of expensive downstream work:
@@ -3623,5 +3744,5 @@ object Streams {
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169, q173, q182)
+      d29, q164, q169, q173, q182, q183)
 }
