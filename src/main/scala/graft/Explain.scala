@@ -78,7 +78,12 @@ object Explain {
         "m15_clip_gate", "m16_payload_quarantine", "m17_vision_token_budget",
         "m18_template_captions",
         "q170_training_manifest", "d41_simhash_rotated_pairs",
-        "q174_maintenance_plan", "d42_star_components", "q175_zorder_layout", "d43_probe_budget", "q176_replication_impact", "t45_sequence_packing", "m19_training_mix_manifest", "s31_ivf_skew", "q177_fair_share", "q178_recursive_hierarchy", "q179_variant_shredding", "d44_incremental_star", "s32_production_search", "s33_filtered_probe_sweep")
+        "q174_maintenance_plan", "d42_star_components", "q175_zorder_layout", "d43_probe_budget", "q176_replication_impact", "t45_sequence_packing", "m19_training_mix_manifest", "s31_ivf_skew", "q177_fair_share", "q178_recursive_hierarchy", "q179_variant_shredding", "d44_incremental_star", "s32_production_search", "s33_filtered_probe_sweep",
+        // r18 batch additions (the streaming pair q182/m20 stays out)
+        "s34_balanced_assign", "s35_compression_recall", "s36_rebalance_impact",
+        "q180_kmv_sketch", "q181_fk_cascade", "t46_interpolated_lm",
+        "t47_contamination_ensemble", "d45_similar_doc_topk",
+        "q183_watermark_autotune")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
