@@ -2955,8 +2955,114 @@ object Similarity {
     ORDER BY layout"""
     })
 
+  // ---------------------------------------------------------------- s37
+  // SELF-RETRIEVAL MRR UNDER QUERY CORRUPTION — the standard index
+  // smoke test before any embedding index ships: corrupt each query
+  // vector deterministically (sign-flip ~4 of 64 dims — a stand-in for
+  // encoder drift / quantized-query serving) and ask the index for the
+  // ORIGINAL vector; report found@1/found@10 and MRR@10, the family's
+  // first rank-AWARE metric (recall@k treats rank 1 and rank 10 the
+  // same; a ranking metric catches "still found but demoted"). Run
+  // through both paths — brute force (pure corruption robustness) and
+  // the nprobe=2 IVF (adds probe loss when corruption moves a query
+  // across a centroid boundary — exactly the failure this isolates,
+  // read as the gap between the two rows). MRR is exact integer:
+  // Σ floor(1e6 / rank) DIV n, missing = 0. 32 queries broadcast; the
+  // candidate join is the s04 shape; ranks come off WindowGroupLimit'd
+  // top-10 windows.
+  private val s37 = QueryDef(
+    "s37_self_retrieval_mrr",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val all = withQuant(dir, s)
+      val cent = labelCentroids(all)
+      // inverted lists (s04's nearest-centroid rule)
+      val winV = W.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))
+      val assigned = all.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(winV))
+      val lists = assigned.filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label").as("list_label"))
+      // corrupted queries: flip the sign of dims where (vec_id + i) % 16 = 0
+      val queries = all.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("q_id"), expr(
+          "transform(qv, (x, i) -> CASE WHEN (vec_id + i) % 16 = 0 THEN -x ELSE x END)").as("cq"))
+        .withColumn("cn2", expr(dotExpr("cq", "cq")))
+      val probes = queries.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("cq", "cqv")).cast("double") /
+            (sqrt(col("cn2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("prnk", row_number().over(
+          W.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("prnk") <= 2)
+        .select(col("q_id"), col("cq"), col("cn2"), col("c_label").as("probe_label"))
+      val winQ = W.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
+      def ranks(cand: org.apache.spark.sql.DataFrame) = cand
+        .withColumn("sim",
+          expr(dotExpr("cq", "qv")).cast("double") /
+            (sqrt(col("cn2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(winQ).cast("long"))
+        .filter(col("rnk") <= 10 && col("vec_id") === col("q_id"))
+        .select(col("q_id"), col("rnk"))
+      def report(name: String, r: org.apache.spark.sql.DataFrame) =
+        queries.select(col("q_id")).join(r, Seq("q_id"), "left")
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("found_at_1"),
+            sum(when(col("rnk").isNotNull, 1L).otherwise(0L)).as("found_at_10"),
+            expr("sum(CASE WHEN rnk IS NOT NULL THEN 1000000 DIV rnk ELSE 0 END) DIV count(1)").as("mrr_ppm"))
+          .select(lit(name).as("method"), col("n_queries"), col("found_at_1"),
+            col("found_at_10"), col("mrr_ppm"))
+      val brute = ranks(lists.select(col("vec_id"), col("qv"), col("norm2"))
+        .crossJoin(broadcast(queries)))
+      val ivf = ranks(lists.join(broadcast(probes),
+        col("list_label") === col("probe_label")))
+      report("brute", brute).unionByName(report("ivf_nprobe2", ivf))
+        .orderBy(col("method"))
+    },
+    Some {
+      val simQC = s"CAST(${dotSql("q.cq", "l.qv")} AS DOUBLE) / (sqrt(CAST(q.cn2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    cq0 AS (SELECT vec_id AS q_id,
+        list_transform(generate_series(1, 64),
+          i -> CASE WHEN (vec_id + i - 1) % 16 = 0 THEN -qv[i] ELSE qv[i] END) AS cq
+      FROM qn WHERE vec_id < 32),
+    cqs AS (SELECT q_id, cq, ${dotSql("cq", "cq")} AS cn2 FROM cq0),
+    prb AS (SELECT q_id, cq, cn2, c_label AS probe_label FROM (
+        SELECT q.q_id, q.cq, q.cn2, c.c_label,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            CAST(${dotSql("q.cq", "c.cqv")} AS DOUBLE) / (sqrt(CAST(q.cn2 AS DOUBLE)) * sqrt(CAST(c.cnorm2 AS DOUBLE))) DESC, c.c_label) AS prnk
+        FROM cqs q CROSS JOIN cn c)
+      WHERE prnk <= 2),
+    brute_r AS (SELECT q_id, rnk FROM (
+        SELECT q.q_id, l.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $simQC DESC, l.vec_id) AS rnk
+        FROM lists l CROSS JOIN cqs q)
+      WHERE rnk <= 10 AND vec_id = q_id),
+    ivf_r AS (SELECT q_id, rnk FROM (
+        SELECT q.q_id, l.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY $simQC DESC, l.vec_id) AS rnk
+        FROM lists l JOIN prb q ON l.list_label = q.probe_label)
+      WHERE rnk <= 10 AND vec_id = q_id)
+    SELECT * FROM (
+      SELECT 'brute' AS method, COUNT(*) AS n_queries,
+        CAST(SUM(CASE WHEN r.rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS found_at_1,
+        CAST(SUM(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS found_at_10,
+        CAST(SUM(CASE WHEN r.rnk IS NOT NULL THEN 1000000 // r.rnk ELSE 0 END) // COUNT(*) AS BIGINT) AS mrr_ppm
+      FROM cqs q LEFT JOIN brute_r r ON q.q_id = r.q_id
+      UNION ALL
+      SELECT 'ivf_nprobe2', COUNT(*),
+        CAST(SUM(CASE WHEN r.rnk = 1 THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN r.rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+        CAST(SUM(CASE WHEN r.rnk IS NOT NULL THEN 1000000 // r.rnk ELSE 0 END) // COUNT(*) AS BIGINT)
+      FROM cqs q LEFT JOIN ivf_r r ON q.q_id = r.q_id)
+    ORDER BY method"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, s36, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, s37, d15)
 }
