@@ -83,7 +83,7 @@ object Explain {
         "s34_balanced_assign", "s35_compression_recall", "s36_rebalance_impact",
         "q180_kmv_sketch", "q181_fk_cascade", "t46_interpolated_lm",
         "t47_contamination_ensemble", "d45_similar_doc_topk",
-        "q183_watermark_autotune")
+        "q183_watermark_autotune", "s37_self_retrieval_mrr")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

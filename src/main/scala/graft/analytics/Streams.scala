@@ -3404,11 +3404,7 @@ object Streams {
           .write.mode("overwrite").parquet(dimPath)
         (0 to 2).foreach { b =>
           val stage = Tables.tmp(s"graft-q169-b$b")
-          // batch by USER cohort, not event slice — each arriving batch
-          // brings genuinely new subjects, so the prefix curve grows
-          // (an event_id split would put every user in every batch and
-          // flatline the gate)
-          ev.filter(col("user_id") % 3 === b)
+          ev.filter(col("event_id") % 3 === b)
             .coalesce(1).write.mode("overwrite").parquet(stage)
           movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
         }
