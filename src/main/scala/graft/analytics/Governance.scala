@@ -1102,7 +1102,102 @@ object Governance {
     FROM li WHERE by_chain AND by_supp
     ORDER BY tbl, depth"""))
 
+  // --------------------------------------------------------------- q184
+  // DIFFERENTIALLY-PRIVATE NOISY RELEASE — the publication step after
+  // q137's k-anonymity audit: per-segment count and clipped-sum of
+  // account balances released with Laplace noise (ε = 1 each, sequential
+  // composition ε_total = 2 per group; groups are disjoint so the
+  // per-table budget is also 2). The two DP mechanics that matter are
+  // both real here: (1) CONTRIBUTION CLIPPING — each customer's cents
+  // are clamped to ±ClipCents before summing, which is what bounds the
+  // sum's sensitivity to ClipCents (an unclipped SUM has unbounded
+  // sensitivity and no finite noise scale fixes it); the clip count is
+  // reported because clipping is the bias the analyst must price.
+  // (2) CALIBRATED NOISE — Laplace(Δ/ε) via the inverse CDF
+  // X = −(Δ/ε)·sgn(u−½)·ln(1−2|u−½|), with u derived from the house
+  // scrambled hash of (statistic, group) so the draw is deterministic
+  // and the ORACLE CHECKS THE RELEASED VALUES THEMSELVES, not just
+  // bounds (q180's estimator-determinism discipline; a production
+  // release swaps the hash for a CSPRNG and drops the *_true columns —
+  // they exist here for the utility readout). The ln is the house lnQ
+  // 1e-4 quantization, so noise arithmetic is exact int64 on both
+  // engines, and the sign is applied OUTSIDE the division (magnitudes
+  // are non-negative) to dodge the Spark-DIV-truncates vs DuckDB-//-
+  // floors divergence on negatives (t36's hazard). Scale: one map-side-
+  // combined aggregate over customer; noise is per-GROUP pure codegen
+  // over the 5-row aggregate — the plan is a single scan at any corpus
+  // size, no joins, no windows.
+  private val DpClipCents = 500000L // ±$5,000.00 per-subject contribution clip
+
+  private val q184 = QueryDef(
+    "q184_dp_release",
+    (s, dir) => {
+      graft.functions.PolyHash.register(s)
+      rd(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"),
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(expr(s"LEAST(GREATEST(cents, -$DpClipCents), $DpClipCents)")).as("sum_true"),
+          sum(when(expr(s"abs(cents) > $DpClipCents"), 1L).otherwise(0L)).as("n_clipped"))
+        // one uniform draw per (statistic, group): u ∈ [0, 1e6) ppm
+        .withColumn("uc", expr(
+          s"(${strHashExpr("concat('count|', seg)")} * 2654435761) % $HashMod % 1000000"))
+        .withColumn("us", expr(
+          s"(${strHashExpr("concat('sum|', seg)")} * 2654435761) % $HashMod % 1000000"))
+        // |u − ½| capped below ½ so ln(1−2|u−½|) stays finite; magnitude
+        // −ln(1−2a/1e6) ≥ 0 in exact 1e-4 units via the lnQ difference
+        .withColumn("magc", expr(
+          s"${lnQ("1000000")} - ${lnQ("1000000 - 2 * LEAST(abs(uc - 500000), 499999)")}"))
+        .withColumn("mags", expr(
+          s"${lnQ("1000000")} - ${lnQ("1000000 - 2 * LEAST(abs(us - 500000), 499999)")}"))
+        // count: Δ=1, ε=1 → scale 1; sum: Δ=ClipCents, ε=1 → scale ClipCents
+        .withColumn("released_n", expr(
+          "n_true + (CASE WHEN uc < 500000 THEN -1 ELSE 1 END) * (magc DIV 10000)"))
+        .withColumn("released_cents", expr(
+          s"sum_true + (CASE WHEN us < 500000 THEN -1 ELSE 1 END) * (($DpClipCents * mags) DIV 10000)"))
+        .select(col("seg"), col("n_true"), col("released_n"),
+          abs(col("released_n") - col("n_true")).as("count_abs_err"),
+          col("sum_true"), col("n_clipped"), col("released_cents"),
+          abs(col("released_cents") - col("sum_true")).as("sum_abs_err"),
+          lit(2000000L).as("eps_ppm"))
+        .orderBy(col("seg"))
+    },
+    Some(s"""WITH stats AS (
+      SELECT c_mktsegment AS seg, COUNT(*) AS n_true,
+        SUM(LEAST(GREATEST(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT),
+                           -$DpClipCents), $DpClipCents)) AS sum_true,
+        SUM(CASE WHEN abs(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+                      > $DpClipCents THEN 1 ELSE 0 END) AS n_clipped
+      FROM customer GROUP BY 1),
+    draws AS (
+      SELECT seg, n_true, sum_true, n_clipped,
+        (${strHashSql("concat('count|', seg)")} * 2654435761) % $HashMod % 1000000 AS uc,
+        (${strHashSql("concat('sum|', seg)")} * 2654435761) % $HashMod % 1000000 AS us
+      FROM stats),
+    noise AS (
+      SELECT seg, n_true, sum_true, n_clipped, uc, us,
+        ${lnQ("1000000")} - ${lnQ("1000000 - 2 * LEAST(abs(uc - 500000), 499999)")} AS magc,
+        ${lnQ("1000000")} - ${lnQ("1000000 - 2 * LEAST(abs(us - 500000), 499999)")} AS mags
+      FROM draws),
+    rel AS (
+      SELECT seg, n_true,
+        n_true + (CASE WHEN uc < 500000 THEN -1 ELSE 1 END) * (magc // 10000) AS released_n,
+        sum_true, n_clipped,
+        sum_true + (CASE WHEN us < 500000 THEN -1 ELSE 1 END)
+                   * (($DpClipCents * mags) // 10000) AS released_cents
+      FROM noise)
+    SELECT seg, CAST(n_true AS BIGINT) AS n_true,
+      CAST(released_n AS BIGINT) AS released_n,
+      CAST(abs(released_n - n_true) AS BIGINT) AS count_abs_err,
+      CAST(sum_true AS BIGINT) AS sum_true,
+      CAST(n_clipped AS BIGINT) AS n_clipped,
+      CAST(released_cents AS BIGINT) AS released_cents,
+      CAST(abs(released_cents - sum_true) AS BIGINT) AS sum_abs_err,
+      CAST(2000000 AS BIGINT) AS eps_ppm
+    FROM rel ORDER BY seg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177, q181)
+      q171, q172, q174, q176, q177, q181, q184)
 }

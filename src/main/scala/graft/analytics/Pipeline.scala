@@ -1287,7 +1287,144 @@ object Pipeline {
     FROM b CROSS JOIN tot GROUP BY bin, tp, tn ORDER BY bin"""
     })
 
+  // --------------------------------------------------------------- q185
+  // POSITIONAL DELETION VECTORS (merge-on-read) — the modern lakehouse
+  // delete path (Iceberg v2 / Delta DVs) that q115's KEYED tombstones
+  // don't express: a delete operation writes (file_id, position) entries
+  // instead of rewriting data files, and every read anti-joins the DV
+  // set — the base files stay immutable until a compaction rewrites the
+  // ones whose deleted fraction crosses the rewrite bar. Three delete
+  // ops land here (a predicate delete, a subject purge, a full-file
+  // recall), and the three DV semantics that matter are all checked
+  // in-query: (1) IDEMPOTENT APPLY — overlapping ops write the same
+  // position twice (n_dv_writes > n_deleted) but the read dedups on
+  // (file, pos), (2) MOR ≡ EAGER — the anti-join read is proven
+  // row-identical to the eager predicate rewrite per file via count +
+  // key checksum (the mor_equals_eager column), (3) the COMPACTION
+  // PLANNER — del_ppm per file with the ≥20% rewrite verdict (file 3's
+  // full recall trips it; the uniform ~11% predicate mass does not).
+  // Scale: the `pos` window is write-side bookkeeping a real writer
+  // records for free at write time — the PRODUCTION read plan is scan +
+  // anti-join against a delete-op-bounded DV side (tiny vs the base;
+  // AQE broadcasts it from real stats, no hint needed since DV size is
+  // delete-bounded, not table-bounded) and the reports are map-side-
+  // combined aggregates over file-count-sized frames.
+  private val DvFiles = 32L
+  private val DvRewritePpm = 200000L
+
+  private val q185 = QueryDef(
+    "q185_deletion_vectors",
+    (s, dir) => {
+      val base = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"))
+        .withColumn("file_id", col("ok") % DvFiles)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("file_id")).orderBy(col("ok"), col("ln"))))
+        .cache()
+      base.count()
+      // three delete operations, each emitting positional entries
+      val ops = Seq(
+        base.filter(col("qty") > 45),                  // predicate delete
+        base.filter(expr("(ok * 7 + ln) % 97 = 0")),   // subject purge
+        base.filter(col("file_id") === 3L))            // full-file recall
+        .map(_.select(col("file_id"), col("pos")))
+        .reduce(_ unionAll _)
+      val dv = ops.groupBy(col("file_id"), col("pos"))
+        .agg(count(lit(1)).as("n_writes"))
+        .localCheckpoint() // delete-op-bounded; read twice (anti-join + stats)
+      // merge-on-read: positions only — the read knows nothing of predicates
+      val mor = base.join(dv.select(col("file_id"), col("pos")),
+        Seq("file_id", "pos"), "left_anti")
+      // eager rewrite: the ground truth the DV read must reproduce
+      val eager = base.filter(
+        !(col("qty") > 45 || expr("(ok * 7 + ln) % 97 = 0") || col("file_id") === 3L))
+      def liveStats(df: org.apache.spark.sql.DataFrame, n: String, ck: String) =
+        df.groupBy(col("file_id")).agg(count(lit(1)).as(n),
+          (sum(expr(s"(ok * 7 + ln) % $HashMod")) % HashMod).as(ck))
+      val perFile = base.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+        .join(dv.groupBy(col("file_id"))
+          .agg(sum(col("n_writes")).as("n_dv_writes"), count(lit(1)).as("n_deleted")),
+          Seq("file_id"), "left")
+        .join(liveStats(mor, "live_n_m", "ck_m"), Seq("file_id"), "left")
+        .join(liveStats(eager, "live_n_e", "ck_e"), Seq("file_id"), "left")
+      def shape(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("n_dv_writes", coalesce(col("n_dv_writes"), lit(0L)))
+        .withColumn("n_deleted", coalesce(col("n_deleted"), lit(0L)))
+        .withColumn("live_n", coalesce(col("live_n_m"), lit(0L)))
+        .withColumn("live_checksum", coalesce(col("ck_m"), lit(0L)))
+        .withColumn("del_ppm", expr("n_deleted * 1000000 DIV n_rows"))
+        .withColumn("rewrite", col("del_ppm") >= DvRewritePpm)
+        .withColumn("mor_equals_eager",
+          coalesce(col("live_n_m"), lit(0L)) === coalesce(col("live_n_e"), lit(0L)) &&
+            coalesce(col("ck_m"), lit(0L)) === coalesce(col("ck_e"), lit(0L)))
+        .select(col("file_id"), col("n_rows"), col("n_dv_writes"), col("n_deleted"),
+          col("del_ppm"), col("rewrite"), col("live_n"), col("live_checksum"),
+          col("mor_equals_eager"))
+      val total = base.agg(count(lit(1)).as("n_rows"))
+        .crossJoin(dv.agg(sum(col("n_writes")).as("n_dv_writes"),
+          count(lit(1)).as("n_deleted")))
+        .crossJoin(mor.agg(count(lit(1)).as("live_n_m"),
+          (sum(expr(s"(ok * 7 + ln) % $HashMod")) % HashMod).as("ck_m")))
+        .crossJoin(eager.agg(count(lit(1)).as("live_n_e"),
+          (sum(expr(s"(ok * 7 + ln) % $HashMod")) % HashMod).as("ck_e")))
+        .withColumn("file_id", lit(-1L))
+      shape(perFile).unionByName(shape(total)).orderBy(col("file_id"))
+    },
+    Some(s"""WITH base AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln, l_quantity AS qty,
+        l_orderkey % $DvFiles AS file_id,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey % $DvFiles
+                           ORDER BY l_orderkey, l_linenumber) AS pos
+      FROM lineitem),
+    ops AS (
+      SELECT file_id, pos FROM base WHERE qty > 45
+      UNION ALL SELECT file_id, pos FROM base WHERE (ok * 7 + ln) % 97 = 0
+      UNION ALL SELECT file_id, pos FROM base WHERE file_id = 3),
+    dv AS (SELECT file_id, pos, COUNT(*) AS n_writes FROM ops GROUP BY 1, 2),
+    mor AS (SELECT b.* FROM base b
+            WHERE NOT EXISTS (SELECT 1 FROM dv d
+                              WHERE d.file_id = b.file_id AND d.pos = b.pos)),
+    eager AS (SELECT * FROM base
+              WHERE NOT (qty > 45 OR (ok * 7 + ln) % 97 = 0 OR file_id = 3)),
+    pf AS (
+      SELECT b.file_id, COUNT(*) AS n_rows FROM base b GROUP BY 1),
+    dvf AS (
+      SELECT file_id, SUM(n_writes) AS n_dv_writes, COUNT(*) AS n_deleted
+      FROM dv GROUP BY 1),
+    morf AS (
+      SELECT file_id, COUNT(*) AS live_n_m,
+        SUM((ok * 7 + ln) % $HashMod) % $HashMod AS ck_m FROM mor GROUP BY 1),
+    eagf AS (
+      SELECT file_id, COUNT(*) AS live_n_e,
+        SUM((ok * 7 + ln) % $HashMod) % $HashMod AS ck_e FROM eager GROUP BY 1),
+    rows_pf AS (
+      SELECT pf.file_id, n_rows,
+        COALESCE(n_dv_writes, 0) AS n_dv_writes, COALESCE(n_deleted, 0) AS n_deleted,
+        COALESCE(live_n_m, 0) AS live_n_m, COALESCE(ck_m, 0) AS ck_m,
+        COALESCE(live_n_e, 0) AS live_n_e, COALESCE(ck_e, 0) AS ck_e
+      FROM pf LEFT JOIN dvf USING (file_id) LEFT JOIN morf ON pf.file_id = morf.file_id
+        LEFT JOIN eagf ON pf.file_id = eagf.file_id),
+    rows_tot AS (
+      SELECT CAST(-1 AS BIGINT) AS file_id,
+        (SELECT COUNT(*) FROM base) AS n_rows,
+        (SELECT SUM(n_writes) FROM dv) AS n_dv_writes,
+        (SELECT COUNT(*) FROM dv) AS n_deleted,
+        (SELECT COUNT(*) FROM mor) AS live_n_m,
+        (SELECT SUM((ok * 7 + ln) % $HashMod) % $HashMod FROM mor) AS ck_m,
+        (SELECT COUNT(*) FROM eager) AS live_n_e,
+        (SELECT SUM((ok * 7 + ln) % $HashMod) % $HashMod FROM eager) AS ck_e),
+    unioned AS (SELECT * FROM rows_pf UNION ALL SELECT * FROM rows_tot)
+    SELECT CAST(file_id AS BIGINT) AS file_id, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_dv_writes AS BIGINT) AS n_dv_writes, CAST(n_deleted AS BIGINT) AS n_deleted,
+      CAST(n_deleted * 1000000 // n_rows AS BIGINT) AS del_ppm,
+      n_deleted * 1000000 // n_rows >= $DvRewritePpm AS rewrite,
+      CAST(live_n_m AS BIGINT) AS live_n,
+      CAST(ck_m AS BIGINT) AS live_checksum,
+      live_n_m = live_n_e AND ck_m = ck_e AS mor_equals_eager
+    FROM unioned ORDER BY file_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155, q156)
+      q131, q144, q145, q152, q155, q156, q185)
 }
