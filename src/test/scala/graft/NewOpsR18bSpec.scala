@@ -1,0 +1,69 @@
+package graft
+
+import graft.analytics.Registry
+
+/** Algebra invariants for the round-18 second-batch operators, beyond
+  * the oracles' cross-engine equality: q184's noise-bound and budget
+  * accounting, q185's MOR≡eager and compaction verdicts, and s38's
+  * probe-budget monotonicity. All run on the sf0.001 fixtures. */
+class NewOpsR18bSpec extends SparkSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q184 DP release: noise is bounded by the hash-lattice worst case and not degenerate") {
+    val rows = Registry.queries("q184_dp_release")(spark, dir).collect()
+    rows should not be empty
+    // the uniform draw is capped at |u-1/2| <= 499999/1e6, so the ln
+    // magnitude is at most lnQ(1e6) - lnQ(2) = 138155 - 6931 = 131224
+    // 1e-4 units -> count noise <= 13, sum noise <= ClipCents * 13.1224
+    rows.foreach { r =>
+      r.getAs[Long]("count_abs_err") should be <= 13L
+      r.getAs[Long]("sum_abs_err") should be <= (500000L * 131224L) / 10000L
+      r.getAs[Long]("eps_ppm") shouldBe 2000000L
+    }
+    // a release whose noise is identically zero means the draw collapsed
+    withClue("all noise draws were zero — the hash plumbing is broken: ") {
+      rows.map(_.getAs[Long]("count_abs_err")).sum +
+        rows.map(_.getAs[Long]("sum_abs_err")).sum should be > 0L
+    }
+  }
+
+  test("q185 deletion vectors: MOR == eager everywhere, full-file recall trips rewrite") {
+    val rows = Registry.queries("q185_deletion_vectors")(spark, dir).collect()
+    rows.length shouldBe 33 // 32 files + the __total__ row
+    rows.foreach { r =>
+      withClue(s"file ${r.getAs[Long]("file_id")}: ") {
+        r.getAs[Boolean]("mor_equals_eager") shouldBe true
+        // idempotent apply: distinct positions never exceed op writes
+        r.getAs[Long]("n_dv_writes") should be >= r.getAs[Long]("n_deleted")
+        // the read's live count is exactly rows minus distinct deletes
+        r.getAs[Long]("live_n") shouldBe
+          r.getAs[Long]("n_rows") - r.getAs[Long]("n_deleted")
+      }
+    }
+    val f3 = rows.find(_.getAs[Long]("file_id") == 3L).get
+    f3.getAs[Long]("del_ppm") shouldBe 1000000L // full recall
+    f3.getAs[Boolean]("rewrite") shouldBe true
+    // the uniform ~11% predicate mass must NOT trip the 20% bar
+    rows.filter { r =>
+      val id = r.getAs[Long]("file_id"); id >= 0 && id != 3
+    }.foreach(_.getAs[Boolean]("rewrite") shouldBe false)
+  }
+
+  test("s38 multi-probe: candidates and hits are monotone in the probe budget") {
+    val rows = Registry.queries("s38_multiprobe_lsh")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("n_probes"))
+    rows.map(_.getAs[String]("strategy")).toSeq shouldBe
+      Seq("p1_single", "p4_multi", "p9_multi")
+    // each budget's probe set contains the previous one's, so candidate
+    // and hit counts can only grow
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      hi.getAs[Long]("n_cand") should be >= lo.getAs[Long]("n_cand")
+      hi.getAs[Long]("hits") should be >= lo.getAs[Long]("hits")
+    }
+    // the widest budget still examines a small fraction of the brute space
+    rows.last.getAs[Long]("cand_ppm") should be < 100000L
+    // and the measured fixture shows a real lift, not a trivial tie
+    rows.last.getAs[Long]("hits") should be > rows.head.getAs[Long]("hits")
+  }
+}
