@@ -2724,9 +2724,128 @@ object Text {
     FROM flags f LEFT JOIN best b ON f.doc_id = b.doc_id
     ORDER BY f.doc_id"""))
 
+  // ---------------------------------------------------------------- t48
+  // KNESER–NEY BIGRAM LM — the smoother the LM family has been building
+  // toward (t30 add-one → t46 Jelinek-Mercer → this): absolute
+  // discounting (D = 3/4, exact in quarters) with the CONTINUATION-
+  // COUNT backoff that is KN's actual insight — a word's backoff mass
+  // is how many distinct CONTEXTS it follows (N1+(·,w)), not how often
+  // it occurs, so "Francisco" (frequent but only ever after "San")
+  // stops stealing probability from genuinely free-floating words. Run
+  // side by side with the SAME discounting backed off to the raw
+  // unigram distribution, so the gain column isolates exactly the
+  // continuation-count idea. Measured on this corpus: |gain| < 6e-4
+  // nats, slightly negative — the generator's near-uniform word reuse
+  // makes continuation counts track raw frequency (no "Francisco"
+  // words, t47's lesson: the synthetic corpus lacks that failure mode),
+  // so the side-by-side is the deliverable, not a KN victory lap.
+  // Scale: the ONE token-volume shuffle is the
+  // train (w1, w2) count — context totals c1, follower fan-out
+  // N1+(w1,·), continuation counts N1+(·,w2), unigram counts, and all
+  // scalars derive from that bigram-type-bounded aggregate (t36's
+  // reused-exchange discipline); the held-out scoring side joins
+  // against vocabulary-bounded tables only. Unseen contexts back off to
+  // the (+1-floored) continuation/unigram distribution, so every test
+  // probability is positive and both engines' lnQ agree exactly.
+  private val t48 = QueryDef(
+    "t48_kneser_ney_lm",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      // the one token-volume exchange; every LM table below derives from it
+      val bc = bi.filter(isTrain)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .cache()
+      bc.count()
+      val ctx = bc.groupBy(col("w1"))
+        .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
+      val cont = bc.groupBy(col("w2"))
+        .agg(count(lit(1)).as("np2"), sum(col("c12")).as("cw2"))
+      val scalars = bc.agg(count(lit(1)).as("nbt"),
+        countDistinct(col("w2")).as("vc"), sum(col("c12")).as("ntr"))
+      // discounted mass in quarters: max(c12 − 3/4, 0) = (4·c12 − 3)/4
+      val numQ = "CASE WHEN coalesce(c12, 0L) >= 1 THEN 4 * c12 - 3 ELSE 0L END"
+      bi.filter(!isTrain)
+        .groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("cte"))
+        .join(bc, Seq("w1", "w2"), "left")
+        .join(ctx, Seq("w1"), "left")
+        .join(cont, Seq("w2"), "left")
+        .crossJoin(broadcast(scalars))
+        .select(col("source"), col("cte"),
+          when(col("c1").isNull, col("cte")).otherwise(0L).as("ctx_oov"),
+          expr(lnQ(
+            s"""CASE WHEN coalesce(c1, 0L) > 0
+                THEN CAST($numQ AS DOUBLE) / (4.0D * c1) +
+                     (3.0D * nf / (4.0D * c1)) *
+                     (CAST(coalesce(np2, 0L) + 1 AS DOUBLE) / (nbt + vc))
+                ELSE CAST(coalesce(np2, 0L) + 1 AS DOUBLE) / (nbt + vc) END"""))
+            .as("lq_kn"),
+          expr(lnQ(
+            s"""CASE WHEN coalesce(c1, 0L) > 0
+                THEN CAST($numQ AS DOUBLE) / (4.0D * c1) +
+                     (3.0D * nf / (4.0D * c1)) *
+                     (CAST(coalesce(cw2, 0L) + 1 AS DOUBLE) / (ntr + vc))
+                ELSE CAST(coalesce(cw2, 0L) + 1 AS DOUBLE) / (ntr + vc) END"""))
+            .as("lq_abs"))
+        .groupBy(col("source"))
+        .agg(sum(col("cte")).as("n_test_bigrams"),
+          sum(col("ctx_oov")).as("n_ctx_oov"),
+          sum(col("cte") * col("lq_kn")).as("sk"),
+          sum(col("cte") * col("lq_abs")).as("sa"))
+        .select(col("source"), col("n_test_bigrams"), col("n_ctx_oov"),
+          expr("-CAST(sk AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_kn"),
+          expr("-CAST(sa AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_abs"))
+        .withColumn("gain", expr("ce_abs - ce_kn"))
+        .orderBy(col("source"))
+    },
+    Some {
+      val numQ = "CASE WHEN COALESCE(c12, 0) >= 1 THEN 4 * c12 - 3 ELSE 0 END"
+      s"""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1, 2),
+    ctx AS (SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM bc GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS np2, SUM(c12) AS cw2 FROM bc GROUP BY 1),
+    sc AS (SELECT COUNT(*) AS nbt, COUNT(DISTINCT w2) AS vc, SUM(c12) AS ntr FROM bc),
+    te AS (SELECT source, w1, w2, COUNT(*) AS cte FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2, 3),
+    j AS (SELECT source, cte,
+            CASE WHEN ctx.c1 IS NULL THEN cte ELSE 0 END AS ctx_oov,
+            ${lnQ(s"""CASE WHEN COALESCE(ctx.c1, 0) > 0
+                THEN CAST($numQ AS DOUBLE) / (4.0 * ctx.c1) +
+                     (3.0 * ctx.nf / (4.0 * ctx.c1)) *
+                     (CAST(COALESCE(cont.np2, 0) + 1 AS DOUBLE) / (sc.nbt + sc.vc))
+                ELSE CAST(COALESCE(cont.np2, 0) + 1 AS DOUBLE) / (sc.nbt + sc.vc) END""")} AS lq_kn,
+            ${lnQ(s"""CASE WHEN COALESCE(ctx.c1, 0) > 0
+                THEN CAST($numQ AS DOUBLE) / (4.0 * ctx.c1) +
+                     (3.0 * ctx.nf / (4.0 * ctx.c1)) *
+                     (CAST(COALESCE(cont.cw2, 0) + 1 AS DOUBLE) / (sc.ntr + sc.vc))
+                ELSE CAST(COALESCE(cont.cw2, 0) + 1 AS DOUBLE) / (sc.ntr + sc.vc) END""")} AS lq_abs
+          FROM te LEFT JOIN bc USING (w1, w2) LEFT JOIN ctx USING (w1)
+          LEFT JOIN cont USING (w2) CROSS JOIN sc)
+    SELECT source, CAST(SUM(cte) AS BIGINT) AS n_test_bigrams,
+      CAST(SUM(ctx_oov) AS BIGINT) AS n_ctx_oov,
+      -CAST(SUM(cte * lq_kn) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_kn,
+      -CAST(SUM(cte * lq_abs) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_abs,
+      (-CAST(SUM(cte * lq_abs) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0)
+        - (-CAST(SUM(cte * lq_kn) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0) AS gain
+    FROM j GROUP BY source ORDER BY source"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47)
+      t43, t44, t45, t46, t47, t48)
 }
