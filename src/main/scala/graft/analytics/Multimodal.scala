@@ -1294,7 +1294,93 @@ object Multimodal {
       CAST(SUM(doc_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum
     FROM v GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
 
+  // ---------------------------------------------------------------- m21
+  // CROSS-KIND CONTENT DEDUP — the duplicate class every within-kind
+  // detector (m05 perceptual hash, m13 byte histograms: both bucket
+  // inside `kind`) is structurally blind to: the SAME content shipped
+  // under different container formats (an image re-muxed into a video
+  // frame, audio re-wrapped — here: kind-specific magic headers of
+  // DIFFERENT lengths around the same body). The pipeline is the real
+  // one: demux (strip the per-kind container by its known header
+  // length), fingerprint the remaining body (poly_hash + a second
+  // independent reversed-body hash), and AGGREGATE per fingerprint —
+  // per-group kind counts and the cross-kind verdict come from one
+  // groupBy, NO pair enumeration, so a viral payload duplicated 10⁶×
+  // costs one combine chain instead of 10¹² pairs (the simhashPairs
+  // lesson applied from the start). Re-encoded copies are PLANTED
+  // deterministically (doc_id % 53 → re-wrapped under the next kind,
+  // m16's contrast discipline) since the corpus ships no byte-exact
+  // dups; the `pure` column pins that every reported group is a single
+  // body (second hash agrees), i.e. zero fingerprint collisions.
+  private val m21 = QueryDef(
+    "m21_crosskind_dup",
+    (s, dir) => {
+      def kindOf(key: String) =
+        s"CASE WHEN $key % 3 = 0 THEN 'image' WHEN $key % 3 = 1 THEN 'audio' ELSE 'video' END"
+      val magic = "CASE kind WHEN 'image' THEN 'IMG1' WHEN 'audio' THEN 'AU' ELSE 'VID93' END"
+      val d0 = docs(s, dir).select(col("doc_id"), col("text"))
+      val base = d0
+        .withColumn("kind", expr(kindOf("doc_id")))
+        .select(col("doc_id").as("media_id"), col("kind"),
+          expr(s"concat($magic, text)").as("payload"))
+      val reenc = d0.filter(col("doc_id") % 53 === 0)
+        .withColumn("kind", expr(kindOf("(doc_id + 1)")))
+        .select((col("doc_id") + 1000000L).as("media_id"), col("kind"),
+          expr(s"concat($magic, text)").as("payload"))
+      base.unionByName(reenc)
+        // demux: strip the container by its kind's header length
+        .withColumn("body", expr(
+          "substr(payload, CASE kind WHEN 'image' THEN 5 WHEN 'audio' THEN 3 ELSE 6 END)"))
+        .withColumn("fp", expr(strHashExpr("body")))
+        .withColumn("fp2", expr(strHashExpr("reverse(body)")))
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).as("n_total"),
+          countDistinct(col("kind")).as("n_kinds"),
+          sum(when(col("kind") === "image", 1L).otherwise(0L)).as("n_image"),
+          sum(when(col("kind") === "audio", 1L).otherwise(0L)).as("n_audio"),
+          sum(when(col("kind") === "video", 1L).otherwise(0L)).as("n_video"),
+          min(col("media_id")).as("min_id"),
+          (sum(col("media_id") % HashMod) % HashMod).as("id_checksum"),
+          (countDistinct(col("fp2")) === 1).as("pure"))
+        .filter(col("n_kinds") >= 2)
+        .orderBy(col("min_id"))
+    },
+    Some(s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+    base AS (
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 3 = 0 THEN 'image'
+             WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        text FROM d0),
+    reenc AS (
+      SELECT doc_id + 1000000 AS media_id,
+        CASE WHEN (doc_id + 1) % 3 = 0 THEN 'image'
+             WHEN (doc_id + 1) % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        text FROM d0 WHERE doc_id % 53 = 0),
+    media AS (
+      SELECT media_id, kind,
+        concat(CASE kind WHEN 'image' THEN 'IMG1' WHEN 'audio' THEN 'AU'
+               ELSE 'VID93' END, text) AS payload
+      FROM (SELECT * FROM base UNION ALL SELECT * FROM reenc)),
+    demux AS (
+      SELECT media_id, kind,
+        substr(payload, CASE kind WHEN 'image' THEN 5 WHEN 'audio' THEN 3
+               ELSE 6 END) AS body
+      FROM media),
+    fps AS (
+      SELECT media_id, kind, ${strHashSql("body")} AS fp,
+        ${strHashSql("reverse(body)")} AS fp2
+      FROM demux)
+    SELECT fp, COUNT(*) AS n_total,
+      CAST(COUNT(DISTINCT kind) AS BIGINT) AS n_kinds,
+      CAST(SUM(CASE WHEN kind = 'image' THEN 1 ELSE 0 END) AS BIGINT) AS n_image,
+      CAST(SUM(CASE WHEN kind = 'audio' THEN 1 ELSE 0 END) AS BIGINT) AS n_audio,
+      CAST(SUM(CASE WHEN kind = 'video' THEN 1 ELSE 0 END) AS BIGINT) AS n_video,
+      CAST(MIN(media_id) AS BIGINT) AS min_id,
+      CAST(SUM(media_id % $HashMod) % $HashMod AS BIGINT) AS id_checksum,
+      COUNT(DISTINCT fp2) = 1 AS pure
+    FROM fps GROUP BY fp HAVING COUNT(DISTINCT kind) >= 2 ORDER BY min_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20)
+      m15, m16, m17, m18, m19, m20, m21)
 }
