@@ -3182,8 +3182,134 @@ object Similarity {
     FROM scored GROUP BY 1, 2 ORDER BY strategy"""
     })
 
+  // ---------------------------------------------------------------- s39
+  // k-MEANS++ D² SEEDING (Arthur & Vassilvitskii) — the EXPECTED-quality
+  // seeder next to s18's worst-case one: each new center is drawn with
+  // probability ∝ dmin² instead of argmax dmin², which is what gives
+  // k-means++ its O(log k)-competitive expected inertia without s18's
+  // outlier-chasing. The "draw" is EXACT weighted sampling made
+  // deterministic: a per-round uniform u from the house scrambled hash,
+  // target T = u·Σdmin² (exact integer, DECIMAL/HUGEINT product), and
+  // the selected center is the first vec_id whose prefix sum of dmin²
+  // (in id order) exceeds T — inverse-CDF selection the oracle replays
+  // exactly, so the pick SEQUENCE is hash-checked, not just plausible.
+  // Scale: per round, dmin² state updates are s18's zero-Exchange
+  // narrow map (center as broadcast literal into native dot_i64); the
+  // prefix-sum inversion is TWO-LEVEL (q122's cumsum discipline) —
+  // id-range shard subtotals (a 32-row bounded control collect, t26's
+  // rule) locate the target shard in the driver, and the windowed
+  // cumsum runs inside that ONE shard only, so no global single-
+  // partition window ever exists. All sums in DECIMAL(38,0)/HUGEINT —
+  // Σdmin² overflows int64 at ~10⁹ rows (the s31 lesson). Output: the
+  // pick trajectory with each round's u and the inertia trajectory in
+  // ppm of the one-center baseline; NewOpsR18bSpec pins inertia
+  // monotonically non-increasing and the picks distinct.
+  private val KppRounds = 4
+
+  private val s39 = QueryDef(
+    "s39_kmeanspp_seeding",
+    (s, dir) => {
+      import s.implicits._
+      val q = withQuant(dir, s).select(col("vec_id"), col("qv"), col("norm2")).cache()
+      q.count()
+      def uPpm(r: Int): Long = {
+        val h = graft.functions.PolyHash.hash(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"kpp|$r"))
+        h * 2654435761L % HashMod % 1000000L
+      }
+      // round 1: the uniform draw = argmin scrambled id hash (1-row reduce)
+      val first = q
+        .withColumn("h",
+          expr(s"(${strHashExpr("CAST(vec_id AS STRING)")} * 2654435761) % $HashMod"))
+        .orderBy(col("h"), col("vec_id"))
+        .select(col("vec_id"), col("qv"), col("norm2")).head
+      var cid = first.getLong(0)
+      var cqv = first.getSeq[Long](1)
+      var cn2 = first.getLong(2)
+      var st = q
+        .withColumn("dmin",
+          col("norm2") - lit(2L) * call_function("dot_i64", col("qv"),
+            typedLit(cqv)) + lit(cn2))
+        .withColumn("cid", lit(cid)).withColumn("crnd", lit(0L))
+        .localCheckpoint()
+      var rows = List((1L, cid, -1L, -1L))
+      var sBase = BigInt(0)
+      (2 to KppRounds).foreach { r =>
+        // level 1 of the cumsum: id-range shard subtotals (bounded collect)
+        val shardTot = st
+          .selectExpr("vec_id DIV 16 AS shard", "CAST(dmin AS DECIMAL(38,0)) AS d")
+          .groupBy(col("shard")).agg(sum(col("d")).as("tot"))
+          .collect()
+          .map(x => (x.getLong(0), BigInt(x.getDecimal(1).toBigInteger)))
+          .sortBy(_._1)
+        val sTot = shardTot.map(_._2).sum
+        if (r == 2) sBase = sTot
+        val u = uPpm(r)
+        val tgt = sTot * u / 1000000
+        // locate the shard where the global prefix sum crosses the target
+        var acc = BigInt(0); var ts = -1L; var resid = BigInt(0)
+        shardTot.foreach { case (sh, t) =>
+          if (ts < 0 && acc + t > tgt) { ts = sh; resid = tgt - acc } else if (ts < 0) acc += t
+        }
+        // level 2: windowed cumsum inside the one target shard
+        val pick = st.filter(expr(s"vec_id DIV 16 = $ts"))
+          .selectExpr("vec_id", "qv", "norm2",
+            """SUM(CAST(dmin AS DECIMAL(38,0))) OVER
+               (PARTITION BY vec_id DIV 16
+                ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum""")
+          .filter(expr(s"cum > CAST('$resid' AS DECIMAL(38,0))"))
+          .orderBy(col("vec_id"))
+          .select(col("vec_id"), col("qv"), col("norm2")).head
+        cid = pick.getLong(0); cqv = pick.getSeq[Long](1); cn2 = pick.getLong(2)
+        rows ::= ((r.toLong, cid, u, (sTot * 1000000 / sBase).toLong))
+        st = kcenterUpdate(st, cqv, cn2, cid, r.toLong).localCheckpoint()
+      }
+      val sFinal = BigInt(st
+        .selectExpr("CAST(SUM(CAST(dmin AS DECIMAL(38,0))) AS STRING) AS s")
+        .head.getString(0))
+      rows ::= ((KppRounds + 1L, -1L, -1L, (sFinal * 1000000 / sBase).toLong))
+      q.unpersist()
+      rows.reverse.toDF("round", "center_id", "u_ppm", "inertia_ppm")
+        .orderBy(col("round"))
+    },
+    Some {
+      def dot(a: String, c: String) = dotSql(s"$a.qv", s"$c.qv")
+      def uSql(r: Int) =
+        s"((${strHashSql(s"'kpp|$r'")} * 2654435761) % $HashMod % 1000000)"
+      val roundCtes = (2 to KppRounds).map { r =>
+        s"""t$r AS (SELECT (SUM(dmin) * ${uSql(r)}) // 1000000 AS tgt, SUM(dmin) AS s
+             FROM d$r),
+    p$r AS (SELECT vec_id FROM (
+              SELECT vec_id, SUM(dmin) OVER (ORDER BY vec_id) AS cum FROM d$r) x, t$r
+            WHERE cum > tgt ORDER BY vec_id LIMIT 1),
+    c$r AS (SELECT q.vec_id, q.qv, q.norm2 FROM qn q JOIN p$r USING (vec_id)),
+    d${r + 1} AS (SELECT d$r.vec_id,
+              LEAST(d$r.dmin, q.norm2 + c.norm2 - 2 * ${dot("q", "c")}) AS dmin
+            FROM d$r JOIN qn q ON q.vec_id = d$r.vec_id, c$r c)"""
+      }.mkString(",\n    ")
+      s"""WITH $quantCte,
+    h0 AS (SELECT vec_id, qv, norm2,
+             (${strHashSql("CAST(vec_id AS VARCHAR)")} * 2654435761) % $HashMod AS h
+           FROM qn),
+    c1 AS (SELECT vec_id, qv, norm2 FROM h0 ORDER BY h, vec_id LIMIT 1),
+    d2 AS (SELECT q.vec_id, q.norm2 + c.norm2 - 2 * ${dot("q", "c")} AS dmin
+           FROM qn q, c1 c),
+    $roundCtes
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS round, (SELECT vec_id FROM c1) AS center_id,
+        CAST(-1 AS BIGINT) AS u_ppm, CAST(-1 AS BIGINT) AS inertia_ppm
+      ${(2 to KppRounds).map { r =>
+        s"""UNION ALL SELECT $r, (SELECT vec_id FROM p$r), ${uSql(r)},
+        CAST((SELECT s FROM t$r) * 1000000 // (SELECT s FROM t2) AS BIGINT)"""
+      }.mkString("\n      ")}
+      UNION ALL SELECT ${KppRounds + 1}, -1, -1,
+        CAST((SELECT SUM(dmin) FROM d${KppRounds + 1}) * 1000000
+             // (SELECT s FROM t2) AS BIGINT)
+    ) ORDER BY round"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, d15)
 }

@@ -50,6 +50,25 @@ class NewOpsR18bSpec extends SparkSuite {
     }.foreach(_.getAs[Boolean]("rewrite") shouldBe false)
   }
 
+  test("s39 kmeans++ seeding: picks distinct, draws in range, inertia non-increasing") {
+    val rows = Registry.queries("s39_kmeanspp_seeding")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("round"))
+    rows.map(_.getAs[Long]("round")).toSeq shouldBe Seq(1L, 2L, 3L, 4L, 5L)
+    val picks = rows.filter(_.getAs[Long]("round") <= 4).map(_.getAs[Long]("center_id"))
+    picks.distinct.length shouldBe picks.length // D² mass at a chosen center is 0
+    rows.filter(r => r.getAs[Long]("round") >= 2 && r.getAs[Long]("round") <= 4)
+      .foreach { r =>
+        val u = r.getAs[Long]("u_ppm")
+        u should be >= 0L
+        u should be < 1000000L
+      }
+    // adding a center can only shrink every dmin², so the trajectory of
+    // Σdmin² (ppm of the one-center baseline) is non-increasing
+    val inertia = rows.filter(_.getAs[Long]("round") >= 2).map(_.getAs[Long]("inertia_ppm"))
+    inertia.head shouldBe 1000000L
+    inertia.sliding(2).foreach { case Array(a, b) => b should be <= a }
+  }
+
   test("s38 multi-probe: candidates and hits are monotone in the probe budget") {
     val rows = Registry.queries("s38_multiprobe_lsh")(spark, dir)
       .collect().sortBy(_.getAs[Long]("n_probes"))
