@@ -83,7 +83,11 @@ object Explain {
         "s34_balanced_assign", "s35_compression_recall", "s36_rebalance_impact",
         "q180_kmv_sketch", "q181_fk_cascade", "t46_interpolated_lm",
         "t47_contamination_ensemble", "d45_similar_doc_topk",
-        "q183_watermark_autotune", "s37_self_retrieval_mrr")
+        "q183_watermark_autotune", "s37_self_retrieval_mrr",
+        // r18 second batch (s39 stays out: its output is a driver-built
+        // LocalRelation of the pick trajectory, the t26 precedent)
+        "q184_dp_release", "q185_deletion_vectors", "s38_multiprobe_lsh",
+        "t48_kneser_ney_lm", "m21_crosskind_dup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
