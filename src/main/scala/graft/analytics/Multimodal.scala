@@ -1380,7 +1380,62 @@ object Multimodal {
       COUNT(DISTINCT fp2) = 1 AS pure
     FROM fps GROUP BY fp HAVING COUNT(DISTINCT kind) >= 2 ORDER BY min_id"""))
 
+  // ---------------------------------------------------------------- m22
+  // SHARED-SCENE DETECTION — the video twin of d26's exact-substring
+  // spans: which fixed-width frames (m03's 32-byte framing) occur in
+  // MORE THAN ONE video, and what fraction of each video's runtime is
+  // shared material (intro/outro templates, syndicated clips — the
+  // segment-level duplication whole-payload detectors like m05/m13
+  // can't localize). Two aggregates, NO pair enumeration: frame
+  // signatures group per signature (distinct-media count), then join
+  // back to the frame stream and roll up per video — a frame shared by
+  // 10⁶ videos costs one combine chain, never 10¹² pairs. The join is
+  // signature-equi and co-partitioned with the group-by, so the only
+  // token-volume shuffles are the two keyed exchanges on `sig`.
+  // Fixed-width framing is the honest video model (frames are discrete
+  // units); for byte-stream payloads m11's content-defined chunking is
+  // the insertion-robust variant.
+  private val m22 = QueryDef(
+    "m22_shared_scenes",
+    (s, dir) => {
+      val frames = docs(s, dir)
+        .filter(col("doc_id") % 3 === 2) // the video kind (m01's rule)
+        // guard the frame sequence: sequence(0, -1) DESCENDS in Spark,
+        // so a sub-32-char payload would emit garbage negative offsets
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id").as("media_id"), col("text"))
+        .select(col("media_id"),
+          explode(expr(
+            """transform(sequence(0, CAST(length(text) DIV 32 AS INT) - 1),
+               i -> substr(text, i * 32 + 1, 32))""")).as("frame"))
+        .withColumn("sig", expr(strHashExpr("frame")))
+        .select(col("media_id"), col("sig"))
+      val sigGroups = frames.groupBy(col("sig"))
+        .agg(countDistinct(col("media_id")).as("n_media"))
+      frames.join(sigGroups, Seq("sig"))
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("n_media") >= 2, 1L).otherwise(0L)).as("n_shared"))
+        .withColumn("shared_ppm", expr("n_shared * 1000000 DIV n_frames"))
+        .filter(col("n_shared") > 0)
+        .orderBy(col("media_id"))
+    },
+    Some(s"""WITH v AS (
+      SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT media_id, substr(text, CAST(i * 32 + 1 AS INT), 32) AS frame
+          FROM v CROSS JOIN generate_series(0, 1000) AS g(i)
+          WHERE i < len(text) // 32),
+    fs AS (SELECT media_id, ${strHashSql("frame")} AS sig FROM f),
+    sg AS (SELECT sig, COUNT(DISTINCT media_id) AS n_media FROM fs GROUP BY 1)
+    SELECT media_id, COUNT(*) AS n_frames,
+      CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      CAST(SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS BIGINT) AS shared_ppm
+    FROM fs JOIN sg USING (sig)
+    GROUP BY media_id HAVING SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) > 0
+    ORDER BY media_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20, m21)
+      m15, m16, m17, m18, m19, m20, m21, m22)
 }

@@ -1424,7 +1424,137 @@ object Pipeline {
       live_n_m = live_n_e AND ck_m = ck_e AS mor_equals_eager
     FROM unioned ORDER BY file_id"""))
 
+  // --------------------------------------------------------------- q186
+  // TIME-TRAVEL READS over a commit log — the third leg of the
+  // lakehouse triad (q185 positional deletes, q171/q176 snapshot diff,
+  // this: versioned reads): a base snapshot plus an append-only op log
+  // (absolute-value upserts and deletes stamped with their commit
+  // version), and `read AS OF v` = base FULL-OUTER the LATEST op per
+  // key at version ≤ v — one window over the OP-BOUNDED log and one
+  // key join, never a base rewrite. Three deterministic commits land
+  // (update, insert+delete, overlapping update — the k%41∧k%53 overlap
+  // exercises absolute-upsert last-writer-wins), and the read is
+  // audited two ways: per-version digests (count / cents / key
+  // checksum) that the oracle recomputes, and a REPLAY row — the v3
+  // state derived by applying commits one at a time — whose digest
+  // must equal the AS-OF-3 read (`matches_asof`), pinning that the
+  // latest-op shortcut and sequential replay agree. Scale: the log is
+  // op-volume; each version's read costs one log window + one join;
+  // the base scans once per materialized version (a real lakehouse
+  // caches the newest; old versions are audit reads).
+  private val q186 = QueryDef(
+    "q186_time_travel",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .cache()
+      base.count()
+      // the commit log: absolute-value upserts ('U') and deletes ('D')
+      val ops = base.filter(col("k") % 41 === 0)
+          .select(lit(1L).as("ver"), lit("U").as("op"), col("k"),
+            (col("cents") + 1L).as("new_cents"))
+        .unionByName(base.filter(col("k") % 43 === 0)
+          .select(lit(2L).as("ver"), lit("U").as("op"),
+            (col("k") + 2000000L).as("k"), (col("cents") + 5L).as("new_cents")))
+        .unionByName(base.filter(col("k") % 47 === 0)
+          .select(lit(2L).as("ver"), lit("D").as("op"), col("k"),
+            lit(null).cast("long").as("new_cents")))
+        .unionByName(base.filter(col("k") % 53 === 0)
+          .select(lit(3L).as("ver"), lit("U").as("op"), col("k"),
+            (col("cents") + 2L).as("new_cents")))
+        .localCheckpoint() // op-bounded; read once per version below
+      // read AS OF v: latest op per key at ver <= v, full-outer the base
+      def asOf(v: Long): org.apache.spark.sql.DataFrame = {
+        val latest = ops.filter(col("ver") <= v)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("op"), col("new_cents"))
+        base.join(latest, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k"),
+            when(col("op") === "U", col("new_cents")).otherwise(col("cents")).as("cents"))
+      }
+      // sequential replay: apply commits one version at a time
+      def applyOne(cur: org.apache.spark.sql.DataFrame, v: Long) = {
+        val delta = ops.filter(col("ver") === v)
+          .select(col("k"), col("op"), col("new_cents"))
+        cur.join(delta, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k"),
+            when(col("op") === "U", col("new_cents")).otherwise(col("cents")).as("cents"))
+      }
+      val replay3 = applyOne(applyOne(applyOne(base, 1L), 2L), 3L)
+      def digest(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+            (sum(col("k") % HashMod) % HashMod).as("key_checksum"))
+          .select(lit(tag).as("version"), col("n_rows"), col("cents_sum"),
+            col("key_checksum"))
+      val rows = digest(base, "v0")
+        .unionByName(digest(asOf(1), "v1"))
+        .unionByName(digest(asOf(2), "v2"))
+        .unionByName(digest(asOf(3), "v3"))
+        .unionByName(digest(replay3, "v3_replay"))
+      // the replay row must reproduce the AS-OF-3 digest exactly
+      val v3 = rows.filter(col("version") === "v3")
+        .select(col("n_rows").as("n3"), col("cents_sum").as("c3"),
+          col("key_checksum").as("k3"))
+      rows.crossJoin(broadcast(v3))
+        .select(col("version"), col("n_rows"), col("cents_sum"), col("key_checksum"),
+          when(col("version").isin("v3", "v3_replay"),
+            col("n_rows") === col("n3") && col("cents_sum") === col("c3") &&
+              col("key_checksum") === col("k3")).as("matches_asof"))
+        .orderBy(col("version"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    ops AS (
+      SELECT 1 AS ver, 'U' AS op, k, cents + 1 AS new_cents FROM base WHERE k % 41 = 0
+      UNION ALL
+      SELECT 2, 'U', k + 2000000, cents + 5 FROM base WHERE k % 43 = 0
+      UNION ALL
+      SELECT 2, 'D', k, NULL FROM base WHERE k % 47 = 0
+      UNION ALL
+      SELECT 3, 'U', k, cents + 2 FROM base WHERE k % 53 = 0),
+    ${Seq(1, 2, 3).map { v =>
+        s"""l$v AS (SELECT k, op, new_cents FROM (
+          SELECT k, op, new_cents,
+            ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+          FROM ops WHERE ver <= $v) WHERE rn = 1),
+    r$v AS (SELECT COALESCE(b.k, l.k) AS k,
+              CASE WHEN l.op = 'U' THEN l.new_cents ELSE b.cents END AS cents
+            FROM base b FULL OUTER JOIN l$v l ON b.k = l.k
+            WHERE l.op IS NULL OR l.op <> 'D')"""
+      }.mkString(",\n    ")},
+    ${Seq(1, 2, 3).map { v =>
+        val prev = if (v == 1) "base" else s"p${v - 1}"
+        s"""p$v AS (SELECT COALESCE(c.k, d.k) AS k,
+              CASE WHEN d.op = 'U' THEN d.new_cents ELSE c.cents END AS cents
+            FROM $prev c FULL OUTER JOIN
+              (SELECT k, op, new_cents FROM ops WHERE ver = $v) d ON c.k = d.k
+            WHERE d.op IS NULL OR d.op <> 'D')"""
+      }.mkString(",\n    ")},
+    digests AS (
+      SELECT 'v0' AS version, COUNT(*) AS n_rows, SUM(cents) AS cents_sum,
+        SUM(k % $HashMod) % $HashMod AS key_checksum FROM base
+      UNION ALL SELECT 'v1', COUNT(*), SUM(cents), SUM(k % $HashMod) % $HashMod FROM r1
+      UNION ALL SELECT 'v2', COUNT(*), SUM(cents), SUM(k % $HashMod) % $HashMod FROM r2
+      UNION ALL SELECT 'v3', COUNT(*), SUM(cents), SUM(k % $HashMod) % $HashMod FROM r3
+      UNION ALL SELECT 'v3_replay', COUNT(*), SUM(cents), SUM(k % $HashMod) % $HashMod FROM p3),
+    v3d AS (SELECT n_rows AS n3, cents_sum AS c3, key_checksum AS k3
+            FROM digests WHERE version = 'v3')
+    SELECT version, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(cents_sum AS BIGINT) AS cents_sum,
+      CAST(key_checksum AS BIGINT) AS key_checksum,
+      CASE WHEN version IN ('v3', 'v3_replay')
+           THEN n_rows = n3 AND cents_sum = c3 AND key_checksum = k3
+           ELSE NULL END AS matches_asof
+    FROM digests CROSS JOIN v3d ORDER BY version"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155, q156, q185)
+      q131, q144, q145, q152, q155, q156, q185, q186)
 }
