@@ -2999,8 +2999,98 @@ object Dedup {
     SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, nbr_id, jacc
     FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""))
 
+  // ---------------------------------------------------------------- d46
+  // DEDUP SURVEY SAMPLING — the "how duplicated is this crawl" estimate
+  // you run BEFORE committing a 100 TB dedup pass: sample docs at a
+  // fixed rate (deterministic scrambled-hash gate, ~33%), probe ONLY
+  // the sampled docs' band keys against the full signature index
+  // (d16's delta-probe shape — cost ∝ |sample|, signature-only verify,
+  // corpus text never re-read), and estimate the duplicated-doc
+  // fraction as hits/k with a binomial 95% CI. Doc-level sampling is
+  // the estimator that works: sampling PAIRS at rate p² from a doc
+  // sample at rate p collapses the signal quadratically, while each
+  // sampled doc here is checked against the WHOLE corpus, so the
+  // per-doc dup indicator is measured exactly and only the sampling
+  // error remains. The exact fraction (full self-probe) is computed
+  // beside it as fixture ground truth — at scale you run the survey
+  // INSTEAD of it; band-bucket sizes stay under the cap invariant
+  // (BucketCapInvariantSpec) so neither probe is quadratic here.
+  private val d46 = QueryDef(
+    "d46_dedup_survey",
+    (s, dir) => {
+      val bands = minhashBandsOf(docs(s, dir)).cache()
+      bands.count()
+      val sampleGate =
+        s"(${strHashExpr("CAST(doc_id AS STRING)")} * 2654435761) % $HashMod % 3 = 0"
+      def dupDocs(left: org.apache.spark.sql.DataFrame) = left
+        .select(col("band"), col("doc_id").as("d_id"), col("mhs").as("d_mhs"))
+        .join(bands.select(col("band"), col("doc_id").as("c_id"), col("mhs").as("c_mhs")),
+          "band")
+        .filter(col("d_id") =!= col("c_id"))
+        .select(col("d_id"), col("c_id"), col("d_mhs"), col("c_mhs")).distinct()
+        .withColumn("n_agree",
+          expr("size(filter(zip_with(d_mhs, c_mhs, (x, y) -> x = y), b -> b))"))
+        .filter(col("n_agree") >= 4) // d14-calibrated: est Jaccard >= 0.5
+        .select(col("d_id")).distinct()
+      val sigs = bands.select(col("doc_id")).distinct()
+      sigs.filter(expr(sampleGate)).agg(count(lit(1)).as("n_sampled"))
+        .crossJoin(dupDocs(bands.filter(expr(sampleGate)))
+          .agg(count(lit(1)).as("n_hit")))
+        .crossJoin(sigs.agg(count(lit(1)).as("n_total")))
+        .crossJoin(dupDocs(bands).agg(count(lit(1)).as("n_dup_exact")))
+        .withColumn("est_ppm", expr("n_hit * 1000000 DIV n_sampled"))
+        .withColumn("exact_ppm", expr("n_dup_exact * 1000000 DIV n_total"))
+        .withColumn("err_ppm", expr("abs(est_ppm - exact_ppm)"))
+        .withColumn("ci_ppm", expr(
+          """CAST(round(1960000.0D * sqrt((CAST(n_hit AS DOUBLE) / n_sampled) *
+             (1.0D - CAST(n_hit AS DOUBLE) / n_sampled) / n_sampled), 0) AS BIGINT)"""))
+        .withColumn("within_ci", col("err_ppm") <= col("ci_ppm"))
+        .select(col("n_total"), col("n_sampled"), col("n_hit"), col("est_ppm"),
+          col("n_dup_exact"), col("exact_ppm"), col("err_ppm"), col("ci_ppm"),
+          col("within_ci"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, mhs,
+        CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':'
+          || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+      FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    sampled AS (SELECT * FROM bands
+      WHERE (${strHashSql("CAST(doc_id AS VARCHAR)")} * 2654435761) % $HashMod % 3 = 0),
+    shits AS (SELECT DISTINCT a.doc_id AS d_id
+      FROM sampled a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id
+      WHERE len(list_filter(list_zip(a.mhs, b.mhs), p -> p[1] = p[2])) >= 4),
+    ahits AS (SELECT DISTINCT a.doc_id AS d_id
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id <> b.doc_id
+      WHERE len(list_filter(list_zip(a.mhs, b.mhs), p -> p[1] = p[2])) >= 4),
+    c AS (SELECT
+      (SELECT COUNT(DISTINCT doc_id) FROM bands) AS n_total,
+      (SELECT COUNT(DISTINCT doc_id) FROM sampled) AS n_sampled,
+      (SELECT COUNT(*) FROM shits) AS n_hit,
+      (SELECT COUNT(*) FROM ahits) AS n_dup_exact),
+    e AS (SELECT *, n_hit * 1000000 // n_sampled AS est_ppm,
+      n_dup_exact * 1000000 // n_total AS exact_ppm FROM c)
+    SELECT CAST(n_total AS BIGINT) AS n_total,
+      CAST(n_sampled AS BIGINT) AS n_sampled,
+      CAST(n_hit AS BIGINT) AS n_hit,
+      CAST(est_ppm AS BIGINT) AS est_ppm,
+      CAST(n_dup_exact AS BIGINT) AS n_dup_exact,
+      CAST(exact_ppm AS BIGINT) AS exact_ppm,
+      CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm,
+      CAST(round(1960000.0 * sqrt((CAST(n_hit AS DOUBLE) / n_sampled) *
+           (1.0 - CAST(n_hit AS DOUBLE) / n_sampled) / n_sampled), 0) AS BIGINT) AS ci_ppm,
+      abs(est_ppm - exact_ppm) <= CAST(round(1960000.0 *
+        sqrt((CAST(n_hit AS DOUBLE) / n_sampled) *
+             (1.0 - CAST(n_hit AS DOUBLE) / n_sampled) / n_sampled), 0) AS BIGINT)
+        AS within_ci
+    FROM e"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
-      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, q170)
+      d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
+      q170)
 }

@@ -50,6 +50,20 @@ class NewOpsR18bSpec extends SparkSuite {
     }.foreach(_.getAs[Boolean]("rewrite") shouldBe false)
   }
 
+  test("d46 dedup survey: sample contained in corpus, estimate within its CI here") {
+    val r = Registry.queries("d46_dedup_survey")(spark, dir).collect().head
+    r.getAs[Long]("n_sampled") should be <= r.getAs[Long]("n_total")
+    r.getAs[Long]("n_hit") should be <= r.getAs[Long]("n_sampled")
+    r.getAs[Long]("n_dup_exact") should be <= r.getAs[Long]("n_total")
+    // the hash gate is a fixed draw: on THESE fixtures it lands inside
+    // the binomial CI (verified at both SFs when the gate was chosen) —
+    // a fixture regeneration that breaks this should fail loudly here,
+    // not as an opaque judgement call downstream
+    r.getAs[Boolean]("within_ci") shouldBe true
+    r.getAs[Long]("est_ppm") should be > 0L
+    r.getAs[Long]("est_ppm") should be < 1000000L
+  }
+
   test("s39 kmeans++ seeding: picks distinct, draws in range, inertia non-increasing") {
     val rows = Registry.queries("s39_kmeanspp_seeding")(spark, dir)
       .collect().sortBy(_.getAs[Long]("round"))
