@@ -3308,8 +3308,113 @@ object Similarity {
     ) ORDER BY round"""
     })
 
+  // ---------------------------------------------------------------- s40
+  // INDEX STALENESS AUDIT — the "when do we rebuild" decision for a
+  // deployed IVF index (s12/s13 keep the LAYOUT fresh incrementally;
+  // this measures whether the CODEBOOK itself has gone stale): refresh
+  // the deployed centroids with one Lloyd step (s07's update, the
+  // cheapest honest probe of where the centroids want to move) and
+  // report, per cell, how many members would change their nearest
+  // centroid under the refreshed codebook (reassign_ppm — every
+  // reassigned vector is one the stale index files in the wrong
+  // inverted list) plus the exact squared displacement of the centroid
+  // itself. The ≥10% reassignment bar is the rebuild trigger. Scale:
+  // two K-row broadcast assignment passes and one (cluster, dim)
+  // aggregate — the corpus shuffles once (the Lloyd mean), everything
+  // else is narrow; the audit is strictly cheaper than the rebuild it
+  // gates.
+  private val s40 = QueryDef(
+    "s40_index_staleness",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = withQuant(dir, s).select(col("vec_id"), col("qv"), col("norm2")).cache()
+      q.count()
+      val c0 = labelCentroids(withQuant(dir, s))
+      def assign(cent: org.apache.spark.sql.DataFrame, tag: String) =
+        q.join(broadcast(cent))
+          .withColumn("sim",
+            expr(dotExpr("qv", "cqv")).cast("double") /
+              (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+          .withColumn("rnk", row_number().over(
+            Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("c_label"))))
+          .filter(col("rnk") === 1)
+          .select(col("vec_id"), col("qv"), col("c_label").as(tag))
+      val a0 = assign(c0, "cell0").localCheckpoint()
+      // one Lloyd step from the deployed assignment: the refreshed codebook
+      val c1 = a0.select(col("cell0"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("cell0"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("cell0"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, cv)), (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END), p -> p.cv)").as("cqv"))
+        .withColumn("cnorm2", expr(dotExpr("cqv", "cqv")))
+        .select(col("cell0").as("c_label"), col("cqv"), col("cnorm2"))
+      val a1 = assign(c1, "cell1")
+      val perCell = a0.select(col("vec_id"), col("cell0"))
+        .join(a1.select(col("vec_id"), col("cell1")), "vec_id")
+        .groupBy(col("cell0").as("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("cell0") =!= col("cell1"), 1L).otherwise(0L)).as("n_reassigned"))
+      // exact squared displacement of each centroid under the refresh
+      val disp = c0.select(col("c_label").as("cell"), col("cqv").as("v0"),
+          col("cnorm2").as("n0"))
+        .join(c1.select(col("c_label").as("cell"), col("cqv").as("v1"),
+          col("cnorm2").as("n1")), "cell")
+        .select(col("cell"),
+          (col("n0") + col("n1") - lit(2L) * expr(dotExpr("v0", "v1"))).as("disp2"))
+      val cells = perCell.join(disp, "cell")
+      val total = cells.agg(sum(col("n_members")).as("n_members"),
+          sum(col("n_reassigned")).as("n_reassigned"),
+          sum(col("disp2")).as("disp2"))
+        .withColumn("cell", lit(-1L))
+      cells.select(col("cell").cast("long"), col("n_members"), col("n_reassigned"), col("disp2"))
+        .unionByName(total.select(col("cell"), col("n_members"), col("n_reassigned"), col("disp2")))
+        .withColumn("reassign_ppm", expr("n_reassigned * 1000000 DIV n_members"))
+        .withColumn("rebuild", col("reassign_ppm") >= 100000L)
+        .orderBy(col("cell"))
+    },
+    Some {
+      val simA = s"CAST(${dotSql("a.qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label AS c_label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    cn AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce),
+    a0 AS (SELECT vec_id, qv, c_label AS cell0 FROM (
+        SELECT a.vec_id, a.qv, b.c_label,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simA DESC, b.c_label) AS rnk
+        FROM qn a CROSS JOIN cn b) WHERE rnk = 1),
+    ex1 AS (SELECT cell0, i AS pos, qv[i] AS v
+            FROM a0 CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd1 AS (SELECT cell0, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+            FROM ex1 GROUP BY cell0, pos),
+    ce1 AS (SELECT cell0 AS c_label, list(cv ORDER BY pos) AS cqv FROM cd1 GROUP BY cell0),
+    cn1 AS (SELECT c_label, cqv, ${dotSql("cqv", "cqv")} AS cnorm2 FROM ce1),
+    a1 AS (SELECT vec_id, c_label AS cell1 FROM (
+        SELECT a.vec_id, b.c_label,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY $simA DESC, b.c_label) AS rnk
+        FROM qn a CROSS JOIN cn1 b) WHERE rnk = 1),
+    pc AS (SELECT cell0 AS cell, COUNT(*) AS n_members,
+        SUM(CASE WHEN cell0 <> cell1 THEN 1 ELSE 0 END) AS n_reassigned
+      FROM a0 JOIN a1 USING (vec_id) GROUP BY 1),
+    dsp AS (SELECT o.c_label AS cell,
+        o.cnorm2 + n.cnorm2 - 2 * ${dotSql("o.cqv", "n.cqv")} AS disp2
+      FROM cn o JOIN cn1 n ON o.c_label = n.c_label),
+    cells AS (SELECT cell, n_members, n_reassigned, disp2 FROM pc JOIN dsp USING (cell)),
+    un AS (SELECT CAST(cell AS BIGINT) AS cell, n_members, n_reassigned, disp2 FROM cells
+      UNION ALL
+      SELECT -1, SUM(n_members), SUM(n_reassigned), SUM(disp2) FROM cells)
+    SELECT cell, CAST(n_members AS BIGINT) AS n_members,
+      CAST(n_reassigned AS BIGINT) AS n_reassigned,
+      CAST(disp2 AS BIGINT) AS disp2,
+      CAST(n_reassigned * 1000000 // n_members AS BIGINT) AS reassign_ppm,
+      n_reassigned * 1000000 // n_members >= 100000 AS rebuild
+    FROM un ORDER BY cell"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, d15)
 }

@@ -50,6 +50,20 @@ class NewOpsR18bSpec extends SparkSuite {
     }.foreach(_.getAs[Boolean]("rewrite") shouldBe false)
   }
 
+  test("s40 index staleness: total row folds the cells, reassignments bounded") {
+    val rows = Registry.queries("s40_index_staleness")(spark, dir).collect()
+    val (total, cells) = rows.partition(_.getAs[Long]("cell") == -1L)
+    total should have length 1
+    cells should not be empty
+    total.head.getAs[Long]("n_members") shouldBe cells.map(_.getAs[Long]("n_members")).sum
+    total.head.getAs[Long]("n_reassigned") shouldBe cells.map(_.getAs[Long]("n_reassigned")).sum
+    total.head.getAs[Long]("disp2") shouldBe cells.map(_.getAs[Long]("disp2")).sum
+    rows.foreach { r =>
+      r.getAs[Long]("n_reassigned") should be <= r.getAs[Long]("n_members")
+      r.getAs[Long]("disp2") should be >= 0L
+    }
+  }
+
   test("d46 dedup survey: sample contained in corpus, estimate within its CI here") {
     val r = Registry.queries("d46_dedup_survey")(spark, dir).collect().head
     r.getAs[Long]("n_sampled") should be <= r.getAs[Long]("n_total")
