@@ -3736,9 +3736,129 @@ object Streams {
            // CAST(x.n_exact AS HUGEINT) AS BIGINT) AS err_ppm
     FROM est e JOIN ex x ON e.b = x.b ORDER BY batch_id"""))
 
+  // --------------------------------------------------------------- q187
+  // LAMBDA-ARCHITECTURE CUTOVER AUDIT — the one-time migration every
+  // batch pipeline makes to streaming: history BEFORE the cutover day
+  // comes from the batch path (one aggregate over the warehouse table),
+  // everything FROM the cutover day flows through the live file stream
+  // (3 mtime-ordered micro-batches through the q173 machinery, per-day
+  // digests landing as batchId-keyed idempotent dynamic overwrites).
+  // The audit is what makes the cutover safe to sign off: per side, day
+  // coverage + row/cents/checksum digests, and on the combined row the
+  // three invariants a botched cutover breaks — zero days served by
+  // BOTH sides (double-feed), zero days missing versus a one-shot
+  // batch run (gap at the boundary), and the combined digest EQUAL to
+  // the one-shot digest. The stream side is measured from what actually
+  // landed through the sink, so a dropped or replayed micro-batch
+  // surfaces as a digest mismatch, not a silent skew. Scale: day-level
+  // digests are map-side-combined; every frame after ingest is
+  // |days|-sized.
+  private def q187Digest(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("cents"),
+        (sum(col("event_id") % HashMod) % HashMod).as("ck"))
+
+  private val q187 = QueryDef(
+    "q187_lambda_cutover",
+    (s, dir) => withStreamShuffle(s) {
+      val cut = "2024-01-16"
+      val streamDir = Tables.tmpDir("graft-q187-stream")
+      val digestDir = Tables.tmp("graft-q187-digest")
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        expr("CAST(ts AS DATE)").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q187-b$b")
+          ev.filter(col("day") >= lit(cut) && col("event_id") % 3 === b)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          q187Digest(batch).withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(digestDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q187-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      // per-day digests are disjoint by event_id across micro-batches, so
+      // folding the ledger is a plain per-day sum (ck re-modded)
+      val streamSide = s.read.parquet(digestDir).groupBy(col("day"))
+        .agg(sum(col("n")).as("n"), sum(col("cents")).as("cents"),
+          (sum(col("ck")) % HashMod).as("ck"))
+      val batchSide = q187Digest(ev.filter(col("day") < lit(cut)))
+      val oneShot = q187Digest(ev)
+      def rollup(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(countDistinct(col("day")).as("n_days"), sum(col("n")).as("n_rows"),
+            sum(col("cents")).as("cents"), (sum(col("ck")) % HashMod).as("ck"))
+          .select(lit(tag).as("side"), col("n_days"), col("n_rows"),
+            col("cents"), col("ck"))
+      val combined = batchSide.unionByName(streamSide)
+      val overlap = batchSide.select(col("day"))
+        .join(streamSide.select(col("day")), "day")
+        .agg(count(lit(1)).as("overlap_days"))
+      val gaps = oneShot.select(col("day"))
+        .join(combined.select(col("day")), Seq("day"), "left_anti")
+        .agg(count(lit(1)).as("gap_days"))
+      val oneShotRoll = rollup(oneShot, "oneshot")
+        .select(col("n_rows").as("os_rows"), col("cents").as("os_cents"),
+          col("ck").as("os_ck"))
+      val base = rollup(batchSide, "batch").unionByName(rollup(streamSide, "stream"))
+        .unionByName(rollup(combined, "combined"))
+      base.crossJoin(broadcast(overlap)).crossJoin(broadcast(gaps))
+        .crossJoin(broadcast(oneShotRoll))
+        .select(col("side"), col("n_days"), col("n_rows"), col("cents"), col("ck"),
+          when(col("side") === "combined", col("overlap_days")).as("overlap_days"),
+          when(col("side") === "combined", col("gap_days")).as("gap_days"),
+          when(col("side") === "combined",
+            col("n_rows") === col("os_rows") && col("cents") === col("os_cents") &&
+              col("ck") === col("os_ck")).as("matches_oneshot"))
+        .orderBy(col("side"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, CAST(ts AS DATE) AS day,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    dd AS (SELECT day, COUNT(*) AS n, SUM(cents) AS cents,
+             SUM(event_id % $HashMod) % $HashMod AS ck
+           FROM ev GROUP BY 1),
+    b AS (SELECT * FROM dd WHERE day < DATE '2024-01-16'),
+    st AS (SELECT * FROM dd WHERE day >= DATE '2024-01-16'),
+    rolls AS (
+      SELECT 'batch' AS side, COUNT(DISTINCT day) AS n_days, SUM(n) AS n_rows,
+        SUM(cents) AS cents, SUM(ck) % $HashMod AS ck FROM b
+      UNION ALL
+      SELECT 'stream', COUNT(DISTINCT day), SUM(n), SUM(cents),
+        SUM(ck) % $HashMod FROM st
+      UNION ALL
+      SELECT 'combined', COUNT(DISTINCT day), SUM(n), SUM(cents),
+        SUM(ck) % $HashMod FROM dd),
+    os AS (SELECT SUM(n) AS os_rows, SUM(cents) AS os_cents,
+             SUM(ck) % $HashMod AS os_ck FROM dd)
+    SELECT side, CAST(n_days AS BIGINT) AS n_days, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(cents AS BIGINT) AS cents, CAST(ck AS BIGINT) AS ck,
+      CASE WHEN side = 'combined' THEN CAST(0 AS BIGINT) END AS overlap_days,
+      CASE WHEN side = 'combined' THEN CAST(0 AS BIGINT) END AS gap_days,
+      CASE WHEN side = 'combined'
+           THEN n_rows = os_rows AND cents = os_cents AND ck = os_ck END
+        AS matches_oneshot
+    FROM rolls CROSS JOIN os ORDER BY side"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169, q173, q182, q183)
+      d29, q164, q169, q173, q182, q183, q187)
 }
