@@ -609,6 +609,119 @@ object Formats {
       ${dsumSql("v0")} AS sum_value
     FROM v GROUP BY 1 ORDER BY class"""))
 
+  // --------------------------------------------------------------- q188
+  // PARTITION-SPEC EVOLUTION — the Iceberg "hidden partitioning" read
+  // problem: a table's early files were laid out under spec v1
+  // (partitioned by ISO week), then the spec evolved to v2 (by day),
+  // and a time-range query must prune under BOTH specs — which means
+  // the read path derives each generation's PARTITION predicate from
+  // the one logical predicate (day ∈ [lo, hi] ⇒ wk ∈ [week(lo),
+  // week(hi)] for v1, d ∈ [lo, hi] for v2), because a data-column
+  // filter alone prunes nothing on the week layout. Output per
+  // generation: partitions total / matching plus row digests, and the
+  // combined row proves the two-generation read equals a straight
+  // filter of the source (no boundary loss, no double-read). The
+  // partition totals here are data-derived (at scale they're a catalog
+  // lookup, not a scan); the actual pushdown is pinned by
+  // PartitionFilterGuardSpec's discipline — both scans carry
+  // PartitionFilters, q41's pattern.
+  private val q188 = QueryDef(
+    "q188_partition_evolution",
+    (s, dir) => {
+      val cut = "2024-01-16"
+      val (lo, hi) = ("2024-01-10", "2024-01-20")
+      val ev = Tables.events(s, dir).select(col("event_id"),
+        expr("CAST(ts AS DATE)").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val lakeV1 = tmp("graft-q188-v1")
+      val lakeV2 = tmp("graft-q188-v2")
+      graft.BenchSplit.setup {
+        ev.filter(col("day") < lit(cut))
+          .withColumn("wk", weekofyear(col("day")))
+          .write.mode("overwrite").partitionBy("wk").parquet(lakeV1)
+        ev.filter(col("day") >= lit(cut))
+          .withColumn("d", col("day"))
+          .write.mode("overwrite").partitionBy("d").parquet(lakeV2)
+      }
+      // spec-aware predicate derivation: the one logical day range maps
+      // onto each generation's own partition columns
+      val v1All = s.read.parquet(lakeV1)
+      val v2All = s.read.parquet(lakeV2)
+      val v1Part = v1All.filter(
+        col("wk") >= weekofyear(to_date(lit(lo))) &&
+          col("wk") <= weekofyear(to_date(lit(hi))))
+      val v1Rows = v1Part.filter(col("day") >= lit(lo) && col("day") <= lit(hi))
+      val v2Part = v2All.filter(col("d") >= lit(lo) && col("d") <= lit(hi))
+      val v2Rows = v2Part.filter(col("day") >= lit(lo) && col("day") <= lit(hi))
+      def gen(tag: String, all: org.apache.spark.sql.DataFrame, partCol: String,
+          part: org.apache.spark.sql.DataFrame, rows: org.apache.spark.sql.DataFrame) =
+        all.agg(countDistinct(col(partCol)).as("n_parts_total"))
+          .crossJoin(part.agg(countDistinct(col(partCol)).as("n_parts_matching")))
+          .crossJoin(rows.agg(count(lit(1)).as("n_rows"),
+            coalesce(sum(col("cents")), lit(0L)).as("cents"),
+            coalesce(sum(col("event_id") % HashMod) % HashMod, lit(0L)).as("ck")))
+          .select(lit(tag).as("gen"), col("n_parts_total"), col("n_parts_matching"),
+            col("n_rows"), col("cents"), col("ck"))
+      val combinedRows = v1Rows.select(col("event_id"), col("cents"))
+        .unionByName(v2Rows.select(col("event_id"), col("cents")))
+      val source = ev.filter(col("day") >= lit(lo) && col("day") <= lit(hi))
+      val combined = combinedRows
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents"),
+          (sum(col("event_id") % HashMod) % HashMod).as("ck"))
+        .crossJoin(source.agg(count(lit(1)).as("s_rows"), sum(col("cents")).as("s_cents"),
+          (sum(col("event_id") % HashMod) % HashMod).as("s_ck")))
+        .select(lit("combined").as("gen"),
+          lit(null).cast("long").as("n_parts_total"),
+          lit(null).cast("long").as("n_parts_matching"),
+          col("n_rows"), col("cents"), col("ck"),
+          (col("n_rows") === col("s_rows") && col("cents") === col("s_cents") &&
+            col("ck") === col("s_ck")).as("matches_source"))
+      gen("v1_week", v1All, "wk", v1Part, v1Rows)
+        .unionByName(gen("v2_day", v2All, "d", v2Part, v2Rows))
+        .withColumn("matches_source", lit(null).cast("boolean"))
+        .unionByName(combined)
+        .orderBy(col("gen"))
+    },
+    Some(s"""WITH ev AS (
+      SELECT event_id, CAST(ts AS DATE) AS day,
+        CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM events),
+    v1 AS (SELECT *, weekofyear(day) AS wk FROM ev WHERE day < DATE '2024-01-16'),
+    v2 AS (SELECT *, day AS d FROM ev WHERE day >= DATE '2024-01-16'),
+    v1p AS (SELECT * FROM v1
+            WHERE wk BETWEEN weekofyear(DATE '2024-01-10') AND weekofyear(DATE '2024-01-20')),
+    v1r AS (SELECT * FROM v1p WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'),
+    v2p AS (SELECT * FROM v2
+            WHERE d BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'),
+    v2r AS (SELECT * FROM v2p WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'),
+    src AS (SELECT * FROM ev WHERE day BETWEEN DATE '2024-01-10' AND DATE '2024-01-20')
+    SELECT * FROM (
+      SELECT 'v1_week' AS gen,
+        (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) FROM v1) AS n_parts_total,
+        (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) FROM v1p) AS n_parts_matching,
+        COUNT(*) AS n_rows, COALESCE(SUM(cents), 0) AS cents,
+        COALESCE(SUM(event_id % $HashMod) % $HashMod, 0) AS ck,
+        CAST(NULL AS BOOLEAN) AS matches_source
+      FROM v1r
+      UNION ALL
+      SELECT 'v2_day',
+        (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM v2),
+        (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM v2p),
+        COUNT(*), COALESCE(SUM(cents), 0),
+        COALESCE(SUM(event_id % $HashMod) % $HashMod, 0), NULL
+      FROM v2r
+      UNION ALL
+      SELECT 'combined', NULL, NULL,
+        u.n_rows, u.cents, u.ck,
+        u.n_rows = s.n_rows AND u.cents = s.cents AND u.ck = s.ck
+      FROM (SELECT COUNT(*) AS n_rows, SUM(cents) AS cents,
+              SUM(event_id % $HashMod) % $HashMod AS ck
+            FROM (SELECT event_id, cents FROM v1r UNION ALL SELECT event_id, cents FROM v2r)) u
+      CROSS JOIN (SELECT COUNT(*) AS n_rows, SUM(cents) AS cents,
+              SUM(event_id % $HashMod) % $HashMod AS ck FROM src) s
+    ) ORDER BY gen"""))
+
   val defs: Seq[QueryDef] =
-    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166, q175)
+    Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166, q175,
+      q188)
 }

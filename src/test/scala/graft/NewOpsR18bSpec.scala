@@ -64,6 +64,18 @@ class NewOpsR18bSpec extends SparkSuite {
     }
   }
 
+  test("q188: both generation scans prune on their own partition spec") {
+    val df = Registry.queries("q188_partition_evolution")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the week-layout scan must carry a wk partition predicate and the
+    // day-layout scan a d predicate — a data-column filter alone would
+    // leave PartitionFilters empty and the read quietly unpruned
+    (plan should include).regex("PartitionFilters: \\[[^\\]]*wk")
+    (plan should include).regex("PartitionFilters: \\[[^\\]]*d#")
+    df.collect().find(_.getAs[String]("gen") == "combined").get
+      .getAs[Boolean]("matches_source") shouldBe true
+  }
+
   test("d46 dedup survey: sample contained in corpus, estimate within its CI here") {
     val r = Registry.queries("d46_dedup_survey")(spark, dir).collect().head
     r.getAs[Long]("n_sampled") should be <= r.getAs[Long]("n_total")
