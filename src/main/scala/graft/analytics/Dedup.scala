@@ -3088,9 +3088,134 @@ object Dedup {
         AS within_ci
     FROM e"""))
 
+  // ---------------------------------------------------------------- d47
+  // LSH BAND-SHAPE A/B — the (b, r) knob d14's calibration curve prices
+  // in theory, measured operationally: the SAME 8-hash signature table
+  // banded two ways — 4 bands × 2 rows (d02's production shape, high
+  // recall: P(candidate) = 1−(1−J²)⁴) vs 2 bands × 4 rows (high
+  // precision: 1−(1−J⁴)²) — with candidates, verified pairs (exact
+  // Jaccard ≥ 0.5), precision, and each shape's recall against the
+  // union of verified pairs. This is the report that decides a shape
+  // change BEFORE re-banding a 100 TB index: the precision column
+  // prices wasted verify work, the missed column prices lost dups.
+  // Measured here: both shapes find ALL verified pairs (the corpus's
+  // true dups sit at J ≈ 1, where both S-curves saturate — candP ⊆
+  // candR structurally, so b4_r2's recall is 10⁶ by construction and
+  // b2_r4's missed-0 is the measured fact), while precision separates
+  // hard: 52–57% (b4_r2) vs 81–97% (b2_r4) across the SFs — on THIS
+  // corpus the precision shape would nearly halve verify work for free.
+  // Both self-joins run through the capped ⌈s/128⌉ sub-split (the d02
+  // discipline — no unbounded bucket join enters the repo through this
+  // query); signatures compute ONCE and both layouts explode from the
+  // checkpointed table.
+  private val d47 = QueryDef(
+    "d47_band_shape_ab",
+    (s, dir) => {
+      val base = shingled(s, dir).cache()
+      base.count()
+      val mh = base
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+        .localCheckpoint() // both band layouts derive from it
+      def bandExpr(rows: Int) = {
+        val nb = 8 / rows
+        s"transform(sequence(0, ${nb - 1}), i -> concat(i, ':', " +
+          (1 to rows).map(j => s"element_at(mhs, $rows * i + $j)").mkString(", ':', ") +
+          "))"
+      }
+      def pairsOf(rows: Int) = {
+        val bands = mh.select(col("doc_id"), explode(expr(bandExpr(rows))).as("band"))
+        val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+          .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+        val tagged = bands.join(sizes, Seq("band"))
+          .withColumn("sub", expr(
+            s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+          .select(col("band"), col("sub"), col("doc_id"))
+        val cand = tagged.as("a").join(tagged.as("b"),
+            col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+          .localCheckpoint() // candidate-volume, read twice
+        val ver = cand
+          .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+          .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+          .withColumn("jacc", round(
+            size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+              size(array_union(col("sh1"), col("sh2"))), 6))
+          .filter(col("jacc") >= 0.5)
+          .select(col("id1"), col("id2"))
+          .localCheckpoint() // verified-pair-volume, read three times
+        (cand, ver)
+      }
+      val (candR, verR) = pairsOf(2) // 4 bands × 2 rows: the recall shape
+      val (candP, verP) = pairsOf(4) // 2 bands × 4 rows: the precision shape
+      val union = verR.unionByName(verP).distinct().localCheckpoint()
+      def report(tag: String, cand: org.apache.spark.sql.DataFrame,
+          ver: org.apache.spark.sql.DataFrame) =
+        cand.agg(count(lit(1)).as("n_cand"))
+          .crossJoin(ver.agg(count(lit(1)).as("n_verified")))
+          .crossJoin(union.join(ver, Seq("id1", "id2"), "left_anti")
+            .agg(count(lit(1)).as("n_missed")))
+          .crossJoin(union.agg(count(lit(1)).as("n_union")))
+          .select(lit(tag).as("shape"), col("n_cand"), col("n_verified"),
+            expr("n_verified * 1000000 DIV n_cand").as("precision_ppm"),
+            col("n_missed"),
+            expr("(n_union - n_missed) * 1000000 DIV n_union").as("union_recall_ppm"))
+      report("b4_r2", candR, verR).unionByName(report("b2_r4", candP, verP))
+        .orderBy(col("shape"))
+    },
+    Some {
+      def bandDuck(rows: Int) = {
+        val idx = (1 to rows).map(j => s"CAST(mhs[$rows * i + $j] AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"CAST(i AS VARCHAR) || ':' || $idx"
+      }
+      val jacc = "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+      s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    br AS (SELECT doc_id, ${bandDuck(2)} AS band
+           FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    bp AS (SELECT doc_id, ${bandDuck(4)} AS band
+           FROM mh CROSS JOIN generate_series(0, 1) AS g(i)),
+    cr AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM br a JOIN br b ON a.band = b.band AND a.doc_id < b.doc_id),
+    cp AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM bp a JOIN bp b ON a.band = b.band AND a.doc_id < b.doc_id),
+    vr AS (SELECT id1, id2 FROM cr JOIN sh x ON x.doc_id = id1
+           JOIN sh y ON y.doc_id = id2 WHERE $jacc >= 0.5),
+    vp AS (SELECT id1, id2 FROM cp JOIN sh x ON x.doc_id = id1
+           JOIN sh y ON y.doc_id = id2 WHERE $jacc >= 0.5),
+    un AS (SELECT id1, id2 FROM vr UNION SELECT id1, id2 FROM vp)
+    SELECT * FROM (
+      SELECT 'b4_r2' AS shape,
+        (SELECT COUNT(*) FROM cr) AS n_cand,
+        (SELECT COUNT(*) FROM vr) AS n_verified,
+        (SELECT COUNT(*) FROM vr) * 1000000 // (SELECT COUNT(*) FROM cr) AS precision_ppm,
+        (SELECT COUNT(*) FROM un u WHERE NOT EXISTS
+           (SELECT 1 FROM vr v WHERE v.id1 = u.id1 AND v.id2 = u.id2)) AS n_missed,
+        ((SELECT COUNT(*) FROM un) - (SELECT COUNT(*) FROM un u WHERE NOT EXISTS
+           (SELECT 1 FROM vr v WHERE v.id1 = u.id1 AND v.id2 = u.id2))) * 1000000
+          // (SELECT COUNT(*) FROM un) AS union_recall_ppm
+      UNION ALL
+      SELECT 'b2_r4',
+        (SELECT COUNT(*) FROM cp),
+        (SELECT COUNT(*) FROM vp),
+        (SELECT COUNT(*) FROM vp) * 1000000 // (SELECT COUNT(*) FROM cp),
+        (SELECT COUNT(*) FROM un u WHERE NOT EXISTS
+           (SELECT 1 FROM vp v WHERE v.id1 = u.id1 AND v.id2 = u.id2)),
+        ((SELECT COUNT(*) FROM un) - (SELECT COUNT(*) FROM un u WHERE NOT EXISTS
+           (SELECT 1 FROM vp v WHERE v.id1 = u.id1 AND v.id2 = u.id2))) * 1000000
+          // (SELECT COUNT(*) FROM un)
+    ) ORDER BY shape"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      q170)
+      d47, q170)
 }
