@@ -1554,7 +1554,105 @@ object Pipeline {
            ELSE NULL END AS matches_asof
     FROM digests CROSS JOIN v3d ORDER BY version"""))
 
+  // --------------------------------------------------------------- q189
+  // OPTIMISTIC-CONCURRENCY CONFLICT AUDIT — the fourth lakehouse leg
+  // (q185 deletes, q186 time travel, q171 diff, this: concurrent
+  // writers): two transactions branch from the SAME base snapshot and
+  // try to commit; serializable OCC admits both iff their key sets are
+  // DISJOINT — and then the merged table must be order-independent
+  // (apply A∘B ≡ B∘A, proven by digest), while overlapping write sets
+  // force the second committer to retry against the winner's snapshot.
+  // Both scenarios run side by side: txnA (keys %41) vs txnB
+  // (keys %43∧¬41) write distinct absolute values to disjoint key sets,
+  // and both orders' digests must agree; txnC (keys %82 — a strict
+  // subset of A's set)
+  // collides with A and the audit reports the overlap cardinality and
+  // the conflict verdict the commit protocol acts on. Scale: write
+  // sets are op-bounded; the intersection is one equi-join of key
+  // sets; the merged-table digests are one scan each — the audit never
+  // rewrites the base.
+  private val q189 = QueryDef(
+    "q189_occ_conflicts",
+    (s, dir) => {
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .cache()
+      base.count()
+      val wsA = base.filter(col("k") % 41 === 0).select(col("k"), lit(1L).as("dc"))
+      val wsB = base.filter(col("k") % 43 === 0 && col("k") % 41 =!= 0)
+        .select(col("k"), lit(2L).as("dc"))
+      val wsC = base.filter(col("k") % 82 === 0).select(col("k"), lit(3L).as("dc"))
+      // last-writer-wins ABSOLUTE upserts: on overlapping keys the apply
+      // order changes the result, so the disjoint pair's order-equal
+      // digest is a real serializability fact, not additive triviality
+      def applyTo(cur: org.apache.spark.sql.DataFrame,
+          ws: org.apache.spark.sql.DataFrame) =
+        cur.join(ws, Seq("k"), "left")
+          .select(col("k"),
+            when(col("dc").isNotNull, col("dc") * 1000000L).otherwise(col("cents"))
+              .as("cents"))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+          (sum((col("k") * 1000003L + col("cents")) % HashMod) % HashMod).as("ck"))
+      def overlap(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) =
+        x.select(col("k")).join(y.select(col("k")), "k").agg(count(lit(1)).as("n_overlap"))
+      val ab = digest(applyTo(applyTo(base, wsA), wsB))
+        .select(col("n").as("n1"), col("c").as("c1"), col("ck").as("ck1"))
+      val ba = digest(applyTo(applyTo(base, wsB), wsA))
+        .select(col("n").as("n2"), col("c").as("c2"), col("ck").as("ck2"))
+      def scenario(tag: String, ov: org.apache.spark.sql.DataFrame,
+          orderProof: Option[(org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]) = {
+        val basecols = ov
+          .withColumn("scenario", lit(tag))
+          .withColumn("conflict", col("n_overlap") > 0)
+        orderProof match {
+          case Some((x, y)) =>
+            basecols.crossJoin(broadcast(x)).crossJoin(broadcast(y))
+              .select(col("scenario"), col("n_overlap"), col("conflict"),
+                (col("n1") === col("n2") && col("c1") === col("c2") &&
+                  col("ck1") === col("ck2")).as("order_independent"))
+          case None =>
+            basecols.select(col("scenario"), col("n_overlap"), col("conflict"),
+              lit(null).cast("boolean").as("order_independent"))
+        }
+      }
+      scenario("a_vs_b_disjoint", overlap(wsA, wsB), Some((ab, ba)))
+        .unionByName(scenario("a_vs_c_overlap", overlap(wsA, wsC), None))
+        .orderBy(col("scenario"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    wsa AS (SELECT k, 1 AS dc FROM base WHERE k % 41 = 0),
+    wsb AS (SELECT k, 2 AS dc FROM base WHERE k % 43 = 0 AND k % 41 <> 0),
+    wsc AS (SELECT k, 3 AS dc FROM base WHERE k % 82 = 0),
+    ab AS (SELECT b.k, CASE WHEN bb.dc IS NOT NULL THEN bb.dc * 1000000
+                            WHEN a.dc IS NOT NULL THEN a.dc * 1000000
+                            ELSE b.cents END AS cents
+           FROM base b LEFT JOIN wsa a ON b.k = a.k LEFT JOIN wsb bb ON b.k = bb.k),
+    ba AS (SELECT b.k, CASE WHEN a.dc IS NOT NULL THEN a.dc * 1000000
+                            WHEN bb.dc IS NOT NULL THEN bb.dc * 1000000
+                            ELSE b.cents END AS cents
+           FROM base b LEFT JOIN wsb bb ON b.k = bb.k LEFT JOIN wsa a ON b.k = a.k),
+    dab AS (SELECT COUNT(*) AS n1, SUM(cents) AS c1,
+              SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS ck1 FROM ab),
+    dba AS (SELECT COUNT(*) AS n2, SUM(cents) AS c2,
+              SUM((k * 1000003 + cents) % $HashMod) % $HashMod AS ck2 FROM ba),
+    ovab AS (SELECT COUNT(*) AS n_overlap FROM wsa JOIN wsb ON wsa.k = wsb.k),
+    ovac AS (SELECT COUNT(*) AS n_overlap FROM wsa JOIN wsc ON wsa.k = wsc.k)
+    SELECT * FROM (
+      SELECT 'a_vs_b_disjoint' AS scenario, CAST(n_overlap AS BIGINT) AS n_overlap,
+        n_overlap > 0 AS conflict,
+        n1 = n2 AND c1 = c2 AND ck1 = ck2 AS order_independent
+      FROM ovab CROSS JOIN dab CROSS JOIN dba
+      UNION ALL
+      SELECT 'a_vs_c_overlap', CAST(n_overlap AS BIGINT), n_overlap > 0,
+        CAST(NULL AS BOOLEAN)
+      FROM ovac
+    ) ORDER BY scenario"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155, q156, q185, q186)
+      q131, q144, q145, q152, q155, q156, q185, q186, q189)
 }
