@@ -3213,9 +3213,150 @@ object Dedup {
     ) ORDER BY shape"""
     })
 
+  // ---------------------------------------------------------------- d48
+  // DEGREE-CAPPED DEDUP GRAPH → CC — the edge-volume bound that makes
+  // cluster resolution affordable on a pathological corpus: before
+  // running connected components, keep only each node's top-3
+  // strongest edges (by exact Jaccard, WindowGroupLimit-pushed), so a
+  // node embedded in a 10⁶-member template family carries 3 edges
+  // instead of 10⁶ and the CC input is ≤ 3·|nodes| REGARDLESS of
+  // cluster sizes (the bucket caps bound candidate GENERATION; this
+  // bounds what survives into the graph). Sparsification can in
+  // principle cut an articulation edge and split a component — so the
+  // audit runs CC on BOTH edge sets and reports whether the clustering
+  // is identical (component count + full membership checksum), making
+  // "k=3 is lossless here" a measured fact instead of an assumption.
+  // An edge survives if EITHER endpoint ranks it top-3, so the kept
+  // set stays symmetric.
+  /** d48's degree cap: keep an undirected `(id1, id2, jacc)` edge iff
+    * EITHER endpoint ranks it among its k strongest (jacc desc, partner
+    * asc) — the kept set stays symmetric and ≤ k·|nodes|. Factored out
+    * so `NewOpsR18bSpec` can exercise the capping branch on a planted
+    * dense clique (the fixture graphs never exceed degree k). */
+  private[graft] def sparsifyTopK(edges: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    edges.select(col("id1").as("src"), col("id2").as("dst"), col("jacc"))
+      .unionByName(edges.select(col("id2").as("src"), col("id1").as("dst"), col("jacc")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("jacc").desc, col("dst"))))
+      .filter(col("rnk") <= k)
+      .select(least(col("src"), col("dst")).as("id1"),
+        greatest(col("src"), col("dst")).as("id2"))
+      .distinct()
+  }
+
+  private val d48 = QueryDef(
+    "d48_sparsified_cc",
+    (s, dir) => {
+      val base = shingled(s, dir).cache()
+      base.count()
+      val bands = base
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+        .select(col("doc_id"), explode(expr(bandKeysExpr)).as("band"))
+      val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+        .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+      val tagged = bands.join(sizes, Seq("band"))
+        .withColumn("sub", expr(
+          s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+        .select(col("band"), col("sub"), col("doc_id"))
+      val cand = tagged.as("a").join(tagged.as("b"),
+          col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val edges = cand
+        .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .withColumn("jacc", round(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            size(array_union(col("sh1"), col("sh2"))), 6))
+        .filter(col("jacc") >= 0.5)
+        .select(col("id1"), col("id2"), col("jacc"))
+        .localCheckpoint()
+      val kept = sparsifyTopK(edges, 3).localCheckpoint()
+      def summary(tag: String, e: org.apache.spark.sql.DataFrame) =
+        Tables.withShuffle(s, 8) {
+          graft.operators.ConnectedComponents.label(e)
+            .agg(count(lit(1)).as("n_nodes"),
+              countDistinct(col("comp")).as("n_components"),
+              (sum((col("node") * 1000003L + col("comp")) % HashMod) % HashMod)
+                .as("membership_ck"))
+            .crossJoin(e.select(col("id1"), col("id2")).distinct()
+              .agg(count(lit(1)).as("n_edges")))
+            .select(lit(tag).as("variant"), col("n_edges"), col("n_nodes"),
+              col("n_components"), col("membership_ck"))
+        }
+      val full = summary("full", edges).localCheckpoint()
+      val sp = summary("sparsified_k3", kept)
+      val fullRef = full.select(col("n_components").as("nc_f"),
+        col("membership_ck").as("ck_f"))
+      full.withColumn("same_clustering", lit(null).cast("boolean"))
+        .unionByName(sp.crossJoin(broadcast(fullRef))
+          .select(col("variant"), col("n_edges"), col("n_nodes"), col("n_components"),
+            col("membership_ck"),
+            (col("n_components") === col("nc_f") &&
+              col("membership_ck") === col("ck_f")).as("same_clustering")))
+        .orderBy(col("variant"))
+    },
+    Some {
+      val jacc = "round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(list_concat(x.sh, y.sh))), 6)"
+      s"""WITH RECURSIVE sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    bands AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR) || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+              FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+    edges AS (SELECT id1, id2, $jacc AS jacc
+              FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2
+              WHERE $jacc >= 0.5),
+    dirx AS (SELECT id1 AS src, id2 AS dst, jacc FROM edges
+             UNION ALL SELECT id2, id1, jacc FROM edges),
+    kept AS (SELECT DISTINCT LEAST(src, dst) AS id1, GREATEST(src, dst) AS id2 FROM (
+               SELECT src, dst,
+                 ROW_NUMBER() OVER (PARTITION BY src ORDER BY jacc DESC, dst) AS rnk
+               FROM dirx) WHERE rnk <= 3),
+    ef AS (SELECT id1, id2 FROM edges UNION SELECT id2, id1 FROM edges),
+    rf AS (SELECT id1 AS node, id2 AS reach FROM ef
+           UNION
+           SELECT rf.node, ef.id2 FROM rf JOIN ef ON rf.reach = ef.id1),
+    cf AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM rf GROUP BY node),
+    es AS (SELECT id1, id2 FROM kept UNION SELECT id2, id1 FROM kept),
+    rs AS (SELECT id1 AS node, id2 AS reach FROM es
+           UNION
+           SELECT rs.node, es.id2 FROM rs JOIN es ON rs.reach = es.id1),
+    cs AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM rs GROUP BY node),
+    sf_sum AS (SELECT COUNT(*) AS n_nodes, COUNT(DISTINCT comp) AS n_components,
+                 SUM((node * 1000003 + comp) % $HashMod) % $HashMod AS membership_ck
+               FROM cf),
+    ss_sum AS (SELECT COUNT(*) AS n_nodes, COUNT(DISTINCT comp) AS n_components,
+                 SUM((node * 1000003 + comp) % $HashMod) % $HashMod AS membership_ck
+               FROM cs)
+    SELECT * FROM (
+      SELECT 'full' AS variant,
+        (SELECT COUNT(*) FROM edges) AS n_edges,
+        CAST(n_nodes AS BIGINT) AS n_nodes,
+        CAST(n_components AS BIGINT) AS n_components,
+        CAST(membership_ck AS BIGINT) AS membership_ck,
+        CAST(NULL AS BOOLEAN) AS same_clustering
+      FROM sf_sum
+      UNION ALL
+      SELECT 'sparsified_k3',
+        (SELECT COUNT(*) FROM kept),
+        CAST(s.n_nodes AS BIGINT), CAST(s.n_components AS BIGINT),
+        CAST(s.membership_ck AS BIGINT),
+        s.n_components = f.n_components AND s.membership_ck = f.membership_ck
+      FROM ss_sum s CROSS JOIN sf_sum f
+    ) ORDER BY variant"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, q170)
+      d47, d48, q170)
 }

@@ -286,5 +286,37 @@ object Subquery {
         AS n_absent_nonnull
     FROM shred GROUP BY k % 10 ORDER BY k_band"""))
 
-  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66, q93, q179)
+  // --------------------------------------------------------------- q190
+  // SQL PIPE SYNTAX (Spark 4 `|>` operators) — the third Spark-4 SQL
+  // surface after q178's recursive CTE and q179's VARIANT: the q01
+  // pricing-summary shape written as a linear operator chain (FROM |>
+  // WHERE |> EXTEND |> AGGREGATE … GROUP BY |> SELECT |> ORDER BY).
+  // Parity, not novelty, is the point: the pipe chain must plan to the
+  // same aggregate as the classic form, so the oracle IS the classic
+  // SQL — any divergence in the pipe parser's semantics (aliasing,
+  // grouping-column order, EXTEND scoping) fails the hash gate. Money
+  // arithmetic uses the house exact-decimal forms on both sides.
+  private val q190 = QueryDef(
+    "q190_pipe_syntax",
+    (s, dir) => {
+      rd(s, dir, "lineitem").createOrReplaceTempView("graft_q190_lineitem")
+      s.sql(s"""
+        FROM graft_q190_lineitem
+        |> WHERE l_quantity <= 45
+        |> EXTEND ${discPriceSql("l_extendedprice", "l_discount")} AS disc_price
+        |> AGGREGATE COUNT(*) AS n,
+             ${dsumSql("l_quantity")} AS sum_qty,
+             CAST(SUM(disc_price) AS DOUBLE) AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        |> SELECT l_returnflag, l_linestatus, n, sum_qty, revenue
+        |> ORDER BY l_returnflag, l_linestatus""")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      ${dsumSql("l_quantity")} AS sum_qty,
+      CAST(SUM(${discPriceSql("l_extendedprice", "l_discount")}) AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_quantity <= 45
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""))
+
+  val defs: Seq[QueryDef] = Seq(q59, q60, q61, q64, q65, q66, q93, q179, q190)
 }

@@ -64,6 +64,24 @@ class NewOpsR18bSpec extends SparkSuite {
     }
   }
 
+  test("d48 sparsifier: the cap binds on a dense clique and CC survives it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // an 8-clique (uniform weight 1.0) bridged to a 3-path — the fixture
+    // corpus never exceeds degree 3, so this is the branch's only exercise
+    val clique = (for (a <- 0 to 7; b <- (a + 1) to 7) yield (a.toLong, b.toLong, 1.0))
+    val bridge = Seq((7L, 100L, 0.9), (100L, 101L, 0.8))
+    val edges = (clique ++ bridge).toDF("id1", "id2", "jacc")
+    val kept = graft.analytics.Dedup.sparsifyTopK(edges, 3)
+    val nKept = kept.count()
+    nKept should be < edges.count() // the cap actually dropped edges
+    // either-endpoint-keeps preserves symmetry and, on this graph, the
+    // component structure: everything still reaches node 0
+    val cc = graft.operators.ConnectedComponents.label(kept)
+    cc.select(countDistinct(col("comp"))).head.getLong(0) shouldBe 1L
+    cc.count() shouldBe 10L // all 10 nodes survive sparsification
+  }
+
   test("q188: both generation scans prune on their own partition spec") {
     val df = Registry.queries("q188_partition_evolution")(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
