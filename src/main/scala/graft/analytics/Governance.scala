@@ -1197,7 +1197,88 @@ object Governance {
       CAST(2000000 AS BIGINT) AS eps_ppm
     FROM rel ORDER BY seg"""))
 
+  // --------------------------------------------------------------- q191
+  // CRYPTO-SHREDDING — the right-to-be-forgotten mechanism that never
+  // rewrites the data lake: payloads are stored encrypted under a
+  // PER-SUBJECT key (here an additive cipher mod p as the deterministic
+  // stand-in for AES — invertible, oracle-replayable), and forgetting a
+  // subject = deleting one KEY row; the payload bytes stay on disk but
+  // are unreadable. This turns q138's lake-wide deletion sweep into an
+  // O(|request|) key-table delete — the design that makes RTBF feasible
+  // when the subject's rows are scattered across 100 TB of immutable
+  // files. The audit proves all three contract points in one row:
+  // unreadable rows == exactly the shredded subjects' rows (no
+  // over/under-shred), surviving rows decrypt EXACTLY to the source
+  // (checksum equality through the encrypt→decrypt cycle), and a
+  // wrong-key negative control decrypts to garbage (checksum differs) —
+  // key possession, not data access, is what gates readability. Read
+  // path = one key-table join (request-bounded broadcast at scale).
+  private val ShredOffset = 10000000L // lift signed cents into [0, 2e7)
+
+  private val q191 = QueryDef(
+    "q191_crypto_shred",
+    (s, dir) => {
+      graft.functions.PolyHash.register(s)
+      val enc = rd(s, dir, "customer").select(col("c_custkey").as("subject"),
+          expr(s"CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + $ShredOffset")
+            .as("plain"))
+        .withColumn("key", expr(
+          s"(${strHashExpr("concat('k|', CAST(subject AS STRING))")} * 2654435761) % $HashMod"))
+        .withColumn("enc", expr(s"(plain + key) % $HashMod"))
+        .localCheckpoint() // the immutable encrypted lake
+      // the key table AFTER the shred request (subject % 1000 = 7 forgotten)
+      val keys = enc.filter(col("subject") % 1000 =!= 7)
+        .select(col("subject"), col("key").as("k2"))
+      val read = enc.select(col("subject"), col("plain"), col("enc"))
+        .join(keys, Seq("subject"), "left")
+        .withColumn("dec", expr(s"(enc - k2 + $HashMod) % $HashMod"))
+        .withColumn("dec_wrong", expr(s"(enc - (k2 + 1) + $HashMod) % $HashMod"))
+      read.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("subject") % 1000 === 7, 1L).otherwise(0L)).as("n_requested"),
+          sum(when(col("k2").isNull, 1L).otherwise(0L)).as("n_unreadable"),
+          (sum(when(col("k2").isNotNull, col("dec") % HashMod).otherwise(0L)) % HashMod)
+            .as("readable_ck"),
+          (sum(when(col("subject") % 1000 =!= 7, col("plain") % HashMod).otherwise(0L))
+            % HashMod).as("source_kept_ck"),
+          (sum(when(col("k2").isNotNull, col("dec_wrong") % HashMod).otherwise(0L))
+            % HashMod).as("wrong_key_ck"))
+        .select(col("n_rows"), col("n_requested"), col("n_unreadable"),
+          (col("n_unreadable") === col("n_requested")).as("shred_exact"),
+          col("readable_ck"), col("source_kept_ck"),
+          (col("readable_ck") === col("source_kept_ck")).as("decrypt_exact"),
+          (col("wrong_key_ck") =!= col("source_kept_ck")).as("wrong_key_garbage"))
+    },
+    Some(s"""WITH enc AS (
+      SELECT c_custkey AS subject,
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) + $ShredOffset AS plain,
+        (${strHashSql("concat('k|', CAST(c_custkey AS VARCHAR))")} * 2654435761)
+          % $HashMod AS key
+      FROM customer),
+    enc2 AS (SELECT subject, plain, key, (plain + key) % $HashMod AS enc FROM enc),
+    keys AS (SELECT subject, key AS k2 FROM enc2 WHERE subject % 1000 <> 7),
+    rd AS (SELECT e.subject, e.plain, e.enc, k.k2,
+             (e.enc - k.k2 + $HashMod) % $HashMod AS dec,
+             (e.enc - (k.k2 + 1) + $HashMod) % $HashMod AS dec_wrong
+           FROM enc2 e LEFT JOIN keys k ON e.subject = k.subject),
+    agg AS (SELECT COUNT(*) AS n_rows,
+      SUM(CASE WHEN subject % 1000 = 7 THEN 1 ELSE 0 END) AS n_requested,
+      SUM(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS n_unreadable,
+      SUM(CASE WHEN k2 IS NOT NULL THEN dec % $HashMod ELSE 0 END) % $HashMod AS readable_ck,
+      SUM(CASE WHEN subject % 1000 <> 7 THEN plain % $HashMod ELSE 0 END) % $HashMod AS source_kept_ck,
+      SUM(CASE WHEN k2 IS NOT NULL THEN dec_wrong % $HashMod ELSE 0 END) % $HashMod AS wrong_key_ck
+    FROM rd)
+    SELECT CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(n_requested AS BIGINT) AS n_requested,
+      CAST(n_unreadable AS BIGINT) AS n_unreadable,
+      n_unreadable = n_requested AS shred_exact,
+      CAST(readable_ck AS BIGINT) AS readable_ck,
+      CAST(source_kept_ck AS BIGINT) AS source_kept_ck,
+      readable_ck = source_kept_ck AS decrypt_exact,
+      wrong_key_ck <> source_kept_ck AS wrong_key_garbage
+    FROM agg"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177, q181, q184)
+      q171, q172, q174, q176, q177, q181, q184, q191)
 }
