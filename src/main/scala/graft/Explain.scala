@@ -90,7 +90,8 @@ object Explain {
         "t48_kneser_ney_lm", "m21_crosskind_dup", "m22_shared_scenes",
         "q186_time_travel", "d46_dedup_survey", "s40_index_staleness",
         "q188_partition_evolution", "d47_band_shape_ab", "q189_occ_conflicts",
-        "d48_sparsified_cc", "q190_pipe_syntax", "q191_crypto_shred")
+        "d48_sparsified_cc", "q190_pipe_syntax", "q191_crypto_shred",
+        "q192_wap_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

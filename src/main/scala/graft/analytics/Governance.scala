@@ -1278,7 +1278,114 @@ object Governance {
       wrong_key_ck <> source_kept_ck AS wrong_key_garbage
     FROM agg"""))
 
+  // --------------------------------------------------------------- q192
+  // WRITE-AUDIT-PUBLISH GATE — the lakehouse ingestion discipline that
+  // keeps bad batches out of production tables: a staged batch (here
+  // with three planted fault classes: duplicate primary keys, FK
+  // orphans, and negative money — m16's contrast discipline) runs a
+  // rule battery; ANY violation blocks the publish. The quarantine
+  // policy then drops exactly the violating rows and the battery
+  // re-runs on the repaired batch, which must come out clean — so the
+  // output carries per-(stage, rule) violation counts with id
+  // checksums, both publish verdicts, and the published/quarantined
+  // digests that make the repair auditable. One battery, run twice
+  // (shared frame, rule predicates are per-row codegen except the
+  // PK-dup window and the FK anti-join — both keyed, never quadratic);
+  // the FK dimension side is file-size-gated broadcast.
+  private val q192 = QueryDef(
+    "q192_wap_gate",
+    (s, dir) => {
+      val clean = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        col("o_custkey").as("cust"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      // the staged batch: three deterministic fault plants
+      val staged = clean
+        .withColumn("cents",
+          expr("CASE WHEN k % 97 = 0 THEN -cents ELSE cents END"))
+        .withColumn("cust",
+          expr("CASE WHEN k % 83 = 0 THEN -1 ELSE cust END"))
+        .unionByName(clean.filter(col("k") % 89 === 0)
+          .select(col("k"), col("cust"), (col("cents") + 1L).as("cents")))
+        .localCheckpoint()
+      val custKeys = bcastIfSmall(
+        rd(s, dir, "customer").select(col("c_custkey").as("cust")), dir, "customer")
+      def audit(batch: org.apache.spark.sql.DataFrame, stage: String) = {
+        val dupKeys = batch.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).select(col("k"))
+        val pkViol = batch.join(dupKeys, Seq("k"), "left_semi")
+        val fkViol = batch.join(custKeys, Seq("cust"), "left_anti")
+        val negViol = batch.filter(col("cents") <= 0)
+        def row(rule: String, v: org.apache.spark.sql.DataFrame) =
+          v.agg(count(lit(1)).as("n"),
+              coalesce(sum(col("k") % HashMod) % HashMod, lit(0L)).as("ck"))
+            .select(lit(stage).as("stage"), lit(rule).as("rule"), col("n"), col("ck"),
+              lit(null).cast("boolean").as("publish"))
+        val verdict = pkViol.select(col("k")).unionAll(fkViol.select(col("k")))
+          .unionAll(negViol.select(col("k")))
+          .agg(count(lit(1)).as("n_viol"))
+          .crossJoin(batch.agg(count(lit(1)).as("n"),
+            (sum((col("k") * 1000003L + col("cents")) % HashMod) % HashMod).as("ck")))
+          .select(lit(stage).as("stage"), lit("zz_verdict").as("rule"),
+            col("n"), col("ck"), (col("n_viol") === 0).as("publish"))
+        row("fk_orphan", fkViol)
+          .unionByName(row("neg_money", negViol))
+          .unionByName(row("pk_dup", pkViol))
+          .unionByName(verdict)
+      }
+      // quarantine policy: drop every row any rule flagged, re-audit
+      val dupKeys = staged.groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1).select(col("k"))
+      val repaired = staged
+        .join(dupKeys, Seq("k"), "left_anti")
+        .join(custKeys, Seq("cust"), "left_semi")
+        .filter(col("cents") > 0)
+        .localCheckpoint()
+      audit(staged, "a_staged").unionByName(audit(repaired, "b_repaired"))
+        .orderBy(col("stage"), col("rule"))
+    },
+    Some(s"""WITH clean AS (
+      SELECT o_orderkey AS k, o_custkey AS cust,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    staged AS (
+      SELECT k, CASE WHEN k % 83 = 0 THEN -1 ELSE cust END AS cust,
+        CASE WHEN k % 97 = 0 THEN -cents ELSE cents END AS cents
+      FROM clean
+      UNION ALL
+      SELECT k, cust, cents + 1 FROM clean WHERE k % 89 = 0),
+    dupk AS (SELECT k FROM staged GROUP BY k HAVING COUNT(*) > 1),
+    repaired AS (
+      SELECT * FROM staged
+      WHERE k NOT IN (SELECT k FROM dupk)
+        AND cust IN (SELECT c_custkey FROM customer)
+        AND cents > 0),
+    ${Seq("staged" -> "a_staged", "repaired" -> "b_repaired").map { case (b, tag) =>
+        s"""pk_$b AS (SELECT s.* FROM $b s WHERE s.k IN
+             (SELECT k FROM $b GROUP BY k HAVING COUNT(*) > 1)),
+    fk_$b AS (SELECT * FROM $b WHERE cust NOT IN (SELECT c_custkey FROM customer)),
+    ng_$b AS (SELECT * FROM $b WHERE cents <= 0),
+    out_$b AS (
+      SELECT '$tag' AS stage, 'fk_orphan' AS rule, COUNT(*) AS n,
+        COALESCE(SUM(k % $HashMod) % $HashMod, 0) AS ck,
+        CAST(NULL AS BOOLEAN) AS publish FROM fk_$b
+      UNION ALL
+      SELECT '$tag', 'neg_money', COUNT(*),
+        COALESCE(SUM(k % $HashMod) % $HashMod, 0), NULL FROM ng_$b
+      UNION ALL
+      SELECT '$tag', 'pk_dup', COUNT(*),
+        COALESCE(SUM(k % $HashMod) % $HashMod, 0), NULL FROM pk_$b
+      UNION ALL
+      SELECT '$tag', 'zz_verdict',
+        (SELECT COUNT(*) FROM $b),
+        (SELECT SUM((k * 1000003 + cents) % $HashMod) % $HashMod FROM $b),
+        ((SELECT COUNT(*) FROM pk_$b) + (SELECT COUNT(*) FROM fk_$b)
+          + (SELECT COUNT(*) FROM ng_$b)) = 0)"""
+      }.mkString(",\n    ")}
+    SELECT stage, rule, CAST(n AS BIGINT) AS n, CAST(ck AS BIGINT) AS ck, publish
+    FROM (SELECT * FROM out_staged UNION ALL SELECT * FROM out_repaired)
+    ORDER BY stage, rule"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177, q181, q184, q191)
+      q171, q172, q174, q176, q177, q181, q184, q191, q192)
 }
