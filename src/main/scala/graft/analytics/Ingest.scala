@@ -97,5 +97,56 @@ object Ingest {
       SELECT unnest(json_keys(props)) AS k FROM events)
     GROUP BY k ORDER BY k"""))
 
-  val defs: Seq[QueryDef] = Seq(q15, q16, q17, q23)
+  // --------------------------------------------------------------- q193
+  // DATA-FRESHNESS SLA AUDIT — the per-feed "is the pipeline still
+  // flowing" report an on-call reads before anything else: per feed
+  // (event_type here), event count, first/last event time, the feed's
+  // own mean inter-arrival gap ((last − first) / (n − 1), exact integer
+  // micros — no per-row gap materialization, no window), staleness =
+  // how far the feed's last event lags the LAKE's newest event, and a
+  // verdict: a feed is `stale` when its lag exceeds 3× its own mean
+  // cadence — the self-calibrating rule that flags a dead hourly feed
+  // within hours without false-alarming a daily one (a fixed global
+  // threshold can't do both; q150 audits ORDER, q183 sizes the
+  // watermark — this audits LIVENESS). One map-side-combined aggregate
+  // per feed + a 1-row global max broadcast; all arithmetic in exact
+  // epoch micros so verdicts hash-match.
+  private val q193 = QueryDef(
+    "q193_freshness_sla",
+    (s, dir) => {
+      val live = events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      // a planted dead feed (its mirror stopped after the first week —
+      // m16's contrast discipline): the stale=true branch must fire
+      val ev = live.unionByName(
+        live.filter(col("us") < 1704672000000000L) // < 2024-01-08T00:00Z
+          .select(lit("zz_legacy").as("event_type"), col("us")))
+      val feeds = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("us")).as("first_us"),
+          max(col("us")).as("last_us"))
+        .withColumn("mean_gap_us", expr("(last_us - first_us) DIV (n - 1)"))
+      feeds.crossJoin(broadcast(ev.agg(max(col("us")).as("lake_max_us"))))
+        .withColumn("lag_us", col("lake_max_us") - col("last_us"))
+        .withColumn("stale", col("lag_us") > lit(3L) * col("mean_gap_us"))
+        .select(col("event_type"), col("n"), col("first_us"), col("last_us"),
+          col("mean_gap_us"), col("lag_us"), col("stale"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""WITH live AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    ev AS (SELECT * FROM live
+           UNION ALL
+           SELECT 'zz_legacy', us FROM live WHERE us < 1704672000000000),
+    feeds AS (SELECT event_type, COUNT(*) AS n, MIN(us) AS first_us,
+                MAX(us) AS last_us,
+                (MAX(us) - MIN(us)) // (COUNT(*) - 1) AS mean_gap_us
+              FROM ev GROUP BY 1),
+    lake AS (SELECT MAX(us) AS lake_max_us FROM ev)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      CAST(first_us AS BIGINT) AS first_us, CAST(last_us AS BIGINT) AS last_us,
+      CAST(mean_gap_us AS BIGINT) AS mean_gap_us,
+      CAST(lake_max_us - last_us AS BIGINT) AS lag_us,
+      lake_max_us - last_us > 3 * mean_gap_us AS stale
+    FROM feeds CROSS JOIN lake ORDER BY event_type"""))
+
+  val defs: Seq[QueryDef] = Seq(q15, q16, q17, q23, q193)
 }
