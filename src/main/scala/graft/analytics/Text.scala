@@ -2843,9 +2843,78 @@ object Text {
     FROM j GROUP BY source ORDER BY source"""
     })
 
+  // ---------------------------------------------------------------- t49
+  // LARGEST-REMAINDER QUOTA ALLOCATION (Hare) — the integer-seats step
+  // every mixing manifest needs and ppm rates can't give: allocate
+  // EXACTLY N training slots across sources proportional to token
+  // mass, where floors alone under-shoot by up to |sources|−1 slots
+  // and naive rounding over/under-shoots unpredictably. Floor quotas
+  // plus one extra slot to the sources with the largest fractional
+  // remainders (ties by source name) sums to N by construction — and
+  // the __total__ row CHECKS it, so the manifest is machine-consumable
+  // without trust. All arithmetic is exact integer (N·mass products;
+  // at 100 TB promote to DECIMAL(38,0), the s31 rule); the remainder
+  // rank is a window over the |sources|-bounded aggregate, never the
+  // corpus. Complements q170/m19 (which price rates) with exact seats.
+  private val QuotaN = 10000L
+
+  private val t49 = QueryDef(
+    "t49_quota_allocation",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val mass = docsNarrow(s, dir)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("toks"))
+        .groupBy(col("source")).agg(sum(col("toks")).as("mass"))
+      val tot = mass.agg(sum(col("mass")).as("total"))
+      val seats = mass.crossJoin(broadcast(tot))
+        .withColumn("floor_q", expr(s"($QuotaN * mass) DIV total"))
+        .withColumn("frac_num", expr(s"($QuotaN * mass) % total"))
+      val withRemainder = seats
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("frac_num").desc, col("source"))))
+        .crossJoin(broadcast(
+          seats.agg((lit(QuotaN) - sum(col("floor_q"))).as("n_extra"))))
+        .withColumn("extra", when(col("rnk") <= col("n_extra"), 1L).otherwise(0L))
+        .withColumn("final_q", col("floor_q") + col("extra"))
+        .select(col("source"), col("mass"), col("floor_q"), col("frac_num"),
+          col("extra"), col("final_q"))
+      val total = withRemainder
+        .agg(sum(col("mass")).as("mass"), sum(col("floor_q")).as("floor_q"),
+          lit(-1L).as("frac_num"), sum(col("extra")).as("extra"),
+          sum(col("final_q")).as("final_q"))
+        .withColumn("source", lit("__total__"))
+        .select(col("source"), col("mass"), col("floor_q"), col("frac_num"),
+          col("extra"), col("final_q"))
+      withRemainder.unionByName(total).orderBy(col("source"))
+    },
+    Some(s"""WITH mass AS (
+      SELECT source, SUM(len(string_split(text, ' '))) AS mass
+      FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(mass) AS total FROM mass),
+    seats AS (SELECT source, mass,
+        ($QuotaN * mass) // total AS floor_q,
+        ($QuotaN * mass) % total AS frac_num
+      FROM mass CROSS JOIN tot),
+    ranked AS (SELECT *,
+        ROW_NUMBER() OVER (ORDER BY frac_num DESC, source) AS rnk,
+        (SELECT $QuotaN - SUM(floor_q) FROM seats) AS n_extra
+      FROM seats),
+    alloc AS (SELECT source, mass, floor_q, frac_num,
+        CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END AS extra,
+        floor_q + CASE WHEN rnk <= n_extra THEN 1 ELSE 0 END AS final_q
+      FROM ranked)
+    SELECT source, CAST(mass AS BIGINT) AS mass, CAST(floor_q AS BIGINT) AS floor_q,
+      CAST(frac_num AS BIGINT) AS frac_num, CAST(extra AS BIGINT) AS extra,
+      CAST(final_q AS BIGINT) AS final_q
+    FROM (SELECT * FROM alloc
+          UNION ALL
+          SELECT '__total__', SUM(mass), SUM(floor_q), -1, SUM(extra), SUM(final_q)
+          FROM alloc)
+    ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48)
+      t43, t44, t45, t46, t47, t48, t49)
 }
