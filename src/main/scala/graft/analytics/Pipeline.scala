@@ -1652,7 +1652,127 @@ object Pipeline {
       FROM ovac
     ) ORDER BY scenario"""))
 
+  // --------------------------------------------------------------- q194
+  // COMMIT-LOG CHECKPOINTING — what keeps q186's time-travel reads from
+  // degrading as the log grows: materialize a new base at a checkpoint
+  // version C (here C = 2), truncate the log to the suffix (ver > C),
+  // and prove the compacted pair serves every still-supported read
+  // identically — AS OF C is exactly the new base, AS OF latest from
+  // (new base + suffix) digests equal to the old full-log read, and
+  // the suffix row-count column shows what the read path now pays
+  // (1 version of ops instead of 3). Reuses q186's op fixture and
+  // latest-op-per-key read verbatim so the two queries cannot drift;
+  // scale: the checkpoint write is one merge-on-read materialization,
+  // after which every read joins an O(|suffix|) log.
+  private val q194 = QueryDef(
+    "q194_log_checkpoint",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .cache()
+      base.count()
+      val ops = base.filter(col("k") % 41 === 0)
+          .select(lit(1L).as("ver"), lit("U").as("op"), col("k"),
+            (col("cents") + 1L).as("new_cents"))
+        .unionByName(base.filter(col("k") % 43 === 0)
+          .select(lit(2L).as("ver"), lit("U").as("op"),
+            (col("k") + 2000000L).as("k"), (col("cents") + 5L).as("new_cents")))
+        .unionByName(base.filter(col("k") % 47 === 0)
+          .select(lit(2L).as("ver"), lit("D").as("op"), col("k"),
+            lit(null).cast("long").as("new_cents")))
+        .unionByName(base.filter(col("k") % 53 === 0)
+          .select(lit(3L).as("ver"), lit("U").as("op"), col("k"),
+            (col("cents") + 2L).as("new_cents")))
+        .localCheckpoint()
+      def readFrom(b: org.apache.spark.sql.DataFrame,
+          log: org.apache.spark.sql.DataFrame, v: Long) = {
+        val latest = log.filter(col("ver") <= v)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("k")).orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("k"), col("op"), col("new_cents"))
+        b.join(latest, Seq("k"), "full_outer")
+          .filter(col("op").isNull || col("op") =!= "D")
+          .select(col("k"),
+            when(col("op") === "U", col("new_cents")).otherwise(col("cents")).as("cents"))
+      }
+      // checkpoint at C = 2: materialize, truncate the log to the suffix
+      val ckptBase = readFrom(base, ops, 2L).localCheckpoint()
+      val suffix = ops.filter(col("ver") > 2L)
+      def digest(df: org.apache.spark.sql.DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+            (sum(col("k") % HashMod) % HashMod).as("key_checksum"))
+          .select(lit(tag).as("readout"), col("n_rows"), col("cents_sum"),
+            col("key_checksum"))
+      val rows = digest(ckptBase, "a_ckpt_base")
+        .unionByName(digest(readFrom(base, ops, 3L), "b_full_log_v3"))
+        .unionByName(digest(readFrom(ckptBase, suffix, 3L), "c_compacted_v3"))
+      val ref = rows.filter(col("readout") === "b_full_log_v3")
+        .select(col("n_rows").as("rn"), col("cents_sum").as("rc"),
+          col("key_checksum").as("rk"))
+      rows.crossJoin(broadcast(ref))
+        .select(col("readout"), col("n_rows"), col("cents_sum"), col("key_checksum"),
+          when(col("readout") =!= "a_ckpt_base",
+            col("n_rows") === col("rn") && col("cents_sum") === col("rc") &&
+              col("key_checksum") === col("rk")).as("matches_full_log"),
+          when(col("readout") === "c_compacted_v3",
+            lit(1L)).as("suffix_versions"))
+        .orderBy(col("readout"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      FROM orders),
+    ops AS (
+      SELECT 1 AS ver, 'U' AS op, k, cents + 1 AS new_cents FROM base WHERE k % 41 = 0
+      UNION ALL SELECT 2, 'U', k + 2000000, cents + 5 FROM base WHERE k % 43 = 0
+      UNION ALL SELECT 2, 'D', k, NULL FROM base WHERE k % 47 = 0
+      UNION ALL SELECT 3, 'U', k, cents + 2 FROM base WHERE k % 53 = 0),
+    l2 AS (SELECT k, op, new_cents FROM (
+        SELECT k, op, new_cents,
+          ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        FROM ops WHERE ver <= 2) WHERE rn = 1),
+    ckpt AS (SELECT COALESCE(b.k, l.k) AS k,
+        CASE WHEN l.op = 'U' THEN l.new_cents ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN l2 l ON b.k = l.k
+      WHERE l.op IS NULL OR l.op <> 'D'),
+    l3 AS (SELECT k, op, new_cents FROM (
+        SELECT k, op, new_cents,
+          ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        FROM ops WHERE ver <= 3) WHERE rn = 1),
+    full3 AS (SELECT COALESCE(b.k, l.k) AS k,
+        CASE WHEN l.op = 'U' THEN l.new_cents ELSE b.cents END AS cents
+      FROM base b FULL OUTER JOIN l3 l ON b.k = l.k
+      WHERE l.op IS NULL OR l.op <> 'D'),
+    sfx AS (SELECT k, op, new_cents FROM (
+        SELECT k, op, new_cents,
+          ROW_NUMBER() OVER (PARTITION BY k ORDER BY ver DESC) AS rn
+        FROM ops WHERE ver > 2 AND ver <= 3) WHERE rn = 1),
+    comp3 AS (SELECT COALESCE(c.k, l.k) AS k,
+        CASE WHEN l.op = 'U' THEN l.new_cents ELSE c.cents END AS cents
+      FROM ckpt c FULL OUTER JOIN sfx l ON c.k = l.k
+      WHERE l.op IS NULL OR l.op <> 'D'),
+    digests AS (
+      SELECT 'a_ckpt_base' AS readout, COUNT(*) AS n_rows, SUM(cents) AS cents_sum,
+        SUM(k % $HashMod) % $HashMod AS key_checksum FROM ckpt
+      UNION ALL SELECT 'b_full_log_v3', COUNT(*), SUM(cents),
+        SUM(k % $HashMod) % $HashMod FROM full3
+      UNION ALL SELECT 'c_compacted_v3', COUNT(*), SUM(cents),
+        SUM(k % $HashMod) % $HashMod FROM comp3),
+    ref AS (SELECT n_rows AS rn, cents_sum AS rc, key_checksum AS rk
+            FROM digests WHERE readout = 'b_full_log_v3')
+    SELECT readout, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(cents_sum AS BIGINT) AS cents_sum,
+      CAST(key_checksum AS BIGINT) AS key_checksum,
+      CASE WHEN readout <> 'a_ckpt_base'
+           THEN n_rows = rn AND cents_sum = rc AND key_checksum = rk END
+        AS matches_full_log,
+      CASE WHEN readout = 'c_compacted_v3' THEN CAST(1 AS BIGINT) END
+        AS suffix_versions
+    FROM digests CROSS JOIN ref ORDER BY readout"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155, q156, q185, q186, q189)
+      q131, q144, q145, q152, q155, q156, q185, q186, q189, q194)
 }
