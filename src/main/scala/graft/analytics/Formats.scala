@@ -721,7 +721,67 @@ object Formats {
               SUM(event_id % $HashMod) % $HashMod AS ck FROM src) s
     ) ORDER BY gen"""))
 
+  // --------------------------------------------------------------- q195
+  // SCHEMA-EVOLUTION READS — q188's partner problem: the table's early
+  // files lack a column the later files carry (a `channel` added
+  // mid-stream), and the read must union both generations with the
+  // missing column as NULL — Spark's parquet `mergeSchema` path, which
+  // is OFF by default because footer-merging every file is a listing
+  // cost (at scale the merged schema comes from the catalog; the
+  // per-file projection-with-null is the same machinery either way).
+  // The audit row proves the three contract points: the merged read's
+  // digests equal the source-derived union, the NULL channel count is
+  // exactly the old generation's row count (no null bleed into new
+  // rows), and the channel value checksum over the new generation
+  // round-trips. q146 DETECTS drift; this is the read path that
+  // SERVES it.
+  private val q195 = QueryDef(
+    "q195_schema_evolution",
+    (s, dir) => {
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val lake = tmpDir("graft-q195-lake")
+      graft.BenchSplit.setup {
+        base.filter(col("k") % 2 === 0)
+          .write.mode("overwrite").parquet(lake.resolve("gen_a").toString)
+        base.filter(col("k") % 2 === 1)
+          .withColumn("channel", expr("concat('ch', k % 3)"))
+          .write.mode("overwrite").parquet(lake.resolve("gen_b").toString)
+      }
+      val merged = s.read.option("mergeSchema", "true")
+        .parquet(lake.resolve("gen_a").toString, lake.resolve("gen_b").toString)
+      val src = base
+        .withColumn("channel",
+          expr("CASE WHEN k % 2 = 1 THEN concat('ch', k % 3) END"))
+      def digest(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("cents_sum"),
+          sum(when(col("channel").isNull, 1L).otherwise(0L)).as("n_null_channel"),
+          (sum(when(col("channel").isNotNull,
+            expr(s"${strHashExpr("channel")} % $HashMod")).otherwise(0L)) % HashMod)
+            .as("channel_ck"))
+      digest(merged)
+        .crossJoin(digest(src).select(col("n_rows").as("sn"), col("cents_sum").as("sc"),
+          col("n_null_channel").as("snn"), col("channel_ck").as("sck")))
+        .select(col("n_rows"), col("cents_sum"), col("n_null_channel"), col("channel_ck"),
+          (col("n_rows") === col("sn") && col("cents_sum") === col("sc") &&
+            col("n_null_channel") === col("snn") && col("channel_ck") === col("sck"))
+            .as("matches_source"))
+    },
+    Some(s"""WITH base AS (
+      SELECT o_orderkey AS k,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        CASE WHEN o_orderkey % 2 = 1
+             THEN concat('ch', CAST(o_orderkey % 3 AS VARCHAR)) END AS channel
+      FROM orders)
+    SELECT COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS cents_sum,
+      CAST(SUM(CASE WHEN channel IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_channel,
+      CAST(SUM(CASE WHEN channel IS NOT NULL
+                    THEN ${strHashSql("channel")} % $HashMod ELSE 0 END)
+           % $HashMod AS BIGINT) AS channel_ck,
+      TRUE AS matches_source
+    FROM base"""))
+
   val defs: Seq[QueryDef] =
     Seq(q41, q42, q43, q49, q63, q68, q80, q85, q88, q128, q147, q166, q175,
-      q188)
+      q188, q195)
 }
