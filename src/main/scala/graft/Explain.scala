@@ -92,7 +92,8 @@ object Explain {
         "q188_partition_evolution", "d47_band_shape_ab", "q189_occ_conflicts",
         "d48_sparsified_cc", "q190_pipe_syntax", "q191_crypto_shred",
         "q192_wap_gate", "q193_freshness_sla", "t49_quota_allocation",
-        "q194_log_checkpoint", "q195_schema_evolution")
+        "q194_log_checkpoint", "q195_schema_evolution",
+        "d49_bipartite_components")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -3354,9 +3354,100 @@ object Dedup {
     ) ORDER BY variant"""
     })
 
+  // ---------------------------------------------------------------- d49
+  // BIPARTITE DOC–SHINGLE COMPONENTS — duplicate grouping with NO pair
+  // enumeration anywhere, not even inside buckets: build the bipartite
+  // graph of documents and their RARE shingles (df ∈ [2, 5], d28's
+  // posting discipline — a df-1 shingle connects nothing and a common
+  // shingle would glue the corpus together), run the pointer-jumping CC
+  // operator directly on the bipartite edges, and read duplicate groups
+  // off the doc-side labels. Edge volume is Σ df over rare shingles
+  // ≤ 5 × |rare postings| — LINEAR, where every pair-based generator
+  // pays Σ df·(df−1)/2 per posting; the trade is recall shaped by
+  // shared-rare-shingle reachability (transitive through shingles)
+  // instead of a Jaccard bar, which is why this is the candidate-GROUP
+  // generator for containment-style dups, not a similarity verdict.
+  // Shingle node ids live above 2e9 (doc ids are far below), so the
+  // component minimum is always a doc id and doubles as the group key.
+  // Shingle WIDTH is the percolation knob, and it is measured, not
+  // assumed: with 3-gram shingles the rare-shingle graph glues this
+  // corpus into ONE 500-doc component (template vocab reuse chains
+  // everything transitively); 8-token shingles (d26's span width) yield
+  // 23 tight components of ≤3 docs at sf0.01 — genuine shared passages.
+  private val D49ShingleW = 8
+
+  private val d49 = QueryDef(
+    "d49_bipartite_components",
+    (s, dir) => {
+      val shingle8 = (1 to D49ShingleW).map(j => s"element_at(w, i + ${j - 1})")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= D49ShingleW)
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, size(w) - ${D49ShingleW - 1}), i -> $shingle8))"))
+          .as("shingle"))
+        .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
+        .select(col("doc_id"), col("sid"))
+      val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("sid"))
+      val edges = sh.join(rare, Seq("sid"), "left_semi")
+        .select(col("doc_id").as("id1"), col("sid").as("id2"))
+        .distinct()
+        .localCheckpoint() // rare-posting-bounded
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(edges).localCheckpoint()
+      }
+      val docLabels = labels.filter(col("node") < 2000000000L)
+      val comps = docLabels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("node") % HashMod) % HashMod).as("doc_checksum"))
+        .filter(col("n_docs") >= 2)
+      comps.join(labels.filter(col("node") >= 2000000000L)
+          .groupBy(col("comp")).agg(count(lit(1)).as("n_shingle_nodes")),
+          Seq("comp"), "left")
+        .select(col("comp"), col("n_docs"),
+          coalesce(col("n_shingle_nodes"), lit(0L)).as("n_shingle_nodes"),
+          col("doc_checksum"))
+        .orderBy(col("comp"))
+    },
+    Some {
+      val idx8 = (0 until D49ShingleW).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE sh0 AS (
+      SELECT doc_id, list_distinct(list_transform(
+               generate_series(1, len(string_split(text, ' ')) - ${D49ShingleW - 1}),
+               i -> $idx8)) AS sh
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      WHERE len(string_split(text, ' ')) >= $D49ShingleW),
+    shx AS (SELECT doc_id, 2000000000 + ${strHashSql("s")} AS sid
+            FROM (SELECT doc_id, unnest(sh) AS s FROM sh0)),
+    rare AS (SELECT sid FROM (
+               SELECT sid, COUNT(DISTINCT doc_id) AS df FROM shx GROUP BY 1)
+             WHERE df BETWEEN 2 AND 5),
+    edges AS (SELECT DISTINCT doc_id AS id1, shx.sid AS id2
+              FROM shx JOIN rare ON shx.sid = rare.sid),
+    e AS (SELECT id1, id2 FROM edges UNION SELECT id2, id1 FROM edges),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 FROM r JOIN e ON r.reach = e.id1),
+    lab AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    comps AS (SELECT comp, COUNT(*) AS n_docs,
+                SUM(node % $HashMod) % $HashMod AS doc_checksum
+              FROM lab WHERE node < 2000000000 GROUP BY comp
+              HAVING COUNT(*) >= 2),
+    snodes AS (SELECT comp, COUNT(*) AS n_shingle_nodes
+               FROM lab WHERE node >= 2000000000 GROUP BY comp)
+    SELECT c.comp, CAST(c.n_docs AS BIGINT) AS n_docs,
+      CAST(COALESCE(s.n_shingle_nodes, 0) AS BIGINT) AS n_shingle_nodes,
+      CAST(c.doc_checksum AS BIGINT) AS doc_checksum
+    FROM comps c LEFT JOIN snodes s ON c.comp = s.comp
+    ORDER BY c.comp"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, q170)
+      d47, d48, d49, q170)
 }
