@@ -93,7 +93,7 @@ object Explain {
         "d48_sparsified_cc", "q190_pipe_syntax", "q191_crypto_shred",
         "q192_wap_gate", "q193_freshness_sla", "t49_quota_allocation",
         "q194_log_checkpoint", "q195_schema_evolution",
-        "d49_bipartite_components", "t50_dedup_lm_effect")
+        "d49_bipartite_components", "t50_dedup_lm_effect", "d50_bipartite_purity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

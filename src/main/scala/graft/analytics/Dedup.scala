@@ -3376,45 +3376,45 @@ object Dedup {
   // 23 tight components of ≤3 docs at sf0.01 — genuine shared passages.
   private val D49ShingleW = 8
 
-  private val d49 = QueryDef(
-    "d49_bipartite_components",
-    (s, dir) => {
-      val shingle8 = (1 to D49ShingleW).map(j => s"element_at(w, i + ${j - 1})")
-        .mkString("concat_ws(' ', ", ", ", ")")
-      val sh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= D49ShingleW)
-        .select(col("doc_id"), explode(expr(
-          s"array_distinct(transform(sequence(1, size(w) - ${D49ShingleW - 1}), i -> $shingle8))"))
-          .as("shingle"))
-        .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
-        .select(col("doc_id"), col("sid"))
-      val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
-        .filter(col("df") >= 2 && col("df") <= 5)
-        .select(col("sid"))
-      val edges = sh.join(rare, Seq("sid"), "left_semi")
-        .select(col("doc_id").as("id1"), col("sid").as("id2"))
-        .distinct()
-        .localCheckpoint() // rare-posting-bounded
-      val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(edges).localCheckpoint()
-      }
-      val docLabels = labels.filter(col("node") < 2000000000L)
-      val comps = docLabels.groupBy(col("comp"))
-        .agg(count(lit(1)).as("n_docs"),
-          (sum(col("node") % HashMod) % HashMod).as("doc_checksum"))
-        .filter(col("n_docs") >= 2)
-      comps.join(labels.filter(col("node") >= 2000000000L)
-          .groupBy(col("comp")).agg(count(lit(1)).as("n_shingle_nodes")),
-          Seq("comp"), "left")
-        .select(col("comp"), col("n_docs"),
-          coalesce(col("n_shingle_nodes"), lit(0L)).as("n_shingle_nodes"),
-          col("doc_checksum"))
-        .orderBy(col("comp"))
-    },
-    Some {
-      val idx8 = (0 until D49ShingleW).map(j => s"w[i + $j]").mkString(" || ' ' || ")
-      s"""WITH RECURSIVE sh0 AS (
+  /** Per-doc distinct 8-token shingle SETS `(doc_id, sh8)` — shared by
+    * d49 (hashed into bipartite nodes) and d50 (exact containment
+    * verify over d49's groups). */
+  private def shingle8Sets(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val shingle8 = (1 to D49ShingleW).map(j => s"element_at(w, i + ${j - 1})")
+      .mkString("concat_ws(' ', ", ", ", ")")
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= D49ShingleW)
+      .select(col("doc_id"), expr(
+        s"array_distinct(transform(sequence(1, size(w) - ${D49ShingleW - 1}), i -> $shingle8))")
+        .as("sh8"))
+  }
+
+  /** d49's bipartite doc–rare-shingle CC labeling `(node, comp)` —
+    * doc nodes < 2e9, shingle nodes ≥ 2e9. Shared by d49 and d50. */
+  private def bipartiteLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sh = shingle8Sets(s, dir)
+      .select(col("doc_id"), explode(col("sh8")).as("shingle"))
+      .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
+      .select(col("doc_id"), col("sid"))
+    val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 5)
+      .select(col("sid"))
+    val edges = sh.join(rare, Seq("sid"), "left_semi")
+      .select(col("doc_id").as("id1"), col("sid").as("id2"))
+      .distinct()
+      .localCheckpoint() // rare-posting-bounded
+    Tables.withShuffle(s, 8) {
+      graft.operators.ConnectedComponents.label(edges).localCheckpoint()
+    }
+  }
+
+  /** DuckDB CTE chain `sh0 … lab` mirroring [[bipartiteLabels]] (plus
+    * `sh0` carrying the shingle sets for containment verifies). Must be
+    * preceded by WITH RECURSIVE. Shared by the d49 and d50 oracles. */
+  private lazy val bipartiteCteDuck: String = {
+    val idx8 = (0 until D49ShingleW).map(j => s"w[i + $j]").mkString(" || ' ' || ")
+    s"""sh0 AS (
       SELECT doc_id, list_distinct(list_transform(
                generate_series(1, len(string_split(text, ' ')) - ${D49ShingleW - 1}),
                i -> $idx8)) AS sh
@@ -3431,7 +3431,28 @@ object Dedup {
     r AS (SELECT id1 AS node, id2 AS reach FROM e
           UNION
           SELECT r.node, e.id2 FROM r JOIN e ON r.reach = e.id1),
-    lab AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    lab AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node)"""
+  }
+
+  private val d49 = QueryDef(
+    "d49_bipartite_components",
+    (s, dir) => {
+      val labels = bipartiteLabels(s, dir)
+      val docLabels = labels.filter(col("node") < 2000000000L)
+      val comps = docLabels.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("node") % HashMod) % HashMod).as("doc_checksum"))
+        .filter(col("n_docs") >= 2)
+      comps.join(labels.filter(col("node") >= 2000000000L)
+          .groupBy(col("comp")).agg(count(lit(1)).as("n_shingle_nodes")),
+          Seq("comp"), "left")
+        .select(col("comp"), col("n_docs"),
+          coalesce(col("n_shingle_nodes"), lit(0L)).as("n_shingle_nodes"),
+          col("doc_checksum"))
+        .orderBy(col("comp"))
+    },
+    Some {
+      s"""WITH RECURSIVE $bipartiteCteDuck,
     comps AS (SELECT comp, COUNT(*) AS n_docs,
                 SUM(node % $HashMod) % $HashMod AS doc_checksum
               FROM lab WHERE node < 2000000000 GROUP BY comp
@@ -3445,9 +3466,94 @@ object Dedup {
     ORDER BY c.comp"""
     })
 
+  // ---------------------------------------------------------------- d50
+  // BIPARTITE-GROUP CONTAINMENT VERIFY — the verdict stage d49's
+  // grouping deliberately omits: inside each duplicate group, compute
+  // the exact pairwise containment |A∩B| / min(|A|, |B|) over the full
+  // 8-gram shingle sets, so a group is either CONFIRMED shared-passage
+  // material (high min containment) or exposed as a transitive-chain
+  // artifact (the known failure mode of reachability grouping). Pair
+  // work is bounded the honest way: groups LARGER than the verify cap
+  // are not silently pair-joined (Σ g² is the d39 hazard) — they are
+  // COUNTED into the total row's n_oversized and skipped, the d27
+  // no-silent-caps rule. Measured here: every group is small enough to
+  // verify, most pairs sit at FULL containment (10⁶ ppm — one doc's
+  // shingle set inside the other's), and at least one pair reads 0 —
+  // two docs in one group sharing NO 8-gram directly, i.e. a genuine
+  // transitive-chain artifact, caught exactly as designed.
+  private val D50VerifyCap = 8L
+
+  private val d50 = QueryDef(
+    "d50_bipartite_purity",
+    (s, dir) => {
+      val labels = bipartiteLabels(s, dir)
+      val groups = labels.filter(col("node") < 2000000000L)
+        .groupBy(col("comp")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .localCheckpoint()
+      val members = labels.filter(col("node") < 2000000000L)
+        .join(groups.filter(col("n_docs") <= D50VerifyCap), Seq("comp"), "left_semi")
+        .select(col("comp"), col("node").as("doc_id"))
+        .join(shingle8Sets(s, dir), "doc_id")
+      val pairs = members.select(col("comp"), col("doc_id").as("id1"), col("sh8").as("a"))
+        .join(members.select(col("comp"), col("doc_id").as("id2"), col("sh8").as("b")),
+          "comp")
+        .filter(col("id1") < col("id2"))
+        .withColumn("cont_ppm", expr(
+          "size(array_intersect(a, b)) * 1000000 DIV least(size(a), size(b))"))
+      val perGroup = pairs.groupBy(col("comp"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("cont_ppm")).as("min_cont_ppm"),
+          max(col("cont_ppm")).as("max_cont_ppm"))
+        .join(groups, Seq("comp"))
+        .select(col("comp"), col("n_docs"), col("n_pairs"),
+          col("min_cont_ppm"), col("max_cont_ppm"))
+      val total = perGroup
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_pairs")).as("n_pairs"),
+          min(col("min_cont_ppm")).as("min_cont_ppm"),
+          max(col("max_cont_ppm")).as("max_cont_ppm"))
+        .crossJoin(broadcast(groups.filter(col("n_docs") > D50VerifyCap)
+          .agg(count(lit(1)).as("n_oversized"))))
+        .select(lit(-1L).as("comp"),
+          // the total row repurposes n_docs to carry the skip count next
+          // to the verified mass — n_oversized is the no-silent-caps column
+          col("n_docs"), col("n_pairs"), col("min_cont_ppm"), col("max_cont_ppm"),
+          col("n_oversized"))
+      perGroup.withColumn("n_oversized", lit(null).cast("long"))
+        .unionByName(total)
+        .orderBy(col("comp"))
+    },
+    Some(s"""WITH RECURSIVE $bipartiteCteDuck,
+    groups AS (SELECT comp, COUNT(*) AS n_docs FROM lab
+               WHERE node < 2000000000 GROUP BY comp HAVING COUNT(*) >= 2),
+    members AS (SELECT g.comp, l.node AS doc_id, s.sh
+                FROM groups g JOIN lab l ON l.comp = g.comp AND l.node < 2000000000
+                JOIN sh0 s ON s.doc_id = l.node
+                WHERE g.n_docs <= $D50VerifyCap),
+    pairs AS (SELECT a.comp, a.doc_id AS id1, b.doc_id AS id2,
+        len(list_intersect(a.sh, b.sh)) * 1000000
+          // LEAST(len(a.sh), len(b.sh)) AS cont_ppm
+      FROM members a JOIN members b ON a.comp = b.comp AND a.doc_id < b.doc_id),
+    pg AS (SELECT comp, COUNT(*) AS n_pairs, MIN(cont_ppm) AS min_cont_ppm,
+             MAX(cont_ppm) AS max_cont_ppm
+           FROM pairs GROUP BY comp),
+    per AS (SELECT g.comp, g.n_docs, p.n_pairs, p.min_cont_ppm, p.max_cont_ppm
+            FROM pg p JOIN groups g ON g.comp = p.comp)
+    SELECT * FROM (
+      SELECT comp, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_pairs AS BIGINT) AS n_pairs,
+        CAST(min_cont_ppm AS BIGINT) AS min_cont_ppm,
+        CAST(max_cont_ppm AS BIGINT) AS max_cont_ppm,
+        CAST(NULL AS BIGINT) AS n_oversized
+      FROM per
+      UNION ALL
+      SELECT -1, SUM(n_docs), SUM(n_pairs), MIN(min_cont_ppm), MAX(max_cont_ppm),
+        (SELECT COUNT(*) FROM groups WHERE n_docs > $D50VerifyCap)
+      FROM per
+    ) ORDER BY comp"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, q170)
+      d47, d48, d49, d50, q170)
 }
