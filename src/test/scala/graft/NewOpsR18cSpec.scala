@@ -81,6 +81,17 @@ class NewOpsR18cSpec extends SparkSuite {
     labels.distinct.length shouldBe labels.length
   }
 
+  test("d50 purity verify: every group verified, pair counts complete") {
+    val rows = Registry.queries("d50_bipartite_purity")(spark, dir).collect()
+    val total = rows.find(_.getAs[Long]("comp") == -1L).get
+    total.getAs[Long]("n_oversized") shouldBe 0L // nothing silently skipped here
+    rows.filter(_.getAs[Long]("comp") >= 0L).foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      r.getAs[Long]("n_pairs") shouldBe n * (n - 1) / 2 // all pairs verified
+      r.getAs[Long]("max_cont_ppm") should be <= 1000000L
+    }
+  }
+
   test("t50 dedup-LM readout: shared held-out set, dedup strictly shrinks train") {
     val rows = Registry.queries("t50_dedup_lm_effect")(spark, dir)
       .collect().sortBy(_.getAs[String]("variant"))
