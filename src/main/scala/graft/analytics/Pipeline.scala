@@ -1772,7 +1772,254 @@ object Pipeline {
         AS suffix_versions
     FROM digests CROSS JOIN ref ORDER BY readout"""))
 
+  // --------------------------------------------------------------- q196
+  // SNAPSHOT-EXPIRY PLANNER — the GC leg of the lakehouse arc (q186
+  // time travel reads versions, q194 checkpoints the log, this: decides
+  // which data files the expired versions were the LAST holder of). A
+  // deterministic add/remove commit log over a bounded file manifest
+  // (derived from orders so the fixture is data-driven, not constants),
+  // a keep-last-3 retention policy, and the planner's verdict per file:
+  // a file is deletable iff NO retained snapshot's live set (latest
+  // action ≤ v is an add) contains it. The fixture plants the three
+  // interesting lifecycles: removed-then-re-added (%10=5 after %5=0 —
+  // latest-action-wins must resurrect it), removed only in the newest
+  // snapshot (%11=2 — dead at HEAD yet retained by v4/v5, so NOT
+  // deletable), and removed before the horizon (%5=0, %7=3 — the only
+  // deletable class). `safe` pins the invariant a GC must never break —
+  // deletable ∧ live-at-HEAD is impossible — and the -1 total row
+  // prices the sweep (freed_bytes). Scale: everything is manifest-sized
+  // (file counts, not row counts); the per-snapshot live sets are one
+  // window over the op log per retained version — a real table keeps
+  // O(snapshots·files) manifest rows, never data rows.
+  private val q196 = QueryDef(
+    "q196_snapshot_expiry",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = rd(s, dir, "orders")
+        .select((col("o_orderkey") % 97).as("file_id")).distinct()
+        .withColumn("size_bytes", col("file_id") * 1009L % 5000L + 100L)
+        .localCheckpoint() // manifest-sized (≤97 rows at any SF)
+      def act(v: Long, a: String, pred: org.apache.spark.sql.Column) =
+        files.filter(pred).select(lit(v).as("ver"), lit(a).as("act"), col("file_id"))
+      val ops = act(1L, "A", col("file_id") % 2 === 0)
+        .unionByName(act(2L, "A", col("file_id") % 2 === 1))
+        .unionByName(act(3L, "R", col("file_id") % 5 === 0))
+        .unionByName(act(4L, "R", col("file_id") % 7 === 3))
+        .unionByName(act(5L, "A", col("file_id") % 10 === 5))
+        .unionByName(act(6L, "R", col("file_id") % 11 === 2))
+        .localCheckpoint()
+      // live set of each RETAINED snapshot: latest action ≤ v is an add
+      val liveAt = Seq(4L, 5L, 6L).map { v =>
+        ops.filter(col("ver") <= v)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("file_id")).orderBy(col("ver").desc)))
+          .filter(col("rn") === 1 && col("act") === "A")
+          .select(col("file_id"), lit(v).as("snap"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val liveRetained = liveAt.select("file_id").distinct()
+        .withColumn("in_retained", lit(true))
+      val liveLatest = liveAt.filter(col("snap") === 6L).select("file_id")
+        .withColumn("at_head", lit(true))
+      val refCounts = ops.groupBy(col("file_id")).agg(
+        sum(when(col("act") === "A", 1L).otherwise(0L)).as("n_adds"),
+        sum(when(col("act") === "R", 1L).otherwise(0L)).as("n_removes"))
+      val perFile = files.join(refCounts, Seq("file_id"))
+        .join(liveRetained, Seq("file_id"), "left")
+        .join(liveLatest, Seq("file_id"), "left")
+        .select(col("file_id"), col("size_bytes"), col("n_adds"), col("n_removes"),
+          coalesce(col("at_head"), lit(false)).as("live_latest"),
+          coalesce(col("in_retained"), lit(false)).as("live_in_retained"))
+        .withColumn("deletable", !col("live_in_retained"))
+        .withColumn("freed_bytes",
+          when(col("deletable"), col("size_bytes")).otherwise(0L))
+        .withColumn("safe", !(col("deletable") && col("live_latest")))
+      val total = perFile.agg(
+        sum(col("size_bytes")).as("size_bytes"),
+        sum(col("n_adds")).as("n_adds"),
+        sum(col("n_removes")).as("n_removes"),
+        sum(col("freed_bytes")).as("freed_bytes"),
+        bool_and(col("safe")).as("safe"))
+        .select(lit(-1L).as("file_id"), col("size_bytes"), col("n_adds"),
+          col("n_removes"), lit(null).cast("boolean").as("live_latest"),
+          lit(null).cast("boolean").as("live_in_retained"),
+          lit(null).cast("boolean").as("deletable"), col("freed_bytes"), col("safe"))
+      perFile.unionByName(total).orderBy(col("file_id"))
+    },
+    Some(s"""WITH files AS (
+      SELECT DISTINCT o_orderkey % 97 AS file_id FROM orders),
+    f AS (SELECT file_id, file_id * 1009 % 5000 + 100 AS size_bytes FROM files),
+    ops AS (
+      SELECT 1 AS ver, 'A' AS act, file_id FROM f WHERE file_id % 2 = 0
+      UNION ALL SELECT 2, 'A', file_id FROM f WHERE file_id % 2 = 1
+      UNION ALL SELECT 3, 'R', file_id FROM f WHERE file_id % 5 = 0
+      UNION ALL SELECT 4, 'R', file_id FROM f WHERE file_id % 7 = 3
+      UNION ALL SELECT 5, 'A', file_id FROM f WHERE file_id % 10 = 5
+      UNION ALL SELECT 6, 'R', file_id FROM f WHERE file_id % 11 = 2),
+    live AS (
+      SELECT file_id, snap FROM (
+        SELECT o.file_id, v.snap, o.act,
+          ROW_NUMBER() OVER (PARTITION BY o.file_id, v.snap ORDER BY o.ver DESC) AS rn
+        FROM ops o JOIN (VALUES (4), (5), (6)) AS v(snap) ON o.ver <= v.snap)
+      WHERE rn = 1 AND act = 'A'),
+    refc AS (SELECT file_id,
+        SUM(CASE WHEN act = 'A' THEN 1 ELSE 0 END) AS n_adds,
+        SUM(CASE WHEN act = 'R' THEN 1 ELSE 0 END) AS n_removes
+      FROM ops GROUP BY 1),
+    pf AS (
+      SELECT f.file_id, f.size_bytes, refc.n_adds, refc.n_removes,
+        EXISTS(SELECT 1 FROM live l WHERE l.file_id = f.file_id AND l.snap = 6)
+          AS live_latest,
+        EXISTS(SELECT 1 FROM live l WHERE l.file_id = f.file_id)
+          AS live_in_retained
+      FROM f JOIN refc USING (file_id)),
+    pf2 AS (
+      SELECT *, NOT live_in_retained AS deletable,
+        CASE WHEN NOT live_in_retained THEN size_bytes ELSE 0 END AS freed_bytes,
+        NOT (NOT live_in_retained AND live_latest) AS safe
+      FROM pf)
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+      CAST(size_bytes AS BIGINT) AS size_bytes,
+      CAST(n_adds AS BIGINT) AS n_adds, CAST(n_removes AS BIGINT) AS n_removes,
+      live_latest, live_in_retained, deletable,
+      CAST(freed_bytes AS BIGINT) AS freed_bytes, safe
+    FROM pf2
+    UNION ALL
+    SELECT -1, SUM(size_bytes), SUM(n_adds), SUM(n_removes), NULL, NULL, NULL,
+      SUM(freed_bytes), BOOL_AND(safe)
+    FROM pf2
+    ORDER BY file_id"""))
+
+  // --------------------------------------------------------------- q197
+  // ORPHAN-FILE VACUUM — the disk-side twin of q196's log-side GC: a
+  // physical listing (every file the commit log has EVER referenced,
+  // plus planted write-temp orphans with staggered mtimes) swept
+  // against the log with a grace period, the way Delta's VACUUM and
+  // Iceberg's remove-orphan-files work. Referenced files are kept
+  // unconditionally (snapshot expiry owns those — q196); unreferenced
+  // files inside the grace window are kept (an in-flight writer may
+  // still be about to commit them — deleting early is the classic
+  // vacuum data-loss bug); only aged orphans are vacuumed. The readout
+  // is verdict-class totals (scale-independent row count) and
+  // `group_unreferenced` — BOOL_AND(NOT referenced) per class — pins
+  // in-result that nothing the log references lands in the vacuum
+  // class. Scale: one listing scan + one manifest anti-join; the
+  // verdict is a row-local CASE, no pairs, no windows.
+  private val q197 = QueryDef(
+    "q197_orphan_vacuum",
+    (s, dir) => {
+      val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"))
+      val referenced = base.select((col("k") % 97).as("file_id")).distinct()
+        .select(concat(lit("data/f"), col("file_id")).as("path"),
+          lit(true).as("referenced"), lit(100L).as("mtime"),
+          (col("file_id") * 1009L % 5000L + 100L).as("size_bytes"))
+      val orphans = base.filter(col("k") % 61 === 0)
+        .select(concat(lit("tmp/o"), col("k")).as("path"),
+          lit(false).as("referenced"),
+          (lit(100L) + (col("k") % 7) * 20L).as("mtime"),
+          (col("k") * 31L % 4000L + 50L).as("size_bytes"))
+      // now = 240, grace = 60 → vacuum unreferenced files with mtime ≤ 180
+      val verdicts = referenced.unionByName(orphans)
+        .withColumn("verdict",
+          when(col("referenced"), lit("a_kept_referenced"))
+            .when(col("mtime") > 240L - 60L, lit("b_kept_in_grace"))
+            .otherwise(lit("c_vacuum")))
+      val perClass = verdicts.groupBy(col("verdict")).agg(
+        count(lit(1)).as("n_files"),
+        sum(col("size_bytes")).as("total_bytes"),
+        min(col("mtime")).as("oldest_mtime"),
+        bool_and(!col("referenced")).as("group_unreferenced"))
+      val total = verdicts.agg(
+        count(lit(1)).as("n_files"), sum(col("size_bytes")).as("total_bytes"),
+        min(col("mtime")).as("oldest_mtime"))
+        .select(lit("z_total").as("verdict"), col("n_files"), col("total_bytes"),
+          col("oldest_mtime"), lit(null).cast("boolean").as("group_unreferenced"))
+      perClass.unionByName(total).orderBy(col("verdict"))
+    },
+    Some(s"""WITH refd AS (
+      SELECT 'data/f' || CAST(file_id AS VARCHAR) AS path, TRUE AS referenced,
+        100 AS mtime, file_id * 1009 % 5000 + 100 AS size_bytes
+      FROM (SELECT DISTINCT o_orderkey % 97 AS file_id FROM orders)),
+    orph AS (
+      SELECT 'tmp/o' || CAST(o_orderkey AS VARCHAR) AS path, FALSE AS referenced,
+        100 + (o_orderkey % 7) * 20 AS mtime,
+        o_orderkey * 31 % 4000 + 50 AS size_bytes
+      FROM orders WHERE o_orderkey % 61 = 0),
+    listing AS (SELECT * FROM refd UNION ALL SELECT * FROM orph),
+    v AS (SELECT *,
+        CASE WHEN referenced THEN 'a_kept_referenced'
+             WHEN mtime > 240 - 60 THEN 'b_kept_in_grace'
+             ELSE 'c_vacuum' END AS verdict
+      FROM listing)
+    SELECT verdict, CAST(COUNT(*) AS BIGINT) AS n_files,
+      CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+      CAST(MIN(mtime) AS BIGINT) AS oldest_mtime,
+      BOOL_AND(NOT referenced) AS group_unreferenced
+    FROM v GROUP BY verdict
+    UNION ALL
+    SELECT 'z_total', COUNT(*), SUM(size_bytes), MIN(mtime), NULL FROM v
+    ORDER BY verdict"""))
+
+  // --------------------------------------------------------------- q198
+  // CAPACITY PLANNER — the sizing arithmetic this whole engine's scale
+  // notes keep doing by hand, as a query: per table, estimate bytes
+  // from row count × a pinned avg-row-width, derive the shuffle
+  // partition count that lands each partition at the 128 MB target
+  // (`spark.sql.files.maxPartitionBytes`' default), and the
+  // broadcastability verdict against the 32 MB cap that
+  // `Tables.bcastIfSmall` enforces at runtime — so the plan the
+  // optimizer would pick is now itself a queryable artifact. The
+  // z_cluster row rolls partitions up into an executor ask at 4
+  // concurrent tasks per executor. Integer ceil-division keeps both
+  // engines exact (no float boundary drift). Scale: five COUNT(*)
+  // scans (column-pruned to zero columns by parquet row-group
+  // metadata); at 100 TB the same query runs off table statistics.
+  private val q198 = QueryDef(
+    "q198_capacity_planner",
+    (s, dir) => {
+      val widths = Seq(("customer", 150L), ("documents", 900L), ("events", 80L),
+        ("lineitem", 120L), ("orders", 100L))
+      val per = widths.map { case (t, w) =>
+        rd(s, dir, t).agg(count(lit(1)).as("n_rows"))
+          .select(lit(t).as("table_name"), col("n_rows"),
+            (col("n_rows") * w).as("est_bytes"))
+      }.reduce(_ unionByName _)
+        .withColumn("target_partitions",
+          greatest(lit(1L), expr("(est_bytes + 134217727) DIV 134217728")))
+        .withColumn("broadcastable", col("est_bytes") < (32L << 20))
+        .withColumn("executors", lit(null).cast("long"))
+      val cluster = per.agg(
+        sum(col("n_rows")).as("n_rows"), sum(col("est_bytes")).as("est_bytes"),
+        sum(col("target_partitions")).as("target_partitions"))
+        .select(lit("z_cluster").as("table_name"), col("n_rows"), col("est_bytes"),
+          col("target_partitions"), lit(null).cast("boolean").as("broadcastable"),
+          expr("(target_partitions + 3) DIV 4").as("executors"))
+      per.unionByName(cluster).orderBy(col("table_name"))
+    },
+    Some(s"""WITH per AS (
+      SELECT 'customer' AS table_name, COUNT(*) AS n_rows,
+        COUNT(*) * 150 AS est_bytes FROM customer
+      UNION ALL SELECT 'documents', COUNT(*), COUNT(*) * 900 FROM documents
+      UNION ALL SELECT 'events', COUNT(*), COUNT(*) * 80 FROM events
+      UNION ALL SELECT 'lineitem', COUNT(*), COUNT(*) * 120 FROM lineitem
+      UNION ALL SELECT 'orders', COUNT(*), COUNT(*) * 100 FROM orders),
+    p2 AS (
+      SELECT table_name, n_rows, est_bytes,
+        GREATEST(1, (est_bytes + 134217727) // 134217728) AS target_partitions,
+        est_bytes < 33554432 AS broadcastable
+      FROM per)
+    SELECT table_name, CAST(n_rows AS BIGINT) AS n_rows,
+      CAST(est_bytes AS BIGINT) AS est_bytes,
+      CAST(target_partitions AS BIGINT) AS target_partitions,
+      broadcastable, CAST(NULL AS BIGINT) AS executors
+    FROM p2
+    UNION ALL
+    SELECT 'z_cluster', SUM(n_rows), SUM(est_bytes), SUM(target_partitions),
+      NULL, (SUM(target_partitions) + 3) // 4
+    FROM p2
+    ORDER BY table_name"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
-      q131, q144, q145, q152, q155, q156, q185, q186, q189, q194)
+      q131, q144, q145, q152, q155, q156, q185, q186, q189, q194, q196,
+      q197, q198)
 }
