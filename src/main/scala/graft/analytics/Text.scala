@@ -3017,9 +3017,177 @@ object Text {
     SELECT * FROM (SELECT * FROM out_trn UNION ALL SELECT * FROM out_trd)
     ORDER BY variant"""))
 
+  // ---------------------------------------------------------------- t51
+  // STUPID BACKOFF — the web-scale smoothing that completes the family
+  // (t30 add-one, t43/t48 Kneser-Ney, t46 Jelinek-Mercer): Brants et
+  // al.'s S(w2|w1) = c12/c1 when the bigram was seen, else α·p(w2) with
+  // α = 0.4 — no normalization, no discounting, which is exactly why it
+  // is the only smoothing that runs at trillion-token scale (the count
+  // tables need no second pass). The backoff unigram is add-one so
+  // unseen test words keep a finite score. Reuses t46's split and count
+  // tables verbatim (one bigram exchange serves bc/cc, one token scan
+  // serves uc) and scores JM at λ=0.5 in the SAME pass, so ce_sb vs
+  // ce_jm reads off one result; `backoff_ppm` prices how often the test
+  // set actually left the bigram table — the quantity that decides
+  // whether stupid backoff's pseudo-probabilities (they don't sum to 1,
+  // so ce_sb is a pseudo-CE — comparable across models scored on the
+  // same test set, not an absolute entropy) are safe for ranking. All
+  // per-type log scores in the exact 1e-4 lnQ units.
+  private val t51 = QueryDef(
+    "t51_stupid_backoff",
+    (s, dir) => {
+      val bi = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("doc_id"), col("source"), col("b.w1"), col("b.w2"))
+      val isTrain = expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") < 8
+      val train = bi.filter(isTrain)
+      val bc = train.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val cc = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val tok = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .filter(isTrain)
+      val uc = tok.groupBy(col("w")).agg(count(lit(1)).as("cw2"))
+        .withColumnRenamed("w", "w2")
+      val scalars = tok.agg(count(lit(1)).as("ntr"), countDistinct(col("w")).as("v"))
+      bi.filter(!isTrain)
+        .groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("cte"))
+        .join(bc, Seq("w1", "w2"), "left")
+        .join(cc, Seq("w1"), "left")
+        .join(uc, Seq("w2"), "left")
+        .crossJoin(broadcast(scalars))
+        .select(col("source"), col("cte"),
+          when(coalesce(col("c12"), lit(0L)) > 0, 0L).otherwise(1L).as("backed_off"),
+          expr(lnQ(
+            """CASE WHEN coalesce(c12, 0L) > 0
+                    THEN CAST(c12 AS DOUBLE) / c1
+                    ELSE 0.4D * (CAST(coalesce(cw2, 0L) + 1 AS DOUBLE) / (ntr + v)) END"""))
+            .as("lq_sb"),
+          expr(lnQ(
+            """0.5D * (CASE WHEN coalesce(c1, 0L) > 0
+                   THEN CAST(coalesce(c12, 0L) AS DOUBLE) / c1 ELSE 0.0D END) +
+               0.5D * (CAST(coalesce(cw2, 0L) + 1 AS DOUBLE) / (ntr + v))"""))
+            .as("lq_jm"))
+        .groupBy(col("source"))
+        .agg(sum(col("cte")).as("n_test_bigrams"),
+          sum(col("cte") * col("backed_off")).as("n_backoff"),
+          sum(col("cte") * col("lq_sb")).as("ssb"),
+          sum(col("cte") * col("lq_jm")).as("sjm"))
+        .select(col("source"), col("n_test_bigrams"),
+          expr("n_backoff * 1000000 DIV n_test_bigrams").as("backoff_ppm"),
+          expr("-CAST(ssb AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_sb"),
+          expr("-CAST(sjm AS DOUBLE) / n_test_bigrams / 10000.0D").as("ce_jm"))
+        .withColumn("delta", expr("ce_sb - ce_jm"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT doc_id, source, ws,
+             unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT doc_id, source, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1, 2),
+    cc AS (SELECT w1, COUNT(*) AS c1 FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8 GROUP BY 1),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    tr AS (SELECT w FROM tok WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 < 8),
+    uc AS (SELECT w AS w2, COUNT(*) AS cw2 FROM tr GROUP BY 1),
+    sc AS (SELECT COUNT(*) AS ntr, COUNT(DISTINCT w) AS v FROM tr),
+    te AS (SELECT source, w1, w2, COUNT(*) AS cte FROM bi
+           WHERE ${strHashSql("CAST(doc_id AS VARCHAR)")} % 10 >= 8 GROUP BY 1, 2, 3),
+    j AS (SELECT source, cte,
+            CASE WHEN COALESCE(bc.c12, 0) > 0 THEN 0 ELSE 1 END AS backed_off,
+            ${lnQ("""CASE WHEN COALESCE(bc.c12, 0) > 0
+                     THEN CAST(bc.c12 AS DOUBLE) / cc.c1
+                     ELSE 0.4 * (CAST(COALESCE(uc.cw2, 0) + 1 AS DOUBLE) / (sc.ntr + sc.v)) END""")}
+              AS lq_sb,
+            ${lnQ("""0.5 * (CASE WHEN COALESCE(cc.c1, 0) > 0
+                   THEN CAST(COALESCE(bc.c12, 0) AS DOUBLE) / cc.c1 ELSE 0.0 END) +
+               0.5 * (CAST(COALESCE(uc.cw2, 0) + 1 AS DOUBLE) / (sc.ntr + sc.v))""")}
+              AS lq_jm
+          FROM te LEFT JOIN bc USING (w1, w2) LEFT JOIN cc USING (w1)
+          LEFT JOIN uc USING (w2) CROSS JOIN sc)
+    SELECT source, CAST(SUM(cte) AS BIGINT) AS n_test_bigrams,
+      CAST(SUM(cte * backed_off) * 1000000 // SUM(cte) AS BIGINT) AS backoff_ppm,
+      -CAST(SUM(cte * lq_sb) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_sb,
+      -CAST(SUM(cte * lq_jm) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0 AS ce_jm,
+      (-CAST(SUM(cte * lq_sb) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0)
+        - (-CAST(SUM(cte * lq_jm) AS DOUBLE) / CAST(SUM(cte) AS BIGINT) / 10000.0) AS delta
+    FROM j GROUP BY source ORDER BY source"""))
+
+  // ---------------------------------------------------------------- t52
+  // MOVING-AVERAGE TYPE-TOKEN RATIO (MATTR, Covington & McFall) — the
+  // length-robust lexical-diversity signal the quality family still
+  // lacked: raw TTR (t11's concentration is its corpus-side cousin)
+  // collapses as documents grow (Heaps — t31 measures exactly that), so
+  // quality filters that threshold on it systematically kill long
+  // documents. MATTR slides a fixed 20-token window (stride 10) and
+  // averages per-window distinct ratios, making the score
+  // length-comparable. Everything is exact integer arithmetic: window
+  // distinct counts summed per doc, mattr_ppm = Σuniq·1e6 / (wins·20),
+  // then a decile histogram plus a -1 total row whose average is
+  // WINDOW-weighted (the corpus-level MATTR, not the mean of per-doc
+  // means — long docs count by their windows). Scale: per-row array
+  // ops only (the windows never explode to rows — transform + aggregate
+  // inside the row), one hash aggregate over ≤11 buckets; boilerplate
+  // template families land in the low deciles, which is the filter's
+  // point.
+  private val t52 = QueryDef(
+    "t52_mattr_diversity",
+    (s, dir) => {
+      val per = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 20)
+        .select(col("doc_id"),
+          expr("""transform(sequence(1, size(ws) - 19, 10),
+                  i -> CAST(size(array_distinct(slice(ws, i, 20))) AS BIGINT))""")
+            .as("uqs"))
+        .select(col("doc_id"),
+          expr("aggregate(uqs, 0L, (a, x) -> a + x)").as("uq_sum"),
+          size(col("uqs")).cast("long").as("n_windows"))
+        .withColumn("mattr_ppm", expr("uq_sum * 1000000 DIV (n_windows * 20)"))
+      val buckets = per.withColumn("bucket", expr("mattr_ppm DIV 100000"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(mattr_ppm) DIV count(1)").as("avg_mattr_ppm"),
+          min(col("mattr_ppm")).as("min_ppm"), max(col("mattr_ppm")).as("max_ppm"))
+      val total = per.agg(count(lit(1)).as("n_docs"),
+          expr("sum(uq_sum) * 1000000 DIV (sum(n_windows) * 20)").as("avg_mattr_ppm"),
+          min(col("mattr_ppm")).as("min_ppm"), max(col("mattr_ppm")).as("max_ppm"))
+        .select(lit(-1L).as("bucket"), col("n_docs"), col("avg_mattr_ppm"),
+          col("min_ppm"), col("max_ppm"))
+      buckets.unionByName(total).orderBy(col("bucket"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE len(string_split(text, ' ')) >= 20),
+    per AS (SELECT doc_id,
+        CAST(list_sum(list_transform(generate_series(1, len(ws) - 19, 10),
+          i -> CAST(len(list_distinct(ws[i:i+19])) AS BIGINT))) AS BIGINT) AS uq_sum,
+        CAST(len(generate_series(1, len(ws) - 19, 10)) AS BIGINT) AS n_windows
+      FROM d),
+    p2 AS (SELECT doc_id, uq_sum, n_windows,
+        uq_sum * 1000000 // (n_windows * 20) AS mattr_ppm FROM per)
+    SELECT CAST(mattr_ppm // 100000 AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(mattr_ppm) // COUNT(*) AS BIGINT) AS avg_mattr_ppm,
+      CAST(MIN(mattr_ppm) AS BIGINT) AS min_ppm,
+      CAST(MAX(mattr_ppm) AS BIGINT) AS max_ppm
+    FROM p2 GROUP BY 1
+    UNION ALL
+    SELECT -1, COUNT(*), SUM(uq_sum) * 1000000 // (SUM(n_windows) * 20),
+      MIN(mattr_ppm), MAX(mattr_ppm)
+    FROM p2
+    ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48, t49, t50)
+      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52)
 }
