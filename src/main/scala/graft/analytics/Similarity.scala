@@ -3413,8 +3413,251 @@ object Similarity {
     FROM un ORDER BY cell"""
     })
 
+  // ---------------------------------------------------------------- s41
+  // RESIDUAL QUANTIZATION — the additive-codebook alternative to s10's
+  // product quantizer (RQ/LSQ family: FAISS ResidualQuantizer): stage 1
+  // reconstructs each vector as its IVF centroid (the coarse codebook),
+  // stage 2 encodes the RESIDUAL against a second codebook and adds it
+  // back. The second codebook is deterministic — residuals are grouped
+  // by their 8-bit sign-LSH bucket (s02's hash applied to the residual)
+  // and the codeword is the floored per-component mean, the same
+  // convention as every centroid in this file — so both engines derive
+  // identical codes with no training loop. Per-vector squared errors
+  // are exact int64 (quantized components; the DIV-1000 rescale keeps
+  // corpus sums far from overflow at any SF), and `improved` pins the
+  // claim that adding the residual stage reduces reconstruction error
+  // for EVERY cell — the property that makes RQ's extra table lookup
+  // worth its bytes. Scale: stage 2 costs one zip_with per row plus a
+  // ≤256-row codebook broadcast; the codebook build is one map-side-
+  // combined (bucket, pos) aggregate.
+  private val s41 = QueryDef(
+    "s41_residual_quantizer",
+    (s, dir) => {
+      def signBucket(arr: String): String = (0 until 8).map { j =>
+        s"(CASE WHEN aggregate(slice($arr, ${8 * j + 1}, 8), CAST(0 AS BIGINT), (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val resid = q.join(broadcast(cent), col("label") === col("c_label"))
+        .withColumn("rv", expr("zip_with(qv, cqv, (x, y) -> x - y)"))
+        .withColumn("bucket", expr(signBucket("rv")))
+        .select(col("vec_id"), col("label"), col("rv"), col("bucket"))
+        .localCheckpoint() // reused by the codebook build and the rescore
+      val codebook = resid
+        .select(col("bucket"), posexplode(col("rv")).as(Seq("pos", "v")))
+        .groupBy(col("bucket"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cw"))
+        .groupBy(col("bucket"))
+        .agg(expr("""transform(array_sort(collect_list(struct(pos, cw)),
+            (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END),
+            p -> p.cw)""").as("cw"))
+      val perVec = resid.join(broadcast(codebook), Seq("bucket"))
+        .select(col("label"),
+          expr("aggregate(rv, 0L, (a, x) -> a + x * x) DIV 1000").as("e1"),
+          expr("""aggregate(zip_with(rv, cw, (x, y) -> x - y), 0L,
+                  (a, d) -> a + d * d) DIV 1000""").as("e2"))
+      val perCell = perVec.groupBy(col("label").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("e1")).as("err_coarse"), sum(col("e2")).as("err_residual"))
+      val total = perVec.agg(count(lit(1)).as("n_vecs"),
+          sum(col("e1")).as("err_coarse"), sum(col("e2")).as("err_residual"))
+        .select(lit(-1L).as("label"), col("n_vecs"), col("err_coarse"),
+          col("err_residual"))
+      perCell.unionByName(total)
+        // DECIMAL(38,0) headroom: err sums × 1e6 can pass int64 (the s31
+        // imbalance_ppm overflow class — Spark wraps/raises, DuckDB
+        // promotes, so the engines would diverge)
+        .withColumn("drop_ppm",
+          expr("""CAST((CAST(err_coarse AS DECIMAL(38,0)) - err_residual) * 1000000
+                  DIV CAST(err_coarse AS DECIMAL(38,0)) AS BIGINT)"""))
+        .withColumn("improved", col("err_residual") <= col("err_coarse"))
+        .orderBy(col("label"))
+    },
+    Some {
+      def signBucketDuck(arr: String): String = (0 until 8).map { j =>
+        s"(CASE WHEN list_reduce($arr[${8 * j + 1}:${8 * j + 8}], (acc, v) -> acc + v) > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH $quantCte,
+    ex AS (SELECT label, i AS pos, qv[i] AS v
+           FROM qn CROSS JOIN generate_series(1, 64) AS g(i)),
+    cd AS (SELECT label, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+           FROM ex GROUP BY label, pos),
+    ce AS (SELECT label, list(cv ORDER BY pos) AS cqv FROM cd GROUP BY label),
+    rs AS (SELECT qn.vec_id, qn.label,
+             list_transform(generate_series(1, 64), i -> qn.qv[i] - ce.cqv[i]) AS rv
+           FROM qn JOIN ce USING (label)),
+    rb AS (SELECT *, ${signBucketDuck("rv")} AS bucket FROM rs),
+    ex2 AS (SELECT bucket, i AS pos, rv[i] AS v
+            FROM rb CROSS JOIN generate_series(1, 64) AS g(i)),
+    cb AS (SELECT bucket, pos, CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cw
+           FROM ex2 GROUP BY bucket, pos),
+    cbl AS (SELECT bucket, list(cw ORDER BY pos) AS cw FROM cb GROUP BY bucket),
+    er AS (SELECT rb.label,
+             CAST(list_sum(list_transform(rb.rv, x -> x * x)) AS BIGINT) // 1000 AS e1,
+             CAST(list_sum(list_transform(generate_series(1, 64),
+               i -> (rb.rv[i] - cbl.cw[i]) * (rb.rv[i] - cbl.cw[i]))) AS BIGINT) // 1000 AS e2
+           FROM rb JOIN cbl USING (bucket)),
+    agged AS (
+      SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n_vecs,
+        SUM(e1) AS err_coarse, SUM(e2) AS err_residual
+      FROM er GROUP BY 1
+      UNION ALL
+      SELECT -1, COUNT(*), SUM(e1), SUM(e2) FROM er)
+    SELECT label, CAST(n_vecs AS BIGINT) AS n_vecs,
+      CAST(err_coarse AS BIGINT) AS err_coarse,
+      CAST(err_residual AS BIGINT) AS err_residual,
+      CAST((CAST(err_coarse AS HUGEINT) - err_residual) * 1000000
+        // CAST(err_coarse AS HUGEINT) AS BIGINT) AS drop_ppm,
+      err_residual <= err_coarse AS improved
+    FROM agged ORDER BY label"""
+    })
+
+  // ---------------------------------------------------------------- s42
+  // NN-DESCENT ROUND — one iteration of Dong et al.'s graph-refinement
+  // loop over s20's cell-restricted kNN graph: a neighbor of my
+  // neighbor is probably my neighbor, so the candidate set for each
+  // node is its current edges plus all 2-hop walks (directed both ways
+  // — reverse neighbors ride along because the 2-hop join is over the
+  // full edge set), re-ranked by EXACT cosine and cut back to k=3.
+  // Because the old top-3 is a subset of the candidate set, per-node
+  // similarity can only go up — `improved` pins recall monotonicity
+  // per cell against the brute-force truth (computed here as the
+  // audit; at corpus scale NN-descent exists precisely so that truth
+  // is never materialized). `n_cross` counts refined edges that LEAVE
+  // the IVF cell — the neighbors the cell-restricted build could never
+  // see and the reason one round already lifts recall. Scale: the
+  // candidate join is |E|·k = N·k² rows per round — linear in N with
+  // k² fan-out, never the N² of the truth table.
+  private val s42 = QueryDef(
+    "s42_nn_descent",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
+        .localCheckpoint()
+      val lhs = assigned.select(col("c_label"), col("vec_id").as("src"),
+        col("qv").as("qv1"), col("norm2").as("n1"))
+      val rhs = assigned.select(col("c_label").as("cl2"), col("vec_id").as("dst"),
+        col("qv").as("qv2"), col("norm2").as("n2"))
+      val g0 = lhs.join(rhs, col("c_label") === col("cl2") && col("src") =!= col("dst"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rnk") <= 3)
+        .select(col("src"), col("dst"))
+        .localCheckpoint()
+      // candidates: current edges ∪ 2-hop walks, deduped
+      val cand = g0
+        .unionByName(g0.as("e1").join(g0.as("e2"), col("e1.dst") === col("e2.src"))
+          .filter(col("e1.src") =!= col("e2.dst"))
+          .select(col("e1.src").as("src"), col("e2.dst").as("dst")))
+        .distinct()
+      val side = assigned.select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
+      val g1 = cand
+        .join(side.select(col("vec_id").as("src"), col("qv").as("qv1"),
+          col("norm2").as("n1"), col("c_label").as("lab1")), Seq("src"))
+        .join(side.select(col("vec_id").as("dst"), col("qv").as("qv2"),
+          col("norm2").as("n2"), col("c_label").as("lab2")), Seq("dst"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rnk") <= 3)
+        .select(col("src"), col("dst"), col("lab1"),
+          (col("lab1") =!= col("lab2")).cast("long").as("cross_cell"))
+        .localCheckpoint()
+      // brute-force truth (the audit): exact global top-3 per node
+      val truth = lhs.join(
+          assigned.select(col("vec_id").as("dst"), col("qv").as("qv2"),
+            col("norm2").as("n2")), col("src") =!= col("dst"))
+        .withColumn("sim",
+          expr(dotExpr("qv1", "qv2")).cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
+        .filter(col("rnk") <= 3)
+        .select(col("src"), col("dst"))
+      val hits0 = g0.join(truth, Seq("src", "dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("h0"))
+      val hits1 = g1.select(col("src"), col("dst"))
+        .join(truth, Seq("src", "dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("h1"))
+      val perCell = assigned.select(col("vec_id").as("src"), col("c_label"))
+        .join(hits0, Seq("src"), "left")
+        .join(hits1, Seq("src"), "left")
+        .join(g1.groupBy(col("src")).agg(sum(col("cross_cell")).as("nx")), Seq("src"), "left")
+        .groupBy(col("c_label").cast("long").as("cell"))
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(coalesce(col("h0"), lit(0L))).as("hits0"),
+          sum(coalesce(col("h1"), lit(0L))).as("hits1"),
+          sum(coalesce(col("nx"), lit(0L))).as("n_cross"))
+        .select(col("cell"), col("n_nodes"),
+          expr("hits0 * 1000000 DIV (n_nodes * 3)").as("recall0_ppm"),
+          expr("hits1 * 1000000 DIV (n_nodes * 3)").as("recall1_ppm"),
+          col("n_cross"))
+        .withColumn("improved", col("recall1_ppm") >= col("recall0_ppm"))
+      perCell.orderBy(col("cell"))
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    cb AS (SELECT vec_id, qv, norm2, list_label AS c_label FROM lists),
+    g0 AS (SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY $simSql DESC, b.vec_id) AS rnk
+        FROM cb a JOIN cb b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id)
+      WHERE rnk <= 3),
+    cand AS (
+      SELECT src, dst FROM g0
+      UNION
+      SELECT e1.src, e2.dst FROM g0 e1 JOIN g0 e2 ON e1.dst = e2.src
+      WHERE e1.src <> e2.dst),
+    g1 AS (SELECT src, dst, cross_cell FROM (
+        SELECT c.src, c.dst,
+          CASE WHEN a.c_label <> b.c_label THEN 1 ELSE 0 END AS cross_cell,
+          ROW_NUMBER() OVER (PARTITION BY c.src
+            ORDER BY $simSql DESC, c.dst) AS rnk
+        FROM cand c JOIN cb a ON a.vec_id = c.src JOIN cb b ON b.vec_id = c.dst)
+      WHERE rnk <= 3),
+    truth AS (SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+          ROW_NUMBER() OVER (PARTITION BY a.vec_id
+            ORDER BY $simSql DESC, b.vec_id) AS rnk
+        FROM cb a JOIN cb b ON a.vec_id <> b.vec_id)
+      WHERE rnk <= 3),
+    h0 AS (SELECT g0.src, COUNT(*) AS h0 FROM g0 JOIN truth USING (src, dst)
+           GROUP BY 1),
+    h1 AS (SELECT g1.src, COUNT(*) AS h1 FROM g1 JOIN truth USING (src, dst)
+           GROUP BY 1),
+    nx AS (SELECT src, SUM(cross_cell) AS nx FROM g1 GROUP BY 1),
+    pc AS (SELECT CAST(cb.c_label AS BIGINT) AS cell, COUNT(*) AS n_nodes,
+             SUM(COALESCE(h0.h0, 0)) AS hits0, SUM(COALESCE(h1.h1, 0)) AS hits1,
+             SUM(COALESCE(nx.nx, 0)) AS n_cross
+           FROM cb LEFT JOIN h0 ON h0.src = cb.vec_id
+             LEFT JOIN h1 ON h1.src = cb.vec_id
+             LEFT JOIN nx ON nx.src = cb.vec_id
+           GROUP BY 1)
+    SELECT cell, CAST(n_nodes AS BIGINT) AS n_nodes,
+      CAST(hits0 * 1000000 // (n_nodes * 3) AS BIGINT) AS recall0_ppm,
+      CAST(hits1 * 1000000 // (n_nodes * 3) AS BIGINT) AS recall1_ppm,
+      CAST(n_cross AS BIGINT) AS n_cross,
+      hits1 * 1000000 // (n_nodes * 3) >= hits0 * 1000000 // (n_nodes * 3) AS improved
+    FROM pc ORDER BY cell"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
-      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, d15)
+      s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
+      d15)
 }
