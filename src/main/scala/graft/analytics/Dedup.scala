@@ -3551,9 +3551,106 @@ object Dedup {
       FROM per
     ) ORDER BY comp"""))
 
+  // ---------------------------------------------------------------- d51
+  // WEIGHTED JACCARD — the multiset similarity the set-based detectors
+  // throw away: Σ min(tf₁,tf₂) / Σ max(tf₁,tf₂) over term FREQUENCIES,
+  // versus the distinct-set Jaccard every LSH stage approximates. On a
+  // template-heavy corpus the two disagree in a specific direction —
+  // repeated boilerplate tokens inflate the weighted denominator, so a
+  // pair can clear the set-wise 0.7 bar while its weighted score says
+  // the actual text mass differs (and vice versa for near-identical
+  // short docs with different repetition counts). Candidates come from
+  // the CAPPED shared SimHash generator (never all-pairs; the oracle
+  // mirrors the uncapped join per the d05 precedent — the cap provably
+  // never binds at the correctness SFs), and both scores compute from
+  // ONE full-outer term join per pair. Readout: the 0.7-threshold
+  // confusion classes with mean/max |gap| — the calibration a dedup
+  // pipeline needs before trusting either score alone. All-integer ppm
+  // math; gaps are reported as absolute values so the integer division
+  // semantics (Spark DIV truncation vs DuckDB // floor) never see a
+  // negative operand.
+  private val d51 = QueryDef(
+    "d51_weighted_jaccard",
+    (s, dir) => {
+      val pairs = simhashPairs(s, dir)
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      val a = pairs
+        .join(tf.select(col("doc_id").as("id1"), col("w"), col("c").as("c1")), Seq("id1"))
+        .select(col("id1"), col("id2"), col("w"), col("c1"))
+      val b = pairs
+        .join(tf.select(col("doc_id").as("id2"), col("w"), col("c").as("c2")), Seq("id2"))
+        .select(col("id1"), col("id2"), col("w"), col("c2"))
+      val perPair = a.join(b, Seq("id1", "id2", "w"), "full_outer")
+        .groupBy(col("id1"), col("id2"))
+        .agg(
+          sum(least(coalesce(col("c1"), lit(0L)), coalesce(col("c2"), lit(0L)))).as("smin"),
+          sum(greatest(coalesce(col("c1"), lit(0L)), coalesce(col("c2"), lit(0L)))).as("smax"),
+          sum(when(col("c1").isNotNull && col("c2").isNotNull, 1L).otherwise(0L)).as("inter"),
+          count(lit(1)).as("uni"))
+        .select(col("id1"), col("id2"),
+          expr("smin * 1000000 DIV smax").as("wj_ppm"),
+          expr("inter * 1000000 DIV uni").as("uj_ppm"))
+        .localCheckpoint()
+      pairs.unpersist()
+      val classed = perPair.withColumn("cls",
+        when(col("wj_ppm") >= 700000 && col("uj_ppm") >= 700000, lit("a_both"))
+          .when(col("wj_ppm") >= 700000, lit("b_weighted_only"))
+          .when(col("uj_ppm") >= 700000, lit("c_setwise_only"))
+          .otherwise(lit("d_neither")))
+        .withColumn("gap", abs(col("wj_ppm") - col("uj_ppm")))
+      val perClass = classed.groupBy(col("cls")).agg(
+        count(lit(1)).as("n_pairs"),
+        expr("sum(gap) DIV count(1)").as("mean_abs_gap_ppm"),
+        max(col("gap")).as("max_abs_gap_ppm"))
+      val total = classed.agg(count(lit(1)).as("n_pairs"),
+          expr("sum(gap) DIV count(1)").as("mean_abs_gap_ppm"),
+          max(col("gap")).as("max_abs_gap_ppm"))
+        .select(lit("z_total").as("cls"), col("n_pairs"),
+          col("mean_abs_gap_ppm"), col("max_abs_gap_ppm"))
+      perClass.unionByName(total).orderBy(col("cls"))
+    },
+    Some(s"""WITH $simhashCteDuck,
+    pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+      FROM sh a JOIN sh b
+        ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    tf AS (SELECT doc_id, w, COUNT(*) AS c FROM
+             (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+           GROUP BY 1, 2),
+    a AS (SELECT p.id1, p.id2, tf.w, tf.c AS c1
+          FROM pairs p JOIN tf ON tf.doc_id = p.id1),
+    b AS (SELECT p.id1, p.id2, tf.w, tf.c AS c2
+          FROM pairs p JOIN tf ON tf.doc_id = p.id2),
+    terms AS (SELECT COALESCE(a.id1, b.id1) AS id1, COALESCE(a.id2, b.id2) AS id2,
+                a.c1, b.c2
+              FROM a FULL OUTER JOIN b
+                ON a.id1 = b.id1 AND a.id2 = b.id2 AND a.w = b.w),
+    pp AS (SELECT id1, id2,
+        SUM(LEAST(COALESCE(c1, 0), COALESCE(c2, 0))) * 1000000
+          // SUM(GREATEST(COALESCE(c1, 0), COALESCE(c2, 0))) AS wj_ppm,
+        SUM(CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+          // COUNT(*) AS uj_ppm
+      FROM terms GROUP BY 1, 2),
+    v AS (SELECT *,
+        CASE WHEN wj_ppm >= 700000 AND uj_ppm >= 700000 THEN 'a_both'
+             WHEN wj_ppm >= 700000 THEN 'b_weighted_only'
+             WHEN uj_ppm >= 700000 THEN 'c_setwise_only'
+             ELSE 'd_neither' END AS cls,
+        ABS(wj_ppm - uj_ppm) AS gap
+      FROM pp)
+    SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(gap) // COUNT(*) AS BIGINT) AS mean_abs_gap_ppm,
+      CAST(MAX(gap) AS BIGINT) AS max_abs_gap_ppm
+    FROM v GROUP BY cls
+    UNION ALL
+    SELECT 'z_total', COUNT(*), SUM(gap) // COUNT(*), MAX(gap) FROM v
+    ORDER BY cls"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, q170)
+      d47, d48, d49, d50, d51, q170)
 }

@@ -1435,7 +1435,109 @@ object Multimodal {
     GROUP BY media_id HAVING SUM(CASE WHEN n_media >= 2 THEN 1 ELSE 0 END) > 0
     ORDER BY media_id"""))
 
+  // ---------------------------------------------------------------- m23
+  // METADATA PII REDACTION — the scrub step between m01's metadata
+  // extraction and any external release: media sidecar metadata (EXIF
+  // GPS, device serials, author tags) carries PII that survives every
+  // payload-level scrub, the classic leak in published image corpora. A
+  // deterministic sidecar fixture (each media row emits codec/duration
+  // always, GPS on %5, device serial on %7, author on %3) is swept by a
+  // key-class policy — drop GPS and author outright, HASH the device
+  // serial (joinability preserved, value unrecoverable), keep technical
+  // keys byte-exact — and the audit proves each class's contract
+  // in-result: `scrub_ok` checks n_after = 0 for dropped keys,
+  // n_after = n with a CHANGED value checksum for hashed keys, and an
+  // UNCHANGED checksum for kept keys. Scale: metadata explodes to a few
+  // rows per media, the scrub is a row-local CASE, and the audit is one
+  // map-side-combined aggregate per key — no joins at all.
+  private val m23 = QueryDef(
+    "m23_metadata_redaction",
+    (s, dir) => {
+      val meta = docs(s, dir).select(col("doc_id").as("media_id"))
+        .select(col("media_id"), explode(expr(
+          """filter(array(
+               named_struct('key', 'codec', 'value',
+                 CASE WHEN media_id % 3 = 0 THEN 'h264'
+                      WHEN media_id % 3 = 1 THEN 'vp9' ELSE 'av1' END),
+               named_struct('key', 'duration_ms', 'value',
+                 CAST(media_id % 3600 AS STRING)),
+               named_struct('key', 'gps_lat', 'value',
+                 IF(media_id % 5 = 0, CAST(media_id % 90 AS STRING), NULL)),
+               named_struct('key', 'gps_lon', 'value',
+                 IF(media_id % 5 = 0, CAST(media_id % 180 AS STRING), NULL)),
+               named_struct('key', 'device_serial', 'value',
+                 IF(media_id % 7 = 0, concat('SN', media_id * 7919 % 100000), NULL)),
+               named_struct('key', 'author', 'value',
+                 IF(media_id % 3 = 0, concat('user_', media_id % 50), NULL))),
+             e -> e.value IS NOT NULL)""")).as("e"))
+        .select(col("media_id"), col("e.key").as("key"), col("e.value").as("value"))
+      val policed = meta.withColumn("clazz",
+        when(col("key").isin("gps_lat", "gps_lon", "author"), lit("pii_drop"))
+          .when(col("key") === "device_serial", lit("pii_hash"))
+          .otherwise(lit("keep")))
+      val scrubbed = policed.filter(col("clazz") =!= "pii_drop")
+        .withColumn("out_value",
+          when(col("clazz") === "pii_hash",
+            expr(s"CAST(${strHashExpr("value")} AS STRING)"))
+            .otherwise(col("value")))
+      val before = policed.groupBy(col("key"), col("clazz")).agg(
+        count(lit(1)).as("n_entries"),
+        (sum(expr(s"${strHashExpr("value")}")) % HashMod).as("ck_before"))
+      val after = scrubbed.groupBy(col("key")).agg(
+        count(lit(1)).as("n_after"),
+        (sum(expr(s"${strHashExpr("out_value")}")) % HashMod).as("ck_after"))
+      before.join(after, Seq("key"), "left")
+        .select(col("key"), col("clazz"), col("n_entries"),
+          coalesce(col("n_after"), lit(0L)).as("n_after"),
+          col("ck_before"), col("ck_after"),
+          when(col("clazz") === "pii_drop", coalesce(col("n_after"), lit(0L)) === 0L)
+            .when(col("clazz") === "pii_hash",
+              col("n_after") === col("n_entries") && col("ck_after") =!= col("ck_before"))
+            .otherwise(col("n_after") === col("n_entries") &&
+              col("ck_after") === col("ck_before")).as("scrub_ok"))
+        .orderBy(col("key"))
+    },
+    Some(s"""WITH m AS (SELECT doc_id AS media_id FROM documents),
+    meta AS (
+      SELECT media_id, 'codec' AS key,
+        CASE WHEN media_id % 3 = 0 THEN 'h264'
+             WHEN media_id % 3 = 1 THEN 'vp9' ELSE 'av1' END AS value FROM m
+      UNION ALL SELECT media_id, 'duration_ms', CAST(media_id % 3600 AS VARCHAR) FROM m
+      UNION ALL SELECT media_id, 'gps_lat', CAST(media_id % 90 AS VARCHAR)
+        FROM m WHERE media_id % 5 = 0
+      UNION ALL SELECT media_id, 'gps_lon', CAST(media_id % 180 AS VARCHAR)
+        FROM m WHERE media_id % 5 = 0
+      UNION ALL SELECT media_id, 'device_serial',
+        'SN' || CAST(media_id * 7919 % 100000 AS VARCHAR)
+        FROM m WHERE media_id % 7 = 0
+      UNION ALL SELECT media_id, 'author', 'user_' || CAST(media_id % 50 AS VARCHAR)
+        FROM m WHERE media_id % 3 = 0),
+    pol AS (SELECT *,
+        CASE WHEN key IN ('gps_lat', 'gps_lon', 'author') THEN 'pii_drop'
+             WHEN key = 'device_serial' THEN 'pii_hash'
+             ELSE 'keep' END AS clazz
+      FROM meta),
+    scr AS (SELECT key,
+        CASE WHEN clazz = 'pii_hash'
+             THEN CAST(${strHashSql("value")} AS VARCHAR) ELSE value END AS out_value
+      FROM pol WHERE clazz <> 'pii_drop'),
+    bef AS (SELECT key, clazz, COUNT(*) AS n_entries,
+        SUM(${strHashSql("value")}) % $HashMod AS ck_before
+      FROM pol GROUP BY 1, 2),
+    aft AS (SELECT key, COUNT(*) AS n_after,
+        SUM(${strHashSql("out_value")}) % $HashMod AS ck_after
+      FROM scr GROUP BY 1)
+    SELECT bef.key, clazz, CAST(n_entries AS BIGINT) AS n_entries,
+      CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+      CAST(ck_before AS BIGINT) AS ck_before, CAST(ck_after AS BIGINT) AS ck_after,
+      CASE WHEN clazz = 'pii_drop' THEN COALESCE(n_after, 0) = 0
+           WHEN clazz = 'pii_hash'
+             THEN n_after = n_entries AND ck_after <> ck_before
+           ELSE n_after = n_entries AND ck_after = ck_before END AS scrub_ok
+    FROM bef LEFT JOIN aft USING (key)
+    ORDER BY bef.key"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20, m21, m22)
+      m15, m16, m17, m18, m19, m20, m21, m22, m23)
 }
