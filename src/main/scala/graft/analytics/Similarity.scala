@@ -3514,20 +3514,22 @@ object Similarity {
 
   // ---------------------------------------------------------------- s42
   // NN-DESCENT ROUND — one iteration of Dong et al.'s graph-refinement
-  // loop over s20's cell-restricted kNN graph: a neighbor of my
-  // neighbor is probably my neighbor, so the candidate set for each
-  // node is its current edges plus all 2-hop walks (directed both ways
-  // — reverse neighbors ride along because the 2-hop join is over the
-  // full edge set), re-ranked by EXACT cosine and cut back to k=3.
-  // Because the old top-3 is a subset of the candidate set, per-node
-  // similarity can only go up — `improved` pins recall monotonicity
-  // per cell against the brute-force truth (computed here as the
-  // audit; at corpus scale NN-descent exists precisely so that truth
-  // is never materialized). `n_cross` counts refined edges that LEAVE
-  // the IVF cell — the neighbors the cell-restricted build could never
-  // see and the reason one round already lifts recall. Scale: the
-  // candidate join is |E|·k = N·k² rows per round — linear in N with
-  // k² fan-out, never the N² of the truth table.
+  // loop: a neighbor of my neighbor is probably my neighbor. The
+  // initial graph is top-3 by exact cosine over CHEAP candidates — the
+  // node's IVF cell plus a deterministic 3-edge id-ring (the paper's
+  // random init, made reproducible) — and the round re-ranks each
+  // node's current edges plus all 2-hop walks, cutting back to k=3.
+  // The ring is what makes the round able to ESCAPE the cell: on this
+  // corpus ~75% of true top-3 edges cross IVF cells (measured at both
+  // correctness SFs), so a purely cell-restricted graph is capped near
+  // 25% recall and its 2-hops can never leave; ring 2-hops can.
+  // Because each node's old top-3 is a subset of its candidate set,
+  // per-node hit counts are monotone — `improved` pins that against
+  // the brute-force truth (computed here as the audit; at corpus scale
+  // NN-descent exists precisely so the truth is never materialized).
+  // n_cross0/n_cross1 count kept cross-cell edges before/after the
+  // round. Scale: candidate volume is N·k² per round — linear in N
+  // with k² fan-out, never the N² of the truth table.
   private val s42 = QueryDef(
     "s42_nn_descent",
     (s, dir) => {
@@ -3543,27 +3545,10 @@ object Similarity {
         .filter(col("crnk") === 1)
         .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
         .localCheckpoint()
-      val lhs = assigned.select(col("c_label"), col("vec_id").as("src"),
-        col("qv").as("qv1"), col("norm2").as("n1"))
-      val rhs = assigned.select(col("c_label").as("cl2"), col("vec_id").as("dst"),
-        col("qv").as("qv2"), col("norm2").as("n2"))
-      val g0 = lhs.join(rhs, col("c_label") === col("cl2") && col("src") =!= col("dst"))
-        .withColumn("sim",
-          expr(dotExpr("qv1", "qv2")).cast("double") /
-            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
-        .filter(col("rnk") <= 3)
-        .select(col("src"), col("dst"))
-        .localCheckpoint()
-      // candidates: current edges ∪ 2-hop walks, deduped
-      val cand = g0
-        .unionByName(g0.as("e1").join(g0.as("e2"), col("e1.dst") === col("e2.src"))
-          .filter(col("e1.src") =!= col("e2.dst"))
-          .select(col("e1.src").as("src"), col("e2.dst").as("dst")))
-        .distinct()
+      val n = assigned.count() // vec_ids are contiguous 0..N-1
       val side = assigned.select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
-      val g1 = cand
+      // rank candidate edges by exact cosine, keep top-3 per src
+      def rankTop3(cand: org.apache.spark.sql.DataFrame) = cand
         .join(side.select(col("vec_id").as("src"), col("qv").as("qv1"),
           col("norm2").as("n1"), col("c_label").as("lab1")), Seq("src"))
         .join(side.select(col("vec_id").as("dst"), col("qv").as("qv2"),
@@ -3574,13 +3559,28 @@ object Similarity {
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
         .filter(col("rnk") <= 3)
-        .select(col("src"), col("dst"), col("lab1"),
+        .select(col("src"), col("dst"),
           (col("lab1") =!= col("lab2")).cast("long").as("cross_cell"))
-        .localCheckpoint()
+      val cellPairs = assigned.select(col("c_label"), col("vec_id").as("src"))
+        .join(assigned.select(col("c_label").as("cl2"), col("vec_id").as("dst")),
+          col("c_label") === col("cl2") && col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+      val ring = assigned.select(col("vec_id").as("src"))
+        .select(col("src"), explode(expr("sequence(1, 3)")).as("j"))
+        .select(col("src"), ((col("src") + col("j")) % n).as("dst"))
+      val g0 = rankTop3(cellPairs.unionByName(ring).distinct()).localCheckpoint()
+      val e0 = g0.select(col("src"), col("dst"))
+      val cand = e0
+        .unionByName(e0.as("e1").join(e0.as("e2"), col("e1.dst") === col("e2.src"))
+          .filter(col("e1.src") =!= col("e2.dst"))
+          .select(col("e1.src").as("src"), col("e2.dst").as("dst")))
+        .distinct()
+      val g1 = rankTop3(cand).localCheckpoint()
       // brute-force truth (the audit): exact global top-3 per node
-      val truth = lhs.join(
-          assigned.select(col("vec_id").as("dst"), col("qv").as("qv2"),
-            col("norm2").as("n2")), col("src") =!= col("dst"))
+      val truth = assigned
+        .select(col("vec_id").as("src"), col("qv").as("qv1"), col("norm2").as("n1"))
+        .join(assigned.select(col("vec_id").as("dst"), col("qv").as("qv2"),
+          col("norm2").as("n2")), col("src") =!= col("dst"))
         .withColumn("sim",
           expr(dotExpr("qv1", "qv2")).cast("double") /
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
@@ -3588,35 +3588,45 @@ object Similarity {
           Window.partitionBy(col("src")).orderBy(col("sim").desc, col("dst"))))
         .filter(col("rnk") <= 3)
         .select(col("src"), col("dst"))
-      val hits0 = g0.join(truth, Seq("src", "dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("h0"))
-      val hits1 = g1.select(col("src"), col("dst"))
-        .join(truth, Seq("src", "dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("h1"))
+      def hits(g: org.apache.spark.sql.DataFrame, name: String) =
+        g.select(col("src"), col("dst")).join(truth, Seq("src", "dst"), "left_semi")
+          .groupBy(col("src")).agg(count(lit(1)).as(name))
+      def crosses(g: org.apache.spark.sql.DataFrame, name: String) =
+        g.groupBy(col("src")).agg(sum(col("cross_cell")).as(name))
       val perCell = assigned.select(col("vec_id").as("src"), col("c_label"))
-        .join(hits0, Seq("src"), "left")
-        .join(hits1, Seq("src"), "left")
-        .join(g1.groupBy(col("src")).agg(sum(col("cross_cell")).as("nx")), Seq("src"), "left")
+        .join(hits(g0, "h0"), Seq("src"), "left")
+        .join(hits(g1, "h1"), Seq("src"), "left")
+        .join(crosses(g0, "x0"), Seq("src"), "left")
+        .join(crosses(g1, "x1"), Seq("src"), "left")
         .groupBy(col("c_label").cast("long").as("cell"))
         .agg(count(lit(1)).as("n_nodes"),
           sum(coalesce(col("h0"), lit(0L))).as("hits0"),
           sum(coalesce(col("h1"), lit(0L))).as("hits1"),
-          sum(coalesce(col("nx"), lit(0L))).as("n_cross"))
+          sum(coalesce(col("x0"), lit(0L))).as("n_cross0"),
+          sum(coalesce(col("x1"), lit(0L))).as("n_cross1"))
         .select(col("cell"), col("n_nodes"),
           expr("hits0 * 1000000 DIV (n_nodes * 3)").as("recall0_ppm"),
           expr("hits1 * 1000000 DIV (n_nodes * 3)").as("recall1_ppm"),
-          col("n_cross"))
+          col("n_cross0"), col("n_cross1"))
         .withColumn("improved", col("recall1_ppm") >= col("recall0_ppm"))
       perCell.orderBy(col("cell"))
     },
     Some(s"""WITH $quantCte,
     $ivfProbeCte,
     cb AS (SELECT vec_id, qv, norm2, list_label AS c_label FROM lists),
-    g0 AS (SELECT src, dst FROM (
-        SELECT a.vec_id AS src, b.vec_id AS dst,
-          ROW_NUMBER() OVER (PARTITION BY a.vec_id
-            ORDER BY $simSql DESC, b.vec_id) AS rnk
-        FROM cb a JOIN cb b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id)
+    nn AS (SELECT COUNT(*) AS n FROM cb),
+    init AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst
+      FROM cb a JOIN cb b ON a.c_label = b.c_label AND a.vec_id <> b.vec_id
+      UNION
+      SELECT cb.vec_id AS src, (cb.vec_id + g.j) % nn.n AS dst
+      FROM cb CROSS JOIN nn CROSS JOIN generate_series(1, 3) AS g(j)),
+    g0 AS (SELECT src, dst, cross_cell FROM (
+        SELECT c.src, c.dst,
+          CASE WHEN a.c_label <> b.c_label THEN 1 ELSE 0 END AS cross_cell,
+          ROW_NUMBER() OVER (PARTITION BY c.src
+            ORDER BY $simSql DESC, c.dst) AS rnk
+        FROM init c JOIN cb a ON a.vec_id = c.src JOIN cb b ON b.vec_id = c.dst)
       WHERE rnk <= 3),
     cand AS (
       SELECT src, dst FROM g0
@@ -3640,18 +3650,20 @@ object Similarity {
            GROUP BY 1),
     h1 AS (SELECT g1.src, COUNT(*) AS h1 FROM g1 JOIN truth USING (src, dst)
            GROUP BY 1),
-    nx AS (SELECT src, SUM(cross_cell) AS nx FROM g1 GROUP BY 1),
+    x0 AS (SELECT src, SUM(cross_cell) AS x0 FROM g0 GROUP BY 1),
+    x1 AS (SELECT src, SUM(cross_cell) AS x1 FROM g1 GROUP BY 1),
     pc AS (SELECT CAST(cb.c_label AS BIGINT) AS cell, COUNT(*) AS n_nodes,
              SUM(COALESCE(h0.h0, 0)) AS hits0, SUM(COALESCE(h1.h1, 0)) AS hits1,
-             SUM(COALESCE(nx.nx, 0)) AS n_cross
+             SUM(COALESCE(x0.x0, 0)) AS n_cross0, SUM(COALESCE(x1.x1, 0)) AS n_cross1
            FROM cb LEFT JOIN h0 ON h0.src = cb.vec_id
              LEFT JOIN h1 ON h1.src = cb.vec_id
-             LEFT JOIN nx ON nx.src = cb.vec_id
+             LEFT JOIN x0 ON x0.src = cb.vec_id
+             LEFT JOIN x1 ON x1.src = cb.vec_id
            GROUP BY 1)
     SELECT cell, CAST(n_nodes AS BIGINT) AS n_nodes,
       CAST(hits0 * 1000000 // (n_nodes * 3) AS BIGINT) AS recall0_ppm,
       CAST(hits1 * 1000000 // (n_nodes * 3) AS BIGINT) AS recall1_ppm,
-      CAST(n_cross AS BIGINT) AS n_cross,
+      CAST(n_cross0 AS BIGINT) AS n_cross0, CAST(n_cross1 AS BIGINT) AS n_cross1,
       hits1 * 1000000 // (n_nodes * 3) >= hits0 * 1000000 // (n_nodes * 3) AS improved
     FROM pc ORDER BY cell"""))
 
