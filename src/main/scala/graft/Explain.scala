@@ -93,7 +93,11 @@ object Explain {
         "d48_sparsified_cc", "q190_pipe_syntax", "q191_crypto_shred",
         "q192_wap_gate", "q193_freshness_sla", "t49_quota_allocation",
         "q194_log_checkpoint", "q195_schema_evolution",
-        "d49_bipartite_components", "t50_dedup_lm_effect", "d50_bipartite_purity")
+        "d49_bipartite_components", "t50_dedup_lm_effect", "d50_bipartite_purity",
+        // r18 wave D
+        "q196_snapshot_expiry", "q197_orphan_vacuum", "q198_capacity_planner",
+        "t51_stupid_backoff", "t52_mattr_diversity", "s41_residual_quantizer",
+        "s42_nn_descent", "d51_weighted_jaccard", "m23_metadata_redaction")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

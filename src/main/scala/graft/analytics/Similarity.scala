@@ -3576,11 +3576,16 @@ object Similarity {
           .select(col("e1.src").as("src"), col("e2.dst").as("dst")))
         .distinct()
       val g1 = rankTop3(cand).localCheckpoint()
-      // brute-force truth (the audit): exact global top-3 per node
+      // brute-force truth (the audit): exact global top-3 per node. The
+      // non-equi all-pairs join is the POINT of the audit — bcastIfSmall
+      // keeps it a BroadcastNestedLoop while the embeddings file is
+      // dim-sized (it is at every correctness SF) and drops the hint
+      // beyond the 32 MB gate, where the truth audit has no business
+      // running anyway (NN-descent exists so it never does).
       val truth = assigned
         .select(col("vec_id").as("src"), col("qv").as("qv1"), col("norm2").as("n1"))
-        .join(assigned.select(col("vec_id").as("dst"), col("qv").as("qv2"),
-          col("norm2").as("n2")), col("src") =!= col("dst"))
+        .join(bcastIfSmall(assigned.select(col("vec_id").as("dst"), col("qv").as("qv2"),
+          col("norm2").as("n2")), dir, "embeddings"), col("src") =!= col("dst"))
         .withColumn("sim",
           expr(dotExpr("qv1", "qv2")).cast("double") /
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
