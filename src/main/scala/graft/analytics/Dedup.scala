@@ -3576,22 +3576,32 @@ object Dedup {
       val tf = docs(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
-      val a = pairs
+        .localCheckpoint() // three consumers: totals + both pair sides
+      val totals = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("wsum"), count(lit(1)).as("dcnt"))
+      // multiset identity: Σmax(a,b) = ΣA + ΣB − Σmin over SHARED terms
+      // (terms unique to one side contribute their full count to max and
+      // 0 to min), and |A∪B| = |A| + |B| − |A∩B| — so one INNER join on
+      // shared terms plus per-doc totals replaces the full-outer term
+      // merge (A/B at sf0.1: 21.9 → ~9 s; the outer union rows and their
+      // second shuffle were half the cost)
+      val shared = pairs
         .join(tf.select(col("doc_id").as("id1"), col("w"), col("c").as("c1")), Seq("id1"))
-        .select(col("id1"), col("id2"), col("w"), col("c1"))
-      val b = pairs
-        .join(tf.select(col("doc_id").as("id2"), col("w"), col("c").as("c2")), Seq("id2"))
-        .select(col("id1"), col("id2"), col("w"), col("c2"))
-      val perPair = a.join(b, Seq("id1", "id2", "w"), "full_outer")
+        .join(tf.select(col("doc_id").as("id2"), col("w"), col("c").as("c2")),
+          Seq("id2", "w"))
         .groupBy(col("id1"), col("id2"))
-        .agg(
-          sum(least(coalesce(col("c1"), lit(0L)), coalesce(col("c2"), lit(0L)))).as("smin"),
-          sum(greatest(coalesce(col("c1"), lit(0L)), coalesce(col("c2"), lit(0L)))).as("smax"),
-          sum(when(col("c1").isNotNull && col("c2").isNotNull, 1L).otherwise(0L)).as("inter"),
-          count(lit(1)).as("uni"))
+        .agg(sum(least(col("c1"), col("c2"))).as("smin"), count(lit(1)).as("inter"))
+      val perPair = pairs
+        .join(shared, Seq("id1", "id2"), "left")
+        .join(totals.select(col("doc_id").as("id1"), col("wsum").as("w1"),
+          col("dcnt").as("d1")), Seq("id1"))
+        .join(totals.select(col("doc_id").as("id2"), col("wsum").as("w2"),
+          col("dcnt").as("d2")), Seq("id2"))
         .select(col("id1"), col("id2"),
-          expr("smin * 1000000 DIV smax").as("wj_ppm"),
-          expr("inter * 1000000 DIV uni").as("uj_ppm"))
+          expr("coalesce(smin, 0L) * 1000000 DIV (w1 + w2 - coalesce(smin, 0L))")
+            .as("wj_ppm"),
+          expr("coalesce(inter, 0L) * 1000000 DIV (d1 + d2 - coalesce(inter, 0L))")
+            .as("uj_ppm"))
         .localCheckpoint()
       pairs.unpersist()
       val classed = perPair.withColumn("cls",
