@@ -3856,9 +3856,158 @@ object Streams {
         AS matches_oneshot
     FROM rolls CROSS JOIN os ORDER BY side"""))
 
+  // --------------------------------------------------------------- q199
+  // STREAMING SNAPSHOT-EXPIRY GATE — q196's GC planner maintained
+  // incrementally: commit-log entries arrive in micro-batches (two
+  // versions per batch), foreachBatch appends them to a batchId-keyed
+  // ledger (idempotent dynamic overwrite — the q173/q182 discipline, so
+  // an at-least-once replay of a batch replaces its own partition
+  // instead of double-appending), and after each prefix the keep-last-3
+  // retention re-plans which files became expirable. The per-batch
+  // readout folds the LEDGER (what actually landed through the sink) and
+  // `matches_rebuild` proves it digest-equal — count, freed bytes, AND a
+  // deletable-set checksum — to a from-scratch recompute over the
+  // original op table, the exactly-once plumbing check DuckDB cannot see
+  // (its twin emits the literal TRUE; the values it CAN check — counts,
+  // max version, freed bytes per prefix — are all recomputed). Scale:
+  // the ledger is op-volume, each prefix plan is one window over
+  // manifest-sized rows per retained version, and the verdict never
+  // rescans data files.
+  private val q199 = QueryDef(
+    "q199_stream_expiry_gate",
+    (s, dir) => withStreamShuffle(s) {
+      import org.apache.spark.sql.expressions.Window
+      val streamDir = Tables.tmpDir("graft-q199-stream")
+      val ledgerDir = Tables.tmp("graft-q199-ledger")
+      val files = rd(s, dir, "orders")
+        .select((col("o_orderkey") % 97).as("file_id")).distinct()
+        .withColumn("size_bytes", col("file_id") * 1009L % 5000L + 100L)
+        .localCheckpoint()
+      def act(v: Long, a: String, pred: Column) =
+        files.filter(pred).select(lit(v).as("ver"), lit(a).as("act"), col("file_id"))
+      val ops = act(1L, "A", col("file_id") % 2 === 0)
+        .unionByName(act(2L, "A", col("file_id") % 2 === 1))
+        .unionByName(act(3L, "R", col("file_id") % 5 === 0))
+        .unionByName(act(4L, "R", col("file_id") % 7 === 3))
+        .unionByName(act(5L, "A", col("file_id") % 10 === 5))
+        .unionByName(act(6L, "R", col("file_id") % 11 === 2))
+        .localCheckpoint()
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        (0 to 2).foreach { b =>
+          val stage = Tables.tmp(s"graft-q199-b$b")
+          ops.filter(col("ver") === 2L * b + 1 || col("ver") === 2L * b + 2)
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$b.parquet"), baseT + b * 60000L)
+        }
+      }
+      val schema = s.read.parquet(streamDir.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ledgerDir)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q199-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      val batches = s.range(0, 3).select(col("id").as("b"))
+      // per-prefix expiry digests from any (b, ver, act, file_id) frame
+      def digests(pref: org.apache.spark.sql.DataFrame) = {
+        val vers = pref.select(col("b"), col("ver")).distinct()
+          .withColumn("vrk", row_number().over(
+            Window.partitionBy(col("b")).orderBy(col("ver").desc)))
+          .filter(col("vrk") <= 3)
+          .select(col("b"), col("ver").as("rv"))
+        val live = pref.as("o")
+          .join(vers.as("r"), col("o.b") === col("r.b") && col("o.ver") <= col("r.rv"))
+          .select(col("o.b").as("b"), col("r.rv").as("rv"), col("o.ver").as("ver"),
+            col("o.act").as("act"), col("o.file_id").as("file_id"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("b"), col("rv"), col("file_id"))
+              .orderBy(col("ver").desc)))
+          .filter(col("rn") === 1 && col("act") === "A")
+          .select(col("b"), col("file_id")).distinct()
+        val tracked = pref.filter(col("act") === "A")
+          .select(col("b"), col("file_id")).distinct()
+        tracked.join(live, Seq("b", "file_id"), "left_anti")
+          .join(files, Seq("file_id"))
+          .groupBy(col("b"))
+          .agg(count(lit(1)).as("n_deletable"),
+            sum(col("size_bytes")).as("freed_bytes"),
+            (sum(col("file_id") * 1000003L % HashMod) % HashMod).as("del_ck"))
+      }
+      val ledger = s.read.parquet(ledgerDir)
+      val ledgerPref = broadcast(batches)
+        .join(ledger, col("batch_id") <= col("b"))
+        .select(col("b"), col("ver"), col("act"), col("file_id"))
+      val directPref = broadcast(batches)
+        .join(ops, expr("(ver - 1) DIV 2") <= col("b"))
+        .select(col("b"), col("ver"), col("act"), col("file_id"))
+      val fold = digests(ledgerPref)
+      val rebuild = digests(directPref)
+        .select(col("b"), col("n_deletable").as("rn_del"),
+          col("freed_bytes").as("rfreed"), col("del_ck").as("rck"))
+      val opsSeen = ledgerPref.groupBy(col("b"))
+        .agg(count(lit(1)).as("n_ops"), max(col("ver")).as("max_ver"))
+      batches.join(opsSeen, Seq("b"), "left")
+        .join(fold, Seq("b"), "left")
+        .join(rebuild, Seq("b"), "left")
+        .select(col("b").as("batch_id"), col("max_ver"), col("n_ops"),
+          coalesce(col("n_deletable"), lit(0L)).as("n_deletable"),
+          coalesce(col("freed_bytes"), lit(0L)).as("freed_bytes"),
+          (coalesce(col("n_deletable"), lit(0L)) === coalesce(col("rn_del"), lit(0L)) &&
+            coalesce(col("freed_bytes"), lit(0L)) === coalesce(col("rfreed"), lit(0L)) &&
+            coalesce(col("del_ck"), lit(0L)) === coalesce(col("rck"), lit(0L)))
+            .as("matches_rebuild"))
+        .orderBy(col("batch_id"))
+    },
+    Some(s"""WITH files AS (
+      SELECT DISTINCT o_orderkey % 97 AS file_id FROM orders),
+    f AS (SELECT file_id, file_id * 1009 % 5000 + 100 AS size_bytes FROM files),
+    ops AS (
+      SELECT 1 AS ver, 'A' AS act, file_id FROM f WHERE file_id % 2 = 0
+      UNION ALL SELECT 2, 'A', file_id FROM f WHERE file_id % 2 = 1
+      UNION ALL SELECT 3, 'R', file_id FROM f WHERE file_id % 5 = 0
+      UNION ALL SELECT 4, 'R', file_id FROM f WHERE file_id % 7 = 3
+      UNION ALL SELECT 5, 'A', file_id FROM f WHERE file_id % 10 = 5
+      UNION ALL SELECT 6, 'R', file_id FROM f WHERE file_id % 11 = 2),
+    opsb AS (SELECT *, (ver - 1) // 2 AS batch_id FROM ops),
+    batches AS (SELECT unnest(generate_series(0, 2)) AS b),
+    pref AS (SELECT b, ver, act, file_id
+             FROM batches JOIN opsb ON opsb.batch_id <= b),
+    vers AS (SELECT b, ver AS rv FROM (
+        SELECT b, ver, ROW_NUMBER() OVER (PARTITION BY b ORDER BY ver DESC) AS vrk
+        FROM (SELECT DISTINCT b, ver FROM pref)) WHERE vrk <= 3),
+    live AS (SELECT DISTINCT b, file_id FROM (
+        SELECT o.b, r.rv, o.file_id, o.act,
+          ROW_NUMBER() OVER (PARTITION BY o.b, r.rv, o.file_id
+            ORDER BY o.ver DESC) AS rn
+        FROM pref o JOIN vers r ON o.b = r.b AND o.ver <= r.rv)
+      WHERE rn = 1 AND act = 'A'),
+    tracked AS (SELECT DISTINCT b, file_id FROM pref WHERE act = 'A'),
+    del AS (SELECT t.b, t.file_id FROM tracked t
+            WHERE NOT EXISTS (SELECT 1 FROM live l
+                              WHERE l.b = t.b AND l.file_id = t.file_id)),
+    dd AS (SELECT del.b, COUNT(*) AS n_deletable, SUM(f.size_bytes) AS freed_bytes
+           FROM del JOIN f USING (file_id) GROUP BY del.b),
+    oc AS (SELECT b, COUNT(*) AS n_ops, MAX(ver) AS max_ver FROM pref GROUP BY b)
+    SELECT CAST(oc.b AS BIGINT) AS batch_id, CAST(max_ver AS BIGINT) AS max_ver,
+      CAST(n_ops AS BIGINT) AS n_ops,
+      CAST(COALESCE(n_deletable, 0) AS BIGINT) AS n_deletable,
+      CAST(COALESCE(freed_bytes, 0) AS BIGINT) AS freed_bytes,
+      TRUE AS matches_rebuild
+    FROM oc LEFT JOIN dd ON oc.b = dd.b ORDER BY batch_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169, q173, q182, q183, q187)
+      d29, q164, q169, q173, q182, q183, q187, q199)
 }
