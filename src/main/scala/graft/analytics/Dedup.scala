@@ -3658,9 +3658,114 @@ object Dedup {
     SELECT 'z_total', COUNT(*), SUM(gap) // COUNT(*), MAX(gap) FROM v
     ORDER BY cls"""))
 
+  // ---------------------------------------------------------------- d52
+  // CLUSTER STABILITY UNDER SAMPLING — the robustness audit dedup
+  // clustering needs before its labels drive deletions: drop a
+  // deterministic 10% of documents, re-cluster the surviving subgraph,
+  // and measure how much the partition over SURVIVORS moved. Full-graph
+  // labels keep connectivity THROUGH removed nodes (that asymmetry is
+  // the finding: a cluster held together by one bridge doc shatters),
+  // while the subgraph re-clusters from surviving edges only. Agreement
+  // is the pair-counting Jaccard/Rand form computed ENTIRELY from
+  // contingency-cell sizes — Σ C(n,2) per (full, sub) label cell vs per
+  // marginal — so no co-clustered pair is ever enumerated
+  // (contingency-sized work at any corpus size; the ppm division rides
+  // DECIMAL/HUGEINT). Survivors whose every edge vanished count as
+  // singletons (COALESCE to self). `n_split_clusters` names the bridge
+  // casualties directly.
+  private val d52 = QueryDef(
+    "d52_cluster_stability",
+    (s, dir) => {
+      val cachedPairs = simhashPairs(s, dir)
+      def isSurv(c: String) =
+        expr(s"${strHashExpr(s"CAST($c AS STRING)")} % 10") =!= 0
+      val subPairs = cachedPairs.filter(isSurv("id1") && isSurv("id2"))
+        .localCheckpoint()
+      Tables.withShuffle(s, 8) {
+        val labelsFull = graft.operators.ConnectedComponents.label(cachedPairs)
+          .localCheckpoint()
+        val labelsSub = graft.operators.ConnectedComponents.label(subPairs)
+          .localCheckpoint()
+        cachedPairs.unpersist()
+        // universe: survivor nodes of the FULL graph; edge-less
+        // survivors in the subgraph become singletons
+        val u = labelsFull.filter(isSurv("node"))
+          .join(labelsSub.select(col("node"), col("comp").as("comp_s")),
+            Seq("node"), "left")
+          .select(col("node"), col("comp").as("comp_f"),
+            coalesce(col("comp_s"), col("node")).as("comp_s"))
+        val cells = u.groupBy(col("comp_f"), col("comp_s"))
+          .agg(count(lit(1)).as("n")).localCheckpoint()
+        val both = cells.agg(sum(expr("n * (n - 1) DIV 2")).as("pairs_both"),
+          count(lit(1)).as("n_cells"))
+        val fullM = cells.groupBy(col("comp_f")).agg(sum(col("n")).as("nf"),
+            countDistinct(col("comp_s")).as("n_sub"))
+          .agg(sum(expr("nf * (nf - 1) DIV 2")).as("pairs_full"),
+            count(lit(1)).as("n_clusters_full"),
+            sum(when(col("n_sub") > 1, 1L).otherwise(0L)).as("n_split_clusters"))
+        val subM = cells.groupBy(col("comp_s")).agg(sum(col("n")).as("ns"))
+          .agg(sum(expr("ns * (ns - 1) DIV 2")).as("pairs_sub"),
+            count(lit(1)).as("n_clusters_sub"))
+        val nodes = u.agg(count(lit(1)).as("n_survivor_nodes"))
+        nodes.crossJoin(broadcast(both)).crossJoin(broadcast(fullM))
+          .crossJoin(broadcast(subM))
+          .select(col("n_survivor_nodes"), col("n_clusters_full"),
+            col("n_clusters_sub"), col("n_split_clusters"),
+            col("pairs_full"), col("pairs_sub"), col("pairs_both"),
+            expr("""CAST(CAST(pairs_both AS DECIMAL(38,0)) * 1000000
+                    DIV (CAST(pairs_full AS DECIMAL(38,0)) + pairs_sub - pairs_both)
+                    AS BIGINT)""").as("stability_ppm"))
+      }
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp_f
+             FROM r GROUP BY node),
+    ps AS (SELECT id1, id2 FROM p
+           WHERE ${strHashSql("CAST(id1 AS VARCHAR)")} % 10 <> 0
+             AND ${strHashSql("CAST(id2 AS VARCHAR)")} % 10 <> 0),
+    es AS (SELECT id1, id2 FROM ps UNION SELECT id2, id1 FROM ps),
+    rs AS (SELECT id1 AS node, id2 AS reach FROM es
+           UNION
+           SELECT rs.node, es.id2 AS reach FROM rs JOIN es ON rs.reach = es.id1),
+    comps AS (SELECT node, LEAST(node, MIN(reach)) AS comp_s
+              FROM rs GROUP BY node),
+    u AS (SELECT c.node, c.comp_f, COALESCE(cs.comp_s, c.node) AS comp_s
+          FROM comp c LEFT JOIN comps cs ON c.node = cs.node
+          WHERE ${strHashSql("CAST(c.node AS VARCHAR)")} % 10 <> 0),
+    cells AS (SELECT comp_f, comp_s, COUNT(*) AS n FROM u GROUP BY 1, 2),
+    bth AS (SELECT SUM(n * (n - 1) // 2) AS pairs_both FROM cells),
+    fm AS (SELECT SUM(nf * (nf - 1) // 2) AS pairs_full,
+             COUNT(*) AS n_clusters_full,
+             SUM(CASE WHEN n_sub > 1 THEN 1 ELSE 0 END) AS n_split_clusters
+           FROM (SELECT comp_f, SUM(n) AS nf, COUNT(DISTINCT comp_s) AS n_sub
+                 FROM cells GROUP BY 1)),
+    sm AS (SELECT SUM(ns * (ns - 1) // 2) AS pairs_sub,
+             COUNT(*) AS n_clusters_sub
+           FROM (SELECT comp_s, SUM(n) AS ns FROM cells GROUP BY 1)),
+    nodes AS (SELECT COUNT(*) AS n_survivor_nodes FROM u)
+    SELECT CAST(n_survivor_nodes AS BIGINT) AS n_survivor_nodes,
+      CAST(n_clusters_full AS BIGINT) AS n_clusters_full,
+      CAST(n_clusters_sub AS BIGINT) AS n_clusters_sub,
+      CAST(n_split_clusters AS BIGINT) AS n_split_clusters,
+      CAST(pairs_full AS BIGINT) AS pairs_full,
+      CAST(pairs_sub AS BIGINT) AS pairs_sub,
+      CAST(pairs_both AS BIGINT) AS pairs_both,
+      CAST(CAST(pairs_both AS HUGEINT) * 1000000
+           // (CAST(pairs_full AS HUGEINT) + pairs_sub - pairs_both) AS BIGINT)
+        AS stability_ppm
+    FROM nodes CROSS JOIN bth CROSS JOIN fm CROSS JOIN sm"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, q170)
+      d47, d48, d49, d50, d51, d52, q170)
 }

@@ -3185,9 +3185,91 @@ object Text {
     FROM p2
     ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- t53
+  // ENTROPY RATE / REDUNDANCY — the information-theoretic compressibility
+  // signal per source: unigram entropy H(W), bigram conditional entropy
+  // H(W₂|W₁) = H(W₁W₂) − H(W₁-as-prefix), and the first-order redundancy
+  // 1 − H(W₂|W₁)/H(W) — how much of each source's token stream the
+  // previous token already predicts. Template/boilerplate sources sit
+  // high (the quality family's t13/t14 findings, now in nats); the
+  // smoothing family (t30/t43/t46/t48/t51) measures models AGAINST this
+  // corpus property, this measures the property itself. Every plogp term
+  // is c·(lnQ(N) − lnQ(c)) — exact int64 off the quantized-log table —
+  // summed before ONE double division per readout, so both engines
+  // agree bit-for-bit. Scale: two map-side-combined count aggregates
+  // (tokens, bigrams) and their per-source roll-ups; nothing else.
+  private val t53 = QueryDef(
+    "t53_entropy_rate",
+    (s, dir) => {
+      val tok = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val uc = tok.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val un = uc.groupBy(col("source")).agg(sum(col("c")).as("n"))
+      val hUni = uc.join(un, Seq("source"))
+        .select(col("source"), col("n"),
+          expr(s"c * (${lnQ("n")} - ${lnQ("c")})").as("plp"))
+        .groupBy(col("source"))
+        .agg(max(col("n")).as("n_tokens"), sum(col("plp")).as("s_uni"))
+      val bi = docs(s, dir)
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          """transform(sequence(1, size(ws) - 1),
+             i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"""))
+          .as("b"))
+        .select(col("source"), col("b.w1"), col("b.w2"))
+      val bc = bi.groupBy(col("source"), col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+      val bn = bc.groupBy(col("source")).agg(sum(col("cb")).as("m"))
+      val hBig = bc.join(bn, Seq("source"))
+        .select(col("source"), col("m"),
+          expr(s"cb * (${lnQ("m")} - ${lnQ("cb")})").as("plp"))
+        .groupBy(col("source"))
+        .agg(max(col("m")).as("n_bigrams"), sum(col("plp")).as("s_big"))
+      val pc = bc.groupBy(col("source"), col("w1")).agg(sum(col("cb")).as("cp"))
+      val hPre = pc.join(bn, Seq("source"))
+        .select(col("source"),
+          expr(s"cp * (${lnQ("m")} - ${lnQ("cp")})").as("plp"))
+        .groupBy(col("source")).agg(sum(col("plp")).as("s_pre"))
+      hUni.join(hBig, Seq("source")).join(hPre, Seq("source"))
+        .select(col("source"), col("n_tokens"), col("n_bigrams"),
+          expr("CAST(s_uni AS DOUBLE) / n_tokens / 10000.0D").as("h_uni"),
+          expr("(CAST(s_big AS DOUBLE) - s_pre) / n_bigrams / 10000.0D").as("h_cond"))
+        .withColumn("redundancy", expr("(h_uni - h_cond) / h_uni"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    uc AS (SELECT source, w, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    un AS (SELECT source, SUM(c) AS n FROM uc GROUP BY 1),
+    hu AS (SELECT uc.source, MAX(un.n) AS n_tokens,
+             SUM(c * (${lnQ("un.n")} - ${lnQ("c")})) AS s_uni
+           FROM uc JOIN un ON uc.source = un.source GROUP BY 1),
+    d AS (SELECT source, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 2),
+    bx AS (SELECT source, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d),
+    bi AS (SELECT source, ws[i] AS w1, ws[i + 1] AS w2 FROM bx),
+    bc AS (SELECT source, w1, w2, COUNT(*) AS cb FROM bi GROUP BY 1, 2, 3),
+    bn AS (SELECT source, SUM(cb) AS m FROM bc GROUP BY 1),
+    hb AS (SELECT bc.source, MAX(bn.m) AS n_bigrams,
+             SUM(cb * (${lnQ("bn.m")} - ${lnQ("cb")})) AS s_big
+           FROM bc JOIN bn ON bc.source = bn.source GROUP BY 1),
+    pcx AS (SELECT source, w1, SUM(cb) AS cp FROM bc GROUP BY 1, 2),
+    hp AS (SELECT pcx.source,
+             SUM(cp * (${lnQ("bn.m")} - ${lnQ("cp")})) AS s_pre
+           FROM pcx JOIN bn ON pcx.source = bn.source GROUP BY 1)
+    SELECT hu.source, CAST(n_tokens AS BIGINT) AS n_tokens,
+      CAST(n_bigrams AS BIGINT) AS n_bigrams,
+      CAST(s_uni AS DOUBLE) / n_tokens / 10000.0 AS h_uni,
+      (CAST(s_big AS DOUBLE) - s_pre) / n_bigrams / 10000.0 AS h_cond,
+      ((CAST(s_uni AS DOUBLE) / n_tokens / 10000.0)
+        - ((CAST(s_big AS DOUBLE) - s_pre) / n_bigrams / 10000.0))
+        / (CAST(s_uni AS DOUBLE) / n_tokens / 10000.0) AS redundancy
+    FROM hu JOIN hb ON hu.source = hb.source JOIN hp ON hu.source = hp.source
+    ORDER BY hu.source"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52)
+      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53)
 }
