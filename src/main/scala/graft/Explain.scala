@@ -97,7 +97,10 @@ object Explain {
         // r18 wave D
         "q196_snapshot_expiry", "q197_orphan_vacuum", "q198_capacity_planner",
         "t51_stupid_backoff", "t52_mattr_diversity", "s41_residual_quantizer",
-        "s42_nn_descent", "d51_weighted_jaccard", "m23_metadata_redaction")
+        "s42_nn_descent", "d51_weighted_jaccard", "m23_metadata_redaction",
+        // r18 wave E (the streaming q199 stays out, the q182 precedent)
+        "d52_cluster_stability", "t53_entropy_rate", "m24_shot_boundaries",
+        "s43_adaptive_nprobe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

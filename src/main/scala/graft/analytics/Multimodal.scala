@@ -1537,7 +1537,89 @@ object Multimodal {
     FROM bef LEFT JOIN aft USING (key)
     ORDER BY bef.key"""))
 
+  // ---------------------------------------------------------------- m24
+  // SHOT-BOUNDARY DETECTION — the video-structure primitive between
+  // m03's frame sampling and m22's shared-scene grouping: consecutive
+  // frames whose coarse luma (floored byte mean of the 32-byte frame
+  // slice) jumps by more than 8 mark a cut, runs between cuts are
+  // shots. Keyframe budgets (m12), scene dedup (m22), and sampling
+  // curricula all key off this segmentation. One lag + one running-sum
+  // window per video, both partitioned on media_id (high cardinality,
+  // no skew funnel); shot statistics come from the run-id aggregate —
+  // frames never join frames. The z_total row carries the corpus
+  // verdict: shots-per-video and the cut rate ppm.
+  private val m24 = QueryDef(
+    "m24_shot_boundaries",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = docs(s, dir)
+        .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"),
+          explode(expr(
+            """transform(sequence(0, CAST(length(text) DIV 32 AS INT) - 1),
+               i -> struct(i AS idx, substr(text, i * 32 + 1, 32) AS frame))"""))
+            .as("f"))
+        .select(col("media_id"), col("f.idx").as("idx"),
+          expr("""aggregate(transform(split(f.frame, ''), ch -> ascii(ch)),
+                  0L, (a, x) -> a + x) DIV 32""").as("luma"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+      val cuts = frames
+        .withColumn("prev", lag(col("luma"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev").isNotNull && abs(col("luma") - col("prev")) > 8, 1L)
+            .otherwise(0L))
+        .withColumn("shot_id", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val perShot = cuts.groupBy(col("media_id"), col("shot_id"))
+        .agg(count(lit(1)).as("shot_len"))
+      val perVideo = perShot.groupBy(col("media_id"))
+        .agg(sum(col("shot_len")).as("n_frames"),
+          count(lit(1)).as("n_shots"),
+          max(col("shot_len")).as("max_shot_len"))
+        .withColumn("avg_shot_len_x1000", expr("n_frames * 1000 DIV n_shots"))
+      val total = perVideo.agg(
+          count(lit(1)).as("n_videos"), sum(col("n_frames")).as("n_frames"),
+          sum(col("n_shots")).as("n_shots"), max(col("max_shot_len")).as("max_shot_len"))
+        .select(lit(-1L).as("media_id"), col("n_frames"), col("n_shots"),
+          col("max_shot_len"),
+          expr("n_frames * 1000 DIV n_shots").as("avg_shot_len_x1000"))
+      perVideo.select(col("media_id"), col("n_frames"), col("n_shots"),
+          col("max_shot_len"), col("avg_shot_len_x1000"))
+        .unionByName(total)
+        .orderBy(col("media_id"))
+    },
+    Some("""WITH v AS (
+      SELECT doc_id AS media_id, text FROM documents
+      WHERE doc_id % 3 = 2 AND len(text) >= 64),
+    f AS (SELECT media_id, i AS idx,
+            list_sum(list_transform(string_split(substr(text, CAST(i * 32 + 1 AS INT), 32), ''),
+              ch -> CAST(ord(ch) AS BIGINT))) // 32 AS luma
+          FROM v CROSS JOIN generate_series(0, 1000) AS g(i)
+          WHERE i < len(text) // 32),
+    c AS (SELECT media_id, idx, luma,
+            LAG(luma) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+          FROM f),
+    c2 AS (SELECT *, CASE WHEN prev IS NOT NULL AND ABS(luma - prev) > 8
+                          THEN 1 ELSE 0 END AS cut FROM c),
+    c3 AS (SELECT *, SUM(cut) OVER (PARTITION BY media_id ORDER BY idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot_id FROM c2),
+    shots AS (SELECT media_id, shot_id, COUNT(*) AS shot_len
+              FROM c3 GROUP BY 1, 2),
+    pv AS (SELECT media_id, SUM(shot_len) AS n_frames, COUNT(*) AS n_shots,
+             MAX(shot_len) AS max_shot_len
+           FROM shots GROUP BY 1)
+    SELECT CAST(media_id AS BIGINT) AS media_id,
+      CAST(n_frames AS BIGINT) AS n_frames, CAST(n_shots AS BIGINT) AS n_shots,
+      CAST(max_shot_len AS BIGINT) AS max_shot_len,
+      CAST(n_frames * 1000 // n_shots AS BIGINT) AS avg_shot_len_x1000
+    FROM pv
+    UNION ALL
+    SELECT -1, SUM(n_frames), SUM(n_shots), MAX(max_shot_len),
+      SUM(n_frames) * 1000 // SUM(n_shots)
+    FROM pv
+    ORDER BY media_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20, m21, m22, m23)
+      m15, m16, m17, m18, m19, m20, m21, m22, m23, m24)
 }

@@ -3672,9 +3672,161 @@ object Similarity {
       hits1 * 1000000 // (n_nodes * 3) >= hits0 * 1000000 // (n_nodes * 3) AS improved
     FROM pc ORDER BY cell"""))
 
+  // ---------------------------------------------------------------- s43
+  // ADAPTIVE NPROBE (early termination) — the per-query policy that
+  // fixed-nprobe sweeps (s23/s33) can't express: probe cells in
+  // decreasing centroid-similarity order and STOP as soon as the next
+  // cell's centroid sim falls more than a 0.05 margin below the best
+  // hit found so far — easy queries (whose neighbors live in the first
+  // cell) quit after one probe, hard queries near cell boundaries keep
+  // going. The audit derives what the policy would have scanned by
+  // scoring all cells once (fixture-scale truth work, the s42
+  // discipline): per query, cells probed vs the 10 available,
+  // candidates touched, recall@5 of the truncated probe set, and
+  // saved_ppm vs a full corpus scan. An absolute margin (not a
+  // multiplicative one) keeps the rule well-defined when cosine goes
+  // negative. Scale: the policy itself costs one K-row centroid probe
+  // per query plus the probed cells' postings — the stop rule reads
+  // only numbers the probe sequence already produced.
+  private val s43 = QueryDef(
+    "s43_adaptive_nprobe",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
+        .localCheckpoint()
+      val queries = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
+      // probe order: all K centroids per query, ranked by centroid sim
+      val qc = broadcast(queries).crossJoin(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("q_qv", "cqv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("j", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
+        .select(col("q_id"), col("c_label"), col("csim"), col("j"))
+      // per (query, cell): the best exact hit inside the cell
+      val scored = assigned
+        .select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("norm2").as("c_n2"), col("c_label"))
+        .join(broadcast(queries), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+        .localCheckpoint() // feeds cell-bests, the probe set, and the truth
+      val cellBest = scored.groupBy(col("q_id"), col("c_label"))
+        .agg(max(col("sim")).as("best"))
+      // margin sweep (the s23 discipline): one ranked probe sequence
+      // replayed under three stop margins — easy corpora saturate at
+      // 0.05, this one's cross-cell neighbor structure (s42's finding)
+      // needs the looser stops, and the curve prices that
+      val margins = s.range(0, 3)
+        .select(expr("element_at(array(5L, 15L, 30L), CAST(id + 1 AS INT))")
+          .as("margin_x100"))
+      val wj = Window.partitionBy(col("q_id"), col("margin_x100")).orderBy(col("j"))
+      val probed = qc.join(cellBest, Seq("q_id", "c_label"))
+        .crossJoin(broadcast(margins))
+        .withColumn("prevbest", max(col("best")).over(
+          wj.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("bad",
+          when(col("j") === 1 ||
+            col("csim") >= col("prevbest") - col("margin_x100").cast("double") / 100.0, 0L)
+            .otherwise(1L))
+        .withColumn("badpfx", sum(col("bad")).over(
+          wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("badpfx") === 0)
+        .select(col("margin_x100"), col("q_id"), col("c_label"))
+      val cand = scored.join(probed, Seq("q_id", "c_label"))
+      val top5 = cand
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("margin_x100"), col("q_id"))
+            .orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("margin_x100"), col("q_id"), col("c_id"))
+      val truth = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      val n = assigned.count()
+      val hits = top5.join(truth, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("margin_x100"), col("q_id")).agg(count(lit(1)).as("h"))
+      probed.groupBy(col("margin_x100"), col("q_id"))
+        .agg(count(lit(1)).as("n_cells_probed"))
+        .join(cand.groupBy(col("margin_x100"), col("q_id"))
+          .agg(count(lit(1)).as("n_candidates")), Seq("margin_x100", "q_id"))
+        .join(hits, Seq("margin_x100", "q_id"), "left")
+        .select(col("margin_x100"), col("q_id"), col("n_cells_probed"),
+          col("n_candidates"),
+          expr("coalesce(h, 0L) * 1000000 DIV 5").as("recall5_ppm"),
+          expr(s"(${n - 1}L - n_candidates) * 1000000 DIV ${n - 1}L").as("saved_ppm"))
+        .orderBy(col("margin_x100"), col("q_id"))
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    qs AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_n2 FROM qn
+           WHERE vec_id < 8),
+    qc AS (SELECT q_id, c_label, csim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, c_label) AS j
+           FROM (SELECT q.q_id, b.c_label,
+                   CAST(${dotSql("q.q_qv", "b.cqv")} AS DOUBLE)
+                     / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE))) AS csim
+                 FROM qs q CROSS JOIN cn b)),
+    sc AS (SELECT q.q_id, l.vec_id AS c_id, l.list_label AS c_label,
+             CAST(${dotSql("q.q_qv", "l.qv")} AS DOUBLE)
+               / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(l.norm2 AS DOUBLE))) AS sim
+           FROM qs q JOIN lists l ON l.vec_id <> q.q_id),
+    cb AS (SELECT q_id, c_label, MAX(sim) AS best FROM sc GROUP BY 1, 2),
+    margins AS (SELECT CAST(m AS BIGINT) AS margin_x100
+                FROM (VALUES (5), (15), (30)) t(m)),
+    seq AS (SELECT mg.margin_x100, qc.q_id, qc.c_label, qc.j, qc.csim, cb.best,
+              MAX(cb.best) OVER (PARTITION BY mg.margin_x100, qc.q_id ORDER BY qc.j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevbest
+            FROM qc JOIN cb ON qc.q_id = cb.q_id AND qc.c_label = cb.c_label
+            CROSS JOIN margins mg),
+    ok AS (SELECT *, CASE WHEN j = 1
+                            OR csim >= prevbest - CAST(margin_x100 AS DOUBLE) / 100.0
+                          THEN 0 ELSE 1 END AS bad FROM seq),
+    pr AS (SELECT *, SUM(bad) OVER (PARTITION BY margin_x100, q_id ORDER BY j
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS badpfx FROM ok),
+    probed AS (SELECT margin_x100, q_id, c_label FROM pr WHERE badpfx = 0),
+    cand AS (SELECT probed.margin_x100, sc.* FROM sc JOIN probed
+             ON sc.q_id = probed.q_id AND sc.c_label = probed.c_label),
+    top5 AS (SELECT margin_x100, q_id, c_id FROM (
+        SELECT margin_x100, q_id, c_id, ROW_NUMBER() OVER (
+          PARTITION BY margin_x100, q_id
+          ORDER BY sim DESC, c_id) AS rnk FROM cand) WHERE rnk <= 5),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY sim DESC, c_id) AS rnk FROM sc) WHERE rnk <= 5),
+    nn2 AS (SELECT COUNT(*) AS n FROM qn),
+    h AS (SELECT top5.margin_x100, top5.q_id, COUNT(*) AS h
+          FROM top5 JOIN truth
+          ON top5.q_id = truth.q_id AND top5.c_id = truth.c_id GROUP BY 1, 2),
+    pc AS (SELECT margin_x100, q_id, COUNT(*) AS n_cells_probed
+           FROM probed GROUP BY 1, 2),
+    cc2 AS (SELECT margin_x100, q_id, COUNT(*) AS n_candidates
+            FROM cand GROUP BY 1, 2)
+    SELECT pc.margin_x100, pc.q_id,
+      CAST(n_cells_probed AS BIGINT) AS n_cells_probed,
+      CAST(n_candidates AS BIGINT) AS n_candidates,
+      CAST(COALESCE(h.h, 0) * 1000000 // 5 AS BIGINT) AS recall5_ppm,
+      CAST((nn2.n - 1 - n_candidates) * 1000000 // (nn2.n - 1) AS BIGINT) AS saved_ppm
+    FROM pc JOIN cc2 ON pc.margin_x100 = cc2.margin_x100 AND pc.q_id = cc2.q_id
+    LEFT JOIN h ON pc.margin_x100 = h.margin_x100 AND pc.q_id = h.q_id
+    CROSS JOIN nn2 ORDER BY pc.margin_x100, pc.q_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
       s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
-      d15)
+      s43, d15)
 }
