@@ -3763,9 +3763,92 @@ object Dedup {
         AS stability_ppm
     FROM nodes CROSS JOIN bth CROSS JOIN fm CROSS JOIN sm"""))
 
+  // ---------------------------------------------------------------- d53
+  // B-BIT MINWISE HASHING (Li & König) — the storage side of the
+  // minhash trade d14 calibrates: keep only the lowest b bits of each
+  // of the 8 minima (8×1 bit = ONE BYTE per doc at b=1, vs 64 bytes of
+  // full values) and correct the estimator for accidental collisions,
+  // R̂ = (C − 2⁻ᵇ)/(1 − 2⁻ᵇ) clamped at 0. The audit scores b ∈
+  // {1, 2, 4} and the full-value estimator (encoded b=64) against the
+  // EXACT shingle Jaccard on d14's bounded all-pairs set, reporting
+  // mean/max absolute error per width — the bytes-vs-accuracy curve an
+  // index designer reads before shrinking a 100 TB signature store.
+  // Everything is integer ppm math off one zip_with fold per (pair,
+  // width); the widths replay one scored pair table (s23's discipline).
+  private val d53 = QueryDef(
+    "d53_bbit_minhash",
+    (s, dir) => {
+      val sh = shingled(s, dir).filter(col("doc_id") < 60)
+      val mh = sh
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+      val widths = s.range(0, 4)
+        .select(expr("element_at(array(1L, 2L, 4L, 64L), CAST(id + 1 AS INT))")
+          .as("b"))
+      val pairs = sh.select(col("doc_id").as("id1"), col("sh").as("sh1"))
+        .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")),
+          col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          expr("""size(array_intersect(sh1, sh2)) * 1000000
+                  DIV size(array_union(sh1, sh2))""").as("jacc_ppm"))
+        .join(mh.select(col("doc_id").as("id1"), col("mhs").as("m1")), Seq("id1"))
+        .join(mh.select(col("doc_id").as("id2"), col("mhs").as("m2")), Seq("id2"))
+      pairs.crossJoin(broadcast(widths))
+        .withColumn("coll", expr(
+          """aggregate(zip_with(m1, m2, (x, y) ->
+               CASE WHEN b = 64 THEN IF(x = y, 1L, 0L)
+                    ELSE IF(x % shiftleft(1L, CAST(b AS INT))
+                            = y % shiftleft(1L, CAST(b AS INT)), 1L, 0L) END),
+             0L, (a, v) -> a + v)"""))
+        .withColumn("est_ppm", expr(
+          """CASE WHEN b = 64 THEN coll * 1000000 DIV 8
+             ELSE greatest(0L, coll * shiftleft(1L, CAST(b AS INT)) - 8) * 1000000
+                  DIV (8 * (shiftleft(1L, CAST(b AS INT)) - 1)) END"""))
+        .withColumn("abs_err", abs(col("est_ppm") - col("jacc_ppm")))
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(jacc_ppm) DIV count(1)").as("mean_exact_ppm"),
+          expr("sum(est_ppm) DIV count(1)").as("mean_est_ppm"),
+          expr("sum(abs_err) DIV count(1)").as("mean_abs_err_ppm"),
+          max(col("abs_err")).as("max_abs_err_ppm"))
+        .orderBy(col("b"))
+    },
+    Some(s"""WITH sh AS (
+      SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+      WHERE doc_id < 60 AND len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sh),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) => s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }.mkString(", ")}] AS mhs FROM hs),
+    widths AS (SELECT CAST(b AS BIGINT) AS b FROM (VALUES (1), (2), (4), (64)) t(b)),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) * 1000000
+          // CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS jacc_ppm,
+        x.mhs AS m1, y.mhs AS m2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      JOIN mh x ON x.doc_id = a.doc_id JOIN mh y ON y.doc_id = b.doc_id),
+    scored AS (
+      SELECT w.b, p.jacc_ppm,
+        CAST(list_sum(list_transform(generate_series(1, 8), i ->
+          CASE WHEN w.b = 64 THEN (CASE WHEN p.m1[i] = p.m2[i] THEN 1 ELSE 0 END)
+               ELSE (CASE WHEN p.m1[i] % (CAST(1 AS BIGINT) << w.b)
+                          = p.m2[i] % (CAST(1 AS BIGINT) << w.b)
+                     THEN 1 ELSE 0 END) END)) AS BIGINT) AS coll
+      FROM pairs p CROSS JOIN widths w),
+    est AS (SELECT b, jacc_ppm,
+        CASE WHEN b = 64 THEN coll * 1000000 // 8
+             ELSE GREATEST(0, coll * (CAST(1 AS BIGINT) << b) - 8) * 1000000
+                  // (8 * ((CAST(1 AS BIGINT) << b) - 1)) END AS est_ppm
+      FROM scored)
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(jacc_ppm) // COUNT(*) AS BIGINT) AS mean_exact_ppm,
+      CAST(SUM(est_ppm) // COUNT(*) AS BIGINT) AS mean_est_ppm,
+      CAST(SUM(ABS(est_ppm - jacc_ppm)) // COUNT(*) AS BIGINT) AS mean_abs_err_ppm,
+      CAST(MAX(ABS(est_ppm - jacc_ppm)) AS BIGINT) AS max_abs_err_ppm
+    FROM est GROUP BY b ORDER BY b"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, d52, q170)
+      d47, d48, d49, d50, d51, d52, d53, q170)
 }

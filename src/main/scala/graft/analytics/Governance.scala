@@ -1385,7 +1385,80 @@ object Governance {
     FROM (SELECT * FROM out_staged UNION ALL SELECT * FROM out_repaired)
     ORDER BY stage, rule"""))
 
+  // --------------------------------------------------------------- q200
+  // ROW-LEVEL SECURITY + COLUMN MASKING AUDIT — the per-role policy
+  // layer the governance family still lacked (q137 k-anonymizes a
+  // release, q153 checks diversity, q191 shreds keys; this: what each
+  // ROLE actually sees). Two roles over customer: admin reads raw;
+  // analyst gets a row filter (even nation keys only), a segment mask
+  // (constant literal — unlinkable), a name HASH (joinable pseudonym,
+  // q191's determinism), and a column deny (acctbal → NULL). The audit
+  // proves each role's contract in-result (`policy_ok`: analyst sees
+  // zero raw segments and zero balances, admin zero masked ones) and
+  // emits the name checksums whose inequality shows pseudonymization
+  // actually transformed the column. Scale: policies are row-local
+  // projections — the filter pushes to the scan, masks are
+  // codegen'd CASEs, and the audit is one aggregate per role.
+  private val q200 = QueryDef(
+    "q200_rls_mask",
+    (s, dir) => {
+      val cust = rd(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("c_nationkey"), col("c_acctbal"))
+      def view(role: String) = {
+        val base = if (role == "analyst") cust.filter(col("c_nationkey") % 2 === 0)
+        else cust
+        val masked =
+          if (role == "analyst")
+            base.select(
+              lit(role).as("role"),
+              expr(s"CAST(${strHashExpr("c_name")} AS STRING)").as("name_out"),
+              lit("XXX-MASKED").as("seg_out"),
+              lit(null).cast("decimal(18,2)").as("bal_out"))
+          else
+            base.select(lit(role).as("role"), col("c_name").as("name_out"),
+              col("c_mktsegment").as("seg_out"),
+              col("c_acctbal").cast("decimal(18,2)").as("bal_out"))
+        masked
+      }
+      view("admin").unionByName(view("analyst"))
+        .groupBy(col("role"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("seg_out") === "XXX-MASKED", 1L).otherwise(0L))
+            .as("masked_segments"),
+          sum(when(col("bal_out").isNull, 1L).otherwise(0L)).as("null_balances"),
+          (sum(expr(s"${strHashExpr("name_out")}")) % HashMod).as("name_ck"))
+        .withColumn("policy_ok",
+          when(col("role") === "analyst",
+            col("masked_segments") === col("n_rows") &&
+              col("null_balances") === col("n_rows"))
+            .otherwise(col("masked_segments") === 0L && col("null_balances") === 0L))
+        .orderBy(col("role"))
+    },
+    Some(s"""WITH adm AS (
+      SELECT 'admin' AS role, c_name AS name_out, c_mktsegment AS seg_out,
+        CAST(c_acctbal AS DECIMAL(18,2)) AS bal_out
+      FROM customer),
+    ana AS (
+      SELECT 'analyst' AS role,
+        CAST(${strHashSql("c_name")} AS VARCHAR) AS name_out,
+        'XXX-MASKED' AS seg_out, CAST(NULL AS DECIMAL(18,2)) AS bal_out
+      FROM customer WHERE c_nationkey % 2 = 0),
+    v AS (SELECT * FROM adm UNION ALL SELECT * FROM ana)
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(CASE WHEN seg_out = 'XXX-MASKED' THEN 1 ELSE 0 END) AS BIGINT)
+        AS masked_segments,
+      CAST(SUM(CASE WHEN bal_out IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS null_balances,
+      CAST(SUM(${strHashSql("name_out")}) % $HashMod AS BIGINT) AS name_ck,
+      CASE WHEN role = 'analyst'
+           THEN SUM(CASE WHEN seg_out = 'XXX-MASKED' THEN 1 ELSE 0 END) = COUNT(*)
+            AND SUM(CASE WHEN bal_out IS NULL THEN 1 ELSE 0 END) = COUNT(*)
+           ELSE SUM(CASE WHEN seg_out = 'XXX-MASKED' THEN 1 ELSE 0 END) = 0
+            AND SUM(CASE WHEN bal_out IS NULL THEN 1 ELSE 0 END) = 0 END AS policy_ok
+    FROM v GROUP BY role ORDER BY role"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177, q181, q184, q191, q192)
+      q171, q172, q174, q176, q177, q181, q184, q191, q192, q200)
 }

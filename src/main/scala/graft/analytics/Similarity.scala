@@ -3824,9 +3824,138 @@ object Similarity {
     LEFT JOIN h ON pc.margin_x100 = h.margin_x100 AND pc.q_id = h.q_id
     CROSS JOIN nn2 ORDER BY pc.margin_x100, pc.q_id"""))
 
+  // ---------------------------------------------------------------- s44
+  // BISECTING SPLIT OF THE HOTTEST CELL — the index-maintenance ACTION
+  // that s31's skew audit and s40's staleness gate point at: take the
+  // largest IVF cell and run one bisecting-k-means step inside it
+  // (seeds: the cell's lowest-id member and its exact farthest member —
+  // deterministic in both engines; one assignment pass to the nearer
+  // seed; floored-mean centroids for the halves). The readout prices
+  // the action: half sizes, exact within-cell inertia before vs after
+  // (DIV-1000 rescaled int64), the drop in ppm, and the new global max
+  // cell size — the tail-latency number the split exists to shrink.
+  // Scale: everything after the one argmax pass is bounded by the hot
+  // cell's membership; seeds and centroids are 1-row/64-long
+  // broadcasts, and splitting the ONE hottest cell is how a real IVF
+  // index heals incrementally (s34 rebalances globally; this is the
+  // surgical form).
+  private val s44 = QueryDef(
+    "s44_bisect_hot_cell",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def dist2(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, (x, y) -> x - y), 0L, (acc, d) -> acc + d * d)")
+      val q = withQuant(dir, s)
+      val cent = labelCentroids(q)
+      val assigned = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("c_label"))
+        .localCheckpoint()
+      val sizes = assigned.groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
+        .localCheckpoint()
+      val hot = sizes.orderBy(col("sz").desc, col("c_label")).limit(1)
+        .select(col("c_label").as("hot_label"), col("sz").as("old_size"))
+      val members = assigned.join(broadcast(hot), col("c_label") === col("hot_label"))
+        .select(col("vec_id"), col("qv")).localCheckpoint()
+      val s1 = members.orderBy(col("vec_id")).limit(1).select(col("qv").as("s1qv"))
+      val withD1 = members.crossJoin(broadcast(s1))
+        .withColumn("d1", dist2("qv", "s1qv"))
+      val s2 = withD1.orderBy(col("d1").desc, col("vec_id")).limit(1)
+        .select(col("qv").as("s2qv"))
+      val sides = withD1.crossJoin(broadcast(s2))
+        .withColumn("d2", dist2("qv", "s2qv"))
+        .withColumn("side", when(col("d1") <= col("d2"), "a").otherwise("b"))
+        .select(col("vec_id"), col("qv"), col("side"))
+        .localCheckpoint()
+      val newCent = sides.select(col("side"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy(col("side"), col("pos"))
+        .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
+        .groupBy(col("side"))
+        .agg(expr("""transform(array_sort(collect_list(struct(pos, cv)),
+            (l, r) -> CASE WHEN l.pos < r.pos THEN -1 WHEN l.pos > r.pos THEN 1 ELSE 0 END),
+            p -> p.cv)""").as("scv"))
+      val after = sides.join(broadcast(newCent), Seq("side"))
+        .withColumn("da", dist2("qv", "scv"))
+        .groupBy(col("side"))
+        .agg(count(lit(1)).as("n_side"), sum(expr("da DIV 1000")).as("inertia_side"))
+        .agg(sum(col("n_side")).as("n_total"),
+          min(col("n_side")).as("side_small"), max(col("n_side")).as("side_large"),
+          sum(col("inertia_side")).as("inertia_after"))
+      val oldC = cent.join(broadcast(hot), col("c_label") === col("hot_label"))
+        .select(col("cqv"))
+      val before = members.crossJoin(broadcast(oldC))
+        .withColumn("db", dist2("qv", "cqv"))
+        .agg(sum(expr("db DIV 1000")).as("inertia_before"))
+      val othersMax = sizes
+        .join(broadcast(hot), col("c_label") === col("hot_label"), "left_anti")
+        .agg(coalesce(max(col("sz")), lit(0L)).as("others_max"))
+      hot.crossJoin(broadcast(before)).crossJoin(broadcast(after))
+        .crossJoin(broadcast(othersMax))
+        .select(col("hot_label").cast("long").as("cell"), col("old_size"),
+          col("side_small"), col("side_large"),
+          col("inertia_before"), col("inertia_after"),
+          expr("""CAST((CAST(inertia_before AS DECIMAL(38,0)) - inertia_after) * 1000000
+                  DIV CAST(inertia_before AS DECIMAL(38,0)) AS BIGINT)""").as("drop_ppm"),
+          (col("inertia_after") <= col("inertia_before")).as("improved"),
+          greatest(col("others_max"), col("side_large")).as("maxsz_after"))
+    },
+    Some(s"""WITH $quantCte,
+    $ivfProbeCte,
+    sizes AS (SELECT list_label AS c_label, COUNT(*) AS sz FROM lists GROUP BY 1),
+    hot AS (SELECT c_label AS hot_label, sz AS old_size FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY sz DESC, c_label) AS rk FROM sizes)
+      WHERE rk = 1),
+    mem AS (SELECT l.vec_id, l.qv FROM lists l JOIN hot ON l.list_label = hot.hot_label),
+    s1 AS (SELECT qv AS s1qv FROM mem ORDER BY vec_id LIMIT 1),
+    wd1 AS (SELECT m.vec_id, m.qv,
+        CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> (m.qv[i] - s1.s1qv[i]) * (m.qv[i] - s1.s1qv[i]))) AS BIGINT) AS d1
+      FROM mem m CROSS JOIN s1),
+    s2 AS (SELECT qv AS s2qv FROM wd1 ORDER BY d1 DESC, vec_id LIMIT 1),
+    sides AS (SELECT w.vec_id, w.qv,
+        CASE WHEN w.d1 <= CAST(list_sum(list_transform(generate_series(1, 64),
+          i -> (w.qv[i] - s2.s2qv[i]) * (w.qv[i] - s2.s2qv[i]))) AS BIGINT)
+        THEN 'a' ELSE 'b' END AS side
+      FROM wd1 w CROSS JOIN s2),
+    exn AS (SELECT side, i AS pos, qv[i] AS v
+            FROM sides CROSS JOIN generate_series(1, 64) AS g(i)),
+    ncd AS (SELECT side, pos,
+              CAST(floor(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+            FROM exn GROUP BY 1, 2),
+    nc AS (SELECT side, list(cv ORDER BY pos) AS scv FROM ncd GROUP BY side),
+    aft AS (SELECT MIN(n_side) AS side_small, MAX(n_side) AS side_large,
+              SUM(inertia_side) AS inertia_after
+            FROM (SELECT s.side, COUNT(*) AS n_side,
+                SUM(CAST(list_sum(list_transform(generate_series(1, 64),
+                  i -> (s.qv[i] - nc.scv[i]) * (s.qv[i] - nc.scv[i]))) AS BIGINT) // 1000)
+                  AS inertia_side
+              FROM sides s JOIN nc ON s.side = nc.side GROUP BY s.side)),
+    oldc AS (SELECT cn.cqv FROM cn JOIN hot ON cn.c_label = hot.hot_label),
+    bef AS (SELECT SUM(CAST(list_sum(list_transform(generate_series(1, 64),
+              i -> (m.qv[i] - o.cqv[i]) * (m.qv[i] - o.cqv[i]))) AS BIGINT) // 1000)
+              AS inertia_before
+            FROM mem m CROSS JOIN oldc o),
+    om AS (SELECT COALESCE(MAX(sz), 0) AS others_max
+           FROM sizes JOIN hot ON TRUE WHERE sizes.c_label <> hot.hot_label)
+    SELECT CAST(hot_label AS BIGINT) AS cell, CAST(old_size AS BIGINT) AS old_size,
+      CAST(side_small AS BIGINT) AS side_small,
+      CAST(side_large AS BIGINT) AS side_large,
+      CAST(inertia_before AS BIGINT) AS inertia_before,
+      CAST(inertia_after AS BIGINT) AS inertia_after,
+      CAST((CAST(inertia_before AS HUGEINT) - inertia_after) * 1000000
+           // CAST(inertia_before AS HUGEINT) AS BIGINT) AS drop_ppm,
+      inertia_after <= inertia_before AS improved,
+      CAST(GREATEST(others_max, side_large) AS BIGINT) AS maxsz_after
+    FROM hot CROSS JOIN bef CROSS JOIN aft CROSS JOIN om"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
       s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
-      s43, d15)
+      s43, s44, d15)
 }
