@@ -100,7 +100,9 @@ object Explain {
         "s42_nn_descent", "d51_weighted_jaccard", "m23_metadata_redaction",
         // r18 wave E (the streaming q199 stays out, the q182 precedent)
         "d52_cluster_stability", "t53_entropy_rate", "m24_shot_boundaries",
-        "s43_adaptive_nprobe")
+        "s43_adaptive_nprobe",
+        // r18 wave F
+        "d53_bbit_minhash", "s44_bisect_hot_cell", "q200_rls_mask")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
