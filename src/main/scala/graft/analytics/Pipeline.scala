@@ -2018,8 +2018,141 @@ object Pipeline {
     FROM p2
     ORDER BY table_name"""))
 
+  // --------------------------------------------------------------- q201
+  // SHAPLEY-VALUE ATTRIBUTION — the game-theoretic upgrade of q121's
+  // rule-based attribution (last-touch / linear): with 3 touch channels
+  // (click / view / signup) the 2³ coalition lattice is exact and
+  // bounded, so each channel's credit is the true Shapley value over
+  // the coalition-level conversion rates v(S) = conversions(touch set
+  // EXACTLY S) / users(S), the data-driven attribution model ad
+  // platforms ship. Weights ×6 keep everything integer ((|S|−1)!(3−|S|)!
+  // /3! ∈ {2,1,2}/6), and the z_total row pins Shapley's EFFICIENCY
+  // identity in-result: Σφ = v(all) − v(∅), exact in ×6 ppm units —
+  // the property that distinguishes Shapley from every heuristic rule.
+  // Touches are SPARSIFIED by deterministic event-id filters (every
+  // user in this dense fixture would otherwise touch every channel and
+  // the lattice would collapse to one coalition); unobserved coalitions
+  // contribute v = 0 (documented convention). Negative marginals occur
+  // on this fixture — the ÷6 readout truncates toward zero in BOTH
+  // engines (Spark DIV vs a sign-folded DuckDB //).
+  // Scale: one per-user aggregate (map-side combined), an 8-row
+  // coalition table, and a 12-row literal marginal join — the lattice
+  // never touches row volume.
+  private val q201 = QueryDef(
+    "q201_shapley_attribution",
+    (s, dir) => {
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "click" && col("event_id") % 11 === 0, 1L)
+            .otherwise(0L)).as("c"),
+          max(when(col("event_type") === "view" && col("event_id") % 13 === 0, 1L)
+            .otherwise(0L)).as("v"),
+          max(when(col("event_type") === "signup" && col("event_id") % 17 === 0, 1L)
+            .otherwise(0L)).as("g"),
+          max(when(col("event_type") === "purchase" && col("event_id") % 7 === 0, 1L)
+            .otherwise(0L)).as("conv"))
+        .withColumn("coal", expr("c * 4 + v * 2 + g"))
+      val vS = perUser.groupBy(col("coal"))
+        .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+        .withColumn("v_ppm", expr("n_conv * 1000000 DIV n_users"))
+        .localCheckpoint()
+      // all 8 coalitions; unobserved ones carry v = 0
+      val lattice = s.range(0, 8).select(col("id").as("coal"))
+        .join(vS.select(col("coal"), col("v_ppm")), Seq("coal"), "left")
+        .select(col("coal"), coalesce(col("v_ppm"), lit(0L)).as("v_ppm"))
+      // marginal table: (channel, S-with, S-without, 6·weight)
+      val marg = Seq(
+        ("click", 4), ("view", 2), ("signup", 1)).flatMap { case (ch, bit) =>
+        (0 until 8).filter(sc => (sc & bit) != 0).map { sc =>
+          val sz = java.lang.Long.bitCount(sc.toLong)
+          val w6 = if (sz == 1 || sz == 3) 2L else 1L
+          (ch, sc.toLong, (sc ^ bit).toLong, w6)
+        }
+      }
+      import s.implicits._
+      val margDf = marg.toDF("channel", "s_with", "s_without", "w6")
+      val phi = broadcast(margDf)
+        .join(lattice.select(col("coal").as("s_with"), col("v_ppm").as("vw")),
+          Seq("s_with"))
+        .join(lattice.select(col("coal").as("s_without"), col("v_ppm").as("vo")),
+          Seq("s_without"))
+        .groupBy(col("channel"))
+        .agg(sum((col("vw") - col("vo")) * col("w6")).as("phi_x6_ppm"))
+      val touched = perUser.agg(
+        sum(col("c")).as("click"), sum(col("v")).as("view"), sum(col("g")).as("signup"))
+        .select(explode(expr(
+          """array(named_struct('channel', 'click', 'n', click),
+                   named_struct('channel', 'view', 'n', view),
+                   named_struct('channel', 'signup', 'n', signup))""")).as("t"))
+        .select(col("t.channel").as("channel"), col("t.n").as("n_touched_users"))
+      val chanRows = phi.join(touched, Seq("channel"))
+        .select(col("channel"), col("n_touched_users"), col("phi_x6_ppm"),
+          expr("phi_x6_ppm DIV 6").as("shapley_ppm"),
+          lit(null).cast("boolean").as("efficient"))
+      val ends = lattice.agg(
+        sum(when(col("coal") === 7L, col("v_ppm")).otherwise(0L)).as("v_all"),
+        sum(when(col("coal") === 0L, col("v_ppm")).otherwise(0L)).as("v_none"))
+      val total = phi.agg(sum(col("phi_x6_ppm")).as("sum_phi"))
+        .crossJoin(broadcast(ends))
+        .select(lit("z_total").as("channel"),
+          lit(null).cast("long").as("n_touched_users"),
+          col("sum_phi").as("phi_x6_ppm"),
+          expr("(v_all - v_none)").as("shapley_ppm"),
+          (col("sum_phi") === (col("v_all") - col("v_none")) * 6L).as("efficient"))
+      chanRows.unionByName(total).orderBy(col("channel"))
+    },
+    Some(s"""WITH pu AS (
+      SELECT user_id,
+        MAX(CASE WHEN event_type = 'click' AND event_id % 11 = 0 THEN 1 ELSE 0 END) AS c,
+        MAX(CASE WHEN event_type = 'view' AND event_id % 13 = 0 THEN 1 ELSE 0 END) AS v,
+        MAX(CASE WHEN event_type = 'signup' AND event_id % 17 = 0 THEN 1 ELSE 0 END) AS g,
+        MAX(CASE WHEN event_type = 'purchase' AND event_id % 7 = 0 THEN 1 ELSE 0 END) AS conv
+      FROM events GROUP BY 1),
+    pu2 AS (SELECT *, c * 4 + v * 2 + g AS coal FROM pu),
+    vs AS (SELECT coal, COUNT(*) AS n_users, SUM(conv) AS n_conv,
+             SUM(conv) * 1000000 // COUNT(*) AS v_ppm
+           FROM pu2 GROUP BY 1),
+    lat AS (SELECT g.coal, COALESCE(vs.v_ppm, 0) AS v_ppm
+            FROM (SELECT unnest(generate_series(0, 7)) AS coal) g
+            LEFT JOIN vs ON g.coal = vs.coal),
+    marg AS (
+      SELECT * FROM (VALUES
+        ${Seq(("click", 4), ("view", 2), ("signup", 1)).flatMap { case (ch, bit) =>
+          (0 until 8).filter(sc => (sc & bit) != 0).map { sc =>
+            val sz = java.lang.Long.bitCount(sc.toLong)
+            val w6 = if (sz == 1 || sz == 3) 2 else 1
+            s"('$ch', $sc, ${sc ^ bit}, $w6)"
+          }
+        }.mkString(", ")}) t(channel, s_with, s_without, w6)),
+    phi AS (SELECT channel, SUM((lw.v_ppm - lo.v_ppm) * w6) AS phi_x6_ppm
+            FROM marg JOIN lat lw ON lw.coal = marg.s_with
+            JOIN lat lo ON lo.coal = marg.s_without
+            GROUP BY 1),
+    tch AS (
+      SELECT 'click' AS channel, SUM(c) AS n_touched_users FROM pu2
+      UNION ALL SELECT 'view', SUM(v) FROM pu2
+      UNION ALL SELECT 'signup', SUM(g) FROM pu2),
+    ends AS (SELECT
+        SUM(CASE WHEN coal = 7 THEN v_ppm ELSE 0 END) AS v_all,
+        SUM(CASE WHEN coal = 0 THEN v_ppm ELSE 0 END) AS v_none
+      FROM lat)
+    SELECT phi.channel, CAST(n_touched_users AS BIGINT) AS n_touched_users,
+      CAST(phi_x6_ppm AS BIGINT) AS phi_x6_ppm,
+      -- truncate-toward-zero to match Spark's DIV on possibly-negative φ
+      -- (DuckDB's // floors, which diverges on negatives)
+      CAST(CASE WHEN phi_x6_ppm >= 0 THEN phi_x6_ppm // 6
+                ELSE -((-phi_x6_ppm) // 6) END AS BIGINT) AS shapley_ppm,
+      CAST(NULL AS BOOLEAN) AS efficient
+    FROM phi JOIN tch ON phi.channel = tch.channel
+    UNION ALL
+    SELECT 'z_total', NULL, SUM(phi_x6_ppm), MAX(v_all) - MAX(v_none),
+      SUM(phi_x6_ppm) = (MAX(v_all) - MAX(v_none)) * 6
+    FROM phi CROSS JOIN ends
+    ORDER BY channel"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
       q131, q144, q145, q152, q155, q156, q185, q186, q189, q194, q196,
-      q197, q198)
+      q197, q198, q201)
 }

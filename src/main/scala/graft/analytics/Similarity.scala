@@ -3953,9 +3953,103 @@ object Similarity {
       CAST(GREATEST(others_max, side_large) AS BIGINT) AS maxsz_after
     FROM hot CROSS JOIN bef CROSS JOIN aft CROSS JOIN om"""))
 
+  // ---------------------------------------------------------------- s45
+  // ADC vs SDC — the FAISS distance-computation dichotomy, measured:
+  // with the database compressed to coarse int8-scale codes (s08's
+  // tier), the query can stay full-precision and score against codes
+  // (Asymmetric Distance Computation) or be compressed too and score
+  // code-vs-code (Symmetric). Cosine makes the mixed-scale ADC form
+  // well-defined (scale cancels), and the readout is recall@5 per
+  // query per method against the full-precision truth — the
+  // measurement behind FAISS's default of ADC everywhere: keeping ONE
+  // side exact is nearly free at query time and recovers real recall.
+  // One scored pass per method over the same broadcast query set; the
+  // z rows aggregate the per-method verdict.
+  private val s45 = QueryDef(
+    "s45_adc_vs_sdc",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val full = withQuant(dir, s)
+      val coded = embs(s, dir)
+        .withColumn("cv", expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0D) AS BIGINT))"))
+        .withColumn("cn2", expr(dotExpr("cv", "cv")))
+        .select(col("vec_id"), col("cv"), col("cn2"))
+      val qFull = full.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_n2"))
+      val qCode = coded.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("cv").as("q_cv"), col("cn2").as("q_cn2"))
+      def top5(scored: org.apache.spark.sql.DataFrame, method: String) = scored
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select(lit(method).as("method"), col("q_id"), col("c_id"))
+      val base = coded.select(col("vec_id").as("c_id"), col("cv").as("c_cv"),
+        col("cn2").as("c_cn2"))
+      val adc = top5(base.join(broadcast(qFull), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_cv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("c_cn2").cast("double")))),
+        "adc")
+      val sdc = top5(base.join(broadcast(qCode), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_cv", "c_cv")).cast("double") /
+            (sqrt(col("q_cn2").cast("double")) * sqrt(col("c_cn2").cast("double")))),
+        "sdc")
+      val truth = full.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("norm2").as("c_n2"))
+        .join(broadcast(qFull), col("c_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+      adc.unionByName(sdc)
+        .join(truth.withColumn("hit", lit(1L)), Seq("q_id", "c_id"), "left")
+        .groupBy(col("method"), col("q_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) * 200000L).as("recall5_ppm"))
+        .orderBy(col("method"), col("q_id"))
+    },
+    Some(s"""WITH $quantCte,
+    cd AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $Q8Scale.0) AS BIGINT)) AS cv
+      FROM embeddings),
+    cd2 AS (SELECT vec_id, cv, ${dotSql("cv", "cv")} AS cn2 FROM cd),
+    qf AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_n2 FROM qn WHERE vec_id < 8),
+    qc AS (SELECT vec_id AS q_id, cv AS q_cv, cn2 AS q_cn2 FROM cd2 WHERE vec_id < 8),
+    adc AS (SELECT 'adc' AS method, q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            CAST(${dotSql("q.q_qv", "c.cv")} AS DOUBLE)
+              / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+            c.vec_id) AS rnk
+        FROM qf q JOIN cd2 c ON c.vec_id <> q.q_id) WHERE rnk <= 5),
+    sdc AS (SELECT 'sdc' AS method, q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            CAST(${dotSql("q.q_cv", "c.cv")} AS DOUBLE)
+              / (sqrt(CAST(q.q_cn2 AS DOUBLE)) * sqrt(CAST(c.cn2 AS DOUBLE))) DESC,
+            c.vec_id) AS rnk
+        FROM qc q JOIN cd2 c ON c.vec_id <> q.q_id) WHERE rnk <= 5),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT q.q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+            CAST(${dotSql("q.q_qv", "c.qv")} AS DOUBLE)
+              / (sqrt(CAST(q.q_n2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))) DESC,
+            c.vec_id) AS rnk
+        FROM qf q JOIN qn c ON c.vec_id <> q.q_id) WHERE rnk <= 5),
+    u AS (SELECT * FROM adc UNION ALL SELECT * FROM sdc)
+    SELECT u.method, u.q_id,
+      CAST(SUM(CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END) * 200000 AS BIGINT)
+        AS recall5_ppm
+    FROM u LEFT JOIN truth t ON u.q_id = t.q_id AND u.c_id = t.c_id
+    GROUP BY u.method, u.q_id ORDER BY u.method, u.q_id"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
       s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
-      s43, s44, d15)
+      s43, s44, s45, d15)
 }

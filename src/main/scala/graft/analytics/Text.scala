@@ -3267,9 +3267,118 @@ object Text {
     FROM hu JOIN hb ON hu.source = hb.source JOIN hp ON hu.source = hp.source
     ORDER BY hu.source"""))
 
+  // ---------------------------------------------------------------- t54
+  // BRADLEY–TERRY ARENA RANKING — the pairwise-preference model behind
+  // LLM leaderboard Elo: deterministic "battles" (adjacent doc pairs,
+  // winner = higher distinct-token ratio, ties to the lower id) roll up
+  // to per-source win/loss counts, and five Hunter-MM iterations solve
+  // for source strengths: p_s ← W_s / Σ_o n_so/(p_s+p_o), renormalized
+  // to mean 1 each round. Everything is int64 fixed point (strengths in
+  // 1e-6 units, the d09 PageRank discipline), with a GREATEST(1, ·)
+  // floor so an all-losses source cannot zero a later denominator —
+  // both engines iterate bit-identically and the oracle unrolls the
+  // same five rounds as chained CTEs. Scale: battles aggregate to a
+  // |sources|² table before any iteration touches it; each MM round is
+  // one join against a K-row strength table.
+  private val t54 = QueryDef(
+    "t54_bradley_terry",
+    (s, dir) => {
+      val scored = docs(s, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 1)
+        .select(col("doc_id"), col("source"),
+          expr("size(array_distinct(ws)) * 1000000 DIV size(ws)").as("score"))
+      val battles = scored.withColumn("b", expr("doc_id DIV 2"))
+      val paired = battles.as("x").join(battles.as("y"),
+          col("x.b") === col("y.b") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.source").as("s1"), col("y.source").as("s2"),
+          when(col("x.score") >= col("y.score"), 1L).otherwise(0L).as("w1"))
+      val pairCounts = paired.groupBy(col("s1"), col("s2"))
+        .agg(count(lit(1)).as("n"), sum(col("w1")).as("w1"))
+        .localCheckpoint()
+      val opps = pairCounts.select(col("s1").as("src"), col("s2").as("opp"), col("n"))
+        .unionByName(pairCounts.select(col("s2").as("src"), col("s1").as("opp"), col("n")))
+        .groupBy(col("src"), col("opp")).agg(sum(col("n")).as("n"))
+        .localCheckpoint()
+      val wins = pairCounts.select(col("s1").as("src"), col("w1").as("w"))
+        .unionByName(pairCounts
+          .select(col("s2").as("src"), (col("n") - col("w1")).as("w")))
+        .groupBy(col("src")).agg(sum(col("w")).as("wins"))
+        .localCheckpoint()
+      val nSrc = opps.select(col("src")).distinct().count()
+      var p = opps.select(col("src")).distinct()
+        .withColumn("p", lit(1000000L)).localCheckpoint()
+      (1 to 5).foreach { _ =>
+        val denom = opps
+          .join(p.select(col("src"), col("p").as("ps")), Seq("src"))
+          .join(p.select(col("src").as("opp"), col("p").as("po")), Seq("opp"))
+          .groupBy(col("src"))
+          .agg(sum(expr("n * 1000000000000 DIV (ps + po)")).as("dq"))
+        val raw = wins.join(denom, Seq("src"))
+          .select(col("src"),
+            expr("greatest(1L, wins * 1000000000000 DIV dq)").as("praw"))
+        val tot = raw.agg(sum(col("praw")).as("tp"))
+        p = raw.crossJoin(broadcast(tot))
+          .select(col("src"), expr(s"praw * ${nSrc}L * 1000000 DIV tp").as("p"))
+          .localCheckpoint()
+      }
+      import org.apache.spark.sql.expressions.Window
+      val nb = opps.groupBy(col("src")).agg(sum(col("n")).as("n_battles"))
+      p.join(wins, Seq("src")).join(nb, Seq("src"))
+        .select(col("src").as("source"), col("n_battles"), col("wins"),
+          col("p").as("strength_ppm"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("strength_ppm").desc, col("source"))).cast("long"))
+        .orderBy(col("source"))
+    },
+    Some {
+      // every iteration reads the PREVIOUS strengths twice (both join
+      // sides) — the CTEs must be MATERIALIZED or DuckDB re-inlines the
+      // whole chain per reference (2^iters blowup; measured as a hang),
+      // and the round total comes from a window, not a scalar subquery,
+      // so each round reads its raw strengths exactly once
+      val iters = (1 to 5).map { k =>
+        val prev = if (k == 1) "p0" else s"p${k - 1}"
+        s"""d$k AS (SELECT o.src, SUM(o.n * 1000000000000 // (pa.p + pb.p)) AS dq
+           FROM opps o JOIN $prev pa ON o.src = pa.src
+           JOIN $prev pb ON o.opp = pb.src GROUP BY 1),
+    r$k AS (SELECT w.src, GREATEST(1, w.wins * 1000000000000 // d$k.dq) AS praw
+            FROM wins w JOIN d$k ON w.src = d$k.src),
+    p$k AS MATERIALIZED (SELECT src,
+              praw * ns.k * 1000000 // SUM(praw) OVER () AS p
+            FROM r$k CROSS JOIN ns)"""
+      }.mkString(",\n    ")
+      s"""WITH sc AS (
+      SELECT doc_id, source,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) * 1000000
+          // len(string_split(text, ' ')) AS score
+      FROM documents WHERE len(string_split(text, ' ')) >= 1),
+    bt AS (SELECT x.source AS s1, y.source AS s2,
+             CASE WHEN x.score >= y.score THEN 1 ELSE 0 END AS w1
+           FROM sc x JOIN sc y
+             ON x.doc_id // 2 = y.doc_id // 2 AND x.doc_id < y.doc_id),
+    pc AS (SELECT s1, s2, COUNT(*) AS n, SUM(w1) AS w1 FROM bt GROUP BY 1, 2),
+    opps AS MATERIALIZED (SELECT src, opp, SUM(n) AS n FROM (
+        SELECT s1 AS src, s2 AS opp, n FROM pc
+        UNION ALL SELECT s2, s1, n FROM pc) GROUP BY 1, 2),
+    wins AS MATERIALIZED (SELECT src, SUM(w) AS wins FROM (
+        SELECT s1 AS src, w1 AS w FROM pc
+        UNION ALL SELECT s2, n - w1 FROM pc) GROUP BY 1),
+    ns AS (SELECT COUNT(DISTINCT src) AS k FROM opps),
+    p0 AS MATERIALIZED (SELECT src, CAST(1000000 AS BIGINT) AS p
+           FROM (SELECT DISTINCT src FROM opps)),
+    $iters,
+    nb AS (SELECT src, SUM(n) AS n_battles FROM opps GROUP BY 1)
+    SELECT p5.src AS source, CAST(n_battles AS BIGINT) AS n_battles,
+      CAST(wins AS BIGINT) AS wins, CAST(p5.p AS BIGINT) AS strength_ppm,
+      CAST(ROW_NUMBER() OVER (ORDER BY p5.p DESC, p5.src) AS BIGINT) AS rank
+    FROM p5 JOIN wins ON p5.src = wins.src JOIN nb ON p5.src = nb.src
+    ORDER BY source"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53)
+      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54)
 }
