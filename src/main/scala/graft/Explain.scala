@@ -102,7 +102,10 @@ object Explain {
         "d52_cluster_stability", "t53_entropy_rate", "m24_shot_boundaries",
         "s43_adaptive_nprobe",
         // r18 wave F
-        "d53_bbit_minhash", "s44_bisect_hot_cell", "q200_rls_mask")
+        "d53_bbit_minhash", "s44_bisect_hot_cell", "q200_rls_mask",
+        // r18 wave G (t54's MM loop is driver-iterating, the t26
+        // precedent — its final frame still plans, so it stays in)
+        "q201_shapley_attribution", "s45_adc_vs_sdc", "t54_bradley_terry")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
