@@ -3846,9 +3846,119 @@ object Dedup {
       CAST(MAX(ABS(est_ppm - jacc_ppm)) AS BIGINT) AS max_abs_err_ppm
     FROM est GROUP BY b ORDER BY b"""))
 
+  // ---------------------------------------------------------------- d54
+  // DUP-AWARE SAMPLING AUDIT — the bias a doc-uniform sample inherits
+  // from duplication: template families are over-represented BY COUNT,
+  // so a naive 10% sample over-weights exactly the content dedup exists
+  // to down-weight. Content-uniform sampling picks ONE representative
+  // per d07 cluster (min scrambled hash, singletons represent
+  // themselves), and the audit compares the two samples' duplicate-mass
+  // share per cluster-size bucket: the naive sample's dup share matches
+  // the corpus's (by construction), the content sample's collapses each
+  // family to one doc. `one_per_cluster` pins the representative
+  // invariant in-result. Scale: cluster labels come from the shared
+  // capped generator + CC; everything after is one size join and one
+  // aggregate — the representative choice is a per-cluster window over
+  // cluster-sized groups, never corpus-wide.
+  private val d54 = QueryDef(
+    "d54_dup_aware_sampling",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = simhashPairs(s, dir)
+      val labels = Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+      }
+      pairs.unpersist()
+      val clustered = docs(s, dir).select(col("doc_id"))
+        .join(labels.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .localCheckpoint()
+      val sizes = clustered.groupBy(col("cluster")).agg(count(lit(1)).as("csz"))
+      val rep = clustered
+        .withColumn("h", expr(strHashExpr("CAST(doc_id AS STRING)")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("cluster")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), lit(true).as("content"))
+      val tagged = clustered.join(sizes, Seq("cluster"))
+        .withColumn("naive",
+          expr(s"${strHashExpr("CAST(doc_id AS STRING)")} % 10") === 0)
+        .join(rep, Seq("doc_id"), "left")
+        .withColumn("content", coalesce(col("content"), lit(false)))
+        .withColumn("bucket", expr(
+          """CASE WHEN csz = 1 THEN 'a_singleton' WHEN csz <= 3 THEN 'b_2_3'
+                  WHEN csz <= 7 THEN 'c_4_7' ELSE 'd_8_plus' END"""))
+      def agg(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+        countDistinct(col("cluster")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("naive"), 1L).otherwise(0L)).as("naive_sampled"),
+        sum(when(col("content"), 1L).otherwise(0L)).as("content_sampled"),
+        sum(when(col("naive") && col("csz") >= 2, 1L).otherwise(0L)).as("nd"),
+        sum(when(col("content") && col("csz") >= 2, 1L).otherwise(0L)).as("cd"))
+      def finish(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("bucket"), col("n_clusters"), col("n_docs"),
+        col("naive_sampled"), col("content_sampled"),
+        expr("""CASE WHEN naive_sampled > 0
+                THEN nd * 1000000 DIV naive_sampled ELSE 0L END""").as("naive_dup_ppm"),
+        expr("""CASE WHEN content_sampled > 0
+                THEN cd * 1000000 DIV content_sampled ELSE 0L END""").as("content_dup_ppm"),
+        (col("content_sampled") === col("n_clusters")).as("one_per_cluster"))
+      val perBucket = finish(agg(tagged.groupBy(col("bucket"))))
+      val total = finish(agg(tagged.withColumn("bucket", lit("z_total"))
+        .groupBy(col("bucket"))))
+      perBucket.unionByName(total).orderBy(col("bucket"))
+    },
+    Some(s"""WITH RECURSIVE $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    e AS (SELECT id1, id2 FROM p UNION SELECT id2, id1 FROM p),
+    r AS (SELECT id1 AS node, id2 AS reach FROM e
+          UNION
+          SELECT r.node, e.id2 AS reach FROM r JOIN e ON r.reach = e.id1),
+    comp AS (SELECT node, LEAST(node, MIN(reach)) AS comp FROM r GROUP BY node),
+    cl AS (SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster
+           FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+    sz AS (SELECT cluster, COUNT(*) AS csz FROM cl GROUP BY 1),
+    rep AS (SELECT doc_id, TRUE AS content FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY cluster
+          ORDER BY ${strHashSql("CAST(doc_id AS VARCHAR)")}, doc_id) AS rn
+        FROM cl) WHERE rn = 1),
+    tg AS (SELECT cl.doc_id, cl.cluster, sz.csz,
+             ${strHashSql("CAST(cl.doc_id AS VARCHAR)")} % 10 = 0 AS naive,
+             COALESCE(rep.content, FALSE) AS content,
+             CASE WHEN sz.csz = 1 THEN 'a_singleton' WHEN sz.csz <= 3 THEN 'b_2_3'
+                  WHEN sz.csz <= 7 THEN 'c_4_7' ELSE 'd_8_plus' END AS bucket
+           FROM cl JOIN sz USING (cluster) LEFT JOIN rep USING (doc_id)),
+    ag AS (
+      SELECT bucket, COUNT(DISTINCT cluster) AS n_clusters, COUNT(*) AS n_docs,
+        SUM(CASE WHEN naive THEN 1 ELSE 0 END) AS naive_sampled,
+        SUM(CASE WHEN content THEN 1 ELSE 0 END) AS content_sampled,
+        SUM(CASE WHEN naive AND csz >= 2 THEN 1 ELSE 0 END) AS nd,
+        SUM(CASE WHEN content AND csz >= 2 THEN 1 ELSE 0 END) AS cd
+      FROM tg GROUP BY bucket
+      UNION ALL
+      SELECT 'z_total', COUNT(DISTINCT cluster), COUNT(*),
+        SUM(CASE WHEN naive THEN 1 ELSE 0 END),
+        SUM(CASE WHEN content THEN 1 ELSE 0 END),
+        SUM(CASE WHEN naive AND csz >= 2 THEN 1 ELSE 0 END),
+        SUM(CASE WHEN content AND csz >= 2 THEN 1 ELSE 0 END)
+      FROM tg)
+    SELECT bucket, CAST(n_clusters AS BIGINT) AS n_clusters,
+      CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(naive_sampled AS BIGINT) AS naive_sampled,
+      CAST(content_sampled AS BIGINT) AS content_sampled,
+      CAST(CASE WHEN naive_sampled > 0
+           THEN nd * 1000000 // naive_sampled ELSE 0 END AS BIGINT) AS naive_dup_ppm,
+      CAST(CASE WHEN content_sampled > 0
+           THEN cd * 1000000 // content_sampled ELSE 0 END AS BIGINT) AS content_dup_ppm,
+      content_sampled = n_clusters AS one_per_cluster
+    FROM ag ORDER BY bucket"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, d52, d53, q170)
+      d47, d48, d49, d50, d51, d52, d53, d54, q170)
 }

@@ -1458,7 +1458,94 @@ object Governance {
             AND SUM(CASE WHEN bal_out IS NULL THEN 1 ELSE 0 END) = 0 END AS policy_ok
     FROM v GROUP BY role ORDER BY role"""))
 
+  // --------------------------------------------------------------- q202
+  // DSAR EXPORT (subject access request) — the read-side twin of q191's
+  // right-to-be-forgotten and q181's cascade DELETE plan: gather ONE
+  // subject's rows across the FK closure (customer → orders →
+  // lineitem), with sensitive payloads pseudonymized per the q200
+  // policy (names hashed, money reduced to exact cents checksums —
+  // auditable without shipping raw values). Completeness is proven
+  // in-data, not assumed: the lineitem rows are fetched through the
+  // orders bundle, and `complete` checks both that no fetched lineitem
+  // is an orphan of the bundle (structural) and that re-counting
+  // orders directly from the fact table matches the bundle — the same
+  // two-path discipline q181 uses for deletes. Scale: one broadcast of
+  // the 1-row subject key, two FK-pruned scans, manifest-sized output.
+  private val q202 = QueryDef(
+    "q202_dsar_export",
+    (s, dir) => {
+      val subject = rd(s, dir, "customer").agg(min(col("c_custkey")).as("k"))
+      val cust = rd(s, dir, "customer")
+        .join(broadcast(subject), col("c_custkey") === col("k"))
+        .localCheckpoint()
+      val ords = rd(s, dir, "orders")
+        .join(broadcast(subject), col("o_custkey") === col("k"))
+        .select(col("o_orderkey"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        .localCheckpoint()
+      val li = rd(s, dir, "lineitem")
+        .join(ords.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        .localCheckpoint()
+      val custRow = cust.agg(count(lit(1)).as("n_rows"),
+          (sum(col("c_custkey") % HashMod) % HashMod).as("key_checksum"),
+          (sum(expr(strHashExpr("c_name"))) % HashMod).as("payload_checksum"))
+        .select(lit("a_customer").as("table_name"), col("n_rows"),
+          col("key_checksum"), col("payload_checksum"),
+          lit(null).cast("boolean").as("complete"))
+      // two-path order count: through the bundle vs directly off the scan
+      val direct = rd(s, dir, "orders")
+        .join(broadcast(subject), col("o_custkey") === col("k"))
+        .agg(count(lit(1)).as("n_direct"))
+      val ordRow = ords.agg(count(lit(1)).as("n_rows"),
+          (sum(col("o_orderkey") % HashMod) % HashMod).as("key_checksum"),
+          (sum(col("cents") % HashMod) % HashMod).as("payload_checksum"))
+        .crossJoin(broadcast(direct))
+        .select(lit("b_orders").as("table_name"), col("n_rows"),
+          col("key_checksum"), col("payload_checksum"),
+          (col("n_rows") === col("n_direct")).as("complete"))
+      val orphans = li.join(ords.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val liRow = li.agg(count(lit(1)).as("n_rows"),
+          (sum((col("l_orderkey") * 7 + col("l_linenumber")) % HashMod) % HashMod)
+            .as("key_checksum"),
+          (sum(col("qty") % HashMod) % HashMod).as("payload_checksum"))
+        .crossJoin(broadcast(orphans))
+        .select(lit("c_lineitem").as("table_name"), col("n_rows"),
+          col("key_checksum"), col("payload_checksum"),
+          (col("n_orphans") === 0L).as("complete"))
+      custRow.unionByName(ordRow).unionByName(liRow).orderBy(col("table_name"))
+    },
+    Some(s"""WITH subj AS (SELECT MIN(c_custkey) AS k FROM customer),
+    cust AS (SELECT c.* FROM customer c JOIN subj ON c.c_custkey = subj.k),
+    ords AS (SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+             FROM orders JOIN subj ON o_custkey = subj.k),
+    li AS (SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty
+           FROM lineitem JOIN ords ON l_orderkey = o_orderkey),
+    orph AS (SELECT COUNT(*) AS n_orphans FROM li
+             WHERE NOT EXISTS (SELECT 1 FROM ords WHERE o_orderkey = l_orderkey)),
+    direct AS (SELECT COUNT(*) AS n_direct
+               FROM orders JOIN subj ON o_custkey = subj.k)
+    SELECT 'a_customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(SUM(c_custkey % $HashMod) % $HashMod AS BIGINT) AS key_checksum,
+      CAST(SUM(${strHashSql("c_name")}) % $HashMod AS BIGINT) AS payload_checksum,
+      CAST(NULL AS BOOLEAN) AS complete
+    FROM cust
+    UNION ALL
+    SELECT 'b_orders', COUNT(*), SUM(o_orderkey % $HashMod) % $HashMod,
+      SUM(cents % $HashMod) % $HashMod, COUNT(*) = MAX(direct.n_direct)
+    FROM ords CROSS JOIN direct
+    UNION ALL
+    SELECT 'c_lineitem', COUNT(*),
+      SUM((l_orderkey * 7 + l_linenumber) % $HashMod) % $HashMod,
+      SUM(qty % $HashMod) % $HashMod, MAX(orph.n_orphans) = 0
+    FROM li CROSS JOIN orph
+    ORDER BY table_name"""))
+
   val defs: Seq[QueryDef] =
     Seq(q137, q138, q139, q141, q143, q146, q153, q159, q160, q163, q168,
-      q171, q172, q174, q176, q177, q181, q184, q191, q192, q200)
+      q171, q172, q174, q176, q177, q181, q184, q191, q192, q200, q202)
 }

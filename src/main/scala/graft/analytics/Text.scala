@@ -3376,9 +3376,142 @@ object Text {
     ORDER BY source"""
     })
 
+  // ---------------------------------------------------------------- t55
+  // FILTER ABLATION MATRIX — the question every t37-style rule battery
+  // begs: which rules EARN their place? Per rule, the audit reports the
+  // docs it fails (n_fail), the docs ONLY it fails (n_unique_fail — the
+  // marginal removals lost if the rule were dropped), and the overlap
+  // share (removals another rule would have caught anyway). A rule with
+  // high n_fail but near-zero n_unique_fail is redundant; one with high
+  // unique share carries the battery. Reuses t37's six flag definitions
+  // VERBATIM (same chain, per-doc flags kept instead of lang-grouped),
+  // so the two queries cannot drift; the z_total row reports
+  // any/exactly-one/multi-fail accounting for the whole battery.
+  // Scale: one flags pass + a 6-way per-row explode into a 6-row
+  // aggregate — no joins beyond t37's own.
+  private val t55 = QueryDef(
+    "t55_filter_ablation",
+    (s, dir) => {
+      val dt = docsNarrow(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(
+          sum(col("n")).as("n_tok"),
+          max(col("n")).as("max_tok"),
+          sum(when(col("w").isin("the", "a", "of", "to", "and"), 1L).otherwise(0L))
+            .as("n_stop_distinct"),
+          sum(when(col("w").rlike("^[a-z]+$"), col("n")).otherwise(0L)).as("n_alpha"))
+      val tri = docs(s, dir)
+        .select(col("doc_id"), col("n_chars"),
+          expr("transform(split(text, ' '), t -> poly_hash(t))").as("th"))
+        .withColumn("tg", expr(ngramExpr("th", 3)))
+        .select(col("doc_id"), col("n_chars"),
+          expr("CAST(size(tg) AS BIGINT)").as("n_tri"),
+          expr("CAST(size(tg) - size(array_distinct(tg)) AS BIGINT)").as("dup_tri"))
+      val flags = tri.join(dt, Seq("doc_id"))
+        .withColumn("sum_len", col("n_chars") - (col("n_tok") - lit(1L)))
+        .select(
+          (!col("n_tok").between(50L, 100000L)).as("f_wordcount"),
+          (col("sum_len") < col("n_tok") * 3 || col("sum_len") > col("n_tok") * 10)
+            .as("f_meanlen"),
+          (col("n_stop_distinct") < 2).as("f_stopword"),
+          (col("max_tok") * 5 > col("n_tok")).as("f_maxtok"),
+          (col("dup_tri") * 5 > col("n_tri")).as("f_duptri"),
+          (col("n_alpha") * 5 < col("n_tok") * 4).as("f_alpha"))
+        .withColumn("n_fails", expr(
+          """CAST(f_wordcount AS INT) + CAST(f_meanlen AS INT) +
+             CAST(f_stopword AS INT) + CAST(f_maxtok AS INT) +
+             CAST(f_duptri AS INT) + CAST(f_alpha AS INT)""").cast("long"))
+        .localCheckpoint()
+      val perRule = flags.select(col("n_fails"), explode(expr(
+          """array(named_struct('rule', 'alpha', 'failed', f_alpha),
+                   named_struct('rule', 'duptri', 'failed', f_duptri),
+                   named_struct('rule', 'maxtok', 'failed', f_maxtok),
+                   named_struct('rule', 'meanlen', 'failed', f_meanlen),
+                   named_struct('rule', 'stopword', 'failed', f_stopword),
+                   named_struct('rule', 'wordcount', 'failed', f_wordcount))"""))
+          .as("r"))
+        .select(col("r.rule").as("rule"), col("r.failed").as("failed"), col("n_fails"))
+        .groupBy(col("rule"))
+        .agg(sum(when(col("failed"), 1L).otherwise(0L)).as("n_fail"),
+          sum(when(col("failed") && col("n_fails") === 1L, 1L).otherwise(0L))
+            .as("n_unique_fail"))
+        .withColumn("overlap_ppm", expr(
+          "CASE WHEN n_fail > 0 THEN (n_fail - n_unique_fail) * 1000000 DIV n_fail ELSE 0L END"))
+      val total = flags.agg(
+          sum(when(col("n_fails") > 0L, 1L).otherwise(0L)).as("n_fail"),
+          sum(when(col("n_fails") === 1L, 1L).otherwise(0L)).as("n_unique_fail"))
+        .select(lit("z_total").as("rule"), col("n_fail"), col("n_unique_fail"),
+          expr("""CASE WHEN n_fail > 0
+                  THEN (n_fail - n_unique_fail) * 1000000 DIV n_fail ELSE 0L END""")
+            .as("overlap_ppm"))
+      perRule.unionByName(total).orderBy(col("rule"))
+    },
+    Some(s"""WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    dw AS (SELECT doc_id, w, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+    dt AS (SELECT doc_id,
+             CAST(SUM(n) AS BIGINT) AS n_tok,
+             CAST(MAX(n) AS BIGINT) AS max_tok,
+             CAST(SUM(CASE WHEN w IN ('the', 'a', 'of', 'to', 'and')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_stop_distinct,
+             CAST(SUM(CASE WHEN regexp_matches(w, '^[a-z]+$$')
+               THEN n ELSE 0 END) AS BIGINT) AS n_alpha
+           FROM dw GROUP BY 1),
+    th AS (SELECT doc_id, n_chars,
+             list_transform(string_split(text, ' '), t -> ${strHashSql("t")}) AS th
+           FROM documents),
+    tri AS (SELECT doc_id, n_chars,
+              CAST(len(tg) AS BIGINT) AS n_tri,
+              CAST(len(tg) - len(list_distinct(tg)) AS BIGINT) AS dup_tri
+            FROM (SELECT doc_id, n_chars, ${ngramSqlDuck("th", 3)} AS tg FROM th)),
+    fl AS (SELECT
+             NOT (dt.n_tok BETWEEN 50 AND 100000) AS f_wordcount,
+             ((tri.n_chars - (dt.n_tok - 1)) < dt.n_tok * 3
+               OR (tri.n_chars - (dt.n_tok - 1)) > dt.n_tok * 10) AS f_meanlen,
+             dt.n_stop_distinct < 2 AS f_stopword,
+             dt.max_tok * 5 > dt.n_tok AS f_maxtok,
+             tri.dup_tri * 5 > tri.n_tri AS f_duptri,
+             dt.n_alpha * 5 < dt.n_tok * 4 AS f_alpha
+           FROM tri JOIN dt USING (doc_id)),
+    f2 AS (SELECT *,
+             CAST(f_wordcount AS INT) + CAST(f_meanlen AS INT) +
+             CAST(f_stopword AS INT) + CAST(f_maxtok AS INT) +
+             CAST(f_duptri AS INT) + CAST(f_alpha AS INT) AS n_fails
+           FROM fl),
+    rr AS (
+      SELECT 'alpha' AS rule, f_alpha AS failed, n_fails FROM f2
+      UNION ALL SELECT 'duptri', f_duptri, n_fails FROM f2
+      UNION ALL SELECT 'maxtok', f_maxtok, n_fails FROM f2
+      UNION ALL SELECT 'meanlen', f_meanlen, n_fails FROM f2
+      UNION ALL SELECT 'stopword', f_stopword, n_fails FROM f2
+      UNION ALL SELECT 'wordcount', f_wordcount, n_fails FROM f2),
+    pr AS (SELECT rule,
+             SUM(CASE WHEN failed THEN 1 ELSE 0 END) AS n_fail,
+             SUM(CASE WHEN failed AND n_fails = 1 THEN 1 ELSE 0 END) AS n_unique_fail
+           FROM rr GROUP BY 1)
+    SELECT rule, CAST(n_fail AS BIGINT) AS n_fail,
+      CAST(n_unique_fail AS BIGINT) AS n_unique_fail,
+      CAST(CASE WHEN n_fail > 0
+           THEN (n_fail - n_unique_fail) * 1000000 // n_fail ELSE 0 END AS BIGINT)
+        AS overlap_ppm
+    FROM pr
+    UNION ALL
+    SELECT 'z_total',
+      SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END),
+      SUM(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END),
+      CASE WHEN SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END) > 0
+           THEN (SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END)
+                 - SUM(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END)) * 1000000
+                // SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END)
+           ELSE 0 END
+    FROM f2
+    ORDER BY rule"""))
+
   val defs: Seq[QueryDef] =
     Seq(t01, t02, t03, t04, t05, t06, t07, t08, t09, t10, t11, t12, t13, t14,
       t15, t16, t17, t18, t19, t20, t21, t22, t23, t24, t25, t26, t27, t28,
       t29, t30, t31, t32, t33, t34, t35, t36, t37, t38, t39, t40, t41, t42,
-      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54)
+      t43, t44, t45, t46, t47, t48, t49, t50, t51, t52, t53, t54, t55)
 }
