@@ -105,7 +105,10 @@ object Explain {
         "d53_bbit_minhash", "s44_bisect_hot_cell", "q200_rls_mask",
         // r18 wave G (t54's MM loop is driver-iterating, the t26
         // precedent — its final frame still plans, so it stays in)
-        "q201_shapley_attribution", "s45_adc_vs_sdc", "t54_bradley_terry")
+        "q201_shapley_attribution", "s45_adc_vs_sdc", "t54_bradley_terry",
+        // r18 wave H
+        "t55_filter_ablation", "d54_dup_aware_sampling", "q202_dsar_export",
+        "m25_compressibility")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

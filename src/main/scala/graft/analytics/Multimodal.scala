@@ -1619,7 +1619,61 @@ object Multimodal {
     FROM pv
     ORDER BY media_id"""))
 
+  // ---------------------------------------------------------------- m25
+  // PAYLOAD COMPRESSIBILITY AUDIT — the storage-codec decision per
+  // media kind: already-compressed payloads (real JPEG/MP4) waste CPU
+  // under a second codec, raw ones beg for one. The proxy is exact and
+  // decode-free: the distinct-ratio of the payload's 8-byte chunks
+  // (m06's chunking grid) — repetitive payloads sit low, high-entropy
+  // ones near 10⁶. Per kind: chunk mass, mean distinct-ratio, and the
+  // codec verdict at the 900k bar (above it, store raw; below,
+  // zstd-class). The same threshold discipline as m16's quarantine
+  // rules: pure per-row array math, one aggregate per kind, no joins.
+  private val m25 = QueryDef(
+    "m25_compressibility",
+    (s, dir) => {
+      val per = docs(s, dir)
+        .filter(length(col("text")) >= 32)
+        .select(col("doc_id"),
+          expr("""CASE WHEN doc_id % 3 = 0 THEN 'image'
+                       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END""")
+            .as("kind"),
+          expr("""transform(sequence(0, CAST(length(text) DIV 8 AS INT) - 1),
+                  i -> substr(text, i * 8 + 1, 8))""").as("chunks"))
+        .select(col("kind"),
+          expr("CAST(size(chunks) AS BIGINT)").as("n_chunks"),
+          expr("CAST(size(array_distinct(chunks)) AS BIGINT)").as("n_distinct"))
+        .withColumn("ratio_ppm", expr("n_distinct * 1000000 DIV n_chunks"))
+      per.groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_chunks")).as("total_chunks"),
+          expr("sum(ratio_ppm) DIV count(1)").as("mean_distinct_ppm"),
+          min(col("ratio_ppm")).as("min_ppm"))
+        .withColumn("codec",
+          when(col("mean_distinct_ppm") >= 900000L, lit("store_raw"))
+            .otherwise(lit("zstd")))
+        .orderBy(col("kind"))
+    },
+    Some("""WITH per AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        CAST(len(ch) AS BIGINT) AS n_chunks,
+        CAST(len(list_distinct(ch)) AS BIGINT) AS n_distinct
+      FROM (SELECT doc_id,
+              list_transform(generate_series(0, CAST(len(text) // 8 AS INT) - 1),
+                i -> substr(text, CAST(i * 8 + 1 AS INT), 8)) AS ch
+            FROM documents WHERE len(text) >= 32)),
+    p2 AS (SELECT kind, n_chunks, n_distinct,
+             n_distinct * 1000000 // n_chunks AS ratio_ppm FROM per)
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_media,
+      CAST(SUM(n_chunks) AS BIGINT) AS total_chunks,
+      CAST(SUM(ratio_ppm) // COUNT(*) AS BIGINT) AS mean_distinct_ppm,
+      CAST(MIN(ratio_ppm) AS BIGINT) AS min_ppm,
+      CASE WHEN SUM(ratio_ppm) // COUNT(*) >= 900000 THEN 'store_raw'
+           ELSE 'zstd' END AS codec
+    FROM p2 GROUP BY kind ORDER BY kind"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20, m21, m22, m23, m24)
+      m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
 }
