@@ -108,7 +108,7 @@ object Explain {
         "q201_shapley_attribution", "s45_adc_vs_sdc", "t54_bradley_terry",
         // r18 wave H
         "t55_filter_ablation", "d54_dup_aware_sampling", "q202_dsar_export",
-        "m25_compressibility")
+        "m25_compressibility", "d55_transitivity_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

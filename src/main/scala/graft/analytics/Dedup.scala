@@ -3956,9 +3956,90 @@ object Dedup {
       content_sampled = n_clusters AS one_per_cluster
     FROM ag ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- d55
+  // TRANSITIVITY AUDIT — the number behind the entire chain-hazard arc
+  // (d38's coherence, d42's adversarial chains, d52's bridge
+  // stability): near-duplicate similarity is NOT transitive, yet CC
+  // grouping acts as if it were. Every wedge a–b–c in the pair graph
+  // is checked at its endpoints: CLOSED (a–c is itself a candidate
+  // pair), OPEN-NEAR (a–c within Hamming 6 but missed by the
+  // bucket prefilter — d41's recall gap, measured directly), or
+  // OPEN-FAR (a genuine chain artifact: co-clustered by reachability
+  // while being dissimilar — what d33's soft weights exist for). The
+  // endpoint classification costs two hash joins against the signature
+  // table — no text is re-read and no sampling is needed, so there are
+  // no silent caps. Scale: wedge endpoints are Σdeg² over CAPPED
+  // buckets (the d39-priced quantity), deduped before classification.
+  private val d55 = QueryDef(
+    "d55_transitivity_audit",
+    (s, dir) => {
+      val sh = simhashDf(s, dir).localCheckpoint()
+      val pairs = simhashPairs(s, dir)
+      val und = pairs.select(col("id1").as("a"), col("id2").as("b"))
+        .unionByName(pairs.select(col("id2").as("a"), col("id1").as("b")))
+      val l = und.select(col("a"), col("b"))
+      val r = und.select(col("b").as("bb"), col("a").as("c"))
+      val endpoints = l.join(r, col("b") === col("bb") && col("a") < col("c"))
+        .select(col("a"), col("c")).distinct()
+        .localCheckpoint()
+      val closed = endpoints.join(
+        pairs.select(col("id1").as("a"), col("id2").as("c")), Seq("a", "c"),
+        "left_semi")
+      val open = endpoints.join(
+        pairs.select(col("id1").as("a"), col("id2").as("c")), Seq("a", "c"),
+        "left_anti")
+        .join(sh.select(col("doc_id").as("a"), col("simhash").as("ha")), Seq("a"))
+        .join(sh.select(col("doc_id").as("c"), col("simhash").as("hc")), Seq("c"))
+        .withColumn("near", expr("bit_count(ha ^ hc) <= 6"))
+      val counts = endpoints.agg(count(lit(1)).as("n_endpoint_pairs"))
+        .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_closed"))))
+        .crossJoin(broadcast(open.agg(
+          count(lit(1)).as("n_open"),
+          coalesce(sum(when(col("near"), 1L).otherwise(0L)), lit(0L))
+            .as("n_open_near"))))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+      pairs.unpersist()
+      counts.select(col("n_pairs"), col("n_endpoint_pairs"), col("n_closed"),
+        expr("n_closed * 1000000 DIV n_endpoint_pairs").as("closed_ppm"),
+        col("n_open"), col("n_open_near"),
+        expr("""CASE WHEN n_open > 0
+                THEN n_open_near * 1000000 DIV n_open ELSE 0L END""")
+          .as("open_near_ppm"),
+        (col("n_open") - col("n_open_near")).as("n_chain_artifacts"))
+    },
+    Some(s"""WITH $simhashCteDuck,
+    p AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+          FROM sh a JOIN sh b
+            ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    und AS (SELECT id1 AS a, id2 AS b FROM p UNION ALL SELECT id2, id1 FROM p),
+    ep AS (SELECT DISTINCT l.a, r.a AS c
+           FROM und l JOIN und r ON l.b = r.b AND l.a < r.a),
+    closed AS (SELECT COUNT(*) AS n_closed FROM ep
+               WHERE EXISTS (SELECT 1 FROM p WHERE p.id1 = ep.a AND p.id2 = ep.c)),
+    open_ AS (SELECT ep.a, ep.c FROM ep
+              WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.id1 = ep.a AND p.id2 = ep.c)),
+    oc AS (SELECT COUNT(*) AS n_open,
+             COALESCE(SUM(CASE WHEN bit_count(xor(x.simhash, y.simhash)) <= 6
+                 THEN 1 ELSE 0 END), 0) AS n_open_near
+           FROM open_ JOIN sh x ON x.doc_id = open_.a
+           JOIN sh y ON y.doc_id = open_.c),
+    tot AS (SELECT COUNT(*) AS n_pairs FROM p),
+    nep AS (SELECT COUNT(*) AS n_endpoint_pairs FROM ep)
+    SELECT CAST(n_pairs AS BIGINT) AS n_pairs,
+      CAST(n_endpoint_pairs AS BIGINT) AS n_endpoint_pairs,
+      CAST(n_closed AS BIGINT) AS n_closed,
+      CAST(n_closed * 1000000 // n_endpoint_pairs AS BIGINT) AS closed_ppm,
+      CAST(n_open AS BIGINT) AS n_open,
+      CAST(n_open_near AS BIGINT) AS n_open_near,
+      CAST(CASE WHEN n_open > 0 THEN n_open_near * 1000000 // n_open
+           ELSE 0 END AS BIGINT) AS open_near_ppm,
+      CAST(n_open - n_open_near AS BIGINT) AS n_chain_artifacts
+    FROM tot CROSS JOIN nep CROSS JOIN closed CROSS JOIN oc"""))
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, d52, d53, d54, q170)
+      d47, d48, d49, d50, d51, d52, d53, d54, d55, q170)
 }

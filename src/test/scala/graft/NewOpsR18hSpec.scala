@@ -46,6 +46,18 @@ class NewOpsR18hSpec extends SparkSuite {
       total.head.getAs[Long]("content_dup_ppm")
   }
 
+  test("d55 transitivity audit: wedge accounting closes and classes partition the opens") {
+    val r = Registry.queries("d55_transitivity_audit")(spark, dir).collect().head
+    r.getAs[Long]("n_closed") + r.getAs[Long]("n_open") shouldBe
+      r.getAs[Long]("n_endpoint_pairs")
+    r.getAs[Long]("n_open_near") + r.getAs[Long]("n_chain_artifacts") shouldBe
+      r.getAs[Long]("n_open")
+    r.getAs[Long]("closed_ppm") should be <= 1000000L
+    // the d52 clique finding, restated at wedge level: this corpus's
+    // SimHash graph is perfectly transitive at the correctness SFs
+    r.getAs[Long]("closed_ppm") shouldBe 1000000L
+  }
+
   test("q202 DSAR export: bundle covers the closure and both completeness proofs hold") {
     val rows = Registry.queries("q202_dsar_export")(spark, dir).collect()
     rows.map(_.getAs[String]("table_name")) shouldBe
