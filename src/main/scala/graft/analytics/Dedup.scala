@@ -305,29 +305,43 @@ object Dedup {
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     ORDER BY id1, id2"""))
 
-  /** Hamming-bucketed SimHash candidate pairs `(id1 < id2, distance ≤ 6)`,
-    * MATERIALIZED (signatures cached for the self-join, pairs cached and
-    * counted, signatures released) — the near-dup edge list d07/d09/d17
-    * all start from. Candidate generation is bucket-capped (see
-    * [[SimhashBucketCap]]): identical output at the correctness SFs, and
-    * bounded — never |bucket|²/2 — work on a template-heavy 100 TB
-    * corpus. Caller unpersists the returned frame when done. */
+  /** Hamming-bucketed SimHash candidate pairs `(id1 < id2, distance ≤ 6)`
+    * — the near-dup edge list the whole d-graph family (d07/d09/d17/d18/
+    * d22/d23/d42/d44/d51/d55, …) starts from. Candidate generation is
+    * bucket-capped (see [[SimhashBucketCap]]): identical output at the
+    * correctness SFs, and bounded — never |bucket|²/2 — work on a
+    * template-heavy 100 TB corpus.
+    *
+    * PERSISTED ONCE per (JVM, sfDir), the d16 persisted-index discipline:
+    * the first caller computes the capped self-join and writes the edge
+    * list to a temp parquet; every later consumer reads that index back
+    * instead of re-running the signature pipeline + self-join (~3–6 s per
+    * query at sf0.1 before this, ×10+ call sites per bench run). The
+    * read-back frame is storage-backed, so callers' historical
+    * `unpersist()` calls are harmless no-ops and never evict the shared
+    * index. Keyed by the sfDir string — fixtures live in per-test temp
+    * dirs, so a key never sees two different corpora. */
+  private val pairsIndexPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sh = simhashTagged(
-      simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)")))
-      .cache()
-    sh.count()
-    val pairs = sh.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
-      .join(sh.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
-          col("doc_id").as("id2"), col("simhash").as("h2")),
-        col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
-          col("id1") < col("id2"))
-      .filter(expr("bit_count(h1 ^ h2)") <= 6)
-      .select(col("id1"), col("id2"))
-      .cache()
-    pairs.count()
-    sh.unpersist()
-    pairs
+    val path = pairsIndexPath.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-simhash-pairs").toString
+      val sh = simhashTagged(
+        simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)")))
+        .cache()
+      sh.count()
+      sh.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
+        .join(sh.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
+            col("doc_id").as("id2"), col("simhash").as("h2")),
+          col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
+            col("id1") < col("id2"))
+        .filter(expr("bit_count(h1 ^ h2)") <= 6)
+        .select(col("id1"), col("id2"))
+        .write.mode("overwrite").parquet(p)
+      sh.unpersist()
+      p
+    })
+    s.read.parquet(path)
   }
 
   // ---------------------------------------------------------------- d06
@@ -3546,8 +3560,9 @@ object Dedup {
         CAST(NULL AS BIGINT) AS n_oversized
       FROM per
       UNION ALL
-      SELECT -1, SUM(n_docs), SUM(n_pairs), MIN(min_cont_ppm), MAX(max_cont_ppm),
-        (SELECT COUNT(*) FROM groups WHERE n_docs > $D50VerifyCap)
+      SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(SUM(n_pairs) AS BIGINT),
+        CAST(MIN(min_cont_ppm) AS BIGINT), CAST(MAX(max_cont_ppm) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM groups WHERE n_docs > $D50VerifyCap) AS BIGINT)
       FROM per
     ) ORDER BY comp"""))
 
@@ -3655,7 +3670,8 @@ object Dedup {
       CAST(MAX(gap) AS BIGINT) AS max_abs_gap_ppm
     FROM v GROUP BY cls
     UNION ALL
-    SELECT 'z_total', COUNT(*), SUM(gap) // COUNT(*), MAX(gap) FROM v
+    SELECT 'z_total', CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(gap) // COUNT(*) AS BIGINT), CAST(MAX(gap) AS BIGINT) FROM v
     ORDER BY cls"""))
 
   // ---------------------------------------------------------------- d52

@@ -699,20 +699,20 @@ object Formats {
       SELECT 'v1_week' AS gen,
         (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) FROM v1) AS n_parts_total,
         (SELECT CAST(COUNT(DISTINCT wk) AS BIGINT) FROM v1p) AS n_parts_matching,
-        COUNT(*) AS n_rows, COALESCE(SUM(cents), 0) AS cents,
-        COALESCE(SUM(event_id % $HashMod) % $HashMod, 0) AS ck,
+        COUNT(*) AS n_rows, CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS cents,
+        CAST(COALESCE(SUM(event_id % $HashMod) % $HashMod, 0) AS BIGINT) AS ck,
         CAST(NULL AS BOOLEAN) AS matches_source
       FROM v1r
       UNION ALL
       SELECT 'v2_day',
         (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM v2),
         (SELECT CAST(COUNT(DISTINCT d) AS BIGINT) FROM v2p),
-        COUNT(*), COALESCE(SUM(cents), 0),
-        COALESCE(SUM(event_id % $HashMod) % $HashMod, 0), NULL
+        COUNT(*), CAST(COALESCE(SUM(cents), 0) AS BIGINT),
+        CAST(COALESCE(SUM(event_id % $HashMod) % $HashMod, 0) AS BIGINT), NULL
       FROM v2r
       UNION ALL
       SELECT 'combined', NULL, NULL,
-        u.n_rows, u.cents, u.ck,
+        u.n_rows, CAST(u.cents AS BIGINT), CAST(u.ck AS BIGINT),
         u.n_rows = s.n_rows AND u.cents = s.cents AND u.ck = s.ck
       FROM (SELECT COUNT(*) AS n_rows, SUM(cents) AS cents,
               SUM(event_id % $HashMod) % $HashMod AS ck

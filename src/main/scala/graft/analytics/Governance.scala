@@ -1535,13 +1535,15 @@ object Governance {
       CAST(NULL AS BOOLEAN) AS complete
     FROM cust
     UNION ALL
-    SELECT 'b_orders', COUNT(*), SUM(o_orderkey % $HashMod) % $HashMod,
-      SUM(cents % $HashMod) % $HashMod, COUNT(*) = MAX(direct.n_direct)
+    SELECT 'b_orders', COUNT(*),
+      CAST(SUM(o_orderkey % $HashMod) % $HashMod AS BIGINT),
+      CAST(SUM(cents % $HashMod) % $HashMod AS BIGINT),
+      COUNT(*) = MAX(direct.n_direct)
     FROM ords CROSS JOIN direct
     UNION ALL
     SELECT 'c_lineitem', COUNT(*),
-      SUM((l_orderkey * 7 + l_linenumber) % $HashMod) % $HashMod,
-      SUM(qty % $HashMod) % $HashMod, MAX(orph.n_orphans) = 0
+      CAST(SUM((l_orderkey * 7 + l_linenumber) % $HashMod) % $HashMod AS BIGINT),
+      CAST(SUM(qty % $HashMod) % $HashMod AS BIGINT), MAX(orph.n_orphans) = 0
     FROM li CROSS JOIN orph
     ORDER BY table_name"""))
 

@@ -1614,8 +1614,9 @@ object Multimodal {
       CAST(n_frames * 1000 // n_shots AS BIGINT) AS avg_shot_len_x1000
     FROM pv
     UNION ALL
-    SELECT -1, SUM(n_frames), SUM(n_shots), MAX(max_shot_len),
-      SUM(n_frames) * 1000 // SUM(n_shots)
+    SELECT -1, CAST(SUM(n_frames) AS BIGINT), CAST(SUM(n_shots) AS BIGINT),
+      CAST(MAX(max_shot_len) AS BIGINT),
+      CAST(SUM(n_frames) * 1000 // SUM(n_shots) AS BIGINT)
     FROM pv
     ORDER BY media_id"""))
 

@@ -1884,8 +1884,9 @@ object Pipeline {
       CAST(freed_bytes AS BIGINT) AS freed_bytes, safe
     FROM pf2
     UNION ALL
-    SELECT -1, SUM(size_bytes), SUM(n_adds), SUM(n_removes), NULL, NULL, NULL,
-      SUM(freed_bytes), BOOL_AND(safe)
+    SELECT -1, CAST(SUM(size_bytes) AS BIGINT), CAST(SUM(n_adds) AS BIGINT),
+      CAST(SUM(n_removes) AS BIGINT), NULL, NULL, NULL,
+      CAST(SUM(freed_bytes) AS BIGINT), BOOL_AND(safe)
     FROM pf2
     ORDER BY file_id"""))
 
@@ -1956,7 +1957,8 @@ object Pipeline {
       BOOL_AND(NOT referenced) AS group_unreferenced
     FROM v GROUP BY verdict
     UNION ALL
-    SELECT 'z_total', COUNT(*), SUM(size_bytes), MIN(mtime), NULL FROM v
+    SELECT 'z_total', CAST(COUNT(*) AS BIGINT), CAST(SUM(size_bytes) AS BIGINT),
+      CAST(MIN(mtime) AS BIGINT), NULL FROM v
     ORDER BY verdict"""))
 
   // --------------------------------------------------------------- q198
@@ -2013,8 +2015,9 @@ object Pipeline {
       broadcastable, CAST(NULL AS BIGINT) AS executors
     FROM p2
     UNION ALL
-    SELECT 'z_cluster', SUM(n_rows), SUM(est_bytes), SUM(target_partitions),
-      NULL, (SUM(target_partitions) + 3) // 4
+    SELECT 'z_cluster', CAST(SUM(n_rows) AS BIGINT), CAST(SUM(est_bytes) AS BIGINT),
+      CAST(SUM(target_partitions) AS BIGINT),
+      NULL, CAST((SUM(target_partitions) + 3) // 4 AS BIGINT)
     FROM p2
     ORDER BY table_name"""))
 
@@ -2146,13 +2149,294 @@ object Pipeline {
       CAST(NULL AS BOOLEAN) AS efficient
     FROM phi JOIN tch ON phi.channel = tch.channel
     UNION ALL
-    SELECT 'z_total', NULL, SUM(phi_x6_ppm), MAX(v_all) - MAX(v_none),
+    SELECT 'z_total', NULL, CAST(SUM(phi_x6_ppm) AS BIGINT),
+      CAST(MAX(v_all) - MAX(v_none) AS BIGINT),
       SUM(phi_x6_ppm) = (MAX(v_all) - MAX(v_none)) * 6
     FROM phi CROSS JOIN ends
     ORDER BY channel"""))
 
+  // --------------------------------------------------------------- q203
+  // TABLE-MAINTENANCE SESSION CAPSTONE — the VERDICT-r18 composition:
+  // one simulated table runs the full lakehouse maintenance arc in a
+  // single query, each phase consuming the previous phase's artifacts
+  // (not re-fixturing): (a) positional DV deletes with the MOR≡eager
+  // proof (q185's semantics), (b) compaction of the files whose deleted
+  // fraction crosses the 20% bar — live rows move to gen-2 files, their
+  // DVs are dropped, and the live CONTENT is proven digest-identical
+  // across the rewrite (the invariant real compactions get wrong when
+  // they race deletes), (c) snapshot expiry over the session's own
+  // commit log (v1 base adds, v2 DV sidecar adds, v3 the compaction
+  // commit) — expiring v1/v2 makes exactly the compacted originals and
+  // their sidecars reclaimable, with the planted hazard that a FULLY
+  // deleted file (the %32=3 recall) produces NO gen-2 add, (d) orphan
+  // vacuum of the compaction's temp files against the full referenced
+  // set with a grace window (q197's early-delete hazard: the younger
+  // temp per file stays), (e) an OCC writer that branched BEFORE the
+  // compaction commit and must retry iff its write set touches a
+  // rewritten file (file-level conflict, q189's protocol), and (z) the
+  // end-to-end fact: the post-maintenance table with the writer's
+  // absolute updates applied is digest-equal to the eager ground truth
+  // (base minus deletes, updates applied) — maintenance changed LAYOUT,
+  // never content. Per-phase `ok` is that phase's invariant; the
+  // readout is 6 rows at any SF. Scale: one windowed pos assignment and
+  // one DV anti-join on the corpus; everything else is file-count-sized
+  // (≤32 files + sidecars) or op-bounded — the digests are single scans
+  // with map-side combine.
+  private val q203 = QueryDef(
+    "q203_maintenance_session",
+    (s, dir) => {
+      val base = rd(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("long").as("qty"))
+        .withColumn("file_id", col("ok") % DvFiles)
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("file_id")).orderBy(col("ok"), col("ln"))))
+        .withColumn("k", expr("ok * 7 + ln"))
+        .cache()
+      base.count()
+      // phase A: two delete ops (predicate + full-file recall) land as DVs
+      val dv = base.filter(col("qty") > 45 || col("file_id") === 3L)
+        .select(col("file_id"), col("pos")).distinct().localCheckpoint()
+      val pf = base.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+        .join(dv.groupBy(col("file_id")).agg(count(lit(1)).as("n_del")),
+          Seq("file_id"), "left")
+        .withColumn("n_del", coalesce(col("n_del"), lit(0L)))
+        .withColumn("rewrite",
+          expr("n_del * 1000000 DIV n_rows") >= DvRewritePpm)
+        .localCheckpoint() // file-count-sized
+      val mor = base.join(dv, Seq("file_id", "pos"), "left_anti").localCheckpoint()
+      val eager = base.filter(!(col("qty") > 45 || col("file_id") === 3L))
+      def dig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n"),
+          (coalesce(sum((col("k") * 1000003L + col("qty")) % HashMod), lit(0L))
+            % HashMod).as("ck"))
+      val digMor = dig(mor).select(col("n").as("n_m"), col("ck").as("ck_m"))
+        .localCheckpoint()
+      val digEager = dig(eager).select(col("n").as("n_e"), col("ck").as("ck_e"))
+      val rowA = dv.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(pf.agg(
+          sum(when(col("n_del") > 0, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("rewrite"), 1L).otherwise(0L)).as("n_c"))))
+        .crossJoin(broadcast(digMor)).crossJoin(broadcast(digEager))
+        .select(lit("a_dv_delete").as("phase"), col("n_a"), col("n_b"),
+          col("n_c"), col("ck_m").as("ck"),
+          (col("n_m") === col("n_e") && col("ck_m") === col("ck_e")).as("ok"))
+      // phase B: compact the over-bar files; content must survive exactly
+      val rewriteFiles = pf.filter(col("rewrite")).select(col("file_id"))
+      val gen2 = mor.join(rewriteFiles, Seq("file_id"), "left_semi")
+        .withColumn("file_id", col("file_id") + 100L)
+      val post = mor.join(rewriteFiles, Seq("file_id"), "left_anti")
+        .unionByName(gen2).localCheckpoint()
+      val digPost = dig(post).select(col("n").as("n_p"), col("ck").as("ck_p"))
+      val rowB = rewriteFiles.agg(count(lit(1)).as("n_a"))
+        .crossJoin(broadcast(gen2.agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(dv.join(rewriteFiles, Seq("file_id"), "left_semi")
+          .agg(count(lit(1)).as("n_c"))))
+        .crossJoin(broadcast(digPost)).crossJoin(broadcast(digMor))
+        .select(lit("b_compaction").as("phase"), col("n_a"), col("n_b"),
+          col("n_c"), col("ck_p").as("ck"),
+          (col("n_p") === col("n_m") && col("ck_p") === col("ck_m")).as("ok"))
+      // phase C: commit log v1/v2/v3; expire v1+v2, head = v3 only.
+      // A fully-deleted rewritten file adds NO gen-2 file (the hazard).
+      val gen2Files = gen2.select(col("file_id")).distinct()
+      val ops = pf.select(lit(1L).as("ver"), lit("A").as("act"), col("file_id"))
+        .unionByName(pf.filter(col("n_del") > 0)
+          .select(lit(2L).as("ver"), lit("A").as("act"),
+            (col("file_id") + 1000L).as("file_id")))
+        .unionByName(rewriteFiles
+          .select(lit(3L).as("ver"), lit("R").as("act"), col("file_id")))
+        .unionByName(rewriteFiles
+          .select(lit(3L).as("ver"), lit("R").as("act"),
+            (col("file_id") + 1000L).as("file_id")))
+        .unionByName(gen2Files
+          .select(lit(3L).as("ver"), lit("A").as("act"), col("file_id")))
+        .localCheckpoint() // op-bounded (≤ 4 ops per file)
+      val liveHead = ops.withColumn("rn", row_number().over(
+          Window.partitionBy(col("file_id")).orderBy(col("ver").desc)))
+        .filter(col("rn") === 1 && col("act") === "A")
+        .select(col("file_id"))
+      val refd = ops.select(col("file_id")).distinct().localCheckpoint()
+      val deletable = refd.join(liveHead, Seq("file_id"), "left_anti")
+        .withColumn("size_bytes", expr("file_id * 907 % 4000 + 100"))
+        .localCheckpoint()
+      val rowC = deletable.agg(count(lit(1)).as("n_b"),
+          coalesce(sum(col("size_bytes")), lit(0L)).as("n_c"),
+          (coalesce(sum(col("file_id") % HashMod), lit(0L)) % HashMod).as("ck"))
+        .crossJoin(broadcast(rewriteFiles
+          .join(deletable.select(col("file_id")), Seq("file_id"), "left_anti")
+          .agg(count(lit(1)).as("n_missing"))))
+        .select(lit("c_expiry").as("phase"), lit(2L).as("n_a"), col("n_b"),
+          col("n_c"), col("ck"), (col("n_missing") === 0L).as("ok"))
+      // phase D: vacuum the compaction temps; grace keeps the young one
+      val listing = refd
+        .select(col("file_id"), lit(true).as("referenced"), lit(100L).as("mtime"))
+        .unionByName(rewriteFiles.select((col("file_id") + 2000L).as("file_id"),
+          lit(false).as("referenced"), lit(150L).as("mtime")))
+        .unionByName(rewriteFiles.select((col("file_id") + 3000L).as("file_id"),
+          lit(false).as("referenced"), lit(200L).as("mtime")))
+        .withColumn("size_bytes", expr("file_id * 907 % 4000 + 100"))
+        .withColumn("verdict",
+          when(col("referenced"), lit("kept_ref"))
+            .when(col("mtime") > 240L - 60L, lit("kept_grace"))
+            .otherwise(lit("vacuum")))
+      val rowD = listing.agg(
+          sum(when(col("verdict") === "kept_ref", 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("verdict") === "kept_grace", 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("verdict") === "vacuum", 1L).otherwise(0L)).as("n_c"),
+          (sum(when(col("verdict") === "vacuum", col("size_bytes"))
+            .otherwise(0L)) % HashMod).as("ck"),
+          bool_and(!(col("verdict") === "vacuum" && col("referenced"))).as("ok"))
+        .select(lit("d_vacuum").as("phase"), col("n_a"), col("n_b"), col("n_c"),
+          col("ck"), col("ok"))
+      // phase E: the concurrent writer (branched at v2) vs the compaction
+      val wset = base.filter(col("ok") % 59 === 0)
+      val rowE = wset.agg(count(lit(1)).as("n_a"),
+          (coalesce(sum(col("k") % HashMod), lit(0L)) % HashMod).as("ck"))
+        .crossJoin(broadcast(wset.select(col("file_id")).distinct()
+          .join(rewriteFiles, Seq("file_id"), "left_semi")
+          .agg(count(lit(1)).as("n_b"))))
+        .select(lit("e_occ").as("phase"), col("n_a"), col("n_b"),
+          lit(0L).as("n_c"), col("ck"), (col("n_b") > 0L).as("ok"))
+      // z: retried writer applied to the maintained table ≡ eager truth
+      def applyW(df: org.apache.spark.sql.DataFrame) = df.withColumn("qty",
+        when(col("ok") % 59 === 0, col("k") % 89L).otherwise(col("qty")))
+      val digFinal = dig(applyW(post)).select(col("n").as("n_f"), col("ck").as("ck_f"))
+      val digTruth = dig(applyW(eager)).select(col("n").as("n_t"), col("ck").as("ck_t"))
+      val rowZ = digFinal.crossJoin(broadcast(digTruth))
+        .crossJoin(broadcast(post.filter(col("ok") % 59 === 0)
+          .agg(count(lit(1)).as("n_b"))))
+        .crossJoin(broadcast(wset.join(dv, Seq("file_id", "pos"), "left_semi")
+          .agg(count(lit(1)).as("n_c"))))
+        .select(lit("z_session").as("phase"), col("n_f").as("n_a"), col("n_b"),
+          col("n_c"), col("ck_f").as("ck"),
+          (col("n_f") === col("n_t") && col("ck_f") === col("ck_t")).as("ok"))
+      val out = rowA.unionByName(rowB).unionByName(rowC).unionByName(rowD)
+        .unionByName(rowE).unionByName(rowZ).orderBy(col("phase"))
+        .localCheckpoint()
+      base.unpersist()
+      out
+    },
+    Some(s"""WITH base AS (
+      SELECT l_orderkey AS ok, l_linenumber AS ln,
+        CAST(l_quantity AS BIGINT) AS qty,
+        l_orderkey % $DvFiles AS file_id,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey % $DvFiles
+                           ORDER BY l_orderkey, l_linenumber) AS pos,
+        l_orderkey * 7 + l_linenumber AS k
+      FROM lineitem),
+    dv AS (SELECT DISTINCT file_id, pos FROM base WHERE qty > 45 OR file_id = 3),
+    pf AS (SELECT f.file_id, f.n_rows, COALESCE(d.n_del, 0) AS n_del,
+             COALESCE(d.n_del, 0) * 1000000 // f.n_rows >= $DvRewritePpm AS rewrite
+           FROM (SELECT file_id, COUNT(*) AS n_rows FROM base GROUP BY 1) f
+           LEFT JOIN (SELECT file_id, COUNT(*) AS n_del FROM dv GROUP BY 1) d
+             USING (file_id)),
+    mor AS (SELECT b.* FROM base b WHERE NOT EXISTS
+              (SELECT 1 FROM dv WHERE dv.file_id = b.file_id AND dv.pos = b.pos)),
+    eager AS (SELECT * FROM base WHERE NOT (qty > 45 OR file_id = 3)),
+    rw AS (SELECT file_id FROM pf WHERE rewrite),
+    gen2 AS (SELECT m.ok, m.ln, m.qty, m.file_id + 100 AS file_id, m.pos, m.k
+             FROM mor m JOIN rw ON m.file_id = rw.file_id),
+    post AS (
+      SELECT b.* FROM mor b
+      WHERE NOT EXISTS (SELECT 1 FROM rw WHERE rw.file_id = b.file_id)
+      UNION ALL SELECT ok, ln, qty, file_id, pos, k FROM gen2),
+    dm AS (SELECT COUNT(*) AS n_m,
+             COALESCE(SUM((k * 1000003 + qty) % $HashMod), 0) % $HashMod AS ck_m
+           FROM mor),
+    de AS (SELECT COUNT(*) AS n_e,
+             COALESCE(SUM((k * 1000003 + qty) % $HashMod), 0) % $HashMod AS ck_e
+           FROM eager),
+    dp AS (SELECT COUNT(*) AS n_p,
+             COALESCE(SUM((k * 1000003 + qty) % $HashMod), 0) % $HashMod AS ck_p
+           FROM post),
+    ops AS (
+      SELECT 1 AS ver, 'A' AS act, file_id FROM pf
+      UNION ALL SELECT 2, 'A', file_id + 1000 FROM pf WHERE n_del > 0
+      UNION ALL SELECT 3, 'R', file_id FROM rw
+      UNION ALL SELECT 3, 'R', file_id + 1000 FROM rw
+      UNION ALL SELECT 3, 'A', file_id FROM (SELECT DISTINCT file_id FROM gen2)),
+    liveh AS (SELECT file_id FROM (
+        SELECT file_id, act,
+          ROW_NUMBER() OVER (PARTITION BY file_id ORDER BY ver DESC) AS rn
+        FROM ops) x WHERE rn = 1 AND act = 'A'),
+    refd AS (SELECT DISTINCT file_id FROM ops),
+    delet AS (SELECT r.file_id, r.file_id * 907 % 4000 + 100 AS size_bytes
+              FROM refd r WHERE NOT EXISTS
+                (SELECT 1 FROM liveh WHERE liveh.file_id = r.file_id)),
+    lv AS (SELECT *, file_id * 907 % 4000 + 100 AS size_bytes,
+             CASE WHEN referenced THEN 'kept_ref'
+                  WHEN mtime > 240 - 60 THEN 'kept_grace'
+                  ELSE 'vacuum' END AS verdict
+           FROM (
+             SELECT file_id, TRUE AS referenced, 100 AS mtime FROM refd
+             UNION ALL SELECT file_id + 2000, FALSE, 150 FROM rw
+             UNION ALL SELECT file_id + 3000, FALSE, 200 FROM rw)),
+    wset AS (SELECT * FROM base WHERE ok % 59 = 0),
+    fin AS (SELECT k, CASE WHEN ok % 59 = 0 THEN k % 89 ELSE qty END AS qty
+            FROM post),
+    tru AS (SELECT k, CASE WHEN ok % 59 = 0 THEN k % 89 ELSE qty END AS qty
+            FROM eager),
+    df_ AS (SELECT COUNT(*) AS n_f,
+              COALESCE(SUM((k * 1000003 + qty) % $HashMod), 0) % $HashMod AS ck_f
+            FROM fin),
+    dt_ AS (SELECT COUNT(*) AS n_t,
+              COALESCE(SUM((k * 1000003 + qty) % $HashMod), 0) % $HashMod AS ck_t
+            FROM tru)
+    SELECT * FROM (
+      SELECT 'a_dv_delete' AS phase,
+        CAST((SELECT COUNT(*) FROM dv) AS BIGINT) AS n_a,
+        CAST((SELECT COUNT(*) FROM pf WHERE n_del > 0) AS BIGINT) AS n_b,
+        CAST((SELECT COUNT(*) FROM rw) AS BIGINT) AS n_c,
+        CAST((SELECT ck_m FROM dm) AS BIGINT) AS ck,
+        (SELECT n_m FROM dm) = (SELECT n_e FROM de)
+          AND (SELECT ck_m FROM dm) = (SELECT ck_e FROM de) AS ok
+      UNION ALL
+      SELECT 'b_compaction',
+        CAST((SELECT COUNT(*) FROM rw) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM gen2) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM dv JOIN rw USING (file_id)) AS BIGINT),
+        CAST((SELECT ck_p FROM dp) AS BIGINT),
+        (SELECT n_p FROM dp) = (SELECT n_m FROM dm)
+          AND (SELECT ck_p FROM dp) = (SELECT ck_m FROM dm)
+      UNION ALL
+      SELECT 'c_expiry', CAST(2 AS BIGINT),
+        CAST((SELECT COUNT(*) FROM delet) AS BIGINT),
+        CAST((SELECT COALESCE(SUM(size_bytes), 0) FROM delet) AS BIGINT),
+        CAST((SELECT COALESCE(SUM(file_id % $HashMod), 0) % $HashMod
+              FROM delet) AS BIGINT),
+        (SELECT COUNT(*) FROM rw WHERE NOT EXISTS
+           (SELECT 1 FROM delet WHERE delet.file_id = rw.file_id)) = 0
+      UNION ALL
+      SELECT 'd_vacuum',
+        CAST((SELECT COUNT(*) FROM lv WHERE verdict = 'kept_ref') AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lv WHERE verdict = 'kept_grace') AS BIGINT),
+        CAST((SELECT COUNT(*) FROM lv WHERE verdict = 'vacuum') AS BIGINT),
+        CAST((SELECT COALESCE(SUM(CASE WHEN verdict = 'vacuum'
+              THEN size_bytes ELSE 0 END), 0) % $HashMod FROM lv) AS BIGINT),
+        (SELECT BOOL_AND(NOT (verdict = 'vacuum' AND referenced)) FROM lv)
+      UNION ALL
+      SELECT 'e_occ',
+        CAST((SELECT COUNT(*) FROM wset) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM (SELECT DISTINCT file_id FROM wset) w
+              JOIN rw ON w.file_id = rw.file_id) AS BIGINT),
+        CAST(0 AS BIGINT),
+        CAST((SELECT COALESCE(SUM(k % $HashMod), 0) % $HashMod FROM wset) AS BIGINT),
+        (SELECT COUNT(*) FROM (SELECT DISTINCT file_id FROM wset) w
+         JOIN rw ON w.file_id = rw.file_id) > 0
+      UNION ALL
+      SELECT 'z_session',
+        CAST((SELECT n_f FROM df_) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM post WHERE ok % 59 = 0) AS BIGINT),
+        CAST((SELECT COUNT(*) FROM wset w WHERE EXISTS
+          (SELECT 1 FROM dv WHERE dv.file_id = w.file_id AND dv.pos = w.pos))
+          AS BIGINT),
+        CAST((SELECT ck_f FROM df_) AS BIGINT),
+        (SELECT n_f FROM df_) = (SELECT n_t FROM dt_)
+          AND (SELECT ck_f FROM df_) = (SELECT ck_t FROM dt_)
+    ) ORDER BY phase"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
       q131, q144, q145, q152, q155, q156, q185, q186, q189, q194, q196,
-      q197, q198, q201)
+      q197, q198, q201, q203)
 }

@@ -3196,10 +3196,15 @@ object Similarity {
   // Scale: per round, dmin² state updates are s18's zero-Exchange
   // narrow map (center as broadcast literal into native dot_i64); the
   // prefix-sum inversion is TWO-LEVEL (q122's cumsum discipline) —
-  // id-range shard subtotals (a 32-row bounded control collect, t26's
-  // rule) locate the target shard in the driver, and the windowed
-  // cumsum runs inside that ONE shard only, so no global single-
-  // partition window ever exists. All sums in DECIMAL(38,0)/HUGEINT —
+  // id-range shard subtotals locate the target shard in the driver,
+  // and the windowed cumsum runs inside that ONE shard only, so no
+  // global single-partition window ever exists. The shard COUNT is
+  // fixed (≤1024: width = ⌈(max_id+1)/1024⌉), so the control collect
+  // is O(1024) rows at ANY corpus size — the r18 version sharded by
+  // fixed WIDTH 16, an N/16-row collect that grew linearly with the
+  // corpus. Shards stay contiguous id-ranges in id order, so the
+  // global-crossing pick (and every checked hash) is unchanged by the
+  // width. All sums in DECIMAL(38,0)/HUGEINT —
   // Σdmin² overflows int64 at ~10⁹ rows (the s31 lesson). Output: the
   // pick trajectory with each round's u and the inertia trajectory in
   // ppm of the one-center baseline; NewOpsR18bSpec pins inertia
@@ -3234,10 +3239,14 @@ object Similarity {
         .localCheckpoint()
       var rows = List((1L, cid, -1L, -1L))
       var sBase = BigInt(0)
+      // fixed shard COUNT: ≤1024 contiguous id-ranges regardless of N,
+      // so the level-1 control collect below is O(1024) at any scale
+      val maxId = q.agg(max(col("vec_id"))).head.getLong(0)
+      val shardW = (maxId + 1024L) / 1024L
       (2 to KppRounds).foreach { r =>
         // level 1 of the cumsum: id-range shard subtotals (bounded collect)
         val shardTot = st
-          .selectExpr("vec_id DIV 16 AS shard", "CAST(dmin AS DECIMAL(38,0)) AS d")
+          .selectExpr(s"vec_id DIV $shardW AS shard", "CAST(dmin AS DECIMAL(38,0)) AS d")
           .groupBy(col("shard")).agg(sum(col("d")).as("tot"))
           .collect()
           .map(x => (x.getLong(0), BigInt(x.getDecimal(1).toBigInteger)))
@@ -3252,10 +3261,10 @@ object Similarity {
           if (ts < 0 && acc + t > tgt) { ts = sh; resid = tgt - acc } else if (ts < 0) acc += t
         }
         // level 2: windowed cumsum inside the one target shard
-        val pick = st.filter(expr(s"vec_id DIV 16 = $ts"))
+        val pick = st.filter(expr(s"vec_id DIV $shardW = $ts"))
           .selectExpr("vec_id", "qv", "norm2",
-            """SUM(CAST(dmin AS DECIMAL(38,0))) OVER
-               (PARTITION BY vec_id DIV 16
+            s"""SUM(CAST(dmin AS DECIMAL(38,0))) OVER
+               (PARTITION BY vec_id DIV $shardW
                 ORDER BY vec_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum""")
           .filter(expr(s"cum > CAST('$resid' AS DECIMAL(38,0))"))
           .orderBy(col("vec_id"))

@@ -3180,8 +3180,9 @@ object Text {
       CAST(MAX(mattr_ppm) AS BIGINT) AS max_ppm
     FROM p2 GROUP BY 1
     UNION ALL
-    SELECT -1, COUNT(*), SUM(uq_sum) * 1000000 // (SUM(n_windows) * 20),
-      MIN(mattr_ppm), MAX(mattr_ppm)
+    SELECT -1, CAST(COUNT(*) AS BIGINT),
+      CAST(SUM(uq_sum) * 1000000 // (SUM(n_windows) * 20) AS BIGINT),
+      CAST(MIN(mattr_ppm) AS BIGINT), CAST(MAX(mattr_ppm) AS BIGINT)
     FROM p2
     ORDER BY bucket"""))
 
@@ -3499,13 +3500,13 @@ object Text {
     FROM pr
     UNION ALL
     SELECT 'z_total',
-      SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END),
-      SUM(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END),
-      CASE WHEN SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END) > 0
+      CAST(SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(SUM(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT),
+      CAST(CASE WHEN SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END) > 0
            THEN (SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END)
                  - SUM(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END)) * 1000000
                 // SUM(CASE WHEN n_fails > 0 THEN 1 ELSE 0 END)
-           ELSE 0 END
+           ELSE 0 END AS BIGINT)
     FROM f2
     ORDER BY rule"""))
 

@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: for each query dumped
 by `graft.Verify`, run its DuckDB oracle on the same sf tables and compare
-(sorted columns, exact values, row order as produced). Usage:
-    python3 tools/check.py <sfDir> <verifyOutDir> [queryName ...]
+(sorted columns, arrow TYPES, exact values, row order as produced). The
+driver's hash is type-sensitive — a Spark int64 against a DuckDB
+decimal128(38,0) hash-mismatches even when every stringified cell agrees —
+so this checker compares arrow schemas BEFORE values (the r18 lesson:
+eleven oracles shipped "green" under a str()-only compare).
+Usage:
+    python3 tools/check.py [--types-only] <sfDir> <verifyOutDir> [queryName ...]
+--types-only skips the value compare (cheap full-catalog type sweep).
 """
 import json, math, sys
 import duckdb
@@ -11,9 +17,28 @@ import pyarrow.dataset as ds
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
+def normtype(t):
+    """Equivalence classes the driver's arrow-level compare tolerates:
+    duckdb surfaces utf8 where spark parquet reads back large_utf8 (and
+    vice versa depending on versions) — same for binary. Everything else
+    (int32/int64/decimal128/float64/bool/date/timestamp) must match
+    exactly; decimal vs int is precisely the r18 failure class."""
+    s = str(t)
+    if s in ("large_string", "large_utf8"):
+        return "string"
+    if s == "utf8":
+        return "string"
+    if s in ("large_binary",):
+        return "binary"
+    return s
+
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    types_only = "--types-only" in args
+    if types_only:
+        args.remove("--types-only")
+    sf_dir, out_dir = args[0], args[1]
+    only = set(args[2:])
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     con = duckdb.connect()
     for t in TABLES:
@@ -38,8 +63,21 @@ def main():
         if s_cols != d_cols:
             failures.append((name, f"schema mismatch: spark={s_cols} duck={d_cols}"))
             continue
+        tbad = [
+            (c, str(spark_tbl.schema.field(c).type), str(duck.schema.field(c).type))
+            for c in s_cols
+            if normtype(spark_tbl.schema.field(c).type) != normtype(duck.schema.field(c).type)
+        ]
+        if tbad:
+            failures.append((name, "type mismatch: " + "; ".join(
+                f"col {c}: spark={st} duck={dt}" for c, st, dt in tbad)))
+            continue
         if spark_tbl.num_rows != duck.num_rows:
             failures.append((name, f"rows: spark={spark_tbl.num_rows} duck={duck.num_rows}"))
+            continue
+        if types_only:
+            ok += 1
+            print(f"  OK(types) {name}")
             continue
         bad = None
         for c in s_cols:
