@@ -108,7 +108,11 @@ object Explain {
         "q201_shapley_attribution", "s45_adc_vs_sdc", "t54_bradley_terry",
         // r18 wave H
         "t55_filter_ablation", "d54_dup_aware_sampling", "q202_dsar_export",
-        "m25_compressibility", "d55_transitivity_audit")
+        "m25_compressibility", "d55_transitivity_audit",
+        // r19: the maintenance capstone, the re-rank curve, the epoch
+        // shuffle (q203's phase digests crossJoin broadcast 1-row frames
+        // — the q185 precedent; broadcast-pinned, not cartesian)
+        "q203_maintenance_session", "s46_rerank_depth", "q204_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

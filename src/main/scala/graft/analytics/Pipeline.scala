@@ -2189,8 +2189,12 @@ object Pipeline {
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
           col("l_quantity").cast("long").as("qty"))
         .withColumn("file_id", col("ok") % DvFiles)
+        // (ok, ln) is NOT unique in this synthetic lineitem — qty joins
+        // the ordering so position assignment is engine-consistent; rows
+        // still tied after qty are full duplicates, swap-invariant in
+        // every downstream column (file_id, k, qty)
         .withColumn("pos", row_number().over(
-          Window.partitionBy(col("file_id")).orderBy(col("ok"), col("ln"))))
+          Window.partitionBy(col("file_id")).orderBy(col("ok"), col("ln"), col("qty"))))
         .withColumn("k", expr("ok * 7 + ln"))
         .cache()
       base.count()
@@ -2321,7 +2325,8 @@ object Pipeline {
         CAST(l_quantity AS BIGINT) AS qty,
         l_orderkey % $DvFiles AS file_id,
         ROW_NUMBER() OVER (PARTITION BY l_orderkey % $DvFiles
-                           ORDER BY l_orderkey, l_linenumber) AS pos,
+                           ORDER BY l_orderkey, l_linenumber,
+                             CAST(l_quantity AS BIGINT)) AS pos,
         l_orderkey * 7 + l_linenumber AS k
       FROM lineitem),
     dv AS (SELECT DISTINCT file_id, pos FROM base WHERE qty > 45 OR file_id = 3),
@@ -2435,8 +2440,116 @@ object Pipeline {
           AND (SELECT ck_f FROM df_) = (SELECT ck_t FROM dt_)
     ) ORDER BY phase"""))
 
+  // --------------------------------------------------------------- q204
+  // EPOCH SHUFFLE — the training-order construction every LLM data
+  // pipeline runs between curation and the trainer, WITHOUT the global
+  // sort a naive "ORDER BY rand()" costs: each doc routes to batch
+  // (hash(doc_id) · A_epoch + B_epoch) mod M mod B — one narrow map, no
+  // ordering op anywhere. The epoch seed enters as an AFFINE scramble
+  // of the id hash, NOT a seed-prefix concat: poly-hashing 'e2|id'
+  // differs from 'e1|id' by a constant per id-length group, so mod B
+  // whole groups move (or stay) together — measured on this corpus as
+  // moved_ppm = 10⁶ exactly, a shift pretending to be a shuffle. The
+  // multiplicative scramble decorrelates per doc (the s39 constant).
+  // The audit proves the routing is a real shuffle: (1)
+  // per-batch fill and token mass are balanced, (2) each batch's SOURCE
+  // MIX matches the corpus mix — the total-variation distance between
+  // the batch's source distribution and the corpus's, in ppm, computed
+  // over the completed (batch × source) grid so absent sources count
+  // (the classic silent hole in mix audits), and (3) a second epoch
+  // seed reassigns ~(B−1)/B of docs (moved_ppm) — epochs decorrelate
+  // without any state carried between them. Scale: two aggregates over
+  // one narrow scan; the TV grid is (B × |sources|)-sized. The dev
+  // product n_bs·N is i64-safe to ~10⁹ docs per batch; beyond that the
+  // s31 DECIMAL promotion applies.
+  private val ShuffleBatches = 16L
+
+  private val q204 = QueryDef(
+    "q204_epoch_shuffle",
+    (s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("h", expr(strHashExpr("CAST(doc_id AS STRING)")))
+        .withColumn("b1", expr(
+          s"(h * 2654435761 % $HashMod) % $ShuffleBatches"))
+        .withColumn("b2", expr(
+          s"((h * 998244353 + 777767777) % $HashMod) % $ShuffleBatches"))
+        .cache()
+      val nTotal = d.count() // bounded: one scalar
+      val pb = d.groupBy(col("b1").as("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(when(col("b2") =!= col("b1"), 1L).otherwise(0L)).as("moved"))
+        .localCheckpoint() // B rows
+      val bs = d.groupBy(col("b1").as("batch"), col("source"))
+        .agg(count(lit(1)).as("n_bs"))
+      val srcTot = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+        .localCheckpoint() // |sources| rows
+      val grid = pb.select(col("batch"), col("n_docs"))
+        .crossJoin(broadcast(srcTot))
+        .join(bs, Seq("batch", "source"), "left")
+        .withColumn("n_bs", coalesce(col("n_bs"), lit(0L)))
+        .withColumn("dev", abs(col("n_bs") * nTotal - col("n_docs") * col("n_s")))
+      val stats = pb.join(grid.groupBy(col("batch")).agg(sum(col("dev")).as("devsum")),
+          Seq("batch"))
+        .withColumn("tv_ppm", expr(s"devsum * 1000000 DIV (2 * n_docs * $nTotal)"))
+        .localCheckpoint() // B rows
+      val perBatch = stats.select(col("batch"), col("n_docs"), col("tok_mass"),
+        col("n_sources"), col("tv_ppm"),
+        expr("moved * 1000000 DIV n_docs").as("moved_ppm"))
+      val total = stats.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("tok_mass")).as("tok_mass"), max(col("tv_ppm")).as("tv_ppm"),
+          sum(col("moved")).as("movedsum"))
+        .crossJoin(broadcast(srcTot.agg(count(lit(1)).as("n_sources"))))
+        .select(lit(-1L).as("batch"), col("n_docs"), col("tok_mass"),
+          col("n_sources"), col("tv_ppm"),
+          expr("movedsum * 1000000 DIV n_docs").as("moved_ppm"))
+      val out = perBatch.unionByName(total).orderBy(col("batch")).localCheckpoint()
+      d.unpersist()
+      out
+    },
+    Some(s"""WITH d0 AS (
+      SELECT doc_id, source,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        ${strHashSql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents),
+    d AS (
+      SELECT doc_id, source, n_tok,
+        (h * 2654435761 % $HashMod) % $ShuffleBatches AS b1,
+        ((h * 998244353 + 777767777) % $HashMod) % $ShuffleBatches AS b2
+      FROM d0),
+    n AS (SELECT COUNT(*) AS n_total FROM d),
+    pb AS (SELECT b1 AS batch, COUNT(*) AS n_docs, SUM(n_tok) AS tok_mass,
+             COUNT(DISTINCT source) AS n_sources,
+             SUM(CASE WHEN b2 <> b1 THEN 1 ELSE 0 END) AS moved
+           FROM d GROUP BY 1),
+    bs AS (SELECT b1 AS batch, source, COUNT(*) AS n_bs FROM d GROUP BY 1, 2),
+    st AS (SELECT source, COUNT(*) AS n_s FROM d GROUP BY 1),
+    grid AS (SELECT p.batch, p.n_docs, s.source, s.n_s, COALESCE(b.n_bs, 0) AS n_bs
+             FROM pb p CROSS JOIN st s
+             LEFT JOIN bs b ON b.batch = p.batch AND b.source = s.source),
+    tv AS (SELECT batch,
+             SUM(ABS(n_bs * (SELECT n_total FROM n) - n_docs * n_s)) AS devsum
+           FROM grid GROUP BY 1),
+    stats AS (SELECT p.*, t.devsum,
+                t.devsum * 1000000
+                  // (2 * p.n_docs * (SELECT n_total FROM n)) AS tv_ppm
+              FROM pb p JOIN tv t USING (batch))
+    SELECT CAST(batch AS BIGINT) AS batch, CAST(n_docs AS BIGINT) AS n_docs,
+      CAST(tok_mass AS BIGINT) AS tok_mass,
+      CAST(n_sources AS BIGINT) AS n_sources,
+      CAST(tv_ppm AS BIGINT) AS tv_ppm,
+      CAST(moved * 1000000 // n_docs AS BIGINT) AS moved_ppm
+    FROM stats
+    UNION ALL
+    SELECT -1, CAST(SUM(n_docs) AS BIGINT), CAST(SUM(tok_mass) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM st) AS BIGINT), CAST(MAX(tv_ppm) AS BIGINT),
+      CAST(SUM(moved) * 1000000 // SUM(n_docs) AS BIGINT)
+    FROM stats
+    ORDER BY batch"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
       q131, q144, q145, q152, q155, q156, q185, q186, q189, q194, q196,
-      q197, q198, q201, q203)
+      q197, q198, q201, q203, q204)
 }

@@ -4056,9 +4056,110 @@ object Similarity {
     FROM u LEFT JOIN truth t ON u.q_id = t.q_id AND u.c_id = t.c_id
     GROUP BY u.method, u.q_id ORDER BY u.method, u.q_id"""))
 
+  // ---------------------------------------------------------------- s46
+  // RE-RANKING DEPTH CURVE — the production refinement lever s45's
+  // ADC-vs-SDC table stops short of: search with a CHEAP scorer (the
+  // 16-bit-coarsened dot, i.e. each component arithmetic-shifted >> 16
+  // — the memory-resident code path), keep the top R per query, then
+  // re-rank only those R with the EXACT scorer (the fetch-full-vector
+  // path) and read recall@5 against exact truth as a function of R.
+  // R = 5 is the coarse-only baseline (re-ranking 5 candidates cannot
+  // change the top-5 SET); every deeper R buys recall back with exactly
+  // R full-vector fetches per query — the knob a deployed ANN turns to
+  // meet a latency SLA. Recall is monotone non-decreasing in R by
+  // construction (candidate sets are nested); NewOpsR19Spec pins it.
+  // Shift, not DIV, for the coarsening: arithmetic >> floors negatives
+  // identically in both engines, where DIV-vs-//  truncation semantics are
+  // the d51 hazard class. Scale: the coarse pass is the same
+  // broadcast-anchor × corpus scan as s01 (production composes it with
+  // IVF probing — s32's path; this isolates the re-rank lever); the
+  // re-rank itself touches 8·R rows.
+  private val S46Depths = Seq(5L, 10L, 20L, 40L)
+
+  private val s46 = QueryDef(
+    "s46_rerank_depth",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val q = withQuant(dir, s)
+        .withColumn("cv", expr("transform(qv, x -> shiftright(x, 16))"))
+        .cache()
+      q.count()
+      val anchors = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_n2"), col("cv").as("q_cv"))
+      val scored = q.select(col("vec_id").as("c_id"), col("qv").as("c_qv"),
+          col("norm2").as("c_n2"), col("cv").as("c_cv"))
+        .join(broadcast(anchors), col("c_id") =!= col("q_id"))
+        .withColumn("coarse", expr(dotExpr("q_cv", "c_cv")))
+        .withColumn("exact",
+          expr(dotExpr("q_qv", "c_qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+      val coarseTop = scored.withColumn("crnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("coarse").desc, col("c_id"))))
+        .filter(col("crnk") <= S46Depths.max)
+        .select(col("q_id"), col("c_id"), col("crnk"), col("exact"))
+        .localCheckpoint() // 8 anchors × R_max rows
+      val truth = scored.withColumn("trnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("exact").desc, col("c_id"))))
+        .filter(col("trnk") <= 5)
+        .select(col("q_id"), col("c_id"), lit(true).as("is_true"))
+        .localCheckpoint() // 40 rows
+      import s.implicits._
+      val depths = S46Depths.toDF("r_depth")
+      val out = coarseTop.join(broadcast(depths), col("crnk") <= col("r_depth"))
+        .withColumn("rrnk", row_number().over(
+          Window.partitionBy(col("r_depth"), col("q_id"))
+            .orderBy(col("exact").desc, col("c_id"))))
+        .filter(col("rrnk") <= 5)
+        .join(truth, Seq("q_id", "c_id"), "left")
+        .groupBy(col("r_depth"))
+        .agg(count(lit(1)).as("n_served"),
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("hits"))
+        .withColumn("recall_ppm", expr("hits * 1000000 DIV 40"))
+        .withColumn("fetches_per_q", col("r_depth"))
+        .select(col("r_depth"), col("n_served"), col("hits"), col("recall_ppm"),
+          col("fetches_per_q"))
+        .orderBy(col("r_depth"))
+        .localCheckpoint()
+      q.unpersist()
+      out
+    },
+    Some(s"""WITH $quantCte,
+    qc AS (SELECT vec_id, qv, norm2,
+             list_transform(qv, x -> x >> 16) AS cv FROM qn),
+    a AS (SELECT vec_id AS q_id, qv AS q_qv, norm2 AS q_n2, cv AS q_cv
+          FROM qc WHERE vec_id < 8),
+    sc AS (SELECT a.q_id, c.vec_id AS c_id,
+             ${dotSql("a.q_cv", "c.cv")} AS coarse,
+             CAST(${dotSql("a.q_qv", "c.qv")} AS DOUBLE)
+               / (sqrt(CAST(a.q_n2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))
+               AS exact
+           FROM a JOIN qc c ON c.vec_id <> a.q_id),
+    cr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY coarse DESC, c_id) AS crnk FROM sc),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY exact DESC, c_id) AS trnk FROM sc) x
+      WHERE trnk <= 5),
+    dp AS (SELECT unnest([${S46Depths.mkString(", ")}]) AS r_depth),
+    rr AS (SELECT dp.r_depth, cr.q_id, cr.c_id, cr.exact,
+             ROW_NUMBER() OVER (PARTITION BY dp.r_depth, cr.q_id
+               ORDER BY cr.exact DESC, cr.c_id) AS rrnk
+           FROM cr JOIN dp ON cr.crnk <= dp.r_depth
+           WHERE cr.crnk <= ${S46Depths.max})
+    SELECT CAST(r_depth AS BIGINT) AS r_depth,
+      CAST(COUNT(*) AS BIGINT) AS n_served,
+      CAST(SUM(CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      CAST(SUM(CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000 // 40
+        AS BIGINT) AS recall_ppm,
+      CAST(r_depth AS BIGINT) AS fetches_per_q
+    FROM rr LEFT JOIN truth t ON rr.q_id = t.q_id AND rr.c_id = t.c_id
+    WHERE rrnk <= 5
+    GROUP BY r_depth ORDER BY r_depth"""))
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
       s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
-      s43, s44, s45, d15)
+      s43, s44, s45, s46, d15)
 }
