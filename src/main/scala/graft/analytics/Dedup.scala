@@ -3405,22 +3405,33 @@ object Dedup {
   }
 
   /** d49's bipartite doc–rare-shingle CC labeling `(node, comp)` —
-    * doc nodes < 2e9, shingle nodes ≥ 2e9. Shared by d49 and d50. */
+    * doc nodes < 2e9, shingle nodes ≥ 2e9. Shared by d49 and d50, and
+    * like [[simhashPairs]] PERSISTED ONCE per (JVM, sfDir): the CC
+    * iteration (shingle explode + df filter + pointer jumping) costs
+    * ~10 s at sf0.1 and d49/d50 would otherwise each pay it. */
+  private val bipartiteIndexPath =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bipartiteLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val sh = shingle8Sets(s, dir)
-      .select(col("doc_id"), explode(col("sh8")).as("shingle"))
-      .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
-      .select(col("doc_id"), col("sid"))
-    val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 5)
-      .select(col("sid"))
-    val edges = sh.join(rare, Seq("sid"), "left_semi")
-      .select(col("doc_id").as("id1"), col("sid").as("id2"))
-      .distinct()
-      .localCheckpoint() // rare-posting-bounded
-    Tables.withShuffle(s, 8) {
-      graft.operators.ConnectedComponents.label(edges).localCheckpoint()
-    }
+    val path = bipartiteIndexPath.computeIfAbsent(dir, _ => {
+      val p = java.nio.file.Files.createTempDirectory("graft-bipartite-cc").toString
+      val sh = shingle8Sets(s, dir)
+        .select(col("doc_id"), explode(col("sh8")).as("shingle"))
+        .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
+        .select(col("doc_id"), col("sid"))
+      val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 5)
+        .select(col("sid"))
+      val edges = sh.join(rare, Seq("sid"), "left_semi")
+        .select(col("doc_id").as("id1"), col("sid").as("id2"))
+        .distinct()
+        .localCheckpoint() // rare-posting-bounded
+      Tables.withShuffle(s, 8) {
+        graft.operators.ConnectedComponents.label(edges)
+          .write.mode("overwrite").parquet(p)
+      }
+      p
+    })
+    s.read.parquet(path)
   }
 
   /** DuckDB CTE chain `sh0 … lab` mirroring [[bipartiteLabels]] (plus
