@@ -84,4 +84,23 @@ class NewOpsR19Spec extends SparkSuite {
     // epoch-2 reseeding moves ~15/16 of docs; binomial 3-sigma at N=500
     total.head.getAs[Long]("moved_ppm") should (be > 850000L and be < 995000L)
   }
+
+  test("persisted edge index: repeat calls agree and survive caller unpersist") {
+    // the r19 persisted-index contract: simhashPairs computes once per
+    // (JVM, sfDir) and later calls read the same stored edge list — in
+    // particular a consumer's historical unpersist() must NOT evict it
+    val p1 = graft.analytics.Dedup.simhashPairs(spark, dir)
+    val c1 = p1.count()
+    c1 should be > 0L
+    p1.unpersist()
+    val p2 = graft.analytics.Dedup.simhashPairs(spark, dir)
+    p2.count() shouldBe c1
+    p2.except(p1).count() shouldBe 0L
+    p1.except(p2).count() shouldBe 0L
+    // the bipartite CC index (private) gets the same contract through
+    // its consumer: two d49 runs must return identical rows
+    val r1 = Registry.queries("d49_bipartite_components")(spark, dir).collect()
+    val r2 = Registry.queries("d49_bipartite_components")(spark, dir).collect()
+    r1 should contain theSameElementsInOrderAs r2
+  }
 }
