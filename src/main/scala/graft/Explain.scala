@@ -112,7 +112,8 @@ object Explain {
         // r19: the maintenance capstone, the re-rank curve, the epoch
         // shuffle (q203's phase digests crossJoin broadcast 1-row frames
         // — the q185 precedent; broadcast-pinned, not cartesian)
-        "q203_maintenance_session", "s46_rerank_depth", "q204_epoch_shuffle")
+        "q203_maintenance_session", "s46_rerank_depth", "q204_epoch_shuffle",
+        "d56_residual_dup_audit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -4064,9 +4064,127 @@ object Dedup {
       CAST(n_open - n_open_near AS BIGINT) AS n_chain_artifacts
     FROM tot CROSS JOIN nep CROSS JOIN closed CROSS JOIN oc"""))
 
+  // ---------------------------------------------------------------- d56
+  // RESIDUAL-DUPLICATION AUDIT — the post-DEPLOYMENT metric the
+  // detector-design family (d35 agreement, d36 threshold sweep, d41
+  // recall pricing) stops short of: RUN the SimHash dedup pass (drop
+  // the higher-id endpoint of every capped candidate pair — the d06/d08
+  // apply rule, reading the shared persisted edge index), then measure
+  // how much dup-grade similarity SURVIVES among the survivors using
+  // the INDEPENDENT detector (d02's MinHash bands, exact-Jaccard
+  // verified at the 0.7 bar, integer-exact: |∩|·10 ≥ |∪|·7). Because
+  // the drop rule removes an endpoint of every pair the SimHash side
+  // SAW, every surviving dup pair is by construction a pair the
+  // deployed detector structurally missed — so b_after's rate IS the
+  // detector-miss mass an SLA would track, and z_verdict's
+  // residual_share_ppm is the number that decides whether a second,
+  // orthogonal pass earns its compute. Universe = docs with ≥3 tokens
+  // (the shingle-able set) so before/after rates are comparable.
+  // Scale: the pass reads the persisted index; each measurement is one
+  // d02-shaped capped band join — no new quadratic term anywhere.
+  private val d56 = QueryDef(
+    "d56_residual_dup_audit",
+    (s, dir) => {
+      // the deployed dedup pass (higher-id endpoint of every pair drops)
+      val dropped = simhashPairs(s, dir).select(col("id2").as("doc_id"))
+        .distinct().localCheckpoint()
+      // the independent detector: MinHash bands + exact Jaccard ≥ 0.7
+      def dupStats(d: org.apache.spark.sql.DataFrame) = {
+        val base = d.cache()
+        base.count()
+        val mh = base
+          .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+          .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+        val bands = mh.select(col("doc_id"), explode(expr(bandKeysExpr)).as("band"))
+        val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+          .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+        val tagged = bands.join(sizes, Seq("band"))
+          .withColumn("sub", expr(
+            s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+          .select(col("band"), col("sub"), col("doc_id"))
+        val cand = tagged.as("a").join(tagged.as("b"),
+            col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+        val pairs = cand
+          .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+          .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+          .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("long") * 10L >=
+            size(array_union(col("sh1"), col("sh2"))).cast("long") * 7L)
+        val st = base.agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .withColumn("rate_ppm",
+            expr("n_pairs * 1000000 DIV (n_docs * (n_docs - 1) DIV 2)"))
+          .localCheckpoint() // 1 row
+        base.unpersist()
+        st
+      }
+      val before = dupStats(shingled(s, dir))
+      val after = dupStats(shingled(s, dir).join(dropped, Seq("doc_id"), "left_anti"))
+      val rowA = before.select(lit("a_before").as("stage"), col("n_docs"),
+        col("n_pairs"), col("rate_ppm"), lit(null).cast("long").as("residual_share_ppm"))
+      val rowB = after.select(lit("b_after").as("stage"), col("n_docs"),
+        col("n_pairs"), col("rate_ppm"), lit(null).cast("long").as("residual_share_ppm"))
+      val rowZ = before.select(col("n_docs").as("nb"), col("n_pairs").as("pb"))
+        .crossJoin(broadcast(after.select(col("n_docs").as("na"), col("n_pairs").as("pa"))))
+        .select(lit("z_verdict").as("stage"),
+          (col("nb") - col("na")).as("n_docs"), // shingle-able docs the pass removed
+          (col("pb") - col("pa")).as("n_pairs"), // dup pairs eliminated
+          lit(null).cast("long").as("rate_ppm"),
+          expr("CASE WHEN pb > 0 THEN pa * 1000000 DIV pb ELSE 0 END")
+            .as("residual_share_ppm"))
+      rowA.unionByName(rowB).unionByName(rowZ).orderBy(col("stage"))
+    },
+    Some {
+      def chain(src: String, x: String) = s"""sh$x AS (
+        SELECT doc_id, $shingleSqlDuck AS sh FROM $src
+        WHERE len(string_split(text, ' ')) >= 3),
+    hs$x AS (SELECT doc_id, sh, list_transform(sh, x -> ${strHashSql("x")}) AS hs
+             FROM sh$x),
+    mh$x AS (SELECT doc_id, [${perm.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }
+        .mkString(", ")}] AS mhs FROM hs$x),
+    bd$x AS (SELECT doc_id, CAST(i AS VARCHAR) || ':' || CAST(mhs[2 * i + 1] AS VARCHAR)
+               || ':' || CAST(mhs[2 * i + 2] AS VARCHAR) AS band
+             FROM mh$x CROSS JOIN generate_series(0, 3) AS g(i)),
+    cd$x AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+             FROM bd$x a JOIN bd$x b ON a.band = b.band AND a.doc_id < b.doc_id),
+    dp$x AS (SELECT id1, id2 FROM cd$x
+             JOIN sh$x p ON p.doc_id = id1 JOIN sh$x q ON q.doc_id = id2
+             WHERE len(list_intersect(p.sh, q.sh)) * 10
+               >= len(list_distinct(list_concat(p.sh, q.sh))) * 7),
+    st$x AS (SELECT CAST((SELECT COUNT(*) FROM sh$x) AS BIGINT) AS n_docs,
+                    CAST((SELECT COUNT(*) FROM dp$x) AS BIGINT) AS n_pairs)"""
+      s"""WITH $simhashCteDuck,
+    sp AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+           FROM sh a JOIN sh b
+             ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 6),
+    dropped AS (SELECT DISTINCT id2 AS doc_id FROM sp),
+    surv AS (SELECT d.* FROM documents d WHERE NOT EXISTS
+               (SELECT 1 FROM dropped WHERE dropped.doc_id = d.doc_id)),
+    ${chain("documents", "b")},
+    ${chain("surv", "a")}
+    SELECT * FROM (
+      SELECT 'a_before' AS stage, n_docs, n_pairs,
+        CAST(n_pairs * 1000000 // (n_docs * (n_docs - 1) // 2) AS BIGINT) AS rate_ppm,
+        CAST(NULL AS BIGINT) AS residual_share_ppm
+      FROM stb
+      UNION ALL
+      SELECT 'b_after', n_docs, n_pairs,
+        CAST(n_pairs * 1000000 // (n_docs * (n_docs - 1) // 2) AS BIGINT), NULL
+      FROM sta
+      UNION ALL
+      SELECT 'z_verdict', stb.n_docs - sta.n_docs, stb.n_pairs - sta.n_pairs, NULL,
+        CAST(CASE WHEN stb.n_pairs > 0
+             THEN sta.n_pairs * 1000000 // stb.n_pairs ELSE 0 END AS BIGINT)
+      FROM stb CROSS JOIN sta
+    ) ORDER BY stage"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, d52, d53, d54, d55, q170)
+      d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, q170)
 }

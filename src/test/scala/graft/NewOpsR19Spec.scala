@@ -85,6 +85,26 @@ class NewOpsR19Spec extends SparkSuite {
     total.head.getAs[Long]("moved_ppm") should (be > 850000L and be < 995000L)
   }
 
+  test("d56 residual audit: survivor universe shrinks, counts fold, rate identity") {
+    val rows = Registry.queries("d56_residual_dup_audit")(spark, dir).collect()
+    rows.length shouldBe 3
+    val m = rows.map(r => r.getAs[String]("stage") -> r).toMap
+    val nb = m("a_before").getAs[Long]("n_docs")
+    val pb = m("a_before").getAs[Long]("n_pairs")
+    val na = m("b_after").getAs[Long]("n_docs")
+    val pa = m("b_after").getAs[Long]("n_pairs")
+    nb should be > 0L
+    na should be <= nb
+    // uncapped at this SF: survivor pairs are a subset of before pairs
+    pa should be <= pb
+    m("z_verdict").getAs[Long]("n_docs") shouldBe nb - na
+    m("z_verdict").getAs[Long]("n_pairs") shouldBe pb - pa
+    m("a_before").getAs[Long]("rate_ppm") shouldBe pb * 1000000L / (nb * (nb - 1) / 2)
+    // every residual pair is by construction a pair the deployed
+    // detector never saw; on this corpus the pass is recall-dominant
+    m("z_verdict").getAs[Long]("residual_share_ppm") should be < 500000L
+  }
+
   test("persisted edge index: repeat calls agree and survive caller unpersist") {
     // the r19 persisted-index contract: simhashPairs computes once per
     // (JVM, sfDir) and later calls read the same stored edge list — in
