@@ -313,32 +313,31 @@ object Dedup {
     * template-heavy 100 TB corpus.
     *
     * PERSISTED ONCE per (JVM, sfDir), the d16 persisted-index discipline:
-    * the first caller computes the capped self-join and writes the edge
-    * list to a temp parquet; every later consumer reads that index back
-    * instead of re-running the signature pipeline + self-join (~3–6 s per
-    * query at sf0.1 before this, ×10+ call sites per bench run). The
-    * read-back frame is storage-backed, so callers' historical
-    * `unpersist()` calls are harmless no-ops and never evict the shared
-    * index. Keyed by the sfDir string — fixtures live in per-test temp
-    * dirs, so a key never sees two different corpora. */
+    * the first caller runs [[cappedSelfPairs]] (the ONE shared capped
+    * generator — this function must never inline its own copy of the
+    * join rule, or the persisted index could drift from d05/d21/d24)
+    * and writes the edge list to a [[Tables.tmpDir]] scratch parquet
+    * (JVM-exit-registered — a raw createTempDirectory here would leak
+    * the 700 k-row index per run); every later consumer reads that
+    * index back instead of re-running the signature pipeline +
+    * self-join (~3–6 s per query at sf0.1 before this, ×10+ call sites
+    * per bench run). The read-back frame is storage-backed, so
+    * callers' historical `unpersist()` calls are harmless no-ops and
+    * never evict the shared index. Keyed by the sfDir string —
+    * fixtures live in per-test temp dirs, so a key never sees two
+    * different corpora. */
   private val pairsIndexPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = pairsIndexPath.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-simhash-pairs").toString
-      val sh = simhashTagged(
-        simhashDf(s, dir).withColumn("bucket", expr("shiftright(simhash, 8)")))
-        .cache()
-      sh.count()
-      sh.select(col("bucket"), col("sub"), col("doc_id").as("id1"), col("simhash").as("h1"))
-        .join(sh.select(col("bucket").as("bucket2"), col("sub").as("sub2"),
-            col("doc_id").as("id2"), col("simhash").as("h2")),
-          col("bucket") === col("bucket2") && col("sub") === col("sub2") &&
-            col("id1") < col("id2"))
-        .filter(expr("bit_count(h1 ^ h2)") <= 6)
-        .select(col("id1"), col("id2"))
-        .write.mode("overwrite").parquet(p)
-      sh.unpersist()
+      val p = Tables.tmpDir("graft-simhash-pairs").resolve("idx").toString
+      // the signature pipeline (token explode + two aggregates) feeds
+      // both self-join sides inside cappedSelfPairs — cache it once
+      val sigs = simhashDf(s, dir)
+        .withColumn("bucket", expr("shiftright(simhash, 8)")).cache()
+      sigs.count()
+      cappedSelfPairs(sigs).write.mode("overwrite").parquet(p)
+      sigs.unpersist()
       p
     })
     s.read.parquet(path)
@@ -404,24 +403,23 @@ object Dedup {
   private val d07 = QueryDef(
     "d07_dup_clusters",
     (s, dir) => {
-      // the DIRECTED pairs are cached (not the undirected union: union
-      // branches don't share work in Spark, so caching only the union
-      // would execute the expensive bucket join twice), materialized at
-      // the session's full shuffle parallelism — only the LOOP runs at
-      // the state-sized setting below.
-      val cachedPairs = simhashPairs(s, dir)
+      // the DIRECTED pairs come from the persisted shared edge index
+      // (storage-backed parquet since r19, not a memory cache — each
+      // CC round re-reads the small index file, which is cheaper than
+      // the bucket join it replaced); only the LOOP runs at the
+      // state-sized shuffle setting below.
+      val pairs = simhashPairs(s, dir)
       // the iterative state is tiny relative to the session's batch
       // sizing — run the loop at 8 shuffle partitions (scoped, restored).
       // Cluster resolution is the reusable pointer-jumping operator
       // (graft.operators.ConnectedComponents — O(log diameter) rounds,
       // edge list never shuffled; see its scaladoc and spec).
       Tables.withShuffle(s, 8) {
-        val labels = graft.operators.ConnectedComponents.label(cachedPairs)
+        val labels = graft.operators.ConnectedComponents.label(pairs)
         val out = labels.groupBy(col("comp").as("cluster_rep"))
           .agg(count(lit(1)).as("n_members"))
           .orderBy(col("cluster_rep"))
           .localCheckpoint()
-        cachedPairs.unpersist()
         out
       }
     },
@@ -2409,10 +2407,11 @@ object Dedup {
   private val d38 = QueryDef(
     "d38_cluster_coherence",
     (s, dir) => {
-      val cachedPairs = simhashPairs(s, dir)
+      // pairs read the persisted shared edge index (storage-backed)
+      val pairs = simhashPairs(s, dir)
       Tables.withShuffle(s, 8) {
-        val labels = graft.operators.ConnectedComponents.label(cachedPairs)
-        val edges = cachedPairs
+        val labels = graft.operators.ConnectedComponents.label(pairs)
+        val edges = pairs
           .join(labels.select(col("node").as("id1"), col("comp")), Seq("id1"))
           .groupBy(col("comp")).agg(count(lit(1)).as("n_edges"))
         val members = labels.groupBy(col("comp")).agg(count(lit(1)).as("n_members"))
@@ -2426,7 +2425,6 @@ object Dedup {
               .otherwise("cohesive"))
           .orderBy(col("cluster_rep"))
           .localCheckpoint()
-        cachedPairs.unpersist()
         out
       }
     },
@@ -3413,7 +3411,7 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bipartiteLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val path = bipartiteIndexPath.computeIfAbsent(dir, _ => {
-      val p = java.nio.file.Files.createTempDirectory("graft-bipartite-cc").toString
+      val p = Tables.tmpDir("graft-bipartite-cc").resolve("idx").toString
       val sh = shingle8Sets(s, dir)
         .select(col("doc_id"), explode(col("sh8")).as("shingle"))
         .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
@@ -3703,17 +3701,17 @@ object Dedup {
   private val d52 = QueryDef(
     "d52_cluster_stability",
     (s, dir) => {
-      val cachedPairs = simhashPairs(s, dir)
+      // pairs read the persisted shared edge index (storage-backed)
+      val pairs = simhashPairs(s, dir)
       def isSurv(c: String) =
         expr(s"${strHashExpr(s"CAST($c AS STRING)")} % 10") =!= 0
-      val subPairs = cachedPairs.filter(isSurv("id1") && isSurv("id2"))
+      val subPairs = pairs.filter(isSurv("id1") && isSurv("id2"))
         .localCheckpoint()
       Tables.withShuffle(s, 8) {
-        val labelsFull = graft.operators.ConnectedComponents.label(cachedPairs)
+        val labelsFull = graft.operators.ConnectedComponents.label(pairs)
           .localCheckpoint()
         val labelsSub = graft.operators.ConnectedComponents.label(subPairs)
           .localCheckpoint()
-        cachedPairs.unpersist()
         // universe: survivor nodes of the FULL graph; edge-less
         // survivors in the subgraph become singletons
         val u = labelsFull.filter(isSurv("node"))
@@ -4119,8 +4117,12 @@ object Dedup {
         base.unpersist()
         st
       }
-      val before = dupStats(shingled(s, dir))
-      val after = dupStats(shingled(s, dir).join(dropped, Seq("doc_id"), "left_anti"))
+      // one shingle pass serves both measurements (the survivor set is
+      // an anti-join of the same frame, not a second corpus scan)
+      val sh = shingled(s, dir).cache()
+      sh.count()
+      val before = dupStats(sh)
+      val after = dupStats(sh.join(dropped, Seq("doc_id"), "left_anti"))
       val rowA = before.select(lit("a_before").as("stage"), col("n_docs"),
         col("n_pairs"), col("rate_ppm"), lit(null).cast("long").as("residual_share_ppm"))
       val rowB = after.select(lit("b_after").as("stage"), col("n_docs"),
@@ -4133,7 +4135,10 @@ object Dedup {
           lit(null).cast("long").as("rate_ppm"),
           expr("CASE WHEN pb > 0 THEN pa * 1000000 DIV pb ELSE 0 END")
             .as("residual_share_ppm"))
-      rowA.unionByName(rowB).unionByName(rowZ).orderBy(col("stage"))
+      val out = rowA.unionByName(rowB).unionByName(rowZ).orderBy(col("stage"))
+        .localCheckpoint()
+      sh.unpersist()
+      out
     },
     Some {
       def chain(src: String, x: String) = s"""sh$x AS (

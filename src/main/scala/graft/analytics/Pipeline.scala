@@ -2459,9 +2459,11 @@ object Pipeline {
   // (the classic silent hole in mix audits), and (3) a second epoch
   // seed reassigns ~(B−1)/B of docs (moved_ppm) — epochs decorrelate
   // without any state carried between them. Scale: two aggregates over
-  // one narrow scan; the TV grid is (B × |sources|)-sized. The dev
-  // product n_bs·N is i64-safe to ~10⁹ docs per batch; beyond that the
-  // s31 DECIMAL promotion applies.
+  // one narrow scan; the TV grid is (B × |sources|)-sized. The TV terms
+  // are per-source SHARE differences in ppm (each ≤ 10⁶ before the sum
+  // over the source grid), never a cross product of raw counts — the
+  // naive |n_bs·N − n_b·n_s| form overflows i64 near 10⁹ docs, two
+  // orders below this library's stated envelope.
   private val ShuffleBatches = 16L
 
   private val q204 = QueryDef(
@@ -2489,10 +2491,12 @@ object Pipeline {
         .crossJoin(broadcast(srcTot))
         .join(bs, Seq("batch", "source"), "left")
         .withColumn("n_bs", coalesce(col("n_bs"), lit(0L)))
-        .withColumn("dev", abs(col("n_bs") * nTotal - col("n_docs") * col("n_s")))
-      val stats = pb.join(grid.groupBy(col("batch")).agg(sum(col("dev")).as("devsum")),
+        .withColumn("dev_ppm", abs(expr("n_bs * 1000000 DIV n_docs") -
+          expr(s"n_s * 1000000 DIV $nTotal")))
+      val stats = pb.join(
+          grid.groupBy(col("batch")).agg(sum(col("dev_ppm")).as("devsum_ppm")),
           Seq("batch"))
-        .withColumn("tv_ppm", expr(s"devsum * 1000000 DIV (2 * n_docs * $nTotal)"))
+        .withColumn("tv_ppm", expr("devsum_ppm DIV 2"))
         .localCheckpoint() // B rows
       val perBatch = stats.select(col("batch"), col("n_docs"), col("tok_mass"),
         col("n_sources"), col("tv_ppm"),
@@ -2529,11 +2533,10 @@ object Pipeline {
              FROM pb p CROSS JOIN st s
              LEFT JOIN bs b ON b.batch = p.batch AND b.source = s.source),
     tv AS (SELECT batch,
-             SUM(ABS(n_bs * (SELECT n_total FROM n) - n_docs * n_s)) AS devsum
+             SUM(ABS(n_bs * 1000000 // n_docs
+                     - n_s * 1000000 // (SELECT n_total FROM n))) AS devsum_ppm
            FROM grid GROUP BY 1),
-    stats AS (SELECT p.*, t.devsum,
-                t.devsum * 1000000
-                  // (2 * p.n_docs * (SELECT n_total FROM n)) AS tv_ppm
+    stats AS (SELECT p.*, t.devsum_ppm, t.devsum_ppm // 2 AS tv_ppm
               FROM pb p JOIN tv t USING (batch))
     SELECT CAST(batch AS BIGINT) AS batch, CAST(n_docs AS BIGINT) AS n_docs,
       CAST(tok_mass AS BIGINT) AS tok_mass,

@@ -55,7 +55,11 @@ def main():
             failures.append((name, f"spark result unreadable: {e}"))
             continue
         try:
-            duck = con.execute(sql).fetch_arrow_table()
+            # types-only: resolve the oracle's schema without executing it
+            # (LIMIT 0 over a subquery plans but streams no rows) — this is
+            # what makes the registration-time sweep actually cheap
+            duck_sql = f"SELECT * FROM ({sql}) __t LIMIT 0" if types_only else sql
+            duck = con.execute(duck_sql).fetch_arrow_table()
         except Exception as e:
             failures.append((name, f"oracle failed: {e}"))
             continue
@@ -72,12 +76,13 @@ def main():
             failures.append((name, "type mismatch: " + "; ".join(
                 f"col {c}: spark={st} duck={dt}" for c, st, dt in tbad)))
             continue
-        if spark_tbl.num_rows != duck.num_rows:
-            failures.append((name, f"rows: spark={spark_tbl.num_rows} duck={duck.num_rows}"))
-            continue
         if types_only:
+            # the oracle ran under LIMIT 0 — no rows to compare
             ok += 1
             print(f"  OK(types) {name}")
+            continue
+        if spark_tbl.num_rows != duck.num_rows:
+            failures.append((name, f"rows: spark={spark_tbl.num_rows} duck={duck.num_rows}"))
             continue
         bad = None
         for c in s_cols:
