@@ -42,6 +42,45 @@ object Bench {
     } catch { case _: Throwable => () }
   }
 
+  /** First three fields of /proc/loadavg as a JSON array ("[0.42,0.31,0.12]"),
+    * or "null" where the file doesn't exist. Recorded at bench start/end so a
+    * judge can separate host throttle from code regressions without
+    * re-running (r19's adjudication cost: 462.8/563.9/715.9 s coexisted for
+    * the SAME code and nothing in the JSON could arbitrate). */
+  private def loadAvg(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      parts.take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "null" }
+
+  /** Fixed single-threaded CPU probe: a constant xorshift spin whose wall
+    * time on an unloaded core is a host property, not a data/plan property.
+    * A throttled or contended host inflates this the same way it inflates
+    * every query, so ratios of query-time to spin-time are load-normalized. */
+  private def spinProbeSeconds(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    // fold x into the timing guard so the loop cannot be dead-code-eliminated
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (x == 0L) 0.0 else dt
+  }
+
+  /** Fixed parquet-scan probe: one full lineitem scan + hash-aggregate —
+    * the IO+codegen twin of the CPU spin (same query every round, so its
+    * number moves only with host IO/page-cache state, never with the
+    * catalog's code). */
+  private def scanProbeSeconds(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .agg(sum(hash(col("l_orderkey"), col("l_partkey"), col("l_quantity")))).count()
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,6 +96,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     warmup(spark, sfDir)
+    // calibration pair AFTER warmup (so the probes measure the host, not
+    // one-time JVM/codegen startup) and again after the catalog: a judge
+    // reads query seconds against these to load-normalize across runs
+    val loadStart = loadAvg()
+    val spinStart = spinProbeSeconds()
+    val scanStart = scanProbeSeconds(spark, sfDir)
     // optional args = query-name subset (local iteration; the driver
     // passes none, timing the full catalog)
     val picked =
@@ -101,13 +146,23 @@ object Bench {
     }.mkString("{", ",", "}")
     val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
+    val spinEnd = spinProbeSeconds()
+    val scanEnd = scanProbeSeconds(spark, sfDir)
+    val loadEnd = loadAvg()
+    // the self-calibration record (VERDICT r19 item 1): loadavg brackets the
+    // run; spin/scan pairs quantify CPU throttle and IO contention at both
+    // ends. Same probes every round — compare across BENCH_r{N}.json.
+    val calib =
+      s""""calibration":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
+      s""""spin_start_s":$spinStart,"spin_end_s":$spinEnd,""" +
+      s""""scan_start_s":$scanStart,"scan_end_s":$scanEnd}"""
     // The driver tails only the last ~2000 bytes of stdout; with 60+
     // queries the full per-query map (~2.5 KB) pushed the JSON head out of
     // the tail buffer (round 3: parsed=null). Emit the full record first
     // (humans / judge logs), also persist it to BENCH_DETAIL.json, and keep
     // the FINAL line compact so the parseable object always fits.
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qsDetail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,$calib,"queries":$qsDetail,"sf":"$sfDir"}"""
     // human/judge-facing detail FIRST — the driver tails the last ~2000
     // bytes, so the parseable compact line below must stay last
     println(detail)
@@ -120,7 +175,7 @@ object Bench {
       val p = java.nio.file.Paths.get("BENCH_DETAIL.json")
       java.nio.file.Files.write(p, detail.getBytes("UTF-8"))
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,$calib,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

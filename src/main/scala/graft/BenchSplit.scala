@@ -14,6 +14,12 @@ package graft
   * Queries wrap their setup in [[setup]]; [[Bench]] drains the accumulator
   * per query and reports `setup_s` / `op_s` alongside the unchanged total.
   *
+  * Since r20 the once-per-(JVM, corpus) persisted-index builds
+  * (Dedup.simhashPairs / bipartiteLabels) are also setup-attributed: the
+  * shared build otherwise lands inside whichever query calls first, making
+  * per-query diffs order-dependent (VERDICT r19 item 2 — d16 read 3.9× its
+  * r18 figure purely because it drew the build that round).
+  *
   * The accumulator is a plain atomic (queries run sequentially on the
   * driver in Bench/Verify); under Verify nothing drains it, and the
   * wrapper is a pass-through — zero behavior change for correctness runs.

@@ -323,13 +323,49 @@ object Dedup {
     * self-join (~3–6 s per query at sf0.1 before this, ×10+ call sites
     * per bench run). The read-back frame is storage-backed, so
     * callers' historical `unpersist()` calls are harmless no-ops and
-    * never evict the shared index. Keyed by the sfDir string —
-    * fixtures live in per-test temp dirs, so a key never sees two
-    * different corpora. */
+    * never evict the shared index. Keyed by (sfDir, corpus
+    * fingerprint): fixtures live in per-test temp dirs, and the
+    * fingerprint (size+mtime of documents.parquet, see
+    * [[corpusFingerprint]]) guarantees a REGENERATED corpus under a
+    * reused dir path can never silently serve a stale index.
+    *
+    * The one-time build is attributed to [[graft.BenchSplit]] SETUP,
+    * not to whichever query happens to call first: the shared ~4–6 s
+    * build landing inside an arbitrary first consumer's timing made
+    * per-query bench diffs order-dependent (r19: d16 read 3.9× its r18
+    * figure purely because it drew the build). Under Verify nothing
+    * drains the accumulator, so correctness runs are unaffected. */
   private val pairsIndexPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Cheap corpus identity for the persisted-index keys: total bytes and
+    * max mtime over the files of `dir/documents.parquet` (file or
+    * directory layout). Not a content hash — it only needs to change when
+    * the corpus files are rewritten, which any regeneration does. */
+  private def corpusFingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir, "documents.parquet")
+    try {
+      val walk = java.nio.file.Files.walk(root)
+      try {
+        var bytes = 0L
+        var mtime = 0L
+        val it = walk.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (java.nio.file.Files.isRegularFile(p)) {
+            bytes += java.nio.file.Files.size(p)
+            mtime = math.max(mtime,
+              java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          }
+        }
+        s"$bytes:$mtime"
+      } finally walk.close()
+    } catch { case _: Throwable => "absent" }
+  }
+
   private[graft] def simhashPairs(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val path = pairsIndexPath.computeIfAbsent(dir, _ => {
+    val key = s"$dir|${corpusFingerprint(dir)}"
+    val path = pairsIndexPath.computeIfAbsent(key, _ => graft.BenchSplit.setup {
       val p = Tables.tmpDir("graft-simhash-pairs").resolve("idx").toString
       // the signature pipeline (token explode + two aggregates) feeds
       // both self-join sides inside cappedSelfPairs — cache it once
@@ -3404,13 +3440,16 @@ object Dedup {
 
   /** d49's bipartite doc–rare-shingle CC labeling `(node, comp)` —
     * doc nodes < 2e9, shingle nodes ≥ 2e9. Shared by d49 and d50, and
-    * like [[simhashPairs]] PERSISTED ONCE per (JVM, sfDir): the CC
-    * iteration (shingle explode + df filter + pointer jumping) costs
-    * ~10 s at sf0.1 and d49/d50 would otherwise each pay it. */
+    * like [[simhashPairs]] PERSISTED ONCE per (JVM, sfDir + corpus
+    * fingerprint): the CC iteration (shingle explode + df filter +
+    * pointer jumping) costs ~10 s at sf0.1 and d49/d50 would otherwise
+    * each pay it. Build time is BenchSplit-setup-attributed and the key
+    * carries [[corpusFingerprint]] — same rationale as [[simhashPairs]]. */
   private val bipartiteIndexPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bipartiteLabels(s: org.apache.spark.sql.SparkSession, dir: String) = {
-    val path = bipartiteIndexPath.computeIfAbsent(dir, _ => {
+    val key = s"$dir|${corpusFingerprint(dir)}"
+    val path = bipartiteIndexPath.computeIfAbsent(key, _ => graft.BenchSplit.setup {
       val p = Tables.tmpDir("graft-bipartite-cc").resolve("idx").toString
       val sh = shingle8Sets(s, dir)
         .select(col("doc_id"), explode(col("sh8")).as("shingle"))
@@ -4086,10 +4125,12 @@ object Dedup {
       // the deployed dedup pass (higher-id endpoint of every pair drops)
       val dropped = simhashPairs(s, dir).select(col("id2").as("doc_id"))
         .distinct().localCheckpoint()
-      // the independent detector: MinHash bands + exact Jaccard ≥ 0.7
-      def dupStats(d: org.apache.spark.sql.DataFrame) = {
-        val base = d.cache()
-        base.count()
+      // the independent detector: MinHash bands + exact Jaccard ≥ 0.7.
+      // Takes an ALREADY-MATERIALIZED frame (cached sh / a localCheckpoint
+      // of its survivor anti-join) — an inner cache()/unpersist() here
+      // would evict the caller's shared `sh` on the first call (d IS sh)
+      // and defeat the one-shingle-pass design (ADVICE r19).
+      def dupStats(base: org.apache.spark.sql.DataFrame) = {
         val mh = base
           .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
           .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
@@ -4114,15 +4155,17 @@ object Dedup {
           .withColumn("rate_ppm",
             expr("n_pairs * 1000000 DIV (n_docs * (n_docs - 1) DIV 2)"))
           .localCheckpoint() // 1 row
-        base.unpersist()
         st
       }
       // one shingle pass serves both measurements (the survivor set is
-      // an anti-join of the same frame, not a second corpus scan)
+      // an anti-join of the same frame, not a second corpus scan);
+      // the survivor frame is localCheckpointed so dupStats's several
+      // consumers read a materialization, not a re-run of the anti-join
       val sh = shingled(s, dir).cache()
       sh.count()
       val before = dupStats(sh)
-      val after = dupStats(sh.join(dropped, Seq("doc_id"), "left_anti"))
+      val after = dupStats(
+        sh.join(dropped, Seq("doc_id"), "left_anti").localCheckpoint())
       val rowA = before.select(lit("a_before").as("stage"), col("n_docs"),
         col("n_pairs"), col("rate_ppm"), lit(null).cast("long").as("residual_share_ppm"))
       val rowB = after.select(lit("b_after").as("stage"), col("n_docs"),

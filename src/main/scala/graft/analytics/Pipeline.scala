@@ -1311,6 +1311,15 @@ object Pipeline {
   // combined aggregates over file-count-sized frames.
   private val DvFiles = 32L
   private val DvRewritePpm = 200000L
+  /** q203 sizes its simulated file count from the corpus —
+    * ⌈N/DvTargetRows⌉ files (min 8 so the planted full-file-recall id 3
+    * always exists) — so the positional-window partitions stay ≤~50 k rows
+    * at ANY scale factor (VERDICT r19 item 3: a fixed 32 meant partition
+    * size grew linearly with N — ~2 M rows on one task at 100×). All
+    * synthetic id offsets (gen-2 files, DV sidecars, compaction temps) are
+    * multiples of the derived count, so the id spaces stay disjoint at any
+    * N. The oracle derives the same count in its own params CTE. */
+  private val DvTargetRows = 50000L
 
   private val q185 = QueryDef(
     "q185_deletion_vectors",
@@ -2168,7 +2177,7 @@ object Pipeline {
   // commit log (v1 base adds, v2 DV sidecar adds, v3 the compaction
   // commit) — expiring v1/v2 makes exactly the compacted originals and
   // their sidecars reclaimable, with the planted hazard that a FULLY
-  // deleted file (the %32=3 recall) produces NO gen-2 add, (d) orphan
+  // deleted file (the file_id=3 recall) produces NO gen-2 add, (d) orphan
   // vacuum of the compaction's temp files against the full referenced
   // set with a grace window (q197's early-delete hazard: the younger
   // temp per file stays), (e) an OCC writer that branched BEFORE the
@@ -2180,15 +2189,21 @@ object Pipeline {
   // never content. Per-phase `ok` is that phase's invariant; the
   // readout is 6 rows at any SF. Scale: one windowed pos assignment and
   // one DV anti-join on the corpus; everything else is file-count-sized
-  // (≤32 files + sidecars) or op-bounded — the digests are single scans
-  // with map-side combine.
+  // or op-bounded — the digests are single scans with map-side combine.
+  // The file count itself is DERIVED (⌈N/DvTargetRows⌉, min 8), so the
+  // positional window's per-partition size stays ≤~50 k rows at any N
+  // and every synthetic id offset scales with it (see DvTargetRows).
   private val q203 = QueryDef(
     "q203_maintenance_session",
     (s, dir) => {
+      // file count derived from the corpus (⌈N/target⌉, min 8): bounded
+      // window partitions at any SF; one metadata-cheap count
+      val nf = math.max(8L,
+        (rd(s, dir, "lineitem").count() + DvTargetRows - 1L) / DvTargetRows)
       val base = rd(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
           col("l_quantity").cast("long").as("qty"))
-        .withColumn("file_id", col("ok") % DvFiles)
+        .withColumn("file_id", col("ok") % nf)
         // (ok, ln) is NOT unique in this synthetic lineitem — qty joins
         // the ordering so position assignment is engine-consistent; rows
         // still tied after qty are full duplicates, swap-invariant in
@@ -2228,7 +2243,7 @@ object Pipeline {
       // phase B: compact the over-bar files; content must survive exactly
       val rewriteFiles = pf.filter(col("rewrite")).select(col("file_id"))
       val gen2 = mor.join(rewriteFiles, Seq("file_id"), "left_semi")
-        .withColumn("file_id", col("file_id") + 100L)
+        .withColumn("file_id", col("file_id") + nf)
       val post = mor.join(rewriteFiles, Seq("file_id"), "left_anti")
         .unionByName(gen2).localCheckpoint()
       val digPost = dig(post).select(col("n").as("n_p"), col("ck").as("ck_p"))
@@ -2246,12 +2261,12 @@ object Pipeline {
       val ops = pf.select(lit(1L).as("ver"), lit("A").as("act"), col("file_id"))
         .unionByName(pf.filter(col("n_del") > 0)
           .select(lit(2L).as("ver"), lit("A").as("act"),
-            (col("file_id") + 1000L).as("file_id")))
+            (col("file_id") + 2L * nf).as("file_id")))
         .unionByName(rewriteFiles
           .select(lit(3L).as("ver"), lit("R").as("act"), col("file_id")))
         .unionByName(rewriteFiles
           .select(lit(3L).as("ver"), lit("R").as("act"),
-            (col("file_id") + 1000L).as("file_id")))
+            (col("file_id") + 2L * nf).as("file_id")))
         .unionByName(gen2Files
           .select(lit(3L).as("ver"), lit("A").as("act"), col("file_id")))
         .localCheckpoint() // op-bounded (≤ 4 ops per file)
@@ -2274,9 +2289,9 @@ object Pipeline {
       // phase D: vacuum the compaction temps; grace keeps the young one
       val listing = refd
         .select(col("file_id"), lit(true).as("referenced"), lit(100L).as("mtime"))
-        .unionByName(rewriteFiles.select((col("file_id") + 2000L).as("file_id"),
+        .unionByName(rewriteFiles.select((col("file_id") + 3L * nf).as("file_id"),
           lit(false).as("referenced"), lit(150L).as("mtime")))
-        .unionByName(rewriteFiles.select((col("file_id") + 3000L).as("file_id"),
+        .unionByName(rewriteFiles.select((col("file_id") + 4L * nf).as("file_id"),
           lit(false).as("referenced"), lit(200L).as("mtime")))
         .withColumn("size_bytes", expr("file_id * 907 % 4000 + 100"))
         .withColumn("verdict",
@@ -2320,15 +2335,18 @@ object Pipeline {
       base.unpersist()
       out
     },
-    Some(s"""WITH base AS (
+    Some(s"""WITH prm AS (
+      SELECT GREATEST(8, (COUNT(*) + ${DvTargetRows - 1L}) // $DvTargetRows) AS nf
+      FROM lineitem),
+    base AS (
       SELECT l_orderkey AS ok, l_linenumber AS ln,
         CAST(l_quantity AS BIGINT) AS qty,
-        l_orderkey % $DvFiles AS file_id,
-        ROW_NUMBER() OVER (PARTITION BY l_orderkey % $DvFiles
+        l_orderkey % nf AS file_id,
+        ROW_NUMBER() OVER (PARTITION BY l_orderkey % nf
                            ORDER BY l_orderkey, l_linenumber,
                              CAST(l_quantity AS BIGINT)) AS pos,
         l_orderkey * 7 + l_linenumber AS k
-      FROM lineitem),
+      FROM lineitem CROSS JOIN prm),
     dv AS (SELECT DISTINCT file_id, pos FROM base WHERE qty > 45 OR file_id = 3),
     pf AS (SELECT f.file_id, f.n_rows, COALESCE(d.n_del, 0) AS n_del,
              COALESCE(d.n_del, 0) * 1000000 // f.n_rows >= $DvRewritePpm AS rewrite
@@ -2339,8 +2357,8 @@ object Pipeline {
               (SELECT 1 FROM dv WHERE dv.file_id = b.file_id AND dv.pos = b.pos)),
     eager AS (SELECT * FROM base WHERE NOT (qty > 45 OR file_id = 3)),
     rw AS (SELECT file_id FROM pf WHERE rewrite),
-    gen2 AS (SELECT m.ok, m.ln, m.qty, m.file_id + 100 AS file_id, m.pos, m.k
-             FROM mor m JOIN rw ON m.file_id = rw.file_id),
+    gen2 AS (SELECT m.ok, m.ln, m.qty, m.file_id + p.nf AS file_id, m.pos, m.k
+             FROM mor m JOIN rw ON m.file_id = rw.file_id CROSS JOIN prm p),
     post AS (
       SELECT b.* FROM mor b
       WHERE NOT EXISTS (SELECT 1 FROM rw WHERE rw.file_id = b.file_id)
@@ -2356,9 +2374,10 @@ object Pipeline {
            FROM post),
     ops AS (
       SELECT 1 AS ver, 'A' AS act, file_id FROM pf
-      UNION ALL SELECT 2, 'A', file_id + 1000 FROM pf WHERE n_del > 0
+      UNION ALL SELECT 2, 'A', file_id + 2 * p.nf FROM pf CROSS JOIN prm p
+        WHERE n_del > 0
       UNION ALL SELECT 3, 'R', file_id FROM rw
-      UNION ALL SELECT 3, 'R', file_id + 1000 FROM rw
+      UNION ALL SELECT 3, 'R', file_id + 2 * p.nf FROM rw CROSS JOIN prm p
       UNION ALL SELECT 3, 'A', file_id FROM (SELECT DISTINCT file_id FROM gen2)),
     liveh AS (SELECT file_id FROM (
         SELECT file_id, act,
@@ -2374,8 +2393,10 @@ object Pipeline {
                   ELSE 'vacuum' END AS verdict
            FROM (
              SELECT file_id, TRUE AS referenced, 100 AS mtime FROM refd
-             UNION ALL SELECT file_id + 2000, FALSE, 150 FROM rw
-             UNION ALL SELECT file_id + 3000, FALSE, 200 FROM rw)),
+             UNION ALL SELECT file_id + 3 * p.nf, FALSE, 150
+               FROM rw CROSS JOIN prm p
+             UNION ALL SELECT file_id + 4 * p.nf, FALSE, 200
+               FROM rw CROSS JOIN prm p)),
     wset AS (SELECT * FROM base WHERE ok % 59 = 0),
     fin AS (SELECT k, CASE WHEN ok % 59 = 0 THEN k % 89 ELSE qty END AS qty
             FROM post),
