@@ -4005,9 +4005,305 @@ object Streams {
       TRUE AS matches_rebuild
     FROM oc LEFT JOIN dd ON oc.b = dd.b ORDER BY batch_id"""))
 
+  // --------------------------------------------------------------- q205
+  // STREAMING MAINTENANCE SESSION — the q203 capstone's streaming twin
+  // (VERDICT r19 item 3): ONE live drain composes the three maintenance
+  // disciplines this family built separately — q112's bucketed keyed
+  // MERGE state table, q199's batchId-keyed idempotent ledger, and
+  // q183's watermark-autotune replay — with a planted hazard per phase:
+  //   (a) a_merge — 3 mtime-ordered micro-batches merge their ADMITTED
+  //       rows into versioned bucketed state; the digest must equal the
+  //       one-shot batch answer over the same admitted set (batch-
+  //       boundary invariance with a non-additive last-write-wins field);
+  //   (b) b_replay — batch 1 is REDELIVERED after the drain (at-least-
+  //       once retry, raw/ungated — uglier than the original); the
+  //       commit-marker guard must no-op it: state digest AND retained-
+  //       version count unchanged (a replay that re-merged would land in
+  //       every later column's hash);
+  //   (c) c_expiry_cdc — version retention after 3 commits must hold
+  //       EXACTLY {v1, v2}: v0 reclaimed, v1 retained although
+  //       superseded BECAUSE the snapshot-diff CDC reader references it
+  //       (the expired-but-referenced hazard); the v1→v2 diff must equal
+  //       the admitted-batch-2 key set, count + checksum;
+  //   (d) d_late_routing — per-batch ledger rows (n_in, max_us,
+  //       n_routed, routed_ck) written with dynamic partition overwrite
+  //       fold to EXACTLY the q183-style deterministic replay of the
+  //       batch-boundary watermark rule at the TUNED delay — late data
+  //       beyond that delay is genuinely routed at every SF (the jitter
+  //       is a modular scramble, id-scale-free: (id%1e5)·1103515245 %
+  //       1000003 · 432000 µs ∈ [0, 5 days); a plain multiplier stays
+  //       MONOTONE over small id ranges and routed zero at sf0.001);
+  //   (z) z_session — conservation: admitted + routed = total, and the
+  //       post-replay state still carries exactly the admitted mass.
+  // The delay is CHOSEN in-query (q183's closed loop): smallest tier
+  // whose replayed routed_ppm meets the 3% SLA — the largest tier equals
+  // the jitter bound, and lateness is provably < that bound (an event's
+  // lateness vs any prior batch max is < its own jitter), so the sweep
+  // can never come back empty. Scale: planning is one events pass × a
+  // 5-row broadcast; the live path is |batch|-sized merges against
+  // Exchange-free bucketed state (KeyedMergeSpec's plan); the ledger is
+  // batch-count-sized; nothing driver-side exceeds 5 rows.
+  private val Q205Tiers = Seq(
+    "a_1h" -> 3600000000L, "b_6h" -> 21600000000L, "c_1d" -> 86400000000L,
+    "d_3d" -> 259200000000L, "e_5d" -> 432000000000L)
+  private val Q205SlaPpm = 30000L
+
+  private val q205 = QueryDef(
+    "q205_stream_maintenance",
+    (s, dir) => withStreamShuffle(s) {
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      // planning replay (q183's rule): arrival = event time + scrambled
+      // jitter; batches = arrival terciles; wm(b) = max us of batches < b
+      val evBase = events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+        .withColumn("arr",
+          expr("us + (event_id % 100000) * 1103515245 % 1000003 * 432000"))
+      val span = evBase.agg(min(col("arr")).as("amin"),
+        (max(col("arr")) - min(col("arr")) + 1).as("aspan"))
+      val ev = evBase.crossJoin(broadcast(span))
+        .withColumn("b", expr("least((arr - amin) * 3 DIV aspan, 2L)"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("us"), col("b"))
+        .localCheckpoint()
+      val wms = ev.groupBy(col("b")).agg(max(col("us")).as("bmax"))
+        .withColumn("wm_base", max(col("bmax")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select(col("b"), col("wm_base"))
+        .localCheckpoint() // 3 rows
+      val tiers = s.range(1).selectExpr(s"""stack(${Q205Tiers.size},
+        ${Q205Tiers.map { case (t, d) => s"'$t', ${d}L" }.mkString(", ")})
+        AS (tier, delay_us)""")
+      // the autotune pick: 5-row frame, 1-row driver read (bounded)
+      val delayUs = ev.join(broadcast(wms), Seq("b"))
+        .crossJoin(broadcast(tiers))
+        .groupBy(col("tier"), col("delay_us"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("wm_base").isNotNull &&
+            col("us") < col("wm_base") - col("delay_us"), 1L).otherwise(0L))
+            .as("n_routed"))
+        .filter(expr("n_routed * 1000000 DIV total") <= Q205SlaPpm)
+        .agg(min(col("delay_us")))
+        .head().getLong(0)
+      // fixture: one file per arrival batch, mtime-ordered (q199's
+      // movePartFile discipline pins file→batchId)
+      val streamDir = Tables.tmpDir("graft-q205-stream")
+      val ledgerDir = Tables.tmp("graft-q205-ledger")
+      graft.BenchSplit.setup {
+        val baseT = 1700000000000L
+        (0 to 2).foreach { k =>
+          val stage = Tables.tmp(s"graft-q205-b$k")
+          ev.filter(col("b") === k).drop("b")
+            .coalesce(1).write.mode("overwrite").parquet(stage)
+          movePartFile(stage, streamDir.resolve(s"b$k.parquet"),
+            baseT + k * 60000L)
+        }
+      }
+      s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q205 LOCATION '${Tables.tmp("graft-q205-db")}'")
+      val tablePath = Tables.tmpDir("graft-q205-table").toString + "/state"
+      val tableBase =
+        "graft_q205.state_" + Integer.toHexString(tablePath.hashCode)
+      val reduce = (b: DataFrame) => b.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          max(struct(col("us"), col("event_id"), col("event_type"),
+            col("value"))).as("last"))
+      val merge = (state: DataFrame, batch: DataFrame) =>
+        state.as("t").join(batch.as("b"), Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("t.n_events"), lit(0L)) +
+              coalesce(col("b.n_events"), lit(0L))).as("n_events"),
+            greatest(col("t.last"), col("b.last")).as("last"))
+      val q = s.readStream
+        .schema(s.read.parquet(streamDir.toString).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(streamDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val ss = batch.sparkSession
+          // engine watermark from the LEDGER: prior batches' max event
+          // time (q199's ledger-as-state discipline) minus the tuned delay
+          val wmBase: Option[Long] =
+            if (bid == 0) None
+            else {
+              val r = ss.read.parquet(ledgerDir)
+                .filter(col("batch_id") < bid).agg(max(col("max_us"))).head()
+              if (r.isNullAt(0)) None else Some(r.getLong(0))
+            }
+          val gated = batch.withColumn("late",
+            wmBase.map(w => col("us") < lit(w) - lit(delayUs))
+              .getOrElse(lit(false)))
+          // idempotent ledger append: a replayed batch replaces its own
+          // partition instead of double-appending
+          gated.agg(count(lit(1)).as("n_in"), max(col("us")).as("max_us"),
+              sum(when(col("late"), 1L).otherwise(0L)).as("n_routed"),
+              (coalesce(sum(when(col("late"), col("event_id") % HashMod)),
+                lit(0L)) % HashMod).as("routed_ck"))
+            .withColumn("batch_id", lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id").parquet(ledgerDir)
+          // the bucketed keyed merge of the admitted rows (two-phase
+          // commit + version retention inside)
+          graft.streaming.KeyedMerge.applyBatch(
+            gated.filter(!col("late")).drop("late"), bid, reduce, merge,
+            tableBase, tablePath, "user_id", 8)
+          ()
+        }
+        .option("checkpointLocation", Tables.tmp("graft-q205-ckpt"))
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      def stDig(df: DataFrame) = df.agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(col("n_events")), lit(0L)).as("n_events_total"),
+        (coalesce(sum((col("user_id") * 1000003L + col("n_events") * 101L +
+          col("last.event_id")) % HashMod), lit(0L)) % HashMod).as("ck"))
+      // digest BEFORE the replay hazard (materialized — the replay is a
+      // side effect and must not race this read)
+      val dig1 = stDig(graft.streaming.KeyedMerge.readTable(s, tableBase, tablePath))
+        .localCheckpoint()
+      // hazard: redeliver batch 1, raw and ungated; the marker guard
+      // must no-op it
+      graft.streaming.KeyedMerge.applyBatch(
+        s.read.parquet(streamDir.resolve("b1.parquet").toString),
+        1L, reduce, merge, tableBase, tablePath, "user_id", 8)
+      val dig2 = stDig(graft.streaming.KeyedMerge.readTable(s, tableBase, tablePath))
+        .select(col("n_keys").as("k2"), col("n_events_total").as("e2"),
+          col("ck").as("c2"))
+        .localCheckpoint()
+      val commits = graft.streaming.KeyedMerge.commits(s, tablePath)
+      val Seq(prevV, curV) = commits.takeRight(2)
+      // CDC across the retained pair: count grows iff a key has admitted
+      // batch-2 events, so the diff is exactly that key set
+      val changed = graft.streaming.KeyedMerge.readVersion(s, tableBase, curV)
+        .join(graft.streaming.KeyedMerge.readVersion(s, tableBase, prevV)
+          .select(col("user_id"), col("n_events").as("n_before")),
+          Seq("user_id"), "left")
+        .filter(col("n_before").isNull || col("n_before") =!= col("n_events"))
+      val cdc = changed.agg(count(lit(1)).as("n_changed"),
+        (coalesce(sum(col("user_id") % HashMod), lit(0L)) % HashMod)
+          .as("cdc_ck")).localCheckpoint()
+      val okRetention = commits == Seq(curV - 1, curV) && curV == 2L
+      // ledger fold vs the direct deterministic replay
+      val ledgerTot = s.read.parquet(ledgerDir)
+        .agg(coalesce(sum(col("n_in")), lit(0L)).as("l_in"),
+          coalesce(sum(col("n_routed")), lit(0L)).as("l_routed"),
+          (coalesce(sum(col("routed_ck")), lit(0L)) % HashMod).as("l_rck"))
+      val direct = ev.join(broadcast(wms), Seq("b"))
+        .withColumn("late", col("wm_base").isNotNull &&
+          col("us") < col("wm_base") - lit(delayUs))
+        .agg(count(lit(1)).as("d_in"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("d_routed"),
+          (coalesce(sum(when(col("late"), col("event_id") % HashMod)),
+            lit(0L)) % HashMod).as("d_rck"))
+        .localCheckpoint()
+      val truthDig = stDig(
+        ev.join(broadcast(wms), Seq("b"))
+          .filter(!(col("wm_base").isNotNull &&
+            col("us") < col("wm_base") - lit(delayUs)))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            max(struct(col("us"), col("event_id"), col("event_type"),
+              col("value"))).as("last")))
+        .select(col("n_keys").as("tk"), col("n_events_total").as("te"),
+          col("ck").as("tc"))
+      val rowA = dig1.crossJoin(broadcast(truthDig))
+        .select(lit("a_merge").as("phase"), col("n_keys").as("n_a"),
+          col("n_events_total").as("n_b"), lit(delayUs).as("n_c"),
+          col("ck"),
+          (col("n_keys") === col("tk") && col("n_events_total") === col("te") &&
+            col("ck") === col("tc")).as("ok"))
+      val rowB = dig1.crossJoin(broadcast(dig2))
+        .select(lit("b_replay").as("phase"), col("k2").as("n_a"),
+          col("e2").as("n_b"), lit(commits.size.toLong).as("n_c"),
+          col("c2").as("ck"),
+          (col("k2") === col("n_keys") && col("e2") === col("n_events_total") &&
+            col("c2") === col("ck")).as("ok"))
+      val rowC = cdc.select(lit("c_expiry_cdc").as("phase"),
+        lit(commits.size.toLong).as("n_a"), col("n_changed").as("n_b"),
+        lit(prevV).as("n_c"), col("cdc_ck").as("ck"),
+        lit(okRetention).as("ok"))
+      val rowD = ledgerTot.crossJoin(broadcast(direct))
+        .select(lit("d_late_routing").as("phase"), col("l_in").as("n_a"),
+          col("l_routed").as("n_b"), col("d_routed").as("n_c"),
+          col("l_rck").as("ck"),
+          (col("l_in") === col("d_in") && col("l_routed") === col("d_routed") &&
+            col("l_rck") === col("d_rck")).as("ok"))
+      val rowZ = direct.crossJoin(broadcast(dig2))
+        .select(lit("z_session").as("phase"), col("d_in").as("n_a"),
+          (col("d_in") - col("d_routed")).as("n_b"),
+          col("d_routed").as("n_c"), col("c2").as("ck"),
+          (col("e2") === col("d_in") - col("d_routed")).as("ok"))
+      rowA.unionByName(rowB).unionByName(rowC).unionByName(rowD)
+        .unionByName(rowZ).orderBy(col("phase"))
+    },
+    Some(s"""WITH base AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+        epoch_us(ts) + (event_id % 100000) * 1103515245 % 1000003 * 432000 AS arr
+      FROM events),
+    sp AS (SELECT MIN(arr) AS amin, MAX(arr) - MIN(arr) + 1 AS aspan FROM base),
+    bt AS (SELECT user_id, event_id, us,
+             LEAST((arr - amin) * 3 // aspan, 2) AS b FROM base, sp),
+    wms AS (SELECT b, MAX(bmax) OVER (ORDER BY b
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_base
+        FROM (SELECT b, MAX(us) AS bmax FROM bt GROUP BY b)),
+    tiers AS (SELECT * FROM (VALUES ${Q205Tiers.map { case (t, d) =>
+        s"('$t', ${d}::BIGINT)" }.mkString(", ")}) t(tier, delay_us)),
+    sla AS (SELECT t.delay_us,
+          SUM(CASE WHEN w.wm_base IS NOT NULL
+               AND e.us < w.wm_base - t.delay_us THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS routed_ppm
+        FROM bt e JOIN wms w ON e.b = w.b CROSS JOIN tiers t
+        GROUP BY 1),
+    chosen AS (SELECT MIN(delay_us) AS delay_us FROM sla
+               WHERE routed_ppm <= $Q205SlaPpm),
+    fl AS (SELECT e.*, (w.wm_base IS NOT NULL
+             AND e.us < w.wm_base - c.delay_us) AS late
+           FROM bt e JOIN wms w ON e.b = w.b CROSS JOIN chosen c),
+    adm AS (SELECT * FROM fl WHERE NOT late),
+    lastd AS (SELECT user_id, event_id AS last_eid,
+            ROW_NUMBER() OVER (PARTITION BY user_id
+              ORDER BY us DESC, event_id DESC) AS rn
+          FROM adm),
+    st AS (SELECT a.user_id, a.n_events, l.last_eid
+           FROM (SELECT user_id, COUNT(*) AS n_events FROM adm GROUP BY 1) a
+           JOIN lastd l ON l.user_id = a.user_id AND l.rn = 1),
+    dg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(COALESCE(SUM(n_events), 0) AS BIGINT) AS n_events_total,
+             CAST(COALESCE(SUM((user_id * 1000003 + n_events * 101 + last_eid)
+               % $HashMod), 0) % $HashMod AS BIGINT) AS ck
+           FROM st),
+    cdc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_changed,
+              CAST(COALESCE(SUM(user_id % $HashMod), 0) % $HashMod AS BIGINT)
+                AS cdc_ck
+            FROM (SELECT DISTINCT user_id FROM adm WHERE b = 2)),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_in,
+              CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_routed,
+              CAST(COALESCE(SUM(CASE WHEN late THEN event_id % $HashMod END), 0)
+                % $HashMod AS BIGINT) AS rck
+            FROM fl)
+    SELECT * FROM (
+      SELECT 'a_merge' AS phase, dg.n_keys AS n_a, dg.n_events_total AS n_b,
+        (SELECT CAST(delay_us AS BIGINT) FROM chosen) AS n_c, dg.ck AS ck,
+        TRUE AS ok FROM dg
+      UNION ALL
+      SELECT 'b_replay', dg.n_keys, dg.n_events_total, CAST(2 AS BIGINT),
+        dg.ck, TRUE FROM dg
+      UNION ALL
+      SELECT 'c_expiry_cdc', CAST(2 AS BIGINT), cdc.n_changed,
+        CAST(1 AS BIGINT), cdc.cdc_ck, TRUE FROM cdc
+      UNION ALL
+      SELECT 'd_late_routing', tot.n_in, tot.n_routed, tot.n_routed,
+        tot.rck, TRUE FROM tot
+      UNION ALL
+      SELECT 'z_session', tot.n_in, tot.n_in - tot.n_routed, tot.n_routed,
+        dg.ck, TRUE FROM tot CROSS JOIN dg
+    ) ORDER BY phase"""))
+
   val defs: Seq[QueryDef] =
     Seq(q18, q19, q20, q21, q22, q24, q30, q37, q38, q40, q54, q62, q69, q75,
       q76, q81, q84, q95, q96, q97, q98, q99, q100, q101, q102, q103, q108,
       q111, q112, q113, q115, q118, q119, q135, q150, q151, q154, q157, d24,
-      d29, q164, q169, q173, q182, q183, q187, q199)
+      d29, q164, q169, q173, q182, q183, q187, q199, q205)
 }
