@@ -1674,7 +1674,115 @@ object Multimodal {
            ELSE 'zstd' END AS codec
     FROM p2 GROUP BY kind ORDER BY kind"""))
 
+  // ---------------------------------------------------------------- m26
+  // VAD / ENERGY SEGMENTATION — the audio-modality twin of m24's video
+  // shot boundaries (the m-family covered image/video/chunked payloads
+  // but nothing audio-shaped): per-frame ENERGY (mean squared byte of
+  // the 32-byte frame slice — the stub-decoder convention, a real codec
+  // swaps in RMS over PCM samples) drives a HYSTERESIS gate, the shape
+  // every production VAD uses so the state doesn't chatter around one
+  // threshold: speech turns ON at energy ≥ 10000, OFF below 9600, and
+  // frames in the dead band CARRY the previous state — expressed as a
+  // decisive-frame column (1 / 0 / NULL) resolved by last-ignore-nulls
+  // over the frame order, so the state machine is one window pass, not
+  // a recursion. Speech SEGMENTS are the gaps-and-islands runs of the
+  // resolved state; per-source speech-ratio ppm and segment lengths
+  // roll up from run aggregates — frames never join frames (m24's
+  // discipline). The dead band is measured, not assumed: ~40% of frames
+  // land in it (n_carry in-result, nonzero at both SFs), so a
+  // single-threshold VAD would diverge — that's the planted proof the
+  // hysteresis actually does work. One explode + two window passes per
+  // media (high-cardinality partition key), three stacked aggregates;
+  // at 100 TB every stage is map-side-combinable and partition-local.
+  private val VadHi = 10000L
+  private val VadLo = 9600L
+
+  private val m26 = QueryDef(
+    "m26_speech_segments",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val frames = docs(s, dir)
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"), col("source"),
+          explode(expr(
+            """transform(sequence(0, CAST(length(text) DIV 32 AS INT) - 1),
+               i -> struct(i AS idx, substr(text, i * 32 + 1, 32) AS frame))"""))
+            .as("f"))
+        .select(col("media_id"), col("source"), col("f.idx").as("idx"),
+          expr("""aggregate(transform(split(f.frame, ''), ch -> ascii(ch) * ascii(ch)),
+                  0L, (a, x) -> a + x) DIV 32""").as("energy"))
+      val w = Window.partitionBy(col("media_id")).orderBy(col("idx"))
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val vad = frames
+        // decisive frames decide; dead-band frames (NULL) inherit the
+        // most recent decision — hysteresis as one last-ignore-nulls
+        .withColumn("d",
+          when(col("energy") >= VadHi, 1L).when(col("energy") < VadLo, 0L))
+        .withColumn("speech",
+          coalesce(last(col("d"), ignoreNulls = true).over(cum), lit(0L)))
+        .withColumn("carry", when(col("d").isNull, 1L).otherwise(0L))
+      val seg = vad.withColumn("strt",
+        when(col("speech") === 1L &&
+          coalesce(lag(col("speech"), 1).over(w), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      val perMedia = seg.groupBy(col("media_id"), col("source"))
+        .agg(count(lit(1)).as("n_frames"), sum(col("speech")).as("n_speech"),
+          sum(col("carry")).as("n_carry"), sum(col("strt")).as("n_segments"))
+      val perSource = perMedia.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_media"), sum(col("n_frames")).as("n_frames"),
+          sum(col("n_speech")).as("n_speech"), sum(col("n_carry")).as("n_carry"),
+          sum(col("n_segments")).as("n_segments"))
+      val total = perSource.agg(
+          sum(col("n_media")).as("n_media"), sum(col("n_frames")).as("n_frames"),
+          sum(col("n_speech")).as("n_speech"), sum(col("n_carry")).as("n_carry"),
+          sum(col("n_segments")).as("n_segments"))
+        .select(lit("z_total").as("source"), col("n_media"), col("n_frames"),
+          col("n_speech"), col("n_carry"), col("n_segments"))
+      perSource.unionByName(total)
+        .withColumn("speech_ppm", expr("n_speech * 1000000 DIV n_frames"))
+        .withColumn("avg_seg_len_x1000", expr(
+          "CASE WHEN n_segments > 0 THEN n_speech * 1000 DIV n_segments ELSE 0L END"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH a AS (
+      SELECT doc_id AS media_id, source, text FROM documents
+      WHERE doc_id % 3 = 1 AND len(text) >= 64),
+    f AS (SELECT media_id, source, i AS idx,
+            list_sum(list_transform(string_split(substr(text, CAST(i * 32 + 1 AS INT), 32), ''),
+              ch -> CAST(ord(ch) * ord(ch) AS BIGINT))) // 32 AS energy
+          FROM a CROSS JOIN generate_series(0, 1000) AS g(i)
+          WHERE i < len(text) // 32),
+    d AS (SELECT *, CASE WHEN energy >= $VadHi THEN 1
+                         WHEN energy < $VadLo THEN 0 END AS dd FROM f),
+    v AS (SELECT *, COALESCE(LAST_VALUE(dd IGNORE NULLS) OVER (
+              PARTITION BY media_id ORDER BY idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS speech,
+            CASE WHEN dd IS NULL THEN 1 ELSE 0 END AS carry
+          FROM d),
+    v2 AS (SELECT *, CASE WHEN speech = 1 AND COALESCE(LAG(speech) OVER (
+              PARTITION BY media_id ORDER BY idx), 0) = 0 THEN 1 ELSE 0 END AS strt
+           FROM v),
+    pm AS (SELECT media_id, source, COUNT(*) AS n_frames, SUM(speech) AS n_speech,
+             SUM(carry) AS n_carry, SUM(strt) AS n_segments
+           FROM v2 GROUP BY 1, 2),
+    ps AS (SELECT source, COUNT(*) AS n_media, SUM(n_frames) AS n_frames,
+             SUM(n_speech) AS n_speech, SUM(n_carry) AS n_carry,
+             SUM(n_segments) AS n_segments FROM pm GROUP BY 1),
+    u AS (SELECT * FROM ps
+          UNION ALL
+          SELECT 'z_total', SUM(n_media), SUM(n_frames), SUM(n_speech),
+            SUM(n_carry), SUM(n_segments) FROM ps)
+    SELECT source, CAST(n_media AS BIGINT) AS n_media,
+      CAST(n_frames AS BIGINT) AS n_frames,
+      CAST(n_speech AS BIGINT) AS n_speech,
+      CAST(n_carry AS BIGINT) AS n_carry,
+      CAST(n_segments AS BIGINT) AS n_segments,
+      CAST(n_speech * 1000000 // n_frames AS BIGINT) AS speech_ppm,
+      CAST(CASE WHEN n_segments > 0 THEN n_speech * 1000 // n_segments
+           ELSE 0 END AS BIGINT) AS avg_seg_len_x1000
+    FROM u ORDER BY source"""))
+
   val defs: Seq[QueryDef] =
     Seq(m01, m02, m03, m04, m05, m06, m07, m08, m09, m10, m11, m12, m13, m14,
-      m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25)
+      m15, m16, m17, m18, m19, m20, m21, m22, m23, m24, m25, m26)
 }

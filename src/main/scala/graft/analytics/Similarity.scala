@@ -4157,9 +4157,301 @@ object Similarity {
     WHERE rrnk <= 5
     GROUP BY r_depth ORDER BY r_depth"""))
 
+  // ---------------------------------------------------------------- s47
+  // ANN DECISION FRONTIER — the composed table a deployment actually
+  // reads, unifying the four levers this family priced separately into
+  // ONE cost/recall plane against ONE exact truth: IVF probe budget
+  // (s23: ivf_p1..p3), adaptive-margin early stop (s43: adp_m05/15/30),
+  // multi-probe LSH (s38: lsh_q1/q4/q9), and coarse-then-rerank depth
+  // (s46: rrk_r05..r40) — 13 strategies, 8 anchors, one brute truth.
+  // The latency proxy is a DECLARED cost model, consistent across
+  // families: every full-width distance evaluation costs 1000 milli
+  // (candidates scored + the 8·K centroid probes the IVF/adaptive
+  // router itself pays — the cost s43's saved_ppm ignored), every
+  // 16-bit coarse evaluation 250 milli (¼ the operand bytes — s09's
+  // prefix-dim arithmetic), LSH bucket lookup 0. `frontier` marks the
+  // Pareto set: a strategy survives iff no other is at-most-as-costly
+  // AND at-least-as-recalling with one inequality strict — the rows a
+  // config chooser is allowed to pick from; everything else is
+  // dominated hardware-independently. Within each family recall is
+  // monotone in spend by construction (nested candidate sets —
+  // NewOpsR20Spec pins it plus the cross-family dominance audit).
+  // Scale: ONE 8×(N−1) scored pass (exact + coarse columns together)
+  // feeds all 13 strategies, the truth, and the adaptive rule's
+  // cell-bests — the s43 fixture-truth discipline; probe sets are
+  // |anchors|×K/×9 broadcasts; nothing quadratic in N anywhere.
+  private val s47 = QueryDef(
+    "s47_ann_frontier",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val margExpr = (0 until 8).map { j =>
+        s"abs(aggregate(slice(qv, ${8 * j + 1}, 8), CAST(0 AS BIGINT), (acc, v) -> acc + v))"
+      }.mkString("array(", ", ", ")")
+      val q = withQuant(dir, s)
+        .withColumn("bucket", expr(bucketExprSpark))
+        .withColumn("cv", expr("transform(qv, x -> shiftright(x, 16))"))
+        .cache()
+      val n = q.count()
+      val cent = labelCentroids(q).localCheckpoint() // K rows
+      val k = cent.count()
+      val assigned1 = q.join(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("qv", "cqv")).cast("double") /
+            (sqrt(col("norm2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("crnk", row_number().over(Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("c_label"))))
+        .filter(col("crnk") === 1)
+        .select(col("vec_id"), col("qv"), col("norm2"), col("bucket"),
+          col("cv"), col("c_label"))
+      val anchors = q.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
+          col("norm2").as("q_n2"), col("bucket").as("q_bucket"),
+          col("cv").as("q_cv"), expr(margExpr).as("marg"))
+        .localCheckpoint() // 8 rows
+      // the one fixture-scale truth pass: exact AND coarse per (q, c)
+      val scored = assigned1.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
+        .withColumn("exact",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .withColumn("coarse", expr(dotExpr("q_cv", "cv")))
+        .select(col("q_id"), col("vec_id").as("c_id"), col("c_label"),
+          col("bucket").as("c_bucket"), col("exact"), col("coarse"))
+        .localCheckpoint()
+      val truth = scored.withColumn("trnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("exact").desc, col("c_id"))))
+        .filter(col("trnk") <= 5)
+        .select(col("q_id"), col("c_id"))
+        .localCheckpoint() // 40 rows
+      // centroid probe order per anchor (shared by ivf + adaptive)
+      val qc = broadcast(anchors).crossJoin(broadcast(cent))
+        .withColumn("csim",
+          expr(dotExpr("q_qv", "cqv")).cast("double") /
+            (sqrt(col("q_n2").cast("double")) * sqrt(col("cnorm2").cast("double"))))
+        .withColumn("j", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("csim").desc, col("c_label"))))
+        .select(col("q_id"), col("c_label"), col("csim"), col("j"))
+      import s.implicits._
+      // family 1 — fixed nprobe (s23)
+      val nprobes = Seq(("ivf_p1", 1L), ("ivf_p2", 2L), ("ivf_p3", 3L))
+        .toDF("strategy", "p")
+      val candIvf = scored.join(broadcast(
+          qc.join(broadcast(nprobes), col("j") <= col("p"))
+            .select(col("strategy"), col("q_id"), col("c_label"))),
+          Seq("q_id", "c_label"))
+        .select(col("strategy"), col("q_id"), col("c_id"), col("exact"))
+      // family 2 — adaptive-margin stop (s43's rule, three margins)
+      val margins = Seq(("adp_m05", 5L), ("adp_m15", 15L), ("adp_m30", 30L))
+        .toDF("strategy", "margin_x100")
+      val cellBest = scored.groupBy(col("q_id"), col("c_label"))
+        .agg(max(col("exact")).as("best"))
+      val wj = Window.partitionBy(col("strategy"), col("q_id")).orderBy(col("j"))
+      val probedAdp = qc.join(cellBest, Seq("q_id", "c_label"))
+        .crossJoin(broadcast(margins))
+        .withColumn("prevbest", max(col("best")).over(
+          wj.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("bad",
+          when(col("j") === 1 ||
+            col("csim") >= col("prevbest") - col("margin_x100").cast("double") / 100.0, 0L)
+            .otherwise(1L))
+        .withColumn("badpfx", sum(col("bad")).over(
+          wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("badpfx") === 0)
+        .select(col("strategy"), col("q_id"), col("c_label"))
+      val candAdp = scored.join(broadcast(probedAdp), Seq("q_id", "c_label"))
+        .select(col("strategy"), col("q_id"), col("c_id"), col("exact"))
+      // family 3 — multi-probe LSH (s38's perturbation ranking)
+      val flips = anchors
+        .select(col("q_id"), col("q_bucket"), posexplode(col("marg")).as(Seq("j", "mval")))
+        .withColumn("frnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("mval"), col("j"))))
+        .select(col("q_id"),
+          expr("CAST(q_bucket ^ shiftleft(1, j) AS INT)").as("pkey"),
+          col("frnk").as("tier"))
+      val probesLsh = anchors
+        .select(col("q_id"), col("q_bucket").as("pkey"), lit(0).as("tier"))
+        .unionByName(flips)
+      val budgets = Seq(("lsh_q1", 0), ("lsh_q4", 3), ("lsh_q9", 8))
+        .toDF("strategy", "maxtier")
+      val candLsh = scored.join(broadcast(
+          probesLsh.join(broadcast(budgets), col("tier") <= col("maxtier"))
+            .select(col("strategy"), col("q_id").as("p_qid"), col("pkey"))),
+          col("q_id") === col("p_qid") && col("c_bucket") === col("pkey"))
+        .select(col("strategy"), col("q_id"), col("c_id"), col("exact"))
+      // family 4 — coarse top-R then exact re-rank (s46)
+      val depths = Seq(("rrk_r05", 5L), ("rrk_r10", 10L), ("rrk_r20", 20L),
+        ("rrk_r40", 40L)).toDF("strategy", "r_depth")
+      val candRrk = scored.withColumn("crnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("coarse").desc, col("c_id"))))
+        .filter(col("crnk") <= 40)
+        .join(broadcast(depths), col("crnk") <= col("r_depth"))
+        .select(col("strategy"), col("q_id"), col("c_id"), col("exact"))
+      val unified = candIvf.unionByName(candAdp).unionByName(candLsh)
+        .unionByName(candRrk)
+      val top5 = unified.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("strategy"), col("q_id"))
+            .orderBy(col("exact").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+      val hits = top5.join(truth, Seq("q_id", "c_id"), "left_semi")
+        .groupBy(col("strategy")).agg(count(lit(1)).as("hits"))
+      // the declared cost model, identical in the oracle
+      val costs = Seq(
+        ("ivf_p1", "ivf", 8L * k, 0L), ("ivf_p2", "ivf", 8L * k, 0L),
+        ("ivf_p3", "ivf", 8L * k, 0L),
+        ("adp_m05", "adaptive", 8L * k, 0L), ("adp_m15", "adaptive", 8L * k, 0L),
+        ("adp_m30", "adaptive", 8L * k, 0L),
+        ("lsh_q1", "lsh", 0L, 0L), ("lsh_q4", "lsh", 0L, 0L),
+        ("lsh_q9", "lsh", 0L, 0L),
+        ("rrk_r05", "rerank", 0L, 8L * (n - 1)),
+        ("rrk_r10", "rerank", 0L, 8L * (n - 1)),
+        ("rrk_r20", "rerank", 0L, 8L * (n - 1)),
+        ("rrk_r40", "rerank", 0L, 8L * (n - 1)))
+        .toDF("strategy", "family", "extra_exact", "coarse_evals")
+      val agg = unified.groupBy(col("strategy")).agg(count(lit(1)).as("n_cand"))
+        .join(hits, Seq("strategy"), "left")
+        .join(broadcast(costs), Seq("strategy"))
+        .withColumn("hits", coalesce(col("hits"), lit(0L)))
+        .withColumn("exact_evals", col("n_cand") + col("extra_exact"))
+        .withColumn("cost_milli_pq",
+          expr("(exact_evals * 1000 + coarse_evals * 250) DIV 8"))
+        .withColumn("recall_ppm", expr("hits * 1000000 DIV 40"))
+        .localCheckpoint() // 13 rows
+      val other = agg.select(col("cost_milli_pq").as("o_cost"),
+        col("recall_ppm").as("o_recall"))
+      agg.crossJoin(broadcast(other)) // 13×13
+        .withColumn("dom",
+          col("o_cost") <= col("cost_milli_pq") &&
+            col("o_recall") >= col("recall_ppm") &&
+            (col("o_cost") < col("cost_milli_pq") ||
+              col("o_recall") > col("recall_ppm")))
+        .groupBy(col("strategy"), col("family"), col("n_cand"),
+          col("exact_evals"), col("coarse_evals"), col("cost_milli_pq"),
+          col("hits"), col("recall_ppm"))
+        .agg(bool_and(!col("dom")).as("frontier"))
+        .orderBy(col("strategy"))
+    },
+    Some {
+      val margsDuck = (0 until 8).map { j =>
+        s"abs(list_reduce(qv[${8 * j + 1}:${8 * j + 8}], (acc, v) -> acc + v))"
+      }.mkString("[", ", ", "]")
+      val exactSim =
+        s"CAST(${dotSql("a.q_qv", "c.qv")} AS DOUBLE) / (sqrt(CAST(a.q_n2 AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE)))"
+      val centSim =
+        s"CAST(${dotSql("a.q_qv", "b.cqv")} AS DOUBLE) / (sqrt(CAST(a.q_n2 AS DOUBLE)) * sqrt(CAST(b.cnorm2 AS DOUBLE)))"
+      s"""WITH $quantCte,
+    $ivfProbeCte,
+    qb AS (SELECT vec_id, $bucketExprDuck AS bucket,
+             list_transform(qv, x -> x >> 16) AS cv, $margsDuck AS marg
+           FROM qn),
+    anch AS (SELECT n.vec_id AS q_id, n.qv AS q_qv, n.norm2 AS q_n2,
+               b.bucket AS q_bucket, b.cv AS q_cv, b.marg
+             FROM qn n JOIN qb b USING (vec_id) WHERE n.vec_id < 8),
+    cbase AS (SELECT l.vec_id, l.qv, l.norm2, l.list_label AS c_label,
+                b.bucket AS c_bucket, b.cv
+              FROM lists l JOIN qb b USING (vec_id)),
+    scored AS (SELECT a.q_id, c.vec_id AS c_id, c.c_label, c.c_bucket,
+                 $exactSim AS exact,
+                 ${dotSql("a.q_cv", "c.cv")} AS coarse
+               FROM anch a JOIN cbase c ON c.vec_id <> a.q_id),
+    truth AS (SELECT q_id, c_id FROM (
+        SELECT q_id, c_id, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY exact DESC, c_id) AS trnk FROM scored) WHERE trnk <= 5),
+    qc AS (SELECT q_id, c_label, csim,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY csim DESC, c_label) AS j
+           FROM (SELECT a.q_id, b.c_label, $centSim AS csim
+                 FROM anch a CROSS JOIN cn b)),
+    npr AS (SELECT * FROM (VALUES ('ivf_p1', 1), ('ivf_p2', 2), ('ivf_p3', 3))
+            t(strategy, p)),
+    cand_ivf AS (SELECT n.strategy, s.q_id, s.c_id, s.exact
+                 FROM scored s JOIN qc ON qc.q_id = s.q_id AND qc.c_label = s.c_label
+                 JOIN npr n ON qc.j <= n.p),
+    mgs AS (SELECT * FROM (VALUES ('adp_m05', 5), ('adp_m15', 15), ('adp_m30', 30))
+            t(strategy, margin_x100)),
+    cb AS (SELECT q_id, c_label, MAX(exact) AS best FROM scored GROUP BY 1, 2),
+    seq AS (SELECT m.strategy, qc.q_id, qc.c_label, qc.j, qc.csim, cb.best,
+              m.margin_x100,
+              MAX(cb.best) OVER (PARTITION BY m.strategy, qc.q_id ORDER BY qc.j
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevbest
+            FROM qc JOIN cb ON qc.q_id = cb.q_id AND qc.c_label = cb.c_label
+            CROSS JOIN mgs m),
+    sq2 AS (SELECT *, CASE WHEN j = 1
+                OR csim >= prevbest - CAST(margin_x100 AS DOUBLE) / 100.0
+              THEN 0 ELSE 1 END AS bad FROM seq),
+    sq3 AS (SELECT *, SUM(bad) OVER (PARTITION BY strategy, q_id ORDER BY j
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS badpfx
+            FROM sq2),
+    pb_adp AS (SELECT strategy, q_id, c_label FROM sq3 WHERE badpfx = 0),
+    cand_adp AS (SELECT p.strategy, s.q_id, s.c_id, s.exact
+                 FROM scored s JOIN pb_adp p
+                   ON p.q_id = s.q_id AND p.c_label = s.c_label),
+    flips AS (SELECT q_id, q_bucket, j,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY marg[j + 1], j) AS frnk
+      FROM anch CROSS JOIN generate_series(0, 7) AS g(j)),
+    probes_lsh AS (
+      SELECT q_id, q_bucket AS pkey, 0 AS tier FROM anch
+      UNION ALL SELECT q_id, CAST(xor(q_bucket, 1 << j) AS BIGINT), frnk FROM flips),
+    bud AS (SELECT * FROM (VALUES ('lsh_q1', 0), ('lsh_q4', 3), ('lsh_q9', 8))
+            t(strategy, maxtier)),
+    cand_lsh AS (SELECT b.strategy, s.q_id, s.c_id, s.exact
+                 FROM scored s JOIN probes_lsh p
+                   ON p.q_id = s.q_id AND s.c_bucket = p.pkey
+                 JOIN bud b ON p.tier <= b.maxtier),
+    dps AS (SELECT * FROM (VALUES ('rrk_r05', 5), ('rrk_r10', 10),
+              ('rrk_r20', 20), ('rrk_r40', 40)) t(strategy, r_depth)),
+    crk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+              ORDER BY coarse DESC, c_id) AS crnk FROM scored),
+    cand_rrk AS (SELECT d.strategy, c.q_id, c.c_id, c.exact
+                 FROM crk c JOIN dps d ON c.crnk <= d.r_depth
+                 WHERE c.crnk <= 40),
+    uni AS (SELECT * FROM cand_ivf UNION ALL SELECT * FROM cand_adp
+            UNION ALL SELECT * FROM cand_lsh UNION ALL SELECT * FROM cand_rrk),
+    t5 AS (SELECT strategy, q_id, c_id FROM (
+        SELECT strategy, q_id, c_id,
+          ROW_NUMBER() OVER (PARTITION BY strategy, q_id
+            ORDER BY exact DESC, c_id) AS rnk
+        FROM uni) WHERE rnk <= 5),
+    ht AS (SELECT strategy, COUNT(*) AS hits FROM t5
+           WHERE EXISTS (SELECT 1 FROM truth
+                         WHERE truth.q_id = t5.q_id AND truth.c_id = t5.c_id)
+           GROUP BY 1),
+    km AS (SELECT COUNT(*) AS k FROM cn),
+    nm AS (SELECT COUNT(*) AS n FROM qn),
+    costs AS (SELECT strategy, family,
+                CASE WHEN family IN ('ivf', 'adaptive')
+                  THEN 8 * (SELECT k FROM km) ELSE 0 END AS extra_exact,
+                CASE WHEN family = 'rerank'
+                  THEN 8 * ((SELECT n FROM nm) - 1) ELSE 0 END AS coarse_evals
+              FROM (VALUES
+                ('ivf_p1', 'ivf'), ('ivf_p2', 'ivf'), ('ivf_p3', 'ivf'),
+                ('adp_m05', 'adaptive'), ('adp_m15', 'adaptive'),
+                ('adp_m30', 'adaptive'),
+                ('lsh_q1', 'lsh'), ('lsh_q4', 'lsh'), ('lsh_q9', 'lsh'),
+                ('rrk_r05', 'rerank'), ('rrk_r10', 'rerank'),
+                ('rrk_r20', 'rerank'), ('rrk_r40', 'rerank'))
+                t(strategy, family)),
+    ag AS (SELECT u.strategy, c.family,
+             CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(COUNT(*) + c.extra_exact AS BIGINT) AS exact_evals,
+             CAST(c.coarse_evals AS BIGINT) AS coarse_evals,
+             CAST(((COUNT(*) + c.extra_exact) * 1000 + c.coarse_evals * 250) // 8
+               AS BIGINT) AS cost_milli_pq,
+             CAST(COALESCE(MAX(ht.hits), 0) AS BIGINT) AS hits,
+             CAST(COALESCE(MAX(ht.hits), 0) * 1000000 // 40 AS BIGINT) AS recall_ppm
+           FROM uni u JOIN costs c ON c.strategy = u.strategy
+           LEFT JOIN ht ON ht.strategy = u.strategy
+           GROUP BY u.strategy, c.family, c.extra_exact, c.coarse_evals)
+    SELECT strategy, family, n_cand, exact_evals, coarse_evals, cost_milli_pq,
+      hits, recall_ppm,
+      NOT EXISTS (SELECT 1 FROM ag o
+                  WHERE o.cost_milli_pq <= ag.cost_milli_pq
+                    AND o.recall_ppm >= ag.recall_ppm
+                    AND (o.cost_milli_pq < ag.cost_milli_pq
+                         OR o.recall_ppm > ag.recall_ppm)) AS frontier
+    FROM ag ORDER BY strategy"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14,
       s15, s16, s17, s18, s19, s20, s21, s22, s23, s24, s25, s26, s27, s28,
       s29, s30, s31, s32, s33, s34, s35, s36, s37, s38, s39, s40, s41, s42,
-      s43, s44, s45, s46, d15)
+      s43, s44, s45, s46, s47, d15)
 }
