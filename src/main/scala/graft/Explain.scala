@@ -114,9 +114,9 @@ object Explain {
         // — the q185 precedent; broadcast-pinned, not cartesian)
         "q203_maintenance_session", "s46_rerank_depth", "q204_epoch_shuffle",
         "d56_residual_dup_audit",
-        // r20: the audio VAD twin and the composed ANN frontier (the
-        // streaming q205 stays out, the q199 precedent)
-        "m26_speech_segments", "s47_ann_frontier")
+        // r20: the audio VAD twin and the two composed decision
+        // frontiers (the streaming q205 stays out, the q199 precedent)
+        "m26_speech_segments", "s47_ann_frontier", "d57_detector_frontier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -4230,9 +4230,186 @@ object Dedup {
     ) ORDER BY stage"""
     })
 
+  // ---------------------------------------------------------------- d57
+  // DEDUP-DETECTOR FRONTIER — the d-family twin of s47's ANN decision
+  // table: the four production near-dup detectors this family built
+  // (MinHash banded 2×4 / 4×2 / 8×1 — d47's shape axis extended to the
+  // recall extreme — and SimHash Hamming≤6 off the persisted edge
+  // index) on ONE cost/recall plane against ONE reference truth, with
+  // the Pareto `frontier` flag a deployment reads to pick its pass.
+  // Cost = candidate pairs examined (the verify work a detector buys)
+  // as ppm of the N·(N−1)/2 brute space over the shingle-able universe;
+  // recall is against the union-of-verified truth (exact Jaccard ≥ 0.5,
+  // integer-exact |∩|·2 ≥ |∪| — found-by-ANY-detector, the d47/d41
+  // bounded-universe honesty: recall vs pairs NO detector can see is
+  // not measurable without the quadratic scan this engine exists to
+  // avoid, and the bound is stated, not hidden). SimHash candidates are
+  // restricted to the same universe (both endpoints shingle-able) so
+  // the four cost columns price the same verify join. Every candidate
+  // generator is the house bucket-capped self-join (8×1's single-sig
+  // bands are exactly where a template family would explode an uncapped
+  // join); the z_union row carries the truth size and the union's own
+  // cost. Scale: one signature table feeds all three band layouts, the
+  // SimHash side reads the persisted index, and the verify joins are
+  // candidate-volume — nothing quadratic in N.
+  private val d57 = QueryDef(
+    "d57_detector_frontier",
+    (s, dir) => {
+      val base = shingled(s, dir).cache()
+      val nDocs = base.count()
+      val pairSpace = nDocs * (nDocs - 1L) / 2L
+      val mh = base
+        .select(col("doc_id"), expr(s"transform(sh, x -> ${strHashExpr("x")})").as("hs"))
+        .select(col("doc_id"), expr("minhash_sigs(hs)").as("mhs"))
+        .localCheckpoint() // all three band layouts derive from it
+      def bandExpr(rows: Int) = {
+        val nb = 8 / rows
+        s"transform(sequence(0, ${nb - 1}), i -> concat(i, ':', " +
+          (1 to rows).map(j => s"element_at(mhs, $rows * i + $j)").mkString(", ':', ") +
+          "))"
+      }
+      def candOf(rows: Int) = {
+        val bands = mh.select(col("doc_id"), explode(expr(bandExpr(rows))).as("band"))
+        val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
+          .withColumn("k", expr(s"(sz + $SimhashBucketCap - 1) DIV $SimhashBucketCap"))
+        val tagged = bands.join(sizes, Seq("band"))
+          .withColumn("sub", expr(
+            s"CASE WHEN k > 1 THEN ${strHashExpr("CAST(doc_id AS STRING)")} % k ELSE 0 END"))
+          .select(col("band"), col("sub"), col("doc_id"))
+        tagged.as("a").join(tagged.as("b"),
+            col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+      }
+      val ids = base.select(col("doc_id"))
+      val candSim = simhashPairs(s, dir)
+        .join(ids.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
+        .join(ids.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+        .select(col("id1"), col("id2"))
+      val allCand = candOf(4).select(lit("mh_b2_r4").as("detector"), col("id1"), col("id2"))
+        .unionByName(candOf(2).select(lit("mh_b4_r2").as("detector"), col("id1"), col("id2")))
+        .unionByName(candOf(1).select(lit("mh_b8_r1").as("detector"), col("id1"), col("id2")))
+        .unionByName(candSim.select(lit("sim_h6").as("detector"), col("id1"), col("id2")))
+        .localCheckpoint() // candidate-volume, read three times
+      val unionCand = allCand.select(col("id1"), col("id2")).distinct()
+        .localCheckpoint()
+      val truth = unionCand
+        .join(base.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+        .join(base.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+        .filter(size(array_intersect(col("sh1"), col("sh2"))).cast("long") * 2L >=
+          size(array_union(col("sh1"), col("sh2"))).cast("long"))
+        .select(col("id1"), col("id2"))
+        .localCheckpoint()
+      val nTruthDf = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+      val perDet = allCand.groupBy(col("detector")).agg(count(lit(1)).as("n_cand"))
+        .join(allCand.join(truth, Seq("id1", "id2"), "left_semi")
+          .groupBy(col("detector")).agg(count(lit(1)).as("n_true")),
+          Seq("detector"), "left")
+        .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+        .crossJoin(nTruthDf)
+        .select(col("detector"), col("n_cand"),
+          expr(s"n_cand * 1000000 DIV ${pairSpace}L").as("cost_ppm"),
+          col("n_true"),
+          expr("n_true * 1000000 DIV n_cand").as("precision_ppm"),
+          expr("n_true * 1000000 DIV n_truth").as("recall_ppm"))
+        .localCheckpoint() // 4 rows
+      val other = perDet.select(col("cost_ppm").as("o_cost"),
+        col("recall_ppm").as("o_recall"))
+      val detRows = perDet.crossJoin(broadcast(other)) // 4×4
+        .withColumn("dom",
+          col("o_cost") <= col("cost_ppm") && col("o_recall") >= col("recall_ppm") &&
+            (col("o_cost") < col("cost_ppm") || col("o_recall") > col("recall_ppm")))
+        .groupBy(col("detector"), col("n_cand"), col("cost_ppm"), col("n_true"),
+          col("precision_ppm"), col("recall_ppm"))
+        .agg(bool_and(!col("dom")).as("frontier"))
+      val zRow = unionCand.agg(count(lit(1)).as("n_cand"))
+        .crossJoin(nTruthDf)
+        .select(lit("z_union").as("detector"), col("n_cand"),
+          expr(s"n_cand * 1000000 DIV ${pairSpace}L").as("cost_ppm"),
+          col("n_truth").as("n_true"),
+          expr("n_truth * 1000000 DIV n_cand").as("precision_ppm"),
+          lit(1000000L).as("recall_ppm"),
+          lit(null).cast("boolean").as("frontier"))
+      val out = detRows.unionByName(zRow).orderBy(col("detector"))
+        .localCheckpoint()
+      base.unpersist()
+      out
+    },
+    Some {
+      def bandDuck(rows: Int) = {
+        val idx = (1 to rows).map(j => s"CAST(mhs[$rows * i + $j] AS VARCHAR)")
+          .mkString(" || ':' || ")
+        s"CAST(i AS VARCHAR) || ':' || $idx"
+      }
+      s"""WITH $simhashCteDuck,
+    sg AS (SELECT doc_id, $shingleSqlDuck AS sh FROM documents
+           WHERE len(string_split(text, ' ')) >= 3),
+    hs AS (SELECT doc_id, list_transform(sh, x -> ${strHashSql("x")}) AS hs FROM sg),
+    mh AS (SELECT doc_id, [${perm.map { case (a, b) =>
+        s"list_min(list_transform(hs, h -> ($a * h + $b) % $HashMod))" }
+        .mkString(", ")}] AS mhs FROM hs),
+    b4 AS (SELECT doc_id, ${bandDuck(4)} AS band
+           FROM mh CROSS JOIN generate_series(0, 1) AS g(i)),
+    b2 AS (SELECT doc_id, ${bandDuck(2)} AS band
+           FROM mh CROSS JOIN generate_series(0, 3) AS g(i)),
+    b1 AS (SELECT doc_id, ${bandDuck(1)} AS band
+           FROM mh CROSS JOIN generate_series(0, 7) AS g(i)),
+    c24 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM b4 a JOIN b4 b ON a.band = b.band AND a.doc_id < b.doc_id),
+    c42 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM b2 a JOIN b2 b ON a.band = b.band AND a.doc_id < b.doc_id),
+    c81 AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+            FROM b1 a JOIN b1 b ON a.band = b.band AND a.doc_id < b.doc_id),
+    csim AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+             FROM sh a JOIN sh b
+               ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+             WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+               AND EXISTS (SELECT 1 FROM sg WHERE sg.doc_id = a.doc_id)
+               AND EXISTS (SELECT 1 FROM sg WHERE sg.doc_id = b.doc_id)),
+    ac AS (SELECT 'mh_b2_r4' AS detector, id1, id2 FROM c24
+           UNION ALL SELECT 'mh_b4_r2', id1, id2 FROM c42
+           UNION ALL SELECT 'mh_b8_r1', id1, id2 FROM c81
+           UNION ALL SELECT 'sim_h6', id1, id2 FROM csim),
+    uc AS (SELECT DISTINCT id1, id2 FROM ac),
+    tr AS (SELECT id1, id2 FROM uc
+           JOIN sg x ON x.doc_id = id1 JOIN sg y ON y.doc_id = id2
+           WHERE len(list_intersect(x.sh, y.sh)) * 2
+             >= len(list_distinct(list_concat(x.sh, y.sh)))),
+    nsg AS (SELECT COUNT(*) AS n FROM sg),
+    ps AS (SELECT n * (n - 1) // 2 AS sp FROM nsg),
+    pd AS (SELECT detector,
+             CAST(COUNT(*) AS BIGINT) AS n_cand,
+             CAST(COUNT(*) * 1000000 // (SELECT sp FROM ps) AS BIGINT) AS cost_ppm,
+             CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM tr
+                 WHERE tr.id1 = ac.id1 AND tr.id2 = ac.id2)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+           FROM ac GROUP BY detector),
+    pd2 AS (SELECT *,
+              CAST(n_true * 1000000 // n_cand AS BIGINT) AS precision_ppm,
+              CAST(n_true * 1000000 // (SELECT COUNT(*) FROM tr) AS BIGINT)
+                AS recall_ppm
+            FROM pd)
+    SELECT detector, n_cand, cost_ppm, n_true, precision_ppm, recall_ppm,
+      NOT EXISTS (SELECT 1 FROM pd2 o
+                  WHERE o.cost_ppm <= pd2.cost_ppm
+                    AND o.recall_ppm >= pd2.recall_ppm
+                    AND (o.cost_ppm < pd2.cost_ppm
+                         OR o.recall_ppm > pd2.recall_ppm)) AS frontier
+    FROM pd2
+    UNION ALL
+    SELECT 'z_union', CAST((SELECT COUNT(*) FROM uc) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM uc) * 1000000 // (SELECT sp FROM ps) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM tr) AS BIGINT),
+      CAST((SELECT COUNT(*) FROM tr) * 1000000
+        // (SELECT COUNT(*) FROM uc) AS BIGINT),
+      CAST(1000000 AS BIGINT), CAST(NULL AS BOOLEAN)
+    ORDER BY detector"""
+    })
+
   val defs: Seq[QueryDef] =
     Seq(d01, d02, d03, d04, d05, d06, d07, d08, d09, d10, d11, d12, d13, d14,
       d16, d17, d18, d19, d21, d22, d23, d25, d26, d27, d28, d30, d31, d32,
       d33, d34, d35, d36, d37, d38, d39, d40, d41, d42, d43, d44, d45, d46,
-      d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, q170)
+      d47, d48, d49, d50, d51, d52, d53, d54, d55, d56, d57, q170)
 }

@@ -1732,6 +1732,10 @@ object Multimodal {
         .agg(count(lit(1)).as("n_media"), sum(col("n_frames")).as("n_frames"),
           sum(col("n_speech")).as("n_speech"), sum(col("n_carry")).as("n_carry"),
           sum(col("n_segments")).as("n_segments"))
+        // |sources| rows — materialized so the z_total union branch folds
+        // these 20 rows instead of re-running the explode+window pipeline
+        // (the plan audit showed the union re-scanning the corpus twice)
+        .localCheckpoint()
       val total = perSource.agg(
           sum(col("n_media")).as("n_media"), sum(col("n_frames")).as("n_frames"),
           sum(col("n_speech")).as("n_speech"), sum(col("n_carry")).as("n_carry"),

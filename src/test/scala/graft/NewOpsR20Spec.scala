@@ -112,4 +112,41 @@ class NewOpsR20Spec extends SparkSuite {
     front.length should be > 1
     front.map(_.getAs[String]("family")).distinct.length should be > 1
   }
+
+  test("d57 detector frontier: truth bounds, z-row folds, dominance sound") {
+    val rows = Registry.queries("d57_detector_frontier")(spark, dir).collect()
+    rows.length shouldBe 5
+    val (z, dets) = rows.partition(_.getAs[String]("detector") == "z_union")
+    val nTruth = z.head.getAs[Long]("n_true")
+    nTruth should be > 0L
+    // the union row IS the reference: recall 10^6 by construction, and
+    // every detector's candidates and trues are bounded by it
+    z.head.getAs[Long]("recall_ppm") shouldBe 1000000L
+    dets.foreach { r =>
+      withClue(s"detector ${r.getAs[String]("detector")}: ") {
+        r.getAs[Long]("n_cand") should be <= z.head.getAs[Long]("n_cand")
+        r.getAs[Long]("n_true") should be <= nTruth
+        r.getAs[Long]("precision_ppm") should (be >= 0L and be <= 1000000L)
+      }
+    }
+    // band layouts are nested in candidate sets (every 2x4 band match
+    // implies a 4x2 band match implies an 8x1 match), so candidates and
+    // trues are monotone across the MinHash shapes
+    val byName = dets.map(r => r.getAs[String]("detector") -> r).toMap
+    byName("mh_b2_r4").getAs[Long]("n_cand") should be <=
+      byName("mh_b4_r2").getAs[Long]("n_cand")
+    byName("mh_b4_r2").getAs[Long]("n_cand") should be <=
+      byName("mh_b8_r1").getAs[Long]("n_cand")
+    byName("mh_b2_r4").getAs[Long]("n_true") should be <=
+      byName("mh_b4_r2").getAs[Long]("n_true")
+    // Pareto soundness over the four detectors
+    val all = dets.map(r => (r.getAs[Long]("cost_ppm"),
+      r.getAs[Long]("recall_ppm"), r.getAs[Boolean]("frontier")))
+    all.foreach { case (c, r, f) =>
+      val dominated = all.exists(o =>
+        o._1 <= c && o._2 >= r && (o._1 < c || o._2 > r))
+      withClue(s"cost=$c recall=$r: ") { f shouldBe !dominated }
+    }
+    all.count(_._3) should be >= 1
+  }
 }
