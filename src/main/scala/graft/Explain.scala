@@ -116,7 +116,8 @@ object Explain {
         "d56_residual_dup_audit",
         // r20: the audio VAD twin and the two composed decision
         // frontiers (the streaming q205 stays out, the q199 precedent)
-        "m26_speech_segments", "s47_ann_frontier", "d57_detector_frontier")
+        "m26_speech_segments", "s47_ann_frontier", "d57_detector_frontier",
+        "q206_tier_planner")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -2572,8 +2572,108 @@ object Pipeline {
     FROM stats
     ORDER BY batch"""))
 
+  // --------------------------------------------------------------- q206
+  // STORAGE-TIER PLACEMENT PLANNER — the hot/warm/cold decision a
+  // lakehouse ops team runs over its file manifest (q196's GC planner
+  // decides what to DELETE; this decides where the survivors LIVE):
+  // per file, access count and last-access time fold from the event
+  // log in ONE map-side-combined aggregate, then TWO competing
+  // policies tier the manifest — recency terciles (rank by last
+  // access) vs frequency terciles (rank by access count), both
+  // rank-based with file_id tie-breaks so the split is deterministic
+  // and equal-sized by construction in both engines. The readout per
+  // recency tier: files, bytes, access mass, how many files the
+  // frequency policy AGREES on, and the bytes that would MOVE if the
+  // deployment switched policy — the migration cost column that
+  // decides whether the "better" policy is worth the rewrite. Files
+  // the log never touched land in cold under both (the planted
+  // agreement floor). Scale: the event fold is corpus-sized with
+  // map-side combine; everything after is manifest-sized (the q199
+  // argument — file metadata, not data), so the global rank windows
+  // order |files| rows, never rows of data.
+  private val q206 = QueryDef(
+    "q206_tier_planner",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val files = rd(s, dir, "orders")
+        .select((col("o_orderkey") % 97).as("file_id")).distinct()
+        .withColumn("size_bytes", col("file_id") * 1009L % 5000L + 100L)
+      val acc = events(s, dir)
+        .select((col("event_id") % 97).as("file_id"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("file_id"))
+        .agg(count(lit(1)).as("n_acc"), max(col("us")).as("last_us"))
+      val base = files.join(acc, Seq("file_id"), "left")
+        .withColumn("n_acc", coalesce(col("n_acc"), lit(0L)))
+        .withColumn("last_us", coalesce(col("last_us"), lit(0L)))
+        .localCheckpoint() // manifest-sized
+      val n = base.count()
+      val tiered = base
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("last_us").desc, col("file_id"))))
+        .withColumn("rf", row_number().over(
+          Window.orderBy(col("n_acc").desc, col("file_id"))))
+        .withColumn("t_rec", expr(s"(rr - 1) * 3 DIV ${n}L"))
+        .withColumn("t_frq", expr(s"(rf - 1) * 3 DIV ${n}L"))
+      val named = tiered.withColumn("tier",
+        expr("""CASE t_rec WHEN 0 THEN '0_hot' WHEN 1 THEN '1_warm'
+                ELSE '2_cold' END"""))
+      val perTier = named.groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_files"), sum(col("size_bytes")).as("bytes"),
+          sum(col("n_acc")).as("n_accesses"),
+          sum(when(col("t_rec") === col("t_frq"), 1L).otherwise(0L)).as("n_agree"),
+          sum(when(col("t_rec") =!= col("t_frq"), col("size_bytes"))
+            .otherwise(0L)).as("moved_bytes"))
+        .withColumn("agree_ppm", expr("n_agree * 1000000 DIV n_files"))
+        .localCheckpoint() // 3 rows
+      val total = perTier.agg(sum(col("n_files")).as("n_files"),
+          sum(col("bytes")).as("bytes"), sum(col("n_accesses")).as("n_accesses"),
+          sum(col("n_agree")).as("n_agree"),
+          sum(col("moved_bytes")).as("moved_bytes"))
+        .select(lit("z_total").as("tier"), col("n_files"), col("bytes"),
+          col("n_accesses"), col("n_agree"), col("moved_bytes"),
+          expr("n_agree * 1000000 DIV n_files").as("agree_ppm"))
+      perTier.unionByName(total).orderBy(col("tier"))
+    },
+    Some("""WITH files AS (
+      SELECT DISTINCT o_orderkey % 97 AS file_id FROM orders),
+    f AS (SELECT file_id, file_id * 1009 % 5000 + 100 AS size_bytes FROM files),
+    acc AS (SELECT event_id % 97 AS file_id, COUNT(*) AS n_acc,
+              MAX(epoch_us(ts)) AS last_us
+            FROM events GROUP BY 1),
+    base AS (SELECT f.file_id, f.size_bytes,
+               COALESCE(acc.n_acc, 0) AS n_acc,
+               COALESCE(acc.last_us, 0) AS last_us
+             FROM f LEFT JOIN acc USING (file_id)),
+    nn AS (SELECT COUNT(*) AS n FROM base),
+    rk AS (SELECT *,
+             ROW_NUMBER() OVER (ORDER BY last_us DESC, file_id) AS rr,
+             ROW_NUMBER() OVER (ORDER BY n_acc DESC, file_id) AS rf
+           FROM base),
+    tt AS (SELECT *, (rr - 1) * 3 // (SELECT n FROM nn) AS t_rec,
+             (rf - 1) * 3 // (SELECT n FROM nn) AS t_frq FROM rk),
+    nm AS (SELECT *, CASE t_rec WHEN 0 THEN '0_hot' WHEN 1 THEN '1_warm'
+             ELSE '2_cold' END AS tier FROM tt),
+    pt AS (SELECT tier, CAST(COUNT(*) AS BIGINT) AS n_files,
+             CAST(SUM(size_bytes) AS BIGINT) AS bytes,
+             CAST(SUM(n_acc) AS BIGINT) AS n_accesses,
+             CAST(SUM(CASE WHEN t_rec = t_frq THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree,
+             CAST(SUM(CASE WHEN t_rec <> t_frq THEN size_bytes ELSE 0 END)
+               AS BIGINT) AS moved_bytes
+           FROM nm GROUP BY 1)
+    SELECT tier, n_files, bytes, n_accesses, n_agree, moved_bytes,
+      CAST(n_agree * 1000000 // n_files AS BIGINT) AS agree_ppm
+    FROM pt
+    UNION ALL
+    SELECT 'z_total', CAST(SUM(n_files) AS BIGINT), CAST(SUM(bytes) AS BIGINT),
+      CAST(SUM(n_accesses) AS BIGINT), CAST(SUM(n_agree) AS BIGINT),
+      CAST(SUM(moved_bytes) AS BIGINT),
+      CAST(SUM(n_agree) * 1000000 // SUM(n_files) AS BIGINT)
+    FROM pt
+    ORDER BY tier"""))
+
   val defs: Seq[QueryDef] =
     Seq(q51, q52, q53, q67, q86, q116, q120, q121, q122, q123, q125, q126,
       q131, q144, q145, q152, q155, q156, q185, q186, q189, q194, q196,
-      q197, q198, q201, q203, q204)
+      q197, q198, q201, q203, q204, q206)
 }

@@ -149,4 +149,31 @@ class NewOpsR20Spec extends SparkSuite {
     }
     all.count(_._3) should be >= 1
   }
+
+  test("q206 tier planner: conservation, equal terciles, moved-bytes identity") {
+    val rows = Registry.queries("q206_tier_planner")(spark, dir).collect()
+    rows.length shouldBe 4
+    val (z, tiers) = rows.partition(_.getAs[String]("tier") == "z_total")
+    val t = z.head
+    // the z row folds the tiers exactly
+    t.getAs[Long]("n_files") shouldBe tiers.map(_.getAs[Long]("n_files")).sum
+    t.getAs[Long]("bytes") shouldBe tiers.map(_.getAs[Long]("bytes")).sum
+    t.getAs[Long]("n_accesses") shouldBe
+      tiers.map(_.getAs[Long]("n_accesses")).sum
+    // rank-based terciles are equal-sized by construction (±1)
+    val sizes = tiers.map(_.getAs[Long]("n_files"))
+    (sizes.max - sizes.min) should be <= 1L
+    tiers.foreach { r =>
+      withClue(s"tier ${r.getAs[String]("tier")}: ") {
+        // a file either agrees or contributes moved bytes — never both;
+        // moved bytes can't exceed the tier's total
+        r.getAs[Long]("n_agree") should be <= r.getAs[Long]("n_files")
+        r.getAs[Long]("moved_bytes") should be <= r.getAs[Long]("bytes")
+      }
+    }
+    // the two policies genuinely differ on this log (the migration-cost
+    // column is the deliverable, so it must be non-trivial)
+    t.getAs[Long]("moved_bytes") should be > 0L
+    t.getAs[Long]("n_agree") should be > 0L
+  }
 }
