@@ -43,10 +43,14 @@ object StarContraction {
         greatest(col("id1"), col("id2")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-    val allNodes = canon0.select(col("u").as("node"))
-      .union(canon0.select(col("v").as("node"))).distinct()
-      .localCheckpoint()
-    var e = canon0.localCheckpoint()
+    // LAZY checkpoint: the entry fingerprint below is the action that
+    // materializes (and caches) the canonical set — one job, not two.
+    // allNodes is read once, after the loop, straight off that cache:
+    // checkpointing it bought nothing (r21 measurement) and cost an
+    // eager distinct job up front.
+    var e = canon0.localCheckpoint(eager = false)
+    val allNodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
 
     def canonical(df: DataFrame): DataFrame = df
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
@@ -87,7 +91,8 @@ object StarContraction {
     var rounds = 0
     var changed = true
     while (changed && rounds < maxIterations) {
-      e = smallStar(largeStar(e)).localCheckpoint()
+      // lazy: the fingerprint action materializes the round's edge set
+      e = smallStar(largeStar(e)).localCheckpoint(eager = false)
       val cur = fingerprint(e)
       // fingerprint equality is the cheap signal; STOPPING additionally
       // requires exact set equality (same count + empty anti-join), so a
