@@ -1102,6 +1102,10 @@ object Multimodal {
             * (((64 + ${strHashExpr("substring(text, 9, 8)")} % 449) + 13) DIV 14)
           WHEN kind = 'audio' THEN (len + 3) DIV 4
           ELSE ((len + 31) DIV 32) * 64 END"""))
+      // 3 rows, materialized: the quota crossJoin below reads perKind
+      // TWICE (rows + the Σtoken_cost scalar), and without this the
+      // whole quarantine + near-dup self-join + anti-join chain re-ran
+      // for the scalar side (r21 plan audit)
       val perKind = rec.groupBy(col("kind"))
         .agg(count(lit(1)).as("n_raw"),
           sum(when(!col("ok"), 1L).otherwise(0L)).as("n_quarantined"))
@@ -1110,6 +1114,7 @@ object Multimodal {
           Seq("kind"))
         .withColumn("n_dropped_neardup",
           col("n_raw") - col("n_quarantined") - col("n_kept"))
+        .localCheckpoint()
       val out = perKind
         .crossJoin(perKind.agg(sum(col("token_cost")).as("tc")))
         .select(col("kind"), col("n_raw"), col("n_quarantined"),

@@ -2907,7 +2907,12 @@ object Similarity {
             col("max_cell"), col("probed_rows"))
       }
       val natural = sims.filter(col("crnk") === 1).select(col("vec_id"), col("c_label"))
-      val balanced = tagged.select(col("vec_id"), col("c_label"))
+      // materialize the deferred-acceptance output ONCE: impact() reads
+      // its `lists` twice (candidate join + the max_cell aggregate), and
+      // without this the whole 3-round window/join chain re-ran for each
+      // read (r21; `natural` reads the cached sims, so only the balanced
+      // side needed it). N rows of (vec_id, c_label).
+      val balanced = tagged.select(col("vec_id"), col("c_label")).localCheckpoint()
       impact("natural", natural)
         .unionByName(impact("balanced", balanced))
         .orderBy(col("layout"))

@@ -2351,13 +2351,15 @@ object Streams {
       val e1 = s.read.parquet(edgesDir)
       val edges = e1.union(e1.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
       edges.count()
+      // lazy rounds — materialized once by the final aggregate (d18's
+      // r21 discipline: no eager checkpoint job per round)
       var core = s.read.parquet(degDir)
         .groupBy(col("node")).agg(sum(col("c")).as("deg"))
         .filter(col("deg") >= Dedup.KCoreK)
         .select(col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       (2 to Dedup.KCoreRounds).foreach { _ =>
-        core = Dedup.kcoreRound(edges, core).localCheckpoint()
+        core = Dedup.kcoreRound(edges, core).localCheckpoint(eager = false)
       }
       val d = docs(s, dir).select(col("doc_id"), col("source"))
       val out = d.join(core, d("doc_id") === core("node"))

@@ -2659,6 +2659,11 @@ object Text {
         .withColumn("n2", expr(Tables.dotExpr("v", "v")))
       val ev = vec.filter(col("doc_id") % 97 === 0)
         .select(col("v").as("evv"), col("n2").as("en2"))
+      // NOT materialized although read twice (sem_flag filter + the
+      // best_sim join): the r21 paired A/B read the eager checkpoint at
+      // +1.0 s (2.8→3.8 s at sf0.1) — the duplicate broadcast-similarity
+      // subtree is cheaper than the materialization job here, because
+      // the two reads run as concurrent stages of one job
       val best = vec.filter(col("doc_id") % 97 =!= 0)
         .join(broadcast(ev))
         .withColumn("sim", expr(Tables.dotExpr("v", "evv")).cast("double") /
