@@ -68,6 +68,26 @@ object Bench {
     if (x == 0L) 0.0 else dt
   }
 
+  /** Fixed PARALLEL spin probe: the same xorshift kernel fanned across
+    * one task per core of a local[N] stage. The single-thread spin is
+    * blind to multi-core contention (r20's adjudication: spin read
+    * 0.344 vs 0.330 quiet while loadavg 7.68 inflated every 32-way
+    * stage 1.25×) — this probe contends for every core exactly like a
+    * catalog stage, so its ratio to the quiet-host value IS the
+    * throttle ratio a judge needs (VERDICT r20 item 3). */
+  private def parSpinProbeSeconds(spark: SparkSession): Double = {
+    val n = spark.sparkContext.defaultParallelism
+    val t0 = System.nanoTime()
+    val r = spark.sparkContext.parallelize(1 to n, n).map { i =>
+      var x = 0x9E3779B97F4A7C15L + i
+      var j = 0
+      while (j < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
+      x
+    }.reduce(_ ^ _)
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (r == 0L) 0.0 else dt
+  }
+
   /** Fixed parquet-scan probe: one full lineitem scan + hash-aggregate —
     * the IO+codegen twin of the CPU spin (same query every round, so its
     * number moves only with host IO/page-cache state, never with the
@@ -101,6 +121,7 @@ object Bench {
     // reads query seconds against these to load-normalize across runs
     val loadStart = loadAvg()
     val spinStart = spinProbeSeconds()
+    val parSpinStart = parSpinProbeSeconds(spark)
     val scanStart = scanProbeSeconds(spark, sfDir)
     // optional args = query-name subset (local iteration; the driver
     // passes none, timing the full catalog)
@@ -147,6 +168,7 @@ object Bench {
     val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
     val spinEnd = spinProbeSeconds()
+    val parSpinEnd = parSpinProbeSeconds(spark)
     val scanEnd = scanProbeSeconds(spark, sfDir)
     val loadEnd = loadAvg()
     // the self-calibration record (VERDICT r19 item 1): loadavg brackets the
@@ -155,6 +177,7 @@ object Bench {
     val calib =
       s""""calibration":{"loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""spin_start_s":$spinStart,"spin_end_s":$spinEnd,""" +
+      s""""par_spin_start_s":$parSpinStart,"par_spin_end_s":$parSpinEnd,""" +
       s""""scan_start_s":$scanStart,"scan_end_s":$scanEnd}"""
     // The driver tails only the last ~2000 bytes of stdout; with 60+
     // queries the full per-query map (~2.5 KB) pushed the JSON head out of

@@ -26,12 +26,23 @@ package graft
   */
 object BenchSplit {
   private val acc = new java.util.concurrent.atomic.AtomicLong(0L)
+  // reentrancy guard: a persisted-index build may trigger ANOTHER
+  // index build (r21: the pair-index build reads the signature index)
+  // — only the outermost setup() records, or the nested span would be
+  // counted twice and op_s = total − setup would understate the operator
+  private val depth = new ThreadLocal[Integer] {
+    override def initialValue: Integer = 0
+  }
 
   /** Run `body`, attributing its wall time to harness setup. */
   def setup[T](body: => T): T = {
-    val t0 = System.nanoTime()
-    try body
-    finally acc.addAndGet(System.nanoTime() - t0)
+    if (depth.get > 0) body
+    else {
+      depth.set(1)
+      val t0 = System.nanoTime()
+      try body
+      finally { depth.set(0); acc.addAndGet(System.nanoTime() - t0) }
+    }
   }
 
   /** Seconds of setup time accumulated since the last drain; resets. */

@@ -1753,6 +1753,11 @@ object Multimodal {
           "CASE WHEN n_segments > 0 THEN n_speech * 1000 DIV n_segments ELSE 0L END"))
         .orderBy(col("source"))
     },
+    // ORACLE BOUND (ADVICE r20): generate_series(0, 1000) caps each
+    // media at 1001 frames = 32 032 chars of text, while the Spark side
+    // explodes every frame. Fixtures max out at 558 chars (17 frames);
+    // a regenerated fixture with ≥32 KB documents would diverge here —
+    // raise the series bound (max(len(text))//32) if that ever trips.
     Some(s"""WITH a AS (
       SELECT doc_id AS media_id, source, text FROM documents
       WHERE doc_id % 3 = 1 AND len(text) >= 64),

@@ -2294,7 +2294,10 @@ object Streams {
       graft.BenchSplit.setup {
         // publish the corpus state (pre-exists at scale): signature
         // index, corpus-internal edges, and their degree ledger entries
-        val corpus = Dedup.simhashOf(docs(s, dir).filter(col("doc_id") % 2 === 0))
+        // — signatures off the persisted full-corpus index (d21's r21
+        // move; per-batch signatures below still compute live)
+        val corpus = Dedup.simhashIndex(s, dir)
+          .filter(col("doc_id") % 2 === 0)
           .withColumn("bucket", expr("shiftright(simhash, 8)"))
           .cache()
         corpus.count()
@@ -4038,10 +4041,12 @@ object Streams {
   //   (z) z_session — conservation: admitted + routed = total, and the
   //       post-replay state still carries exactly the admitted mass.
   // The delay is CHOSEN in-query (q183's closed loop): smallest tier
-  // whose replayed routed_ppm meets the 3% SLA — the largest tier equals
-  // the jitter bound, and lateness is provably < that bound (an event's
-  // lateness vs any prior batch max is < its own jitter), so the sweep
-  // can never come back empty. Scale: planning is one events pass × a
+  // whose replayed routed_ppm meets the 3% SLA. The largest tier is
+  // 864 ms SHORT of the exact jitter bound ((1000003-1)·432000 µs), so
+  // the sweep is not provably non-empty — if no tier met the SLA the
+  // pick falls back to the largest tier instead of NPEing on the empty
+  // aggregate (ADVICE r20; at every correctness SF the 3d tier passes,
+  // so the fallback never fires there). Scale: planning is one events pass × a
   // 5-row broadcast; the live path is |batch|-sized merges against
   // Exchange-free bucketed state (KeyedMergeSpec's plan); the ledger is
   // batch-count-sized; nothing driver-side exceeds 5 rows.
@@ -4078,7 +4083,7 @@ object Streams {
         ${Q205Tiers.map { case (t, d) => s"'$t', ${d}L" }.mkString(", ")})
         AS (tier, delay_us)""")
       // the autotune pick: 5-row frame, 1-row driver read (bounded)
-      val delayUs = ev.join(broadcast(wms), Seq("b"))
+      val delayRow = ev.join(broadcast(wms), Seq("b"))
         .crossJoin(broadcast(tiers))
         .groupBy(col("tier"), col("delay_us"))
         .agg(count(lit(1)).as("total"),
@@ -4087,7 +4092,10 @@ object Streams {
             .as("n_routed"))
         .filter(expr("n_routed * 1000000 DIV total") <= Q205SlaPpm)
         .agg(min(col("delay_us")))
-        .head().getLong(0)
+        .head()
+      // empty sweep (no tier met the SLA) → largest tier, never an NPE
+      val delayUs =
+        if (delayRow.isNullAt(0)) Q205Tiers.last._2 else delayRow.getLong(0)
       // fixture: one file per arrival batch, mtime-ordered (q199's
       // movePartFile discipline pins file→batchId)
       val streamDir = Tables.tmpDir("graft-q205-stream")

@@ -44,5 +44,23 @@ class BucketCapInvariantSpec extends SparkSuite {
         maxBand should be < cap
       }
     }
+
+    // d57's extra band layouts (ADVICE r20): the 8×1 single-signature
+    // bands are the most cap-prone bucket shape in the repo, and the
+    // 2×4 bands are its precision twin — both oracles mirror the
+    // UNCAPPED self-joins, so the invariant must hold for them too.
+    // Band keys come from the same bandExprFor the query joins on.
+    for ((rows, tag) <- Seq(1 -> "b8_r1", 4 -> "b2_r4")) {
+      test(s"d57 $tag band buckets stay below SimhashBucketCap=$cap at $dir") {
+        val maxBand = graft.analytics.Dedup.bandKeysOfLayout(spark, dir, rows)
+          .groupBy(col("band")).agg(count(lit(1)).as("sz"))
+          .agg(max(col("sz"))).collect()(0).getLong(0)
+        withClue(
+          s"max $tag band bucket = $maxBand at $dir: d57's capped $tag join " +
+            "would diverge from its uncapped oracle:\n") {
+          maxBand should be < cap
+        }
+      }
+    }
   }
 }
