@@ -78,14 +78,19 @@ object Bench {
   private def parSpinProbeSeconds(spark: SparkSession): Double = {
     val n = spark.sparkContext.defaultParallelism
     val t0 = System.nanoTime()
+    // SUM-reduce, not XOR: xorshift is linear over GF(2), so the XOR of
+    // the 32 outputs equals the kernel applied to the XOR of the seeds —
+    // and 32 consecutive seeds XOR to exactly 0, which made the first
+    // version of this probe return its dead-code guard instead of the
+    // measured time (r21). The sum has no such structural zero.
     val r = spark.sparkContext.parallelize(1 to n, n).map { i =>
       var x = 0x9E3779B97F4A7C15L + i
       var j = 0
       while (j < 150000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; j += 1 }
       x
-    }.reduce(_ ^ _)
+    }.reduce(_ + _)
     val dt = (System.nanoTime() - t0) / 1e9
-    if (r == 0L) 0.0 else dt
+    if (r == 42L) -1.0 else dt
   }
 
   /** Fixed parquet-scan probe: one full lineitem scan + hash-aggregate —
