@@ -48,6 +48,12 @@ object CorpusPipeline {
               transform(sequence(0, CAST(size(th) DIV $ChunkTok AS INT) - 1),
                 i -> element_at(ng, i * $ChunkTok + 1))
             ELSE array() END""").as("chunks"))
+        // narrow (2 longs + source + chunk-hash array; the big th/ng
+        // arrays are already projected away) and read THREE times below
+        // (docTok + the chunk explode's two consumers) — without this
+        // the poly_hash + ngram_hashes pass over every token ran three
+        // times (r21 plan audit; paired A/B in OPTIMIZATION_r21.md)
+        .localCheckpoint()
       val docTok = ck.select(col("doc_id"), col("source"), col("n_tok"),
         size(col("chunks")).as("n_chunks"))
       val ex = ck.select(col("doc_id"), explode(col("chunks")).as("ch"))
