@@ -3548,14 +3548,23 @@ object Dedup {
       // the posting list feeds BOTH the df aggregate and the semi-join
       // side — materialize it once (eager: the two consumers are
       // independent stages, so a bare cache could race and compute the
-      // explode twice anyway) so the 8-gram shingle explode (the
-      // expensive split+transform+distinct pass) runs once, not twice
-      // (r21: the build was paying the explode for `rare` and again
-      // for `edges`). Posting-list-sized: 2 longs per (doc, shingle).
-      val sh = shingle8Sets(s, dir)
-        .select(col("doc_id"), explode(col("sh8")).as("shingle"))
-        .withColumn("sid", expr(s"2000000000 + ${strHashExpr("shingle")}"))
-        .select(col("doc_id"), col("sid"))
+      // pass twice anyway). Posting-list-sized: 2 longs per (doc, gram).
+      //
+      // Window hashes come from gram_str_hashes — VALUE-IDENTICAL to
+      // exploding the concat_ws 8-gram strings and poly_hash-ing each
+      // (the polynomial fold composes exactly; GramStrHashesSpec pins
+      // equality on real corpus rows) but without materializing any
+      // window string: the string build was 10.7 of this build's 15 s
+      // at sf0.1 (r21 phase profile). Per-doc array_distinct is dropped
+      // with the strings — `rare` counts DISTINCT doc_id per sid and
+      // `edges` is distinct(), so duplicate in-doc postings never reach
+      // the output (d50 keeps the string-set variant: it needs the SETS).
+      val sh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= D49ShingleW)
+        .select(col("doc_id"),
+          explode(expr(s"gram_str_hashes(w, $D49ShingleW)")).as("h"))
+        .select(col("doc_id"), (lit(2000000000L) + col("h")).as("sid"))
         .localCheckpoint()
       val rare = sh.groupBy(col("sid")).agg(countDistinct(col("doc_id")).as("df"))
         .filter(col("df") >= 2 && col("df") <= 5)

@@ -95,6 +95,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(PolyHash.descriptor)
     ext.injectFunction(DotI64.descriptor)
     ext.injectFunction(NgramHashes.descriptor)
+    ext.injectFunction(GramStrHashes.descriptor)
     ext.injectFunction(CdcCuts.descriptor)
     ext.injectFunction(ZInterleave.descriptor)
     ext.injectFunction(MinHashSigs.descriptor)
