@@ -2335,46 +2335,46 @@ object Advanced {
     def counts(df: org.apache.spark.sql.DataFrame, k: String, cn: String) =
       df.select(col(k).as("k")).filter(col("k").isNotNull)
         .groupBy(col("k")).agg(count(lit(1)).as(cn))
-    // every downstream frame (hitter split, residual summary, exact Σ,
-    // containment anti-joins) re-reads the count tables — cache them so
-    // the BASE table is scanned once per side instead of ~6× per edge.
-    // Paired single-query A/Bs at sf0.1 are flat under the documented
-    // host jitter ({8.4, 12.8} vs {10.4, 12.6} s), so the gate here is
-    // scan count, which is what dominates when the base is 100 TB, not
-    // 600 k rows. The cached tables are key-cardinality-sized and left
-    // for LRU eviction (the d05 discipline); a self-join edge reuses
-    // one table for both sides.
+    // the count tables are cached (key-cardinality-sized, LRU-evicted —
+    // the d05 discipline); each is consumed twice below (its total + the
+    // full-outer join). A self-join edge reuses one table for both sides.
     val ca = counts(a, ka, "ca").cache()
     val cb = if ((a eq b) && ka == kb) ca.withColumnRenamed("ca", "cb")
              else counts(b, kb, "cb").cache()
-    // NOT eagerly counted: forcing the caches with one count job per
-    // side measured +0.6 s at sf0.1 (min-of-3 paired, 8.2 vs 8.8 s) —
-    // the ~6 downstream aggregate stages of the one final action share
-    // the cold cache fine, and the serialized count jobs only add
-    // latency (r21 A/B)
-    val ta = ca.crossJoin(ca.agg(sum(col("ca")).as("rows_a")))
-      .withColumn("hit", col("ca") * 500 >= col("rows_a"))
-    val tb = cb.crossJoin(cb.agg(sum(col("cb")).as("rows_b")))
-      .withColumn("hit", col("cb") * 500 >= col("rows_b"))
-    val exact = ca.join(cb, Seq("k"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
-    val hh = ta.filter(col("hit")).select(col("k"), col("ca"))
-      .join(tb.filter(col("hit")).select(col("k"), col("cb")), Seq("k"))
-      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("t_hh"))
-    val resA = ta.filter(!col("hit")).agg(
-      coalesce(sum(col("ca")), lit(0L)).as("rows_a_res"),
-      count(lit(1)).as("ndv_a_res"))
-    val resB = tb.filter(!col("hit")).agg(
-      coalesce(sum(col("cb")), lit(0L)).as("rows_b_res"),
-      count(lit(1)).as("ndv_b_res"))
-    val haum = ta.filter(col("hit"))
-      .join(tb.filter(col("hit")).select(col("k")), Seq("k"), "left_anti")
-      .agg(coalesce(sum(col("ca")), lit(0L)).as("ca_hit_um"))
-    val hbum = tb.filter(col("hit"))
-      .join(ta.filter(col("hit")).select(col("k")), Seq("k"), "left_anti")
-      .agg(coalesce(sum(col("cb")), lit(0L)).as("cb_hit_um"))
-    exact.crossJoin(hh).crossJoin(resA).crossJoin(resB)
-      .crossJoin(haum).crossJoin(hbum)
+    // r22 restructure (VERDICT r21 item 5): every per-key fact both sides
+    // carry lives in ONE full-outer join on k (keys are distinct per
+    // side, so each key is exactly one row), and every downstream term —
+    // exact Σ cA·cB, hitter/hitter mass, residual summaries, the two
+    // containment anti-joins — is a conditional sum over it. That one
+    // aggregate replaces the 6-frame fan (exact + hh + resA + resB +
+    // haum + hbum ≈ 24 stages across the 4 edges) the r21 plan carried.
+    // Value-identical by construction: hit is the same integer compare,
+    // each term sums the same rows, and the final est_rows/err_ppm
+    // expressions below are untouched (same DIV order, same DECIMAL
+    // promotion) — oracle-gated at sf0.001 and sf0.01.
+    val j = ca.join(cb, Seq("k"), "full_outer")
+    val tots = ca.agg(sum(col("ca")).as("rows_a"))
+      .crossJoin(cb.agg(sum(col("cb")).as("rows_b")))
+    val agg = j.crossJoin(broadcast(tots))
+      .withColumn("hita", col("ca").isNotNull && col("ca") * 500 >= col("rows_a"))
+      .withColumn("hitb", col("cb").isNotNull && col("cb") * 500 >= col("rows_b"))
+      .agg(
+        coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"),
+        coalesce(sum(when(col("hita") && col("hitb"), col("ca") * col("cb"))),
+          lit(0L)).as("t_hh"),
+        coalesce(sum(when(col("ca").isNotNull && !col("hita"), col("ca"))),
+          lit(0L)).as("rows_a_res"),
+        coalesce(sum(when(col("ca").isNotNull && !col("hita"), 1L)), lit(0L))
+          .as("ndv_a_res"),
+        coalesce(sum(when(col("cb").isNotNull && !col("hitb"), col("cb"))),
+          lit(0L)).as("rows_b_res"),
+        coalesce(sum(when(col("cb").isNotNull && !col("hitb"), 1L)), lit(0L))
+          .as("ndv_b_res"),
+        coalesce(sum(when(col("hita") && !col("hitb"), col("ca"))), lit(0L))
+          .as("ca_hit_um"),
+        coalesce(sum(when(col("hitb") && !col("hita"), col("cb"))), lit(0L))
+          .as("cb_hit_um"))
+    agg
       .select(lit(name).as("edge"), col("exact_rows"),
         expr("""t_hh
           + CASE WHEN ndv_b_res > 0 THEN (ca_hit_um * rows_b_res) DIV ndv_b_res ELSE 0 END

@@ -2162,7 +2162,10 @@ object Streams {
         // delta out as 3 mtime-ordered batch files (doc_id%6 = 1, 3, 5)
         s.sql(s"CREATE DATABASE IF NOT EXISTS graft_q119 LOCATION '${Tables.tmp("graft-q119-db")}'")
         s.sql("DROP TABLE IF EXISTS graft_q119.band_idx")
-        Dedup.minhashBandsOf(docs(s, dir).filter(col("doc_id") % 2 === 0))
+        // published corpus half off the persisted signature index
+        // (identical rows; the per-batch delta below still signs its
+        // own docs — that cost belongs to the delta) — r22
+        Dedup.minhashBandsIdx(s, dir).filter(col("doc_id") % 2 === 0)
           .select(col("doc_id"), col("mhs"), col("band"))
           .write.option("path", Tables.tmp("graft-q119-idx"))
           .saveAsTable("graft_q119.band_idx")
