@@ -71,7 +71,7 @@ object CorpusPipeline {
       // ---- stage 2: canonical kept set (d17's selection) ----
       val pairs = Dedup.simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       pairs.unpersist()
       val d = docs(s, dir).select(col("doc_id"), col("n_chars"))

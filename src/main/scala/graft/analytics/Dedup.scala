@@ -1079,7 +1079,7 @@ object Dedup {
     (s, dir) => {
       val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       pairs.unpersist()
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
@@ -1380,7 +1380,7 @@ object Dedup {
           .option("path", tmp("graft-d21-idx")).saveAsTable("graft_d21.sig_idx")
         val ee = cappedSelfPairs(even)
         val labels = Tables.withShuffle(s, 8) {
-          graft.operators.ConnectedComponents.label(ee).localCheckpoint()
+          graft.operators.ConnectedComponents.label(ee)
         }
         labels.write.option("path", tmp("graft-d21-labels")).saveAsTable("graft_d21.labels")
         even.unpersist()
@@ -1393,7 +1393,7 @@ object Dedup {
       val labels = s.table("graft_d21.labels")
       val contracted = d21DeltaEdges(s, delta).localCheckpoint()
       val labC = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(contracted).localCheckpoint()
+        graft.operators.ConnectedComponents.label(contracted)
       }
       delta.unpersist()
       // membership = stored members ∪ contracted nodes not already stored
@@ -2191,7 +2191,7 @@ object Dedup {
     (s, dir) => {
       val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       val reps = docsNarrow(s, dir).select(col("doc_id"))
         .join(labels, col("doc_id") === col("node"), "left")
@@ -2285,7 +2285,7 @@ object Dedup {
     (s, dir) => {
       val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csz"))
       val out = docsNarrow(s, dir).select(col("doc_id"), col("source"))
@@ -3113,7 +3113,7 @@ object Dedup {
     (s, dir) => {
       val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("csz"))
       val per = docs(s, dir)
@@ -3897,10 +3897,11 @@ object Dedup {
       val subPairs = pairs.filter(isSurv("id1") && isSurv("id2"))
         .localCheckpoint()
       Tables.withShuffle(s, 8) {
+        // CC.label's return is already a materialized localCheckpoint (its
+        // convergence action ran) — re-checkpointing it was one pure copy
+        // job per labeling (r22)
         val labelsFull = graft.operators.ConnectedComponents.label(pairs)
-          .localCheckpoint()
         val labelsSub = graft.operators.ConnectedComponents.label(subPairs)
-          .localCheckpoint()
         // universe: survivor nodes of the FULL graph; edge-less
         // survivors in the subgraph become singletons
         val u = labelsFull.filter(isSurv("node"))
@@ -4080,7 +4081,7 @@ object Dedup {
       import org.apache.spark.sql.expressions.Window
       val pairs = simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       pairs.unpersist()
       val clustered = docs(s, dir).select(col("doc_id"))

@@ -2229,8 +2229,11 @@ object Pipeline {
         df.agg(count(lit(1)).as("n"),
           (coalesce(sum((col("k") * 1000003L + col("qty")) % HashMod), lit(0L))
             % HashMod).as("ck"))
+      // lazy (r22): 1-row digest read twice in the one final action —
+      // an EAGER checkpoint here was a dedicated serialized job whose
+      // whole job was one scan of the already-materialized mor
       val digMor = dig(mor).select(col("n").as("n_m"), col("ck").as("ck_m"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val digEager = dig(eager).select(col("n").as("n_e"), col("ck").as("ck_e"))
       val rowA = dv.agg(count(lit(1)).as("n_a"))
         .crossJoin(broadcast(pf.agg(
@@ -2269,15 +2272,15 @@ object Pipeline {
             (col("file_id") + 2L * nf).as("file_id")))
         .unionByName(gen2Files
           .select(lit(3L).as("ver"), lit("A").as("act"), col("file_id")))
-        .localCheckpoint() // op-bounded (≤ 4 ops per file)
+        .localCheckpoint(false) // op-bounded (≤ 4 ops per file); lazy (r22)
       val liveHead = ops.withColumn("rn", row_number().over(
           Window.partitionBy(col("file_id")).orderBy(col("ver").desc)))
         .filter(col("rn") === 1 && col("act") === "A")
         .select(col("file_id"))
-      val refd = ops.select(col("file_id")).distinct().localCheckpoint()
+      val refd = ops.select(col("file_id")).distinct().localCheckpoint(false)
       val deletable = refd.join(liveHead, Seq("file_id"), "left_anti")
         .withColumn("size_bytes", expr("file_id * 907 % 4000 + 100"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val rowC = deletable.agg(count(lit(1)).as("n_b"),
           coalesce(sum(col("size_bytes")), lit(0L)).as("n_c"),
           (coalesce(sum(col("file_id") % HashMod), lit(0L)) % HashMod).as("ck"))

@@ -4082,23 +4082,25 @@ object Streams {
           .rowsBetween(Window.unboundedPreceding, -1)))
         .select(col("b"), col("wm_base"))
         .localCheckpoint() // 3 rows
-      val tiers = s.range(1).selectExpr(s"""stack(${Q205Tiers.size},
-        ${Q205Tiers.map { case (t, d) => s"'$t', ${d}L" }.mkString(", ")})
-        AS (tier, delay_us)""")
-      // the autotune pick: 5-row frame, 1-row driver read (bounded)
-      val delayRow = ev.join(broadcast(wms), Seq("b"))
-        .crossJoin(broadcast(tiers))
-        .groupBy(col("tier"), col("delay_us"))
+      // the autotune pick: the tier delays are compile-time constants, so
+      // the sweep is ONE conditional aggregate over the events pass (one
+      // routed-counter column per tier) instead of a ×|tiers| crossJoin
+      // blowup into a groupBy — same counts, same integer-DIV SLA compare,
+      // same min-delay pick (r22; the r21 form built 5N rows to aggregate)
+      val sweepRow = ev.join(broadcast(wms), Seq("b"))
         .agg(count(lit(1)).as("total"),
-          sum(when(col("wm_base").isNotNull &&
-            col("us") < col("wm_base") - col("delay_us"), 1L).otherwise(0L))
-            .as("n_routed"))
-        .filter(expr("n_routed * 1000000 DIV total") <= Q205SlaPpm)
-        .agg(min(col("delay_us")))
+          Q205Tiers.map { case (t, d) =>
+            sum(when(col("wm_base").isNotNull &&
+              col("us") < col("wm_base") - lit(d), 1L).otherwise(0L)).as(s"r_$t")
+          }: _*)
         .head()
+      val total = sweepRow.getLong(0)
+      val qualifying = Q205Tiers.zipWithIndex.collect {
+        case ((_, d), i) if sweepRow.getLong(i + 1) * 1000000L / total <= Q205SlaPpm => d
+      }
       // empty sweep (no tier met the SLA) → largest tier, never an NPE
       val delayUs =
-        if (delayRow.isNullAt(0)) Q205Tiers.last._2 else delayRow.getLong(0)
+        if (qualifying.isEmpty) Q205Tiers.last._2 else qualifying.min
       // fixture: one file per arrival batch, mtime-ordered (q199's
       // movePartFile discipline pins file→batchId)
       val streamDir = Tables.tmpDir("graft-q205-stream")

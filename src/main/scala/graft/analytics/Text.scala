@@ -2942,7 +2942,7 @@ object Text {
     (s, dir) => {
       val pairs = Dedup.simhashPairs(s, dir)
       val labels = Tables.withShuffle(s, 8) {
-        graft.operators.ConnectedComponents.label(pairs).localCheckpoint()
+        graft.operators.ConnectedComponents.label(pairs)
       }
       val dropped = labels.filter(col("node") =!= col("comp"))
         .select(col("node").as("doc_id"))
