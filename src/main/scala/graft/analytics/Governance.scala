@@ -1475,19 +1475,21 @@ object Governance {
     "q202_dsar_export",
     (s, dir) => {
       val subject = rd(s, dir, "customer").agg(min(col("c_custkey")).as("k"))
+      // cust has ONE consumer (its digest row) — no checkpoint needed;
+      // ords/li are read 2-3 times inside the one final action, so lazy
+      // checkpoints truncate the plan without a serialized job each (r22)
       val cust = rd(s, dir, "customer")
         .join(broadcast(subject), col("c_custkey") === col("k"))
-        .localCheckpoint()
       val ords = rd(s, dir, "orders")
         .join(broadcast(subject), col("o_custkey") === col("k"))
         .select(col("o_orderkey"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val li = rd(s, dir, "lineitem")
         .join(ords.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("long").as("qty"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val custRow = cust.agg(count(lit(1)).as("n_rows"),
           (sum(col("c_custkey") % HashMod) % HashMod).as("key_checksum"),
           (sum(expr(strHashExpr("c_name"))) % HashMod).as("payload_checksum"))

@@ -1472,7 +1472,7 @@ object Pipeline {
         .unionByName(base.filter(col("k") % 53 === 0)
           .select(lit(3L).as("ver"), lit("U").as("op"), col("k"),
             (col("cents") + 2L).as("new_cents")))
-        .localCheckpoint() // op-bounded; read once per version below
+        .localCheckpoint(eager = false) // op-bounded; read once per version below (lazy, r22)
       // read AS OF v: latest op per key at ver <= v, full-outer the base
       def asOf(v: Long): org.apache.spark.sql.DataFrame = {
         val latest = ops.filter(col("ver") <= v)
@@ -2506,11 +2506,11 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("tok_mass"),
           countDistinct(col("source")).as("n_sources"),
           sum(when(col("b2") =!= col("b1"), 1L).otherwise(0L)).as("moved"))
-        .localCheckpoint() // B rows
+        .localCheckpoint(eager = false) // B rows (lazy, r22 — consumers live in one action)
       val bs = d.groupBy(col("b1").as("batch"), col("source"))
         .agg(count(lit(1)).as("n_bs"))
       val srcTot = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-        .localCheckpoint() // |sources| rows
+        .localCheckpoint(eager = false) // |sources| rows
       val grid = pb.select(col("batch"), col("n_docs"))
         .crossJoin(broadcast(srcTot))
         .join(bs, Seq("batch", "source"), "left")
@@ -2521,7 +2521,7 @@ object Pipeline {
           grid.groupBy(col("batch")).agg(sum(col("dev_ppm")).as("devsum_ppm")),
           Seq("batch"))
         .withColumn("tv_ppm", expr("devsum_ppm DIV 2"))
-        .localCheckpoint() // B rows
+        .localCheckpoint(eager = false) // B rows
       val perBatch = stats.select(col("batch"), col("n_docs"), col("tok_mass"),
         col("n_sources"), col("tv_ppm"),
         expr("moved * 1000000 DIV n_docs").as("moved_ppm"))

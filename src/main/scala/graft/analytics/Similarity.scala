@@ -959,13 +959,16 @@ object Similarity {
         .withColumn("crnk", row_number().over(winRel))
         .filter(col("crnk") <= MmrCand)
         .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"), col("rel"))
-        .localCheckpoint() // anchors × MmrCand rows — bounded control data
+        // lazy (r22): the greedy chain below has no per-round driver
+        // decision, so ONE final action materializes every level —
+        // eager per-round checkpoints were K serialized jobs
+        .localCheckpoint(eager = false) // anchors × MmrCand rows
       var selected = cands
         .withColumn("r", row_number().over(winRel))
         .filter(col("r") === 1)
         .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"),
           col("rel"), lit(1L).as("pick_rank"), col("rel").as("mmr"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       (2 to MmrK).foreach { k =>
         val rem = cands.join(selected.select(col("q_id"), col("c_id")),
           Seq("q_id", "c_id"), "left_anti")
@@ -984,7 +987,7 @@ object Similarity {
           .filter(col("r") === 1)
           .select(col("q_id"), col("c_id"), col("c_qv"), col("c_norm2"),
             col("rel"), lit(k.toLong).as("pick_rank"), col("mmr"))
-        selected = selected.union(pick).localCheckpoint()
+        selected = selected.union(pick).localCheckpoint(eager = false)
       }
       selected.select(col("q_id"), col("pick_rank"), col("c_id"),
         round(col("rel"), 6).as("rel"), round(col("mmr"), 6).as("mmr"))
@@ -3869,13 +3872,15 @@ object Similarity {
           Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("c_label"))))
         .filter(col("crnk") === 1)
         .select(col("vec_id"), col("qv"), col("c_label"))
-        .localCheckpoint()
+        // lazy checkpoints (r22): these op-bounded frames feed broadcast
+        // subqueries of the ONE final action; eager was 4 serialized jobs
+        .localCheckpoint(eager = false)
       val sizes = assigned.groupBy(col("c_label")).agg(count(lit(1)).as("sz"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val hot = sizes.orderBy(col("sz").desc, col("c_label")).limit(1)
         .select(col("c_label").as("hot_label"), col("sz").as("old_size"))
       val members = assigned.join(broadcast(hot), col("c_label") === col("hot_label"))
-        .select(col("vec_id"), col("qv")).localCheckpoint()
+        .select(col("vec_id"), col("qv")).localCheckpoint(eager = false)
       val s1 = members.orderBy(col("vec_id")).limit(1).select(col("qv").as("s1qv"))
       val withD1 = members.crossJoin(broadcast(s1))
         .withColumn("d1", dist2("qv", "s1qv"))
@@ -3885,7 +3890,7 @@ object Similarity {
         .withColumn("d2", dist2("qv", "s2qv"))
         .withColumn("side", when(col("d1") <= col("d2"), "a").otherwise("b"))
         .select(col("vec_id"), col("qv"), col("side"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val newCent = sides.select(col("side"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy(col("side"), col("pos"))
         .agg(floor(sum(col("v")).cast("double") / count(lit(1))).cast("long").as("cv"))
