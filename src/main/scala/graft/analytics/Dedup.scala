@@ -83,7 +83,6 @@ object Dedup {
       // the shingle pipeline feeds the band self-join (twice) AND the two
       // exact-Jaccard verify joins — materialize it once, not four times
       val base = shingled(s, dir).cache()
-      base.count()
       val shingleSets = base // re-joined by id for the verify step
       // candidate generation is bucket-CAPPED (same discipline as the
       // SimHash side, see SimhashBucketCap): a 100 TB template family
@@ -526,7 +525,6 @@ object Dedup {
         .withColumn("bucket", expr(Similarity.bucketExprSpark))
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
         .cache()
-      b.count()
       val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
       val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
       val drops = l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -1458,7 +1456,6 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .cache()
-      edges.count()
       pairs.unpersist()
       val out = Tables.withShuffle(s, 8) {
         var labels = docs(s, dir).select(col("doc_id").as("v"), col("doc_id").as("label"))
@@ -1545,7 +1542,6 @@ object Dedup {
       val edges = pairs
         .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
         .cache()
-      edges.count()
       pairs.unpersist()
       // lazy rounds, one materializing job at the final aggregate (the
       // d18 r21 discipline); each round's RDD is still cached+truncated
@@ -2055,7 +2051,6 @@ object Dedup {
         .filter(col("crnk") === 1)
         .select(col("vec_id"), col("qv"), col("norm2"), col("c_label"))
         .cache()
-      assigned.count()
       val l = assigned.select(col("c_label"),
         col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
       val r = assigned.select(col("c_label").as("cl2"),
@@ -2528,7 +2523,6 @@ object Dedup {
         .withColumn("bucket", expr(Similarity.bucketExprSpark))
         .select(col("vec_id"), col("lang"), col("qv"), col("norm2"), col("bucket"))
         .cache()
-      b.count()
       val l = b.select(col("bucket"), col("vec_id").as("id1"), col("lang").as("lang1"),
         col("qv").as("qv1"), col("norm2").as("n1"))
       val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"),
@@ -3231,7 +3225,6 @@ object Dedup {
     (s, dir) => {
       // full-corpus bands off the persisted signature index (r22)
       val bands = minhashBandsIdx(s, dir).cache()
-      bands.count()
       val sampleGate =
         s"(${strHashExpr("CAST(doc_id AS STRING)")} * 2654435761) % $HashMod % 3 = 0"
       def dupDocs(left: org.apache.spark.sql.DataFrame) = left

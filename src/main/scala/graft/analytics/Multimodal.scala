@@ -193,7 +193,6 @@ object Multimodal {
             .cast("long").as("sig"))
         .withColumn("bucket", expr("sig DIV 16"))
         .cache()
-      sigs.count()
       sigs.select(col("bucket"), col("media_id").as("id1"), col("sig").as("s1"))
         .join(sigs.select(col("bucket").as("bucket2"), col("media_id").as("id2"), col("sig").as("s2")),
           col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -241,7 +240,6 @@ object Multimodal {
         .select(col("doc_id"), col("source"),
           expr(strHashExpr("substring(ph, CAST(ci * 64 + 1 AS INT), 64)")).as("ch"))
         .cache()
-      chunks.count()
       val owners = chunks.groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("n_docs_with"))
       chunks.join(owners, "ch")
@@ -511,7 +509,6 @@ object Multimodal {
           expr(Tables.strHashExpr("chunk")).as("ch"),
           length(col("chunk")).cast("long").as("clen"))
         .cache()
-      chunks.count()
       val owners = chunks.groupBy(col("ch"))
         .agg(countDistinct(col("doc_id")).as("n_docs_with"))
       val out = chunks.join(owners, "ch")
@@ -651,7 +648,6 @@ object Multimodal {
         .withColumn("shape",
           expr("concat_ws(',', transform(h, v -> CAST(v * 16 DIV len AS STRING)))"))
         .cache()
-      hist.count()
       val l = hist.select(col("kind"), col("shape"), col("doc_id").as("id1"),
         col("h").as("h1"), col("norm2").as("n1"))
       val r = hist.select(col("kind").as("k2"), col("shape").as("s2"),
@@ -1083,7 +1079,6 @@ object Multimodal {
         .withColumn("shape",
           expr("concat_ws(',', transform(h, v -> CAST(v * 16 DIV len AS STRING)))"))
         .cache()
-      hist.count()
       val drops = hist.select(col("kind"), col("shape"), col("doc_id").as("id1"),
           col("h").as("h1"), col("norm2").as("n1"))
         .join(hist.select(col("kind").as("k2"), col("shape").as("s2"),

@@ -545,7 +545,6 @@ object Pipeline {
         .unionAll(sessions.select(col("e_us").as("us"), lit(-1L).as("delta")))
         .withColumn("day", expr(s"us DIV $dayUs"))
         .cache()
-      pts.count()
       // level 1: exclusive per-day offsets — |days| rows, bounded control
       // input, so the unpartitioned window is fine (and broadcast back)
       val dayOff = pts.groupBy(col("day")).agg(sum(col("delta")).as("day_delta"))
@@ -729,7 +728,6 @@ object Pipeline {
         .groupBy(col("user_id"), col("sess"))
         .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
         .cache()
-      sessions.count()
       val bucketed = sessions
         .withColumn("g", explode(expr(s"sequence(s_us DIV $dayUs, e_us DIV $dayUs)")))
       val l = bucketed.select(col("g"), col("user_id").as("u1"), col("sess").as("se1"),
@@ -1331,7 +1329,6 @@ object Pipeline {
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("file_id")).orderBy(col("ok"), col("ln"))))
         .cache()
-      base.count()
       // three delete operations, each emitting positional entries
       val ops = Seq(
         base.filter(col("qty") > 45),                  // predicate delete
@@ -1586,7 +1583,6 @@ object Pipeline {
       val base = rd(s, dir, "orders").select(col("o_orderkey").as("k"),
         expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
         .cache()
-      base.count()
       val wsA = base.filter(col("k") % 41 === 0).select(col("k"), lit(1L).as("dc"))
       val wsB = base.filter(col("k") % 43 === 0 && col("k") % 41 =!= 0)
         .select(col("k"), lit(2L).as("dc"))

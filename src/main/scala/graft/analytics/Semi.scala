@@ -305,7 +305,6 @@ object Semi {
         .withColumn("rnk", row_number().over(Window.partitionBy(col("grp")).orderBy(col("h"))))
         .filter(col("rnk") <= k)
         .cache()
-      sk.count()
       def estCol = when(col("n_sk") < k, col("n_sk"))
         .otherwise(expr(s"(${k - 1} * CAST($HashMod AS BIGINT)) DIV kth"))
       val perGrp = sk.groupBy(col("grp"))

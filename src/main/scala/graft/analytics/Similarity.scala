@@ -83,7 +83,6 @@ object Similarity {
       val b = withQuant(dir, s).withColumn("bucket", expr(bucketExprSpark))
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"), col("bucket"))
         .cache()
-      b.count()
       val l = b.select(col("bucket"), col("vec_id").as("id1"), col("qv").as("qv1"), col("norm2").as("n1"))
       val r = b.select(col("bucket").as("bucket2"), col("vec_id").as("id2"), col("qv").as("qv2"), col("norm2").as("n2"))
       l.join(r, col("bucket") === col("bucket2") && col("id1") < col("id2"))
@@ -691,7 +690,6 @@ object Similarity {
         .filter(col("rnk") === 1)
         .select(col("c_label"), col("vec_id"), col("qv"), col("norm2"))
         .cache()
-      asg.count()
       val a = asg.select(col("c_label"), col("vec_id").as("id1"),
         col("qv").as("qv1"), col("norm2").as("n1"))
       val b = asg.select(col("c_label").as("cl2"), col("vec_id").as("id2"),
@@ -2405,7 +2403,6 @@ object Similarity {
         .select(col("vec_id"), col("label"), col("qv"), col("norm2"),
           col("c_label").as("list_label"))
         .cache()
-      lists.count()
       // the serving-side candidate set: tombstones out, attribute in
       val servable = lists
         .filter(col("vec_id") % 9 =!= 0)        // s28's delete set
@@ -2414,7 +2411,6 @@ object Similarity {
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"),
           col("norm2").as("q_norm2"), col("c_label").as("probe_label"))
         .cache()
-      probes.count()
       val winQ = org.apache.spark.sql.expressions.Window
         .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
       def top5(cand: org.apache.spark.sql.DataFrame) = cand
@@ -2430,7 +2426,6 @@ object Similarity {
           broadcast(probes.select(col("q_id"), col("q_qv"), col("q_norm2")).distinct()),
           col("vec_id") =!= col("q_id")))
         .cache()
-      truth.count()
       val out = truth.groupBy(col("q_id")).agg(count(lit(1)).as("n_truth"))
         .join(ivf.join(truth, Seq("q_id", "c_id"))
             .groupBy(col("q_id"))
@@ -3224,7 +3219,6 @@ object Similarity {
     (s, dir) => {
       import s.implicits._
       val q = withQuant(dir, s).select(col("vec_id"), col("qv"), col("norm2")).cache()
-      q.count()
       def uPpm(r: Int): Long = {
         val h = graft.functions.PolyHash.hash(
           org.apache.spark.unsafe.types.UTF8String.fromString(s"kpp|$r"))

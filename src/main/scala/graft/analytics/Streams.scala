@@ -2305,7 +2305,6 @@ object Streams {
           .filter(col("doc_id") % 2 === 0)
           .withColumn("bucket", expr("shiftright(simhash, 8)"))
           .cache()
-        corpus.count()
         // corpus-internal edges via the shared CAPPED self-join (identical
         // output at the correctness SFs; bounded on a hot template bucket)
         val ce = Dedup.cappedSelfPairs(corpus).localCheckpoint()
@@ -2358,7 +2357,6 @@ object Streams {
       // peel from maintained state: round 1 = a degree-ledger read
       val e1 = s.read.parquet(edgesDir)
       val edges = e1.union(e1.select(col("id2").as("id1"), col("id1").as("id2"))).cache()
-      edges.count()
       // lazy rounds — materialized once by the final aggregate (d18's
       // r21 discipline: no eager checkpoint job per round)
       var core = s.read.parquet(degDir)

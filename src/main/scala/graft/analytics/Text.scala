@@ -448,7 +448,6 @@ object Text {
         .select(col("doc_id"), explode(expr(ngramExpr("th", 4))).as("ng"))
         .distinct()
         .cache()
-      ex.count()
       val bench = ex.filter(col("doc_id") % 97 === 0).select(col("ng")).distinct()
         .withColumn("hit", lit(1L))
       // one broadcast LEFT join computes both counts in a single per-doc
@@ -1680,7 +1679,6 @@ object Text {
         .agg(count(lit(1)).as("n12"))
         .filter(col("w1").rlike("^[a-z]+$") && col("w2").rlike("^[a-z]+$"))
         .cache()
-      c12.count()
       val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
       val c2 = c12.groupBy(col("w2")).agg(sum(col("n12")).as("n2"))
       val nn = c12.agg(sum(col("n12")).as("n"))
@@ -2190,7 +2188,6 @@ object Text {
         .select(col("doc_id"), explode(expr(ngramExpr("th", 4))).as("ng"))
         .distinct()
         .cache()
-      ex.count()
       val trainGrams = ex.filter(col("doc_id") % 97 =!= 0).select(col("ng")).distinct()
         .withColumn("hit", lit(1L))
       val out = ex.filter(col("doc_id") % 97 === 0)
@@ -2768,7 +2765,6 @@ object Text {
       val bc = bi.filter(isTrain)
         .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
         .cache()
-      bc.count()
       val ctx = bc.groupBy(col("w1"))
         .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nf"))
       val cont = bc.groupBy(col("w2"))
