@@ -458,7 +458,7 @@ object Dedup {
     * per-doc_id filter a caller applies afterwards). Callers that model a
     * live DELTA batch (d16/d21/d44's odd-half arrivals) keep computing
     * their own signatures: that cost belongs to the delta. */
-  private[analytics] def minhashBandsIdx(s: org.apache.spark.sql.SparkSession, dir: String) =
+  private[graft] def minhashBandsIdx(s: org.apache.spark.sql.SparkSession, dir: String) =
     minhashIndex(s, dir)
       .select(col("doc_id"), col("mhs"), explode(expr(bandKeysExpr)).as("band"))
 
@@ -469,7 +469,7 @@ object Dedup {
     * self-join, distinct `(id1 < id2)` pairs. ONE definition — before r22
     * d02/d47/d48/d56/d57 each inlined a byte-identical copy, so the
     * persisted index below could have drifted from a consumer. */
-  private[analytics] def bandCandPairs(
+  private[graft] def bandCandPairs(
       mh: org.apache.spark.sql.DataFrame, rows: Int): org.apache.spark.sql.DataFrame = {
     val bands = mh.select(col("doc_id"), explode(expr(bandExprFor(rows))).as("band"))
     val sizes = bands.groupBy(col("band")).agg(count(lit(1)).as("sz"))
@@ -497,7 +497,7 @@ object Dedup {
     * shared-storage caveat at scale as the other three indexes. */
   private val bandCandIndexPath =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private[analytics] def bandCandIndex(
+  private[graft] def bandCandIndex(
       s: org.apache.spark.sql.SparkSession, dir: String, rows: Int) = {
     val key = s"$dir|r$rows|${corpusFingerprint(dir)}"
     val path = bandCandIndexPath.computeIfAbsent(key, _ => graft.BenchSplit.setup {

@@ -24,11 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
  * (r21: the d49 bipartite index build spent 10.7 of its 15 s in exactly
  * that string materialization at sf0.1).
  *
- * Shorter-than-n arrays yield an empty array. NULL array elements hash
- * as empty strings WITH their separator — note this differs from
- * concat_ws, which skips NULLs entirely; the only caller feeds split()
- * output, which never contains NULLs, and the equality spec pins the
- * real input class.
+ * Shorter-than-n arrays yield an empty array. NULL array elements are
+ * SKIPPED together with their separator — exactly concat_ws's semantics
+ * (ADVICE r21: the first cut hashed a NULL as empty-string-plus-
+ * separator, silently diverging from the concat_ws form this function
+ * claims to equal for any future SQL caller; current callers feed
+ * split() output, which never contains NULLs, so their hashes are
+ * untouched by the fix — the equality spec pins both input classes).
  *
  * Array-returning expressions have no one-line codegen template and the
  * HOF form this replaces is CodegenFallback anyway — so this stays
@@ -71,12 +73,13 @@ object GramStrHashes {
     val len = xs.numElements()
     if (n <= 0 || len < n) return new GenericArrayData(Array.empty[Long])
     // per-token hash and 31^codePoints — one char pass per token, total
-    // O(chars); a NULL element renders like concat_ws: empty string
+    // O(chars); NULL elements are flagged and skipped below (concat_ws)
     val th = new Array[Long](len)
     val tp = new Array[Long](len)
+    val nn = new Array[Boolean](len)
     var j = 0
     while (j < len) {
-      if (xs.isNullAt(j)) { th(j) = 0L; tp(j) = 1L }
+      if (xs.isNullAt(j)) { nn(j) = true; th(j) = 0L; tp(j) = 1L }
       else {
         val str = xs.getUTF8String(j).toString
         var acc = 0L
@@ -92,14 +95,20 @@ object GramStrHashes {
       }
       j += 1
     }
-    // assemble each window: acc ∘ ' ' ∘ token ≡ ((acc·31 + 32)·31^L + h)
+    // assemble each window: acc ∘ ' ' ∘ token ≡ ((acc·31 + 32)·31^L + h);
+    // NULL tokens contribute neither hash nor separator (concat_ws), so
+    // an all-NULL window hashes like the empty string (0)
     val out = new Array[Long](len - n + 1)
     var s = 0
     while (s <= len - n) {
-      var acc = th(s)
-      var k = s + 1
+      var acc = 0L
+      var any = false
+      var k = s
       while (k < s + n) {
-        acc = ((acc * 31L + 32L) % M * tp(k) + th(k)) % M
+        if (!nn(k)) {
+          if (any) acc = ((acc * 31L + 32L) % M * tp(k) + th(k)) % M
+          else { acc = th(k); any = true }
+        }
         k += 1
       }
       out(s) = acc

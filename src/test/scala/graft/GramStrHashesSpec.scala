@@ -52,4 +52,19 @@ class GramStrHashesSpec extends SparkSuite {
       .count()
     bad shouldBe 0L
   }
+
+  test("NULL array elements are skipped exactly like concat_ws (ADVICE r21)") {
+    // concat_ws drops a NULL element AND its separator; the fast path
+    // must agree even though no current caller produces NULL tokens
+    val df = spark.sql(
+      """SELECT array('a', CAST(NULL AS STRING), 'b', 'c', NULL, 'd', 'e', 'f', 'g') AS w
+         UNION ALL
+         SELECT array(CAST(NULL AS STRING), NULL, NULL, NULL, NULL, NULL, NULL, NULL)""")
+    val bad = df.select(
+        expr(s"gram_str_hashes(w, $W)").as("fast"),
+        expr(hofExpr(W)).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    bad shouldBe 0L
+  }
 }
