@@ -1176,7 +1176,14 @@ object Dedup {
       // LAZY checkpoints: the rounds have no interleaved action, so the
       // final aggregate materializes the whole 4-round chain in one job
       // (each round's RDD is still cached+truncated on first compute —
-      // constant plan size) instead of one eager checkpoint job per round
+      // constant plan size) instead of one eager checkpoint job per round.
+      // kcoreRound references each round TWICE (two semi-joins) with no
+      // action between (ADVICE r21): safe because the two LeftSemi builds
+      // are broadcast/exchange subtrees of ONE stage DAG over the SAME
+      // persisted RDD — worst case a concurrent-stage race recomputes a
+      // |V|-row projection once (bounded, measured flat in the r21 lazy
+      // A/B: d18 −0.3, d24 −0.9, d23 flat); output is identical either
+      // way because every round is a deterministic function of its input
       var core = edges.select(col("id1").as("node")).distinct()
         .localCheckpoint(eager = false)
       (1 to KCoreRounds).foreach { _ =>
@@ -1545,7 +1552,10 @@ object Dedup {
       pairs.unpersist()
       // lazy rounds, one materializing job at the final aggregate (the
       // d18 r21 discipline); each round's RDD is still cached+truncated
-      // on first compute, so plans stay constant-size
+      // on first compute, so plans stay constant-size. dist is referenced
+      // by both the union and (via frontier) the semi-join with no action
+      // between (ADVICE r21) — same bounded-race argument as d18's loop:
+      // deterministic rounds, worst case one extra |V|-row recompute
       var dist = edges.select(col("id1").as("node")).distinct()
         .filter(col("node") % 7 === 0)
         .withColumn("d", lit(0L))

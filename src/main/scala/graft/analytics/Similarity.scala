@@ -2206,21 +2206,34 @@ object Similarity {
       val queries = assigned.filter(col("vec_id") < 8 && col("crnk") === 1)
         .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("norm2").as("q_norm2"))
         .cache()
+      // ONE query×corpus similarity pass shared by all four delete
+      // rates (r22): each rate's brute truth is this frame filtered to
+      // its live set, and each rate's IVF side is this frame restricted
+      // to the probe-bounded (q, list) pairs — the r21 form recomputed
+      // the identical dot products 8× (4 rates × ivf+truth). Values and
+      // tie-breaks are byte-identical (same expression, computed once),
+      // so every per-rate top-5 set is unchanged; oracle-gated at both
+      // correctness SFs.
+      val qsims = lists
+        .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          expr(dotExpr("q_qv", "qv")).cast("double") /
+            (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
+        .select(col("q_id"), col("vec_id"), col("list_label"), col("sim"))
+        .localCheckpoint() // 8 × |vectors| rows, read 8× below
+      val probePairs = probesDf.select(col("q_id").as("p_qid"), col("probe_label"))
       def top5(cand: org.apache.spark.sql.DataFrame) = {
         val winQ = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("sim").desc, col("vec_id"))
-        cand.withColumn("sim",
-            expr(dotExpr("q_qv", "qv")).cast("double") /
-              (sqrt(col("q_norm2").cast("double")) * sqrt(col("norm2").cast("double"))))
-          .withColumn("rnk", row_number().over(winQ))
+        cand.withColumn("rnk", row_number().over(winQ))
           .filter(col("rnk") <= 5)
           .select(col("q_id"), col("vec_id").as("c_id"))
       }
       val curves = Seq(9L, 5L, 3L, 2L).map { m =>
-        val live = lists.filter(col("vec_id") % m =!= 0)
-        val ivf = top5(live.join(broadcast(probesDf),
-          col("list_label") === col("probe_label") && col("vec_id") =!= col("q_id")))
-        val truth = top5(live.join(broadcast(queries), col("vec_id") =!= col("q_id")))
+        val live = qsims.filter(col("vec_id") % m =!= 0)
+        val ivf = top5(live.join(broadcast(probePairs),
+          col("q_id") === col("p_qid") && col("list_label") === col("probe_label")))
+        val truth = top5(live)
         val truthC = truth.cache()
         val hits = ivf.join(truthC, Seq("q_id", "c_id"))
           .agg(count(lit(1)).as("n_hits"))
